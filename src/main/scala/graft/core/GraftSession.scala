@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * The reference (uswitch/bifrost, /root/reference) wires its "system" at boot
+  * from an EDN config (main.clj:25-37, system.clj:41-48); our analog is a
+  * session builder with scale-aware defaults. Local mode is for tests only —
+  * every knob here is chosen to behave identically on a multi-executor
+  * cluster (AQE, shuffle partitioning, broadcast threshold).
+  */
+object GraftSession {
+
+  /** Shared tuning applied to any builder (local or cluster). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE: runtime coalescing of small shuffle partitions + skew-join
+      // splitting. At 100 TB this is what keeps a static partition count
+      // from being wrong in both directions.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Columnar at rest: zstd compresses ~2x better than snappy at similar
+      // scan cost — at 100 TB the scan is I/O bound, so this is a win.
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // Dimension tables (region/nation/supplier/customer at any SF that
+      // matters) broadcast; 64 MB is safe with multi-GB executors.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  /** Local session for tests/bench. `cpus` mirrors executor-core count. */
+  def local(appName: String = "graft", cpus: Int = 32): SparkSession = {
+    val s = tune(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName),
+      shufflePartitions = cpus
+    ).config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

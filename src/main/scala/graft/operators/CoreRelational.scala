@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Determinism._
+import graft.core.Tables
+
+/** Core relational surface: scan → filter/project → hash-agg, every join
+  * type, set ops, distinct, rollup/cube (SURVEY.md §2 Part B rows:
+  * Projection, Filter, Joins, Aggregation, Set operations).
+  *
+  * The reference has none of these (its only predicate is a topic-name
+  * white/blacklist, kafka.clj:182-186; its only aggregation is a running
+  * min/max of offsets, kafka.clj:65-67) — this layer is the "analysis" the
+  * archive exists for (README.md:8).
+  *
+  * Scale notes (100 TB design point):
+  *  - Aggregations are `groupBy().agg()` → Catalyst plans partial (map-side)
+  *    + final hash aggregation; no driver-side state.
+  *  - Fact⋈fact joins (lineitem⋈orders) shuffle on the join key — both sides
+  *    hash-partitioned, sort-merge or shuffled-hash chosen by AQE.
+  *  - Fact⋈dim joins broadcast the dim side explicitly (`broadcast()`), so
+  *    the 100 TB side never moves.
+  *  - Filters/projections sit directly over the scan → parquet pushdown +
+  *    column pruning (verified via .explain in specs).
+  */
+object CoreRelational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** TPC-H Q1-shaped pricing summary: scan → filter → project → hash agg → sort. */
+  def aggSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection — exercises parquet predicate
+    * pushdown and column pruning (the scan must read 5 of 11 columns). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** 3-way join (TPC-H Q3-shaped): broadcast dim (customer) into orders,
+    * shuffle join to lineitem, top-10 revenue. */
+  def joinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders   = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    lineitem
+      .join(orders.join(broadcast(customer), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Left outer join preserving customers with zero orders. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** Left-semi join (EXISTS): orders having a high-quantity line. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val bigLines = t(spark, dir, "lineitem").filter(col("l_quantity") >= 49.0)
+    t(spark, dir, "orders")
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Full outer join of two aggregates (nation coverage of customers vs
+    * suppliers); USING-style key coalescing. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select("nationkey", "n_cust", "n_supp")
+      .orderBy("nationkey")
+  }
+
+  /** Theta (non-equi band) join: parts bucketed into price bands via a
+    * broadcast range join — the standard shape for dimension-band lookups. */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val sq = spark; import sq.implicits._
+    val bands = Seq(
+      ("b1_900_925", 900.0, 925.0), ("b2_925_950", 925.0, 950.0),
+      ("b3_950_975", 950.0, 975.0), ("b4_975_1000", 975.0, 1000.0))
+      .toDF("band", "lo", "hi")
+    t(spark, dir, "part")
+      .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice"), 2).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** Row-level set operations: union(distinct) / intersect / except over
+    * customer vs supplier nation keys, tagged and stacked. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+    val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+    val e = cn.except(sn).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .select("op", "nationkey")
+      .orderBy("op", "nationkey")
+  }
+
+  /** Distinct combinations (dropDuplicates). */
+  def distinctCombos(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .dropDuplicates()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** COUNT(DISTINCT) aggregation (expand+two-phase agg under the hood). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** ROLLUP over the region→nation hierarchy of customers. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = broadcast(t(spark, dir, "nation"))
+    val r = broadcast(t(spark, dir, "region"))
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("region", "nation")
+  }
+
+  /** CUBE over order status × priority. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** GROUPING SETS via SQL passthrough. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             count(1) AS n,
+             ${sumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rflag, lstatus""")
+  }
+
+  /** Approximate distinct (HLL++) — no SQL oracle (approx values are
+    * engine-specific); the driver records a rows-only check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_summary"    -> aggSummary _,
+    "q02_filter_project" -> filterProject _,
+    "q03_join_revenue"   -> joinRevenue _,
+    "q04_join_left_outer"-> joinLeftOuter _,
+    "q05_join_semi"      -> joinSemi _,
+    "q06_join_anti"      -> joinAnti _,
+    "q07_join_full_outer"-> joinFullOuter _,
+    "q08_join_theta"     -> joinTheta _,
+    "q13_set_ops"        -> setOps _,
+    "q14_distinct"       -> distinctCombos _,
+    "q15_agg_distinct"   -> aggDistinct _,
+    "q16_rollup"         -> rollupAgg _,
+    "q17_cube"           -> cubeAgg _,
+    "q18_grouping_sets"  -> groupingSets _,
+    "q26_approx_distinct"-> approxDistinct _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_summary" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sumSql("l_quantity")} AS sum_qty,
+        ${sumSql("l_extendedprice")} AS sum_base_price,
+        ${sumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${sumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${avgSql("l_quantity")} AS avg_qty,
+        ${avgSql("l_extendedprice")} AS avg_price,
+        ${avgSql("l_discount")} AS avg_disc,
+        count(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_revenue" -> s"""
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+        ${sumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""",
+    "q04_join_left_outer" -> s"""
+      SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        ${sumSql("o_totalprice")} AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey""",
+    "q05_join_semi" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+      ORDER BY o_orderkey""",
+    "q06_join_anti" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q07_join_full_outer" -> """
+      SELECT nationkey, n_cust, n_supp
+      FROM (SELECT c_nationkey AS nationkey, count(1) AS n_cust FROM customer GROUP BY 1) c
+      FULL JOIN (SELECT s_nationkey AS nationkey, count(1) AS n_supp FROM supplier GROUP BY 1) s
+      USING (nationkey)
+      ORDER BY nationkey""",
+    "q08_join_theta" -> s"""
+      SELECT band, count(1) AS n_parts,
+        ${sumSql("p_retailprice", 2)} AS sum_price
+      FROM part
+      JOIN (VALUES ('b1_900_925', 900.0, 925.0), ('b2_925_950', 925.0, 950.0),
+                   ('b3_950_975', 950.0, 975.0), ('b4_975_1000', 975.0, 1000.0))
+           AS bands(band, lo, hi)
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band
+      ORDER BY band""",
+    "q13_set_ops" -> """
+      WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+           sn AS (SELECT s_nationkey AS nationkey FROM supplier)
+      SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+      UNION ALL
+      SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+      UNION ALL
+      SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+      ORDER BY op, nationkey""",
+    "q14_distinct" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority
+      FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""",
+    "q15_agg_distinct" -> s"""
+      SELECT o_orderstatus,
+        count(DISTINCT o_custkey) AS n_customers,
+        count(DISTINCT o_orderpriority) AS n_priorities,
+        count(1) AS n_orders,
+        ${sumSql("o_totalprice", 2)} AS sum_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+    "q16_rollup" -> s"""
+      SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        count(1) AS n_cust, ${sumSql("c_acctbal", 2)} AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation""",
+    "q17_cube" -> s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(1) AS n_orders, ${sumSql("o_totalprice", 2)} AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+    "q18_grouping_sets" -> s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             count(1) AS n,
+             ${sumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rflag, lstatus"""
+  )
+}

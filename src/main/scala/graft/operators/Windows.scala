@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Window functions, sorts/limits/top-k, and an as-of join (SURVEY.md §2
+  * Part B rows: Window functions, Sorts/limits/top-k). All absent in the
+  * reference — its only ordering concept is zero-padded offset file names
+  * giving lexicographic=offset order at rest (s3.clj:16-20).
+  *
+  * Scale notes:
+  *  - Every window here partitions by a key (brand / customer / event) so
+  *    state is bounded per partition; no global unpartitioned windows, which
+  *    would serialize 100 TB through one task.
+  *  - Top-k = orderBy().limit(k) → Spark plans TakeOrderedAndProject: a
+  *    per-partition heap + driver merge of k·partitions rows, never a full
+  *    sort of the fact table.
+  *  - The as-of join is a range join + per-left-row top-1; at scale both
+  *    sides are pre-bucketed on the equi key so the range part stays within
+  *    co-located partitions.
+  */
+object Windows {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Top-3 parts per brand by price: row_number over a keyed window, with a
+    * unique-key tiebreak so ranking is total and deterministic. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(spark, dir, "part")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "rn", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Running total + lag/lead per customer (ROWS frame; exact decimal
+    * accumulation so the running sum is order-stable cross-engine). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice").cast(DecimalType(30, 8)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 2).as("running_total"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** rank / dense_rank / ntile / percent_rank over customers per segment. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        graft.core.Determinism.dround(percent_rank().over(w), 6).as("prank"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Global top-k: orderBy + limit → TakeOrderedAndProject (no full sort). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  /** As-of join: each purchase event matched to the latest prior click of
+    * the same user. Spark lacks a native as-of join; composed as an
+    * equi+range join and a per-purchase top-1 window — the (b)-tier answer
+    * from SURVEY.md §7.3. Deterministic via (ts, event_id) tiebreak. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_event"))
+    val w = Window.partitionBy(col("p_event"))
+      .orderBy(col("c_ts").desc, col("c_event").desc)
+    purchases
+      .join(clicks, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("p_event", "user_id", "c_event", "c_ts")
+      .orderBy("p_event")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_window_topk"    -> windowTopK _,
+    "q10_window_running" -> windowRunning _,
+    "q11_window_rank"    -> windowRank _,
+    "q12_sort_limit"     -> sortLimit _,
+    "q27_asof_join"      -> asofJoin _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q09_window_topk" -> """
+      SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          (row_number() OVER (PARTITION BY p_brand
+             ORDER BY p_retailprice DESC, p_partkey))::INT AS rn
+        FROM part)
+      WHERE rn <= 3
+      ORDER BY p_brand, rn""",
+    "q10_window_running" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        round((sum(CAST(o_totalprice AS DECIMAL(30,8)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE, 2)
+          AS running_total,
+        lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          AS prev_order,
+        lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          AS next_order
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+    "q11_window_rank" -> """
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+        (rank() OVER w)::INT AS rnk,
+        (dense_rank() OVER w)::INT AS drnk,
+        (ntile(4) OVER w)::INT AS quartile,
+        floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS prank
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, c_custkey""",
+    "q12_sort_limit" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 20""",
+    "q27_asof_join" -> """
+      SELECT p_event, user_id, c_event, c_ts FROM (
+        SELECT p.event_id AS p_event, p.user_id, c.event_id AS c_event, c.ts AS c_ts,
+          row_number() OVER (PARTITION BY p.event_id
+            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts)
+      WHERE rn = 1
+      ORDER BY p_event"""
+  )
+}
