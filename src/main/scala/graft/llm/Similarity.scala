@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Two tiers, as a large-scale pipeline needs both:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) probe
+  *    set against the full corpus scan; per-probe heap via a row_number
+  *    window. The 100 TB-side table is scanned once, never shuffled.
+  *  - [[ivfTopK]]: IVF-style partition pruning — vectors are pre-assigned
+  *    to coarse cells (here the fixture's `label`; in production, k-means
+  *    cell ids computed offline); a probe only scans its own cell(s), i.e.
+  *    the classic inverted-file trade of recall for a ~cells× scan cut.
+  *    Cell assignment is a partition column at rest → Spark partition
+  *    pruning eliminates the other cells' files entirely.
+  *
+  * Dot products run in double via a sequential `aggregate` fold (same
+  * order as the oracle's list_sum) and are rounded to 6dp before ranking
+  * so rank ties are impossible to split differently across engines
+  * (vec_id breaks exact ties).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double,
+    * rounded to 6dp via the cross-engine half-up (Determinism.dround). */
+  def cosineExpr(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    def norm(x: String) =
+      s"sqrt(aggregate(transform($x, p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE)), " +
+        s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    s"floor((${dot(a, b)} / (${norm(a)} * ${norm(b)})) * 1e6 + 0.5) / 1e6"
+  }
+
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> ($x)[i]::DOUBLE * ($y)[i]::DOUBLE))"
+    def norm(x: String) =
+      s"sqrt(list_sum(list_transform($x, p -> p::DOUBLE * p::DOUBLE)))"
+    s"floor((${dot(a, b)} / (${norm(a)} * ${norm(b)})) * 1e6 + 0.5) / 1e6"
+  }
+
+  /** Exact brute-force cosine top-k for a probe subset. */
+  def bruteForceTopK(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val probes = vectors.filter(probeFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = vectors.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    broadcast(probes)
+      .join(corpus, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", expr(cosineExpr("qv", "cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "cand_id", "cos")
+  }
+
+  def bruteForceTopKSql(table: String, probeWhere: String, k: Int): String = s"""
+    WITH v AS (SELECT vec_id, embedding FROM $table),
+    p AS (SELECT vec_id AS query_id, embedding AS qv FROM v WHERE $probeWhere),
+    scored AS (
+      SELECT query_id, vec_id AS cand_id, ${cosineSql("qv", "embedding")} AS cos
+      FROM p JOIN v ON query_id <> vec_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+        (row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id))::INT AS rnk
+      FROM scored)
+    SELECT query_id, rnk, cand_id, cos FROM ranked WHERE rnk <= $k
+    ORDER BY query_id, rnk"""
+
+  /** IVF-style ANN: search only the probe's own coarse cell. */
+  def ivfTopK(vectors: DataFrame, cellCol: String, probeFilter: Column, k: Int): DataFrame = {
+    val probes = vectors.filter(probeFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col(cellCol).as("qcell"))
+    val corpus = vectors.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col(cellCol).as("ccell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    broadcast(probes)
+      .join(corpus, col("qcell") === col("ccell") && col("query_id") =!= col("cand_id"))
+      .withColumn("cos", expr(cosineExpr("qv", "cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("qcell").as("cell"), col("rnk"), col("cand_id"), col("cos"))
+  }
+
+  def ivfTopKSql(table: String, cellCol: String, probeWhere: String, k: Int): String = s"""
+    WITH v AS (SELECT vec_id, embedding, $cellCol AS cell FROM $table),
+    p AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell FROM v WHERE $probeWhere),
+    scored AS (
+      SELECT query_id, qcell AS cell, vec_id AS cand_id,
+        ${cosineSql("qv", "embedding")} AS cos
+      FROM p JOIN v ON qcell = v.cell AND query_id <> vec_id),
+    ranked AS (
+      SELECT query_id, cell, cand_id, cos,
+        (row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id))::INT AS rnk
+      FROM scored)
+    SELECT query_id, cell, rnk, cand_id, cos FROM ranked WHERE rnk <= $k
+    ORDER BY query_id, rnk"""
+
+  /** Near-duplicate pairs by embedding cosine within a blocking cell —
+    * the embedding-space analog of LSH dedup. */
+  def cosineNearDupPairs(vectors: DataFrame, cellCol: String, tau: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col(cellCol).as("cell_a"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col(cellCol).as("cell_b"))
+    a.join(b, col("cell_a") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", expr(cosineExpr("va", "vb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  def cosineNearDupPairsSql(table: String, cellCol: String, tau: Double): String = s"""
+    WITH v AS (SELECT vec_id, embedding, $cellCol AS cell FROM $table)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ${cosineSql("a.embedding", "b.embedding")} AS cos
+    FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ${cosineSql("a.embedding", "b.embedding")} >= $tau
+    ORDER BY id_a, id_b"""
+
+  /** Per-cell centroids: posexplode the vectors, average per (cell, dim).
+    * Output exploded (cell, dim, value) — the offline step that would feed
+    * real IVF cell assignment. Exact decimal mean via Determinism.davg. */
+  def centroids(vectors: DataFrame, cellCol: String): DataFrame =
+    vectors
+      .select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(graft.core.Determinism.davg(col("v").cast("double"), 8).as("centroid"))
+
+  def centroidsSql(table: String, cellCol: String): String = s"""
+    WITH exploded AS (
+      SELECT $cellCol AS cell,
+        (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
+        unnest(embedding) AS v
+      FROM $table)
+    SELECT cell, dim, ${graft.core.Determinism.avgSql("v::DOUBLE", 8)} AS centroid
+    FROM exploded
+    GROUP BY 1, 2
+    ORDER BY cell, dim"""
+}

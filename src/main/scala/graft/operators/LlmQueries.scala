@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Determinism._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** The LLM-training-data operator inventory as driver-checkable queries:
+  * text analysis, every dedup variant, similarity search, multimodal
+  * metadata (SURVEY.md §2 Part B last row + the north-star extensions).
+  * Constants here parameterize BOTH the Spark plan and the generated
+  * DuckDB oracle, so candidate sets match exactly.
+  */
+object LlmQueries {
+
+  // Shared tuning constants (Spark plan ⟷ oracle SQL)
+  val WordShingleN = 3
+  val MinhashK = 8
+  val MinhashBands = 4
+  val MinhashTau = 0.5
+  val CharNgramN = 4
+  val CharHashK = 4
+  val CharBands = 1 // single band of 4 rows: high-precision candidates
+  val CharTau = 0.6
+  val SimhashMaxHamming = 3
+  val EmbTau = 0.35
+  val BruteK = 5
+  val IvfK = 3
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Text statistics: chars, whitespace tokens, BPE-ish tokens, punctuation,
+    * stopword ratio — the standard quality-filter signals. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      tokenCount("text").as("n_tokens"),
+      bpeTokenCount("text").as("n_bpe_tokens"),
+      punctCount("text").as("n_punct"),
+      lexiconHits("text", EnglishStopwords).as("n_stopwords"),
+      dround(lexiconHits("text", EnglishStopwords).cast("double") /
+        tokenCount("text"), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** Composite quality score + class — length, punctuation, stopword
+    * signals combined with fixed weights. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = tokenCount("text").cast("double")
+    val punctR = punctCount("text").cast("double") / length(col("text"))
+    val stopR = lexiconHits("text", EnglishStopwords).cast("double") / tokens
+    val score = dround(
+      least(tokens / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctR) * 0.3 + stopR * 0.3, 6)
+    docs(spark, dir).select(
+      col("doc_id"), score.as("quality"),
+      when(score >= 0.5, "high").when(score >= 0.35, "medium").otherwise("low")
+        .as("quality_class"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-lexicon language ID with deterministic argmax. */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.langId("text").as("lang_guess"),
+      col("lang").as("lang_label"))
+      .orderBy("doc_id")
+
+  /** Content + bag fingerprints (rolling-hash document identity). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      contentFingerprint("text").as("content_fp"),
+      bagFingerprint("text").as("bag_fp"))
+      .orderBy("doc_id")
+
+  /** Exact dedup via hash group-by on the bag fingerprint (raw-text hash
+    * yields all-singleton clusters on this fixture; the bag key catches
+    * its planted reordered-word duplicates). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(docs(spark, dir), "doc_id", bagFingerprint("text"))
+      .orderBy("fp")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau)
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", SimhashMaxHamming)
+      .orderBy("id_a", "id_b")
+
+  def dedupCharNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.charNgramPairs(docs(spark, dir), "doc_id", "text",
+      CharNgramN, CharHashK, CharBands, CharTau)
+      .orderBy("id_a", "id_b")
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(embs(spark, dir), "label", EmbTau)
+      .orderBy("id_a", "id_b")
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(spark, dir), col("vec_id") < 20, BruteK)
+      .orderBy("query_id", "rnk")
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(spark, dir), "label", col("vec_id") < 50, IvfK)
+      .orderBy("query_id", "rnk")
+
+  def embCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroids(embs(spark, dir), "label")
+      .orderBy("cell", "dim")
+
+  /** Multimodal metadata over binary content (decode itself is the stubbed
+    * mapPartitions stage — see Multimodal.decodeStub; this is the
+    * expression-level plumbing that needs no decoder). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withMetadata(
+      Multimodal.asMediaTable(docs(spark, dir), "doc_id", "text"))
+      .select(col("media_id"), col("byte_len"), col("header_hex"),
+        col("content_md5"), array_join(col("frame_sample"), ":").as("frames"))
+      .orderBy("media_id")
+
+  /** Array higher-order functions over embeddings (transform/filter/
+    * aggregate/zip_with coverage with exact outputs). */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      expr("CAST(size(filter(embedding, x -> x > 0)) AS INT)").as("n_pos"),
+      dround(expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6)
+        .as("sum_elems"),
+      dround(expr("CAST(array_max(embedding) AS DOUBLE)"), 6).as("max_elem"),
+      dround(expr("CAST(array_min(embedding) AS DOUBLE)"), 6).as("min_elem"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats"      -> textStats _,
+    "q31_quality_score"   -> qualityScore _,
+    "q32_langid"          -> langIdQuery _,
+    "q33_fingerprint"     -> fingerprint _,
+    "q34_dedup_exact"     -> dedupExact _,
+    "q35_dedup_minhash"   -> dedupMinhash _,
+    "q36_dedup_simhash"   -> dedupSimhash _,
+    "q37_dedup_ngram"     -> dedupCharNgram _,
+    "q38_embed_near_dup"  -> embedNearDup _,
+    "q39_ann_bruteforce"  -> annBruteForce _,
+    "q40_ann_ivf"         -> annIvf _,
+    "q41_emb_centroids"   -> embCentroids _,
+    "q42_multimodal_meta" -> multimodalMeta _,
+    "q43_array_ops"       -> arrayOps _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" -> s"""
+      SELECT doc_id,
+        length(text)::INT AS n_chars_actual,
+        ${tokenCountSql("text")} AS n_tokens,
+        ${bpeTokenCountSql("text")} AS n_bpe_tokens,
+        ${punctCountSql("text")} AS n_punct,
+        ${lexiconHitsSql("text", EnglishStopwords)} AS n_stopwords,
+        ${droundSql(
+          s"${lexiconHitsSql("text", EnglishStopwords)}::DOUBLE / ${tokenCountSql("text")}", 6)}
+          AS stopword_ratio
+      FROM documents ORDER BY doc_id""",
+    "q31_quality_score" -> {
+      val tokens = s"${tokenCountSql("text")}::DOUBLE"
+      val punctR = s"${punctCountSql("text")}::DOUBLE / length(text)"
+      val stopR = s"${lexiconHitsSql("text", EnglishStopwords)}::DOUBLE / ($tokens)"
+      val score = droundSql(
+        s"least($tokens / 100.0, 1.0) * 0.4 + (1.0 - ($punctR)) * 0.3 + ($stopR) * 0.3", 6)
+      s"""
+      SELECT doc_id, $score AS quality,
+        CASE WHEN $score >= 0.5 THEN 'high'
+             WHEN $score >= 0.35 THEN 'medium' ELSE 'low' END AS quality_class
+      FROM documents ORDER BY doc_id"""
+    },
+    "q32_langid" -> s"""
+      SELECT doc_id, ${langIdSql("text")} AS lang_guess, lang AS lang_label
+      FROM documents ORDER BY doc_id""",
+    "q33_fingerprint" -> s"""
+      SELECT doc_id,
+        ${contentFingerprintSql("text")} AS content_fp,
+        ${bagFingerprintSql("text")} AS bag_fp
+      FROM documents ORDER BY doc_id""",
+    "q34_dedup_exact" -> s"""
+      SELECT fp, min(doc_id) AS keep_id, count(1) AS n_copies
+      FROM (SELECT doc_id, ${bagFingerprintSql("text")} AS fp FROM documents)
+      GROUP BY fp HAVING count(1) > 1
+      ORDER BY fp""",
+    "q35_dedup_minhash" -> Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+    "q36_dedup_simhash" -> Dedup.simhashPairsSql("documents", "doc_id", "text",
+      SimhashMaxHamming, "id_a, id_b"),
+    "q37_dedup_ngram" -> Dedup.charNgramPairsSql("documents", "doc_id", "text",
+      CharNgramN, CharHashK, CharBands, CharTau, "id_a, id_b"),
+    "q38_embed_near_dup" -> Similarity.cosineNearDupPairsSql("embeddings", "label", EmbTau),
+    "q39_ann_bruteforce" -> Similarity.bruteForceTopKSql("embeddings", "vec_id < 20", BruteK),
+    "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
+    "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
+    "q42_multimodal_meta" -> """
+      SELECT doc_id AS media_id,
+        octet_length(encode(text))::INT AS byte_len,
+        substr(hex(encode(text)), 1, 16) AS header_hex,
+        md5(text) AS content_md5,
+        array_to_string(list_transform(range(0, 4),
+          i -> substr(hex(encode(text)), i * 32 + 1, 2)), ':') AS frames
+      FROM documents ORDER BY media_id""",
+    "q43_array_ops" -> s"""
+      SELECT vec_id,
+        len(embedding)::INT AS dim,
+        len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+        ${droundSql("list_sum(list_transform(embedding, x -> x::DOUBLE))", 6)} AS sum_elems,
+        ${droundSql("list_max(embedding)::DOUBLE", 6)} AS max_elem,
+        ${droundSql("list_min(embedding)::DOUBLE", 6)} AS min_elem
+      FROM embeddings ORDER BY vec_id"""
+  )
+}
