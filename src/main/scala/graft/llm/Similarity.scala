@@ -25,8 +25,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double,
-    * rounded to 6dp via the cross-engine half-up (Determinism.dround). */
-  def cosineExpr(a: String, b: String): String = {
+    * rounded to 6dp via the cross-engine half-up (Determinism.dround).
+    * Uses the native codegen'd [[graft.functions.CosineSimilarity]] kernel
+    * (identical arithmetic order to [[cosineExprComposable]] — asserted in
+    * PlanSpec — so oracle hashes are unchanged). Callers must have run
+    * [[graft.functions.GraftFunctions.register]] on the session. */
+  def cosineExpr(a: String, b: String): String =
+    s"floor(cosine_sim($a, $b) * 1e6 + 0.5) / 1e6"
+
+  /** The built-ins-only form of [[cosineExpr]]'s kernel (zip_with +
+    * aggregate lambdas) — kept as the reference implementation the native
+    * expression is verified against. */
+  def cosineExprComposable(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
         s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -46,6 +56,7 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for a probe subset. */
   def bruteForceTopK(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val probes = vectors.filter(probeFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val corpus = vectors.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
@@ -74,6 +85,7 @@ object Similarity {
 
   /** IVF-style ANN: search only the probe's own coarse cell. */
   def ivfTopK(vectors: DataFrame, cellCol: String, probeFilter: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val probes = vectors.filter(probeFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col(cellCol).as("qcell"))
@@ -106,6 +118,7 @@ object Similarity {
   /** Near-duplicate pairs by embedding cosine within a blocking cell —
     * the embedding-space analog of LSH dedup. */
   def cosineNearDupPairs(vectors: DataFrame, cellCol: String, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col(cellCol).as("cell_a"))
     val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"),

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's core capability — archive every Kafka topic to object
+  * storage — as one Structured Streaming query (SURVEY.md §2.1 parity
+  * checklist; BASELINE.json north star).
+  *
+  * Reference → engine mapping:
+  *  - ZooKeeper topic discovery every 10 s (kafka.clj:22-41) →
+  *    `subscribePattern` + `metadata.max.age.ms`: the Kafka source
+  *    re-resolves matching topics without restart.
+  *  - whitelist/blacklist `(whitelist ∩ topics) − blacklist`
+  *    (kafka.clj:182-186) → [[topicFilter]] on the stream (works for any
+  *    source); whitelist also compiled into the subscribe pattern so
+  *    non-matching topics are never fetched.
+  *  - per-(topic, partition) file isolation (kafka.clj:103-120) →
+  *    `partitionBy("topic", "partition")` — Hive-style layout like the
+  *    reference's `topic/partition=N/` object keys (s3.clj:15-20).
+  *  - 60 s rotation timer (kafka.clj:84-99) → `Trigger.ProcessingTime`;
+  *    a micro-batch IS a rotation; empty batches write no files (§2.1.5).
+  *  - upload→commit ordering, at-least-once (s3.clj:40-80) → checkpoint +
+  *    file-sink manifest: exactly-once, strictly stronger (§2.1.6-7).
+  *  - bounded buffers (async.clj:8-14) → `maxOffsetsPerTrigger`.
+  *
+  * At scale: one streaming query handles all topics; parallelism = Kafka
+  * partition count (1 TopicPartition → 1 task), no per-topic threads to
+  * manage. The sink path is `s3a://…` in production — the s3a committer
+  * does the multipart upload the reference hand-rolled.
+  */
+object Archive {
+
+  /** Columns the archive persists — the reference keeps only value bytes
+    * (kafka.clj:58); we keep the full replay identity (topic, partition,
+    * offset) plus key and timestamp, making the archive a queryable table
+    * and dedup by (topic, partition, offset) possible downstream. */
+  val archiveColumns: Seq[String] =
+    Seq("key", "value", "topic", "partition", "offset", "timestamp")
+
+  final case class ArchiveConfig(
+      outputPath: String,
+      checkpointPath: String,
+      whitelist: Option[Seq[String]] = None, // None = all topics (§2.1.2)
+      blacklist: Seq[String] = Nil,
+      rotationInterval: String = "60 seconds", // reference default (§2.1.4)
+      maxOffsetsPerTrigger: Option[Long] = None)
+
+  /** `(whitelist ∩ topics) − blacklist`; whitelist None = all topics —
+    * the reference's listen-topics semantics (kafka.clj:182-186). */
+  def topicFilter(cfg: ArchiveConfig) = {
+    val white = cfg.whitelist
+      .map(ws => col("topic").isin(ws: _*))
+      .getOrElse(lit(true))
+    val black =
+      if (cfg.blacklist.isEmpty) lit(true)
+      else !col("topic").isin(cfg.blacklist: _*)
+    white && black
+  }
+
+  /** Kafka source for production use. Not exercisable in this container
+    * (no broker) but the options are the whole story: subscribePattern
+    * for dynamic discovery, earliest start like `auto.offset.reset
+    * smallest` (etc/config.example.edn:3-5), rate limiting. */
+  def kafkaSource(spark: SparkSession, bootstrap: String,
+                  cfg: ArchiveConfig): DataFrame = {
+    val pattern = cfg.whitelist.map(_.mkString("|")).getOrElse(".*")
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", pattern)
+      .option("startingOffsets", "earliest")
+      // re-resolve the topic list within the reference's 10 s bound
+      .option("kafka.metadata.max.age.ms", "10000")
+      .option("failOnDataLoss", "false")
+    cfg.maxOffsetsPerTrigger
+      .fold(base)(n => base.option("maxOffsetsPerTrigger", n.toString))
+      .load()
+  }
+
+  /** Wire any Kafka-schema stream (real source or MemoryStream in tests)
+    * into the archival sink. One micro-batch ≈ one reference rotation. */
+  def start(stream: DataFrame, cfg: ArchiveConfig): StreamingQuery =
+    stream
+      .filter(topicFilter(cfg))
+      .selectExpr(archiveColumns: _*)
+      .writeStream
+      .format("parquet")
+      .partitionBy("topic", "partition")
+      .option("path", cfg.outputPath)
+      .option("checkpointLocation", cfg.checkpointPath)
+      .trigger(Trigger.ProcessingTime(cfg.rotationInterval))
+      .start()
+
+  /** Read the archive back as a partition-prunable table (§2.1.8): filters
+    * on topic/partition prune directories before any I/O. */
+  def readArchive(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorAggregates
+import graft.llm.Similarity
+import graft.core.Tables
+
+/** Native function + UDAF layer: the codegen'd cosine kernel and the
+  * one-pass centroid Aggregator against their composable references. */
+class FunctionsSpec extends SparkSpec {
+
+  test("one-pass centroid Aggregator matches the posexplode+avg reference") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val onePass = VectorAggregates.centroidsOnePass(emb, "label")
+      .select(col("cell"), posexplode(col("centroid")).as(Seq("dim", "c1")))
+    val reference = Similarity.centroids(emb, "label")
+      .withColumnRenamed("centroid", "c2")
+    val joined = onePass.join(reference, Seq("cell", "dim"), "full_outer")
+    assert(joined.filter(col("c1").isNull || col("c2").isNull).count() === 0,
+      "both forms must produce the same (cell, dim) keys")
+    // float inputs summed in different orders: agreement to 1e-7 is the
+    // right bar (values are O(1); double-vs-decimal path differs in ulps)
+    val maxDiff = joined.agg(max(abs(col("c1") - col("c2")))).head.getDouble(0)
+    assert(maxDiff < 1e-7, s"centroids diverged by $maxDiff")
+  }
+
+  test("cosine_sim returns null on null input, not a crash or a zero") {
+    graft.functions.GraftFunctions.register(spark)
+    val sq = spark; import sq.implicits._
+    val df = Seq(
+      (Some(Seq(1f, 0f)), Some(Seq(1f, 0f))),
+      (None, Some(Seq(1f, 0f))),
+      (Some(Seq(0f, 1f)), None))
+      .toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS cos")
+    val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows(0).contains(1.0))
+    assert(rows(1).isEmpty && rows(2).isEmpty)
+  }
+
+  test("cosine_sim agrees with a hand computation") {
+    graft.functions.GraftFunctions.register(spark)
+    val sq = spark; import sq.implicits._
+    val got = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS cos").head.getDouble(0)
+    val want = (1 * 4 + 2 * 5 + 3 * 6) /
+      (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
+    assert(math.abs(got - want) < 1e-12)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{CoreRelational, Windows}
+import graft.llm.Similarity
+import org.apache.spark.sql.functions.col
+
+/** Plan-shape assertions — the 100 TB design points that correctness
+  * hashes can't see: pushdown, pruning, broadcast vs shuffle, top-k
+  * without a full sort (SURVEY.md §4 engine consequences). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan string AFTER execution: with AQE the pre-execution string is the
+    * un-finalized plan, which omits WholeStageCodegen spans. */
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize THIS df's adaptive plan (a write would clone it)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters reach the parquet scan (PushedFilters) and columns are pruned") {
+    val p = plan(CoreRelational.filterProject(spark, sfDir))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_shipdate") && p.contains("l_discount"))
+    // column pruning: the scan schema must not include unprojected columns
+    assert(!p.contains("l_comment") && !p.contains("l_tax"),
+      s"scan should read only needed columns:\n$p")
+  }
+
+  test("dimension joins broadcast; the fact side is never broadcast") {
+    val p = plan(CoreRelational.joinRevenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Windows.sortLimit(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("ANN probes broadcast against the corpus scan") {
+    val p = plan(Similarity.bruteForceTopK(
+      graft.core.Tables.load(spark, sfDir, "embeddings"), col("vec_id") < 5, 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$p")
+  }
+
+  test("native cosine_sim is bit-identical to the composable form and codegen'd") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b") && col("id_b") < 40)
+    val both = pairs.selectExpr(
+      "id_a", "id_b",
+      s"${Similarity.cosineExpr("va", "vb")} AS native",
+      s"${Similarity.cosineExprComposable("va", "vb")} AS composable")
+    assert(both.count() > 100)
+    assert(both.filter(col("native") =!= col("composable")).count() === 0,
+      "native expression must reproduce the lambda form bit-for-bit")
+    // and it must run inside whole-stage codegen (no eval fallback)
+    val p = executedPlan(both)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"cosine must be codegen'd:\n$p")
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    val p = executedPlan(CoreRelational.aggSummary(spark, sfDir))
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"agg must be codegen'd:\n$p")
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventAnalytics
+import graft.streaming.EventAnalytics.Event
+
+/** Event-time semantics: tumbling windows, watermark late-data drop,
+  * streaming dedup, stateful sessionization. Assertions on micro-batch
+  * boundaries via processAllAvailable (SURVEY.md §7.4: no sleeps). */
+class StreamingAnalyticsSpec extends SparkSpec {
+
+  // 10-minute-aligned epoch base so window starts land on exact minutes
+  private val BASE = 1699999800000L
+
+  private def ev(id: Long, minute: Int, user: Long = 1, typ: String = "click",
+                 value: Double = 1.0): Event =
+    Event(id, new Timestamp(BASE + minute * 60000L), user, typ, value)
+
+  test("tumbling window aggregates by event time and drops late rows past watermark") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val source = MemoryStream[Event]
+    val agg = EventAnalytics.tumblingCounts(source.toDF(), "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+
+    source.addData(ev(1, 0), ev(2, 5), ev(3, 11))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first two windows
+    source.addData(ev(4, 40))
+    q.processAllAvailable()
+    // late arrival for the long-closed first window: must be dropped
+    source.addData(ev(5, 1))
+    q.processAllAvailable()
+    source.addData(ev(6, 60))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling_out")
+      .select("win_start", "n").collect()
+      .map(r => (r.getTimestamp(0).getTime - BASE) / 60000 -> r.getLong(1))
+      .toMap
+    assert(rows(0L) === 2, "window [0,10) has events at minutes 0 and 5; late row dropped")
+    assert(rows(10L) === 1)
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event ids") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventAnalytics.dedupEvents(source.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    source.addData(ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    source.addData(ev(1, 0), ev(3, 2)) // replayed id=1
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() === 3)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val source = MemoryStream[Event]
+    val sessions = EventAnalytics.sessionize(source.toDS(), gapMs = 10 * 60000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // user 1: events at 0,5 (one session), then 30 (gap > 10min → new session)
+    source.addData(ev(1, 0), ev(2, 5), ev(3, 30))
+    q.processAllAvailable()
+    source.addData(ev(4, 60)) // closes the minute-30 session
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out")
+      .select("user_id", "n_events").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.contains((1L, 2))) // the 0-5 session closed with 2 events
+    assert(out.contains((1L, 1))) // the minute-30 session closed by minute-60 event
+  }
+
+  test("session_window groups batch events by inactivity gap") {
+    // session_window works identically over batch data — cheap shape check
+    val df = graft.core.Tables.load(spark, sfDir, "events")
+    val sessions = df.groupBy(
+        org.apache.spark.sql.functions.session_window(
+          org.apache.spark.sql.functions.col("ts"), "30 minutes"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .count()
+    assert(sessions.count() > 0)
+  }
+}
