@@ -35,20 +35,28 @@ object TextFunctions {
   def bpeTokenCountSql(text: String): String =
     s"len(regexp_extract_all($text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::INT"
 
-  /** Word n-gram shingles (distinct), the MinHash input unit. Spark arrays
-    * and DuckDB lists are both 1-indexed (element_at / l[i]). */
-  def wordShinglesExpr(text: String, n: Int = 3): String = {
-    val w = wordsExpr(text)
+  /** Word n-gram shingles (distinct) from an already-materialized words
+    * ARRAY column `w` — pass a bare column name here. Inlining the split()
+    * expression instead re-runs the regex split once per element_at inside
+    * the interpreted lambda (~3n× per doc): materialize words first.
+    * Spark arrays and DuckDB lists are both 1-indexed (element_at / l[i]). */
+  def wordShinglesFromArrayExpr(w: String, n: Int): String = {
     val parts = (0 until n).map(j =>
-      if (j == 0) "element_at(w, i)" else s"element_at(w, i + $j)")
+      if (j == 0) s"element_at($w, i)" else s"element_at($w, i + $j)")
       .mkString(", ' ', ")
     // Guarded: sequence(1, 0) in Spark is a DESCENDING [1,0], not empty,
     // and ANSI element_at would then throw — short inputs get array().
     s"CASE WHEN size($w) >= $n THEN " +
       s"array_distinct(transform(sequence(1, size($w) - ${n - 1}), " +
-      s"i -> concat(${parts.replace("element_at(w", s"element_at($w")}))) " +
+      s"i -> concat($parts))) " +
       s"ELSE array_repeat('', 0) END"
   }
+
+  /** Word n-gram shingles (distinct), the MinHash input unit. Prefer
+    * [[wordShinglesFromArrayExpr]] over a pre-projected words column in
+    * hot paths. */
+  def wordShinglesExpr(text: String, n: Int = 3): String =
+    wordShinglesFromArrayExpr(wordsExpr(text), n)
   def wordShingles(text: String, n: Int = 3): Column = expr(wordShinglesExpr(text, n))
   def wordShinglesSql(text: String, n: Int = 3): String = {
     val w = wordsSql(text)

@@ -3,27 +3,57 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.core.Determinism.{xhashSql, xhashSeededSql}
+import graft.core.Determinism.xhashSql
 
 /** Deduplication operators for training-data pipelines: exact (hash
   * group-by), MinHash+LSH, SimHash, and character-n-gram Jaccard.
   *
   * Scale design (the whole point of LSH): candidate generation is a
-  * shuffle-join on (band_id, band_hash) — O(n·bands) rows exchanged, never
-  * the O(n²) pair space. Exact Jaccard runs only on LSH candidates. At
-  * 100 TB: signatures are one codegen'd projection over the corpus scan,
-  * the band join shuffles ~bands× the doc-id space (tiny vs the text), and
-  * skewed buckets (boilerplate docs) are handled by AQE skew-join splitting.
+  * shuffle-join on the band key — O(n·bands) rows exchanged, never the
+  * O(n²) pair space. Exact Jaccard runs only on LSH candidates. At
+  * 100 TB: signatures are one projection over the corpus scan, the band
+  * join shuffles ~bands× the doc-id space (tiny vs the text), and skewed
+  * buckets (boilerplate docs) are handled by AQE skew-join splitting.
   *
-  * Every hash is the cross-engine md5-based family from
-  * [[graft.core.Determinism]], so the DuckDB oracle reproduces the exact
-  * candidate sets and scores.
+  * Hashing layout (performance-critical — the naive form is 100× slower):
+  *  1. each distinct shingle is md5-hashed to int64 ONCE ([[hsExpr]]);
+  *  2. the k MinHash functions are affine integer mixes of that one hash
+  *     over the Mersenne prime 2^31-1 ([[mixExpr]]) — no further md5;
+  *  3. candidate verification is a hash-set intersection over the int64
+  *     shingle-hash arrays (`array_intersect`), not O(n·m) string compares.
+  * Every step is exact integer arithmetic reproduced literally in the
+  * DuckDB oracle (`*Sql` twins), so candidate sets match bit-for-bit.
   */
 object Dedup {
 
-  /** Cross-engine seeded hash of a string expr — Spark SQL side. */
-  private def hashExpr(seed: Int, s: String): String =
-    s"CAST(conv(substr(md5(concat('s$seed:', $s)), 1, 15), 16, 10) AS BIGINT)"
+  /** Mersenne prime 2^31-1: mix products stay < 2^62 (no int64 overflow
+    * in either engine's ANSI mode). */
+  val P = 2147483647L
+
+  /** Affine mix constants for MinHash function i — fixed pseudo-random
+    * odd-ish multipliers, identical literals baked into both engines. */
+  def mixConsts(i: Int): (Long, Long) = {
+    val a = ((i * 2654435761L + 1000003L) % (P - 1)) + 1
+    val b = (i * 40014L + 12345L) % P
+    (a, b)
+  }
+
+  /** int64 shingle hashes: one md5 pass over the distinct shingle array.
+    * Spark and DuckDB forms of the same expression. */
+  private def hsExpr(sh: String): String =
+    s"transform($sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
+  private def hsSql(sh: String): String =
+    s"list_transform($sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+
+  /** MinHash i over the int64 hash array `hs`: min of the affine mix. */
+  private def mixExpr(i: Int, hs: String): String = {
+    val (a, b) = mixConsts(i)
+    s"array_min(transform($hs, h -> ($a * (h % $P) + $b) % $P))"
+  }
+  private def mixSql(i: Int, hs: String): String = {
+    val (a, b) = mixConsts(i)
+    s"list_min(list_transform($hs, h -> ($a * (h % $P) + $b) % $P))"
+  }
 
   /** Exact dedup by content hash: group on a fingerprint, keep the lowest
     * id as the cluster representative. `keyExpr` picks the normalization
@@ -34,122 +64,139 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** MinHash signature columns mh0..mh{k-1} over a shingle array column. */
-  def withMinhash(docs: DataFrame, shingleExpr: String, numHashes: Int): DataFrame =
-    (0 until numHashes).foldLeft(docs) { (df, i) =>
-      df.withColumn(s"mh$i",
-        expr(s"array_min(transform($shingleExpr, s -> ${hashExpr(i, "s")}))"))
-    }
-
-  /** LSH banding: one row per (doc, band), band hash = md5 of the band's
-    * minhash slice. bandsRows = (bands, rowsPerBand). */
-  def withBands(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, hs, band-key) rows, one per band: hs is the int64 shingle-hash
+    * array, the band key is "b<band>:mh,mh,…" over that band's MinHash
+    * slice. Built in three explicit projections (shingles → hs → bands) so
+    * the interpreted higher-order lambdas each run exactly once per row. */
+  private def bandedSignatures(sh0: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val bandStructs = (0 until bands).map { b =>
+    val sh = sh0.filter(size(col("sh")) > 0)
+    val hs = sh.selectExpr("id", s"${hsExpr("sh")} AS hs")
+    val mh = hs.selectExpr(
+      Seq("id", "hs") ++
+        (0 until numHashes).map(i => s"${mixExpr(i, "hs")} AS mh$i"): _*)
+    val bandKeys = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS STRING)")
         .mkString(", ',', ")
-      struct(lit(b).as("band_id"), expr(s"md5(concat($slice))").as("band_hash"))
-    }
-    sig.withColumn("band", explode(array(bandStructs: _*)))
-      .withColumn("band_id", col("band.band_id"))
-      .withColumn("band_hash", col("band.band_hash"))
-      .drop("band")
+      s"concat('b$b:', $slice)"
+    }.mkString(", ")
+    mh.selectExpr("id", "hs", s"explode(array($bandKeys)) AS bk")
   }
 
-  /** Candidate pairs from shared LSH buckets (distinct over bands), with
-    * exact Jaccard on the distinct shingle arrays, thresholded.
+  /** Candidate pairs from shared LSH buckets (distinct over bands), exact
+    * Jaccard via int64 hash-set intersection, thresholded.
     *
-    * The self-join shuffles both sides on (band_id, band_hash) — co-located
-    * buckets, no broadcast of the corpus. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int, numHashes: Int, bands: Int,
-                      tau: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      expr(wordShinglesExpr(textCol, shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = withBands(withMinhash(sh, "sh", numHashes), numHashes, bands)
-    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
-    a.join(b,
-        col("band_id") === col("band_id_b") &&
-        col("band_hash") === col("band_hash_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    * The self-join shuffles both sides on the band key — co-located
+    * buckets, no broadcast of the corpus. At 100 TB persist the signature
+    * table first (one corpus scan) and join the materialized form. */
+  private def lshPairs(banded: DataFrame, tau: Double): DataFrame = {
+    val a = banded.select(col("id").as("id_a"), col("hs").as("hs_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("hs").as("hs_b"),
+      col("bk").as("bk_b"))
+    a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("inter",
-        expr("size(filter(sh_a, x -> array_contains(sh_b, x)))"))
+      .withColumn("inter", expr("size(array_intersect(hs_a, hs_b))"))
       .withColumn("jaccard",
-        expr("CAST(inter AS DOUBLE) / (size(sh_a) + size(sh_b) - inter)"))
+        expr("CAST(inter AS DOUBLE) / (size(hs_a) + size(hs_b) - inter)"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** DuckDB oracle for [[minhashLshPairs]] — built from the same constants
-    * so candidate sets match exactly. */
-  def minhashLshPairsSql(table: String, idCol: String, textCol: String,
-                         shingleN: Int, numHashes: Int, bands: Int,
-                         tau: Double, orderBy: String): String = {
+  /** Shared DuckDB oracle skeleton for the two LSH variants: `tExpr` is
+    * the shingle expression, `tGuard` the short-input filter. */
+  private def lshPairsSql(table: String, idCol: String, tExpr: String,
+                          tGuard: String, numHashes: Int, bands: Int,
+                          tau: Double, orderBy: String): String = {
     val rows = numHashes / bands
-    val mh = (0 until numHashes).map(i =>
-      s"list_min(list_transform(sh, s -> ${xhashSeededSql("s", i)})) AS mh$i").mkString(",\n    ")
+    val mh = (0 until numHashes).map(i => s"${mixSql(i, "hs")} AS mh$i")
+      .mkString(",\n      ")
     val bandCases = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR").mkString(" || ',' || ")
-      s"WHEN $b THEN md5($slice)"
+      val slice = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN 'b$b:' || $slice"
     }.mkString(" ")
     val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
     s"""
     WITH t AS (
-      SELECT $idCol AS id, ${wordShinglesSql(textCol, shingleN)} AS sh
-      FROM $table
-      WHERE len(${wordsSql(textCol)}) >= $shingleN),
-    sig AS (SELECT id, sh, $mh FROM t),
+      SELECT $idCol AS id, ${hsSql(tExpr)} AS hs
+      FROM $table WHERE $tGuard),
+    sig AS (SELECT id, hs, $mh FROM t),
     banded AS (
-      SELECT id, sh, b.band_id,
-        CASE b.band_id $bandCases END AS band_hash
+      SELECT id, hs, CASE b.band_id $bandCases END AS bk
       FROM sig, (VALUES $bandVals) b(band_id)),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id),
     scored AS (
       SELECT id_a, id_b,
-        len(list_filter(ta.sh, x -> list_contains(tb.sh, x))) * 1.0 /
-        (len(ta.sh) + len(tb.sh) - len(list_filter(ta.sh, x -> list_contains(tb.sh, x))))
-          AS jaccard
+        len(list_intersect(ta.hs, tb.hs)) * 1.0 /
+        (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jaccard
       FROM cand JOIN t ta ON cand.id_a = ta.id JOIN t tb ON cand.id_b = tb.id)
     SELECT id_a, id_b, jaccard FROM scored
     WHERE jaccard >= $tau
     ORDER BY $orderBy"""
   }
 
-  /** 16-bit SimHash from per-token hashes: per bit, sum ±1 contributions
-    * over all tokens (duplicates weighted); bit set iff the sum is
-    * positive. Integer arithmetic end-to-end → exact cross-engine. */
-  def simhash16(textCol: String): Column = {
-    val whs = s"transform(${wordsExpr(textCol)}, w -> ${hashExpr(99, "w")})"
-    val bits = (0 until 16).map { b =>
-      s"(CASE WHEN aggregate($whs, 0L, (acc, h) -> acc + (shiftright(h, $b) & 1) * 2 - 1) > 0 " +
-        s"THEN ${1 << b}L ELSE 0L END)"
-    }.mkString(" + ")
-    expr(bits)
+  /** MinHash-LSH near-dup pairs over word n-gram shingles. The words
+    * array is materialized in its own projection before shingling (see
+    * [[graft.functions.TextFunctions.wordShinglesFromArrayExpr]]). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, numHashes: Int, bands: Int,
+                      tau: Double): DataFrame = {
+    val sh = docs.selectExpr(s"$idCol AS id", s"${wordsExpr(textCol)} AS w")
+      .selectExpr("id", s"${wordShinglesFromArrayExpr("w", shingleN)} AS sh")
+    lshPairs(bandedSignatures(sh, numHashes, bands), tau)
   }
 
-  def simhash16Sql(textCol: String): String = {
-    val whs = s"list_transform(${wordsSql(textCol)}, w -> ${xhashSeededSql("w", 99)})"
-    val bits = (0 until 16).map { b =>
-      s"(CASE WHEN list_sum(list_transform($whs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
-        s"THEN ${1 << b} ELSE 0 END)"
-    }.mkString(" + ")
-    s"($bits)::BIGINT"
+  /** DuckDB oracle for [[minhashLshPairs]] — same constants, same hash
+    * family, exact candidate-set match. */
+  def minhashLshPairsSql(table: String, idCol: String, textCol: String,
+                         shingleN: Int, numHashes: Int, bands: Int,
+                         tau: Double, orderBy: String): String =
+    lshPairsSql(table, idCol, wordShinglesSql(textCol, shingleN),
+      s"len(${wordsSql(textCol)}) >= $shingleN", numHashes, bands, tau, orderBy)
+
+  /** Character-n-gram Jaccard near-dup: same LSH skeleton as
+    * [[minhashLshPairs]] but over char shingles (catches small edits that
+    * word shingles miss). */
+  def charNgramPairs(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    val sh = docs.selectExpr(s"$idCol AS id",
+      s"${charShinglesExpr(textCol, n)} AS sh")
+    lshPairs(bandedSignatures(sh, numHashes, bands), tau)
   }
+
+  def charNgramPairsSql(table: String, idCol: String, textCol: String,
+                        n: Int, numHashes: Int, bands: Int, tau: Double,
+                        orderBy: String): String =
+    lshPairsSql(table, idCol, charShinglesSql(textCol, n),
+      s"length($textCol) >= $n", numHashes, bands, tau, orderBy)
+
+  /** 16-bit SimHash bit expression over a materialized int64 word-hash
+    * array column `whs`: per bit, sum ±1 contributions over all tokens
+    * (duplicates weighted); bit set iff the sum is positive. Integer
+    * arithmetic end-to-end → exact cross-engine. */
+  private def simhashBits(whs: String): String =
+    (0 until 16).map { b =>
+      s"(CASE WHEN aggregate($whs, 0L, (acc, h) -> acc + (shiftright(h, $b) & 1) * 2 - 1) > 0 " +
+        s"THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+
+  /** SimHash signature of a text column via two explicit projections (the
+    * word-hash array is computed once, then 16 cheap bit aggregates read
+    * the column — inlining it 16× would re-run the md5 transform 16×). */
+  def withSimhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.selectExpr(s"$idCol AS id",
+        s"${hsExpr(s"transform(${wordsExpr(textCol)}, w -> concat('s99:', w))")} AS whs")
+      .selectExpr("id", s"${simhashBits("whs")} AS sig")
 
   /** SimHash near-dup pairs: bucket on the high byte (LSH-style prefix
     * blocking), verify with Hamming distance on the full signature. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), simhash16(textCol).as("sig"))
+    val sig = withSimhash16(docs, idCol, textCol)
     val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b,
@@ -160,71 +207,18 @@ object Dedup {
   }
 
   def simhashPairsSql(table: String, idCol: String, textCol: String,
-                      maxHamming: Int, orderBy: String): String = s"""
-    WITH sig AS (SELECT $idCol AS id, ${simhash16Sql(textCol)} AS sig FROM $table)
+                      maxHamming: Int, orderBy: String): String = {
+    val whs = hsSql(s"list_transform(${wordsSql(textCol)}, w -> 's99:' || w)")
+    val bits = (0 until 16).map { b =>
+      s"(CASE WHEN list_sum(list_transform(whs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
+        s"THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+    WITH w AS (SELECT $idCol AS id, $whs AS whs FROM $table),
+    sig AS (SELECT id, ($bits)::BIGINT AS sig FROM w)
     SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig))::INT AS hamming
     FROM sig a JOIN sig b ON (a.sig >> 8) = (b.sig >> 8) AND a.id < b.id
     WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
-    ORDER BY $orderBy"""
-
-  /** Character-n-gram Jaccard near-dup: same LSH skeleton as
-    * [[minhashLshPairs]] but over char shingles (catches small edits that
-    * word shingles miss). */
-  def charNgramPairs(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      expr(charShinglesExpr(textCol, n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = withBands(withMinhash(sh, "sh", numHashes), numHashes, bands)
-    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
-    a.join(b,
-        col("band_id") === col("band_id_b") &&
-        col("band_hash") === col("band_hash_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("inter",
-        expr("size(filter(sh_a, x -> array_contains(sh_b, x)))"))
-      .withColumn("jaccard",
-        expr("CAST(inter AS DOUBLE) / (size(sh_a) + size(sh_b) - inter)"))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  def charNgramPairsSql(table: String, idCol: String, textCol: String,
-                        n: Int, numHashes: Int, bands: Int, tau: Double,
-                        orderBy: String): String = {
-    val rows = numHashes / bands
-    val mh = (0 until numHashes).map(i =>
-      s"list_min(list_transform(sh, s -> ${xhashSeededSql("s", i)})) AS mh$i").mkString(",\n    ")
-    val bandCases = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR").mkString(" || ',' || ")
-      s"WHEN $b THEN md5($slice)"
-    }.mkString(" ")
-    val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
-    s"""
-    WITH t AS (
-      SELECT $idCol AS id, ${charShinglesSql(textCol, n)} AS sh
-      FROM $table WHERE length($textCol) >= $n),
-    sig AS (SELECT id, sh, $mh FROM t),
-    banded AS (
-      SELECT id, sh, b.band_id, CASE b.band_id $bandCases END AS band_hash
-      FROM sig, (VALUES $bandVals) b(band_id)),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
-    scored AS (
-      SELECT id_a, id_b,
-        len(list_filter(ta.sh, x -> list_contains(tb.sh, x))) * 1.0 /
-        (len(ta.sh) + len(tb.sh) - len(list_filter(ta.sh, x -> list_contains(tb.sh, x))))
-          AS jaccard
-      FROM cand JOIN t ta ON cand.id_a = ta.id JOIN t tb ON cand.id_b = tb.id)
-    SELECT id_a, id_b, jaccard FROM scored
-    WHERE jaccard >= $tau
     ORDER BY $orderBy"""
   }
 }

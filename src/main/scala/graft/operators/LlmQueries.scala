@@ -22,8 +22,12 @@ object LlmQueries {
   val MinhashBands = 4
   val MinhashTau = 0.5
   val CharNgramN = 4
-  val CharHashK = 4
-  val CharBands = 1 // single band of 4 rows: high-precision candidates
+  // 2 bands × 8 rows: LSH S-curve threshold (1/b)^(1/r) ≈ 0.92. Char
+  // 4-grams of same-language text share ~0.45 Jaccard at baseline, so
+  // short bands admit O(n²) candidates; 8 rows cuts the background
+  // collision rate to ~0.2% while keeping near-identical docs.
+  val CharHashK = 16
+  val CharBands = 2
   val CharTau = 0.6
   val SimhashMaxHamming = 3
   val EmbTau = 0.35
