@@ -90,7 +90,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * any operator that uses them so the functions exist on whatever session
   * the caller brought (driver sessions included). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5_i64", {
+        case Seq(e) => Md5I64Array(e)
+        case Seq(e, p) => Md5I64Array(e,
+          p.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs =>
+        MinhashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash16", exprs => Simhash16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs =>
+        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_shingles", exprs =>
+        CharShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
 }

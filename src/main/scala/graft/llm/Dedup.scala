@@ -16,43 +16,30 @@ import graft.core.Determinism.xhashSql
   * buckets (boilerplate docs) are handled by AQE skew-join splitting.
   *
   * Hashing layout (performance-critical — the naive form is 100× slower):
-  *  1. each distinct shingle is md5-hashed to int64 ONCE ([[hsExpr]]);
+  *  1. each distinct shingle is md5-hashed to int64 ONCE (native
+  *     `md5_i64`, [[graft.functions.HashKernels.md5i64]]);
   *  2. the k MinHash functions are affine integer mixes of that one hash
-  *     over the Mersenne prime 2^31-1 ([[mixExpr]]) — no further md5;
+  *     over the Mersenne prime 2^31-1, fused into a single codegen'd pass
+  *     (native `minhash_sig`) — no further md5, no k array re-walks;
   *  3. candidate verification is a hash-set intersection over the int64
   *     shingle-hash arrays (`array_intersect`), not O(n·m) string compares.
   * Every step is exact integer arithmetic reproduced literally in the
-  * DuckDB oracle (`*Sql` twins), so candidate sets match bit-for-bit.
+  * DuckDB oracle (`*Sql` twins, which keep the composable SQL form of the
+  * same math), so candidate sets match bit-for-bit.
   */
 object Dedup {
 
-  /** Mersenne prime 2^31-1: mix products stay < 2^62 (no int64 overflow
-    * in either engine's ANSI mode). */
-  val P = 2147483647L
+  import graft.functions.{GraftFunctions, HashKernels}
 
-  /** Affine mix constants for MinHash function i — fixed pseudo-random
-    * odd-ish multipliers, identical literals baked into both engines. */
-  def mixConsts(i: Int): (Long, Long) = {
-    val a = ((i * 2654435761L + 1000003L) % (P - 1)) + 1
-    val b = (i * 40014L + 12345L) % P
-    (a, b)
-  }
-
-  /** int64 shingle hashes: one md5 pass over the distinct shingle array.
-    * Spark and DuckDB forms of the same expression. */
-  private def hsExpr(sh: String): String =
-    s"transform($sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT))"
+  /** DuckDB form of the int64 shingle-hash array. */
   private def hsSql(sh: String): String =
     s"list_transform($sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
 
-  /** MinHash i over the int64 hash array `hs`: min of the affine mix. */
-  private def mixExpr(i: Int, hs: String): String = {
-    val (a, b) = mixConsts(i)
-    s"array_min(transform($hs, h -> ($a * (h % $P) + $b) % $P))"
-  }
+  /** DuckDB form of MinHash i over the int64 hash array `hs`. */
   private def mixSql(i: Int, hs: String): String = {
-    val (a, b) = mixConsts(i)
-    s"list_min(list_transform($hs, h -> ($a * (h % $P) + $b) % $P))"
+    val (a, b) = HashKernels.mixConsts(i)
+    val p = HashKernels.P
+    s"list_min(list_transform($hs, h -> ($a * (h % $p) + $b) % $p))"
   }
 
   /** Exact dedup by content hash: group on a fingerprint, keep the lowest
@@ -66,22 +53,23 @@ object Dedup {
 
   /** (id, hs, band-key) rows, one per band: hs is the int64 shingle-hash
     * array, the band key is "b<band>:mh,mh,…" over that band's MinHash
-    * slice. Built in three explicit projections (shingles → hs → bands) so
-    * the interpreted higher-order lambdas each run exactly once per row. */
+    * slice. Two native-kernel projections (sh → hs → sig) keep the whole
+    * signature computation inside whole-stage codegen; band keys are cheap
+    * element_at reads of the sig array. */
   private def bandedSignatures(sh0: DataFrame, numHashes: Int,
                                bands: Int): DataFrame = {
+    GraftFunctions.register(sh0.sparkSession)
     val rows = numHashes / bands
     val sh = sh0.filter(size(col("sh")) > 0)
-    val hs = sh.selectExpr("id", s"${hsExpr("sh")} AS hs")
-    val mh = hs.selectExpr(
-      Seq("id", "hs") ++
-        (0 until numHashes).map(i => s"${mixExpr(i, "hs")} AS mh$i"): _*)
+    val sig = sh.selectExpr("id", "md5_i64(sh) AS hs")
+      .selectExpr("id", "hs", s"minhash_sig(hs, $numHashes) AS sig")
     val bandKeys = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"CAST(mh${b * rows + r} AS STRING)")
+      val slice = (0 until rows)
+        .map(r => s"CAST(element_at(sig, ${b * rows + r + 1}) AS STRING)")
         .mkString(", ',', ")
       s"concat('b$b:', $slice)"
     }.mkString(", ")
-    mh.selectExpr("id", "hs", s"explode(array($bandKeys)) AS bk")
+    sig.selectExpr("id", "hs", s"explode(array($bandKeys)) AS bk")
   }
 
   /** Candidate pairs from shared LSH buckets (distinct over bands), exact
@@ -145,8 +133,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, bands: Int,
                       tau: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val sh = docs.selectExpr(s"$idCol AS id", s"${wordsExpr(textCol)} AS w")
-      .selectExpr("id", s"${wordShinglesFromArrayExpr("w", shingleN)} AS sh")
+      .selectExpr("id", s"word_shingles(w, $shingleN) AS sh")
     lshPairs(bandedSignatures(sh, numHashes, bands), tau)
   }
 
@@ -163,8 +152,9 @@ object Dedup {
     * word shingles miss). */
   def charNgramPairs(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val sh = docs.selectExpr(s"$idCol AS id",
-      s"${charShinglesExpr(textCol, n)} AS sh")
+      s"char_shingles($textCol, $n) AS sh")
     lshPairs(bandedSignatures(sh, numHashes, bands), tau)
   }
 
@@ -174,23 +164,16 @@ object Dedup {
     lshPairsSql(table, idCol, charShinglesSql(textCol, n),
       s"length($textCol) >= $n", numHashes, bands, tau, orderBy)
 
-  /** 16-bit SimHash bit expression over a materialized int64 word-hash
-    * array column `whs`: per bit, sum ±1 contributions over all tokens
-    * (duplicates weighted); bit set iff the sum is positive. Integer
-    * arithmetic end-to-end → exact cross-engine. */
-  private def simhashBits(whs: String): String =
-    (0 until 16).map { b =>
-      s"(CASE WHEN aggregate($whs, 0L, (acc, h) -> acc + (shiftright(h, $b) & 1) * 2 - 1) > 0 " +
-        s"THEN ${1L << b}L ELSE 0L END)"
-    }.mkString(" + ")
-
-  /** SimHash signature of a text column via two explicit projections (the
-    * word-hash array is computed once, then 16 cheap bit aggregates read
-    * the column — inlining it 16× would re-run the md5 transform 16×). */
-  def withSimhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** SimHash signature of a text column: per bit, sum ±1 contributions
+    * over all tokens (duplicates weighted), bit set iff positive — fused
+    * into the native `simhash16` kernel over the once-computed word-hash
+    * array. Integer arithmetic end-to-end → exact cross-engine. */
+  def withSimhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs.selectExpr(s"$idCol AS id",
-        s"${hsExpr(s"transform(${wordsExpr(textCol)}, w -> concat('s99:', w))")} AS whs")
-      .selectExpr("id", s"${simhashBits("whs")} AS sig")
+        s"md5_i64(${wordsExpr(textCol)}, 's99:') AS whs")
+      .selectExpr("id", "simhash16(whs) AS sig")
+  }
 
   /** SimHash near-dup pairs: bucket on the high byte (LSH-style prefix
     * blocking), verify with Hamming distance on the full signature. */

@@ -71,6 +71,53 @@ class DedupSpec extends SparkSpec {
     assert(top(1).getLong(2) === 3L && top(1).getDouble(3) === 0.0)
   }
 
+  test("native hash kernels are bit-identical to their composable SQL forms") {
+    graft.functions.GraftFunctions.register(spark)
+    val words = graft.core.Tables.load(spark, sfDir, "documents").limit(100)
+      .selectExpr("split(trim(text), '\\\\s+') AS w")
+    // md5_i64 == CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT), per element
+    assert(words.selectExpr(
+      "md5_i64(w) AS fast",
+      "transform(w, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)) AS ref")
+      .filter("fast != ref").count() === 0)
+    // minhash_sig(hs, k)[i] == array_min(transform(hs, h -> (a*(h%P)+b)%P))
+    val k = 8
+    val p = graft.functions.HashKernels.P
+    val mins = (0 until k).map { i =>
+      val (a, b) = graft.functions.HashKernels.mixConsts(i)
+      s"array_min(transform(hs, h -> ($a * (h % $p) + $b) % $p))"
+    }.mkString(", ")
+    assert(words.selectExpr("md5_i64(w) AS hs")
+      .selectExpr(s"minhash_sig(hs, $k) AS fast", s"array($mins) AS ref")
+      .filter("fast != ref").count() === 0)
+    // simhash16(hs) == the 16 per-bit ±1-sum aggregates
+    val bits = (0 until 16).map { b =>
+      s"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, $b) & 1) * 2 - 1) > 0 " +
+        s"THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    assert(words.selectExpr("md5_i64(w) AS hs")
+      .selectExpr("simhash16(hs) AS fast", s"($bits) AS ref")
+      .filter("fast != ref").count() === 0)
+    // prefixed md5_i64 == md5_i64 of the concatenated strings
+    assert(words.selectExpr(
+      "md5_i64(w, 's99:') AS fast",
+      "md5_i64(transform(w, s -> concat('s99:', s))) AS ref")
+      .filter("fast != ref").count() === 0)
+    // fused shingles == array_distinct(transform(...)) composable forms,
+    // as SETS (first-occurrence order matches too, but order is not load-
+    // bearing downstream: minhash/intersect are order-invariant)
+    assert(words.selectExpr(
+      "word_shingles(w, 3) AS fast",
+      TextFunctions.wordShinglesFromArrayExpr("w", 3) + " AS ref")
+      .filter("fast != ref").count() === 0)
+    val texts = graft.core.Tables.load(spark, sfDir, "documents").limit(100)
+      .selectExpr("text")
+    assert(texts.selectExpr(
+      "char_shingles(text, 4) AS fast",
+      TextFunctions.charShinglesExpr("text", 4) + " AS ref")
+      .filter("fast != ref").count() === 0)
+  }
+
   test("langId is deterministic and total over the fixture") {
     val d = graft.core.Tables.load(spark, sfDir, "documents")
       .select(TextFunctions.langId("text").as("g"))
