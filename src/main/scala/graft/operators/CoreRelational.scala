@@ -197,6 +197,70 @@ object CoreRelational {
       ORDER BY rflag, lstatus""")
   }
 
+  /** PIVOT: returnflag values become columns with explicit value list (no
+    * extra distinct-scan job; at scale the value list is always declared).
+    * Exact decimal sums pivoted, rounded to double in a follow-up select. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(30, 8))))
+      .select(col("l_linestatus"),
+        round(col("A"), 4).cast("double").as("A"),
+        round(col("N"), 4).cast("double").as("N"),
+        round(col("R"), 4).cast("double").as("R"))
+      .orderBy("l_linestatus")
+
+  /** UNPIVOT (melt): the pivoted table back to (status, flag, sum_qty)
+    * rows — Dataset.unpivot plans a Generate/Expand, no shuffle. */
+  def unpivotAgg(spark: SparkSession, dir: String): DataFrame =
+    pivotAgg(spark, dir)
+      .unpivot(Array(col("l_linestatus")),
+        Array(col("A"), col("N"), col("R")), "flag", "sum_qty")
+      .orderBy("l_linestatus", "flag")
+
+  /** Generator / UDTF surface: posexplode of the tokenized text — one row
+    * per (doc, position, word). Generate is pipelined with the scan (no
+    * shuffle); at 100 TB this is the doc→token flattening every text
+    * pipeline starts with. */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(graft.functions.TextFunctions.wordsExpr("text")))
+          .as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+
+  /** Exact percentiles + moment statistics (stddev, corr) with
+    * order-independent arithmetic: every sum runs in Decimal (exact,
+    * associative — partition merge order can't change it), and the moment
+    * formulas are evaluated on the resulting doubles identically in both
+    * engines. Built-in stddev/corr stream fp accumulators whose result
+    * depends on Spark's nondeterministic merge order — unusable under a
+    * hash-compare gate. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(s"""
+      WITH s AS (
+        SELECT l_returnflag,
+          count(1) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+          percentile(l_quantity, 0.5) AS med,
+          percentile(l_quantity, 0.9) AS p90
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        ${droundSql("med", 6)} AS median_qty,
+        ${droundSql("p90", 6)} AS p90_qty,
+        ${droundSql("sqrt((n * sxx - sx * sx) / (n * (n - 1)))", 6)} AS stddev_qty,
+        ${droundSql(
+          "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 8)}
+          AS corr_qty_price
+      FROM s ORDER BY l_returnflag""")
+  }
+
   /** Approximate distinct (HLL++) — no SQL oracle (approx values are
     * engine-specific); the driver records a rows-only check. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -222,7 +286,11 @@ object CoreRelational {
     "q16_rollup"         -> rollupAgg _,
     "q17_cube"           -> cubeAgg _,
     "q18_grouping_sets"  -> groupingSets _,
-    "q26_approx_distinct"-> approxDistinct _
+    "q26_approx_distinct"-> approxDistinct _,
+    "q44_pivot"          -> pivotAgg _,
+    "q45_explode"        -> explodeTokens _,
+    "q46_stats_agg"      -> statsAgg _,
+    "q47_unpivot"        -> unpivotAgg _
   )
 
   val oracles: Map[String, String] = Map(
@@ -335,6 +403,52 @@ object CoreRelational {
              ${sumSql("l_quantity")} AS sum_qty
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-      ORDER BY rflag, lstatus"""
+      ORDER BY rflag, lstatus""",
+    "q44_pivot" -> s"""
+      SELECT l_linestatus,
+        ${sumSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS "A",
+        ${sumSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS "N",
+        ${sumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS "R"
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
+    "q45_explode" -> """
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+      e AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)
+      SELECT doc_id, (i - 1)::INT AS pos, w[i] AS word
+      FROM e ORDER BY doc_id, pos""",
+    "q46_stats_agg" -> s"""
+      WITH s AS (
+        SELECT l_returnflag,
+          count(1) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+          quantile_cont(l_quantity, 0.5) AS med,
+          quantile_cont(l_quantity, 0.9) AS p90
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        ${droundSql("med", 6)} AS median_qty,
+        ${droundSql("p90", 6)} AS p90_qty,
+        ${droundSql("sqrt((n * sxx - sx * sx) / (n * (n - 1)))", 6)} AS stddev_qty,
+        ${droundSql(
+          "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 8)}
+          AS corr_qty_price
+      FROM s ORDER BY l_returnflag""",
+    "q47_unpivot" -> s"""
+      WITH p AS (
+        SELECT l_linestatus,
+          ${sumSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qa,
+          ${sumSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qn,
+          ${sumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qr
+        FROM lineitem GROUP BY l_linestatus)
+      SELECT l_linestatus, flag, sum_qty FROM (
+        SELECT l_linestatus, 'A' AS flag, qa AS sum_qty FROM p
+        UNION ALL SELECT l_linestatus, 'N', qn FROM p
+        UNION ALL SELECT l_linestatus, 'R', qr FROM p)
+      ORDER BY l_linestatus, flag"""
   )
 }
