@@ -261,6 +261,31 @@ object CoreRelational {
       FROM s ORDER BY l_returnflag""")
   }
 
+  /** Salted skew join: the manual skew-mitigation pattern for when AQE's
+    * runtime skew split isn't enough (hot keys known a priori, or the
+    * skewed shuffle itself is the bottleneck). The fact side gets a
+    * deterministic salt in [0, S); the dim side is replicated ×S with
+    * every salt value; the join key becomes (key, salt), spreading each
+    * hot key over S reducers. The salt hash is engine-internal (xxhash64)
+    * — any row matches exactly one replica, so the result is identical to
+    * the unsalted join, which is what the oracle checks. shuffle_hash
+    * hint keeps it a real shuffle join (a broadcast would make salting
+    * moot — at 100 TB the dim that needs this doesn't fit in broadcast). */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val events = t(spark, dir, "events")
+      .withColumn("esalt", pmod(xxhash64(col("event_id")), lit(S)).cast("int"))
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("dsalt", explode(sequence(lit(0), lit(S - 1))))
+      .hint("shuffle_hash")
+    events
+      .join(dim, col("user_id") === col("c_custkey") && col("esalt") === col("dsalt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Approximate distinct (HLL++) — no SQL oracle (approx values are
     * engine-specific); the driver records a rows-only check. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -290,7 +315,8 @@ object CoreRelational {
     "q44_pivot"          -> pivotAgg _,
     "q45_explode"        -> explodeTokens _,
     "q46_stats_agg"      -> statsAgg _,
-    "q47_unpivot"        -> unpivotAgg _
+    "q47_unpivot"        -> unpivotAgg _,
+    "q48_salted_join"    -> saltedJoin _
   )
 
   val oracles: Map[String, String] = Map(
@@ -449,6 +475,12 @@ object CoreRelational {
         SELECT l_linestatus, 'A' AS flag, qa AS sum_qty FROM p
         UNION ALL SELECT l_linestatus, 'N', qn FROM p
         UNION ALL SELECT l_linestatus, 'R', qr FROM p)
-      ORDER BY l_linestatus, flag"""
+      ORDER BY l_linestatus, flag""",
+    "q48_salted_join" -> s"""
+      SELECT c_mktsegment, count(1) AS n_events,
+        ${sumSql("value")} AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
   )
 }
