@@ -33,6 +33,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
 
+  test("salted skew join is a real shuffle join, not a broadcast") {
+    val p = plan(CoreRelational.saltedJoin(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salting is moot under broadcast — expected a shuffle join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"dim side must not broadcast:\n$p")
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan(Windows.sortLimit(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
