@@ -24,6 +24,34 @@ class FunctionsSpec extends SparkSpec {
     assert(maxDiff < 1e-7, s"centroids diverged by $maxDiff")
   }
 
+  test("GraftExtensions injects every native function via SparkSessionExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark // force init of the shared session/context first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // fresh session over the same SparkContext, extensions applied at build
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      assert(s2 ne shared)
+      val r = s2.sql(
+        """SELECT
+          |  cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c,
+          |  size(word_shingles(array('a', 'b', 'c'), 2)) AS ws,
+          |  size(char_shingles('abcd', 2)) AS cs,
+          |  size(md5_i64(array('x'), 's1:')) AS h,
+          |  size(minhash_sig(md5_i64(array('x')), 4)) AS mh,
+          |  simhash16(md5_i64(array('x'))) >= 0 AS sh""".stripMargin).head
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getInt(1) === 2 && r.getInt(2) === 3)
+      assert(r.getInt(3) === 1 && r.getInt(4) === 4)
+      assert(r.getBoolean(5))
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("cosine_sim returns null on null input, not a crash or a zero") {
     graft.functions.GraftFunctions.register(spark)
     val sq = spark; import sq.implicits._
