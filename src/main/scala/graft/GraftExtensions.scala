@@ -15,13 +15,16 @@ import graft.functions._
   * brought (both paths register the same expressions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", name, usage)
+  // 2-arg form (className, name): the 3-arg overload is (className, db,
+  // name), which would register `usage` as the function's name and garble
+  // DESCRIBE FUNCTION output. Usage strings live in the injects below.
+  private def info(name: String) =
+    new ExpressionInfo("graft.functions", name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, usage: String,
                builder: Seq[Expression] => Expression): Unit =
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     inject("cosine_sim", "cosine_sim(array<float>, array<float>) -> double",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     inject("md5_i64", "md5_i64(array<string>[, prefix]) -> array<bigint>", {
@@ -31,8 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
     inject("minhash_sig", "minhash_sig(array<bigint>, k) -> array<bigint>",
       exprs => MinhashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    inject("simhash", "simhash(array<bigint>, bits) -> bigint",
+      exprs => Simhash(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     inject("simhash16", "simhash16(array<bigint>) -> bigint",
-      exprs => Simhash16(exprs(0)))
+      exprs => Simhash(exprs(0), 16))
     inject("word_shingles", "word_shingles(array<string>, n) -> array<string>",
       exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     inject("char_shingles", "char_shingles(string, n) -> array<string>",

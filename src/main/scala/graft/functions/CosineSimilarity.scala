@@ -104,7 +104,10 @@ object GraftFunctions {
       "minhash_sig", exprs =>
         MinhashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
-      "simhash16", exprs => Simhash16(exprs(0)), "built-in")
+      "simhash", exprs =>
+        Simhash(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash16", exprs => Simhash(exprs(0), 16), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles", exprs =>
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")

@@ -171,24 +171,27 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
-  /** 16-bit SimHash over an int64 token-hash array: per bit, sum ±1 over
-    * all tokens (duplicates weighted), set the bit iff the sum is
-    * positive. One array walk (vs 16 interpreted aggregates). */
-  def simhash16(whs: ArrayData): Long = {
-    val counts = new Array[Long](16)
+  /** `bits`-wide SimHash over an int64 token-hash array: per bit, sum ±1
+    * over all tokens (duplicates weighted), set the bit iff the sum is
+    * positive. One array walk (vs `bits` interpreted aggregates). md5_i64
+    * values carry 60 independent bits (15 hex chars), so bits ≤ 60. */
+  def simhash(whs: ArrayData, bits: Int): Long = {
+    val counts = new Array[Long](bits)
     val n = whs.numElements()
     var j = 0
     while (j < n) {
       val h = whs.getLong(j)
       var b = 0
-      while (b < 16) { counts(b) += ((h >> b) & 1L) * 2L - 1L; b += 1 }
+      while (b < bits) { counts(b) += ((h >> b) & 1L) * 2L - 1L; b += 1 }
       j += 1
     }
     var sig = 0L
     var b = 0
-    while (b < 16) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    while (b < bits) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
     sig
   }
+
+  def simhash16(whs: ArrayData): Long = simhash(whs, 16)
 }
 
 /** `md5_i64(array<string> [, prefix]) -> array<long>` — element-wise
@@ -271,19 +274,22 @@ case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = nc)
 }
 
-/** `simhash16(array<long>) -> bigint` — 16-bit SimHash in one pass. */
-case class Simhash16(child: Expression) extends UnaryExpression {
+/** `simhash(array<long>, bits) -> bigint` — `bits`-wide SimHash in one
+  * pass (bits ≤ 60: md5_i64 hashes carry 60 independent bits). `bits`
+  * must be a literal (it parameterizes codegen). */
+case class Simhash(child: Expression, bits: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) if bits > 0 && bits <= 60 =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got ${t.sql}")
+      s"$prettyName requires array<bigint> and literal bits in 1..60, got ${t.sql}")
   }
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash16"
+  override def prettyName: String = "simhash"
   override def nullSafeEval(a: Any): Any =
-    HashKernels.simhash16(a.asInstanceOf[ArrayData])
+    HashKernels.simhash(a.asInstanceOf[ArrayData], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash16($c)")
-  override protected def withNewChildInternal(nc: Expression): Simhash16 =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c, $bits)")
+  override protected def withNewChildInternal(nc: Expression): Simhash =
     copy(child = nc)
 }

@@ -53,6 +53,46 @@ object VectorAggregates {
   /** The centroid aggregation as a `Column`, usable in any `agg(...)`. */
   def centroidOf(vec: Column): Column = udaf(new CentroidAgg).apply(vec)
 
+  /** One scored ANN candidate. Field order defines the udaf call shape:
+    * `topKOf(k, cosCol, candIdCol)`. */
+  final case class ScoredCand(cos: Double, cand_id: Long)
+
+  /** Bounded top-k aggregation: buffer = the current best ≤ k candidates,
+    * ordered best-first (cos DESC, cand_id ASC — same total order as the
+    * row_number window it replaces). Because `Aggregator` is the built-in
+    * agg contract, Spark runs it with map-side partial aggregation: each
+    * input partition reduces its probes×rows down to ≤ k candidates per
+    * query BEFORE the exchange, so the shuffle carries
+    * O(queries × partitions × k) rows instead of probes × corpus — the
+    * difference between a 100 TB ANN scan that works and one whose
+    * row_number window funnels every scored row through one exchange. */
+  class TopKAgg(k: Int) extends Aggregator[ScoredCand, Seq[ScoredCand], Seq[ScoredCand]] {
+    private val ord: Ordering[ScoredCand] =
+      Ordering.by((s: ScoredCand) => (-s.cos, s.cand_id))
+
+    override def zero: Seq[ScoredCand] = Seq.empty
+
+    override def reduce(b: Seq[ScoredCand], v: ScoredCand): Seq[ScoredCand] =
+      if (b.length >= k && ord.lteq(b.last, v)) b // v can't beat the current worst
+      else ((b :+ v).sorted(ord)).take(k)
+
+    override def merge(a: Seq[ScoredCand], b: Seq[ScoredCand]): Seq[ScoredCand] =
+      (a ++ b).sorted(ord).take(k)
+
+    override def finish(r: Seq[ScoredCand]): Seq[ScoredCand] = r
+
+    override def bufferEncoder: Encoder[Seq[ScoredCand]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredCand]]()
+    override def outputEncoder: Encoder[Seq[ScoredCand]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredCand]]()
+  }
+
+  /** Top-k as a `Column`: array<struct<cos, cand_id>> ordered best-first. */
+  def topKOf(k: Int, cos: Column, candId: Column): Column = {
+    implicit val enc: Encoder[ScoredCand] = Encoders.product[ScoredCand]
+    udaf(new TopKAgg(k)).apply(cos, candId)
+  }
+
   /** One-pass per-cell centroids — the scale path for
     * [[graft.llm.Similarity.centroids]] (same values, un-exploded layout;
     * equality asserted in DedupSpec). */

@@ -61,8 +61,17 @@ object Dedup {
     GraftFunctions.register(sh0.sparkSession)
     val rows = numHashes / bands
     val sh = sh0.filter(size(col("sh")) > 0)
+    // Persist the signature frame BEFORE the explode + self-join: Spark
+    // does not reuse exchanges across aliased self-join branches, so
+    // without this the whole shingle→md5→minhash pipeline (the expensive
+    // part) runs twice — once per side. Persisting pre-explode keeps the
+    // cache at one row per doc (not bands×); the per-branch explode that
+    // remains is cheap element_at reads. At a real 100 TB run the same
+    // move is writing the signature table to storage once and joining the
+    // materialized form.
     val sig = sh.selectExpr("id", "md5_i64(sh) AS hs")
       .selectExpr("id", "hs", s"minhash_sig(hs, $numHashes) AS sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until bands).map { b =>
       val slice = (0 until rows)
         .map(r => s"CAST(element_at(sig, ${b * rows + r + 1}) AS STRING)")
@@ -164,26 +173,76 @@ object Dedup {
     lshPairsSql(table, idCol, charShinglesSql(textCol, n),
       s"length($textCol) >= $n", numHashes, bands, tau, orderBy)
 
+  /** Signature width: 60 bits (all the independent bits an md5_i64 hash
+    * carries). Width matters for blocking selectivity: with ≤3-Hamming
+    * pigeonhole blocking the sig splits into 4 exact-match blocks, and a
+    * 16-bit sig gives 4-bit blocks (16 values → every 16th doc collides →
+    * ~n²/16 candidates per block, near-all-pairs at scale), while 60-bit
+    * gives 15-bit blocks (32k values → only genuine near-dups collide). */
+  val SimhashBits = 60
+
   /** SimHash signature of a text column: per bit, sum ±1 contributions
     * over all tokens (duplicates weighted), bit set iff positive — fused
-    * into the native `simhash16` kernel over the once-computed word-hash
+    * into the native `simhash` kernel over the once-computed word-hash
     * array. Integer arithmetic end-to-end → exact cross-engine. */
-  def withSimhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def withSimhash(docs: DataFrame, idCol: String, textCol: String,
+                  bits: Int = SimhashBits): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.selectExpr(s"$idCol AS id",
         s"md5_i64(${wordsExpr(textCol)}, 's99:') AS whs")
-      .selectExpr("id", "simhash16(whs) AS sig")
+      .selectExpr("id", s"simhash(whs, $bits) AS sig")
   }
 
-  /** SimHash near-dup pairs: bucket on the high byte (LSH-style prefix
-    * blocking), verify with Hamming distance on the full signature. */
+  /** Pigeonhole block layout over a `sigBits`-wide signature:
+    * `maxHamming + 1` near-equal-width bit blocks. A pair at Hamming ≤
+    * maxHamming flips bits in at most maxHamming blocks, so it agrees
+    * EXACTLY on at least one block — blocking on (block_id, block_value)
+    * has guaranteed recall, unlike prefix blocking (which silently missed
+    * any pair whose differing bits fell in the prefix). Returns
+    * (blockId, startBit, width) triples. */
+  private def simhashBlocks(maxHamming: Int,
+                            sigBits: Int = SimhashBits): Seq[(Int, Int, Int)] = {
+    val blocks = maxHamming + 1
+    require(blocks <= sigBits,
+      s"maxHamming $maxHamming too large for $sigBits-bit simhash")
+    (0 until blocks).map { b =>
+      val start = b * sigBits / blocks
+      val end = (b + 1) * sigBits / blocks
+      (b, start, end - start)
+    }
+  }
+
+  /** SimHash near-dup pairs: pigeonhole multi-block candidate generation
+    * (guaranteed recall at ≤ maxHamming — see [[simhashBlocks]]), verify
+    * with Hamming distance on the full signature. Same LSH-shaped plan as
+    * [[lshPairs]]: explode to one row per block key, shuffle-join on the
+    * key, distinct the candidate pairs, verify — O(n·blocks) exchanged
+    * rows, never all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sig = withSimhash16(docs, idCol, textCol)
-    val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b,
-        expr("shiftright(sig_a, 8) = shiftright(sig_b, 8)") && col("id_a") < col("id_b"))
+    // persist: the sig pipeline (md5 + bit-vote kernels) would otherwise
+    // run once per self-join branch (no exchange reuse across aliases)
+    val sig = withSimhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashPairsFromSigs(sig, maxHamming)
+  }
+
+  /** Sig-level pairing over an (id, sig) frame — split out so the recall
+    * guarantee is testable with planted signatures (DedupSpec plants a
+    * pair differing only in the high bits, the case prefix blocking
+    * silently dropped). */
+  def simhashPairsFromSigs(sig: DataFrame, maxHamming: Int,
+                           sigBits: Int = SimhashBits): DataFrame = {
+    val keys = simhashBlocks(maxHamming, sigBits).map { case (b, start, width) =>
+      s"concat('k$b:', CAST(shiftright(sig, $start) & ${(1L << width) - 1} AS STRING))"
+    }.mkString(", ")
+    val banded = sig.selectExpr("id", "sig", s"explode(array($keys)) AS bk")
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("bk").as("bk_b"))
+    a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -192,16 +251,27 @@ object Dedup {
   def simhashPairsSql(table: String, idCol: String, textCol: String,
                       maxHamming: Int, orderBy: String): String = {
     val whs = hsSql(s"list_transform(${wordsSql(textCol)}, w -> 's99:' || w)")
-    val bits = (0 until 16).map { b =>
+    val bits = (0 until SimhashBits).map { b =>
       s"(CASE WHEN list_sum(list_transform(whs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
-        s"THEN ${1 << b} ELSE 0 END)"
+        s"THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
+    val blockCases = simhashBlocks(maxHamming).map { case (b, start, width) =>
+      s"WHEN $b THEN 'k$b:' || ((sig >> $start) & ${(1L << width) - 1})::VARCHAR"
+    }.mkString(" ")
+    val blockVals = simhashBlocks(maxHamming).map { case (b, _, _) => s"($b)" }
+      .mkString(",")
     s"""
     WITH w AS (SELECT $idCol AS id, $whs AS whs FROM $table),
-    sig AS (SELECT id, ($bits)::BIGINT AS sig FROM w)
-    SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig))::INT AS hamming
-    FROM sig a JOIN sig b ON (a.sig >> 8) = (b.sig >> 8) AND a.id < b.id
-    WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
+    sig AS (SELECT id, ($bits)::BIGINT AS sig FROM w),
+    banded AS (
+      SELECT id, sig, CASE blk.block_id $blockCases END AS bk
+      FROM sig, (VALUES $blockVals) blk(block_id)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id)
+    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming
     ORDER BY $orderBy"""
   }
 }

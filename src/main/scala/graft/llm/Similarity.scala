@@ -54,20 +54,29 @@ object Similarity {
     s"floor((${dot(a, b)} / (${norm(a)} * ${norm(b)})) * 1e6 + 0.5) / 1e6"
   }
 
-  /** Exact brute-force cosine top-k for a probe subset. */
+  /** Exact brute-force cosine top-k for a probe subset.
+    *
+    * The probes broadcast against one corpus scan; ranking is a bounded
+    * top-k `Aggregator` ([[graft.functions.VectorAggregates.TopKAgg]]),
+    * NOT a row_number window: partial aggregation reduces each scan
+    * partition to ≤ k candidates per query map-side, so the exchange
+    * carries O(queries × partitions × k) rows — a window would shuffle
+    * every probes×corpus scored row first. Same total order
+    * (cos DESC, cand_id ASC), identical output. */
   def bruteForceTopK(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val probes = vectors.filter(probeFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val corpus = vectors.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
     broadcast(probes)
       .join(corpus, col("query_id") =!= col("cand_id"))
       .withColumn("cos", expr(cosineExpr("qv", "cv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "cand_id", "cos")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topKOf(k, col("cos"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rnk"),
+        col("s.cand_id").as("cand_id"), col("s.cos").as("cos"))
   }
 
   def bruteForceTopKSql(table: String, probeWhere: String, k: Int): String = s"""

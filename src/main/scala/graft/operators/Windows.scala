@@ -77,22 +77,32 @@ object Windows {
       .limit(20)
 
   /** As-of join: each purchase event matched to the latest prior click of
-    * the same user. Spark lacks a native as-of join; composed as an
-    * equi+range join and a per-purchase top-1 window — the (b)-tier answer
-    * from SURVEY.md §7.3. Deterministic via (ts, event_id) tiebreak. */
+    * the same user (inclusive: a click at exactly the purchase ts counts).
+    * Spark lacks a native as-of join. The naive form — equi+range join +
+    * per-purchase top-1 window — materializes every (purchase × prior
+    * click) pair per user: a hot user with 10⁵ clicks × 10³ purchases is
+    * 10⁸ intermediate rows before the window prunes them. Scale-safe form
+    * used here: union-tag both event types into one stream, ONE window
+    * sort per user ordered by (ts, kind, event_id) with clicks sorting
+    * before purchases at equal ts, and a running
+    * `last(click, ignoreNulls)` carry-forward — O(n log n) per user, zero
+    * pair explosion, no join at all. The carried struct(c_ts, c_event)
+    * makes "latest click" = lexicographic max (ts, event_id), matching
+    * the (c_ts DESC, c_event DESC) tiebreak of the oracle's top-1 form. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_event"), col("user_id"), col("ts").as("p_ts"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_event"))
-    val w = Window.partitionBy(col("p_event"))
-      .orderBy(col("c_ts").desc, col("c_event").desc)
-    purchases
-      .join(clicks, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("p_event", "user_id", "c_event", "c_ts")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click", when(col("kind") === 0,
+        struct(col("ts").as("c_ts"), col("event_id").as("c_event"))))
+      .withColumn("last_click", last(col("click"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("last_click").isNotNull)
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("last_click.c_event").as("c_event"), col("last_click.c_ts").as("c_ts"))
       .orderBy("p_event")
   }
 

@@ -105,7 +105,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "q28_formats_roundtrip" -> s"""
       SELECT format, count(1) AS n_rows,
-        sum(${xhashSql("n_nationkey::VARCHAR || '|' || n_name || '|' || n_regionkey::VARCHAR")} % 1000000007) AS checksum
+        sum(${xhashSql("n_nationkey::VARCHAR || '|' || n_name || '|' || n_regionkey::VARCHAR")} % 1000000007)::BIGINT AS checksum
       FROM nation, (VALUES ('parquet'), ('orc'), ('json'), ('csv')) f(format)
       GROUP BY format
       ORDER BY format""",

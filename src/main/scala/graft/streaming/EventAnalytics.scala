@@ -102,7 +102,14 @@ object EventAnalytics {
               val t = e.ts.getTime
               open match {
                 case s :: rest if t - s.last <= gapMs =>
-                  open = s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value) :: rest
+                  // a late event from a later micro-batch may carry an
+                  // earlier ts than the session's current end — never move
+                  // the session boundary backwards (it would re-arm the
+                  // event-time timeout too early and close the session
+                  // prematurely)
+                  open = s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t),
+                    n = s.n + 1, sumValue = s.sumValue + e.value) :: rest
                 case s :: rest =>
                   closed ::= close(userId, s)
                   open = SessionState(t, t, 1, e.value) :: rest
@@ -120,19 +127,23 @@ object EventAnalytics {
     SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
 
   /** foreachBatch multi-sink: one micro-batch fans out to an aggregate
-    * table and a raw archive atomically-enough via idempotent overwrite
-    * by batch partition (the documented §2.1.7 pattern: sinks must be
-    * idempotent by batchId). */
+    * table and a raw archive, idempotent by batchId (§2.1.7): both
+    * outputs are partitioned by batch_id and written with dynamic
+    * partition overwrite, so a replayed micro-batch (sink failure →
+    * checkpoint restart re-runs the same batchId) REPLACES its own
+    * partition instead of appending a duplicate — exactly-once at the
+    * table level, not merely at-least-once. */
   def multiSink(events: DataFrame, aggPath: String, rawPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       batch.persist()
       batch.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(rawPath)
+        .write.partitionBy("batch_id").mode("overwrite").parquet(rawPath)
       batch.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(aggPath)
+        .write.partitionBy("batch_id").mode("overwrite").parquet(aggPath)
       batch.unpersist()
       ()
     }

@@ -47,6 +47,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs.head.getInt(2) === 0)
   }
 
+  test("simhash blocking finds pairs differing only in the high byte") {
+    // prefix blocking on sig >> 8 would bucket these apart and silently
+    // drop every pair; pigeonhole multi-block must find all of them
+    val sq = spark
+    import sq.implicits._
+    val sigs = Seq(
+      1L -> 0x8000L, 2L -> 0x0000L, // hamming 1, differs in bit 15 only
+      3L -> 0xE0AAL, 4L -> 0x00AAL, // hamming 3, all in the high byte
+      5L -> 0x1234L, 6L -> 0x1234L, // hamming 0
+      7L -> 0x0F0FL                 // far from everything (hamming > 3)
+    ).toDF("id", "sig")
+    val got = Dedup.simhashPairsFromSigs(sigs, 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1), (3L, 4L, 3), (5L, 6L, 0)))
+  }
+
+  test("simhash pairs equal the all-pairs ground truth on fixture docs") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents").limit(200)
+    val sig = Dedup.withSimhash(docs, "doc_id", "text")
+    val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val truth = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+    assert(truth.count() > 0)
+    assert(got.exceptAll(truth).count() === 0 && truth.exceptAll(got).count() === 0,
+      "pigeonhole blocking must have exact recall at <= maxHamming")
+  }
+
   test("exact clusters: reordered words collide on bag fingerprint") {
     val d = docsOf(
       1L -> "red green blue",
@@ -90,13 +123,16 @@ class DedupSpec extends SparkSpec {
     assert(words.selectExpr("md5_i64(w) AS hs")
       .selectExpr(s"minhash_sig(hs, $k) AS fast", s"array($mins) AS ref")
       .filter("fast != ref").count() === 0)
-    // simhash16(hs) == the 16 per-bit ±1-sum aggregates
-    val bits = (0 until 16).map { b =>
+    // simhash(hs, bits) == the per-bit ±1-sum aggregates, at 16 and 60 bits
+    def bitsExpr(n: Int) = (0 until n).map { b =>
       s"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, $b) & 1) * 2 - 1) > 0 " +
         s"THEN ${1L << b}L ELSE 0L END)"
     }.mkString(" + ")
     assert(words.selectExpr("md5_i64(w) AS hs")
-      .selectExpr("simhash16(hs) AS fast", s"($bits) AS ref")
+      .selectExpr("simhash16(hs) AS fast", s"(${bitsExpr(16)}) AS ref")
+      .filter("fast != ref").count() === 0)
+    assert(words.selectExpr("md5_i64(w) AS hs")
+      .selectExpr("simhash(hs, 60) AS fast", s"(${bitsExpr(60)}) AS ref")
       .filter("fast != ref").count() === 0)
     // prefixed md5_i64 == md5_i64 of the concatenated strings
     assert(words.selectExpr(

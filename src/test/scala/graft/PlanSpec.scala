@@ -52,6 +52,26 @@ class PlanSpec extends SparkSpec {
       s"probe side must broadcast:\n$p")
   }
 
+  test("ANN top-k is a partial aggregation, not a row_number window") {
+    val p = plan(Similarity.bruteForceTopK(
+      graft.core.Tables.load(spark, sfDir, "embeddings"), col("vec_id") < 5, 3))
+    // TopKAgg runs under the standard two-phase agg contract: a partial
+    // (map-side) aggregate below the exchange reduces each partition to
+    // <= k rows per query before anything shuffles
+    assert(p.contains("Aggregate"), s"expected aggregate-based top-k:\n$p")
+    assert(!p.contains("Window"),
+      s"row_number window would shuffle every scored row:\n$p")
+    assert("(?s)Aggregate.*Exchange.*Aggregate".r.findFirstIn(p).isDefined,
+      s"expected partial agg below the exchange:\n$p")
+  }
+
+  test("as-of join is one window pass, not a range-join pair explosion") {
+    val p = plan(Windows.asofJoin(spark, sfDir))
+    assert(p.contains("Window"), s"expected window carry-forward:\n$p")
+    assert(!p.contains("Join"),
+      s"as-of must not materialize purchase x click pairs:\n$p")
+  }
+
   test("native cosine_sim is bit-identical to the composable form and codegen'd") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
