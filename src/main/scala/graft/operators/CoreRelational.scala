@@ -261,6 +261,23 @@ object CoreRelational {
       FROM s ORDER BY l_returnflag""")
   }
 
+  /** The 100 TB path for [[statsAgg]]'s percentiles: exact `percentile`
+    * is a sort-based aggregate (every group's values collected and
+    * sorted); `approx_percentile` (t-digest-style sketch, here accuracy
+    * 10000 ≈ 0.01% rank error) is a mergeable one-pass aggregate with
+    * map-side partials — the only form that survives groups that don't
+    * fit in one task's memory. Not oracle-gated (sketch internals are
+    * engine-specific); CoreRelationalSpec asserts agreement with the
+    * exact form within tolerance. */
+  def statsAggApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
+      .orderBy("l_returnflag")
+
   /** Salted skew join: the manual skew-mitigation pattern for when AQE's
     * runtime skew split isn't enough (hot keys known a priori, or the
     * skewed shuffle itself is the bottleneck). The fact side gets a

@@ -45,7 +45,8 @@ object Archive {
       whitelist: Option[Seq[String]] = None, // None = all topics (§2.1.2)
       blacklist: Seq[String] = Nil,
       rotationInterval: String = "60 seconds", // reference default (§2.1.4)
-      maxOffsetsPerTrigger: Option[Long] = None)
+      maxOffsetsPerTrigger: Option[Long] = None,
+      queryName: Option[String] = None) // names telemetry metric lines
 
   /** `(whitelist ∩ topics) − blacklist`; whitelist None = all topics —
     * the reference's listen-topics semantics (kafka.clj:182-186). */
@@ -78,10 +79,24 @@ object Archive {
       .load()
   }
 
+  /** File-stream source with admission control — the no-broker analog of
+    * [[kafkaSource]]'s `maxOffsetsPerTrigger` (both ride Spark's
+    * SupportsAdmissionControl contract: the SOURCE bounds what each
+    * micro-batch admits, which is the reference's bounded-buffer
+    * backpressure, async.clj:8-14 / s3.clj:100,117-124 — in-flight data
+    * is capped no matter how far behind the stream is). */
+  def fileSource(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Wire any Kafka-schema stream (real source or MemoryStream in tests)
     * into the archival sink. One micro-batch ≈ one reference rotation. */
-  def start(stream: DataFrame, cfg: ArchiveConfig): StreamingQuery =
-    stream
+  def start(stream: DataFrame, cfg: ArchiveConfig): StreamingQuery = {
+    val writer = stream
       .filter(topicFilter(cfg))
       .selectExpr(archiveColumns: _*)
       .writeStream
@@ -90,7 +105,8 @@ object Archive {
       .option("path", cfg.outputPath)
       .option("checkpointLocation", cfg.checkpointPath)
       .trigger(Trigger.ProcessingTime(cfg.rotationInterval))
-      .start()
+    cfg.queryName.fold(writer)(writer.queryName).start()
+  }
 
   /** Read the archive back as a partition-prunable table (§2.1.8): filters
     * on topic/partition prune directories before any I/O. */
