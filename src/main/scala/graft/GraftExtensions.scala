@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft.functions", name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // naive bit_count(a ^ b) <= k joins → pigeonhole block equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinBlocking)
     def inject(name: String, usage: String,
                builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))

@@ -248,6 +248,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over a dup-pair graph (id_a, id_b) — the step
+    * that turns pairwise near-dup hits into dedup CLUSTERS (keep
+    * min-id per component, drop the rest). Min-label propagation to a
+    * fixpoint: each iteration every node takes the min of its own and its
+    * neighbors' labels — converges in O(component diameter) rounds, and
+    * dup clusters are shallow (near-cliques), so 2-3 rounds in practice.
+    * All driver-side control flow is one `isEmpty` probe per round; the
+    * data never leaves the cluster. At extreme scale the same loop with
+    * the large-star/small-star transforms (Kiveris et al., "Connected
+    * Components in MapReduce") halves the round count; the per-round plan
+    * here (shuffle join on id + min-agg) is already the right shape.
+    * Output: (doc_id, component = min doc_id reachable). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
+  /** DuckDB oracle for [[connectedComponents]] over [[minhashLshPairs]]:
+    * a recursive CTE computes every (node, reachable-label) pair; the min
+    * per node is the component id — the set-semantics UNION terminates
+    * the recursion at the transitive closure. */
+  def componentsSql(pairsSql: String, orderBy: String): String = s"""
+    WITH RECURSIVE pairs AS ($pairsSql),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
+    SELECT id AS doc_id, min(label) AS component
+    FROM reach GROUP BY id
+    ORDER BY $orderBy"""
+
   def simhashPairsSql(table: String, idCol: String, textCol: String,
                       maxHamming: Int, orderBy: String): String = {
     val whs = hsSql(s"list_transform(${wordsSql(textCol)}, w -> 's99:' || w)")

@@ -278,6 +278,27 @@ object CoreRelational {
         expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** Deterministic stratified sampling — the training-data "mixture"
+    * primitive (sample source A at 5%, B at 10%, …). RNG-based `sample`/
+    * `sampleBy` is irreproducible across runs and partitionings; hash-gate
+    * sampling (row in iff xhash(stable key) mod 100 < stratum rate) is
+    * exactly reproducible on any cluster layout, needs no RNG state or
+    * strata collect, and compiles to a codegen'd filter AT THE SCAN — at
+    * 100 TB the rejected rows never leave the scan stage. Output is the
+    * per-stratum sample summary (count + exact sum). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = xhash(concat_ws("-",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))) % 100
+    val rate = when(col("l_returnflag") === "A", 5)
+      .when(col("l_returnflag") === "N", 10)
+      .otherwise(20)
+    t(spark, dir, "lineitem")
+      .filter(bucket < rate)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Salted skew join: the manual skew-mitigation pattern for when AQE's
     * runtime skew split isn't enough (hot keys known a priori, or the
     * skewed shuffle itself is the bottleneck). The fact side gets a
@@ -356,7 +377,8 @@ object CoreRelational {
     "q45_explode"        -> explodeTokens _,
     "q46_stats_agg"      -> statsAgg _,
     "q47_unpivot"        -> unpivotAgg _,
-    "q48_salted_join"    -> saltedJoin _
+    "q48_salted_join"    -> saltedJoin _,
+    "q49_stratified_sample" -> stratifiedSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,6 +552,14 @@ object CoreRelational {
         ${sumSql("value")} AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""
+      ORDER BY c_mktsegment""",
+    "q49_stratified_sample" -> s"""
+      SELECT l_returnflag, count(1) AS n_sampled,
+        ${sumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      WHERE ${xhashSql("l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")} % 100
+        < CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 10 ELSE 20 END
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
   )
 }

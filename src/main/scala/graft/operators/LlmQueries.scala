@@ -105,6 +105,14 @@ object LlmQueries {
       CharNgramN, CharHashK, CharBands, CharTau)
       .orderBy("id_a", "id_b")
 
+  /** Pairwise near-dup hits → dedup clusters: connected components over
+    * the MinHash-LSH pair graph (same parameters as q35). */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+      .orderBy("doc_id")
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(embs(spark, dir), "label", EmbTau)
       .orderBy("id_a", "id_b")
@@ -159,7 +167,8 @@ object LlmQueries {
     "q40_ann_ivf"         -> annIvf _,
     "q41_emb_centroids"   -> embCentroids _,
     "q42_multimodal_meta" -> multimodalMeta _,
-    "q43_array_ops"       -> arrayOps _
+    "q43_array_ops"       -> arrayOps _,
+    "q51_dedup_components" -> dedupComponents _
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,6 +226,10 @@ object LlmQueries {
         array_to_string(list_transform(range(0, 4),
           i -> substr(hex(encode(text)), i * 32 + 1, 2)), ':') AS frames
       FROM documents ORDER BY media_id""",
+    "q51_dedup_components" -> Dedup.componentsSql(
+      Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+      "doc_id"),
     "q43_array_ops" -> s"""
       SELECT vec_id,
         len(embedding)::INT AS dim,

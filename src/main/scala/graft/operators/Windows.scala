@@ -106,12 +106,38 @@ object Windows {
       .orderBy("p_event")
   }
 
+  /** Batch sessionization (gaps-and-islands): split each user's event
+    * stream into sessions at inactivity gaps > 30 min — the batch analog
+    * of the streaming `session_window`/`flatMapGroupsWithState` operators
+    * (which have no SQL oracle), expressed so DuckDB can replay it: lag →
+    * new-session flag → running sum = session id → per-session rollup.
+    * Two window passes over ONE per-user sort order, no self-join; at
+    * 100 TB state is one user's events per task, same as the as-of join. */
+  def batchSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30 * 60 * 1000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+      .orderBy("user_id", "sess_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_window_topk"    -> windowTopK _,
     "q10_window_running" -> windowRunning _,
     "q11_window_rank"    -> windowRank _,
     "q12_sort_limit"     -> sortLimit _,
-    "q27_asof_join"      -> asofJoin _
+    "q27_asof_join"      -> asofJoin _,
+    "q50_batch_sessions" -> batchSessions _
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +184,25 @@ object Windows {
         JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND c.ts <= p.ts)
       WHERE rn = 1
-      ORDER BY p_event"""
+      ORDER BY p_event""",
+    "q50_batch_sessions" -> """
+      WITH o AS (
+        SELECT user_id, ts, event_id,
+          lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        FROM events),
+      s AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+               THEN 1 ELSE 0 END AS is_new
+        FROM o),
+      g AS (
+        SELECT user_id, ts,
+          (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT AS sess_id
+        FROM s)
+      SELECT user_id, sess_id, count(1) AS n_events,
+             min(ts) AS sess_start, max(ts) AS sess_end
+      FROM g GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_id"""
   )
 }

@@ -81,6 +81,34 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(out.contains((1L, 1))) // the minute-30 session closed by minute-60 event
   }
 
+  test("multiSink replaying a micro-batch replaces rather than duplicates") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val aggPath = java.nio.file.Files.createTempDirectory("msink-agg").toString
+    val rawPath = java.nio.file.Files.createTempDirectory("msink-raw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("msink-ckpt").toString
+
+    def runOnce(data: Seq[Event]): Unit = {
+      val source = MemoryStream[Event]
+      source.addData(data: _*)
+      val q = EventAnalytics.multiSink(source.toDF(), aggPath, rawPath)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce(Seq(ev(1, 0), ev(2, 1)))
+    // a fresh MemoryStream with the SAME checkpoint replays batch 0 with
+    // the same batchId — the failure-retry scenario; dynamic partition
+    // overwrite must replace the batch's partition, not append to it
+    runOnce(Seq(ev(1, 0), ev(2, 1)))
+
+    assert(spark.read.parquet(rawPath).count() === 2,
+      "replayed batchId must overwrite its own partition (exactly-once)")
+    val agg = spark.read.parquet(aggPath)
+    assert(agg.count() === 1 && agg.select("n").head.getLong(0) === 2)
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
