@@ -146,6 +146,53 @@ object Similarity {
     WHERE ${cosineSql("a.embedding", "b.embedding")} >= $tau
     ORDER BY id_a, id_b"""
 
+  /** Real IVF cell assignment — the step the fixture's `label` column
+    * stood in for: each vector goes to its nearest centroid by cosine
+    * (one Lloyd assignment step; iterate for full k-means). Centroids are
+    * the deterministic per-cell means of [[centroids]] re-assembled into
+    * float arrays (float cast is exact IEEE round-to-nearest in both
+    * engines), BROADCAST against one corpus scan — k centroids vs 100 TB
+    * of vectors never shuffles the corpus. The argmax is the bounded
+    * top-1 `Aggregator` (map-side partials), not a row_number window;
+    * ties break toward the lower cell id. */
+  def ivfAssign(vectors: DataFrame, cellCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val centArr = centroids(vectors, cellCol)
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), " +
+        "s -> CAST(s.centroid AS FLOAT))").as("cv"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centArr))
+      .withColumn("cos", expr(cosineExpr("embedding", "cv")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.VectorAggregates
+        .topKOf(1, col("cos"), col("cell").cast("long")).as("top"))
+      .select(col("vec_id"), col("top")(0).getField("cand_id").as("cell"),
+        col("top")(0).getField("cos").as("cos"))
+  }
+
+  def ivfAssignSql(table: String, cellCol: String): String = s"""
+    WITH exploded AS (
+      SELECT $cellCol AS cell,
+        (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
+        unnest(embedding) AS v
+      FROM $table),
+    cent AS (
+      SELECT cell, dim, ${graft.core.Determinism.avgSql("v::DOUBLE", 8)} AS c
+      FROM exploded GROUP BY cell, dim),
+    centarr AS (
+      SELECT cell, list_transform(list(c ORDER BY dim), x -> x::FLOAT) AS cv
+      FROM cent GROUP BY cell),
+    scored AS (
+      SELECT vec_id, cell, ${cosineSql("embedding", "cv")} AS cos
+      FROM $table, centarr),
+    ranked AS (
+      SELECT vec_id, cell, cos,
+        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+      FROM scored)
+    SELECT vec_id, cell::BIGINT AS cell, cos FROM ranked WHERE rn = 1
+    ORDER BY vec_id"""
+
   /** Per-cell centroids: posexplode the vectors, average per (cell, dim).
     * Output exploded (cell, dim, value) — the offline step that would feed
     * real IVF cell assignment. Exact decimal mean via Determinism.davg. */

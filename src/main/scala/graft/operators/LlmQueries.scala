@@ -129,6 +129,12 @@ object LlmQueries {
     Similarity.centroids(embs(spark, dir), "label")
       .orderBy("cell", "dim")
 
+  /** Nearest-centroid cell assignment (one Lloyd step) — the k-means side
+    * of IVF, making q40's cells computed rather than fixture-given. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(embs(spark, dir), "label")
+      .orderBy("vec_id")
+
   /** Multimodal metadata over binary content (decode itself is the stubbed
     * mapPartitions stage — see Multimodal.decodeStub; this is the
     * expression-level plumbing that needs no decoder). */
@@ -168,7 +174,8 @@ object LlmQueries {
     "q41_emb_centroids"   -> embCentroids _,
     "q42_multimodal_meta" -> multimodalMeta _,
     "q43_array_ops"       -> arrayOps _,
-    "q51_dedup_components" -> dedupComponents _
+    "q51_dedup_components" -> dedupComponents _,
+    "q52_ivf_assign"      -> ivfAssign _
   )
 
   val oracles: Map[String, String] = Map(
@@ -226,6 +233,7 @@ object LlmQueries {
         array_to_string(list_transform(range(0, 4),
           i -> substr(hex(encode(text)), i * 32 + 1, 2)), ':') AS frames
       FROM documents ORDER BY media_id""",
+    "q52_ivf_assign" -> Similarity.ivfAssignSql("embeddings", "label"),
     "q51_dedup_components" -> Dedup.componentsSql(
       Dedup.minhashLshPairsSql("documents", "doc_id", "text",
         WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),

@@ -112,4 +112,47 @@ object Archive {
     * on topic/partition prune directories before any I/O. */
   def readArchive(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction — the operational other half of a streaming
+    * archive: a 60 s rotation writes ~1440 files per (topic, partition)
+    * per day, and at 100 TB the file count (not the bytes) is what kills
+    * readers and object-store listings. Rewrites the tree into ≤
+    * `targetRecordsPerFile`-row files, same Hive layout, rows sorted by
+    * offset within each partition so files stay offset-ranged like the
+    * reference's offset-named objects (s3.clj:16-20). Fully distributed
+    * (scan → shuffle on the layout keys → write); writes to a NEW root —
+    * object stores have no atomic directory rename, so the swap (point
+    * readers at the new root, delete the old) stays with the caller. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRecordsPerFile: Long): Unit =
+    readArchive(spark, inPath)
+      .repartition(col("topic"), col("partition"))
+      .sortWithinPartitions(col("topic"), col("partition"), col("offset"))
+      .write
+      .partitionBy("topic", "partition")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .mode("overwrite")
+      .parquet(outPath)
+
+  /** Restart-on-failure supervision — the reference retries consumer
+    * build and uploads forever with 15 s pauses (kafka.clj:124-141,
+    * s3.clj:40-80). Spark's analog: re-start the query from its
+    * checkpoint after a failure; exactly-once delivery makes the retry
+    * safe (the failed batch replays, the file-sink manifest ignores
+    * already-committed files). `attempt` should start the query and block
+    * until it finishes (throwing on failure); returns the restart count
+    * once an attempt completes cleanly. */
+  def supervise(maxRestarts: Int, pauseMs: Long)(attempt: () => Unit): Int = {
+    var restarts = 0
+    var done = false
+    while (!done) {
+      try { attempt(); done = true }
+      catch {
+        case e: Throwable if restarts < maxRestarts =>
+          restarts += 1
+          Thread.sleep(pauseMs)
+      }
+    }
+    restarts
+  }
 }

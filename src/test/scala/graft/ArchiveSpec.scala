@@ -96,10 +96,77 @@ class ArchiveSpec extends SparkSpec {
       (plan.contains("topic") && plan.contains("partition")))
   }
 
+  test("compaction merges small files, preserves rows, layout, and offsets") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val out = Files.createTempDirectory("compact-in").toString
+    val ckpt = Files.createTempDirectory("compact-ckpt").toString
+    val compacted = Files.createTempDirectory("compact-out").toString
+    val source = MemoryStream[KMsg]
+    val cfg = ArchiveConfig(out, ckpt, rotationInterval = "1 seconds")
+    // 5 micro-batches -> >= 5 small files per (topic, partition)
+    val q = Archive.start(source.toDF(), cfg)
+    (0 until 5).foreach { b =>
+      source.addData((0 until 4).map(i => msg("orders", 0, b * 4L + i)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(fileCount(out) >= 5)
+
+    Archive.compact(spark, out, compacted, targetRecordsPerFile = 1000)
+    assert(fileCount(compacted) === 1, "20 rows at 1000/file is one file")
+    val before = Archive.readArchive(spark, out)
+      .select("topic", "partition", "offset", "value")
+    val after = Archive.readArchive(spark, compacted)
+      .select("topic", "partition", "offset", "value")
+    assert(after.count() === 20)
+    assert(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty,
+      "compaction must preserve content exactly")
+    // layout preserved: same Hive directories
+    assert(new java.io.File(s"$compacted/topic=orders/partition=0").isDirectory)
+  }
+
+  test("supervision restarts a failed query from checkpoint without duplicates") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val out = Files.createTempDirectory("sup-out").toString
+    val ckpt = Files.createTempDirectory("sup-ckpt").toString
+    val source = MemoryStream[KMsg]
+    source.addData(msg("orders", 0, 0), msg("orders", 0, 1))
+    val cfg = ArchiveConfig(out, ckpt, rotationInterval = "1 seconds")
+
+    // a stage that fails exactly once mid-batch (first attempt), then
+    // passes — the transient-sink-failure scenario the reference retries
+    ArchiveSpec.failOnce.set(true)
+    val failingOnce = org.apache.spark.sql.functions.udf { (offset: Long) =>
+      if (ArchiveSpec.failOnce.getAndSet(false)) sys.error("transient failure")
+      offset
+    }
+    val restarts = Archive.supervise(maxRestarts = 3, pauseMs = 50) { () =>
+      val stream = source.toDF()
+        .withColumn("offset", failingOnce(org.apache.spark.sql.functions.col("offset")))
+      val q = Archive.start(stream, cfg)
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(restarts === 1, "first attempt fails, second succeeds")
+    val archived = Archive.readArchive(spark, out)
+    assert(archived.count() === 2)
+    assert(archived.dropDuplicates("topic", "partition", "offset").count() === 2,
+      "checkpoint replay after failure must stay exactly-once")
+  }
+
   private def fileCount(dir: String): Int = {
     def walk(f: java.io.File): Int =
       if (f.isDirectory) f.listFiles().map(walk).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
     walk(new java.io.File(dir))
   }
+}
+
+object ArchiveSpec {
+  /** Shared flag for the fail-once UDF: static so executor threads in the
+    * local JVM see the same state across the restart. */
+  val failOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
