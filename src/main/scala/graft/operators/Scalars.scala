@@ -110,6 +110,22 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
+  /** Map-typed columns: parse the JSON props into map<string,int>, then
+    * size / keys / explode — the map half of the semi-structured surface
+    * (q22 covers path extraction). Map explode is the schema-on-read
+    * pattern for property bags whose keys aren't known at write time. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_id"),
+        size(col("m")).as("n_keys"),
+        explode(col("m")).as(Seq("key", "val")))
+      .orderBy("event_id", "key")
+
   /** Batch analog of a streaming tumbling window: hourly event rollup
     * (the streaming variant with watermarks lives in graft.streaming). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
@@ -127,7 +143,8 @@ object Scalars {
     "q22_json_funcs"    -> jsonFuncs _,
     "q23_conditionals"  -> conditionals _,
     "q24_subquery_avg"  -> subqueryAboveAvg _,
-    "q25_events_hourly" -> eventsHourly _
+    "q25_events_hourly" -> eventsHourly _,
+    "q53_map_funcs"     -> mapFuncs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +220,14 @@ object Scalars {
         count(1) AS n, ${sumSql("value", 2)} AS sum_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY hour, event_type"""
+      ORDER BY hour, event_type""",
+    "q53_map_funcs" -> """
+      SELECT event_id,
+        len(json_keys(props))::INT AS n_keys,
+        k AS key,
+        json_extract(props, '$.' || k)::INT AS val
+      FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+            FROM events WHERE event_id < 1000)
+      ORDER BY event_id, key"""
   )
 }

@@ -126,6 +126,28 @@ object EventAnalytics {
   private def close(userId: Long, s: SessionState): SessionOut =
     SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sumValue)
 
+  /** Stream-stream inner join: purchases matched to same-user clicks in
+    * the preceding `lookback` — the streaming form of the as-of pattern.
+    * Both sides carry watermarks and the join condition bounds c_ts in
+    * [p_ts − lookback, p_ts], so Spark can size the join state buffer and
+    * EXPIRE it as the watermark advances: state is O(events in the
+    * lookback window per user), never unbounded — the only shape a
+    * stream-stream join can survive at 100 TB/day. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "10 minutes",
+                          lookback: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", watermark)
+    p.join(c, expr(
+      s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $lookback AND p_ts"))
+      .select(col("p_event"), col("p_user").as("user_id"), col("c_event"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** foreachBatch multi-sink: one micro-batch fans out to an aggregate
     * table and a raw archive, idempotent by batchId (§2.1.7): both
     * outputs are partitioned by batch_id and written with dynamic

@@ -81,6 +81,29 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(out.contains((1L, 1))) // the minute-30 session closed by minute-60 event
   }
 
+  test("stream-stream join matches purchases to in-window clicks only") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = EventAnalytics.clickToPurchaseJoin(
+      clicks.toDF(), purchases.toDF(), "10 minutes", "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    // clicks at minutes 0 and 50; purchases at 20 (matches the minute-0
+    // click: 20 <= 30 lookback) and 60 (matches ONLY minute-50: the
+    // minute-0 click is 60 min stale)
+    clicks.addData(ev(101, 0, user = 1), ev(102, 50, user = 1))
+    purchases.addData(ev(201, 20, user = 1, typ = "purchase"),
+      ev(202, 60, user = 1, typ = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj_out").select("p_event", "c_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((201L, 101L), (202L, 102L)))
+  }
+
   test("multiSink replaying a micro-batch replaces rather than duplicates") {
     val sq = spark
     import sq.implicits._
