@@ -272,16 +272,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // min-propagation only ever lowers a label, so "changed" is just
+      // nlabel < label — computed inline and read back from the cache, no
+      // extra compare-join per round
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("component"))

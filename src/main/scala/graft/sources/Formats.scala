@@ -53,16 +53,27 @@ object Formats {
   /** q28: round-trip the nation table through parquet, orc, json, and csv;
     * one row per format with row count + content checksum. The oracle
     * computes the same (count, checksum) straight from the source table —
-    * a hash-match proves every format preserved every row bit-for-bit. */
+    * a hash-match proves every format preserved every row bit-for-bit.
+    *
+    * The four writes are independent actions on a tiny table, so they run
+    * concurrently (Spark's scheduler is thread-safe; each write is its own
+    * job) — sequentially this query is pure job-scheduling latency. */
   def formatsRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val nation = Tables.load(spark, dir, "nation")
     val tmp = Files.createTempDirectory("graft-formats").toString
-    Seq("parquet", "orc", "json", "csv").map { fmt =>
-      roundTrip(nation, fmt, tmp, "nation")
-        .agg(count(lit(1)).as("n_rows"), nationChecksum.as("checksum"))
-        .withColumn("format", lit(fmt))
-        .select("format", "n_rows", "checksum")
-    }.reduce(_ unionByName _).orderBy("format")
+    val frames = Await.result(
+      Future.sequence(Seq("parquet", "orc", "json", "csv").map { fmt =>
+        Future {
+          roundTrip(nation, fmt, tmp, "nation")
+            .agg(count(lit(1)).as("n_rows"), nationChecksum.as("checksum"))
+            .withColumn("format", lit(fmt))
+            .select("format", "n_rows", "checksum")
+        }
+      }), Duration.Inf)
+    frames.reduce(_ unionByName _).orderBy("format")
   }
 
   /** q29: full SQL passthrough — a TPC-H Q5-shaped join pipeline run
