@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => Simhash(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     inject("simhash16", "simhash16(array<bigint>) -> bigint",
       exprs => Simhash(exprs(0), 16))
+    inject("srp_sig", "srp_sig(array<float>, bits) -> bigint",
+      exprs => SrpSig(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     inject("word_shingles", "word_shingles(array<string>, n) -> array<string>",
       exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     inject("char_shingles", "char_shingles(string, n) -> array<string>",

@@ -109,6 +109,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash16", exprs => Simhash(exprs(0), 16), "built-in")
     reg.createOrReplaceTempFunction(
+      "srp_sig", exprs =>
+        SrpSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_shingles", exprs =>
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(

@@ -192,6 +192,41 @@ object HashKernels {
   }
 
   def simhash16(whs: ArrayData): Long = simhash(whs, 16)
+
+  /** Deterministic ±1 hyperplane components for SRP-LSH: sign(i, d) from
+    * the parity of md5_i64("hp{i}:{d}") — a public, engine-independent
+    * pseudo-random source, so the DuckDB oracle can carry the same table
+    * as literals. Cached per (bits, dims). */
+  private val srpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
+  def srpSigns(bits: Int, dims: Int): Array[Array[Double]] =
+    srpCache.computeIfAbsent((bits, dims), { case (b, dm) =>
+      Array.tabulate(b, dm) { (i, d) =>
+        if ((md5i64(UTF8String.fromString(s"hp$i:$d")) & 1L) == 1L) 1.0 else -1.0
+      }
+    })
+
+  /** Signed-random-projection signature of a float vector: bit i is the
+    * sign of the dot product with hyperplane i (±1 components from
+    * [[srpSigns]]). P(bit agrees) = 1 − θ/π for angle θ, making Hamming
+    * distance on SRP signatures an unbiased angle estimator — the
+    * embedding-space analog of SimHash. Sums run in double over ascending
+    * dims, matching the oracle's sequential list_sum exactly. */
+  def srpSig(v: ArrayData, bits: Int): Long = {
+    val dims = v.numElements()
+    val signs = srpSigns(bits, dims)
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      val row = signs(i)
+      var acc = 0.0
+      var d = 0
+      while (d < dims) { acc += row(d) * v.getFloat(d); d += 1 }
+      if (acc > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
 }
 
 /** `md5_i64(array<string> [, prefix]) -> array<long>` — element-wise
@@ -271,6 +306,26 @@ case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c, $k)")
   override protected def withNewChildInternal(nc: Expression): MinhashSig =
+    copy(child = nc)
+}
+
+/** `srp_sig(array<float>, bits) -> bigint` — signed-random-projection
+  * signature (hyperplane LSH) in one fused pass; bits ≤ 60 so the oracle's
+  * bit sum stays in int64. `bits` must be a literal. */
+case class SrpSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bits > 0 && bits <= 60 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> and literal bits in 1..60, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_sig"
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.srpSig(a.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.srpSig($c, $bits)")
+  override protected def withNewChildInternal(nc: Expression): SrpSig =
     copy(child = nc)
 }
 

@@ -146,6 +146,90 @@ object Similarity {
     WHERE ${cosineSql("a.embedding", "b.embedding")} >= $tau
     ORDER BY id_a, id_b"""
 
+  /** Hyperplane-LSH (signed random projections) over embeddings — the
+    * blocking-cell-free near-dup path q38 lacks for "fat cells": no
+    * precomputed cell column needed, candidates come from banded SRP
+    * signatures. `bands` bands of `bits/bands` sig bits each; a pair is a
+    * candidate iff some band matches exactly. P(bit agrees) = 1 − θ/π, so
+    * the usual LSH S-curve applies: at 10 bands × 6 bits, cos 0.95 pairs
+    * are caught w.p. ~1−(1−0.92⁶)^10 ≈ 0.999 while background cos ≈ 0
+    * pairs collide on a band w.p. 0.5⁶ ≈ 1.6% — candidates stay
+    * O(n·bands·bucket), never all-pairs. Candidates carry their exact
+    * (rounded) cosine for verification; one corpus scan computes the
+    * signatures (persisted against the self-join recompute). */
+  def srpCandidatePairs(vectors: DataFrame, bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, s"bits $bits must divide into $bands bands")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val sig = vectors
+      .selectExpr("vec_id AS id", "embedding", s"srp_sig(embedding, $bits) AS sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = (0 until bands).map { b =>
+      s"concat('p$b:', CAST(shiftright(sig, ${b * rows}) & $mask AS STRING))"
+    }.mkString(", ")
+    val banded = sig.selectExpr("id", "embedding", s"explode(array($keys)) AS bk")
+    val a = banded.select(col("id").as("id_a"), col("embedding").as("va"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("embedding").as("vb"),
+      col("bk").as("bk_b"))
+    a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", expr(cosineExpr("va", "vb")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Thresholded SRP near-dup pairs (the q38 analog without cells). */
+  def srpNearDupPairs(vectors: DataFrame, bits: Int, bands: Int,
+                      tau: Double): DataFrame =
+    srpCandidatePairs(vectors, bits, bands).filter(col("cos") >= tau)
+
+  /** Top-k most-similar SRP candidate pairs — non-degenerate on corpora
+    * with no true near-dups (this fixture's max pairwise cos is ~0.51),
+    * while still exercising the full signature→banding→verify pipeline. */
+  def srpTopPairs(vectors: DataFrame, bits: Int, bands: Int, k: Int): DataFrame =
+    srpCandidatePairs(vectors, bits, bands)
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(k)
+
+  /** DuckDB form of the SRP signature: per bit, the sign of the dot
+    * product with the same ±1 hyperplane table ([[graft.functions
+    * .HashKernels.srpSigns]]), inlined as literals so both engines share
+    * it exactly; sequential list_sum matches the kernel's sum order. */
+  def srpSigSql(embCol: String, bits: Int, dims: Int): String = {
+    val signs = graft.functions.HashKernels.srpSigns(bits, dims)
+    (0 until bits).map { i =>
+      val lits = signs(i).map(s => if (s > 0) "1.0" else "-1.0").mkString(",")
+      s"(CASE WHEN list_sum(list_transform(range(1, len($embCol) + 1), " +
+        s"d -> ($embCol)[d]::DOUBLE * ([$lits])[d])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
+  }
+
+  def srpTopPairsSql(table: String, bits: Int, bands: Int, k: Int,
+                     dims: Int): String = {
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val bandCases = (0 until bands).map { b =>
+      s"WHEN $b THEN 'p$b:' || ((sig >> ${b * rows}) & $mask)::VARCHAR"
+    }.mkString(" ")
+    val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
+    s"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding, ${srpSigSql("embedding", bits, dims)} AS sig
+      FROM $table),
+    banded AS (
+      SELECT id, embedding, CASE blk.band_id $bandCases END AS bk
+      FROM v, (VALUES $bandVals) blk(band_id)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        a.embedding AS va, b.embedding AS vb
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id)
+    SELECT id_a, id_b, ${cosineSql("va", "vb")} AS cos
+    FROM cand
+    ORDER BY cos DESC, id_a, id_b
+    LIMIT $k"""
+  }
+
   /** Real IVF cell assignment — the step the fixture's `label` column
     * stood in for: each vector goes to its nearest centroid by cosine
     * (one Lloyd assignment step; iterate for full k-means). Centroids are

@@ -33,6 +33,12 @@ object LlmQueries {
   val EmbTau = 0.35
   val BruteK = 5
   val IvfK = 3
+  // SRP-LSH: 10 bands × 6 bits — cos ≥ 0.95 pairs caught w.p. ~0.999,
+  // background (cos ≈ 0) band-collision rate 0.5^6 ≈ 1.6%
+  val SrpBits = 60
+  val SrpBands = 10
+  val SrpTopK = 20
+  val EmbDims = 64
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -117,6 +123,13 @@ object LlmQueries {
     Similarity.cosineNearDupPairs(embs(spark, dir), "label", EmbTau)
       .orderBy("id_a", "id_b")
 
+  /** Hyperplane-LSH candidates ranked by exact cosine — the cell-free
+    * near-dup path (top-k form: this fixture has no global near-dups, so
+    * a threshold query would be empty; DedupSpec covers the thresholded
+    * form with planted near-identical vectors). */
+  def embedSrpPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpTopPairs(embs(spark, dir), SrpBits, SrpBands, SrpTopK)
+
   def annBruteForce(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(spark, dir), col("vec_id") < 20, BruteK)
       .orderBy("query_id", "rnk")
@@ -175,7 +188,8 @@ object LlmQueries {
     "q42_multimodal_meta" -> multimodalMeta _,
     "q43_array_ops"       -> arrayOps _,
     "q51_dedup_components" -> dedupComponents _,
-    "q52_ivf_assign"      -> ivfAssign _
+    "q52_ivf_assign"      -> ivfAssign _,
+    "q54_embed_srp_topk"  -> embedSrpPairs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,6 +248,8 @@ object LlmQueries {
           i -> substr(hex(encode(text)), i * 32 + 1, 2)), ':') AS frames
       FROM documents ORDER BY media_id""",
     "q52_ivf_assign" -> Similarity.ivfAssignSql("embeddings", "label"),
+    "q54_embed_srp_topk" -> Similarity.srpTopPairsSql("embeddings",
+      SrpBits, SrpBands, SrpTopK, EmbDims),
     "q51_dedup_components" -> Dedup.componentsSql(
       Dedup.minhashLshPairsSql("documents", "doc_id", "text",
         WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),

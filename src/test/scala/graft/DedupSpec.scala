@@ -80,6 +80,21 @@ class DedupSpec extends SparkSpec {
       "pigeonhole blocking must have exact recall at <= maxHamming")
   }
 
+  test("SRP hyperplane LSH finds planted near-duplicates without cells") {
+    val sq = spark
+    import sq.implicits._
+    // v2 = v1 rotated by ~0.6 degrees (cos ~0.9999); v3 orthogonal to v1
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearDupPairs(vs, bits = 60, bands = 10, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)),
+      "only the planted near-dup passes banding + cosine verification")
+  }
+
   test("exact clusters: reordered words collide on bag fingerprint") {
     val d = docsOf(
       1L -> "red green blue",
