@@ -35,6 +35,10 @@ object GraftSession {
       // Dimension tables (region/nation/supplier/customer at any SF that
       // matters) broadcast; 64 MB is safe with multi-GB executors.
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+      // rejects; read nanos as long session-wide (Tables.load converts).
+      // Set here, once, at build time — not as a hidden per-load mutation.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session for tests/bench. `cpus` mirrors executor-core count. */
   def local(appName: String = "graft", cpus: Int = 32): SparkSession = {

@@ -16,11 +16,12 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
-      // convert; the fixture has no sub-microsecond components
-      // (FIXTURES.md §B), so truncation is lossless.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet TIMESTAMP(NANOS), read as raw nanos
+      // (nanosAsLong is set once at session build, GraftSession.tune — no
+      // hidden config mutation here) and converted; the fixture has no
+      // sub-microsecond components (FIXTURES.md §B), so truncation is
+      // lossless. Sessions not built via GraftSession must set
+      // spark.sql.legacy.parquet.nanosAsLong=true themselves.
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
