@@ -51,24 +51,21 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** (id, hs, band-key) rows, one per band: hs is the int64 shingle-hash
-    * array, the band key is "b<band>:mh,mh,…" over that band's MinHash
-    * slice. Two native-kernel projections (sh → hs → sig) keep the whole
-    * signature computation inside whole-stage codegen; band keys are cheap
-    * element_at reads of the sig array. */
+  /** (persisted signature table, banded band-key rows). Two native-kernel
+    * projections (sh → hs → sig) keep the whole signature computation
+    * inside whole-stage codegen; band keys "b<band>:mh,mh,…" are cheap
+    * element_at reads of the sig array. The sig frame is
+    * persisted BEFORE the explode + self-join: Spark does not reuse
+    * exchanges across aliased self-join branches, so without this the
+    * whole shingle→md5→minhash pipeline (the expensive part) runs twice —
+    * once per side. Persisting pre-explode keeps the cache at one row per
+    * doc (not bands×). At a real 100 TB run the same move is writing the
+    * signature table to storage once and joining the materialized form. */
   private def bandedSignatures(sh0: DataFrame, numHashes: Int,
-                               bands: Int): DataFrame = {
+                               bands: Int): (DataFrame, DataFrame) = {
     GraftFunctions.register(sh0.sparkSession)
     val rows = numHashes / bands
     val sh = sh0.filter(size(col("sh")) > 0)
-    // Persist the signature frame BEFORE the explode + self-join: Spark
-    // does not reuse exchanges across aliased self-join branches, so
-    // without this the whole shingle→md5→minhash pipeline (the expensive
-    // part) runs twice — once per side. Persisting pre-explode keeps the
-    // cache at one row per doc (not bands×); the per-branch explode that
-    // remains is cheap element_at reads. At a real 100 TB run the same
-    // move is writing the signature table to storage once and joining the
-    // materialized form.
     val sig = sh.selectExpr("id", "md5_i64(sh) AS hs")
       .selectExpr("id", "hs", s"minhash_sig(hs, $numHashes) AS sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -78,22 +75,28 @@ object Dedup {
         .mkString(", ',', ")
       s"concat('b$b:', $slice)"
     }.mkString(", ")
-    sig.selectExpr("id", "hs", s"explode(array($bandKeys)) AS bk")
+    (sig, sig.selectExpr("id", s"explode(array($bandKeys)) AS bk"))
   }
 
   /** Candidate pairs from shared LSH buckets (distinct over bands), exact
     * Jaccard via int64 hash-set intersection, thresholded.
     *
     * The self-join shuffles both sides on the band key — co-located
-    * buckets, no broadcast of the corpus. At 100 TB persist the signature
-    * table first (one corpus scan) and join the materialized form. */
-  private def lshPairs(banded: DataFrame, tau: Double): DataFrame = {
-    val a = banded.select(col("id").as("id_a"), col("hs").as("hs_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("hs").as("hs_b"),
-      col("bk").as("bk_b"))
-    a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
+    * buckets, no broadcast of the corpus. The band join and the distinct
+    * carry ONLY (id_a, id_b); the fat shingle-hash arrays join back in
+    * from the persisted signature table after dedup — otherwise every
+    * candidate duplicate drags two ~KB arrays through the exchange. */
+  private def lshPairs(sig: DataFrame, banded: DataFrame, tau: Double): DataFrame = {
+    val a = banded.select(col("id").as("id_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("bk").as("bk_b"))
+    val cand = a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sig.select(col("id"), col("hs").as("hs_a")), col("id_a") === col("id"))
+      .drop("id")
+      .join(sig.select(col("id"), col("hs").as("hs_b")), col("id_b") === col("id"))
+      .drop("id")
       .withColumn("inter", expr("size(array_intersect(hs_a, hs_b))"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(hs_a) + size(hs_b) - inter)"))
@@ -145,7 +148,8 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val sh = docs.selectExpr(s"$idCol AS id", s"${wordsExpr(textCol)} AS w")
       .selectExpr("id", s"word_shingles(w, $shingleN) AS sh")
-    lshPairs(bandedSignatures(sh, numHashes, bands), tau)
+    val (sig, banded) = bandedSignatures(sh, numHashes, bands)
+    lshPairs(sig, banded, tau)
   }
 
   /** DuckDB oracle for [[minhashLshPairs]] — same constants, same hash
@@ -164,7 +168,8 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val sh = docs.selectExpr(s"$idCol AS id",
       s"char_shingles($textCol, $n) AS sh")
-    lshPairs(bandedSignatures(sh, numHashes, bands), tau)
+    val (sig, banded) = bandedSignatures(sh, numHashes, bands)
+    lshPairs(sig, banded, tau)
   }
 
   def charNgramPairsSql(table: String, idCol: String, textCol: String,
