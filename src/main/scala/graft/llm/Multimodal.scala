@@ -54,6 +54,33 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
+  /** STUB RESIZE — the binary→binary media transform shape (decode →
+    * resample → re-encode) with the same per-partition batch contract as
+    * [[decodeStub]]: decoder/encoder init once per partition, content in,
+    * content out, metadata updated. The fake "resize" derives a
+    * deterministic target-length byte string by striding the input to
+    * targetW*targetH bytes (0-padded) — replace the body with a real
+    * codec, keep the signature and schema. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+                 targetW: Int, targetH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    val target = targetW * targetH
+    media.select("media_id", "content", "mime", "byte_len").mapPartitions { rows =>
+      // per-partition init happens here (codec context, scaler buffers...)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        // ??? real decode→resample→encode goes here; fake = strided bytes
+        val out = Array.tabulate(target) { i =>
+          if (bytes.isEmpty) 0.toByte
+          else bytes((i.toLong * bytes.length / target).toInt % bytes.length)
+        }
+        Row(id, out, s"image/stub-resized-${targetW}x$targetH", out.length)
+      }
+    }(enc)
+  }
+
   /** STUB DECODE — deterministic fake standing in for an image decoder.
     * Real shape: `mapPartitions` over batches of binary rows (the Scala
     * analog of `mapInPandas`), one decoder instance per partition, emitting

@@ -185,4 +185,22 @@ class DedupSpec extends SparkSpec {
     assert(feats.selectExpr("size(features)").distinct().collect()
       .map(_.getInt(0)).toSeq === Seq(4))
   }
+
+  test("multimodal resize stub keeps the media schema with target-sized content") {
+    val media = graft.llm.Multimodal.asMediaTable(
+      graft.core.Tables.load(spark, sfDir, "documents").limit(10), "doc_id", "text")
+    val resized = graft.llm.Multimodal.resizeStub(spark, media, 8, 8)
+    assert(resized.schema === graft.llm.Multimodal.mediaSchema)
+    val rows = resized.collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("content").length === 64)
+      assert(r.getAs[Int]("byte_len") === 64)
+      assert(r.getAs[String]("mime") === "image/stub-resized-8x8")
+    }
+    // deterministic: same input, same bytes
+    val again = graft.llm.Multimodal.resizeStub(spark, media, 8, 8).collect()
+    assert(rows.map(_.getAs[Array[Byte]]("content").toSeq).toSet ===
+      again.map(_.getAs[Array[Byte]]("content").toSeq).toSet)
+  }
 }
