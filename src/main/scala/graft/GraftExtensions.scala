@@ -15,18 +15,17 @@ import graft.functions._
   * brought (both paths register the same expressions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  // 2-arg form (className, name): the 3-arg overload is (className, db,
-  // name), which would register `usage` as the function's name and garble
-  // DESCRIBE FUNCTION output. Usage strings live in the injects below.
-  private def info(name: String) =
-    new ExpressionInfo("graft.functions", name)
+  // 5-arg form: the 3-arg overload is (className, db, name), which would
+  // register `usage` as the function's name and garble DESCRIBE FUNCTION.
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // naive bit_count(a ^ b) <= k joins → pigeonhole block equi-joins
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinBlocking)
     def inject(name: String, usage: String,
                builder: Seq[Expression] => Expression): Unit =
-      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     inject("cosine_sim", "cosine_sim(array<float>, array<float>) -> double",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     inject("md5_i64", "md5_i64(array<string>[, prefix]) -> array<bigint>", {

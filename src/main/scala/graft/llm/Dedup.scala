@@ -51,7 +51,7 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** (persisted signature table, banded band-key rows). Two native-kernel
+  /** (persisted signature table, band-key exprs over it). Two native-kernel
     * projections (sh → hs → sig) keep the whole signature computation
     * inside whole-stage codegen; band keys "b<band>:mh,mh,…" are cheap
     * element_at reads of the sig array. The sig frame is
@@ -62,7 +62,7 @@ object Dedup {
     * doc (not bands×). At a real 100 TB run the same move is writing the
     * signature table to storage once and joining the materialized form. */
   private def bandedSignatures(sh0: DataFrame, numHashes: Int,
-                               bands: Int): (DataFrame, DataFrame) = {
+                               bands: Int): (DataFrame, String) = {
     GraftFunctions.register(sh0.sparkSession)
     val rows = numHashes / bands
     val sh = sh0.filter(size(col("sh")) > 0)
@@ -75,34 +75,50 @@ object Dedup {
         .mkString(", ',', ")
       s"concat('b$b:', $slice)"
     }.mkString(", ")
-    (sig, sig.selectExpr("id", s"explode(array($bandKeys)) AS bk"))
+    (sig, bandKeys)
   }
 
-  /** Candidate pairs from shared LSH buckets (distinct over bands), exact
-    * Jaccard via int64 hash-set intersection, thresholded.
-    *
-    * The self-join shuffles both sides on the band key — co-located
-    * buckets, no broadcast of the corpus. The band join and the distinct
-    * carry ONLY (id_a, id_b); the fat shingle-hash arrays join back in
-    * from the persisted signature table after dedup — otherwise every
-    * candidate duplicate drags two ~KB arrays through the exchange. */
-  private def lshPairs(sig: DataFrame, banded: DataFrame, tau: Double): DataFrame = {
-    val a = banded.select(col("id").as("id_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("bk").as("bk_b"))
-    val cand = a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+  /** Shared LSH candidate skeleton, used by MinHash, char-n-gram, SimHash
+    * AND hyperplane-SRP pairing: explode an (id, …) signature frame to one
+    * row per band key, self-join on the key (co-located buckets, no
+    * broadcast of the corpus), distinct (id_a, id_b). The join and the
+    * distinct carry only the ids plus `carry` columns (≤ 8-byte sigs);
+    * fat payloads (shingle arrays, embeddings) join back AFTER dedup via
+    * [[joinBackPayload]] — otherwise every candidate duplicate drags two
+    * ~KB payloads through the exchange. */
+  private[graft] def lshCandidatePairs(sig: DataFrame, bandKeysExpr: String,
+                                       carry: Seq[String] = Nil): DataFrame = {
+    val banded = sig.selectExpr(
+      ("id" +: carry) :+ s"explode(array($bandKeysExpr)) AS bk": _*)
+    val a = banded.select(
+      (col("id").as("id_a") +: carry.map(c => col(c).as(s"${c}_a"))) :+ col("bk"): _*)
+    val b = banded.select(
+      (col("id").as("id_b") +: carry.map(c => col(c).as(s"${c}_b"))) :+
+        col("bk").as("bk_b"): _*)
+    a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
+      .drop("bk", "bk_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Join `payloadCol` back onto candidate pairs as <payload>_a/_b from
+    * the (persisted) signature frame. */
+  private[graft] def joinBackPayload(cand: DataFrame, sig: DataFrame,
+                                     payloadCol: String): DataFrame =
     cand
-      .join(sig.select(col("id"), col("hs").as("hs_a")), col("id_a") === col("id"))
-      .drop("id")
-      .join(sig.select(col("id"), col("hs").as("hs_b")), col("id_b") === col("id"))
-      .drop("id")
+      .join(sig.select(col("id"), col(payloadCol).as(s"${payloadCol}_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sig.select(col("id"), col(payloadCol).as(s"${payloadCol}_b")),
+        col("id_b") === col("id")).drop("id")
+
+  /** Candidate pairs from shared LSH buckets, exact Jaccard via int64
+    * hash-set intersection, thresholded. */
+  private def lshPairs(sig: DataFrame, bandKeys: String, tau: Double): DataFrame =
+    joinBackPayload(lshCandidatePairs(sig, bandKeys), sig, "hs")
       .withColumn("inter", expr("size(array_intersect(hs_a, hs_b))"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(hs_a) + size(hs_b) - inter)"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Shared DuckDB oracle skeleton for the two LSH variants: `tExpr` is
     * the shingle expression, `tGuard` the short-input filter. */
@@ -148,8 +164,8 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val sh = docs.selectExpr(s"$idCol AS id", s"${wordsExpr(textCol)} AS w")
       .selectExpr("id", s"word_shingles(w, $shingleN) AS sh")
-    val (sig, banded) = bandedSignatures(sh, numHashes, bands)
-    lshPairs(sig, banded, tau)
+    val (sig, bandKeys) = bandedSignatures(sh, numHashes, bands)
+    lshPairs(sig, bandKeys, tau)
   }
 
   /** DuckDB oracle for [[minhashLshPairs]] — same constants, same hash
@@ -168,8 +184,8 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val sh = docs.selectExpr(s"$idCol AS id",
       s"char_shingles($textCol, $n) AS sh")
-    val (sig, banded) = bandedSignatures(sh, numHashes, bands)
-    lshPairs(sig, banded, tau)
+    val (sig, bandKeys) = bandedSignatures(sh, numHashes, bands)
+    lshPairs(sig, bandKeys, tau)
   }
 
   def charNgramPairsSql(table: String, idCol: String, textCol: String,
@@ -241,13 +257,9 @@ object Dedup {
     val keys = simhashBlocks(maxHamming, sigBits).map { case (b, start, width) =>
       s"concat('k$b:', CAST(shiftright(sig, $start) & ${(1L << width) - 1} AS STRING))"
     }.mkString(", ")
-    val banded = sig.selectExpr("id", "sig", s"explode(array($keys)) AS bk")
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("bk").as("bk_b"))
-    a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    // the 8-byte sig rides through the join as a carry column — cheaper
+    // than joining it back
+    lshCandidatePairs(sig, keys, carry = Seq("sig"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -271,6 +283,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    var cached: Option[DataFrame] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -287,9 +300,17 @@ object Dedup {
           (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("changed")).isEmpty
+      cached.foreach(_.unpersist()) // next is materialized; free last round
+      cached = Some(next)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    // a silent partial result would under-merge dup clusters (keep-min
+    // dedup then keeps extra copies) — refuse instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — component " +
+        "diameter exceeds maxIter; raise it (rounds = min-node eccentricity)")
+    edges.unpersist() // final labels read from the still-cached last round
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 

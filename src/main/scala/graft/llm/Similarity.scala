@@ -168,19 +168,10 @@ object Similarity {
     val keys = (0 until bands).map { b =>
       s"concat('p$b:', CAST(shiftright(sig, ${b * rows}) & $mask AS STRING))"
     }.mkString(", ")
-    // band join + distinct carry only (id_a, id_b); the 64-float
-    // embeddings join back in from the persisted sig table after dedup
-    val banded = sig.selectExpr("id", s"explode(array($keys)) AS bk")
-    val a = banded.select(col("id").as("id_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("bk").as("bk_b"))
-    a.join(b, col("bk") === col("bk_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(sig.select(col("id"), col("embedding").as("va")),
-        col("id_a") === col("id")).drop("id")
-      .join(sig.select(col("id"), col("embedding").as("vb")),
-        col("id_b") === col("id")).drop("id")
-      .withColumn("cos", expr(cosineExpr("va", "vb")))
+    // shared LSH skeleton (Dedup.lshCandidatePairs): the band join +
+    // distinct carry only ids; the 64-float embeddings join back after
+    Dedup.joinBackPayload(Dedup.lshCandidatePairs(sig, keys), sig, "embedding")
+      .withColumn("cos", expr(cosineExpr("embedding_a", "embedding_b")))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 

@@ -52,8 +52,14 @@ object HammingJoinBlocking extends Rule[LogicalPlan] with PredicateHelper {
             if k >= 0 && k <= MaxThreshold && spansBothSides(x, y, left, right) =>
           (x, y, k)
       }
+      // duplicating the child plans k+1 times is only sound when every
+      // expression involved is deterministic — a nondeterministic column
+      // (rand(), monotonically_increasing_id()) would evaluate differently
+      // per branch and break the disjoint-union argument
+      val allDeterministic = cond.deterministic &&
+        j.children.forall(c => c.find(_.expressions.exists(!_.deterministic)).isEmpty)
       hamming match {
-        case Some((x, y, k)) if !hasEquiKey =>
+        case Some((x, y, k)) if !hasEquiKey && allDeterministic =>
           val bits = x.dataType match {
             case LongType => 64
             case IntegerType => 32

@@ -148,7 +148,9 @@ object Archive {
     while (!done) {
       try { attempt(); done = true }
       catch {
-        case e: Throwable if restarts < maxRestarts =>
+        // NonFatal only: an OOM or interrupt must propagate, not trigger
+        // a restart of a query in a possibly-corrupted JVM
+        case scala.util.control.NonFatal(e) if restarts < maxRestarts =>
           restarts += 1
           Thread.sleep(pauseMs)
       }

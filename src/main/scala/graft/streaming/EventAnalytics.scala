@@ -157,15 +157,20 @@ object EventAnalytics {
     * table level, not merely at-least-once. */
   def multiSink(events: DataFrame, aggPath: String, rawPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // per-write option, NOT a session conf set — mutating the shared
+      // session would silently flip every later overwrite write on this
+      // SparkSession to dynamic mode
       batch.persist()
       batch.withColumn("batch_id", lit(batchId))
-        .write.partitionBy("batch_id").mode("overwrite").parquet(rawPath)
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(rawPath)
       batch.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
         .withColumn("batch_id", lit(batchId))
-        .write.partitionBy("batch_id").mode("overwrite").parquet(aggPath)
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(aggPath)
       batch.unpersist()
       ()
     }
