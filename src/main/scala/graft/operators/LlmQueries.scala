@@ -111,6 +111,27 @@ object LlmQueries {
       CharNgramN, CharHashK, CharBands, CharTau)
       .orderBy("id_a", "id_b")
 
+  /** Training-mixture quota sampling: the best `QuotaPerLang` documents
+    * per language by quality score — how a pipeline balances a corpus
+    * across sources/languages under a per-bucket budget. One keyed window
+    * (quality desc, doc_id tiebreak), no global sort; at 100 TB each
+    * language partition ranks independently. */
+  val QuotaPerLang = 40
+  def quotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = tokenCount("text").cast("double")
+    val punctR = punctCount("text").cast("double") / length(col("text"))
+    val stopR = lexiconHits("text", EnglishStopwords).cast("double") / tokens
+    val score = dround(
+      least(tokens / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctR) * 0.3 + stopR * 0.3, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), score.as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= QuotaPerLang)
+      .orderBy("lang", "rk")
+  }
+
   /** Pairwise near-dup hits → dedup clusters: connected components over
     * the MinHash-LSH pair graph (same parameters as q35). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
@@ -189,7 +210,8 @@ object LlmQueries {
     "q43_array_ops"       -> arrayOps _,
     "q51_dedup_components" -> dedupComponents _,
     "q52_ivf_assign"      -> ivfAssign _,
-    "q54_embed_srp_topk"  -> embedSrpPairs _
+    "q54_embed_srp_topk"  -> embedSrpPairs _,
+    "q55_quota_sample"    -> quotaSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,6 +270,21 @@ object LlmQueries {
           i -> substr(hex(encode(text)), i * 32 + 1, 2)), ':') AS frames
       FROM documents ORDER BY media_id""",
     "q52_ivf_assign" -> Similarity.ivfAssignSql("embeddings", "label"),
+    "q55_quota_sample" -> {
+      val tokens = s"${tokenCountSql("text")}::DOUBLE"
+      val punctR = s"${punctCountSql("text")}::DOUBLE / length(text)"
+      val stopR = s"${lexiconHitsSql("text", EnglishStopwords)}::DOUBLE / ($tokens)"
+      val score = droundSql(
+        s"least($tokens / 100.0, 1.0) * 0.4 + (1.0 - ($punctR)) * 0.3 + ($stopR) * 0.3", 6)
+      s"""
+      SELECT doc_id, lang, quality, rk FROM (
+        SELECT doc_id, lang, $score AS quality,
+          (row_number() OVER (PARTITION BY lang
+             ORDER BY $score DESC, doc_id))::INT AS rk
+        FROM documents)
+      WHERE rk <= $QuotaPerLang
+      ORDER BY lang, rk"""
+    },
     "q54_embed_srp_topk" -> Similarity.srpTopPairsSql("embeddings",
       SrpBits, SrpBands, SrpTopK, EmbDims),
     "q51_dedup_components" -> Dedup.componentsSql(
