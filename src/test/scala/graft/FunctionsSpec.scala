@@ -41,11 +41,13 @@ class FunctionsSpec extends SparkSpec {
           |  size(char_shingles('abcd', 2)) AS cs,
           |  size(md5_i64(array('x'), 's1:')) AS h,
           |  size(minhash_sig(md5_i64(array('x')), 4)) AS mh,
-          |  simhash16(md5_i64(array('x'))) >= 0 AS sh""".stripMargin).head
+          |  simhash16(md5_i64(array('x'))) >= 0 AS sh,
+          |  simhash(md5_i64(array('x')), 60) >= 0 AS sh60,
+          |  srp_sig(array(CAST(1.0 AS FLOAT)), 16) >= 0 AS srp""".stripMargin).head
       assert(r.getDouble(0) === 1.0)
       assert(r.getInt(1) === 2 && r.getInt(2) === 3)
       assert(r.getInt(3) === 1 && r.getInt(4) === 4)
-      assert(r.getBoolean(5))
+      assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
