@@ -72,6 +72,21 @@ class PlanSpec extends SparkSpec {
       s"as-of must not materialize purchase x click pairs:\n$p")
   }
 
+  test("batch sessionization is windows over one per-user sort, no self-join") {
+    val p = plan(Windows.batchSessions(spark, sfDir))
+    assert(p.contains("Window"), s"expected lag/running-sum windows:\n$p")
+    assert(!p.contains("Join"), s"gaps-and-islands needs no join:\n$p")
+  }
+
+  test("IVF cell assignment broadcasts centroids and aggregates, no window") {
+    val p = plan(graft.llm.Similarity.ivfAssign(
+      graft.core.Tables.load(spark, sfDir, "embeddings"), "label"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the tiny centroid table must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("Window"),
+      s"argmax must be the bounded top-1 aggregator, not a window:\n$p")
+  }
+
   test("native cosine_sim is bit-identical to the composable form and codegen'd") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
