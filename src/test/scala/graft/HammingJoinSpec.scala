@@ -68,6 +68,28 @@ class HammingJoinSpec extends SparkSpec {
     }
   }
 
+  test("rewritten join equals the pigeonhole dedup operator on fixture sigs") {
+    // ground truth from the shared session's operator (explicit blocking)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents").limit(200)
+    val expected = graft.llm.Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(expected.nonEmpty)
+    // same result from a NAIVE bit_count join, auto-rewritten by the rule
+    val got = withExtSession { s =>
+      val sig = graft.llm.Dedup.withSimhash(
+        graft.core.Tables.load(s, sfDir, "documents").limit(200), "doc_id", "text")
+      val a = sig.select(org.apache.spark.sql.functions.col("id").as("id_a"),
+        org.apache.spark.sql.functions.col("sig").as("sig_a"))
+      val b = sig.select(org.apache.spark.sql.functions.col("id").as("id_b"),
+        org.apache.spark.sql.functions.col("sig").as("sig_b"))
+      a.join(b, org.apache.spark.sql.functions.expr(
+        "bit_count(sig_a ^ sig_b) <= 3 AND id_a < id_b"))
+        .selectExpr("id_a", "id_b", "CAST(bit_count(sig_a ^ sig_b) AS INT) AS hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    }
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("rule leaves joins with existing equi-keys alone") {
     withExtSession { s =>
       val sq = s; import sq.implicits._
