@@ -92,6 +92,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotent: every graft function is registered in one shot (here or
+    // via GraftExtensions), so one probe tells whether the whole set is
+    // present — avoids per-query "function X replaced" registry warnings.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("char_shingles"))) return
     reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

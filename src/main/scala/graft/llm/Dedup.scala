@@ -281,10 +281,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Fused first round: with label(id)=id the first propagation is just
+    // least(src, min(dst)) — one groupBy over the (symmetrized) edge list
+    // instead of distinct + join + agg + join. Every node appears as src,
+    // so this seeds a complete label frame one round ahead.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mind"))
+      .select(col("src").as("id"), least(col("src"), col("mind")).as("label"))
     var cached: Option[DataFrame] = None
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = edges

@@ -6,7 +6,7 @@ import graft.core.Determinism._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.llm.{Dedup, Multimodal, Packing, Similarity}
 
 /** The LLM-training-data operator inventory as driver-checkable queries:
   * text analysis, every dedup variant, similarity search, multimodal
@@ -132,6 +132,94 @@ object LlmQueries {
       .orderBy("lang", "rk")
   }
 
+  /** Gopher-style repetition/boilerplate signals: distinct-word ratio,
+    * most-common-word fraction, most-common-bigram fraction. High values
+    * flag templated/spammy documents. The frequency mode per doc is the
+    * distributed explode → (doc, term) count → per-doc max shape — two
+    * shuffles keyed by doc_id, no per-doc quadratic lambda, so a 100 TB
+    * corpus stays a pair of hash aggregations. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(docs(spark, dir))
+
+  def repetitionStatsOf(d: DataFrame): DataFrame = {
+    // words materialized once; bigrams deliberately NOT distinct (these
+    // are frequency signals — word_shingles' array_distinct would erase
+    // exactly the repetition being measured)
+    val base = d.select(col("doc_id"),
+      expr(wordsExpr("text")).as("w"))
+    val uni = base
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        explode(col("w")).as("t"))
+      .groupBy("doc_id", "n_words", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "n_words")
+      .agg(count(lit(1)).cast("int").as("n_distinct"),
+        max(col("n")).cast("int").as("top_word_n"))
+    val bi = base
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+          "ELSE array_repeat('', 0) END")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).cast("int").as("top_bigram_n"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("top_word_n"),
+        coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"),
+        dround(col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("distinct_ratio"),
+        dround(col("top_word_n").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        dround(coalesce(col("top_bigram_n"), lit(0)).cast("double") /
+          greatest(col("n_words") - 1, lit(1)), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental dedup: which documents of an incoming batch (source =
+    * `batchSource`) are NOVEL vs the existing corpus (every other source)
+    * — the day-2 shape of dedup, where the corpus is already ingested and
+    * only the delta is checked. Exact form: left-anti join on the bag
+    * fingerprint — the corpus side is a one-column long projection, so at
+    * 100 TB it broadcast-joins if the fingerprint set fits (or shuffles on
+    * the 8-byte key, never the text); the standard pre-filter is a bloom
+    * filter built over corpus fingerprints (false positives then re-checked
+    * by this same anti-join, false negatives impossible). */
+  val BatchSource = "src0"
+  def novelDocs(spark: SparkSession, dir: String): DataFrame =
+    novelDocsOf(docs(spark, dir), BatchSource)
+
+  def novelDocsOf(d: DataFrame, batchSource: String): DataFrame = {
+    val batch = d.filter(col("source") === batchSource)
+      .select(col("doc_id"), bagFingerprint("text").as("fp"))
+    val corpus = d.filter(col("source") =!= batchSource)
+      .select(bagFingerprint("text").as("fp"))
+    batch.join(corpus, Seq("fp"), "left_anti")
+      .select("doc_id", "fp").orderBy("doc_id")
+  }
+
+  /** Greedy sequence packing into fixed-capacity token bins per
+    * (lang, doc_id % PackShards) group — see [[graft.llm.Packing]]. */
+  val PackCapacity = 256
+  val PackShards = 4
+  def packDocs(spark: SparkSession, dir: String): DataFrame =
+    Packing.packGreedy(docs(spark, dir), "doc_id", "text", "lang",
+      PackCapacity, PackShards)
+      .orderBy("lang", "shard", "doc_id")
+
+  /** Token-count deciles per language (ntile) — the corpus length profile
+    * that picks packing capacity and truncation cutoffs. */
+  def tokenDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), tokenCount("text").as("n_tokens"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang", "decile")
+  }
+
   /** Pairwise near-dup hits → dedup clusters: connected components over
     * the MinHash-LSH pair graph (same parameters as q35). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
@@ -211,7 +299,11 @@ object LlmQueries {
     "q51_dedup_components" -> dedupComponents _,
     "q52_ivf_assign"      -> ivfAssign _,
     "q54_embed_srp_topk"  -> embedSrpPairs _,
-    "q55_quota_sample"    -> quotaSample _
+    "q55_quota_sample"    -> quotaSample _,
+    "q56_repetition_stats" -> repetitionStats _,
+    "q57_novel_docs"      -> novelDocs _,
+    "q59_sequence_packing" -> packDocs _,
+    "q60_token_deciles"   -> tokenDeciles _
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,6 +383,54 @@ object LlmQueries {
       Dedup.minhashLshPairsSql("documents", "doc_id", "text",
         WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
       "doc_id"),
+    "q56_repetition_stats" -> s"""
+      WITH w AS (
+        SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      uni AS (
+        SELECT doc_id, len(w) AS n_words, unnest(w) AS t FROM w),
+      uc AS (
+        SELECT doc_id, n_words, t, count(*) AS n FROM uni GROUP BY 1, 2, 3),
+      us AS (
+        SELECT doc_id, n_words, count(*) AS n_distinct, max(n) AS top_word_n
+        FROM uc GROUP BY 1, 2),
+      big AS (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+          THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+          ELSE [] END) AS t FROM w),
+      bc AS (SELECT doc_id, t, count(*) AS n FROM big GROUP BY 1, 2),
+      bs AS (SELECT doc_id, max(n) AS top_bigram_n FROM bc GROUP BY 1)
+      SELECT us.doc_id, n_words::INT AS n_words, n_distinct::INT AS n_distinct,
+        top_word_n::INT AS top_word_n,
+        coalesce(top_bigram_n, 0)::INT AS top_bigram_n,
+        ${droundSql("n_distinct::DOUBLE / n_words", 6)} AS distinct_ratio,
+        ${droundSql("top_word_n::DOUBLE / n_words", 6)} AS top_word_frac,
+        ${droundSql(
+          "coalesce(top_bigram_n, 0)::DOUBLE / greatest(n_words - 1, 1)", 6)}
+          AS top_bigram_frac
+      FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+      ORDER BY us.doc_id""",
+    "q57_novel_docs" -> s"""
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, ${bagFingerprintSql("text")} AS fp
+        FROM documents WHERE source = '$BatchSource') b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT ${bagFingerprintSql("text")} AS fp
+          FROM documents WHERE source <> '$BatchSource') c
+        WHERE c.fp = b.fp)
+      ORDER BY doc_id""",
+    "q59_sequence_packing" -> Packing.packGreedySql("documents", "doc_id",
+      "text", "lang", PackCapacity, PackShards, "lang, shard, doc_id"),
+    "q60_token_deciles" -> s"""
+      SELECT lang, decile, count(*) AS n_docs,
+        min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      FROM (
+        SELECT lang, doc_id, ${tokenCountSql("text")} AS n_tokens,
+          (ntile(10) OVER (PARTITION BY lang
+             ORDER BY ${tokenCountSql("text")}, doc_id))::INT AS decile
+        FROM documents)
+      GROUP BY lang, decile
+      ORDER BY lang, decile""",
     "q43_array_ops" -> s"""
       SELECT vec_id,
         len(embedding)::INT AS dim,

@@ -131,13 +131,36 @@ object Windows {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Event-sequence transition matrix: for each consecutive pair of events
+    * per user (order: ts, event_id), count from_type → to_type transitions
+    * and the mean gap between them — the funnel/Markov primitive of
+    * clickstream analysis. One keyed window sort (per-user state, same
+    * scale shape as [[batchSessions]]) then a tiny global aggregate over
+    * |event_types|² rows — partial (map-side) aggregation makes the final
+    * shuffle negligible at any corpus size. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_ms", lead(unix_millis(col("ts")), 1).over(w) -
+        unix_millis(col("ts")))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Determinism.davg(col("gap_ms").cast("double") / 1000.0, 3)
+          .as("mean_gap_s"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_window_topk"    -> windowTopK _,
     "q10_window_running" -> windowRunning _,
     "q11_window_rank"    -> windowRank _,
     "q12_sort_limit"     -> sortLimit _,
     "q27_asof_join"      -> asofJoin _,
-    "q50_batch_sessions" -> batchSessions _
+    "q50_batch_sessions" -> batchSessions _,
+    "q58_event_transitions" -> eventTransitions _
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +226,19 @@ object Windows {
       SELECT user_id, sess_id, count(1) AS n_events,
              min(ts) AS sess_start, max(ts) AS sess_end
       FROM g GROUP BY user_id, sess_id
-      ORDER BY user_id, sess_id"""
+      ORDER BY user_id, sess_id""",
+    "q58_event_transitions" -> s"""
+      WITH o AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER w AS to_type,
+          lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS gap_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type AS from_type, to_type, count(1) AS n,
+        ${graft.core.Determinism.avgSql("gap_ms::DOUBLE / 1000.0", 3)}
+          AS mean_gap_s
+      FROM o WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+      ORDER BY from_type, to_type"""
   )
 }

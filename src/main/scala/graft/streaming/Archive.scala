@@ -95,7 +95,21 @@ object Archive {
 
   /** Wire any Kafka-schema stream (real source or MemoryStream in tests)
     * into the archival sink. One micro-batch ≈ one reference rotation. */
-  def start(stream: DataFrame, cfg: ArchiveConfig): StreamingQuery = {
+  def start(stream: DataFrame, cfg: ArchiveConfig): StreamingQuery =
+    startWith(stream, cfg, Trigger.ProcessingTime(cfg.rotationInterval))
+
+  /** Backfill/catch-up run: `Trigger.AvailableNow` drains everything the
+    * source has (still in rate-limited micro-batches — admission limits
+    * like maxOffsetsPerTrigger are honored) and terminates. Shares the
+    * continuous form's checkpoint, so operators can alternate scheduled
+    * drains with the always-on query — the "run the archiver as a cron
+    * job" deployment the reference can't express (its consumer loop only
+    * runs forever, kafka.clj:124-141). */
+  def drain(stream: DataFrame, cfg: ArchiveConfig): StreamingQuery =
+    startWith(stream, cfg, Trigger.AvailableNow())
+
+  private def startWith(stream: DataFrame, cfg: ArchiveConfig,
+                        trigger: Trigger): StreamingQuery = {
     val writer = stream
       .filter(topicFilter(cfg))
       .selectExpr(archiveColumns: _*)
@@ -104,7 +118,7 @@ object Archive {
       .partitionBy("topic", "partition")
       .option("path", cfg.outputPath)
       .option("checkpointLocation", cfg.checkpointPath)
-      .trigger(Trigger.ProcessingTime(cfg.rotationInterval))
+      .trigger(trigger)
     cfg.queryName.fold(writer)(writer.queryName).start()
   }
 

@@ -127,6 +127,37 @@ class ArchiveSpec extends SparkSpec {
     assert(new java.io.File(s"$compacted/topic=orders/partition=0").isDirectory)
   }
 
+  test("AvailableNow drain processes the backlog, terminates, and stays " +
+       "exactly-once across repeated drains") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val out = Files.createTempDirectory("drain-out").toString
+    val ckpt = Files.createTempDirectory("drain-ckpt").toString
+    val cfg = ArchiveConfig(out, ckpt)
+    val source = MemoryStream[KMsg]
+    source.addData(msg("orders", 0, 0), msg("orders", 0, 1), msg("clicks", 0, 0))
+
+    val q1 = Archive.drain(source.toDF(), cfg)
+    // AvailableNow terminates on its own once the backlog is drained
+    assert(q1.awaitTermination(60000), "drain must self-terminate")
+    assert(Archive.readArchive(spark, out).count() === 3)
+
+    // second drain with no new data: terminates, writes nothing
+    val filesBefore = fileCount(out)
+    val q2 = Archive.drain(source.toDF(), cfg)
+    assert(q2.awaitTermination(60000))
+    assert(fileCount(out) === filesBefore)
+
+    // third drain picks up only the delta from the shared checkpoint
+    source.addData(msg("orders", 0, 2))
+    val q3 = Archive.drain(source.toDF(), cfg)
+    assert(q3.awaitTermination(60000))
+    val after = Archive.readArchive(spark, out)
+    assert(after.count() === 4)
+    assert(after.dropDuplicates("topic", "partition", "offset").count() === 4)
+  }
+
   test("supervision restarts a failed query from checkpoint without duplicates") {
     val sq = spark
     import sq.implicits._
