@@ -278,6 +278,30 @@ object CoreRelational {
         expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"))
       .orderBy("l_returnflag")
 
+  /** Oracle gate for [[statsAggApprox]], the q46 scale path: emit the
+    * exact percentiles (oracle-checkable) PLUS booleans asserting the
+    * `approx_percentile` sketch landed within tolerance of them — the
+    * same make-the-approx-path-gateable move as q26. Tolerance: 1.0
+    * absolute on a 1–50 integer-valued column — exact `percentile`
+    * interpolates (x.5 values) while the sketch returns data values, so
+    * sub-1.0 gaps are inherent; anything over 1.0 means a broken sketch.
+    * At accuracy 10000 the rank error is ~0.01%, far inside the band. */
+  def approxPercentileGate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.5)").as("med"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("amed"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90"))
+      .select(col("l_returnflag"), col("n"),
+        dround(col("med"), 6).as("median_qty"),
+        dround(col("p90"), 6).as("p90_qty"),
+        (abs(col("amed") - col("med")) <= 1.0).as("median_within_tol"),
+        (abs(col("ap90") - col("p90")) <= 1.0).as("p90_within_tol"))
+      .orderBy("l_returnflag")
+
   /** Deterministic stratified sampling — the training-data "mixture"
     * primitive (sample source A at 5%, B at 10%, …). RNG-based `sample`/
     * `sampleBy` is irreproducible across runs and partitionings; hash-gate
@@ -378,7 +402,8 @@ object CoreRelational {
     "q46_stats_agg"      -> statsAgg _,
     "q47_unpivot"        -> unpivotAgg _,
     "q48_salted_join"    -> saltedJoin _,
-    "q49_stratified_sample" -> stratifiedSample _
+    "q49_stratified_sample" -> stratifiedSample _,
+    "q61_approx_pctile_gate" -> approxPercentileGate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,6 +560,14 @@ object CoreRelational {
           "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 8)}
           AS corr_qty_price
       FROM s ORDER BY l_returnflag""",
+    "q61_approx_pctile_gate" -> s"""
+      SELECT l_returnflag, count(1) AS n,
+        ${droundSql("quantile_cont(l_quantity, 0.5)", 6)} AS median_qty,
+        ${droundSql("quantile_cont(l_quantity, 0.9)", 6)} AS p90_qty,
+        TRUE AS median_within_tol,
+        TRUE AS p90_within_tol
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     "q47_unpivot" -> s"""
       WITH p AS (
         SELECT l_linestatus,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Determinism._
 import graft.core.Tables
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
 import graft.functions.TextFunctions._
 import graft.llm.{Dedup, Multimodal, Packing, Similarity}
 
@@ -196,6 +196,74 @@ object LlmQueries {
       .select("doc_id", "fp").orderBy("doc_id")
   }
 
+  /** [[novelDocs]]'s documented 100 TB pre-filter, made real and
+    * oracle-gated: build a bloom filter over the corpus fingerprints
+    * (distributed treeAggregate, MB-scale sketch at the driver),
+    * broadcast it, and let it split the batch — rows the bloom has never
+    * seen are novel BY CONSTRUCTION (no false negatives) and skip the
+    * join entirely; only the small might-contain slice (true dups +
+    * ~fpp false positives) pays the exact anti-join. Same result as q57
+    * (same oracle), different plan: at 100 TB the anti-join's probe side
+    * shrinks from the whole batch to ~|dups| + fpp·|batch| rows. */
+  def novelDocsBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("source") =!= BatchSource)
+      .select(bagFingerprint("text").as("fp"))
+    val bloom = corpus.stat.bloomFilter("fp",
+      expectedNumItems = math.max(corpus.count(), 1L), fpp = 0.03)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+    val batch = d.filter(col("source") === BatchSource)
+      .select(col("doc_id"), bagFingerprint("text").as("fp"))
+    val definitelyNovel = batch.filter(!mightContain(col("fp")))
+    val confirmedNovel = batch.filter(mightContain(col("fp")))
+      .join(corpus, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    definitelyNovel.unionByName(confirmedNovel).orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * DecontamN-word shingle with a held-out eval source — the standard
+    * "did training data leak the benchmark" check. The eval side's
+    * distinct shingle set is tiny relative to the corpus, so the plan is
+    * a broadcast semi-ish join: corpus shingles stream past the
+    * broadcast eval set and only hits survive to the per-doc count. At
+    * 100 TB: corpus side is explode → broadcast-hash-join → partial
+    * count per doc — one scan, no corpus-side shuffle of text, and the
+    * exchange carries only (doc_id, shingle-hit) rows. */
+  val DecontamN = 4
+  val EvalSource = "src19"
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val d = docs(spark, dir)
+    def shingled(df: DataFrame) = df
+      .selectExpr("doc_id", s"${wordsExpr("text")} AS w")
+      .selectExpr("doc_id", s"word_shingles(w, $DecontamN) AS sh")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val evalShingles = shingled(d.filter(col("source") === EvalSource))
+      .select("s").distinct()
+    shingled(d.filter(col("source") =!= EvalSource))
+      .join(broadcast(evalShingles), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Text normalization — the canonical-form step before exact dedup:
+    * lowercase, strip punctuation, collapse whitespace, trim; emits the
+    * normalized text's fingerprint so normalized-dedup is one groupBy
+    * away. Pure codegen'd string expressions over one scan. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[\\\\p{Punct}]', ' '), '\\\\s+', ' '))"
+    docs(spark, dir).selectExpr(
+      "doc_id",
+      s"$norm AS norm_text",
+      s"length($norm) AS norm_len",
+      s"CAST(conv(substr(md5($norm), 1, 15), 16, 10) AS BIGINT) AS norm_fp")
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing into fixed-capacity token bins per
     * (lang, doc_id % PackShards) group — see [[graft.llm.Packing]]. */
   val PackCapacity = 256
@@ -303,7 +371,10 @@ object LlmQueries {
     "q56_repetition_stats" -> repetitionStats _,
     "q57_novel_docs"      -> novelDocs _,
     "q59_sequence_packing" -> packDocs _,
-    "q60_token_deciles"   -> tokenDeciles _
+    "q60_token_deciles"   -> tokenDeciles _,
+    "q62_bloom_novel_docs" -> novelDocsBloom _,
+    "q63_decontaminate"   -> decontaminate _,
+    "q64_normalize_text"  -> normalizeText _
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,6 +492,38 @@ object LlmQueries {
       ORDER BY doc_id""",
     "q59_sequence_packing" -> Packing.packGreedySql("documents", "doc_id",
       "text", "lang", PackCapacity, PackShards, "lang, shard, doc_id"),
+    // identical result to q57 by design — the bloom is a pre-filter with
+    // no false negatives, so the oracle is the same exact NOT EXISTS
+    "q62_bloom_novel_docs" -> s"""
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, ${bagFingerprintSql("text")} AS fp
+        FROM documents WHERE source = '$BatchSource') b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT ${bagFingerprintSql("text")} AS fp
+          FROM documents WHERE source <> '$BatchSource') c
+        WHERE c.fp = b.fp)
+      ORDER BY doc_id""",
+    "q63_decontaminate" -> s"""
+      WITH sh AS (
+        SELECT doc_id, source,
+          unnest(${wordShinglesSql("text", DecontamN)}) AS s
+        FROM documents),
+      es AS (SELECT DISTINCT s FROM sh WHERE source = '$EvalSource'),
+      cs AS (SELECT doc_id, s FROM sh WHERE source <> '$EvalSource')
+      SELECT cs.doc_id, count(DISTINCT cs.s) AS n_shared
+      FROM cs JOIN es USING (s)
+      GROUP BY cs.doc_id
+      ORDER BY cs.doc_id""",
+    "q64_normalize_text" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"""
+      SELECT doc_id, $norm AS norm_text,
+        length($norm)::INT AS norm_len,
+        ${graft.core.Determinism.xhashSql(norm)} AS norm_fp
+      FROM documents ORDER BY doc_id"""
+    },
     "q60_token_deciles" -> s"""
       SELECT lang, decile, count(*) AS n_docs,
         min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens

@@ -87,6 +87,32 @@ class PlanSpec extends SparkSpec {
       s"argmax must be the bounded top-1 aggregator, not a window:\n$p")
   }
 
+  test("decontamination broadcasts the eval shingle set against the corpus") {
+    val p = plan(graft.operators.LlmQueries.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast — a corpus-side shuffle of shingles " +
+        s"is the 100 TB failure mode:\n$p")
+  }
+
+  test("bloom-gated incremental dedup equals the plain anti-join exactly") {
+    val exact = graft.operators.LlmQueries.novelDocs(spark, sfDir)
+    val bloomed = graft.operators.LlmQueries.novelDocsBloom(spark, sfDir)
+    assert(exact.exceptAll(bloomed).count() === 0 &&
+      bloomed.exceptAll(exact).count() === 0,
+      "bloom pre-filter must not change the result (no false negatives)")
+  }
+
+  test("sequence packing plans one exchange on the group key, no global sort") {
+    val p = plan(graft.llm.Packing.packGreedy(
+      graft.core.Tables.load(spark, sfDir, "documents"),
+      "doc_id", "text", "lang", 256, 4))
+    // one hashpartitioning exchange on the group key; the sort is
+    // per-partition (group-local), never a global range exchange
+    assert(p.contains("Exchange hashpartitioning"), s"expected keyed exchange:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"packing must not global-sort the corpus:\n$p")
+  }
+
   test("native cosine_sim is bit-identical to the composable form and codegen'd") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
