@@ -155,6 +155,73 @@ object Dedup {
     ORDER BY $orderBy"""
   }
 
+  /** [[minhashLshPairs]] plus the MinHash ESTIMATE next to the exact
+    * Jaccard — the sketch-accuracy instrumentation a pipeline uses to
+    * tune (numHashes, bands) before trusting the sketch alone at scale.
+    * est = fraction of agreeing signature components (an unbiased
+    * Jaccard estimator). Because the hash family is shared with the
+    * oracle, the estimate itself is exactly reproducible cross-engine —
+    * the sketch path is oracle-checked to the bit, not just gated. */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, numHashes: Int, bands: Int,
+                           tau: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.selectExpr(s"$idCol AS id", s"${wordsExpr(textCol)} AS w")
+      .selectExpr("id", s"word_shingles(w, $shingleN) AS sh")
+    val (sig, bandKeys) = bandedSignatures(sh, numHashes, bands)
+    joinBackPayload(joinBackPayload(
+        lshCandidatePairs(sig, bandKeys), sig, "hs"), sig, "sig")
+      .withColumn("inter", expr("size(array_intersect(hs_a, hs_b))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(hs_a) + size(hs_b) - inter)"))
+      .filter(col("jaccard") >= tau)
+      .withColumn("est_jaccard", expr(
+        s"CAST(size(filter(sequence(1, $numHashes), " +
+          s"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS DOUBLE) / $numHashes"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("est_jaccard"))
+  }
+
+  /** DuckDB oracle for [[minhashEstimatePairs]] — same constants and hash
+    * family, so both jaccard AND the estimate match bit-for-bit. */
+  def minhashEstimatePairsSql(table: String, idCol: String, textCol: String,
+                              shingleN: Int, numHashes: Int, bands: Int,
+                              tau: Double, orderBy: String): String = {
+    val tExpr = graft.functions.TextFunctions.wordShinglesSql(textCol, shingleN)
+    val tGuard = s"len(${graft.functions.TextFunctions.wordsSql(textCol)}) >= $shingleN"
+    val rows = numHashes / bands
+    val mh = (0 until numHashes).map(i => s"${mixSql(i, "hs")} AS mh$i")
+      .mkString(",\n      ")
+    val bandCases = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN 'b$b:' || $slice"
+    }.mkString(" ")
+    val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
+    val matches = (0 until numHashes)
+      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH t AS (
+      SELECT $idCol AS id, ${hsSql(tExpr)} AS hs
+      FROM $table WHERE $tGuard),
+    sig AS (SELECT id, hs, $mh FROM t),
+    banded AS (
+      SELECT id, CASE b.band_id $bandCases END AS bk
+      FROM sig, (VALUES $bandVals) b(band_id)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id),
+    scored AS (
+      SELECT id_a, id_b,
+        len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard,
+        ($matches)::DOUBLE / $numHashes AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id)
+    SELECT id_a, id_b, jaccard, est_jaccard FROM scored
+    WHERE jaccard >= $tau
+    ORDER BY $orderBy"""
+  }
+
   /** MinHash-LSH near-dup pairs over word n-gram shingles. The words
     * array is materialized in its own projection before shingling (see
     * [[graft.functions.TextFunctions.wordShinglesFromArrayExpr]]). */

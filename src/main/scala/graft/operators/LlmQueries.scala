@@ -288,6 +288,49 @@ object LlmQueries {
       .orderBy("lang", "decile")
   }
 
+  /** Deterministic mixture resampling: each language carries a target
+    * weight; a doc is emitted floor(w) times plus one more iff its hash
+    * gate lands under the fractional part — exact up/down-sampling with
+    * no RNG state, reproducible on any partitioning (same hash-gate idea
+    * as q49). Weights < 1 DOWN-sample (docs with 0 repeats vanish at the
+    * explode); weights > 1 UP-sample (explode materializes the epochs).
+    * One scan → codegen'd repeat computation → Generate; no shuffle at
+    * all until a downstream consumer asks for one. */
+  val MixWeights: Seq[(String, Double)] = Seq(
+    "de" -> 2.5, "en" -> 0.5, "es" -> 1.5, "fr" -> 1.0, "zh" -> 2.0)
+  /** (base copies, percent chance of one extra) per language — the
+    * integer decomposition of MixWeights, shared with the oracle. */
+  private def mixParts: Seq[(String, Int, Int)] = MixWeights.map { case (l, w) =>
+    (l, math.floor(w).toInt, math.round((w - math.floor(w)) * 100).toInt)
+  }
+  def mixtureUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val gate = s"CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), " +
+      s"1, 15), 16, 10) AS BIGINT) % 100"
+    val nRepeats = mixParts.map { case (l, base, fracPct) =>
+      s"WHEN '$l' THEN $base + IF($gate < $fracPct, 1, 0)"
+    }.mkString("CASE lang ", " ", " ELSE 1 END")
+    docs(spark, dir)
+      .selectExpr("doc_id", "lang", s"CAST($nRepeats AS INT) AS n_repeats")
+      .selectExpr("doc_id", "lang", "n_repeats",
+        "explode(CASE WHEN n_repeats >= 1 THEN sequence(1, n_repeats) " +
+          "ELSE array_repeat(0, 0) END) AS copy_idx")
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  /** Corpus-wide term statistics: total term frequency + document
+    * frequency, top `TermTopK` by frequency — the stopword/vocab
+    * induction scan. Explode → two-level agg (map-side partials crush
+    * each partition to its vocab before the shuffle) → top-k via
+    * orderBy+limit (TakeOrderedAndProject, no global sort). */
+  val TermTopK = 50
+  def termStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(words("text")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(TermTopK)
+
   /** Pairwise near-dup hits → dedup clusters: connected components over
     * the MinHash-LSH pair graph (same parameters as q35). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
@@ -374,7 +417,13 @@ object LlmQueries {
     "q60_token_deciles"   -> tokenDeciles _,
     "q62_bloom_novel_docs" -> novelDocsBloom _,
     "q63_decontaminate"   -> decontaminate _,
-    "q64_normalize_text"  -> normalizeText _
+    "q64_normalize_text"  -> normalizeText _,
+    "q65_minhash_estimate" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashEstimatePairs(docs(s, d), "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau)
+        .orderBy("id_a", "id_b")),
+    "q66_mixture_upsample" -> mixtureUpsample _,
+    "q67_term_stats"      -> termStats _
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,6 +564,26 @@ object LlmQueries {
       FROM cs JOIN es USING (s)
       GROUP BY cs.doc_id
       ORDER BY cs.doc_id""",
+    "q65_minhash_estimate" -> Dedup.minhashEstimatePairsSql("documents",
+      "doc_id", "text", WordShingleN, MinhashK, MinhashBands, MinhashTau,
+      "id_a, id_b"),
+    "q66_mixture_upsample" -> {
+      val gate = s"${xhashSql("'mix:' || doc_id::VARCHAR")} % 100"
+      val nRepeats = mixParts.map { case (l, base, fracPct) =>
+        s"WHEN '$l' THEN $base + (CASE WHEN $gate < $fracPct THEN 1 ELSE 0 END)"
+      }.mkString("CASE lang ", " ", " ELSE 1 END")
+      s"""
+      SELECT doc_id, lang, n_repeats,
+        unnest(range(1, n_repeats + 1))::INT AS copy_idx
+      FROM (SELECT doc_id, lang, ($nRepeats)::INT AS n_repeats FROM documents)
+      ORDER BY doc_id, copy_idx"""
+    },
+    "q67_term_stats" -> s"""
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents)
+      GROUP BY term
+      ORDER BY tf DESC, term
+      LIMIT $TermTopK""",
     "q64_normalize_text" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
         "'[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"

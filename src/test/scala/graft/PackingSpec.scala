@@ -95,6 +95,31 @@ class PackingSpec extends SparkSpec {
     assert(r3.getInt(4) === 0 && r3.getDouble(7) === 0.0)
   }
 
+  test("mixture resampling: weights map to {floor, floor+1} copies; " +
+       "weight-1 langs pass through; zero-repeat docs vanish") {
+    val rows = LlmQueries.mixtureUpsample(spark, sfDir)
+      .select("doc_id", "lang", "n_repeats", "copy_idx").collect()
+    val byLang = rows.groupBy(_.getString(1))
+    // de: w=2.5 -> every doc 2 or 3 copies; fr: w=1.0 -> exactly 1
+    assert(byLang("de").map(_.getInt(2)).toSet.subsetOf(Set(2, 3)))
+    assert(byLang("fr").map(_.getInt(2)).toSet === Set(1))
+    // en: w=0.5 -> emitted docs have exactly 1 copy, and roughly half of
+    // the lang's docs were dropped (hash gate, not RNG — exact per run)
+    assert(byLang("en").map(_.getInt(2)).toSet === Set(1))
+    val enTotal = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("lang") === "en").count()
+    val enKept = byLang("en").map(_.getLong(0)).distinct.length
+    assert(enKept < enTotal && enKept > 0)
+    // copy_idx enumerates 1..n_repeats per doc
+    rows.groupBy(r => (r.getLong(0))).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.head.getInt(2)))
+    }
+    // determinism: a second run is identical
+    val again = LlmQueries.mixtureUpsample(spark, sfDir)
+      .select("doc_id", "lang", "n_repeats", "copy_idx").collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("novel docs: batch rows whose bag fingerprint exists in corpus drop") {
     val sq = spark
     import sq.implicits._
