@@ -37,6 +37,32 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       octet_length(encode(col(textCol), "UTF-8")).as("byte_len"))
 
+  /** Real media ingestion: a directory tree of opaque files via Spark's
+    * built-in `binaryFile` source → the [[mediaSchema]] envelope.
+    * `pathGlobFilter` prunes non-matching files at the LISTING (never
+    * opened), and `spark.sql.sources.binaryFile.maxLength` guards against
+    * a rogue multi-GB object OOMing a task. media_id is the cross-engine
+    * 60-bit path hash; mime is derived from the extension (a real
+    * pipeline would sniff magic bytes in the decode stage). At 100 TB
+    * this source parallelizes by file — fine for media corpora (many
+    * small-to-medium objects); the downstream steps are the same
+    * [[withMetadata]]/[[decodeStub]] stages as the parquet path. */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.core.Determinism.xhash(col("path")).as("media_id"),
+        col("content"),
+        when(lower(col("path")).endsWith(".png"), "image/png")
+          .when(lower(col("path")).endsWith(".jpg") ||
+            lower(col("path")).endsWith(".jpeg"), "image/jpeg")
+          .when(lower(col("path")).endsWith(".wav"), "audio/wav")
+          .when(lower(col("path")).endsWith(".mp4"), "video/mp4")
+          .otherwise("application/octet-stream").as("mime"),
+        octet_length(col("content")).as("byte_len"))
+
   /** Pure-expression metadata extraction (codegen'd, no decode needed):
     * byte length, 8-byte header as hex, cross-engine content hash, and a
     * "frame sample" — bytes at a fixed stride, as hex. */

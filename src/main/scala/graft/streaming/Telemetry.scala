@@ -103,6 +103,32 @@ object Telemetry {
     t
   }
 
+  /** Batch-job analog of the per-query progress metrics: named
+    * `Observation` metrics ride the existing action (accumulator-backed —
+    * NO extra job, unlike a count()), and land as the same StatsD lines
+    * the streaming listener emits. The reference meters only its
+    * streaming path; archive-adjacent batch jobs (compaction, dedup
+    * sweeps) deserve the same records-processed visibility. Returns the
+    * instrumented frame and a completion callback to invoke after the
+    * action has run. */
+  def observeBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   prefix: String = "graft",
+                   report: String => Unit = _ => ())
+      : (org.apache.spark.sql.DataFrame, () => Map[String, Any]) = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation(name)
+    val instrumented = df.observe(obs, count(lit(1)).as("rows"))
+    val finish = () => {
+      val metrics = obs.get
+      metrics.foreach {
+        case (k, v: Long) => report(s"$prefix.$name.$k:$v|c")
+        case (k, v) => report(s"$prefix.$name.$k:$v|g")
+      }
+      metrics
+    }
+    (instrumented, finish)
+  }
+
   /** StatsD UDP reporter — fire-and-forget datagrams, the protocol's
     * contract (a dead agent must never stall the pipeline; the reference
     * got the same decoupling from its dropping-buffer channel,

@@ -186,6 +186,40 @@ class DedupSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq === Seq(4))
   }
 
+  test("binaryFile ingestion produces the media envelope with glob pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath,
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(new java.io.File(dir, "b.wav").toPath,
+      Array[Byte](9, 8))
+    java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath,
+      Array[Byte](0))
+    val all = graft.llm.Multimodal.fromBinaryFiles(spark, dir.toString)
+      .orderBy("byte_len").collect()
+    assert(all.length === 3)
+    val png = all.find(_.getString(2) == "image/png").get
+    assert(png.getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3, 4))
+    assert(png.getInt(3) === 4)
+    assert(all.count(_.getString(2) == "audio/wav") === 1)
+    // glob prunes at the listing — only .png survives
+    val onlyPng = graft.llm.Multimodal.fromBinaryFiles(spark, dir.toString, "*.png")
+    assert(onlyPng.count() === 1)
+    // the envelope feeds the same downstream metadata stage
+    val meta = graft.llm.Multimodal.withMetadata(onlyPng).collect().head
+    assert(meta.getAs[String]("header_hex") === "01020304")
+  }
+
+  test("observeBatch reports row metrics off the existing action") {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val (df, finish) = graft.streaming.Telemetry.observeBatch(
+      graft.core.Tables.load(spark, sfDir, "documents"), "docscan",
+      report = lines += _)
+    val n = df.count()
+    val metrics = finish()
+    assert(metrics("rows") === n)
+    assert(lines.exists(_.startsWith(s"graft.docscan.rows:$n|c")))
+  }
+
   test("multimodal resize stub keeps the media schema with target-sized content") {
     val media = graft.llm.Multimodal.asMediaTable(
       graft.core.Tables.load(spark, sfDir, "documents").limit(10), "doc_id", "text")
