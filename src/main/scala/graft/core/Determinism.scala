@@ -57,6 +57,11 @@ object Determinism {
   def xhash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Spark SQL-string twin of [[xhash]], for embedding in expr strings —
+    * the ONE place this cross-engine-critical expression is spelled. */
+  def xhashExpr(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
   def xhashSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
 

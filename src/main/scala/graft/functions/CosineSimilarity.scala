@@ -92,35 +92,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    // Idempotent: every graft function is registered in one shot (here or
-    // via GraftExtensions), so one probe tells whether the whole set is
-    // present — avoids per-query "function X replaced" registry warnings.
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("char_shingles"))) return
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "md5_i64", {
-        case Seq(e) => Md5I64Array(e)
-        case Seq(e, p) => Md5I64Array(e,
-          p.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-      }, "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", exprs =>
-        MinhashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash", exprs =>
-        Simhash(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash16", exprs => Simhash(exprs(0), 16), "built-in")
-    reg.createOrReplaceTempFunction(
-      "srp_sig", exprs =>
-        SrpSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      "word_shingles", exprs =>
-        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      "char_shingles", exprs =>
-        CharShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    // Per-function idempotence: each name registers only if absent, so a
+    // partially-registered session self-heals and repeated register()
+    // calls emit no "function X replaced" registry warnings. (A
+    // same-named FOREIGN temp function is left in place — same-name
+    // collisions are the caller's to resolve either way; clobbering
+    // theirs silently would be worse.)
+    def ifAbsent(name: String)(
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ifAbsent("cosine_sim")(exprs => CosineSimilarity(exprs(0), exprs(1)))
+    ifAbsent("md5_i64") {
+      case Seq(e) => Md5I64Array(e)
+      case Seq(e, p) => Md5I64Array(e,
+        p.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    }
+    ifAbsent("minhash_sig")(exprs =>
+      MinhashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    ifAbsent("simhash")(exprs =>
+      Simhash(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    ifAbsent("simhash16")(exprs => Simhash(exprs(0), 16))
+    ifAbsent("srp_sig")(exprs =>
+      SrpSig(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    ifAbsent("word_shingles")(exprs =>
+      WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    ifAbsent("char_shingles")(exprs =>
+      CharShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
   }
 }

@@ -133,14 +133,14 @@ object TextFunctions {
 
   /** Content fingerprint: cross-engine 60-bit hash of the exact text. */
   def contentFingerprint(text: String): Column =
-    expr(s"CAST(conv(substr(md5($text), 1, 15), 16, 10) AS BIGINT)")
+    expr(graft.core.Determinism.xhashExpr(text))
   def contentFingerprintSql(text: String): String = xhashSql(text)
 
   /** Bag fingerprint: hash of the sorted distinct token set — clusters
     * reordered/duplicated-word variants (the fixture's planted near-dups). */
   def bagFingerprint(text: String): Column =
-    expr(s"CAST(conv(substr(md5(array_join(array_sort(array_distinct(" +
-      s"${wordsExpr(text)})), ' ')), 1, 15), 16, 10) AS BIGINT)")
+    expr(graft.core.Determinism.xhashExpr(
+      s"array_join(array_sort(array_distinct(${wordsExpr(text)})), ' ')"))
   def bagFingerprintSql(text: String): String =
     xhashSql(s"array_to_string(list_sort(list_distinct(${wordsSql(text)})), ' ')")
 }

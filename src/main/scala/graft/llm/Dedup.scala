@@ -111,20 +111,34 @@ object Dedup {
         col("id_b") === col("id")).drop("id")
 
   /** Candidate pairs from shared LSH buckets, exact Jaccard via int64
-    * hash-set intersection, thresholded. */
-  private def lshPairs(sig: DataFrame, bandKeys: String, tau: Double): DataFrame =
-    joinBackPayload(lshCandidatePairs(sig, bandKeys), sig, "hs")
+    * hash-set intersection, thresholded. `estimateK = Some(k)` also emits
+    * the MinHash estimate (fraction of agreeing signature components) —
+    * one shared skeleton so the q35/q37/q65 paths cannot drift apart. */
+  private def lshPairs(sig: DataFrame, bandKeys: String, tau: Double,
+                       estimateK: Option[Int] = None): DataFrame = {
+    val scored = joinBackPayload(lshCandidatePairs(sig, bandKeys), sig, "hs")
       .withColumn("inter", expr("size(array_intersect(hs_a, hs_b))"))
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / (size(hs_a) + size(hs_b) - inter)"))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    estimateK match {
+      case None => scored.select(col("id_a"), col("id_b"), col("jaccard"))
+      case Some(k) =>
+        joinBackPayload(scored, sig, "sig")
+          .withColumn("est_jaccard", expr(
+            s"CAST(size(filter(sequence(1, $k), " +
+              s"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS DOUBLE) / $k"))
+          .select(col("id_a"), col("id_b"), col("jaccard"), col("est_jaccard"))
+    }
+  }
 
-  /** Shared DuckDB oracle skeleton for the two LSH variants: `tExpr` is
-    * the shingle expression, `tGuard` the short-input filter. */
+  /** Shared DuckDB oracle skeleton for the LSH variants: `tExpr` is
+    * the shingle expression, `tGuard` the short-input filter;
+    * `estimate` adds the component-agreement est_jaccard column. */
   private def lshPairsSql(table: String, idCol: String, tExpr: String,
                           tGuard: String, numHashes: Int, bands: Int,
-                          tau: Double, orderBy: String): String = {
+                          tau: Double, orderBy: String,
+                          estimate: Boolean = false): String = {
     val rows = numHashes / bands
     val mh = (0 until numHashes).map(i => s"${mixSql(i, "hs")} AS mh$i")
       .mkString(",\n      ")
@@ -134,23 +148,30 @@ object Dedup {
       s"WHEN $b THEN 'b$b:' || $slice"
     }.mkString(" ")
     val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
+    val estCol = if (!estimate) "" else {
+      val matches = (0 until numHashes)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s",\n        ($matches)::DOUBLE / $numHashes AS est_jaccard"
+    }
+    val estSel = if (estimate) ", est_jaccard" else ""
     s"""
     WITH t AS (
       SELECT $idCol AS id, ${hsSql(tExpr)} AS hs
       FROM $table WHERE $tGuard),
     sig AS (SELECT id, hs, $mh FROM t),
     banded AS (
-      SELECT id, hs, CASE b.band_id $bandCases END AS bk
+      SELECT id, CASE b.band_id $bandCases END AS bk
       FROM sig, (VALUES $bandVals) b(band_id)),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id),
     scored AS (
       SELECT id_a, id_b,
-        len(list_intersect(ta.hs, tb.hs)) * 1.0 /
-        (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jaccard
-      FROM cand JOIN t ta ON cand.id_a = ta.id JOIN t tb ON cand.id_b = tb.id)
-    SELECT id_a, id_b, jaccard FROM scored
+        len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard$estCol
+      FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id)
+    SELECT id_a, id_b, jaccard$estSel FROM scored
     WHERE jaccard >= $tau
     ORDER BY $orderBy"""
   }
@@ -169,58 +190,19 @@ object Dedup {
     val sh = docs.selectExpr(s"$idCol AS id", s"${wordsExpr(textCol)} AS w")
       .selectExpr("id", s"word_shingles(w, $shingleN) AS sh")
     val (sig, bandKeys) = bandedSignatures(sh, numHashes, bands)
-    joinBackPayload(joinBackPayload(
-        lshCandidatePairs(sig, bandKeys), sig, "hs"), sig, "sig")
-      .withColumn("inter", expr("size(array_intersect(hs_a, hs_b))"))
-      .withColumn("jaccard",
-        expr("CAST(inter AS DOUBLE) / (size(hs_a) + size(hs_b) - inter)"))
-      .filter(col("jaccard") >= tau)
-      .withColumn("est_jaccard", expr(
-        s"CAST(size(filter(sequence(1, $numHashes), " +
-          s"i -> element_at(sig_a, i) = element_at(sig_b, i))) AS DOUBLE) / $numHashes"))
-      .select(col("id_a"), col("id_b"), col("jaccard"), col("est_jaccard"))
+    lshPairs(sig, bandKeys, tau, estimateK = Some(numHashes))
   }
 
-  /** DuckDB oracle for [[minhashEstimatePairs]] — same constants and hash
-    * family, so both jaccard AND the estimate match bit-for-bit. */
+  /** DuckDB oracle for [[minhashEstimatePairs]] — same skeleton as the
+    * q35 oracle with the estimate column switched on, so both jaccard AND
+    * the estimate match bit-for-bit. */
   def minhashEstimatePairsSql(table: String, idCol: String, textCol: String,
                               shingleN: Int, numHashes: Int, bands: Int,
-                              tau: Double, orderBy: String): String = {
-    val tExpr = graft.functions.TextFunctions.wordShinglesSql(textCol, shingleN)
-    val tGuard = s"len(${graft.functions.TextFunctions.wordsSql(textCol)}) >= $shingleN"
-    val rows = numHashes / bands
-    val mh = (0 until numHashes).map(i => s"${mixSql(i, "hs")} AS mh$i")
-      .mkString(",\n      ")
-    val bandCases = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
-        .mkString(" || ',' || ")
-      s"WHEN $b THEN 'b$b:' || $slice"
-    }.mkString(" ")
-    val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
-    val matches = (0 until numHashes)
-      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""
-    WITH t AS (
-      SELECT $idCol AS id, ${hsSql(tExpr)} AS hs
-      FROM $table WHERE $tGuard),
-    sig AS (SELECT id, hs, $mh FROM t),
-    banded AS (
-      SELECT id, CASE b.band_id $bandCases END AS bk
-      FROM sig, (VALUES $bandVals) b(band_id)),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id),
-    scored AS (
-      SELECT id_a, id_b,
-        len(list_intersect(sa.hs, sb.hs)) * 1.0 /
-        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard,
-        ($matches)::DOUBLE / $numHashes AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id)
-    SELECT id_a, id_b, jaccard, est_jaccard FROM scored
-    WHERE jaccard >= $tau
-    ORDER BY $orderBy"""
-  }
+                              tau: Double, orderBy: String): String =
+    lshPairsSql(table, idCol,
+      graft.functions.TextFunctions.wordShinglesSql(textCol, shingleN),
+      s"len(${graft.functions.TextFunctions.wordsSql(textCol)}) >= $shingleN",
+      numHashes, bands, tau, orderBy, estimate = true)
 
   /** MinHash-LSH near-dup pairs over word n-gram shingles. The words
     * array is materialized in its own projection before shingling (see

@@ -40,8 +40,10 @@ object Multimodal {
   /** Real media ingestion: a directory tree of opaque files via Spark's
     * built-in `binaryFile` source → the [[mediaSchema]] envelope.
     * `pathGlobFilter` prunes non-matching files at the LISTING (never
-    * opened), and `spark.sql.sources.binaryFile.maxLength` guards against
-    * a rogue multi-GB object OOMing a task. media_id is the cross-engine
+    * opened). Each file materializes as one in-memory byte array, so set
+    * `spark.sql.sources.binaryFile.maxLength` (session conf; Spark's
+    * default admits ~2 GB files) to a sane per-file bound before pointing
+    * this at an untrusted tree. media_id is the cross-engine
     * 60-bit path hash; mime is derived from the extension (a real
     * pipeline would sniff magic bytes in the decode stage). At 100 TB
     * this source parallelizes by file — fine for media corpora (many

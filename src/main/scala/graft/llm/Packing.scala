@@ -41,7 +41,9 @@ object Packing {
     import spark.implicits._
     val prepared = docs.select(
         col(langCol).as("lang"),
-        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        // sign-preserving % to mirror the oracle's `%` exactly (pmod would
+        // silently route negative ids to a different group than DuckDB)
+        (col(idCol) % shards).cast("int").as("shard"),
         col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokenCount(textCol).cast("int").as("n_tokens"))
       .as[PackInput]

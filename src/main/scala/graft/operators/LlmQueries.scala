@@ -205,16 +205,28 @@ object LlmQueries {
     * ~fpp false positives) pays the exact anti-join. Same result as q57
     * (same oracle), different plan: at 100 TB the anti-join's probe side
     * shrinks from the whole batch to ~|dups| + fpp·|batch| rows. */
-  def novelDocsBloom(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val corpus = d.filter(col("source") =!= BatchSource)
+  def novelDocsBloom(spark: SparkSession, dir: String): DataFrame =
+    novelDocsBloomOf(spark, docs(spark, dir), BatchSource)
+
+  def novelDocsBloomOf(spark: SparkSession, d: DataFrame,
+                       batchSource: String): DataFrame = {
+    // both sides cached: corpus feeds sizing count + bloom build + the
+    // anti-join, batch feeds both gate branches — one fingerprint
+    // computation each, not three/two
+    val corpus = d.filter(col("source") =!= batchSource)
       .select(bagFingerprint("text").as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = corpus.stat.bloomFilter("fp",
       expectedNumItems = math.max(corpus.count(), 1L), fpp = 0.03)
     val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
-    val batch = d.filter(col("source") === BatchSource)
+    // boxed Long: a null fingerprint must NOT vanish into neither branch —
+    // the exact anti-join keeps null-keyed rows (null never matches), so
+    // the bloom path routes them to definitelyNovel for the same result
+    val mightContain = udf((fp: java.lang.Long) =>
+      fp != null && bc.value.mightContainLong(fp))
+    val batch = d.filter(col("source") === batchSource)
       .select(col("doc_id"), bagFingerprint("text").as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNovel = batch.filter(!mightContain(col("fp")))
     val confirmedNovel = batch.filter(mightContain(col("fp")))
       .join(corpus, Seq("fp"), "left_anti")
@@ -256,11 +268,11 @@ object LlmQueries {
   def normalizeText(spark: SparkSession, dir: String): DataFrame = {
     val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
       "'[\\\\p{Punct}]', ' '), '\\\\s+', ' '))"
-    docs(spark, dir).selectExpr(
-      "doc_id",
-      s"$norm AS norm_text",
-      s"length($norm) AS norm_len",
-      s"CAST(conv(substr(md5($norm), 1, 15), 16, 10) AS BIGINT) AS norm_fp")
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr(norm).as("norm_text"),
+      expr(s"length($norm)").as("norm_len"),
+      contentFingerprint(norm).as("norm_fp"))
       .orderBy("doc_id")
   }
 
@@ -304,8 +316,8 @@ object LlmQueries {
     (l, math.floor(w).toInt, math.round((w - math.floor(w)) * 100).toInt)
   }
   def mixtureUpsample(spark: SparkSession, dir: String): DataFrame = {
-    val gate = s"CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), " +
-      s"1, 15), 16, 10) AS BIGINT) % 100"
+    val gate =
+      s"${xhashExpr("concat('mix:', CAST(doc_id AS STRING))")} % 100"
     val nRepeats = mixParts.map { case (l, base, fracPct) =>
       s"WHEN '$l' THEN $base + IF($gate < $fracPct, 1, 0)"
     }.mkString("CASE lang ", " ", " ELSE 1 END")
@@ -426,6 +438,19 @@ object LlmQueries {
     "q67_term_stats"      -> termStats _
   )
 
+  /** Shared by q57 and q62 — the bloom path is result-identical to the
+    * exact anti-join BY CONSTRUCTION, so one oracle string serves both. */
+  private val novelDocsOracle: String = s"""
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, ${bagFingerprintSql("text")} AS fp
+        FROM documents WHERE source = '$BatchSource') b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT ${bagFingerprintSql("text")} AS fp
+          FROM documents WHERE source <> '$BatchSource') c
+        WHERE c.fp = b.fp)
+      ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> s"""
       SELECT doc_id,
@@ -529,30 +554,12 @@ object LlmQueries {
           AS top_bigram_frac
       FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
       ORDER BY us.doc_id""",
-    "q57_novel_docs" -> s"""
-      SELECT doc_id, fp FROM (
-        SELECT doc_id, ${bagFingerprintSql("text")} AS fp
-        FROM documents WHERE source = '$BatchSource') b
-      WHERE NOT EXISTS (
-        SELECT 1 FROM (
-          SELECT ${bagFingerprintSql("text")} AS fp
-          FROM documents WHERE source <> '$BatchSource') c
-        WHERE c.fp = b.fp)
-      ORDER BY doc_id""",
+    "q57_novel_docs" -> novelDocsOracle,
     "q59_sequence_packing" -> Packing.packGreedySql("documents", "doc_id",
       "text", "lang", PackCapacity, PackShards, "lang, shard, doc_id"),
     // identical result to q57 by design — the bloom is a pre-filter with
-    // no false negatives, so the oracle is the same exact NOT EXISTS
-    "q62_bloom_novel_docs" -> s"""
-      SELECT doc_id, fp FROM (
-        SELECT doc_id, ${bagFingerprintSql("text")} AS fp
-        FROM documents WHERE source = '$BatchSource') b
-      WHERE NOT EXISTS (
-        SELECT 1 FROM (
-          SELECT ${bagFingerprintSql("text")} AS fp
-          FROM documents WHERE source <> '$BatchSource') c
-        WHERE c.fp = b.fp)
-      ORDER BY doc_id""",
+    // no false negatives, so the oracle is the same shared NOT EXISTS
+    "q62_bloom_novel_docs" -> novelDocsOracle,
     "q63_decontaminate" -> s"""
       WITH sh AS (
         SELECT doc_id, source,

@@ -131,4 +131,23 @@ class PackingSpec extends SparkSpec {
     val got = LlmQueries.novelDocsOf(d, "batch").collect().map(_.getLong(0))
     assert(got.toSeq === Seq(2L))
   }
+
+  test("bloom novel-docs path keeps null-fingerprint batch rows like the " +
+       "exact anti-join does") {
+    val sq = spark
+    import sq.implicits._
+    val d = Seq(
+      (1L, Some("red green blue"), "batch"),
+      (2L, None, "batch"), // null text -> null fp: anti-join keeps it
+      (3L, Some("blue red green"), "corpus"),
+      (4L, Some("other corpus text"), "corpus"))
+      .toDF("doc_id", "text", "source")
+    val exact = LlmQueries.novelDocsOf(d, "batch")
+      .collect().map(_.getLong(0)).sorted
+    val bloomed = LlmQueries.novelDocsBloomOf(spark, d, "batch")
+      .collect().map(_.getLong(0)).sorted
+    assert(exact.toSeq === Seq(2L), "null-fp row is novel under anti-join")
+    assert(bloomed.toSeq === exact.toSeq,
+      "bloom path must not silently drop null-fingerprint rows")
+  }
 }
