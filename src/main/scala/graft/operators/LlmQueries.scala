@@ -343,6 +343,75 @@ object LlmQueries {
       .orderBy(col("tf").desc, col("term"))
       .limit(TermTopK)
 
+  /** Sliding-window document chunking: split each document's token stream
+    * into `ChunkTokens`-token chunks advancing by `ChunkStride` (so
+    * consecutive chunks overlap by ChunkTokens − ChunkStride tokens) — the
+    * context-window preparation step before packing/training. Start
+    * positions are computed, not discovered: k = ⌈(n − C)/S⌉ extra chunks
+    * beyond the first, so the generator explodes an integer sequence and
+    * `slice` does the rest — pure codegen'd expressions, one scan, no
+    * shuffle; each chunk carries its fingerprint for chunk-level dedup. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val sliceE = s"slice(w, chunk_id * $ChunkStride + 1, $ChunkTokens)"
+    docs(spark, dir)
+      .select(col("doc_id"), expr(wordsExpr("text")).as("w"))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("k", expr("greatest(0, CAST(floor((n_words - " +
+        s"$ChunkTokens + $ChunkStride - 1) / $ChunkStride) AS INT))"))
+      .withColumn("chunk_id", explode(expr("sequence(0, k)")))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"size($sliceE)").as("n_tokens"),
+        expr(xhashExpr(s"array_join($sliceE, ' ')")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Per-document top-`TfidfTopK` terms by smoothed TF-IDF
+    * (tf · ln((N+1)/(df+1))) — keyword extraction / relevance weighting
+    * over the corpus vocabulary. Plan: one explode feeds BOTH the per-doc
+    * tf and the per-term df aggregations (map-side partials each), the df
+    * frame joins back on term (vocab-sized, not corpus-sized), the
+    * 1-row doc count broadcasts, and the final top-k is a keyed window.
+    * At 100 TB nothing but (doc_id, term) pairs ever shuffles. */
+  val TfidfTopK = 3
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(words("text")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", dround(
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** End-to-end dedup: the surviving corpus after exact dedup (keep the
+    * min doc_id per bag fingerprint) AND near-dedup (keep only each
+    * MinHash-LSH connected component's min-id representative) — the final
+    * artifact every dedup stage upstream exists to produce. Rule: a doc
+    * survives iff it wins its exact-fp group and is either untouched by
+    * the near-dup graph or is its component's representative. */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val exactKeep = d.select(col("doc_id"), bagFingerprint("text").as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(d, "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+    exactKeep.join(comp, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Pairwise near-dup hits → dedup clusters: connected components over
     * the MinHash-LSH pair graph (same parameters as q35). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
@@ -435,7 +504,10 @@ object LlmQueries {
         WordShingleN, MinhashK, MinhashBands, MinhashTau)
         .orderBy("id_a", "id_b")),
     "q66_mixture_upsample" -> mixtureUpsample _,
-    "q67_term_stats"      -> termStats _
+    "q67_term_stats"      -> termStats _,
+    "q72_doc_chunks"      -> docChunks _,
+    "q73_tfidf_terms"     -> tfidfTerms _,
+    "q74_dedup_corpus"    -> dedupCorpus _
   )
 
   /** Shared by q57 and q62 — the bloom path is result-identical to the
@@ -617,6 +689,63 @@ object LlmQueries {
         ${droundSql("list_sum(list_transform(embedding, x -> x::DOUBLE))", 6)} AS sum_elems,
         ${droundSql("list_max(embedding)::DOUBLE", 6)} AS max_elem,
         ${droundSql("list_min(embedding)::DOUBLE", 6)} AS min_elem
-      FROM embeddings ORDER BY vec_id"""
+      FROM embeddings ORDER BY vec_id""",
+    "q72_doc_chunks" -> {
+      val slice = s"list_slice(w, chunk_id * $ChunkStride + 1, " +
+        s"chunk_id * $ChunkStride + $ChunkTokens)"
+      s"""
+      WITH base AS (
+        SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      sized AS (
+        SELECT doc_id, w, len(w) AS n_words,
+          greatest(0, floor((len(w) - $ChunkTokens + $ChunkStride - 1)
+            / $ChunkStride)::INT) AS k
+        FROM base),
+      chunks AS (
+        SELECT doc_id, w, unnest(range(0, k + 1))::INT AS chunk_id FROM sized)
+      SELECT doc_id, chunk_id,
+        len($slice)::INT AS n_tokens,
+        ${xhashSql(s"array_to_string($slice, ' ')")} AS chunk_fp
+      FROM chunks
+      ORDER BY doc_id, chunk_id"""
+    },
+    "q73_tfidf_terms" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(1) AS tf FROM terms GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      n AS (SELECT count(1) AS n_docs FROM documents)
+      SELECT doc_id, rk, term, tf, df, tfidf FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          ${droundSql("tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1))", 6)}
+            AS tfidf,
+          (row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+            ${droundSql("tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1))", 6)}
+              DESC, tf.term))::INT AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+      WHERE rk <= $TfidfTopK
+      ORDER BY doc_id, rk""",
+    "q74_dedup_corpus" -> {
+      val pairsSql = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
+      s"""
+      WITH RECURSIVE pairs AS ($pairsSql),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+      comp AS (SELECT id AS doc_id, min(label) AS component
+        FROM reach GROUP BY id),
+      fps AS (SELECT doc_id, ${bagFingerprintSql("text")} AS fp
+        FROM documents),
+      keepx AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
+      SELECT k.doc_id, k.fp
+      FROM keepx k LEFT JOIN comp c ON k.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.component = k.doc_id
+      ORDER BY k.doc_id"""
+    }
   )
 }

@@ -153,6 +153,106 @@ object Windows {
       .orderBy("from_type", "to_type")
   }
 
+  /** Time-series resample + gap-fill: bucket events to an hourly grid per
+    * event_type, materialize the MISSING buckets (sequence → explode over
+    * each type's [min, max] hour span), and carry the last observed value
+    * forward across gaps (`last(_, ignoreNulls)` over one keyed window).
+    * The grid side is |types| × |hours| rows — trivially small next to the
+    * fact table at any scale — and the heavy side is a single hash
+    * aggregation of the raw events, so 100 TB costs one scan + one
+    * per-type window over the already-aggregated grid. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Determinism.dsum(col("value"), 2).as("sum_value"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value").isNull.as("is_gap"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Rolling time-window aggregates: per user, events + value-sum over the
+    * trailing hour — a RANGE frame keyed on epoch millis, so rows at the
+    * same instant are frame peers in both engines (deterministic under
+    * ties, unlike a ROWS frame). One keyed window sort per user; no
+    * self-join — the naive "join events to events within 1h" form is the
+    * same pair explosion the as-of join avoids. */
+  val RollingMs = 3600 * 1000L
+  def rollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-RollingMs, 0)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_millis(col("ts")).as("ms"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast(DecimalType(30, 8))).over(w)
+          .cast("double"), 2).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Ordered conversion funnel signup → view → click → purchase: stage k
+    * counts users whose earliest stage-k event STRICTLY FOLLOWS their
+    * stage-(k-1) entry time (min-ts chaining, the standard funnel
+    * semantics). Each stage is one filtered aggregation of the fact table
+    * joined to the previous stage's (user, ts) frame — per-user stage
+    * frames are tiny (≤ |users| rows), so every join broadcasts and the
+    * fact table is scanned with an event_type filter that reaches the
+    * parquet scan. Emits one row per stage: (stage, stage_name, n_users). */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    // stageFrames(k) = (user_id, t = entry time into stage k)
+    val stageFrames = FunnelStages.tail.scanLeft(
+      e.filter(col("event_type") === FunnelStages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) {
+      case (prev, stage) =>
+        e.filter(col("event_type") === stage)
+          .join(broadcast(prev), "user_id")
+          .filter(col("ts") > col("t"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    stageFrames.zip(FunnelStages).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(name).as("stage_name"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  /** Per-group z-score outliers: mean/std per event_type from exact
+    * decimal sums (order-independent, cross-engine identical), broadcast
+    * back, flag |z| > ZCut. The variance path squares IN DECIMAL (value
+    * is 2 dp → square exact at 4 dp) so no fp op precedes the final
+    * identical-double arithmetic. One scan + one 5-row broadcast join. */
+  val ZCut = 2.5
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dec = col("value").cast(DecimalType(15, 4))
+    val stats = t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s1"),
+        sum(dec * dec).cast("double").as("s2"))
+      .select(col("event_type"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          .as("std"))
+    t(spark, dir, "events")
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", graft.core.Determinism.dround(
+        (col("value") - col("mean")) / col("std"), 4))
+      .filter(abs(col("z")) > ZCut)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_window_topk"    -> windowTopK _,
     "q10_window_running" -> windowRunning _,
@@ -160,7 +260,11 @@ object Windows {
     "q12_sort_limit"     -> sortLimit _,
     "q27_asof_join"      -> asofJoin _,
     "q50_batch_sessions" -> batchSessions _,
-    "q58_event_transitions" -> eventTransitions _
+    "q58_event_transitions" -> eventTransitions _,
+    "q68_gap_fill"       -> gapFill _,
+    "q69_rolling_window" -> rollingWindow _,
+    "q70_event_funnel"   -> eventFunnel _,
+    "q71_zscore_outliers" -> zscoreOutliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +343,68 @@ object Windows {
           AS mean_gap_s
       FROM o WHERE to_type IS NOT NULL
       GROUP BY from_type, to_type
-      ORDER BY from_type, to_type"""
+      ORDER BY from_type, to_type""",
+    "q68_gap_fill" -> s"""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+          count(1) AS n_events,
+          ${graft.core.Determinism.sumSql("value", 2)} AS sum_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT event_type,
+          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds)
+      SELECT g.event_type, g.hour,
+        coalesce(h.n_events, 0) AS n_events,
+        (h.sum_value IS NULL) AS is_gap,
+        last_value(h.sum_value IGNORE NULLS) OVER (
+          PARTITION BY g.event_type ORDER BY g.hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hour = h.hour
+      ORDER BY g.event_type, g.hour""",
+    "q69_rolling_window" -> s"""
+      SELECT event_id, user_id, ts,
+        count(1) OVER w AS n_1h,
+        round((sum(CAST(value AS DECIMAL(30,8))) OVER w)::DOUBLE, 2) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        RANGE BETWEEN $RollingMs PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+    "q70_event_funnel" -> {
+      val stageCtes = FunnelStages.zipWithIndex.map { case (stage, i) =>
+        if (i == 0)
+          s"s1 AS (SELECT user_id, min(ts) AS t FROM events " +
+            s"WHERE event_type = '$stage' GROUP BY user_id)"
+        else
+          s"s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+            s"JOIN s$i p ON e.user_id = p.user_id " +
+            s"WHERE e.event_type = '$stage' AND e.ts > p.t GROUP BY e.user_id)"
+      }.mkString(",\n      ")
+      val stageSelects = FunnelStages.zipWithIndex.map { case (stage, i) =>
+        s"SELECT ${i + 1}::INT AS stage, '$stage' AS stage_name, " +
+          s"count(1) AS n_users FROM s${i + 1}"
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH $stageCtes
+      $stageSelects
+      ORDER BY stage"""
+    },
+    "q71_zscore_outliers" -> s"""
+      WITH stats AS (
+        SELECT event_type,
+          sum(CAST(value AS DECIMAL(15,4)))::DOUBLE / count(1) AS mean,
+          sqrt(sum(CAST(value AS DECIMAL(15,4)) * CAST(value AS DECIMAL(15,4)))::DOUBLE / count(1)
+            - (sum(CAST(value AS DECIMAL(15,4)))::DOUBLE / count(1))
+              * (sum(CAST(value AS DECIMAL(15,4)))::DOUBLE / count(1))) AS std
+        FROM events GROUP BY event_type)
+      SELECT event_id, e.event_type, value,
+        ${graft.core.Determinism.droundSql("(value - mean) / std", 4)} AS z
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+      WHERE abs(${graft.core.Determinism.droundSql("(value - mean) / std", 4)}) > $ZCut
+      ORDER BY event_id"""
   )
 }
