@@ -367,6 +367,79 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * high-diameter scale path next to [[connectedComponents]]'s min-label
+    * propagation. Label propagation needs O(diameter) rounds (fine for
+    * near-clique dup clusters, fatal for chain-shaped graphs: link
+    * farms, citation chains); star rounds contract whole subtrees at
+    * once and converge in O(log² n) — in practice log — rounds.
+    *
+    *  - large-star: every node u links its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node links its smaller-or-equal neighborhood
+    *    to that neighborhood's minimum.
+    * Both are one groupBy(min) + one join per round — the same shuffle
+    * shape as a label-prop round — and edges stay canonical (u > v), so
+    * the working set never exceeds the (shrinking) edge list. Convergence
+    * = the canonical edge set reaches a fixpoint, detected by an exact
+    * (count, xor-of-hashes) signature — one tiny action per round; a
+    * stable signature on a star graph IS the fixpoint (stars map to
+    * themselves under both transforms). Output matches
+    * [[connectedComponents]]: (doc_id, component = min reachable id). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(expr("hash(u, v)").cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // localCheckpoint per round: each round's plan embeds the previous
+    // round's SEVERAL times (sym union + two joins), so un-truncated
+    // lineage grows exponentially with rounds and OOMs the driver on
+    // plan trees alone. Checkpointing pins the round's result and resets
+    // the plan to a leaf — the iterative-algorithm idiom (on a real
+    // cluster, `spark.sparkContext.setCheckpointDir` + `checkpoint()`
+    // makes the cut fault-tolerant too).
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: center u sees ALL neighbors; larger ones re-point to m
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val bigMin = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val ls = canon(sym.join(bigMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star: center u sees only smaller neighbors (canonical form
+      // already keys each edge by its larger endpoint)
+      val smallMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = ls.join(smallMin, "u")
+      val next = canon(
+        joined.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(joined.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      val nextSig = signature(next)
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint is a star forest: every edge is (member, root)
+    edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .distinct()
+  }
+
   /** DuckDB oracle for [[connectedComponents]] over [[minhashLshPairs]]:
     * a recursive CTE computes every (node, reachable-label) pair; the min
     * per node is the component id — the set-semantics UNION terminates

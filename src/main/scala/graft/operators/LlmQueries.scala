@@ -420,6 +420,16 @@ object LlmQueries {
         WordShingleN, MinhashK, MinhashBands, MinhashTau))
       .orderBy("doc_id")
 
+  /** Same clusters via alternating large-star/small-star contraction —
+    * the high-diameter scale path (chains/link-farms where label
+    * propagation needs O(diameter) rounds). Same oracle as q51: both
+    * algorithms must land on identical components. */
+  def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsStar(
+      Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+      .orderBy("doc_id")
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(embs(spark, dir), "label", EmbTau)
       .orderBy("id_a", "id_b")
@@ -507,7 +517,8 @@ object LlmQueries {
     "q67_term_stats"      -> termStats _,
     "q72_doc_chunks"      -> docChunks _,
     "q73_tfidf_terms"     -> tfidfTerms _,
-    "q74_dedup_corpus"    -> dedupCorpus _
+    "q74_dedup_corpus"    -> dedupCorpus _,
+    "q76_components_star" -> dedupComponentsStar _
   )
 
   /** Shared by q57 and q62 — the bloom path is result-identical to the
@@ -597,6 +608,11 @@ object LlmQueries {
     "q54_embed_srp_topk" -> Similarity.srpTopPairsSql("embeddings",
       SrpBits, SrpBands, SrpTopK, EmbDims),
     "q51_dedup_components" -> Dedup.componentsSql(
+      Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+      "doc_id"),
+    // identical result to q51 by design — two algorithms, one contract
+    "q76_components_star" -> Dedup.componentsSql(
       Dedup.minhashLshPairsSql("documents", "doc_id", "text",
         WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
       "doc_id"),

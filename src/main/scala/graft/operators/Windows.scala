@@ -162,10 +162,15 @@ object Windows {
     * aggregation of the raw events, so 100 TB costs one scan + one
     * per-type window over the already-aggregated grid. */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the grid-bounds branch and the left join both consume it,
+    // and without the cache each branch re-runs the full events scan +
+    // aggregation — the one part of this plan that is 100 TB heavy. The
+    // cached frame itself is |types| × |hours| rows, trivially resident.
     val hourly = t(spark, dir, "events")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),
         graft.core.Determinism.dsum(col("value"), 2).as("sum_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = hourly.groupBy(col("event_type"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("event_type"),

@@ -76,6 +76,43 @@ object Formats {
     frames.reduce(_ unionByName _).orderBy("format")
   }
 
+  /** q75: oracle-gated compaction round-trip. Events are written as a
+    * deliberately fragmented archive (tiny `maxRecordsPerFile`, Hive
+    * layout on (topic, partition)), compacted with [[graft.streaming
+    * .Archive.compact]], and read back; the result is a per-topic row
+    * count + content checksum PLUS a `compacted_fewer_files` flag from a
+    * driver-side file listing (metadata only, no data moves through the
+    * driver). The oracle recomputes count+checksum straight from the
+    * source table with a literal TRUE — a hash match proves compaction
+    * preserved every row while actually shrinking the file count. */
+  def compactionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    Tables.load(spark, dir, "events")
+      .select(col("event_type").as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"))
+      .write.partitionBy("topic", "partition")
+      .option("maxRecordsPerFile", 100)
+      .mode("overwrite").parquet(s"$tmp/raw")
+    graft.streaming.Archive.compact(spark, s"$tmp/raw", s"$tmp/compacted",
+      targetRecordsPerFile = 10 * 1000 * 1000)
+    def nFiles(root: String): Long = {
+      val base = new java.io.File(root)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(base)
+    }
+    val shrunk = nFiles(s"$tmp/compacted") < nFiles(s"$tmp/raw")
+    spark.read.parquet(s"$tmp/compacted")
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(xhash(concat_ws("|", col("topic"), col("offset").cast("string")))
+          % lit(1000000007L))).as("checksum"))
+      .withColumn("compacted_fewer_files", lit(shrunk))
+      .orderBy("topic")
+  }
+
   /** q29: full SQL passthrough — a TPC-H Q5-shaped join pipeline run
     * entirely through `spark.sql` over the registered views, proving the
     * SQL surface (joins, aggregation, ordering) end-to-end. */
@@ -110,7 +147,8 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_formats_roundtrip" -> formatsRoundTrip _,
-    "q29_sql_passthrough"   -> sqlPassthrough _
+    "q29_sql_passthrough"   -> sqlPassthrough _,
+    "q75_compaction_roundtrip" -> compactionRoundTrip _
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +158,14 @@ object Formats {
       FROM nation, (VALUES ('parquet'), ('orc'), ('json'), ('csv')) f(format)
       GROUP BY format
       ORDER BY format""",
+    "q75_compaction_roundtrip" -> s"""
+      SELECT event_type AS topic, count(1) AS n_rows,
+        sum(${xhashSql("event_type || '|' || event_id::VARCHAR")} % 1000000007)::BIGINT
+          AS checksum,
+        TRUE AS compacted_fewer_files
+      FROM events
+      GROUP BY event_type
+      ORDER BY topic""",
     "q29_sql_passthrough" -> s"""
       SELECT n_name,
              ${sumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue,

@@ -80,6 +80,28 @@ class DedupSpec extends SparkSpec {
       "pigeonhole blocking must have exact recall at <= maxHamming")
   }
 
+  test("star components equal label propagation and converge on a chain") {
+    val sq = spark
+    import sq.implicits._
+    // 60-node path graph: diameter 59. Label propagation moves the min
+    // ONE hop per round (would need ~59 rounds); star contraction must
+    // finish within its default O(log) budget.
+    val chain = (0 until 59).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.keySet == (0L to 59L).toSet)
+    assert(star.values.forall(_ == 0L), "every chain node joins component 0")
+    // cross-validate both algorithms on a multi-component graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val viaStar = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaProp = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar == viaProp)
+  }
+
   test("SRP hyperplane LSH finds planted near-duplicates without cells") {
     val sq = spark
     import sq.implicits._

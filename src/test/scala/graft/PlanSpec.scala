@@ -113,6 +113,47 @@ class PlanSpec extends SparkSpec {
       s"packing must not global-sort the corpus:\n$p")
   }
 
+  test("rolling window is one keyed window pass, no self-join") {
+    val p = plan(Windows.rollingWindow(spark, sfDir))
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    assert(!p.contains("Join"),
+      s"trailing-window must not plan an events-to-events join:\n$p")
+  }
+
+  test("funnel stage frames broadcast and the stage filter reaches the scan") {
+    val p = plan(Windows.eventFunnel(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-user stage frames must broadcast:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"event_type filter must push to the parquet scan:\n$p")
+  }
+
+  test("z-score stats join broadcasts the 5-row stats frame") {
+    val p = plan(Windows.zscoreOutliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast, not shuffle the fact table:\n$p")
+  }
+
+  test("gap-fill computes the hourly aggregate once, not once per branch") {
+    val p = executedPlan(Windows.gapFill(spark, sfDir))
+    // both consumers (grid bounds + left join) read the cached hourly
+    // frame; the only events FileScan lives inside the cache-build plan
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"hourly pre-aggregation should be cached and hit by both branches:\n$p")
+  }
+
+  test("tf-idf chunk shuffles carry (doc_id, term) pairs only, never text") {
+    val p = plan(graft.operators.LlmQueries.tfidfTerms(spark, sfDir))
+    // the doc count joins as a broadcast (1 row), never a cartesian
+    assert(!p.contains("CartesianProduct"), s"doc count must broadcast:\n$p")
+    // every hash exchange is keyed on doc_id/term — i.e. the only shuffled
+    // frames are the exploded pair aggregates, never raw text
+    val keys = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.subsetOf(Set("doc_id", "term")),
+      s"unexpected shuffle keys $keys:\n$p")
+  }
+
   test("native cosine_sim is bit-identical to the composable form and codegen'd") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
