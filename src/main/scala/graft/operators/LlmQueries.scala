@@ -469,6 +469,34 @@ object LlmQueries {
         col("content_md5"), array_join(col("frame_sample"), ":").as("frames"))
       .orderBy("media_id")
 
+  /** Int8 embedding quantization: symmetric per-vector scale
+    * (max|x|/127), quantize-round-clamp, and reconstruction-error metrics
+    * (max abs error, MSE, saturated-lane count) — the 4× storage/bandwidth
+    * reduction step before ANN serving. Pure codegen'd array expressions
+    * (transform/zip_with/aggregate) over one scan, no shuffle; every
+    * arithmetic step is float→double then identical IEEE ops in both
+    * engines, so even the quantized lanes are oracle-exact. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val quant = "transform(e, x -> least(greatest(round(x / scale), -127.0D), 127.0D))"
+    embs(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .selectExpr("vec_id", "e",
+        "array_max(transform(e, x -> abs(x))) AS amax")
+      .selectExpr("vec_id", "e",
+        "CASE WHEN amax = 0.0D THEN 1.0D ELSE amax / 127.0D END AS scale")
+      .selectExpr("vec_id", "e", "scale", s"$quant AS qv")
+      .select(col("vec_id"),
+        dround(col("scale"), 8).as("scale"),
+        expr("CAST(size(filter(qv, v -> abs(v) = 127.0D)) AS INT)").as("n_saturated"),
+        dround(expr(
+          "array_max(zip_with(e, qv, (x, q) -> abs(x - q * scale)))"), 8)
+          .as("max_abs_err"),
+        dround(expr(
+          "aggregate(zip_with(e, qv, (x, q) -> (x - q * scale) * (x - q * scale)), " +
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v) / size(e)"), 10).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** Array higher-order functions over embeddings (transform/filter/
     * aggregate/zip_with coverage with exact outputs). */
   def arrayOps(spark: SparkSession, dir: String): DataFrame =
@@ -518,7 +546,8 @@ object LlmQueries {
     "q72_doc_chunks"      -> docChunks _,
     "q73_tfidf_terms"     -> tfidfTerms _,
     "q74_dedup_corpus"    -> dedupCorpus _,
-    "q76_components_star" -> dedupComponentsStar _
+    "q76_components_star" -> dedupComponentsStar _,
+    "q77_embed_quantize"  -> embedQuantize _
   )
 
   /** Shared by q57 and q62 — the bloom path is result-identical to the
@@ -762,6 +791,31 @@ object LlmQueries {
       FROM keepx k LEFT JOIN comp c ON k.doc_id = c.doc_id
       WHERE c.doc_id IS NULL OR c.component = k.doc_id
       ORDER BY k.doc_id"""
-    }
+    },
+    "q77_embed_quantize" -> s"""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, e,
+          CASE WHEN amax = 0.0 THEN 1.0 ELSE amax / 127.0 END AS scale
+        FROM (SELECT vec_id, e,
+          list_max(list_transform(e, x -> abs(x))) AS amax FROM base)),
+      q AS (
+        SELECT vec_id, e, scale,
+          list_transform(e, x ->
+            least(greatest(round(x / scale), -127.0), 127.0)) AS qv
+        FROM sc)
+      SELECT vec_id,
+        ${droundSql("scale", 8)} AS scale,
+        len(list_filter(qv, v -> abs(v) = 127.0))::INT AS n_saturated,
+        ${droundSql(
+          "list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - qv[i] * scale)))", 8)}
+          AS max_abs_err,
+        ${droundSql(
+          "list_sum(list_transform(range(1, len(e) + 1), i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale))) / len(e)", 10)}
+          AS mse
+      FROM q
+      ORDER BY vec_id"""
   )
 }
