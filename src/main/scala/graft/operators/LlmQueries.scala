@@ -469,6 +469,40 @@ object LlmQueries {
         col("content_md5"), array_join(col("frame_sample"), ":").as("frames"))
       .orderBy("media_id")
 
+  /** Spearman rank correlation between document length (tokens) and
+    * quality score, per language — does the quality signal just re-rank
+    * by length? Rank correlation is the distribution-free way to ask, and
+    * with strict ranks (row_number, doc_id tiebreak — documented variant
+    * of tie-averaged Spearman) every intermediate is an INTEGER: rank
+    * differences, their squares, and Σd² are exact in int64, so
+    * ρ = 1 − 6Σd²/(n(n²−1)) is one identical-double expression at the
+    * end — no fp accumulation anywhere. Two keyed window sorts + one
+    * tiny aggregate; each language ranks independently at any scale. */
+  def rankCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = tokenCount("text").cast("double")
+    val punctR = punctCount("text").cast("double") / length(col("text"))
+    val stopR = lexiconHits("text", EnglishStopwords).cast("double") / tokens
+    val score = dround(
+      least(tokens / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctR) * 0.3 + stopR * 0.3, 6)
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("x"), col("doc_id"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("y"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        tokenCount("text").as("x"), score.as("y"))
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
+      .select(col("lang"), col("n_docs"),
+        dround(lit(1.0) - (lit(6.0) * col("sd2")) /
+          (col("n_docs") * (col("n_docs") * col("n_docs") - 1)), 6)
+          .as("spearman"))
+      .orderBy("lang")
+  }
+
   /** Int8 embedding quantization: symmetric per-vector scale
     * (max|x|/127), quantize-round-clamp, and reconstruction-error metrics
     * (max abs error, MSE, saturated-lane count) — the 4× storage/bandwidth
@@ -547,7 +581,8 @@ object LlmQueries {
     "q73_tfidf_terms"     -> tfidfTerms _,
     "q74_dedup_corpus"    -> dedupCorpus _,
     "q76_components_star" -> dedupComponentsStar _,
-    "q77_embed_quantize"  -> embedQuantize _
+    "q77_embed_quantize"  -> embedQuantize _,
+    "q78_rank_correlation" -> rankCorrelation _
   )
 
   /** Shared by q57 and q62 — the bloom path is result-identical to the
@@ -791,6 +826,28 @@ object LlmQueries {
       FROM keepx k LEFT JOIN comp c ON k.doc_id = c.doc_id
       WHERE c.doc_id IS NULL OR c.component = k.doc_id
       ORDER BY k.doc_id"""
+    },
+    "q78_rank_correlation" -> {
+      val tokens = s"${tokenCountSql("text")}::DOUBLE"
+      val punctR = s"${punctCountSql("text")}::DOUBLE / length(text)"
+      val stopR = s"${lexiconHitsSql("text", EnglishStopwords)}::DOUBLE / ($tokens)"
+      val score = droundSql(
+        s"least($tokens / 100.0, 1.0) * 0.4 + (1.0 - ($punctR)) * 0.3 + ($stopR) * 0.3", 6)
+      s"""
+      WITH b AS (
+        SELECT doc_id, lang, ${tokenCountSql("text")} AS x, $score AS y
+        FROM documents),
+      r AS (
+        SELECT lang,
+          row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rx,
+          row_number() OVER (PARTITION BY lang ORDER BY y, doc_id) AS ry
+        FROM b)
+      SELECT lang, count(1) AS n_docs,
+        ${droundSql(
+          "1.0 - (6.0 * sum((rx - ry) * (rx - ry))) / (count(1) * (count(1) * count(1) - 1))", 6)}
+          AS spearman
+      FROM r GROUP BY lang
+      ORDER BY lang"""
     },
     "q77_embed_quantize" -> s"""
       WITH base AS (

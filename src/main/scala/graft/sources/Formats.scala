@@ -87,12 +87,16 @@ object Formats {
     * preserved every row while actually shrinking the file count. */
   def compactionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-compact").toString
-    Tables.load(spark, dir, "events")
+    val src = Tables.load(spark, dir, "events")
       .select(col("event_type").as("topic"),
         (col("user_id") % 4).cast("int").as("partition"),
         col("event_id").as("offset"))
-      .write.partitionBy("topic", "partition")
-      .option("maxRecordsPerFile", 100)
+    // fragment into ~200 small files at ANY scale factor — a fixed
+    // records-per-file would degenerate into thousands of file writes as
+    // the input grows, timing the file system instead of the operator
+    val fragRecords = math.max(100L, src.count() / 200)
+    src.write.partitionBy("topic", "partition")
+      .option("maxRecordsPerFile", fragRecords)
       .mode("overwrite").parquet(s"$tmp/raw")
     graft.streaming.Archive.compact(spark, s"$tmp/raw", s"$tmp/compacted",
       targetRecordsPerFile = 10 * 1000 * 1000)
