@@ -273,6 +273,84 @@ object Similarity {
     SELECT vec_id, cell::BIGINT AS cell, cos FROM ranked WHERE rn = 1
     ORDER BY vec_id"""
 
+  /** Full k-means (Lloyd) over the embedding corpus: `rounds` alternations
+    * of assign (argmax cosine vs current centroids) and update (per-cell
+    * exact-decimal mean, cast to float), seeded deterministically with the
+    * `k` lowest-vec_id vectors — the real clustering step behind IVF that
+    * [[ivfAssign]]'s single step and the fixture `label` column stood in
+    * for. Returns the final assignment (vec_id, cell, cos).
+    *
+    * Scale shape per round: centroids are k tiny rows — they BROADCAST
+    * against one corpus scan; the argmax is the bounded top-1 `Aggregator`
+    * (map-side partials, no row_number shuffle); the update explodes
+    * (cell, dim, value) and hash-aggregates with map-side combine. So each
+    * round costs one corpus scan + one k×dims-bounded aggregation, and the
+    * corpus itself never shuffles. The corpus frame is persisted across
+    * rounds (each round's assign AND update read it). Cells that capture
+    * no vectors simply drop out (standard Lloyd degeneracy; determinism
+    * unaffected). Ties in cos break toward the lower cell id, mirrored by
+    * the oracle's (cos DESC, cell) ranking. */
+  def kmeansLloyd(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents))
+        .withColumn("cos", expr(cosineExpr("embedding", "cv")))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.VectorAggregates
+          .topKOf(1, col("cos"), col("cell")).as("top"))
+        .select(col("vec_id"), col("top")(0).getField("cand_id").as("cell"),
+          col("top")(0).getField("cos").as("cos"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(v, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(graft.core.Determinism.davg(col("x").cast("double"), 8).as("c"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), " +
+          "s -> CAST(s.c AS FLOAT))").as("cv"))
+    val seeds = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    (1 until rounds).foldLeft(assign(seeds))((a, _) => assign(update(a)))
+      .orderBy("vec_id")
+  }
+
+  def kmeansLloydSql(table: String, k: Int, rounds: Int): String = {
+    require(rounds >= 1)
+    val assignCte = (cents: String, name: String) => s"""
+    ${name}_scored AS (
+      SELECT v.vec_id, $cents.cell, ${cosineSql("v.embedding", s"$cents.cv")} AS cos
+      FROM v, $cents),
+    $name AS (
+      SELECT vec_id, cell, cos FROM (
+        SELECT vec_id, cell, cos,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        FROM ${name}_scored)
+      WHERE rn = 1)"""
+    val updateCte = (assigned: String, name: String) => s"""
+    ${name}_e AS (
+      SELECT a.cell, (unnest(range(1, len(v.embedding) + 1)) - 1)::INT AS dim,
+        unnest(v.embedding) AS x
+      FROM $assigned a JOIN v ON a.vec_id = v.vec_id),
+    ${name}_d AS (
+      SELECT cell, dim, ${graft.core.Determinism.avgSql("x::DOUBLE", 8)} AS c
+      FROM ${name}_e GROUP BY cell, dim),
+    $name AS (
+      SELECT cell, list_transform(list(c ORDER BY dim), y -> y::FLOAT) AS cv
+      FROM ${name}_d GROUP BY cell)"""
+    val body = (1 until rounds).map { r =>
+      updateCte(s"a$r", s"c$r") + "," + assignCte(s"c$r", s"a${r + 1}")
+    }.mkString(",")
+    s"""
+    WITH v AS (SELECT vec_id, embedding FROM $table),
+    c0 AS (SELECT vec_id AS cell, embedding AS cv FROM v WHERE vec_id < $k),
+    ${assignCte("c0", "a1").trim}${if (rounds > 1) "," + body else ""}
+    SELECT vec_id, cell, cos FROM a$rounds
+    ORDER BY vec_id"""
+  }
+
   /** Per-cell centroids: posexplode the vectors, average per (cell, dim).
     * Output exploded (cell, dim, value) — the offline step that would feed
     * real IVF cell assignment. Exact decimal mean via Determinism.davg. */

@@ -39,6 +39,10 @@ object LlmQueries {
   val SrpBands = 10
   val SrpTopK = 20
   val EmbDims = 64
+  // k-means: 8 cells, 2 Lloyd rounds — enough to move every centroid off
+  // its seed vector while keeping the unrolled oracle readable
+  val KmK = 8
+  val KmRounds = 2
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -353,7 +357,7 @@ object LlmQueries {
     * shuffle; each chunk carries its fingerprint for chunk-level dedup. */
   val ChunkTokens = 64
   val ChunkStride = 48
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+  private def docChunksCore(spark: SparkSession, dir: String): DataFrame = {
     val sliceE = s"slice(w, chunk_id * $ChunkStride + 1, $ChunkTokens)"
     docs(spark, dir)
       .select(col("doc_id"), expr(wordsExpr("text")).as("w"))
@@ -364,7 +368,106 @@ object LlmQueries {
       .select(col("doc_id"), col("chunk_id"),
         expr(s"size($sliceE)").as("n_tokens"),
         expr(xhashExpr(s"array_join($sliceE, ' ')")).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
+  }
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunksCore(spark, dir).orderBy("doc_id", "chunk_id")
+
+  /** Chunk-containment near-dup detection: doc A is (partially) contained
+    * in doc B when ≥ `ContainTau` of A's distinct chunk fingerprints also
+    * appear in B — the asymmetric complement of whole-doc dedup that
+    * catches quote-inclusion and prefix/suffix copies. Candidates come
+    * from an equi-join on chunk_fp (never all-pairs); "stop chunks"
+    * appearing in more than `StopChunkDf` docs are dropped before the
+    * join — the boilerplate-chunk guard that bounds every fingerprint's
+    * bucket, so the join's worst key fans out ≤ StopChunkDf² even on 100 TB
+    * (the same reason AQE skew-split stays idle here). The chunk frame is
+    * computed once and persisted: the a-side, b-side, and size frames all
+    * reuse it. Containment = shared/|A| on exact ints, division identical
+    * cross-engine. */
+  val ContainTau = 0.5
+  val StopChunkDf = 50
+  def chunkContainment(spark: SparkSession, dir: String): DataFrame = {
+    val fps = docChunksCore(spark, dir)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = fps.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("cdf")).filter(col("cdf") <= StopChunkDf)
+      .select("chunk_fp")
+    val kept = fps.join(keep, "chunk_fp")
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_a"))
+    kept.select(col("doc_id").as("doc_a"), col("chunk_fp"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("chunk_fp")), "chunk_fp")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_chunks_a"))
+      .filter(col("containment") >= ContainTau)
+      .select("doc_a", "doc_b", "shared", "n_chunks_a", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Token-rarity profile per document: mean corpus document-frequency of
+    * the doc's token instances and the count/ratio of "rare" instances
+    * (corpus df ≤ `RareDf`) — the unigram-LM-flavored quality signal
+    * (low mean-df ≈ high surprisal) computed with integer-exact
+    * arithmetic: one explode feeds both the df aggregation and the
+    * per-doc rollup, the vocabulary-sized df frame joins back on term,
+    * and only the final mean/ratio divisions touch floating point
+    * (identical-double ops, dround'd). At 100 TB the exchange carries
+    * (doc_id, term) pairs; the df frame is |vocab| rows. */
+  val RareDf = 200
+  def docRarity(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(words("text")).as("term"))
+    val df = terms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    terms.join(df, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("sum_df"),
+        sum(when(col("df") <= RareDf, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        dround(col("sum_df").cast("double") / col("n_tokens"), 4).as("mean_df"),
+        dround(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // PII patterns — RE2/Java-regex common subset (no lookaround), spelled
+  // once; Spark SQL needs the backslashes doubled inside its string
+  // literal, DuckDB takes them raw.
+  val PiiEmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PiiIpRe = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+  val PiiNumRe = """\d{4,}"""
+  private def sparkRe(re: String): String = re.replace("\\", "\\\\")
+
+  /** PII redaction: scrub emails → `<EMAIL>`, IPv4 → `<IP>`, long digit
+    * runs → `<NUM>`, counting each hit — the compliance pass every
+    * training corpus runs before packing. Pure regexp_replace/
+    * regexp_count column expressions: codegen'd, one scan, no shuffle at
+    * any scale. The fixture text is wordlist-synthetic with no PII, so
+    * the query enriches it with deterministic doc_id-derived contact
+    * lines first (mirrored in the oracle) — the redactor then has real
+    * work on every row; PiiSpec plants free-form PII besides. Replacement
+    * order (email → ip → num) is part of the contract: an email's local
+    * digits must not be half-eaten by the NUM pass first. */
+  /** Spark SQL expression scrubbing PII from `src` (email → ip → num). */
+  def redactPiiExpr(src: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($src, " +
+      s"'${sparkRe(PiiEmailRe)}', '<EMAIL>'), " +
+      s"'${sparkRe(PiiIpRe)}', '<IP>'), '${sparkRe(PiiNumRe)}', '<NUM>')"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+      "'@example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.77 ref ', " +
+      "CAST(100000 + doc_id AS STRING))"
+    docs(spark, dir).select(
+      col("doc_id"),
+      expr(s"regexp_count($enriched, '${sparkRe(PiiEmailRe)}')").as("n_emails"),
+      expr(s"regexp_count($enriched, '${sparkRe(PiiIpRe)}')").as("n_ips"),
+      expr(s"regexp_count($enriched, '${sparkRe(PiiNumRe)}')").as("n_nums"),
+      expr(redactPiiExpr(enriched)).as("redacted"))
+      .orderBy("doc_id")
   }
 
   /** Per-document top-`TfidfTopK` terms by smoothed TF-IDF
@@ -582,7 +685,12 @@ object LlmQueries {
     "q74_dedup_corpus"    -> dedupCorpus _,
     "q76_components_star" -> dedupComponentsStar _,
     "q77_embed_quantize"  -> embedQuantize _,
-    "q78_rank_correlation" -> rankCorrelation _
+    "q78_rank_correlation" -> rankCorrelation _,
+    "q81_chunk_containment" -> chunkContainment _,
+    "q82_doc_rarity"      -> docRarity _,
+    "q83_pii_redact"      -> piiRedact _,
+    "q84_kmeans_lloyd"    -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansLloyd(embs(s, d), KmK, KmRounds))
   )
 
   /** Shared by q57 and q62 — the bloom path is result-identical to the
@@ -849,6 +957,68 @@ object LlmQueries {
       FROM r GROUP BY lang
       ORDER BY lang"""
     },
+    "q81_chunk_containment" -> {
+      val slice = s"list_slice(w, chunk_id * $ChunkStride + 1, " +
+        s"chunk_id * $ChunkStride + $ChunkTokens)"
+      s"""
+      WITH base AS (
+        SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      sized AS (
+        SELECT doc_id, w,
+          greatest(0, floor((len(w) - $ChunkTokens + $ChunkStride - 1)
+            / $ChunkStride)::INT) AS k
+        FROM base),
+      ch AS (
+        SELECT doc_id, w, unnest(range(0, k + 1))::INT AS chunk_id FROM sized),
+      fps AS (
+        SELECT DISTINCT doc_id,
+          ${xhashSql(s"array_to_string($slice, ' ')")} AS chunk_fp
+        FROM ch),
+      keep AS (
+        SELECT chunk_fp FROM fps GROUP BY chunk_fp
+        HAVING count(1) <= $StopChunkDf),
+      kept AS (SELECT f.* FROM fps f JOIN keep USING (chunk_fp)),
+      sizes AS (SELECT doc_id, count(1) AS n_chunks_a FROM fps GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS shared
+        FROM kept a JOIN kept b
+          ON a.chunk_fp = b.chunk_fp AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared, n_chunks_a,
+        shared::DOUBLE / n_chunks_a AS containment
+      FROM shared JOIN sizes ON doc_a = sizes.doc_id
+      WHERE shared::DOUBLE / n_chunks_a >= $ContainTau
+      ORDER BY doc_a, doc_b"""
+    },
+    "q82_doc_rarity" -> s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      j AS (
+        SELECT doc_id, count(1) AS n_tokens, sum(df) AS sum_df,
+          sum(CASE WHEN df <= $RareDf THEN 1 ELSE 0 END)::BIGINT AS n_rare
+        FROM terms JOIN df USING (term) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_rare,
+        ${droundSql("sum_df::DOUBLE / n_tokens", 4)} AS mean_df,
+        ${droundSql("n_rare::DOUBLE / n_tokens", 6)} AS rare_ratio
+      FROM j ORDER BY doc_id""",
+    "q83_pii_redact" -> {
+      val enriched = "(text || ' contact user' || doc_id::VARCHAR || " +
+        "'@example.com from 10.0.' || (doc_id % 256)::VARCHAR || '.77 ref ' || " +
+        "(100000 + doc_id)::VARCHAR)"
+      s"""
+      SELECT doc_id,
+        len(regexp_extract_all($enriched, '$PiiEmailRe'))::INT AS n_emails,
+        len(regexp_extract_all($enriched, '$PiiIpRe'))::INT AS n_ips,
+        len(regexp_extract_all($enriched, '$PiiNumRe'))::INT AS n_nums,
+        regexp_replace(regexp_replace(regexp_replace($enriched,
+          '$PiiEmailRe', '<EMAIL>', 'g'),
+          '$PiiIpRe', '<IP>', 'g'),
+          '$PiiNumRe', '<NUM>', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""
+    },
+    "q84_kmeans_lloyd" ->
+      Similarity.kmeansLloydSql("embeddings", KmK, KmRounds),
     "q77_embed_quantize" -> s"""
       WITH base AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

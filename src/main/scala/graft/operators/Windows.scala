@@ -258,6 +258,60 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Cohort retention: users are cohorted by first-seen day; each
+    * (cohort_day, day_offset) cell counts the distinct cohort members
+    * active that day — the standard retention triangle. Plan: one
+    * aggregation builds the per-user cohort frame (|users| rows), a
+    * shuffle join on user_id tags every event with its cohort, and a
+    * second hash aggregation collapses to |days|² cells. At 100 TB the
+    * dominant cost is the single shuffle of (user_id, day) pairs — the
+    * event scan projects just two columns, so the exchange carries a
+    * fraction of the table, and count_distinct keeps partial maps bounded
+    * by cohort cardinality. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    e.join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Forward as-of join with tolerance: each click matched to the NEXT
+    * purchase of the same user within `AsofTolMs` (inclusive at equal ts).
+    * Same zero-join shape as [[asofJoin]] mirrored in time: union-tag the
+    * two event types, one window sort per user ordered by
+    * (ts, kind, event_id) — clicks sort before purchases at equal ts, so
+    * an equal-ts purchase lands in the strictly-following frame — and a
+    * `first(purchase, ignoreNulls)` over (1 FOLLOWING, UNBOUNDED
+    * FOLLOWING) picks the nearest one. The tolerance is a post-filter:
+    * the nearest following purchase is the only candidate that can be
+    * within it. No purchase×click pair ever materializes. */
+  val AsofTolMs: Long = 3600 * 1000L
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("purch", when(col("kind") === 1,
+        struct(col("ts").as("p_ts"), col("event_id").as("p_event"))))
+      .withColumn("next_p", first(col("purch"), ignoreNulls = true).over(w))
+      .withColumn("gap_ms",
+        unix_millis(col("next_p.p_ts")) - unix_millis(col("ts")))
+      .filter(col("kind") === 0 && col("next_p").isNotNull &&
+        col("gap_ms") <= AsofTolMs)
+      .select(col("event_id").as("c_event"), col("user_id"),
+        col("next_p.p_event").as("p_event"), col("next_p.p_ts").as("p_ts"),
+        col("gap_ms"))
+      .orderBy("c_event")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_window_topk"    -> windowTopK _,
     "q10_window_running" -> windowRunning _,
@@ -269,7 +323,9 @@ object Windows {
     "q68_gap_fill"       -> gapFill _,
     "q69_rolling_window" -> rollingWindow _,
     "q70_event_funnel"   -> eventFunnel _,
-    "q71_zscore_outliers" -> zscoreOutliers _
+    "q71_zscore_outliers" -> zscoreOutliers _,
+    "q79_cohort_retention" -> cohortRetention _,
+    "q80_asof_forward"   -> asofForward _
   )
 
   val oracles: Map[String, String] = Map(
@@ -410,6 +466,29 @@ object Windows {
         ${graft.core.Determinism.droundSql("(value - mean) / std", 4)} AS z
       FROM events e JOIN stats s ON e.event_type = s.event_type
       WHERE abs(${graft.core.Determinism.droundSql("(value - mean) / std", 4)}) > $ZCut
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+    "q79_cohort_retention" -> """
+      WITH e AS (
+        SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      f AS (
+        SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      SELECT cohort_day,
+        date_diff('day', cohort_day, day)::INT AS day_offset,
+        count(DISTINCT e.user_id) AS n_active
+      FROM e JOIN f ON e.user_id = f.user_id
+      GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset""",
+    "q80_asof_forward" -> s"""
+      SELECT c_event, user_id, p_event, p_ts, gap_ms FROM (
+        SELECT c.event_id AS c_event, c.user_id,
+          p.event_id AS p_event, p.ts AS p_ts,
+          epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms,
+          row_number() OVER (PARTITION BY c.event_id
+            ORDER BY p.ts, p.event_id) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts >= c.ts)
+      WHERE rn = 1 AND gap_ms <= $AsofTolMs
+      ORDER BY c_event"""
   )
 }

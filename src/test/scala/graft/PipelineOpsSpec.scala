@@ -135,4 +135,139 @@ class PipelineOpsSpec extends SparkSpec {
         s"near-dup non-representative ${r.getLong(0)} survived"))
     assert(survivors.nonEmpty && survivors.size < fps.length)
   }
+
+  test("cohort retention matches a brute-force recompute") {
+    val e = graft.core.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val first = e.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val dayMs = 24 * 3600 * 1000L
+    val expected = e.map { case (u, d) =>
+      (first(u), ((d - first(u)) / dayMs).toInt, u)
+    }.distinct.groupBy(p => (p._1, p._2)).map { case (k, v) => k -> v.length }
+    val got = Windows.cohortRetention(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getTimestamp(0).getTime, r.getInt(1))
+      assert(expected(k) == r.getLong(2), s"cell $k")
+    }
+    // offset-0 cell of each cohort counts the whole cohort
+    val cohortSizes = first.values.groupBy(identity).map(p => p._1 -> p._2.size)
+    got.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.getLong(2) == cohortSizes(r.getTimestamp(0).getTime))
+    }
+  }
+
+  test("forward as-of join matches a brute-force recompute") {
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchases = events.filter(_._4 == "purchase").groupBy(_._2)
+    val expected = events.filter(_._4 == "click").flatMap { case (cid, u, cms, _) =>
+      purchases.getOrElse(u, Array.empty[(Long, Long, Long, String)])
+        .filter(p => p._3 >= cms)
+        .sortBy(p => (p._3, p._1)).headOption
+        .filter(p => p._3 - cms <= Windows.AsofTolMs)
+        .map(p => cid -> (p._1, p._3 - cms))
+    }.toMap
+    val got = Windows.asofForward(spark, sfDir).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (pEvent, gap) = expected(r.getLong(0))
+      assert(r.getLong(2) == pEvent && r.getLong(4) == gap,
+        s"click ${r.getLong(0)}")
+    }
+  }
+
+  test("chunk containment matches a recompute and catches planted full containment") {
+    val fps = LlmQueries.docChunks(spark, sfDir)
+      .select("doc_id", "chunk_fp").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    val cdf = fps.groupBy(_._2).map { case (f, v) => f -> v.length }
+    val expected = (for {
+      (a, fa) <- byDoc.toSeq; (b, fb) <- byDoc.toSeq if a != b
+      sh = (fa & fb).count(f => cdf(f) <= LlmQueries.StopChunkDf)
+      if sh.toDouble / fa.size >= LlmQueries.ContainTau
+    } yield (a, b) -> (sh.toLong, fa.size.toLong)).toMap
+    val got = LlmQueries.chunkContainment(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (sh, na) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == sh && r.getLong(3) == na)
+      assert(r.getDouble(4) == sh.toDouble / na)
+    }
+    // identical token streams ⇒ mutual containment 1.0 (exact-dup docs)
+    val exactPairs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.contentFingerprint("text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+    exactPairs.headOption.foreach { grp =>
+      val ids = grp.map(_._1).sorted.take(2)
+      assert(expected.contains((ids(0), ids(1))) &&
+        expected((ids(0), ids(1)))._1 == expected((ids(0), ids(1)))._2)
+    }
+  }
+
+  test("PII redaction scrubs planted emails, IPs, and digit runs") {
+    val r = spark.range(1).selectExpr(
+      LlmQueries.redactPiiExpr(
+        "'mail alice.b+spam@corp.example.io then 192.168.0.1 acct 1234567 tail'")
+        + " AS red").head.getString(0)
+    assert(r == "mail <EMAIL> then <IP> acct <NUM> tail", r)
+    // short digit runs and bare words survive
+    val r2 = spark.range(1).selectExpr(
+      LlmQueries.redactPiiExpr("'v1.2.3 build 42 at host'") + " AS red")
+      .head.getString(0)
+    assert(r2 == "v1.2.3 build 42 at host", r2)
+  }
+
+  test("k-means assignment is the argmax vs recomputed final centroids") {
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val got = graft.llm.Similarity.kmeansLloyd(
+      graft.core.Tables.load(spark, sfDir, "embeddings"),
+      LlmQueries.KmK, LlmQueries.KmRounds).collect()
+    assert(got.length == vecs.length)
+    val cells = got.map(_.getLong(1)).distinct
+    assert(cells.length > 1 && cells.forall(c => c >= 0 && c < LlmQueries.KmK))
+    // centroids implied by the PENULTIMATE round: recompute round-1
+    // assignment from seeds, then its means, and check the final
+    // assignment is the argmax against those means
+    val byId = vecs.toMap
+    val seeds = (0L until LlmQueries.KmK).map(i =>
+      i -> byId(i).map(_.toDouble)).toMap
+    val a1 = vecs.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      id -> seeds.toSeq.map { case (c, cv) => (-cos(vd, cv), c) }.min._2
+    }
+    val means = a1.groupBy(_._2).map { case (c, members) =>
+      val arrs = members.map(p => byId(p._1))
+      val dims = arrs.head.length
+      // replicate Determinism.davg exactly: exact decimal sum → double →
+      // IEEE divide → floor(x·1e8 + 0.5)/1e8 → float
+      c -> (0 until dims).map { d =>
+        val s = arrs.map(a => BigDecimal(a(d).toDouble)).sum.toDouble
+        (math.floor(s / arrs.length * 1e8 + 0.5) / 1e8).toFloat.toDouble
+      }.toArray
+    }
+    got.foreach { r =>
+      val vd = byId(r.getLong(0)).map(_.toDouble)
+      val best = means.toSeq.map { case (c, cv) => (-cos(vd, cv), c) }.min
+      assert(r.getLong(1) == best._2, s"vec ${r.getLong(0)}")
+      // the test's one-loop recompute can land on the other side of a
+      // 6dp half-up boundary vs the kernel's separate dot/norm folds —
+      // allow exactly one rounding quantum
+      assert(math.abs(r.getDouble(2) - -best._1) <= 1e-6 + 1e-12)
+    }
+  }
 }
