@@ -63,14 +63,28 @@ object LlmQueries {
         tokenCount("text"), 6).as("stopword_ratio"))
       .orderBy("doc_id")
 
-  /** Composite quality score + class — length, punctuation, stopword
-    * signals combined with fixed weights. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** The composite quality score shared by q31/q55/q78/q86 — length,
+    * punctuation, stopword signals with fixed weights, 6dp-rounded.
+    * SQL twin: [[qualitySql]]. */
+  private[operators] def qualityCol: org.apache.spark.sql.Column = {
     val tokens = tokenCount("text").cast("double")
     val punctR = punctCount("text").cast("double") / length(col("text"))
     val stopR = lexiconHits("text", EnglishStopwords).cast("double") / tokens
-    val score = dround(
+    dround(
       least(tokens / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctR) * 0.3 + stopR * 0.3, 6)
+  }
+  private[operators] def qualitySql: String = {
+    val tokens = s"${tokenCountSql("text")}::DOUBLE"
+    val punctR = s"${punctCountSql("text")}::DOUBLE / length(text)"
+    val stopR = s"${lexiconHitsSql("text", EnglishStopwords)}::DOUBLE / ($tokens)"
+    droundSql(
+      s"least($tokens / 100.0, 1.0) * 0.4 + (1.0 - ($punctR)) * 0.3 + ($stopR) * 0.3", 6)
+  }
+
+  /** Composite quality score + class — length, punctuation, stopword
+    * signals combined with fixed weights. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val score = qualityCol
     docs(spark, dir).select(
       col("doc_id"), score.as("quality"),
       when(score >= 0.5, "high").when(score >= 0.35, "medium").otherwise("low")
@@ -122,11 +136,7 @@ object LlmQueries {
     * language partition ranks independently. */
   val QuotaPerLang = 40
   def quotaSample(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = tokenCount("text").cast("double")
-    val punctR = punctCount("text").cast("double") / length(col("text"))
-    val stopR = lexiconHits("text", EnglishStopwords).cast("double") / tokens
-    val score = dround(
-      least(tokens / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctR) * 0.3 + stopR * 0.3, 6)
+    val score = qualityCol
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
     docs(spark, dir)
