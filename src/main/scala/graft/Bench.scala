@@ -18,11 +18,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // per-query isolation: operators persist intermediates (LSH
+      // signatures, component-label rounds) for the duration of their
+      // query; dropping them between timings keeps query N's storage
+      // from evicting query N+1's working set (the timing should be the
+      // query, not neighbors' leftover cache pressure)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
     // JVM + parquet-footer warmup on the flagship query (excluded from timing)
     try run(SparkEntry.queries("q01_agg_summary")) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_QUERIES=q46,q51 benches only matching prefixes
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { run(fn); None } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
