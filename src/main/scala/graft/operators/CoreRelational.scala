@@ -239,18 +239,42 @@ object CoreRelational {
     * hash-compare gate. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    // One scan, one codegen'd hash agg on (flag, quantity), then a
+    // ~|flags|×|distinct qty|-row re-agg. Three scale moves vs the naive
+    // sort-agg form:
+    //  - `percentile` runs on the HISTOGRAM (frequency form — identical
+    //    interpolation semantics), so the ObjectHashAggregate it needs
+    //    sees ~150 rows, not the corpus, and never shares an agg with
+    //    (and de-codegens) the sums;
+    //  - sums that fit integer grain go through exact BIGINT arithmetic
+    //    instead of BigDecimal: quantities are integral and prices are
+    //    2-decimal, so qty, qty², round(price·100) and round(qty·price·100)
+    //    are exact longs (products first — fp error is ≤1e-9, far inside
+    //    the 0.5 rounding margin; headroom at 6e9 rows: sxy·100 ≤ 3e18 <
+    //    2^63). The /100 de-scales happen in DECIMAL so the only double
+    //    rounding is the final cast — bit-equal to the oracle's
+    //    sum(DECIMAL)::DOUBLE at any scale;
+    //  - price² genuinely overflows scaled longs (1e14/row), so syy alone
+    //    stays a decimal sum.
     spark.sql(s"""
-      WITH s AS (
+      WITH h AS (
+        SELECT l_returnflag, l_quantity, count(1) AS cnt,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy100,
+          sum(CAST(round(l_quantity * l_extendedprice * 100) AS BIGINT)) AS sxy100,
+          sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS syyd
+        FROM lineitem GROUP BY l_returnflag, l_quantity),
+      s AS (
         SELECT l_returnflag,
-          count(1) AS n,
-          CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
-          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
-          CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy,
-          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
-          percentile(l_quantity, 0.5) AS med,
-          percentile(l_quantity, 0.9) AS p90
-        FROM lineitem GROUP BY l_returnflag)
+          sum(cnt) AS n,
+          CAST(sum(CAST(l_quantity AS BIGINT) * cnt) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * cnt)
+            AS DOUBLE) AS sxx,
+          CAST(CAST(sum(sy100) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sy,
+          CAST(sum(syyd) AS DOUBLE) AS syy,
+          CAST(CAST(sum(sxy100) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sxy,
+          percentile(l_quantity, 0.5, cnt) AS med,
+          percentile(l_quantity, 0.9, cnt) AS p90
+        FROM h GROUP BY l_returnflag)
       SELECT l_returnflag, n,
         ${droundSql("med", 6)} AS median_qty,
         ${droundSql("p90", 6)} AS p90_qty,
