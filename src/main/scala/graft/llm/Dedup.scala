@@ -457,6 +457,78 @@ object Dedup {
     FROM reach GROUP BY id
     ORDER BY $orderBy"""
 
+  /** Edit-distance (Levenshtein) near-dup pairs over a fixed-width key —
+    * PassJoin-style segment-pigeonhole blocking (Li, Deng, Feng: "PassJoin:
+    * A Partition-based Method for Similarity Joins", VLDB'12). The key is
+    * the lowercased first `width` chars right-padded to exactly `width`
+    * (padding makes the segment split a true partition at every input
+    * length, so the recall proof needs no per-length segment bounds).
+    *
+    * Recall guarantee: split the key into `maxEdits + 1` equal segments;
+    * ≤ maxEdits edits touch at most maxEdits of them, so one segment
+    * survives VERBATIM in the other string, displaced by at most maxEdits
+    * positions. Candidates = equi-join of each doc's exact segments
+    * against each doc's (segment-index, ±maxEdits-shifted substring)
+    * probes — O(n·(k+1)²) emitted rows, never the O(n²) pair space —
+    * restricted to seg-side id < probe-side id (the pigeonhole argument
+    * partitions EITHER string of a pair, so one direction already has
+    * guaranteed recall and the join volume halves). Verification uses
+    * the THRESHOLDED levenshtein (banded O(width·maxEdits) DP with
+    * early exit, returns -1 past the threshold) — candidates are
+    * overwhelmingly spurious, so the verify must be cheap-per-miss. At
+    * 100 TB the segment keys of boilerplate prefixes skew; AQE
+    * skew-split handles the join, and a stop-segment df cap (as in
+    * chunk containment) bounds the worst key. Emits (id_a, id_b, dist). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        width: Int, maxEdits: Int): DataFrame = {
+    val segs = maxEdits + 1
+    require(width % segs == 0, s"width $width must be a multiple of ${segs}")
+    val segLen = width / segs
+    val p = docs.selectExpr(s"$idCol AS id",
+      s"rpad(lower(substr($textCol, 1, $width)), $width, '#') AS s")
+    // the join key is ONE int64: xxhash64(seg_idx, segment). A hash
+    // collision can only ADD a spurious candidate (the verify filters
+    // it), never lose a true one — and an 8-byte key shuffles/compares
+    // far cheaper than an (int, string) composite
+    val segFrame = p.selectExpr("id", "s",
+      s"explode(sequence(0, $maxEdits)) AS seg_idx")
+      .selectExpr("id", "s",
+        s"xxhash64(seg_idx, substr(s, 1 + seg_idx * $segLen, $segLen)) AS hk")
+    val probeFrame = p.selectExpr("id", "s",
+      s"explode(sequence(0, $maxEdits)) AS seg_idx")
+      .selectExpr("id", "s", "seg_idx",
+        s"explode(sequence(-$maxEdits, $maxEdits)) AS d")
+      .filter(expr(s"1 + seg_idx * $segLen + d >= 1"))
+      .selectExpr("id", "s",
+        s"xxhash64(seg_idx, substr(s, 1 + seg_idx * $segLen + d, $segLen)) AS hk")
+    // verify BEFORE dedup: a candidate pair reaches the join ~1.05 times
+    // on average (multi-segment agreement is rare), so deduping first
+    // would shuffle the whole candidate stream with its strings to save
+    // ~5% of the (cheap, thresholded) verifies — dedup the post-verify
+    // survivors instead, which are orders of magnitude fewer rows
+    segFrame.alias("a")
+      .join(probeFrame.alias("b"),
+        col("a.hk") === col("b.hk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s"), maxEdits).as("dist"))
+      .filter(col("dist") >= 0)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** DuckDB oracle for [[editDistancePairs]] — deliberately UNBLOCKED
+    * (all pairs, same verify): a hash match proves the segment blocking
+    * recalled every true pair, not just that both engines ran the same
+    * candidate generator. */
+  def editDistancePairsSql(table: String, idCol: String, textCol: String,
+                           width: Int, maxEdits: Int, orderBy: String): String = s"""
+    WITH p AS (
+      SELECT $idCol AS id, rpad(lower(substr($textCol, 1, $width)), $width, '#') AS s
+      FROM $table)
+    SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s)::INT AS dist
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= $maxEdits
+    ORDER BY $orderBy"""
+
   def simhashPairsSql(table: String, idCol: String, textCol: String,
                       maxHamming: Int, orderBy: String): String = {
     val whs = hsSql(s"list_transform(${wordsSql(textCol)}, w -> 's99:' || w)")

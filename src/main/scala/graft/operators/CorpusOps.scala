@@ -1,0 +1,395 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Determinism._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.llm.{Dedup, Similarity}
+
+/** Round-4 operator surface: fuzzy (edit-distance) joins, snapshot
+  * diffing, weighted sampling, entropy/diversity signals, exact
+  * distribution-shape aggregates, BM25 retrieval, numeric histograms,
+  * and end-to-end semantic dedup. Same contract as every other query
+  * group: one `queries` entry + one DuckDB oracle per operator, shared
+  * constants so plan and oracle cannot drift.
+  */
+object CorpusOps {
+
+  // Shared tuning constants (Spark plan ⟷ oracle SQL)
+  val FuzzyWidth = 32        // fixed-width prefix key for edit-distance dedup
+  val FuzzyMaxEdits = 3
+  val SampleN = 100          // priority-sample size
+  val HistBins = 20
+  val Bm25K1 = "1.2"         // spelled as literals so both engines parse
+  val Bm25B = "0.75"         //   the exact same fp constants
+  val Bm25TopK = 10
+  val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "bq1" -> Seq("spark", "hash", "table"),
+    "bq2" -> Seq("window", "sort", "merge"),
+    "bq3" -> Seq("batch", "line", "value"))
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  // ---------------------------------------------------------------- q85
+  /** Edit-distance near-dup pairs over padded 32-char prefixes —
+    * [[graft.llm.Dedup.editDistancePairs]] (PassJoin segment blocking,
+    * guaranteed recall). The oracle is the UNBLOCKED all-pairs ground
+    * truth, so a hash match proves recall, not just agreement. */
+  def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(docs(spark, dir), "doc_id", "text",
+      FuzzyWidth, FuzzyMaxEdits)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q86
+  /** Generic snapshot diff: full-outer join two keyed frames on `key`,
+    * classify each key as added / removed / changed by comparing a
+    * row-checksum column `vh` (at 100 TB you diff checksums, never
+    * columns — one shuffle on the key, no wide compare). Emits only the
+    * changed surface (unchanged rows are the overwhelming majority and
+    * the uninteresting one). */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.alias("a").join(b.alias("b"),
+        col(s"a.$key") === col(s"b.$key"), "full_outer")
+      .select(coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
+        when(col(s"a.$key").isNull, "added")
+          .when(col(s"b.$key").isNull, "removed")
+          .when(col("a.vh") =!= col("b.vh"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+
+  /** q86 fixture: two customer-table "snapshots" derived deterministically
+    * (keys ≡7 mod 10 arrive, ≡5 leave, ≡3 change balance), diffed via
+    * [[snapshotDiff]] on an xhash row checksum. */
+  def customerSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    def vh(balExpr: String): Column =
+      xhash(concat_ws("|", col("c_name"), col("c_nationkey"), expr(balExpr)))
+    val a = c.filter(expr("c_custkey % 10 <> 7"))
+      .select(col("c_custkey"),
+        vh("CAST(round(c_acctbal * 100) AS BIGINT)").as("vh"))
+    val b = c.filter(expr("c_custkey % 10 <> 5"))
+      .select(col("c_custkey"),
+        vh("CAST(round(c_acctbal * 100) AS BIGINT) + " +
+          "CASE WHEN c_custkey % 10 = 3 THEN 10000 ELSE 0 END").as("vh"))
+    snapshotDiff(a, b, "c_custkey").orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q87
+  /** Priority sampling (Duffield/Lund/Thorup): weight-proportional
+    * sampling with a DETERMINISTIC priority key hash(id)/weight — no
+    * RNG, reproducible on any partitioning, and the global smallest-N is
+    * a TakeOrderedAndProject (per-partition partial top-N, no full
+    * sort/shuffle of the corpus). Transcendental-free: the key is one
+    * IEEE division of a 60-bit hash by the integer weight, bit-identical
+    * in any engine. Heavier docs (more tokens) are proportionally more
+    * likely to be kept — the standard corpus-subsampling step when
+    * token budget, not doc count, is the constraint. */
+  def prioritySample(d: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    d.select(col(idCol), tokenCount(textCol).cast("long").as("w"))
+      .withColumn("pri",
+        xhash(concat(lit("ps:"), col(idCol).cast("string"))).cast("double") /
+          col("w").cast("double"))
+      .orderBy(col("pri"), col(idCol)).limit(n)
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    prioritySample(docs(spark, dir), "doc_id", "text", SampleN)
+
+  // ---------------------------------------------------------------- q88
+  /** Per-document word-distribution signals: Shannon entropy (bits) and
+    * Gini–Simpson diversity — low-entropy docs are boilerplate/spam, the
+    * complement of q56's repetition ratios. One explode + two hash aggs
+    * (map-side combine), no window, no self-join — scales as a single
+    * corpus pass. Exactness: counts are integers; Σ c·ln(c) is bridged
+    * through half-up-rounded 1e-8-grid decimals (order-independent sum;
+    * `ln` of integer args is bitwise-equal across engines — verified for
+    * 1..2000); Gini–Simpson is pure integer arithmetic until one final
+    * division. */
+  def wordEntropy(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val uc = d.select(col(idCol), explode(words(textCol)).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    uc.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(expr("CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e8 + 0.5) AS DECIMAL(30,0))"))
+          .as("s8"))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        dround(expr("(ln(CAST(n_words AS DOUBLE)) - " +
+          "(CAST(s8 AS DOUBLE) / 1e8) / CAST(n_words AS DOUBLE)) / ln(2.0D)"), 6)
+          .as("entropy_bits"),
+        dround(expr("1.0D - CAST(s2 AS DOUBLE) / " +
+          "(CAST(n_words AS DOUBLE) * CAST(n_words AS DOUBLE))"), 6)
+          .as("gini_simpson"))
+  }
+
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    wordEntropy(docs(spark, dir), "doc_id", "text").orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q89
+  /** Distribution-shape aggregate: mode (tie → smallest value), skewness
+    * and excess kurtosis per group — entirely from a (group, value)
+    * histogram. The histogram is one codegen'd hash agg; power sums
+    * S1..S4 are EXACT int64 arithmetic on (value, count) rows (value ≤
+    * 50 ⇒ S4 ≤ 50⁴·n, inside int64 up to ~10¹² rows), so the moment
+    * formulas run once per group on identical doubles — no fp
+    * accumulation, no sort-agg, deterministic mode via (count DESC,
+    * value) ranking. The SQL is dialect-neutral: the SAME string is the
+    * Spark plan and the DuckDB oracle. */
+  def distShapeSql(table: String): String = {
+    val mu = "(d1 / nd)"
+    val v = s"(d2 / nd - $mu * $mu)"
+    s"""
+    WITH h AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(1) AS cnt
+      FROM $table GROUP BY l_returnflag, q),
+    m AS (
+      SELECT l_returnflag, q AS mode_qty,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, q) AS rn
+      FROM h),
+    s AS (
+      SELECT l_returnflag,
+        CAST(sum(cnt) AS BIGINT) AS n,
+        CAST(sum(q * cnt) AS BIGINT) AS s1,
+        CAST(sum(q * q * cnt) AS BIGINT) AS s2,
+        CAST(sum(q * q * q * cnt) AS BIGINT) AS s3,
+        CAST(sum(q * q * q * q * cnt) AS BIGINT) AS s4
+      FROM h GROUP BY l_returnflag),
+    f AS (
+      SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+        CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+      FROM s)
+    SELECT f.l_returnflag, n, m.mode_qty,
+      ${droundSql(s"(d3 / nd - 3.0 * $mu * (d2 / nd) + 2.0 * $mu * $mu * $mu)" +
+        s" / (sqrt($v) * $v)", 6)} AS skewness,
+      ${droundSql(s"(d4 / nd - 4.0 * $mu * (d3 / nd) + 6.0 * $mu * $mu * (d2 / nd)" +
+        s" - 3.0 * $mu * $mu * $mu * $mu) / ($v * $v) - 3.0", 6)} AS ex_kurtosis
+    FROM f JOIN m ON f.l_returnflag = m.l_returnflag AND m.rn = 1
+    ORDER BY f.l_returnflag"""
+  }
+
+  def distShape(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(distShapeSql("lineitem"))
+  }
+
+  // ---------------------------------------------------------------- q90
+  /** Shared BM25 term-contribution formula — the fp-critical core,
+    * spelled ONCE and embedded verbatim in both engines' SQL. Aliases:
+    * tfd/dfd/dld/ndd/avgdl are DOUBLE columns in scope at the call site.
+    * Contributions are half-up rounded on a 1e-6 grid and summed as
+    * exact decimals (order-independent); ranking uses the rounded score
+    * with doc-id tiebreak, so near-ties cannot flip across engines. */
+  private def bm25ContribSql: String = {
+    val idf = "ln(1.0 + (ndd - dfd + 0.5) / (dfd + 0.5))"
+    s"CAST(floor(($idf * (tfd * ($Bm25K1 + 1.0)) / " +
+      s"(tfd + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dld / avgdl))) * 1e6 + 0.5) " +
+      "AS DECIMAL(30,0))"
+  }
+
+  private def bm25ValuesSql: String =
+    Bm25Queries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+
+  /** BM25 top-k retrieval over the corpus for a literal query batch:
+    * tf/df/dl from one exploded-terms pass (terms pre-filtered to the
+    * query vocabulary — the scan never materializes the full posting
+    * list), corpus stats broadcast, per-query top-k by windowed rank.
+    * At scale: the term join is a broadcast (query vocab is tiny), the
+    * only shuffle keys are (query, doc), and top-k per query is a
+    * k-bounded window over docs that matched ≥1 term. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH qt AS (SELECT * FROM VALUES $bm25ValuesSql AS t(query_id, term)),
+      uni AS (
+        SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents),
+      hits AS (SELECT /*+ BROADCAST(qt) */ u.doc_id, u.term, qt.query_id
+               FROM uni u JOIN qt ON u.term = qt.term),
+      tf AS (SELECT query_id, doc_id, term, count(1) AS tf
+             FROM hits GROUP BY query_id, doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df
+             FROM hits GROUP BY term),
+      dl AS (SELECT doc_id, CAST(${tokenCountExprSql} AS BIGINT) AS dl
+             FROM documents),
+      st AS (SELECT count(1) AS n_docs, sum(CAST(${tokenCountExprSql} AS BIGINT)) AS sum_dl
+             FROM documents),
+      contrib AS (
+        SELECT query_id, tf.doc_id, $bm25ContribSql AS c6
+        FROM (SELECT query_id, doc_id, term, CAST(tf AS DOUBLE) AS tfd FROM tf) tf
+        JOIN (SELECT term, CAST(df AS DOUBLE) AS dfd FROM df) df ON tf.term = df.term
+        JOIN (SELECT doc_id, CAST(dl AS DOUBLE) AS dld FROM dl) dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN (SELECT CAST(n_docs AS DOUBLE) AS ndd,
+                      CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st)),
+      sc AS (SELECT query_id, doc_id, CAST(sum(c6) AS DOUBLE) / 1e6 AS score
+             FROM contrib GROUP BY query_id, doc_id)
+      SELECT query_id, rk, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INT) AS rk
+        FROM sc)
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk""")
+  }
+
+  /** Spark-dialect token count as a raw SQL fragment (matches
+    * [[graft.functions.TextFunctions.tokenCount]]). */
+  private def tokenCountExprSql: String = s"size(${wordsExpr("text")})"
+
+  // ---------------------------------------------------------------- q91
+  /** Equi-width numeric histogram: two passes (exact min/max, then one
+    * hash agg on the bin id) — the portable form of width_bucket, with
+    * the bin arithmetic spelled once for both engines. Bin edges are fp
+    * but every row's bin is the same IEEE expression in both engines;
+    * the last bin absorbs the x = max edge. */
+  def numericHistSql(table: String): String = s"""
+    WITH st AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM $table),
+    b AS (
+      SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / $HistBins.0)),
+        ${HistBins - 1}.0) AS INT) AS bin, lo, hi
+      FROM $table CROSS JOIN st)
+    SELECT bin, count(1) AS n,
+      ${droundSql(s"lo + bin * ((hi - lo) / $HistBins.0)", 4)} AS bin_lo,
+      ${droundSql(s"lo + (bin + 1) * ((hi - lo) / $HistBins.0)", 4)} AS bin_hi
+    FROM b GROUP BY bin, lo, hi
+    ORDER BY bin"""
+
+  def numericHist(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(numericHistSql("lineitem"))
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** End-to-end semantic dedup over embeddings: cosine near-dup pairs
+    * within blocking cells (q38's operator) → connected components →
+    * every vector labeled with its component and a keep flag (component
+    * representative = min vec_id). The embedding-space mirror of q74's
+    * text-space surviving corpus. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val comp = Dedup.connectedComponents(
+      Similarity.cosineNearDupPairs(e, "label", LlmQueries.EmbTau))
+    e.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"),
+        (col("component").isNull || col("component") === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_fuzzy_pairs"     -> fuzzyPairs _,
+    "q86_snapshot_diff"   -> customerSnapshotDiff _,
+    "q87_weighted_sample" -> weightedSample _,
+    "q88_text_entropy"    -> textEntropy _,
+    "q89_dist_shape"      -> distShape _,
+    "q90_bm25_search"     -> bm25Search _,
+    "q91_numeric_hist"    -> numericHist _,
+    "q92_semantic_dedup"  -> semanticDedup _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q85_fuzzy_pairs" -> Dedup.editDistancePairsSql(
+      "documents", "doc_id", "text", FuzzyWidth, FuzzyMaxEdits, "id_a, id_b"),
+    "q86_snapshot_diff" -> s"""
+      WITH a AS (
+        SELECT c_custkey, ${xhashSql(
+          "c_name || '|' || c_nationkey::VARCHAR || '|' || " +
+            "CAST(round(c_acctbal * 100) AS BIGINT)::VARCHAR")} AS vh
+        FROM customer WHERE c_custkey % 10 <> 7),
+      b AS (
+        SELECT c_custkey, ${xhashSql(
+          "c_name || '|' || c_nationkey::VARCHAR || '|' || " +
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + " +
+            "CASE WHEN c_custkey % 10 = 3 THEN 10000 ELSE 0 END)::VARCHAR")} AS vh
+        FROM customer WHERE c_custkey % 10 <> 5)
+      SELECT c_custkey, status FROM (
+        SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+          CASE WHEN a.c_custkey IS NULL THEN 'added'
+               WHEN b.c_custkey IS NULL THEN 'removed'
+               WHEN a.vh <> b.vh THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+      WHERE status <> 'unchanged'
+      ORDER BY c_custkey""",
+    "q87_weighted_sample" -> s"""
+      WITH w AS (
+        SELECT doc_id, ${tokenCountSql("text")}::BIGINT AS w FROM documents),
+      p AS (
+        SELECT doc_id, w,
+          ${xhashSql("'ps:' || doc_id::VARCHAR")}::DOUBLE / w::DOUBLE AS pri
+        FROM w)
+      SELECT doc_id, w, pri FROM p
+      ORDER BY pri, doc_id LIMIT $SampleN""",
+    "q88_text_entropy" -> s"""
+      WITH uni AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS t FROM documents),
+      uc AS (SELECT doc_id, t, count(*) AS c FROM uni GROUP BY doc_id, t),
+      s AS (
+        SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_words,
+          count(*) AS n_distinct,
+          CAST(sum(c * c) AS BIGINT) AS s2,
+          CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e8 + 0.5)
+            AS DECIMAL(30,0))) AS DECIMAL(38,0)) AS s8
+        FROM uc GROUP BY doc_id)
+      SELECT doc_id, n_words, n_distinct,
+        ${droundSql("(ln(CAST(n_words AS DOUBLE)) - " +
+          "(CAST(s8 AS DOUBLE) / 1e8) / CAST(n_words AS DOUBLE)) / ln(2.0)", 6)}
+          AS entropy_bits,
+        ${droundSql("1.0 - CAST(s2 AS DOUBLE) / " +
+          "(CAST(n_words AS DOUBLE) * CAST(n_words AS DOUBLE))", 6)}
+          AS gini_simpson
+      FROM s ORDER BY doc_id""",
+    "q89_dist_shape" -> distShapeSql("lineitem"),
+    "q90_bm25_search" -> s"""
+      WITH qt(query_id, term) AS (VALUES $bm25ValuesSql),
+      uni AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
+      hits AS (SELECT u.doc_id, u.term, qt.query_id
+               FROM uni u JOIN qt ON u.term = qt.term),
+      tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+             FROM hits GROUP BY query_id, doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df
+             FROM hits GROUP BY term),
+      dl AS (SELECT doc_id, ${tokenCountSql("text")}::BIGINT AS dl
+             FROM documents),
+      st AS (SELECT count(*) AS n_docs,
+               CAST(sum(${tokenCountSql("text")}::BIGINT) AS BIGINT) AS sum_dl
+             FROM documents),
+      contrib AS (
+        SELECT query_id, tf.doc_id, $bm25ContribSql AS c6
+        FROM (SELECT query_id, doc_id, term, tf::DOUBLE AS tfd FROM tf) tf
+        JOIN (SELECT term, df::DOUBLE AS dfd FROM df) df ON tf.term = df.term
+        JOIN (SELECT doc_id, dl::DOUBLE AS dld FROM dl) dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN (SELECT n_docs::DOUBLE AS ndd,
+                      sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl FROM st)),
+      sc AS (SELECT query_id, doc_id, CAST(sum(c6) AS DOUBLE) / 1e6 AS score
+             FROM contrib GROUP BY query_id, doc_id)
+      SELECT query_id, rk, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+          (row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id))::INT AS rk
+        FROM sc)
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk""",
+    "q91_numeric_hist" -> numericHistSql("lineitem"),
+    "q92_semantic_dedup" -> s"""
+      WITH comp AS (${Dedup.componentsSql(
+        Similarity.cosineNearDupPairsSql("embeddings", "label", LlmQueries.EmbTau),
+        "doc_id")})
+      SELECT e.vec_id,
+        coalesce(c.component, e.vec_id) AS component,
+        (c.component IS NULL OR c.component = e.vec_id) AS keep
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id
+      ORDER BY e.vec_id"""
+  )
+}

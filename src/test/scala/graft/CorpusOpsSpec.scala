@@ -1,0 +1,83 @@
+package graft
+
+import graft.llm.Dedup
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** Round-4 operator properties: PassJoin recall (the blocked plan finds
+  * every true edit-distance pair), entropy on known distributions,
+  * priority-sample determinism under repartitioning, snapshot-diff
+  * classification. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*) = {
+    val sq = spark
+    import sq.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("editDistancePairs equals unblocked ground truth, incl. first-segment edits") {
+    // 32-char-ish strings; pair (1,2) differs ONLY inside the first
+    // segment (the case naive prefix blocking drops), (3,4) differs by
+    // one char per segment region (3 edits), (5,6) is 4 edits — excluded.
+    val d = docsOf(
+      1L -> "aaaaaaaabbbbbbbbccccccccdddddddd",
+      2L -> "aaaxxaaabbbbbbbbccccccccdddddddd",
+      3L -> "eeeeeeeeffffffffgggggggghhhhhhhh",
+      4L -> "eeeeeeeXffffffXfgggggggXhhhhhhhh",
+      5L -> "iiiiiiiijjjjjjjjkkkkkkkkllllllll",
+      6L -> "iiiXiiiXjjjjXjjjkkkkkkkXllllllll",
+      7L -> "some totally unrelated text here")
+    val blocked = Dedup.editDistancePairs(d, "doc_id", "text", 32, 3)
+      .orderBy("id_a", "id_b").collect()
+    // ground truth: all pairs, same padded key, no blocking
+    val p = d.selectExpr("doc_id AS id",
+      "rpad(lower(substr(text, 1, 32)), 32, '#') AS s")
+    val truth = p.alias("a").join(p.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("dist") <= 3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .orderBy("id_a", "id_b").collect()
+    assert(blocked.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ===
+      truth.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+    assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("wordEntropy matches closed-form values on known distributions") {
+    val d = docsOf(
+      1L -> "a a b b",     // uniform over 2 → 1 bit, gini 0.5
+      2L -> "a b c d",     // uniform over 4 → 2 bits, gini 0.75
+      3L -> "a a a a")     // degenerate → 0 bits, gini 0
+    val rows = CorpusOps.wordEntropy(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(1.0, 2.0, 0.0))
+    assert(rows.map(_.getDouble(4)).toSeq === Seq(0.5, 0.75, 0.0))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(4L, 4L, 4L))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(2L, 4L, 1L))
+  }
+
+  test("prioritySample is the exact smallest-N set and partitioning-invariant") {
+    val d = docsOf((1L to 200L).map(i =>
+      i -> (s"token " * (1 + (i % 17).toInt)).trim): _*)
+    val s1 = CorpusOps.prioritySample(d, "doc_id", "text", 50).collect()
+    val s2 = CorpusOps.prioritySample(d.repartition(13), "doc_id", "text", 50)
+      .collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq)
+    // the kept set is exactly the 50 smallest priorities
+    val all = CorpusOps.prioritySample(d, "doc_id", "text", 200)
+      .collect().map(r => (r.getDouble(2), r.getLong(0)))
+    assert(s1.map(r => (r.getDouble(2), r.getLong(0))).toSeq ===
+      all.sorted.take(50).toSeq)
+  }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val sq = spark
+    import sq.implicits._
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "vh")
+    val b = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "vh")
+    val out = CorpusOps.snapshotDiff(a, b, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+}
