@@ -283,6 +283,119 @@ object CorpusOps {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Shared fp core of the KL computation — smoothed probability and the
+    * decimal-bridged per-term contribution, spelled once for both
+    * engines. `c0/ns/v` resp. `pa/pb` are columns in scope at the call
+    * sites. Terms are half-up rounded on a 1e-12 grid (they are O(1e-4))
+    * and summed as exact decimals — order-independent. */
+  private val klPSql = "CAST(c0 + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)"
+  private val klTermSql =
+    "CAST(floor(pa * ln(pa / pb) * 1e12 + 0.5) AS DECIMAL(38,0))"
+  private def klBitsSql: String =
+    droundSql("(CAST(sum(k12) AS DOUBLE) / 1e12) / ln(2.0)", 6)
+
+  /** Training-mixture drift matrix: add-one-smoothed KL divergence (bits)
+    * between every ordered pair of sources' term distributions — the
+    * monitoring signal for "did source X's content shift vs Y" when
+    * composing corpus mixtures. One exploded-terms pass feeds per-source
+    * counts; the (source × vocab) grid and the pair join are
+    * |sources|²·|vocab| rows — at real scale cap the vocab to the top-V
+    * terms (as q67 does) so the grid stays bounded; the corpus itself is
+    * touched once. */
+  def klDrift(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH uni AS (
+        SELECT source, explode(${wordsExpr("text")}) AS t FROM documents),
+      cnt AS (SELECT source, t, count(1) AS c FROM uni GROUP BY source, t),
+      nst AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY source),
+      vocab AS (SELECT DISTINCT t FROM uni),
+      vc AS (SELECT count(1) AS v FROM vocab),
+      grid AS (
+        SELECT s.source, vocab.t, coalesce(c.c, 0) AS c0, s.ns, vc.v
+        FROM nst s CROSS JOIN vocab CROSS JOIN vc
+        LEFT JOIN cnt c ON c.source = s.source AND c.t = vocab.t),
+      p AS (SELECT source, t, $klPSql AS prob FROM grid),
+      term AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          ${klTermSql.replace("pa", "a.prob").replace("pb", "b.prob")} AS k12
+        FROM p a JOIN p b ON a.t = b.t AND a.source <> b.source)
+      SELECT source_a, source_b, $klBitsSql AS kl_bits
+      FROM term GROUP BY source_a, source_b
+      ORDER BY source_a, source_b""")
+  }
+
+  // ---------------------------------------------------------------- q94
+  /** Remaining rank-family window functions — percent_rank, cume_dist,
+    * ntile, nth_value with an explicit ROWS frame — over a total
+    * per-partition order (acctbal, custkey tiebreak), so every output is
+    * deterministic and the fp ones are exact integer rationals. The SQL
+    * is dialect-neutral: one string serves both engines. */
+  def rankFuncsSql(table: String): String = {
+    val w = "PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey"
+    s"""
+    SELECT c_custkey, c_mktsegment,
+      percent_rank() OVER ($w) AS pr,
+      cume_dist() OVER ($w) AS cd,
+      CAST(ntile(4) OVER ($w) AS INT) AS quartile,
+      nth_value(c_name, 2) OVER
+        ($w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_name
+    FROM $table ORDER BY c_custkey"""
+  }
+
+  def rankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(rankFuncsSql("customer"))
+  }
+
+  // ---------------------------------------------------------------- q95
+  /** Interval-overlap join via time-bucket explosion: each order's
+    * [orderdate, +30d] activity window is exploded into the calendar
+    * months it touches (≤ 2 buckets per row) and equi-joined against the
+    * observed-month dimension — the scale-safe rewrite of a range
+    * predicate join (no inequality join, no cross product; the bucket
+    * count bounds the amplification). The oracle states the same
+    * semantics AS the inequality join, so a hash match proves the bucket
+    * rewrite exact. */
+  def intervalMonthJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT month, count(1) AS n_orders FROM (
+        SELECT explode(sequence(
+          date_trunc('MONTH', o_orderdate),
+          date_trunc('MONTH', o_orderdate + INTERVAL 30 DAYS),
+          INTERVAL 1 MONTH)) AS month
+        FROM orders) e
+      WHERE month IN (SELECT DISTINCT date_trunc('MONTH', o_orderdate) FROM orders)
+      GROUP BY month ORDER BY month""")
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** Robust location/scale stats: median + median absolute deviation per
+    * group, both through the histogram-fed `percentile(v, p, freq)` form
+    * (q46's move) — two tiny weighted percentiles over one (group, value)
+    * hash agg instead of two corpus-wide sort-aggs. */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(s"""
+      WITH h AS (
+        SELECT l_returnflag, l_quantity AS q, count(1) AS cnt
+        FROM lineitem GROUP BY l_returnflag, q),
+      med AS (
+        SELECT l_returnflag, percentile(q, 0.5, cnt) AS med
+        FROM h GROUP BY l_returnflag),
+      mad AS (
+        SELECT h.l_returnflag, percentile(abs(h.q - m.med), 0.5, h.cnt) AS mad
+        FROM h JOIN med m ON h.l_returnflag = m.l_returnflag
+        GROUP BY h.l_returnflag)
+      SELECT m.l_returnflag,
+        ${droundSql("m.med", 6)} AS median_qty,
+        ${droundSql("d.mad", 6)} AS mad_qty
+      FROM med m JOIN mad d ON m.l_returnflag = d.l_returnflag
+      ORDER BY m.l_returnflag""")
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,7 +406,11 @@ object CorpusOps {
     "q89_dist_shape"      -> distShape _,
     "q90_bm25_search"     -> bm25Search _,
     "q91_numeric_hist"    -> numericHist _,
-    "q92_semantic_dedup"  -> semanticDedup _
+    "q92_semantic_dedup"  -> semanticDedup _,
+    "q93_kl_drift"        -> klDrift _,
+    "q94_rank_funcs"      -> rankFuncs _,
+    "q95_interval_join"   -> intervalMonthJoin _,
+    "q96_robust_stats"    -> robustStats _
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +507,47 @@ object CorpusOps {
         coalesce(c.component, e.vec_id) AS component,
         (c.component IS NULL OR c.component = e.vec_id) AS keep
       FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id
-      ORDER BY e.vec_id"""
+      ORDER BY e.vec_id""",
+    "q93_kl_drift" -> s"""
+      WITH uni AS (
+        SELECT source, unnest(${wordsSql("text")}) AS t FROM documents),
+      cnt AS (SELECT source, t, count(*) AS c FROM uni GROUP BY source, t),
+      nst AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY source),
+      vocab AS (SELECT DISTINCT t FROM uni),
+      vc AS (SELECT count(*) AS v FROM vocab),
+      grid AS (
+        SELECT s.source, vocab.t, coalesce(c.c, 0) AS c0, s.ns, vc.v
+        FROM nst s CROSS JOIN vocab CROSS JOIN vc
+        LEFT JOIN cnt c ON c.source = s.source AND c.t = vocab.t),
+      p AS (SELECT source, t, $klPSql AS prob FROM grid),
+      term AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          ${klTermSql.replace("pa", "a.prob").replace("pb", "b.prob")} AS k12
+        FROM p a JOIN p b ON a.t = b.t AND a.source <> b.source)
+      SELECT source_a, source_b, $klBitsSql AS kl_bits
+      FROM term GROUP BY source_a, source_b
+      ORDER BY source_a, source_b""",
+    "q94_rank_funcs" -> rankFuncsSql("customer"),
+    "q95_interval_join" -> """
+      WITH months AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS month FROM orders)
+      SELECT m.month, count(*) AS n_orders
+      FROM months m JOIN orders o
+        ON o.o_orderdate < m.month + INTERVAL 1 MONTH
+       AND o.o_orderdate + INTERVAL 30 DAY >= m.month
+      GROUP BY m.month ORDER BY month""",
+    "q96_robust_stats" -> s"""
+      WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag),
+      mad AS (
+        SELECT l.l_returnflag, quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag)
+      SELECT m.l_returnflag,
+        ${droundSql("m.med", 6)} AS median_qty,
+        ${droundSql("d.mad", 6)} AS mad_qty
+      FROM med m JOIN mad d ON m.l_returnflag = d.l_returnflag
+      ORDER BY m.l_returnflag"""
   )
 }

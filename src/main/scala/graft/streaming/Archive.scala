@@ -127,6 +127,53 @@ object Archive {
   def readArchive(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Multi-sink delivery via `foreachBatch`: one micro-batch fans out to
+    * (1) the parquet archive and (2) a per-batch topic-count index table
+    * — the "rotated-file event" metadata stream the reference pushes to
+    * its uploaders (kafka.clj:93-97) turned into a queryable table.
+    *
+    * foreachBatch gives at-least-once per batch; exactly-once is restored
+    * by making EVERY sink write idempotent on batchId: each batch lands
+    * in its own `batch_id=N` partition directory with `overwrite` mode,
+    * so a replayed batch overwrites its own previous (possibly partial)
+    * attempt instead of appending duplicates — the §2.1.6-7 ordering
+    * argument, one directory per batch instead of one manifest entry.
+    * Readers see a normal Hive-partitioned table with batch_id as a
+    * column (and can prune on it). */
+  def startMultiSink(stream: DataFrame, cfg: ArchiveConfig,
+                     indexPath: String): StreamingQuery =
+    stream
+      .filter(topicFilter(cfg))
+      .selectExpr(archiveColumns: _*)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { // §2.1.5: no empty files on either sink
+          batch.write.mode("overwrite")
+            .partitionBy("topic", "partition")
+            .parquet(s"${cfg.outputPath}/batch_id=$batchId")
+          batch.groupBy(col("topic"))
+            .agg(count(lit(1)).as("n_records"),
+              min(col("offset")).as("first_offset"),
+              max(col("offset")).as("last_offset"))
+            .write.mode("overwrite")
+            .parquet(s"$indexPath/batch_id=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", cfg.checkpointPath)
+      .trigger(Trigger.ProcessingTime(cfg.rotationInterval))
+      .start()
+
+  /** Schema-evolution read: a long-lived archive accumulates files
+    * written by different producer versions (new columns appear; old
+    * files simply lack them). `mergeSchema` unions all file footers into
+    * one schema and fills absent columns with null — readers never break
+    * on old data. At scale, footer merging over millions of files is
+    * driver work: pin the schema explicitly once it stabilizes (this
+    * helper is for the evolving window). */
+  def readArchiveEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Small-file compaction — the operational other half of a streaming
     * archive: a 60 s rotation writes ~1440 files per (topic, partition)
     * per day, and at 100 TB the file count (not the bytes) is what kills

@@ -188,6 +188,64 @@ class ArchiveSpec extends SparkSpec {
       "checkpoint replay after failure must stay exactly-once")
   }
 
+  test("foreachBatch multi-sink delivers archive + batch index exactly-once " +
+       "across a checkpoint restart") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val out = Files.createTempDirectory("msink-out").toString
+    val idx = Files.createTempDirectory("msink-idx").toString
+    val ckpt = Files.createTempDirectory("msink-ckpt").toString
+    val cfg = ArchiveConfig(out, ckpt, rotationInterval = "1 seconds")
+
+    val source = MemoryStream[KMsg]
+    source.addData(msg("orders", 0, 0), msg("orders", 0, 1), msg("clicks", 0, 0))
+    val q1 = Archive.startMultiSink(source.toDF(), cfg, idx)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint; only the new data may appear
+    source.addData(msg("orders", 0, 2))
+    val q2 = Archive.startMultiSink(source.toDF(), cfg, idx)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val archived = Archive.readArchive(spark, out)
+    assert(archived.count() === 4)
+    assert(archived.dropDuplicates("topic", "partition", "offset").count() === 4,
+      "batch_id-keyed overwrite must keep replays exactly-once")
+    // the index sink agrees with the archive sink batch by batch
+    val index = Archive.readArchive(spark, idx)
+    assert(index.selectExpr("CAST(sum(n_records) AS BIGINT)").head().getLong(0) === 4L)
+    val ordersIdx = index.filter("topic = 'orders'")
+      .selectExpr("min(first_offset)", "max(last_offset)").head()
+    assert(ordersIdx.getLong(0) === 0L && ordersIdx.getLong(1) === 2L)
+    // both sinks are batch_id-partitioned (prunable, idempotent target)
+    assert(archived.columns.contains("batch_id"))
+    assert(index.columns.contains("batch_id"))
+  }
+
+  test("mergeSchema read spans producer schema evolution; old files read " +
+       "with nulls for later columns") {
+    val sq = spark
+    import sq.implicits._
+    val root = Files.createTempDirectory("evolve").toString
+    // v1 producer: no headers column
+    Seq(("orders", 0L, "a")).toDF("topic", "offset", "value")
+      .write.parquet(s"$root/d1")
+    // v2 producer adds a headers map
+    Seq(("orders", 1L, "b", Map("k" -> "v")))
+      .toDF("topic", "offset", "value", "headers")
+      .write.parquet(s"$root/d2")
+    val evolved = Archive.readArchiveEvolved(spark, s"$root/*")
+    assert(evolved.columns.sorted === Array("headers", "offset", "topic", "value"))
+    assert(evolved.count() === 2)
+    val byOffset = evolved.orderBy("offset").collect()
+    assert(byOffset(0).isNullAt(byOffset(0).fieldIndex("headers")),
+      "pre-evolution rows surface the new column as null")
+    assert(!byOffset(1).isNullAt(byOffset(1).fieldIndex("headers")))
+  }
+
   private def fileCount(dir: String): Int = {
     def walk(f: java.io.File): Int =
       if (f.isDirectory) f.listFiles().map(walk).sum
