@@ -325,8 +325,47 @@ object Dedup {
     * the large-star/small-star transforms (Kiveris et al., "Connected
     * Components in MapReduce") halves the round count; the per-round plan
     * here (shuffle join on id + min-agg) is already the right shape.
-    * Output: (doc_id, component = min doc_id reachable). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Output: (doc_id, component = min doc_id reachable).
+    *
+    * Adaptive small-graph path: the dup-pair graph is orders of magnitude
+    * smaller than the corpus (it is the OUTPUT of thresholded LSH), and a
+    * multi-round distributed fixpoint on a few thousand edges is pure
+    * job-scheduling latency. Below `driverEdgeLimit` edges the id-pairs
+    * (16 bytes each — never text or payloads) are collected and solved
+    * with path-compressed union-find on the driver — the same size-gated
+    * strategy switch Spark itself makes when it broadcasts a small join
+    * side. The distributed loop remains the over-limit path and the two
+    * are cross-validated in DedupSpec (`driverEdgeLimit = 0` forces the
+    * loop on identical input). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val idPairs = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (idPairs.count() <= driverEdgeLimit) {
+      val collected = idPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      idPairs.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // contract: component = MIN reachable id; union-by-min keeps the
+      // root minimal, so find() already yields it
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val sq = spark
+      import sq.implicits._
+      return rows.toDF("doc_id", "component")
+    }
+    idPairs.unpersist()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
