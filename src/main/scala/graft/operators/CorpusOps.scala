@@ -396,6 +396,70 @@ object CorpusOps {
       ORDER BY m.l_returnflag""")
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Recursive-CTE hierarchy traversal (WITH RECURSIVE landed in Spark
+    * 4.x — SQL-surface parity with every warehouse engine): walk a
+    * heap-shaped parent function (parent(k) = ⌊k/2⌋) over the supplier
+    * dimension, emitting each node's depth. Dialect-neutral — one string
+    * is both the Spark plan and the oracle. Scale note: Spark executes
+    * recursion as iterative union materialization; it is the right tool
+    * for hierarchy DIMENSIONS (org trees, category taxonomies — small),
+    * while corpus-scale transitive closure goes through
+    * [[graft.llm.Dedup.connectedComponents]]. */
+  def recursiveHierarchySql(table: String): String = s"""
+    WITH RECURSIVE r(key, depth) AS (
+      SELECT s_suppkey, 0 FROM $table WHERE s_suppkey = 0
+      UNION ALL
+      SELECT s.s_suppkey, r.depth + 1
+      FROM $table s JOIN r ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = r.key
+      WHERE s.s_suppkey <> 0)
+    SELECT key, CAST(depth AS INT) AS depth FROM r ORDER BY key"""
+
+  def recursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(recursiveHierarchySql("supplier"))
+  }
+
+  // ---------------------------------------------------------------- q98
+  /** Correlated LATERAL subquery — top-2 nations by customer balance
+    * per region, the "for each outer row, run this ordered/limited
+    * subquery" shape that window-function rewrites obscure. Decimal-exact
+    * balance sums; dialect-neutral shared string. */
+  def lateralTopkSql: String = s"""
+    SELECT r_name, l.n_name, l.bal
+    FROM region, LATERAL (
+      SELECT n_name,
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS bal
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE n_regionkey = r_regionkey
+      GROUP BY n_name
+      ORDER BY bal DESC, n_name
+      LIMIT 2) l
+    ORDER BY r_name, bal DESC, n_name"""
+
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "customer")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(lateralTopkSql)
+  }
+
+  // ---------------------------------------------------------------- q99
+  /** grouping()/GROUPING metadata over ROLLUP — distinguishes "NULL
+    * because subtotal" from "NULL in the data", the piece q16's
+    * label-coalescing form leaves implicit. Shared dialect string. */
+  def groupingIdSql(table: String): String = s"""
+    SELECT CAST(grouping(l_returnflag) AS INT) AS gf,
+      CAST(grouping(l_linestatus) AS INT) AS gs,
+      l_returnflag, l_linestatus, count(1) AS n
+    FROM $table
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gf, gs, l_returnflag, l_linestatus"""
+
+  def groupingId(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(groupingIdSql("lineitem"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -410,7 +474,10 @@ object CorpusOps {
     "q93_kl_drift"        -> klDrift _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
-    "q96_robust_stats"    -> robustStats _
+    "q96_robust_stats"    -> robustStats _,
+    "q97_recursive_cte"   -> recursiveHierarchy _,
+    "q98_lateral_topk"    -> lateralTopk _,
+    "q99_grouping_id"     -> groupingId _
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +615,9 @@ object CorpusOps {
         ${droundSql("m.med", 6)} AS median_qty,
         ${droundSql("d.mad", 6)} AS mad_qty
       FROM med m JOIN mad d ON m.l_returnflag = d.l_returnflag
-      ORDER BY m.l_returnflag"""
+      ORDER BY m.l_returnflag""",
+    "q97_recursive_cte" -> recursiveHierarchySql("supplier"),
+    "q98_lateral_topk" -> lateralTopkSql,
+    "q99_grouping_id" -> groupingIdSql("lineitem")
   )
 }
