@@ -460,6 +460,63 @@ object CorpusOps {
     spark.sql(groupingIdSql("lineitem"))
   }
 
+  // --------------------------------------------------------------- q100
+  /** Deterministic train/val/test split (8/1/1 by hash bucket): the
+    * assignment is a pure function of doc_id — reproducible on any
+    * partitioning, stable across reruns and engine versions, and
+    * leakage-free (a doc can never migrate between splits when the
+    * corpus grows, unlike ratio-based `randomSplit`). One narrow
+    * projection, no shuffle at all. */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      expr(s"CASE WHEN ${xhashExpr("concat('split:', CAST(doc_id AS STRING))")} % 10 <= 7 THEN 'train' " +
+        s"WHEN ${xhashExpr("concat('split:', CAST(doc_id AS STRING))")} % 10 = 8 THEN 'val' " +
+        "ELSE 'test' END").as("split"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------------- q101
+  /** Bigram-LM mean surprisal per document (bits/bigram) — the
+    * perplexity-style fluency filter: a document whose bigrams are rare
+    * under the corpus's own add-one-smoothed bigram model is boilerplate,
+    * OCR noise, or wrong-language. Two exploded passes build the model
+    * (bigram + unigram-history counts, both map-side-combining hash
+    * aggs); docs join their bigram multiplicities against the model on
+    * the bigram key. Per-bigram surprisal terms are decimal-bridged on a
+    * 1e-6 grid before the per-doc sum (order-independent, q73/q90
+    * precedent for `ln` determinism). */
+  /** Shared per-bigram surprisal term (fp-critical, spelled once). */
+  private val bigramTerm6Sql = "CAST(floor((0.0 - ln(CAST(c12 + 1 AS DOUBLE) / " +
+    "CAST(c1 + v AS DOUBLE))) * 1e6 + 0.5) AS DECIMAL(38,0))"
+  private val bigramOutSql = droundSql(
+    "((CAST(sum(m * t6) AS DOUBLE) / 1e6) / CAST(sum(m) AS DOUBLE)) / ln(2.0)", 6)
+
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    val term6 = bigramTerm6Sql
+    spark.sql(s"""
+      WITH w AS (SELECT doc_id, ${wordsExpr("text")} AS w FROM documents),
+      b AS (
+        SELECT doc_id, explode(transform(sequence(2, size(w)),
+          i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))) AS bg
+        FROM w WHERE size(w) >= 2),
+      db AS (SELECT doc_id, bg, count(1) AS m FROM b GROUP BY doc_id, bg),
+      cb AS (SELECT bg, count(1) AS c12 FROM b GROUP BY bg),
+      u AS (SELECT explode(w) AS t FROM w),
+      cu AS (SELECT t, count(1) AS c1 FROM u GROUP BY t),
+      vc AS (SELECT count(DISTINCT t) AS v FROM u),
+      scored AS (
+        SELECT db.doc_id, db.m, $term6 AS t6
+        FROM db
+        JOIN cb ON db.bg = cb.bg
+        JOIN cu ON split(db.bg, ' ')[0] = cu.t
+        CROSS JOIN vc)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        $bigramOutSql AS surprisal_bits
+      FROM scored GROUP BY doc_id
+      ORDER BY doc_id""")
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -477,7 +534,9 @@ object CorpusOps {
     "q96_robust_stats"    -> robustStats _,
     "q97_recursive_cte"   -> recursiveHierarchy _,
     "q98_lateral_topk"    -> lateralTopk _,
-    "q99_grouping_id"     -> groupingId _
+    "q99_grouping_id"     -> groupingId _,
+    "q100_data_split"     -> dataSplit _,
+    "q101_bigram_surprisal" -> bigramSurprisal _
   )
 
   val oracles: Map[String, String] = Map(
@@ -618,6 +677,33 @@ object CorpusOps {
       ORDER BY m.l_returnflag""",
     "q97_recursive_cte" -> recursiveHierarchySql("supplier"),
     "q98_lateral_topk" -> lateralTopkSql,
-    "q99_grouping_id" -> groupingIdSql("lineitem")
+    "q99_grouping_id" -> groupingIdSql("lineitem"),
+    "q100_data_split" -> s"""
+      SELECT doc_id, lang,
+        CASE WHEN ${xhashSql("'split:' || doc_id::VARCHAR")} % 10 <= 7 THEN 'train'
+             WHEN ${xhashSql("'split:' || doc_id::VARCHAR")} % 10 = 8 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""",
+    "q101_bigram_surprisal" -> s"""
+      WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      b AS (
+        SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+          i -> w[i - 1] || ' ' || w[i])) AS bg
+        FROM w WHERE len(w) >= 2),
+      db AS (SELECT doc_id, bg, count(*) AS m FROM b GROUP BY doc_id, bg),
+      cb AS (SELECT bg, count(*) AS c12 FROM b GROUP BY bg),
+      u AS (SELECT unnest(w) AS t FROM w),
+      cu AS (SELECT t, count(*) AS c1 FROM u GROUP BY t),
+      vc AS (SELECT count(DISTINCT t) AS v FROM u),
+      scored AS (
+        SELECT db.doc_id, db.m, $bigramTerm6Sql AS t6
+        FROM db
+        JOIN cb ON db.bg = cb.bg
+        JOIN cu ON string_split(db.bg, ' ')[1] = cu.t
+        CROSS JOIN vc)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        $bigramOutSql AS surprisal_bits
+      FROM scored GROUP BY doc_id
+      ORDER BY doc_id"""
   )
 }

@@ -179,4 +179,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       s"agg must be codegen'd:\n$p")
   }
+
+  test("priority sample plans TakeOrderedAndProject (partial top-N per partition)") {
+    val p = plan(graft.operators.CorpusOps.prioritySample(
+      graft.core.Tables.load(spark, sfDir, "documents"), "doc_id", "text", 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sampling must not globally sort the corpus:\n$p")
+  }
+
+  test("edit-distance join is an equi-join on block keys, never a cartesian") {
+    val p = plan(graft.llm.Dedup.editDistancePairs(
+      graft.core.Tables.load(spark, sfDir, "documents"), "doc_id", "text", 32, 3))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"PassJoin blocking must plan as an equi-join:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash-keyed join:\n$p")
+  }
+
+  test("interval-overlap join plans the month dim as a broadcast semi join") {
+    val p = plan(graft.operators.CorpusOps.intervalMonthJoin(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"month membership should be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bucket rewrite must avoid the inequality-join plan:\n$p")
+  }
 }
