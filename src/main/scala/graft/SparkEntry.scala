@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreRelational, CorpusOps, LlmQueries, Scalars, Windows}
+import graft.operators.{CoreRelational, CorpusOps, LlmQueries, Scalars, ScaleOps, Windows}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreRelational.queries ++ Windows.queries ++ Scalars.queries ++
-      LlmQueries.queries ++ Formats.queries ++ CorpusOps.queries
+      LlmQueries.queries ++ Formats.queries ++ CorpusOps.queries ++
+      ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, non-SQL ops)
     * get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreRelational.oracles ++ Windows.oracles ++ Scalars.oracles ++
-      LlmQueries.oracles ++ Formats.oracles ++ CorpusOps.oracles
+      LlmQueries.oracles ++ Formats.oracles ++ CorpusOps.oracles ++
+      ScaleOps.oracles
 }

@@ -1,0 +1,429 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Determinism._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Round-4b operator surface: warehouse temporal modeling (SCD-2),
+  * iterative graph ranking (PageRank), sparse-vector similarity
+  * (TF-IDF cosine pairs over an inverted index), product-quantization
+  * encoding (the IVF-PQ building block), and last-touch revenue
+  * attribution. Same contract as every other query group: one
+  * `queries` entry + one DuckDB oracle per operator; every
+  * fp-critical expression is decimal-bridged so the two engines
+  * cannot drift.
+  */
+object ScaleOps {
+
+  // Shared tuning constants (Spark plan ⟷ oracle SQL)
+  val SparseDfMin = 2      // df=1 terms cannot contribute to any pair
+  val SparseDfCap = 50     // stop-term cap: bounds every posting list,
+                           //   so the term self-join is O(vocab·cap²)
+                           //   worst-case instead of O(n²)
+  val SparseTau = "0.6"    // cosine threshold, spelled once for both engines
+  val PrDamping = "0.85"   // PageRank damping, literal for both engines
+  val PrIters = 3
+  val PqM = 4              // PQ subspaces
+  val PqSub = 16           // dims per subspace (4 × 16 = 64-dim fixture)
+  val PqK = 8              // centroids per subspace
+  val PqTopK = 10          // ADC results per probe
+  val PqProbeMod = 100     // probes = vec_ids ≡ 0 (mod 100)
+  val MergeInserts = 50    // CDC fixture: rows appended past max key
+
+  // ---------------------------------------------------------------- q102
+  /** SCD-2 dimension build from an event-ordered fact: collapse each
+    * customer's order-status observations into validity intervals
+    * [valid_from, valid_to) with an is_current flag — the standard
+    * slowly-changing-dimension type-2 construction (gaps-and-islands:
+    * change flag → running island id → min/lead per island). At scale
+    * this is two window passes and one hash agg, all partitioned by the
+    * dimension key — one shuffle on o_custkey total, because Spark
+    * reuses the (o_custkey)-hash exchange across the two windows and
+    * the groupBy. Dialect-neutral: the SAME string is the Spark plan
+    * and the DuckDB oracle. */
+  def scd2Sql(table: String, sentinel: String): String = s"""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS ts, o_orderstatus AS status,
+        lag(o_orderstatus) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM $table),
+    c AS (
+      SELECT o_custkey, o_orderkey, ts, status,
+        CASE WHEN prev_status IS NULL OR prev_status <> status
+             THEN 1 ELSE 0 END AS chg
+      FROM s),
+    g AS (
+      SELECT o_custkey, ts, status,
+        sum(chg) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM c),
+    r AS (
+      SELECT o_custkey, status, island,
+        min(ts) AS valid_from, count(1) AS n_obs
+      FROM g GROUP BY o_custkey, status, island)
+    SELECT o_custkey, status, valid_from,
+      coalesce(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island),
+        $sentinel) AS valid_to,
+      (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+        IS NULL) AS is_current,
+      n_obs
+    FROM r
+    ORDER BY o_custkey, island"""
+
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    // the fact table reads as TIMESTAMP_NTZ (nanos-safe load), so the
+    // open-interval sentinel must be NTZ too; DuckDB's plain TIMESTAMP
+    // is already time-zone-naive
+    spark.sql(scd2Sql("orders", "TIMESTAMP_NTZ '9999-12-31 00:00:00'"))
+  }
+
+  // ---------------------------------------------------------------- q103
+  /** Sparse TF-IDF cosine near-dup pairs via an inverted index — the
+    * lexical mirror of q38's dense-embedding near-dup. Postings are
+    * df-capped ([SparseDfMin, SparseDfCap]): rare-but-shared terms
+    * drive the signal, stop-terms (whose posting lists would each
+    * produce df² candidate pairs) are dropped, so the term self-join
+    * is bounded by cap·Σdf — linear in the corpus, never O(n²).
+    * Exactness: weights are decimal-bridged to a 1e-6 grid as int64
+    * the moment they leave fp (`ln` of identical doubles — q73/q90
+    * precedent); dot products and squared norms are then EXACT integer
+    * arithmetic (decimal-widened products), so the only fp in the
+    * output expression is one divide + two sqrt on identical integers. */
+  private def sparseCosineSql(unnestDocs: String): String = s"""
+    WITH uni AS ($unnestDocs),
+    tf AS (SELECT doc_id, term, count(1) AS tf FROM uni GROUP BY doc_id, term),
+    df AS (SELECT term, count(1) AS df FROM tf GROUP BY term
+           HAVING count(1) BETWEEN $SparseDfMin AND $SparseDfCap),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM uni),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+        CAST(floor(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) * 1e6 + 0.5)
+          AS BIGINT) AS w6
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd),
+    nrm AS (
+      SELECT doc_id, CAST(sum(CAST(w6 AS DECIMAL(19,0)) * w6) AS DECIMAL(38,0)) AS s
+      FROM w GROUP BY doc_id),
+    dot AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(sum(CAST(a.w6 AS DECIMAL(19,0)) * b.w6) AS DECIMAL(38,0)) AS dp
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    cos AS (
+      SELECT id_a, id_b,
+        floor(CAST(dp AS DOUBLE) /
+          (sqrt(CAST(na.s AS DOUBLE)) * sqrt(CAST(nb.s AS DOUBLE))) * 1e6 + 0.5)
+          / 1e6 AS cos6
+      FROM dot
+      JOIN nrm na ON dot.id_a = na.doc_id
+      JOIN nrm nb ON dot.id_b = nb.doc_id)
+    SELECT id_a, id_b, cos6 FROM cos
+    WHERE cos6 >= $SparseTau
+    ORDER BY id_a, id_b"""
+
+  def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(sparseCosineSql(
+      s"SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents"))
+  }
+
+  // ---------------------------------------------------------------- q104
+  /** Fixed-iteration PageRank over the part co-purchase graph (two
+    * parts are adjacent when they appear in the same order; edges
+    * symmetrized, so there are no dangling nodes). Each iteration is
+    * one edge⋈rank join + one hash agg — the canonical scale shape: the
+    * edge list partitions by src once and every iteration reuses that
+    * exchange; rank state is O(|V|), never materialized per-edge beyond
+    * the shuffle. Exactness: per-edge contributions r/deg are
+    * half-up-bridged to a 1e-12 grid as DECIMAL before the
+    * order-nondeterministic sum, and each new rank is re-rounded onto
+    * the grid, so every iteration starts from bit-identical state in
+    * both engines. Dialect-neutral: one string, both engines. */
+  def pageRankSql(table: String, iters: Int): String = {
+    val d = PrDamping
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+      SELECT e.dst AS node,
+        CAST(floor($p.r / CAST($p.deg AS DOUBLE) * 1e12 + 0.5)
+          AS DECIMAL(38,0)) AS c
+      FROM e JOIN $p ON e.src = $p.node),
+    s$i AS (SELECT node, sum(c) AS sc FROM c$i GROUP BY node),
+    r$i AS (
+      SELECT dg.node, dg.deg,
+        floor((((1.0 - $d) / nd.nd) +
+               $d * (CAST(coalesce(s$i.sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5)
+          / 1e12 AS r
+      FROM deg dg CROSS JOIN nd
+      LEFT JOIN s$i ON dg.node = s$i.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM $table a JOIN $table b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, count(1) AS deg FROM e GROUP BY src),
+    nd AS (SELECT CAST(count(1) AS DOUBLE) AS nd FROM deg),
+    r0 AS (
+      SELECT node, deg, floor(1e12 / nd.nd + 0.5) / 1e12 AS r
+      FROM deg CROSS JOIN nd),
+    $iterCtes
+    SELECT node, ${droundSql("r", 9)} AS pagerank
+    FROM r$iters
+    ORDER BY node"""
+  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(pageRankSql("lineitem", PrIters))
+  }
+
+  // ---------------------------------------------------------------- q105
+  /** Product-quantization encode — the IVF-PQ building block: split the
+    * 64-dim embedding into [[PqM]] × [[PqSub]]-dim subspaces; per
+    * subspace, assign each vector to its nearest of [[PqK]] centroids
+    * (deterministic codebook: the PqK smallest vec_ids — in production
+    * a per-subspace k-means, same assignment shape). Output is one
+    * (vec_id, m, code) row per subspace — 64 floats compress to PqM
+    * codes, the 16×-compression memory story that makes billion-vector
+    * ANN fit a cluster. The codebook is O(K·dim) and broadcasts; the
+    * corpus is scanned once and never shuffled (argmin is a bounded
+    * window over PqK rows per vector×subspace). L2² distances are
+    * half-up-bridged to a 1e-6 grid before the argmin; ties break by
+    * centroid id (q38/q39 precedent for cross-engine fold equality). */
+  /** Shared PQ pipeline through per-(vector, subspace, centroid)
+    * distances `d` and the argmin ranking `r` — both q105 (encode) and
+    * q107 (ADC search) build on this. Spark dialect. */
+  private def pqBaseSpark: String = s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+             embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+    sub AS (
+      SELECT vec_id, m, slice(embedding, m * $PqSub + 1, $PqSub) AS v
+      FROM embeddings CROSS JOIN ms),
+    csub AS (
+      SELECT cid, m, slice(embedding, m * $PqSub + 1, $PqSub) AS c
+      FROM seeds CROSS JOIN ms),
+    d AS (
+      SELECT s.vec_id, s.m, c.cid,
+        CAST(floor(aggregate(
+          zip_with(s.v, c.c, (p, q) ->
+            (CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) *
+            (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1e6 + 0.5) AS BIGINT) AS d6
+      FROM sub s JOIN csub c ON s.m = c.m),
+    r AS (
+      SELECT vec_id, m, cid, d6,
+        row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
+      FROM d)"""
+
+  private def pqSparkSql: String = s"""
+    WITH $pqBaseSpark
+    SELECT vec_id, m, cid AS code, CAST(d6 AS DOUBLE) / 1e6 AS dist
+    FROM r WHERE rn = 1
+    ORDER BY vec_id, m"""
+
+  /** DuckDB dialect of [[pqBaseSpark]] (unnest/list-slice forms). */
+  private def pqBaseOracle: String = s"""ms AS (SELECT unnest(range(0, $PqM)) AS m),
+    seeds AS (
+      SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cid, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+    sub AS (
+      SELECT vec_id, m, embedding[m * $PqSub + 1 : m * $PqSub + $PqSub] AS v
+      FROM embeddings CROSS JOIN ms),
+    csub AS (
+      SELECT cid, m, embedding[m * $PqSub + 1 : m * $PqSub + $PqSub] AS c
+      FROM seeds CROSS JOIN ms),
+    d AS (
+      SELECT s.vec_id, s.m, c.cid,
+        CAST(floor(list_sum(list_transform(range(1, ${PqSub + 1}),
+          i -> ((s.v)[i]::DOUBLE - (c.c)[i]::DOUBLE) *
+               ((s.v)[i]::DOUBLE - (c.c)[i]::DOUBLE))) * 1e6 + 0.5)
+          AS BIGINT) AS d6
+      FROM sub s JOIN csub c ON s.m = c.m),
+    r AS (
+      SELECT vec_id, m, cid, d6,
+        row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
+      FROM d)"""
+
+  private def pqOracleSql: String = s"""
+    WITH $pqBaseOracle
+    SELECT vec_id, m::INT AS m, cid AS code, d6::DOUBLE / 1e6 AS dist
+    FROM r WHERE rn = 1
+    ORDER BY vec_id, m"""
+
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(pqSparkSql)
+  }
+
+  // ---------------------------------------------------------------- q106
+  /** Last-touch revenue attribution: each purchase's value is credited
+    * to the user's most recent PRIOR non-purchase event type. The
+    * carried "touch" is a lexicographically-ordered `lpad(epoch_ms)`
+    * string max over a ROWS frame ending 1 PRECEDING — one window pass
+    * per user partition, no self-join, and the string max is engine-
+    * independent where a struct max would not be. Revenue sums as exact
+    * integer cents (value bridged per-row before the order-
+    * nondeterministic aggregation). */
+  private def attributionSql(epochMs: String): String = s"""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type, value,
+        max(CASE WHEN event_type <> 'purchase'
+              THEN lpad(CAST($epochMs AS STRING), 20, '0') || ':' || event_type
+            END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events)
+    SELECT substr(touch, 22) AS touch_type,
+      count(1) AS n_purchases,
+      CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS revenue_cents
+    FROM t
+    WHERE event_type = 'purchase' AND touch IS NOT NULL
+    GROUP BY substr(touch, 22)
+    ORDER BY touch_type"""
+
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(attributionSql("unix_millis(ts)"))
+  }
+
+  // ---------------------------------------------------------------- q107
+  /** PQ ADC (asymmetric distance computation) top-k search — the query
+    * side of IVF-PQ: probes keep their exact subvectors; the corpus is
+    * represented ONLY by its PqM codes. Per probe, a PqM×PqK distance
+    * table is computed once (it is `d` restricted to probe rows — tiny,
+    * broadcastable); each corpus vector's approximate distance is then
+    * PqM integer table lookups summed — no float math per corpus row at
+    * all, which is exactly why ADC scans billions of codes fast. The
+    * tail (codes ⋈ dtab → sum → rank) is dialect-neutral; only the PQ
+    * base differs per engine. Integer d6 partials make the sum
+    * order-independent; ties rank by vec_id. */
+  private def pqAdcTail: String = s""",
+    codes AS (SELECT vec_id, m, cid AS code FROM r WHERE rn = 1),
+    dtab AS (
+      SELECT vec_id AS probe_id, m, cid, d6
+      FROM d WHERE vec_id % $PqProbeMod = 0),
+    adc AS (
+      SELECT t.probe_id, c.vec_id, CAST(sum(t.d6) AS BIGINT) AS ad6
+      FROM codes c JOIN dtab t ON c.m = t.m AND c.code = t.cid
+      GROUP BY t.probe_id, c.vec_id),
+    ranked AS (
+      SELECT probe_id, vec_id, ad6,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY ad6, vec_id) AS INT) AS rk
+      FROM adc)
+    SELECT probe_id, rk, vec_id, CAST(ad6 AS DOUBLE) / 1e6 AS adist
+    FROM ranked WHERE rk <= $PqTopK
+    ORDER BY probe_id, rk"""
+
+  def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(s"WITH $pqBaseSpark $pqAdcTail")
+  }
+
+  // ---------------------------------------------------------------- q108
+  /** CDC merge-upsert (MERGE INTO semantics without a table format):
+    * apply a changeset of updates / deletes / inserts to a keyed target
+    * in one pass — target LEFT JOIN changes resolves update-vs-keep,
+    * an anti-filter drops deletes, inserts union on. At 100 TB the
+    * target is bucketed by key so the join is exchange-free on the big
+    * side, and the changeset (typically ≪ target) broadcasts. The
+    * changeset here is derived deterministically from the target itself
+    * (keys ≡1 mod 10 update, ≡2 delete, MergeInserts fresh keys past
+    * max insert), so both engines construct the identical fixture.
+    * Dialect-neutral: one string. Balances are exact integer cents. */
+  def mergeUpsertSql(table: String): String = s"""
+    WITH tgt AS (
+      SELECT c_custkey AS k,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM $table),
+    upd AS (
+      SELECT k, bal_cents + 10000 AS bal_cents, 'U' AS op
+      FROM tgt WHERE k % 10 = 1),
+    del AS (SELECT k FROM tgt WHERE k % 10 = 2),
+    mx AS (SELECT max(k) AS mx FROM tgt),
+    ins AS (
+      SELECT mx.mx + CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS k,
+        CAST(0 AS BIGINT) AS bal_cents, 'I' AS op
+      FROM (SELECT k FROM tgt ORDER BY k LIMIT $MergeInserts) seed
+      CROSS JOIN mx)
+    SELECT t.k, coalesce(u.bal_cents, t.bal_cents) AS bal_cents,
+      CASE WHEN u.k IS NOT NULL THEN 'U' ELSE 'K' END AS op
+    FROM tgt t
+    LEFT JOIN upd u ON t.k = u.k
+    LEFT JOIN del d ON t.k = d.k
+    WHERE d.k IS NULL
+    UNION ALL
+    SELECT k, bal_cents, op FROM ins
+    ORDER BY k"""
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(mergeUpsertSql("customer"))
+  }
+
+  // ---------------------------------------------------------------- q109
+  /** Star-schema flatten — the feature-denormalization step that turns
+    * the normalized warehouse into one wide training table: fact
+    * lineitem joined to orders, customer, supplier, part, and nation
+    * twice (customer's and supplier's). The true dimensions (customer,
+    * supplier, part, nation ×2) are broadcast-sized relative to the
+    * fact at any scale, so they cost zero shuffles over ONE fact scan;
+    * lineitem⋈orders is the lone fact-to-fact edge and shuffles on the
+    * order key (or is exchange-free when both are bucketed on it at
+    * rest — BucketingSpec shows that layout). Money lands as exact
+    * integer cents. */
+  def starFlattenSql(dialectRound: String => String): String = s"""
+    SELECT l.l_orderkey, l.l_linenumber,
+      o.o_orderstatus, cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      p.p_type,
+      ${dialectRound("l.l_extendedprice")} AS price_cents,
+      CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    ORDER BY l.l_orderkey, l.l_linenumber"""
+
+  private val centsRound: String => String =
+    e => s"CAST(round($e * 100) AS BIGINT)"
+
+  def starFlatten(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(starFlattenSql(centsRound))
+  }
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_scd2"          -> scd2 _,
+    "q103_sparse_cosine" -> sparseCosine _,
+    "q104_pagerank"      -> pageRank _,
+    "q105_pq_encode"     -> pqEncode _,
+    "q106_attribution"   -> attribution _,
+    "q107_pq_adc_topk"   -> pqAdcSearch _,
+    "q108_merge_upsert"  -> mergeUpsert _,
+    "q109_star_flatten"  -> starFlatten _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q102_scd2" -> scd2Sql("orders", "TIMESTAMP '9999-12-31 00:00:00'"),
+    "q103_sparse_cosine" -> sparseCosineSql(
+      s"SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents"),
+    "q104_pagerank" -> pageRankSql("lineitem", PrIters),
+    "q105_pq_encode" -> pqOracleSql,
+    "q106_attribution" -> attributionSql("epoch_ms(ts)"),
+    "q107_pq_adc_topk" -> s"WITH $pqBaseOracle $pqAdcTail",
+    "q108_merge_upsert" -> mergeUpsertSql("customer"),
+    "q109_star_flatten" -> starFlattenSql(centsRound)
+  )
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+
+/** Round-4b operator properties: SCD-2 interval integrity, PageRank
+  * mass conservation, PQ code validity (seed vectors encode to
+  * themselves at distance 0), and attribution mass accounting (every
+  * attributed cent traces back to a purchase with a prior touch). */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("scd2 intervals chain, alternate status, and have one current row per key") {
+    val r = ScaleOps.scd2(spark, sfDir).collect()
+    val byKey = r.groupBy(_.getLong(0))
+    byKey.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(
+        _.getAs[java.time.LocalDateTime](2).toString)
+      // exactly one open (is_current) interval, and it is the last one
+      assert(sorted.count(_.getBoolean(4)) == 1)
+      assert(sorted.last.getBoolean(4))
+      // valid_to of each closed interval equals the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.time.LocalDateTime](3) ==
+            b.getAs[java.time.LocalDateTime](2))
+          // islands collapse runs: consecutive intervals change status
+          assert(a.getString(1) != b.getString(1))
+        case _ =>
+      }
+    }
+    // observation counts add back up to the fact row count
+    val nObs = r.map(_.getLong(5)).sum
+    val nOrders = graft.core.Tables.load(spark, sfDir, "orders").count()
+    assert(nObs == nOrders)
+  }
+
+  test("pageRank conserves probability mass and is positive") {
+    val r = ScaleOps.pageRank(spark, sfDir).collect()
+    val ranks = r.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0.0))
+    // symmetrized graph has no dangling nodes, so total mass stays 1
+    // (up to one 1e-9 output-grid rounding per node)
+    assert(math.abs(ranks.sum - 1.0) < 1e-9 * ranks.length + 1e-6)
+  }
+
+  test("pq encode: every (vec, subspace) coded once; seeds self-code at dist 0") {
+    val r = ScaleOps.pqEncode(spark, sfDir).collect()
+    val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    assert(r.length == n * ScaleOps.PqM)
+    assert(r.forall(row => row.getInt(2) >= 0 && row.getInt(2) < ScaleOps.PqK))
+    // the PqK smallest vec_ids ARE the codebook: each must encode to its
+    // own centroid id with distance exactly 0 in every subspace
+    val seedIds = r.map(_.getLong(0)).distinct.sorted.take(ScaleOps.PqK)
+    seedIds.zipWithIndex.foreach { case (vid, cid) =>
+      val own = r.filter(_.getLong(0) == vid)
+      assert(own.forall(_.getInt(2) == cid))
+      assert(own.forall(_.getDouble(3) == 0.0))
+    }
+  }
+
+  test("attribution credits exactly the purchases that have a prior touch") {
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val r = ScaleOps.attribution(spark, sfDir).collect()
+    val attributed = r.map(_.getLong(1)).sum
+    // ground truth: purchases whose user has ANY earlier non-purchase event
+    val sq = spark
+    import sq.implicits._
+    ev.createOrReplaceTempView("ev_attr_check")
+    val expected = spark.sql("""
+      SELECT count(1) FROM ev_attr_check p
+      WHERE p.event_type = 'purchase' AND EXISTS (
+        SELECT 1 FROM ev_attr_check t
+        WHERE t.user_id = p.user_id AND t.event_type <> 'purchase'
+          AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)))
+      """).as[Long].head()
+    assert(attributed == expected)
+    assert(r.map(_.getString(0)).toSet.subsetOf(
+      Set("click", "view", "signup", "error")))
+  }
+
+  test("pq adc: each probe gets PqTopK results with nondecreasing distance") {
+    val r = ScaleOps.pqAdcSearch(spark, sfDir).collect()
+    val byProbe = r.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to ScaleOps.PqTopK))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(3))
+        case _ =>
+      }
+    }
+  }
+
+  test("merge upsert applies updates, drops deletes, appends inserts") {
+    val tgt = graft.core.Tables.load(spark, sfDir, "customer")
+    val orig = tgt.selectExpr("c_custkey AS k",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = ScaleOps.mergeUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val maxK = orig.keys.max
+    val dels = orig.keys.count(_ % 10 == 2)
+    assert(merged.length == orig.size - dels + ScaleOps.MergeInserts)
+    merged.foreach { case (k, bal, op) =>
+      if (k > maxK) { assert(op == "I"); assert(bal == 0L) }
+      else {
+        assert(k % 10 != 2)
+        if (k % 10 == 1) { assert(op == "U"); assert(bal == orig(k) + 10000) }
+        else { assert(op == "K"); assert(bal == orig(k)) }
+      }
+    }
+  }
+
+  test("star flatten keeps fact grain and broadcasts every true dimension") {
+    val df = ScaleOps.starFlatten(spark, sfDir)
+    assert(df.count() ==
+      graft.core.Tables.load(spark, sfDir, "lineitem").count())
+    val plan = df.queryExecution.executedPlan.toString
+    // customer, supplier, part, nation×2 must come in as broadcasts;
+    // no dimension may force a sort-merge join at dim scale
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5, plan.take(2000))
+  }
+
+  test("sparse cosine pairs are ordered, thresholded, and bounded by 1") {
+    val r = ScaleOps.sparseCosine(spark, sfDir).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) < row.getLong(1))
+      val c = row.getDouble(2)
+      assert(c >= ScaleOps.SparseTau.toDouble && c <= 1.000001)
+    }
+  }
+}
