@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is one JVM acting as driver AND 32 executors: a 100+-query
+  // run accumulates broadcasts/shuffle blocks faster than the
+  // ContextCleaner's GC-triggered reclaim under a small heap, and the
+  // session degrades into GC thrash mid-run. 24g on this 128 GiB box is
+  // ~the per-executor memory a real cluster would give the same work.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -27,6 +27,12 @@ object Bench {
       // query, not neighbors' leftover cache pressure)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
+      // Spark frees broadcast/shuffle blocks via the ContextCleaner, which
+      // only fires when the JVM happens to GC; across 100+ queries in one
+      // JVM the blocks otherwise pile up until the heap thrashes (observed:
+      // queries 60+ running 10-80x slower). One explicit GC per query keeps
+      // the cleaner draining at a steady ~100ms cost.
+      System.gc()
     }
     // JVM + parquet-footer warmup on the flagship query (excluded from timing)
     try run(SparkEntry.queries("q01_agg_summary")) catch { case _: Throwable => () }

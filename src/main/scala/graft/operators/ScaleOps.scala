@@ -175,9 +175,44 @@ object ScaleOps {
     ORDER BY node"""
   }
 
+  /** Spark-side PageRank: same arithmetic as [[pageRankSql]] (the
+    * oracle), but with the edge list and degree table persisted ONCE —
+    * the unrolled-CTE form recomputes the distinct self-join every
+    * iteration (Spark inlines CTEs), which is exactly the mistake a
+    * 100 TB iteration cannot afford. `deg.count()` doubles as the
+    * materialization action and the |V| the teleport term needs. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql(pageRankSql("lineitem", PrIters))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // materializes both persists; |V| for teleport
+    val d = PrDamping
+    var r = deg.select(col("node"), col("deg"),
+      expr(s"floor(1e12 / CAST($n AS DOUBLE) + 0.5) / 1e12").as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
+            "AS DECIMAL(38,0))").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      r = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          expr(s"floor((((1.0 - $d) / CAST($n AS DOUBLE)) + " +
+            s"$d * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5) " +
+            "/ 1e12").as("r"))
+    }
+    r.select(col("node"), dround(col("r"), 9).as("pagerank")).orderBy("node")
   }
 
   // ---------------------------------------------------------------- q105
