@@ -437,6 +437,145 @@ object ScaleOps {
     spark.sql(starFlattenSql(centsRound))
   }
 
+  // ---------------------------------------------------------------- q110
+  /** Declarative data-quality audit (the Deequ-style constraint pass a
+    * pipeline runs before training): uniqueness, composite-key
+    * uniqueness, referential integrity, range, accepted-values, and
+    * not-null checks, each one aggregate over one scan of its table —
+    * violations count, never example rows, so the output is O(checks)
+    * regardless of data size. The FK check is a left-anti count, the
+    * shape that broadcasts the dimension at scale. Dialect-neutral. */
+  def dataQualitySql: String = s"""
+    SELECT check_name, violations, violations = 0 AS passed FROM (
+      SELECT 'customer.c_custkey unique' AS check_name,
+        count(1) - count(DISTINCT c_custkey) AS violations FROM customer
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+        count(1) - count(DISTINCT CAST(l_orderkey AS STRING) || ':' ||
+          CAST(l_linenumber AS STRING)) FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_custkey references customer', count(1)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+      UNION ALL
+      SELECT 'lineitem.l_quantity in [1,50]', count(1) FROM lineitem
+      WHERE l_quantity < 1 OR l_quantity > 50
+      UNION ALL
+      SELECT 'orders.o_orderstatus accepted', count(1) FROM orders
+      WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+      UNION ALL
+      SELECT 'customer.c_name not null', count(1) FROM customer
+      WHERE c_name IS NULL) checks
+    ORDER BY check_name"""
+
+  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(dataQualitySql)
+  }
+
+  // ---------------------------------------------------------------- q111
+  /** Pointwise mutual information between two categorical columns —
+    * the feature-selection / association signal. One hash agg builds
+    * the joint histogram; marginals reduce it; every cell gets
+    * pmi_bits plus its contribution p(x,y)·pmi to total MI (so the MI
+    * sum is checkable from the output). The histogram is O(|X|·|Y|)
+    * after one corpus pass — nothing downstream sees row counts.
+    * `ln` runs on identical doubles in both engines (q88/q93
+    * precedent); outputs are half-up rounded at 6dp. Dialect-neutral. */
+  def mutualInfoSql(table: String): String = s"""
+    WITH j AS (
+      SELECT l_returnflag AS x, l_linestatus AS y, count(1) AS c
+      FROM $table GROUP BY l_returnflag, l_linestatus),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM j),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY x),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY y)
+    SELECT j.x, j.y, CAST(j.c AS BIGINT) AS c,
+      ${droundSql("ln((CAST(j.c AS DOUBLE) * n.n) / " +
+        "(CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))) / ln(2.0)", 6)}
+        AS pmi_bits,
+      ${droundSql("(CAST(j.c AS DOUBLE) / n.n) * " +
+        "(ln((CAST(j.c AS DOUBLE) * n.n) / " +
+        "(CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))) / ln(2.0))", 6)}
+        AS mi_contrib_bits
+    FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y CROSS JOIN n
+    ORDER BY j.x, j.y"""
+
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(mutualInfoSql("lineitem"))
+  }
+
+  // ---------------------------------------------------------------- q112
+  /** Time-weighted average of a sampled signal per user (TWAP): each
+    * observation holds until the next one, so its weight is the
+    * interval length — the correct average for irregularly-sampled
+    * series where arithmetic mean over-weights bursts. One lead()
+    * window per user partition, then one hash agg. Exactness: value is
+    * bridged to integer cents per row, interval is integer millis, and
+    * the cents×millis products (≤ ~1e15, inside int64) accumulate as
+    * DECIMAL — the only fp is the final divide on identical integers. */
+  private def twapSql(epochMs: String): String = s"""
+    WITH t AS (
+      SELECT user_id, value,
+        lead($epochMs) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - $epochMs AS dt_ms
+      FROM events),
+    w AS (
+      SELECT user_id,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, dt_ms
+      FROM t WHERE dt_ms IS NOT NULL)
+    SELECT user_id, count(1) AS n_intervals,
+      CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+      ${droundSql("(CAST(sum(CAST(cents AS DECIMAL(19,0)) * dt_ms) AS DOUBLE) /" +
+        " CAST(sum(dt_ms) AS DOUBLE)) / 100.0", 6)} AS twap
+    FROM w GROUP BY user_id
+    ORDER BY user_id"""
+
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(twapSql("unix_millis(ts)"))
+  }
+
+  // ---------------------------------------------------------------- q113
+  /** Association rules over co-purchases (market-basket): for part
+    * pairs in the same order, support / confidence / lift, top rules
+    * by lift. Pair supports come from one self-join + hash agg (the
+    * q104 edge shape); item supports and the order count broadcast.
+    * A minimum-support prune cuts the pair space BEFORE any division,
+    * and all scores are ratios of exact integers half-up-bridged at
+    * 6dp, ranked on the rounded value with (antecedent, consequent)
+    * tiebreak — near-ties cannot reorder across engines. */
+  val MinSupport = 3
+  val RulesTopK = 100
+  def assocRulesSql(table: String): String = s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM $table),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    item AS (SELECT l_partkey, count(1) AS sup FROM li GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(1) AS sup_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(1) >= $MinSupport),
+    scored AS (
+      SELECT pa, pb, sup_ab,
+        ${droundSql("CAST(sup_ab AS DOUBLE) / CAST(ia.sup AS DOUBLE)", 6)}
+          AS conf,
+        ${droundSql("(CAST(sup_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)) / " +
+          "(CAST(ia.sup AS DOUBLE) * CAST(ib.sup AS DOUBLE))", 6)} AS lift
+      FROM pair
+      JOIN item ia ON pair.pa = ia.l_partkey
+      JOIN item ib ON pair.pb = ib.l_partkey
+      CROSS JOIN n)
+    SELECT pa, pb, CAST(sup_ab AS BIGINT) AS sup_ab, conf, lift FROM scored
+    ORDER BY lift DESC, pa, pb LIMIT $RulesTopK"""
+
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(assocRulesSql("lineitem"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -447,7 +586,11 @@ object ScaleOps {
     "q106_attribution"   -> attribution _,
     "q107_pq_adc_topk"   -> pqAdcSearch _,
     "q108_merge_upsert"  -> mergeUpsert _,
-    "q109_star_flatten"  -> starFlatten _
+    "q109_star_flatten"  -> starFlatten _,
+    "q110_data_quality"  -> dataQuality _,
+    "q111_mutual_info"   -> mutualInfo _,
+    "q112_twap"          -> twap _,
+    "q113_assoc_rules"   -> assocRules _
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,6 +602,10 @@ object ScaleOps {
     "q106_attribution" -> attributionSql("epoch_ms(ts)"),
     "q107_pq_adc_topk" -> s"WITH $pqBaseOracle $pqAdcTail",
     "q108_merge_upsert" -> mergeUpsertSql("customer"),
-    "q109_star_flatten" -> starFlattenSql(centsRound)
+    "q109_star_flatten" -> starFlattenSql(centsRound),
+    "q110_data_quality" -> dataQualitySql,
+    "q111_mutual_info" -> mutualInfoSql("lineitem"),
+    "q112_twap" -> twapSql("epoch_ms(ts)"),
+    "q113_assoc_rules" -> assocRulesSql("lineitem")
   )
 }

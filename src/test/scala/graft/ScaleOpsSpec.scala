@@ -122,6 +122,57 @@ class ScaleOpsSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5, plan.take(2000))
   }
 
+  test("data quality audit reports every declared check with consistent flags") {
+    val r = ScaleOps.dataQuality(spark, sfDir).collect()
+    assert(r.length == 6)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 0L)
+      assert(row.getBoolean(2) == (row.getLong(1) == 0L))
+    }
+    assert(r.map(_.getString(0)).toSet.contains("customer.c_custkey unique"))
+  }
+
+  test("mutual information contributions sum to a nonnegative MI") {
+    val r = ScaleOps.mutualInfo(spark, sfDir).collect()
+    val mi = r.map(_.getDouble(4)).sum
+    // MI >= 0 mathematically; each cell is rounded at 6dp so allow that slack
+    assert(mi > -1e-5 * r.length)
+    assert(r.map(row => (row.getString(0), row.getString(1))).distinct.length
+      == r.length)
+  }
+
+  test("twap matches a hand-computed per-user interval average") {
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_millis(ts) AS ms", "value", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val uid = ev.head._1
+    val mine = ev.filter(_._1 == uid).sortBy(e => (e._2, e._4))
+    val segs = mine.sliding(2).collect {
+      case Array(a, b) =>
+        (math.floor(a._3 * 100.0 + 0.5).toLong, b._2 - a._2)
+    }.toSeq
+    val expected = math.floor(
+      (segs.map { case (c, dt) => BigDecimal(c) * dt }.sum.toDouble /
+        segs.map(_._2).sum.toDouble) / 100.0 * 1e6 + 0.5) / 1e6
+    val got = ScaleOps.twap(spark, sfDir).filter(s"user_id = $uid")
+      .collect().head
+    assert(got.getLong(1) == segs.length)
+    assert(got.getDouble(3) == expected)
+  }
+
+  test("association rules respect min-support, valid confidence, lift order") {
+    val r = ScaleOps.assocRules(spark, sfDir).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) < row.getLong(1))
+      assert(row.getLong(2) >= ScaleOps.MinSupport)
+      val conf = row.getDouble(3)
+      assert(conf > 0.0 && conf <= 1.0)
+    }
+    val lifts = r.map(_.getDouble(4))
+    assert(lifts.sameElements(lifts.sortBy(-_)))
+  }
+
   test("sparse cosine pairs are ordered, thresholded, and bounded by 1") {
     val r = ScaleOps.sparseCosine(spark, sfDir).collect()
     r.foreach { row =>
