@@ -576,6 +576,97 @@ object ScaleOps {
     spark.sql(assocRulesSql("lineitem"))
   }
 
+  // ---------------------------------------------------------------- q114
+  /** Pareto/skyline filter over (minimize n_chars, maximize n_tokens) —
+    * the token-density frontier: documents packing the most tokens into
+    * the fewest characters, the multi-objective version of "take the
+    * best docs" that a single score cannot express. Distributed form:
+    * phase 1 computes a LOCAL skyline per hash bucket (a point
+    * dominated within its bucket is dominated globally, so the union of
+    * local skylines is a guaranteed superset of the answer — the bucket
+    * hash can be engine-specific because it only affects pruning);
+    * phase 2 runs the exact same dominance predicate globally over the
+    * few survivors. Each phase is two window functions over the negated
+    * char count: max-tokens within equal x, and max-tokens over
+    * STRICTLY greater x via a DESC RANGE frame ending at 1 PRECEDING.
+    * The oracle is the O(n²) NOT EXISTS ground truth, so a hash match
+    * proves the window rewrite, not just agreement. */
+  private def skylinePhase(src: String, bucketed: Boolean): String = {
+    val sameX = if (bucketed) "PARTITION BY bkt, neg_chars"
+                else "PARTITION BY neg_chars"
+    val gtX = if (bucketed) "PARTITION BY bkt ORDER BY neg_chars DESC"
+              else "ORDER BY neg_chars DESC"
+    s"""SELECT doc_id, n_chars, neg_chars, n_tokens, bkt FROM (
+      SELECT doc_id, n_chars, neg_chars, n_tokens, bkt,
+        max(n_tokens) OVER ($sameX) AS mx,
+        max(n_tokens) OVER ($gtX
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mg
+      FROM $src) ph
+    WHERE n_tokens = mx AND (mg IS NULL OR n_tokens > mg)"""
+  }
+
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH m AS (
+        SELECT doc_id, n_chars, -n_chars AS neg_chars,
+          CAST(size(${wordsExpr("text")}) AS BIGINT) AS n_tokens,
+          pmod(hash(doc_id), 32) AS bkt
+        FROM documents),
+      l AS (${skylinePhase("m", bucketed = true)})
+      SELECT doc_id, n_chars, n_tokens
+      FROM (${skylinePhase("l", bucketed = false)}) fin
+      ORDER BY doc_id""")
+  }
+
+  def skylineOracleSql: String = s"""
+    WITH m AS (
+      SELECT doc_id, n_chars, ${tokenCountSql("text")}::BIGINT AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens FROM m m1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m m2
+      WHERE m2.n_chars <= m1.n_chars AND m2.n_tokens >= m1.n_tokens
+        AND (m2.n_chars < m1.n_chars OR m2.n_tokens > m1.n_tokens))
+    ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q115
+  /** Triangle counting on the co-purchase graph (min-support 2): the
+    * local-clustering / community-density signal. Edges are canonical
+    * u < v, so each triangle a<b<c is found exactly once by the
+    * two-hop join e(a,b)⋈e(b,c)⋈e(a,c) — the standard distributed
+    * formulation (at billion-edge scale you additionally orient edges
+    * low-degree→high so the e1⋈e2 wedge join is bounded by Σ deg_out²
+    * with deg_out ≤ √m; the canonical orientation here is the same
+    * join shape). Per-node counts come from exploding each triangle's
+    * three corners into one hash agg. Dialect-neutral. */
+  val TriMinSup = 2
+  def trianglesSql(table: String): String = s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM $table),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(1) >= $TriMinSup),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT node, count(1) AS triangles
+    FROM corners GROUP BY node
+    ORDER BY node"""
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(trianglesSql("lineitem"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -590,7 +681,9 @@ object ScaleOps {
     "q110_data_quality"  -> dataQuality _,
     "q111_mutual_info"   -> mutualInfo _,
     "q112_twap"          -> twap _,
-    "q113_assoc_rules"   -> assocRules _
+    "q113_assoc_rules"   -> assocRules _,
+    "q114_skyline"       -> skyline _,
+    "q115_triangles"     -> triangles _
   )
 
   val oracles: Map[String, String] = Map(
@@ -606,6 +699,8 @@ object ScaleOps {
     "q110_data_quality" -> dataQualitySql,
     "q111_mutual_info" -> mutualInfoSql("lineitem"),
     "q112_twap" -> twapSql("epoch_ms(ts)"),
-    "q113_assoc_rules" -> assocRulesSql("lineitem")
+    "q113_assoc_rules" -> assocRulesSql("lineitem"),
+    "q114_skyline" -> skylineOracleSql,
+    "q115_triangles" -> trianglesSql("lineitem")
   )
 }

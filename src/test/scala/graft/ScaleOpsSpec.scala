@@ -173,6 +173,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(lifts.sameElements(lifts.sortBy(-_)))
   }
 
+  test("skyline equals brute-force dominance filter") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "n_chars",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = docs.filter { case (_, x1, y1) =>
+      !docs.exists { case (_, x2, y2) =>
+        x2 <= x1 && y2 >= y1 && (x2 < x1 || y2 > y1)
+      }
+    }.map(_._1).sorted
+    val got = ScaleOps.skyline(spark, sfDir).collect().map(_.getLong(0))
+    assert(got.toSeq == truth.toSeq)
+  }
+
+  test("triangle counts equal brute-force enumeration over the same edges") {
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val e = pairCounts.filter(_._2 >= ScaleOps.TriMinSup).keys.toSet
+    val adj = e.toSeq
+    val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- adj; (b2, c) <- adj if b2 == b; if e.contains((a, c))) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val got = ScaleOps.triangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triCount.toMap)
+  }
+
   test("sparse cosine pairs are ordered, thresholded, and bounded by 1") {
     val r = ScaleOps.sparseCosine(spark, sfDir).collect()
     r.foreach { row =>
