@@ -122,10 +122,47 @@ object ScaleOps {
     WHERE cos6 >= $SparseTau
     ORDER BY id_a, id_b"""
 
+  /** Spark side splits [[sparseCosineSql]] at the weights table and
+    * persists it: `w` feeds the norm agg AND both branches of the term
+    * self-join, and Spark inlines multiply-referenced CTEs — without
+    * the persist the explode+tf+df pipeline runs three times. Same
+    * expressions, so the oracle hash is unchanged. */
   def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
-    spark.sql(sparseCosineSql(
-      s"SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents"))
+    val w = spark.sql(s"""
+      WITH uni AS (
+        SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(1) AS tf FROM uni GROUP BY doc_id, term),
+      df AS (SELECT term, count(1) AS df FROM tf GROUP BY term
+             HAVING count(1) BETWEEN $SparseDfMin AND $SparseDfCap),
+      nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM uni)
+      SELECT tf.doc_id, tf.term,
+        CAST(floor(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) * 1e6 + 0.5)
+          AS BIGINT) AS w6
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    w.createOrReplaceTempView("sparse_w")
+    spark.sql(s"""
+      WITH nrm AS (
+        SELECT doc_id, CAST(sum(CAST(w6 AS DECIMAL(19,0)) * w6) AS DECIMAL(38,0)) AS s
+        FROM sparse_w GROUP BY doc_id),
+      dot AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(sum(CAST(a.w6 AS DECIMAL(19,0)) * b.w6) AS DECIMAL(38,0)) AS dp
+        FROM sparse_w a JOIN sparse_w b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      cos AS (
+        SELECT id_a, id_b,
+          floor(CAST(dp AS DOUBLE) /
+            (sqrt(CAST(na.s AS DOUBLE)) * sqrt(CAST(nb.s AS DOUBLE))) * 1e6 + 0.5)
+            / 1e6 AS cos6
+        FROM dot
+        JOIN nrm na ON dot.id_a = na.doc_id
+        JOIN nrm nb ON dot.id_b = nb.doc_id)
+      SELECT id_a, id_b, cos6 FROM cos
+      WHERE cos6 >= $SparseTau
+      ORDER BY id_a, id_b""")
   }
 
   // ---------------------------------------------------------------- q104
@@ -571,9 +608,36 @@ object ScaleOps {
     SELECT pa, pb, CAST(sup_ab AS BIGINT) AS sup_ab, conf, lift FROM scored
     ORDER BY lift DESC, pa, pb LIMIT $RulesTopK"""
 
+  /** Spark side persists the distinct (order, part) basket table once —
+    * it feeds the order count, the item supports, and BOTH branches of
+    * the pair self-join, and Spark's CTE inlining would otherwise
+    * recompute the distinct (a shuffle) four times. Identical
+    * expressions to [[assocRulesSql]], so the oracle hash holds. */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql(assocRulesSql("lineitem"))
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = li.select(col("l_orderkey")).distinct().count()
+    val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+    val pair = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= MinSupport)
+    pair
+      .join(item.select(col("l_partkey").as("pa"), col("sup").as("sup_a")), "pa")
+      .join(item.select(col("l_partkey").as("pb"), col("sup").as("sup_b")), "pb")
+      .select(col("pa"), col("pb"),
+        col("sup_ab").cast("long").as("sup_ab"),
+        expr(droundSql("CAST(sup_ab AS DOUBLE) / CAST(sup_a AS DOUBLE)", 6))
+          .as("conf"),
+        expr(droundSql(s"(CAST(sup_ab AS DOUBLE) * CAST($nOrders AS DOUBLE)) / " +
+          "(CAST(sup_a AS DOUBLE) * CAST(sup_b AS DOUBLE))", 6)).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(RulesTopK)
   }
 
   // ---------------------------------------------------------------- q114
@@ -662,9 +726,32 @@ object ScaleOps {
     FROM corners GROUP BY node
     ORDER BY node"""
 
+  /** Spark side persists the pruned edge list once (three join branches
+    * would otherwise each recompute the basket self-join), and explodes
+    * each triangle's corners in one generator instead of a triple
+    * union — one pass, one hash agg. Same semantics as
+    * [[trianglesSql]]. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql(trianglesSql("lineitem"))
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSup)
+      .select("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.v") === col("e2.u"))
+      .join(e.alias("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .orderBy("node")
   }
 
   // ------------------------------------------------------------ wiring
