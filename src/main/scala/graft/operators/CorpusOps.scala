@@ -202,23 +202,31 @@ object CorpusOps {
     * list), corpus stats broadcast, per-query top-k by windowed rank.
     * At scale: the term join is a broadcast (query vocab is tiny), the
     * only shuffle keys are (query, doc), and top-k per query is a
-    * k-bounded window over docs that matched ≥1 term. */
+    * k-bounded window over docs that matched ≥1 term. The hits and
+    * per-doc-length frames are persisted because tf+df resp. contrib+st
+    * both consume them — Spark inlines shared lineage, so without the
+    * persist the explode join and the token-count scan each run twice. */
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir).createOrReplaceTempView("documents")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     spark.sql(s"""
       WITH qt AS (SELECT * FROM VALUES $bm25ValuesSql AS t(query_id, term)),
       uni AS (
-        SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents),
-      hits AS (SELECT /*+ BROADCAST(qt) */ u.doc_id, u.term, qt.query_id
-               FROM uni u JOIN qt ON u.term = qt.term),
-      tf AS (SELECT query_id, doc_id, term, count(1) AS tf
-             FROM hits GROUP BY query_id, doc_id, term),
+        SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents)
+      SELECT /*+ BROADCAST(qt) */ u.doc_id, u.term, qt.query_id
+      FROM uni u JOIN qt ON u.term = qt.term""")
+      .persist(mem).createOrReplaceTempView("bm25_hits")
+    spark.sql(s"""
+      SELECT doc_id, CAST(${tokenCountExprSql} AS BIGINT) AS dl
+      FROM documents""")
+      .persist(mem).createOrReplaceTempView("bm25_dl")
+    spark.sql(s"""
+      WITH tf AS (SELECT query_id, doc_id, term, count(1) AS tf
+             FROM bm25_hits GROUP BY query_id, doc_id, term),
       df AS (SELECT term, count(DISTINCT doc_id) AS df
-             FROM hits GROUP BY term),
-      dl AS (SELECT doc_id, CAST(${tokenCountExprSql} AS BIGINT) AS dl
-             FROM documents),
-      st AS (SELECT count(1) AS n_docs, sum(CAST(${tokenCountExprSql} AS BIGINT)) AS sum_dl
-             FROM documents),
+             FROM bm25_hits GROUP BY term),
+      dl AS (SELECT doc_id, dl FROM bm25_dl),
+      st AS (SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM bm25_dl),
       contrib AS (
         SELECT query_id, tf.doc_id, $bm25ContribSql AS c6
         FROM (SELECT query_id, doc_id, term, CAST(tf AS DOUBLE) AS tfd FROM tf) tf
@@ -491,6 +499,14 @@ object CorpusOps {
   private val bigramOutSql = droundSql(
     "((CAST(sum(m * t6) AS DOUBLE) / 1e6) / CAST(sum(m) AS DOUBLE)) / ln(2.0)", 6)
 
+  /** The bigram/unigram streams here are deliberately NOT persisted,
+    * unlike q35's signature table: both explodes sit inside whole-stage
+    * codegen feeding hash aggs directly, and materializing the ~1-row-
+    * per-bigram intermediate to the cache was measured 2-3× slower than
+    * recomputing the split (columnar cache build on short strings costs
+    * more than the explode). At a corpus scale where the doubled scan
+    * dominates cache bandwidth, persist `b` — the break-even is corpus
+    * size vs memory bandwidth, not plan shape. */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir).createOrReplaceTempView("documents")
     val term6 = bigramTerm6Sql

@@ -482,11 +482,15 @@ object LlmQueries {
 
   /** Per-document top-`TfidfTopK` terms by smoothed TF-IDF
     * (tf · ln((N+1)/(df+1))) — keyword extraction / relevance weighting
-    * over the corpus vocabulary. Plan: one explode feeds BOTH the per-doc
-    * tf and the per-term df aggregations (map-side partials each), the df
-    * frame joins back on term (vocab-sized, not corpus-sized), the
-    * 1-row doc count broadcasts, and the final top-k is a keyed window.
-    * At 100 TB nothing but (doc_id, term) pairs ever shuffles. */
+    * over the corpus vocabulary. Plan: the explode runs once per
+    * consumer inside whole-stage codegen (per-doc tf, per-term df, both
+    * map-side partials) — deliberately NOT persisted: caching the
+    * ~1-row-per-token intermediate was measured slower than recomputing
+    * the codegen'd split (same trade as q101; at a corpus scale where
+    * the doubled scan dominates, persist `terms`). The df frame joins
+    * back on term (vocab-sized, not corpus-sized), the 1-row doc count
+    * broadcasts, and the final top-k is a keyed window. At 100 TB
+    * nothing but (doc_id, term) pairs ever shuffles. */
   val TfidfTopK = 3
   def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     val terms = docs(spark, dir)
