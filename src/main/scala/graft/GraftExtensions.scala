@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     inject("cosine_sim", "cosine_sim(array<float>, array<float>) -> double",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject("l2_sq", "l2_sq(array<float>, array<float>) -> double",
+      exprs => L2Sq(exprs(0), exprs(1)))
     inject("md5_i64", "md5_i64(array<string>[, prefix]) -> array<bigint>", {
       case Seq(e) => Md5I64Array(e)
       case Seq(e, p) => Md5I64Array(e,

@@ -105,6 +105,7 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     ifAbsent("cosine_sim")(exprs => CosineSimilarity(exprs(0), exprs(1)))
+    ifAbsent("l2_sq")(exprs => L2Sq(exprs(0), exprs(1)))
     ifAbsent("md5_i64") {
       case Seq(e) => Md5I64Array(e)
       case Seq(e, p) => Md5I64Array(e,

@@ -281,11 +281,7 @@ object ScaleOps {
       FROM seeds CROSS JOIN ms),
     d AS (
       SELECT s.vec_id, s.m, c.cid,
-        CAST(floor(aggregate(
-          zip_with(s.v, c.c, (p, q) ->
-            (CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) *
-            (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))),
-          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 1e6 + 0.5) AS BIGINT) AS d6
+        CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
       FROM sub s JOIN csub c ON s.m = c.m),
     r AS (
       SELECT vec_id, m, cid, d6,
@@ -328,6 +324,7 @@ object ScaleOps {
     ORDER BY vec_id, m"""
 
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     spark.sql(pqSparkSql)
   }
@@ -394,6 +391,7 @@ object ScaleOps {
     ORDER BY probe_id, rk"""
 
   def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     spark.sql(s"WITH $pqBaseSpark $pqAdcTail")
   }

@@ -174,6 +174,28 @@ class PlanSpec extends SparkSpec {
       s"cosine must be codegen'd:\n$p")
   }
 
+  test("native l2_sq is bit-identical to the composable form and codegen'd") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b") && col("id_b") < 40)
+    val composable =
+      "aggregate(zip_with(va, vb, (p, q) -> " +
+        "(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * " +
+        "(CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    val both = pairs.selectExpr(
+      "id_a", "id_b", "l2_sq(va, vb) AS native", s"$composable AS composable")
+    assert(both.count() > 100)
+    assert(both.filter(col("native") =!= col("composable")).count() === 0,
+      "native l2_sq must reproduce the lambda fold bit-for-bit")
+    val p = executedPlan(both)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"l2_sq must be codegen'd:\n$p")
+  }
+
   test("whole-stage codegen covers the aggregation hot path") {
     val p = executedPlan(CoreRelational.aggSummary(spark, sfDir))
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
