@@ -752,6 +752,112 @@ object ScaleOps {
       .orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q116
+  /** Deterministic A/B experiment analysis: users assign to arms by pure
+    * hash (reproducible, no assignment table to join), purchase values
+    * accumulate as exact integer cents power sums (S0/S1/S2) per arm in
+    * ONE conditional-aggregation pass — no per-arm scans, no shuffle
+    * beyond the final 1-row reduce — and mean/variance/Welch-z are
+    * computed once on identical integers in both engines, then half-up
+    * rounded. The single-row output is the whole experiment readout. */
+  def abTestSql(hashArm: String): String = s"""
+    WITH p AS (
+      SELECT CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS s1a,
+        CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS s1b,
+        CAST(sum(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS DECIMAL(38,0)) AS s2a,
+        CAST(sum(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS DECIMAL(38,0)) AS s2b
+      FROM p),
+    m AS (
+      SELECT n_a, n_b,
+        CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) /
+          CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS va,
+        (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) /
+          CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS vb
+      FROM s)
+    SELECT n_a, n_b,
+      ${droundSql("ma / 100.0", 6)} AS mean_a,
+      ${droundSql("mb / 100.0", 6)} AS mean_b,
+      ${droundSql("(ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) + " +
+        "vb / CAST(n_b AS DOUBLE))", 6)} AS welch_z
+    FROM m"""
+
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(abTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
+  }
+
+  // ---------------------------------------------------------------- q117
+  /** RFM customer segmentation: recency (days since last order),
+    * frequency (order count), monetary (lifetime cents) per customer
+    * from one orders scan, then ntile(5) per dimension with full
+    * deterministic tiebreaks (metric, custkey) — the classic marketing
+    * segmentation that doubles as a mixture-weighting signal. One
+    * shuffle on o_custkey, three global ntile windows over the
+    * customer-grain frame (|customers| ≪ |orders|; at larger scale the
+    * cutpoints come from approx_percentile instead of a total sort —
+    * q61 shows that path oracle-gated). */
+  def rfmSql(daysBetween: (String, String) => String): String = s"""
+    WITH cust AS (
+      SELECT o_custkey,
+        CAST(max(o_orderdate) AS DATE) AS last_order,
+        count(1) AS frequency,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT max(last_order) AS ref_date FROM cust),
+    r AS (
+      SELECT o_custkey,
+        CAST(${daysBetween("last_order", "ref_date")} AS BIGINT) AS recency_days,
+        frequency, monetary_cents
+      FROM cust CROSS JOIN mx)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+      CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+      CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+      CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m_score
+    FROM r
+    ORDER BY o_custkey"""
+
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(rfmSql((from, to) => s"datediff($to, $from)"))
+  }
+
+  // ---------------------------------------------------------------- q118
+  /** User-journey path mining: the most frequent 3-event sequences
+    * (trigrams of event_type per user in time order) — funnel discovery
+    * as opposed to q70's funnel measurement. Two lead() calls in ONE
+    * window pass build the trigram, a hash agg counts paths, and the
+    * top-k is rank-on-count with a full lexicographic tiebreak so equal
+    * counts cannot reorder across engines. */
+  val PathTopK = 20
+  def eventPathsSql: String = s"""
+    WITH t AS (
+      SELECT event_type AS e1,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(1) AS n
+      FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1 || ' > ' || e2 || ' > ' || e3)
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path LIMIT $PathTopK"""
+
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(eventPathsSql)
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -768,7 +874,10 @@ object ScaleOps {
     "q112_twap"          -> twap _,
     "q113_assoc_rules"   -> assocRules _,
     "q114_skyline"       -> skyline _,
-    "q115_triangles"     -> triangles _
+    "q115_triangles"     -> triangles _,
+    "q116_ab_test"       -> abTest _,
+    "q117_rfm"           -> rfm _,
+    "q118_event_paths"   -> eventPaths _
   )
 
   val oracles: Map[String, String] = Map(
@@ -786,6 +895,9 @@ object ScaleOps {
     "q112_twap" -> twapSql("epoch_ms(ts)"),
     "q113_assoc_rules" -> assocRulesSql("lineitem"),
     "q114_skyline" -> skylineOracleSql,
-    "q115_triangles" -> trianglesSql("lineitem")
+    "q115_triangles" -> trianglesSql("lineitem"),
+    "q116_ab_test" -> abTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
+    "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
+    "q118_event_paths" -> eventPathsSql
   )
 }

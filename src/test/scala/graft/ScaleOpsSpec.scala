@@ -206,6 +206,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == triCount.toMap)
   }
 
+  test("ab test arms partition all purchases and z is finite") {
+    val r = ScaleOps.abTest(spark, sfDir).collect().head
+    val total = graft.core.Tables.load(spark, sfDir, "events")
+      .filter("event_type = 'purchase'").count()
+    assert(r.getLong(0) + r.getLong(1) == total)
+    assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+  }
+
+  test("rfm scores are 1-5 and each bucket holds ~n/5 customers") {
+    val r = ScaleOps.rfm(spark, sfDir).collect()
+    val n = r.length
+    Seq(4, 5, 6).foreach { i =>
+      val byScore = r.groupBy(_.getInt(i)).view.mapValues(_.length)
+      assert(byScore.keys.toSet == Set(1, 2, 3, 4, 5))
+      byScore.values.foreach(c => assert(math.abs(c - n / 5) <= 1))
+    }
+  }
+
+  test("event paths: counts match a driver-side trigram recount") {
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_millis(ts) AS ms", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" > "))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(ScaleOps.PathTopK)
+    val got = ScaleOps.eventPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("sparse cosine pairs are ordered, thresholded, and bounded by 1") {
     val r = ScaleOps.sparseCosine(spark, sfDir).collect()
     r.foreach { row =>
