@@ -396,6 +396,46 @@ object ScaleOps {
     spark.sql(s"WITH $pqBaseSpark $pqAdcTail")
   }
 
+  // ---------------------------------------------------------------- q119
+  /** IVF-PQ search — the production ANN shape, combining q40's inverted
+    * file with q107's ADC: a probe scores ONLY vectors in its own
+    * coarse cell (here the fixture's `label`, q40's convention), and
+    * those vectors are represented only by their PQ codes. Per probe
+    * the work is |cell|·PqM integer lookups instead of |corpus|·dim
+    * float ops — the two multiplicative cuts (cell pruning × code
+    * compression) that make billion-vector search tractable. Cell
+    * membership is one broadcast-sized (vec_id, cell) frame joined on
+    * both sides of the ADC. Dialect-neutral tail over the per-engine
+    * PQ base. */
+  private def pqIvfAdcTail: String = s""",
+    cells AS (SELECT vec_id, label AS cell FROM embeddings),
+    codes AS (SELECT vec_id, m, cid AS code FROM r WHERE rn = 1),
+    dtab AS (
+      SELECT vec_id AS probe_id, m, cid, d6
+      FROM d WHERE vec_id % $PqProbeMod = 0),
+    adc AS (
+      SELECT t.probe_id, c.vec_id, cv.cell, CAST(sum(t.d6) AS BIGINT) AS ad6
+      FROM codes c
+      JOIN cells cv ON c.vec_id = cv.vec_id
+      JOIN dtab t ON c.m = t.m AND c.code = t.cid
+      JOIN cells cp ON t.probe_id = cp.vec_id AND cp.cell = cv.cell
+      GROUP BY t.probe_id, c.vec_id, cv.cell),
+    ranked AS (
+      SELECT probe_id, vec_id, cell, ad6,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY ad6, vec_id) AS INT) AS rk
+      FROM adc)
+    SELECT probe_id, rk, vec_id, CAST(cell AS INT) AS cell,
+      CAST(ad6 AS DOUBLE) / 1e6 AS adist
+    FROM ranked WHERE rk <= $PqTopK
+    ORDER BY probe_id, rk"""
+
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(s"WITH $pqBaseSpark $pqIvfAdcTail")
+  }
+
   // ---------------------------------------------------------------- q108
   /** CDC merge-upsert (MERGE INTO semantics without a table format):
     * apply a changeset of updates / deletes / inserts to a keyed target
@@ -877,7 +917,8 @@ object ScaleOps {
     "q115_triangles"     -> triangles _,
     "q116_ab_test"       -> abTest _,
     "q117_rfm"           -> rfm _,
-    "q118_event_paths"   -> eventPaths _
+    "q118_event_paths"   -> eventPaths _,
+    "q119_ivfpq_search"  -> ivfPqSearch _
   )
 
   val oracles: Map[String, String] = Map(
@@ -898,6 +939,7 @@ object ScaleOps {
     "q115_triangles" -> trianglesSql("lineitem"),
     "q116_ab_test" -> abTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
-    "q118_event_paths" -> eventPathsSql
+    "q118_event_paths" -> eventPathsSql,
+    "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail"
   )
 }

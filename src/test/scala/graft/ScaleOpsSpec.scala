@@ -92,6 +92,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq search stays inside the probe's cell") {
+    val cells = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS INT) AS cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = ScaleOps.ivfPqSearch(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // every result vector shares the probe's coarse cell
+      assert(row.getInt(3) == cells(row.getLong(0)))
+      assert(row.getInt(3) == cells(row.getLong(2)))
+    }
+    // and results per probe are capped at PqTopK with rank 1..k
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val rks = rows.map(_.getInt(1)).sorted
+      assert(rks.toSeq == (1 to rks.length) && rks.length <= ScaleOps.PqTopK)
+    }
+  }
+
   test("merge upsert applies updates, drops deletes, appends inserts") {
     val tgt = graft.core.Tables.load(spark, sfDir, "customer")
     val orig = tgt.selectExpr("c_custkey AS k",
