@@ -32,7 +32,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] is one JVM acting as driver AND 32 executors: a 100+-query
   // run accumulates broadcasts/shuffle blocks faster than the
   // ContextCleaner's GC-triggered reclaim under a small heap, and the
-  // session degrades into GC thrash mid-run. 24g on this 128 GiB box is
+  // session degrades into GC thrash mid-run. 16g on this 128 GiB box is
   // ~the per-executor memory a real cluster would give the same work.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // This host stalls the whole JVM for tens of seconds on lazy heap-page
+  // allocation (observed: jstack attach timeouts while the machine is 93%
+  // idle). Pre-touching the fixed-size heap at startup moves that cost to
+  // JVM boot; concurrent explicit GC keeps Bench's per-query cleaner
+  // drain from becoming a stop-the-world full collection.
+  "-XX:+AlwaysPreTouch",
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
