@@ -898,6 +898,98 @@ object ScaleOps {
     spark.sql(eventPathsSql)
   }
 
+  // ---------------------------------------------------------------- q120
+  /** χ² test of independence between two categoricals over the FULL
+    * r×c grid (marginals cross-joined, observed counts left-joined so
+    * zero cells contribute correctly) — the significance companion to
+    * q111's PMI. Everything is reductions of one joint histogram;
+    * expected counts and per-cell contributions are computed on
+    * identical values in both engines and bridged at 1e-9 before the
+    * order-nondeterministic total. Output is per-cell with the cell's
+    * contribution, so the χ² statistic is the checkable column sum. */
+  def chiSquareSql(table: String): String = s"""
+    WITH j AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, count(1) AS o
+      FROM $table GROUP BY o_orderpriority, o_orderstatus),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM j GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM j GROUP BY c),
+    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM j),
+    grid AS (
+      SELECT rt.r, ct.c, coalesce(j.o, 0) AS o,
+        CAST(rt.nr AS DOUBLE) * CAST(ct.nc AS DOUBLE) / n.n AS e
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN j ON j.r = rt.r AND j.c = ct.c)
+    SELECT r, c, CAST(o AS BIGINT) AS observed,
+      ${droundSql("e", 6)} AS expected,
+      ${droundSql("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e", 9)}
+        AS chi2_contrib
+    FROM grid
+    ORDER BY r, c"""
+
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(chiSquareSql("orders"))
+  }
+
+  // ---------------------------------------------------------------- q121
+  /** Gini coefficient of customer revenue concentration — the "how
+    * skewed is my corpus/revenue" scalar every mixture audit wants.
+    * Computed from the rank formulation G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx)
+    * on EXACT integers: cents sums, a global rank with custkey
+    * tiebreak, and a decimal numerator — the only fp is the final
+    * division of identical integers. The global sort is customer-grain
+    * (≪ orders); at larger scale the rank comes from a two-pass
+    * bucketed sort, same formula. */
+  def giniSql(table: String): String = s"""
+    WITH c AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM $table GROUP BY o_custkey),
+    rk AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM c),
+    nn AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx
+      FROM c),
+    num AS (
+      SELECT CAST(sum(CAST(2 * i - nn.n - 1 AS DECIMAL(19,0)) * x)
+        AS DECIMAL(38,0)) AS g
+      FROM rk CROSS JOIN nn)
+    SELECT nn.n AS n_customers,
+      CAST(nn.sx AS BIGINT) AS total_cents,
+      ${droundSql("CAST(num.g AS DOUBLE) / " +
+        "(CAST(nn.n AS DOUBLE) * CAST(nn.sx AS DOUBLE))", 9)} AS gini
+    FROM num CROSS JOIN nn"""
+
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(giniSql("orders"))
+  }
+
+  // ---------------------------------------------------------------- q122
+  /** Monthly seasonal index of revenue (month total ÷ mean month) — the
+    * calendar-effects profile used to spot ingest gaps and demand
+    * cycles. Integer cents throughout; one hash agg plus a 12-row
+    * reduction. */
+  def seasonalSql(table: String): String = s"""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM $table GROUP BY month(o_orderdate)),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+            CAST(count(1) AS BIGINT) AS nm FROM m)
+    SELECT month, cents,
+      ${droundSql("CAST(cents AS DOUBLE) / " +
+        "(CAST(total AS DOUBLE) / CAST(nm AS DOUBLE))", 6)} AS seasonal_index
+    FROM m CROSS JOIN t
+    ORDER BY month"""
+
+  def seasonal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(seasonalSql("orders"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -918,7 +1010,10 @@ object ScaleOps {
     "q116_ab_test"       -> abTest _,
     "q117_rfm"           -> rfm _,
     "q118_event_paths"   -> eventPaths _,
-    "q119_ivfpq_search"  -> ivfPqSearch _
+    "q119_ivfpq_search"  -> ivfPqSearch _,
+    "q120_chi_square"    -> chiSquare _,
+    "q121_gini"          -> gini _,
+    "q122_seasonal"      -> seasonal _
   )
 
   val oracles: Map[String, String] = Map(
@@ -940,6 +1035,9 @@ object ScaleOps {
     "q116_ab_test" -> abTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
     "q118_event_paths" -> eventPathsSql,
-    "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail"
+    "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
+    "q120_chi_square" -> chiSquareSql("orders"),
+    "q121_gini" -> giniSql("orders"),
+    "q122_seasonal" -> seasonalSql("orders")
   )
 }

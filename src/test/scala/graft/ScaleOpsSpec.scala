@@ -258,6 +258,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("chi-square grid covers all orders and contributions are nonnegative") {
+    val r = ScaleOps.chiSquare(spark, sfDir).collect()
+    val nOrders = graft.core.Tables.load(spark, sfDir, "orders").count()
+    assert(r.map(_.getLong(2)).sum == nOrders)
+    r.foreach(row => assert(row.getDouble(4) >= 0.0))
+    // full grid: |priorities| x |statuses|
+    val rs = r.map(_.getString(0)).distinct.length
+    val cs = r.map(_.getString(1)).distinct.length
+    assert(r.length == rs * cs)
+  }
+
+  test("gini matches a driver-side recomputation and sits in [0,1)") {
+    val xs = graft.core.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }.toSeq
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = xs.length.toLong
+    val sx = xs.map(BigDecimal(_)).sum
+    val num = xs.zipWithIndex.map { case (x, i0) =>
+      BigDecimal(2L * (i0 + 1) - n - 1) * x
+    }.sum
+    val expected = math.floor(
+      (num.toDouble / (n.toDouble * sx.toDouble)) * 1e9 + 0.5) / 1e9
+    val got = ScaleOps.gini(spark, sfDir).collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(2) == expected)
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) < 1.0)
+  }
+
+  test("seasonal indices average to 1 over the months present") {
+    val r = ScaleOps.seasonal(spark, sfDir).collect()
+    assert(r.length == 12)
+    val mean = r.map(_.getDouble(2)).sum / r.length
+    assert(math.abs(mean - 1.0) < 1e-4)
+  }
+
   test("sparse cosine pairs are ordered, thresholded, and bounded by 1") {
     val r = ScaleOps.sparseCosine(spark, sfDir).collect()
     r.foreach { row =>
