@@ -21,10 +21,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Arithmetic order is IDENTICAL to the composable form (sequential fold
   * over elements; norms over each full array) so swapping it in changes
-  * no result bit — asserted by PlanSpec against the lambda form.
+  * no result bit — asserted by PlanSpec against the lambda form. A null
+  * ELEMENT in either array yields a null result, exactly as the lambda
+  * form's null-propagating arithmetic does — not a silent 0.0 term (the
+  * null-element branch is only emitted when the array type says
+  * containsNull, so null-free schemas keep the tight loops).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -42,9 +52,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < x.numElements()) { if (x.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < y.numElements()) { if (y.isNullAt(i)) return null; i += 1 }
     val nd = math.min(x.numElements(), y.numElements())
     var dot = 0.0
-    var i = 0
+    i = 0
     while (i < nd) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     var nx = 0.0
     i = 0
@@ -63,7 +77,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val v = ctx.freshName("v")
+      val nullCheck =
+        if (elemNullable)
+          s"""for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+             |}
+             |for (int $i = 0; $i < $b.numElements() && !${ev.isNull}; $i++) {
+             |  if ($b.isNullAt($i)) ${ev.isNull} = true;
+             |}
+             |if (!${ev.isNull}) {""".stripMargin
+        else ""
+      val nullCheckClose = if (elemNullable) "}" else ""
       s"""
+        |$nullCheck
         |int $nd = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0;
         |for (int $i = 0; $i < $nd; $i++) {
@@ -78,6 +104,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         |  double $v = (double) $b.getFloat($i); $ny += $v * $v;
         |}
         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |$nullCheckClose
       """.stripMargin
     })
 

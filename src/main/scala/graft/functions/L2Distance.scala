@@ -18,8 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Arithmetic order is IDENTICAL to the composable form (sequential fold
   * over min-length prefix, each term (x-y)² in double) so swapping it in
-  * changes no result bit — asserted in FunctionsSpec. */
+  * changes no result bit — asserted in FunctionsSpec. A null ELEMENT in
+  * the scanned prefix yields a null result, exactly as the lambda form's
+  * null-propagating `+` does — not a silent 0.0 contribution (the
+  * null-element branch is only emitted when the array type says
+  * containsNull, so null-free schemas keep the tight loop). */
 case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -41,6 +51,7 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
     var s = 0.0
     var i = 0
     while (i < nd) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       s += d * d
       i += 1
@@ -54,10 +65,15 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
       val nd = ctx.freshName("nd")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
         |int $nd = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $s = 0.0;
         |for (int $i = 0; $i < $nd; $i++) {
+        |  $nullCheck
         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
         |  $s += $d * $d;
         |}

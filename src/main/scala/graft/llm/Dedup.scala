@@ -68,7 +68,7 @@ object Dedup {
     val sh = sh0.filter(size(col("sh")) > 0)
     val sig = sh.selectExpr("id", "md5_i64(sh) AS hs")
       .selectExpr("id", "hs", s"minhash_sig(hs, $numHashes) AS sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val bandKeys = (0 until bands).map { b =>
       val slice = (0 until rows)
         .map(r => s"CAST(element_at(sig, ${b * rows + r + 1}) AS STRING)")
@@ -293,7 +293,7 @@ object Dedup {
     // persist: the sig pipeline (md5 + bit-vote kernels) would otherwise
     // run once per self-join branch (no exchange reuse across aliases)
     val sig = withSimhash(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     simhashPairsFromSigs(sig, maxHamming)
   }
 
@@ -341,7 +341,7 @@ object Dedup {
                           driverEdgeLimit: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     val idPairs = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     if (idPairs.count() <= driverEdgeLimit) {
       val collected = idPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       idPairs.unpersist()
@@ -368,7 +368,7 @@ object Dedup {
     idPairs.unpersist()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     // Fused first round: with label(id)=id the first propagation is just
     // least(src, min(dst)) — one groupBy over the (symmetrized) edge list
     // instead of distinct + join + agg + join. Every node appears as src,
@@ -390,7 +390,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.core.EngineCache.persisted)
       converged = next.filter(col("changed")).isEmpty
       cached.foreach(_.unpersist()) // next is materialized; free last round
       cached = Some(next)

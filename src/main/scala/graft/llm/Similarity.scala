@@ -164,7 +164,7 @@ object Similarity {
     val mask = (1L << rows) - 1
     val sig = vectors
       .selectExpr("vec_id AS id", "embedding", s"srp_sig(embedding, $bits) AS sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val keys = (0 until bands).map { b =>
       s"concat('p$b:', CAST(shiftright(sig, ${b * rows}) & $mask AS STRING))"
     }.mkString(", ")
@@ -294,7 +294,7 @@ object Similarity {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     def assign(cents: DataFrame): DataFrame =
       v.join(broadcast(cents))
         .withColumn("cos", expr(cosineExpr("embedding", "cv")))

@@ -215,11 +215,11 @@ object CorpusOps {
         SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents)
       SELECT /*+ BROADCAST(qt) */ u.doc_id, u.term, qt.query_id
       FROM uni u JOIN qt ON u.term = qt.term""")
-      .persist(mem).createOrReplaceTempView("bm25_hits")
+      .transform(graft.core.EngineCache.persisted).createOrReplaceTempView("bm25_hits")
     spark.sql(s"""
       SELECT doc_id, CAST(${tokenCountExprSql} AS BIGINT) AS dl
       FROM documents""")
-      .persist(mem).createOrReplaceTempView("bm25_dl")
+      .transform(graft.core.EngineCache.persisted).createOrReplaceTempView("bm25_dl")
     spark.sql(s"""
       WITH tf AS (SELECT query_id, doc_id, term, count(1) AS tf
              FROM bm25_hits GROUP BY query_id, doc_id, term),

@@ -229,7 +229,7 @@ object LlmQueries {
     // computation each, not three/two
     val corpus = d.filter(col("source") =!= batchSource)
       .select(bagFingerprint("text").as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val bloom = corpus.stat.bloomFilter("fp",
       expectedNumItems = math.max(corpus.count(), 1L), fpp = 0.03)
     val bc = spark.sparkContext.broadcast(bloom)
@@ -240,7 +240,7 @@ object LlmQueries {
       fp != null && bc.value.mightContainLong(fp))
     val batch = d.filter(col("source") === batchSource)
       .select(col("doc_id"), bagFingerprint("text").as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val definitelyNovel = batch.filter(!mightContain(col("fp")))
     val confirmedNovel = batch.filter(mightContain(col("fp")))
       .join(corpus, Seq("fp"), "left_anti")
@@ -399,7 +399,7 @@ object LlmQueries {
   def chunkContainment(spark: SparkSession, dir: String): DataFrame = {
     val fps = docChunksCore(spark, dir)
       .select(col("doc_id"), col("chunk_fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val keep = fps.groupBy("chunk_fp")
       .agg(count(lit(1)).as("cdf")).filter(col("cdf") <= StopChunkDf)
       .select("chunk_fp")

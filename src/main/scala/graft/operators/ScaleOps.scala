@@ -140,7 +140,7 @@ object ScaleOps {
         CAST(floor(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) * 1e6 + 0.5)
           AS BIGINT) AS w6
       FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd""")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     w.createOrReplaceTempView("sparse_w")
     spark.sql(s"""
       WITH nrm AS (
@@ -230,9 +230,9 @@ object ScaleOps {
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val n = deg.count() // materializes both persists; |V| for teleport
     val d = PrDamping
     var r = deg.select(col("node"), col("deg"),
@@ -337,12 +337,17 @@ object ScaleOps {
     * per user partition, no self-join, and the string max is engine-
     * independent where a struct max would not be. Revenue sums as exact
     * integer cents (value bridged per-row before the order-
-    * nondeterministic aggregation). */
+    * nondeterministic aggregation). The epoch is offset by the
+    * year-0001 constant before lpad: a negative (pre-1970) epoch would
+    * render with a '-' prefix and sort lexicographically WRONG — the
+    * offset keeps every representable timestamp nonnegative so the
+    * zero-padded string order equals the numeric order. */
   private def attributionSql(epochMs: String): String = s"""
     WITH t AS (
       SELECT event_id, user_id, ts, event_type, value,
         max(CASE WHEN event_type <> 'purchase'
-              THEN lpad(CAST($epochMs AS STRING), 20, '0') || ':' || event_type
+              THEN lpad(CAST(($epochMs) + 62135596800000 AS STRING), 20, '0')
+                || ':' || event_type
             END)
           OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
@@ -655,7 +660,7 @@ object ScaleOps {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val nOrders = li.select(col("l_orderkey")).distinct().count()
     val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
     val pair = li.alias("a")
@@ -781,7 +786,7 @@ object ScaleOps {
       .groupBy("u", "v").agg(count(lit(1)).as("c"))
       .filter(col("c") >= TriMinSup)
       .select("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val tri = e.alias("e1")
       .join(e.alias("e2"), col("e1.v") === col("e2.u"))
       .join(e.alias("e3"),
@@ -811,8 +816,12 @@ object ScaleOps {
         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS s1a,
         CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS s1b,
-        CAST(sum(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS DECIMAL(38,0)) AS s2a,
-        CAST(sum(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS DECIMAL(38,0)) AS s2b
+        CAST(sum(CASE WHEN arm = 'A'
+          THEN CAST(cents AS DECIMAL(19,0)) * cents
+          ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s2a,
+        CAST(sum(CASE WHEN arm = 'B'
+          THEN CAST(cents AS DECIMAL(19,0)) * cents
+          ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s2b
       FROM p),
     m AS (
       SELECT n_a, n_b,

@@ -170,7 +170,7 @@ object Windows {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),
         graft.core.Determinism.dsum(col("value"), 2).as("sum_value"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.EngineCache.persisted)
     val grid = hourly.groupBy(col("event_type"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("event_type"),

@@ -13,7 +13,19 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed-table join on the bucket key plans with no shuffle exchange") {
     // managed tables land in the session's warehouse dir (spark-warehouse
-    // under cwd for the test session); DROP TABLE below removes the files
+    // under cwd for the test session); DROP TABLE below removes the files.
+    // A killed prior run can leave the location behind with no catalog
+    // entry — DROP alone won't clear it, so scrub the dirs up front too.
+    for (t <- Seq("li_bkt", "ord_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")
     val ord = graft.core.Tables.load(spark, sfDir, "orders")
