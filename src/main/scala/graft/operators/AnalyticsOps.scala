@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Determinism._
+import graft.core.Tables
+
+/** Round-5 operator surface: exact set-similarity join with prefix
+  * filtering (the PPJoin family — the guaranteed-recall complement to
+  * the MinHash/SimHash probabilistic dedup already in `llm.Dedup`),
+  * grouped ordinary-least-squares regression on exact integer power
+  * sums, level-synchronous BFS hop distance over the co-purchase
+  * graph, and a join-key skew profiler (the diagnostic that tells you
+  * a key needs salting BEFORE the shuffle falls over). Same contract
+  * as every query group: one `queries` entry + one DuckDB oracle per
+  * operator; every fp-critical expression is decimal- or
+  * integer-bridged so the two engines cannot drift.
+  */
+object AnalyticsOps {
+
+  // Shared tuning constants (Spark plan ⟷ oracle SQL)
+  val SimDocMod = 5    // q123 corpus restriction (doc_id % n = 0): keeps
+                       //   the all-pairs ORACLE tractable; the operator
+                       //   itself scales via the prefix filter
+  val BfsSeedMod = 100 // q125 seed set: part keys ≡ 0 (mod 100)
+  val BfsIters = 2     // q125 hop bound (level-synchronous rounds)
+  val SkewTopK = 10    // q126 heavy keys reported
+
+  // ---------------------------------------------------------------- q123
+  /** Exact set-similarity self-join: all document pairs with token-set
+    * Jaccard ≥ 1/2, by prefix filtering (Chaudhuri/Ganti/Kaushik,
+    * ICDE 2006; Xiao et al.'s PPJoin, WWW 2008). Order each doc's
+    * distinct tokens by ascending global document frequency; a pair
+    * with J ≥ τ MUST share a token within each side's first
+    * m − ⌈τ·m⌉ + 1 tokens (for τ = 1/2: ⌊m/2⌋ + 1), so candidates are
+    * pairs sharing a PREFIX token — and prefixes hold the RAREST
+    * tokens, so the candidate join's per-key fan-out is bounded by
+    * construction (a stopword can never be a blocking key for a large
+    * doc). Verification recomputes the exact intersection only for
+    * candidates. τ = 1/2 makes the threshold integer-exact:
+    * J ≥ 1/2 ⟺ 3·|x∩y| ≥ |x| + |y|. The ORACLE is the unblocked
+    * all-pairs ground truth, so a hash match PROVES the prefix filter
+    * lost nothing. At 100 TB the shape holds: tokenize+order is two
+    * hash aggs and one doc-partitioned window; the candidate join is
+    * rare-key-bounded; only candidate pairs reach verification. */
+  private def simTail: String = s"""
+    sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS m
+           FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+        CAST(count(1) AS BIGINT) AS i
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      GROUP BY ta.doc_id, tb.doc_id)
+    SELECT i.id_a, i.id_b, i.i AS inter_n,
+      sa.m + sb.m - i.i AS union_n,
+      ${droundSql("CAST(i.i AS DOUBLE) / (sa.m + sb.m - i.i)", 6)} AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.id_a = sa.doc_id
+    JOIN sz sb ON i.id_b = sb.doc_id
+    WHERE 3 * i.i >= sa.m + sb.m
+    ORDER BY i.id_a, i.id_b"""
+
+  /** Spark-side (prefix-filtered) plan; `docFilter` parametrized so the
+    * spec can run it unrestricted on a planted fixture. */
+  def sparkSetSimSql(docFilter: String): String = s"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+          explode(${graft.functions.TextFunctions.wordsExpr("text")}) AS token
+        FROM documents WHERE $docFilter) t
+      WHERE token <> ''),
+    df AS (SELECT token, count(1) AS df FROM tok GROUP BY token),
+    ord AS (
+      SELECT t.doc_id, t.token,
+        row_number() OVER (PARTITION BY t.doc_id
+          ORDER BY d.df, t.token) AS rk,
+        count(1) OVER (PARTITION BY t.doc_id) AS m
+      FROM tok t JOIN df d ON t.token = d.token),
+    pref AS (
+      SELECT doc_id, token FROM ord
+      WHERE rk <= CAST(floor(m / 2.0) + 1 AS BIGINT)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b
+        ON a.token = b.token AND a.doc_id < b.doc_id),
+    $simTail"""
+
+  def setSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(sparkSetSimSql(s"doc_id % $SimDocMod = 0"))
+  }
+
+  /** Unblocked all-pairs ground truth: every pair sharing ANY token is
+    * a candidate. Tractable only because of the SimDocMod restriction;
+    * matching it hash-for-hash certifies the prefix filter's recall. */
+  def setSimJoinSql: String = s"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+          unnest(${graft.functions.TextFunctions.wordsSql("text")}) AS token
+        FROM documents WHERE doc_id % $SimDocMod = 0) t
+      WHERE token <> ''),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.doc_id < b.doc_id),
+    $simTail"""
+
+  // ---------------------------------------------------------------- q124
+  /** Grouped OLS regression — per part brand, regress line-item price
+    * (cents) on quantity: slope, intercept, Pearson r from the five
+    * power sums, each accumulated EXACTLY (x, x², x·y as integers; y
+    * bridged per-row to DECIMAL before the square so cents² cannot
+    * wrap int64 — q116's rule). The closed-form combination then runs
+    * in IEEE double on bit-identical integer inputs in both engines,
+    * so the half-up 6dp round cannot straddle a boundary. One scan,
+    * one hash agg, O(|brands|) output at any scale; the part side is
+    * dimension-sized (AQE broadcasts it). */
+  def olsSql: String = s"""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+        CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS x,
+        CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    s AS (
+      SELECT brand, CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+        CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM b GROUP BY brand),
+    m AS (
+      SELECT brand, n,
+        CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+      FROM s),
+    f AS (
+      SELECT brand, n,
+        (nd * sxyd - sxd * syd) AS num,
+        (nd * sxxd - sxd * sxd) AS denx,
+        (nd * syyd - syd * syd) AS deny,
+        sxd, syd, nd
+      FROM m)
+    SELECT brand, n,
+      ${droundSql("num / denx", 6)} AS slope,
+      ${droundSql("(syd - (num / denx) * sxd) / nd", 4)} AS icept,
+      ${droundSql("num / sqrt(denx * deny)", 6)} AS r
+    FROM f
+    ORDER BY brand"""
+
+  def olsByBrand(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(olsSql)
+  }
+
+  // ---------------------------------------------------------------- q125
+  /** BFS hop distance from a seed set over the part co-purchase graph,
+    * level-synchronous: each round is one frontier⋈edges join + one
+    * min-agg — the canonical distributed-BFS shape (frontier state is
+    * O(|V| reached); the edge list partitions once and every round
+    * reuses it). Rounds are bounded (BfsIters), matching the oracle's
+    * depth-capped recursive CTE; min(d) collapses the oracle's
+    * duplicate paths to the same hop distance the level-synchronous
+    * dedup maintains incrementally. Edges persist across rounds and
+    * each round's distance table is materialized so lineage cannot
+    * grow per iteration (same discipline as q104 PageRank). */
+  def bfsSql(table: String): String = s"""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM $table a JOIN $table b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    bfs(node, d) AS (
+      SELECT DISTINCT src, 0 FROM e WHERE src % $BfsSeedMod = 0
+      UNION ALL
+      SELECT e.dst, bfs.d + 1 FROM e JOIN bfs ON e.src = bfs.node
+      WHERE bfs.d < $BfsIters)
+    SELECT node, CAST(min(d) AS INT) AS hops
+    FROM bfs GROUP BY node ORDER BY node"""
+
+  /** Level-synchronous BFS over a symmetrized (src, dst) edge frame
+    * from the given seed nodes; returns (node, hops) for every node
+    * within `iters` hops. Factored out so specs can drive it on a
+    * hand-built graph. */
+  def bfsFrom(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .transform(graft.core.EngineCache.persisted)
+    var dist = seeds.select(col("node"), lit(0).as("d"))
+      .transform(graft.core.EngineCache.persisted)
+    dist.count() // materialize seeds (and e) before the loop
+    for (i <- 1 to iters) {
+      val next = dist.filter(col("d") === i - 1).alias("f")
+        .join(e.alias("g"), col("f.node") === col("g.src"))
+        .select(col("g.dst").as("node"), lit(i).as("d"))
+      val merged = dist.union(next).groupBy("node")
+        .agg(min(col("d")).as("d"))
+        .transform(graft.core.EngineCache.persisted)
+      merged.count() // cut lineage: next round reads materialized state
+      dist = merged
+    }
+    dist.select(col("node"), col("d").cast("int").as("hops")).orderBy("node")
+  }
+
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % BfsSeedMod === 0)
+    bfsFrom(e, seeds, BfsIters)
+  }
+
+  // ---------------------------------------------------------------- q126
+  /** Join-key skew profiler over lineitem.l_partkey: the heaviest keys
+    * with their row share and multiple-of-mean — the number that says
+    * whether a planned shuffle needs salting (q48) or AQE skew
+    * handling before it runs. One hash agg builds the per-key
+    * histogram; the global stats are a 1-row cross join; output is
+    * O(SkewTopK) at any data size. Deterministic: total order
+    * (count DESC, key) under the LIMIT. */
+  def skewProfileSql(table: String, key: String): String = s"""
+    WITH f AS (
+      SELECT $key AS k, CAST(count(1) AS BIGINT) AS c
+      FROM $table GROUP BY $key),
+    s AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_keys,
+        CAST(sum(c) AS BIGINT) AS n_rows
+      FROM f)
+    SELECT f.k, f.c, s.n_keys, s.n_rows,
+      ${droundSql("CAST(f.c AS DOUBLE) / s.n_rows", 8)} AS row_share,
+      ${droundSql("CAST(f.c AS DOUBLE) * s.n_keys / s.n_rows", 6)} AS x_mean
+    FROM f CROSS JOIN s
+    ORDER BY f.c DESC, f.k
+    LIMIT $SkewTopK"""
+
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(skewProfileSql("lineitem", "l_partkey"))
+  }
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_setsim_join"  -> setSimJoin _,
+    "q124_ols_brand"    -> olsByBrand _,
+    "q125_bfs_hops"     -> bfsHops _,
+    "q126_skew_profile" -> skewProfile _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q123_setsim_join"  -> setSimJoinSql,
+    "q124_ols_brand"    -> olsSql,
+    "q125_bfs_hops"     -> bfsSql("lineitem"),
+    "q126_skew_profile" -> skewProfileSql("lineitem", "l_partkey")
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AnalyticsOps
+
+/** Round-5 operators: prefix-filtered set-similarity join, grouped OLS,
+  * level-synchronous BFS, key-skew profiler. The oracle gate proves the
+  * sf0.01 results; these specs prove the semantics on adversarial
+  * hand-built fixtures the fixture corpus may not contain. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("set-sim join finds exactly the pairs at / above the Jaccard threshold") {
+    // doc 10 ∩ doc 15: 3 of union 4 (J=3/4 ≥ 1/2 — kept);
+    // doc 20 vs doc 10: 1 of union 5 (J=1/5 — dropped);
+    // doc 25 ∩ doc 30: 2 of union 4 (J=2/4 = boundary — kept: 3·2 ≥ 2+4...
+    //   sizes m=3,m=3, 3·2=6 ≥ 6 ✓ exactly at τ).
+    Seq(
+      (10L, "alpha beta gamma delta"),
+      (15L, "alpha beta gamma"),
+      (20L, "alpha zeta eta theta"),
+      (25L, "kappa lambda mu"),
+      (30L, "kappa lambda nu")
+    ).toDF("doc_id", "text").createOrReplaceTempView("documents")
+    // same SQL as the operator but without the doc_id % mod restriction
+    val out = spark.sql(
+      AnalyticsOps.sparkSetSimSql(docFilter = "TRUE"))
+      .select("id_a", "id_b", "inter_n", "union_n").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(out === Set((10L, 15L, 3L, 4L), (25L, 30L, 2L, 4L)))
+  }
+
+  test("OLS recovers a planted exact linear relation") {
+    // y = 300x + 500 cents exactly: slope 300, icept 500, r = 1
+    Seq((1, 1.0, 8.00), (2, 2.0, 11.00), (3, 3.0, 14.00), (4, 4.0, 17.00))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+      .createOrReplaceTempView("lineitem")
+    Seq((1, "B1"), (2, "B1"), (3, "B1"), (4, "B1"))
+      .toDF("p_partkey", "p_brand").createOrReplaceTempView("part")
+    val r = spark.sql(AnalyticsOps.olsSql).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Double]("slope") === 300.0)
+    assert(row.getAs[Double]("icept") === 500.0)
+    assert(row.getAs[Double]("r") === 1.0)
+  }
+
+  test("BFS hop distances are exact on a chain and bounded by the iteration cap") {
+    // chain 0-1-2-3-4-5, seed {0}: hops = node index, capped at 3 iters
+    val e0 = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq(0L).toDF("node")
+    val got = AnalyticsOps.bfsFrom(e, seeds, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("skew profiler ranks the heavy key first with exact share") {
+    // key 7 has 6 of 10 rows across 3 keys: share .6, 1.8x mean
+    (Seq.fill(6)(7) ++ Seq(8, 8, 9, 9)).toDF("l_partkey")
+      .createOrReplaceTempView("lineitem")
+    val top = spark.sql(
+      AnalyticsOps.skewProfileSql("lineitem", "l_partkey")).collect().head
+    assert(top.getAs[Int]("k") === 7)
+    assert(top.getAs[Long]("c") === 6L)
+    assert(top.getAs[Double]("row_share") === 0.6)
+    assert(top.getAs[Double]("x_mean") === 1.8)
+  }
+}
