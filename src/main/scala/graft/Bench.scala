@@ -54,15 +54,21 @@ object Bench {
     // a mid-run kill (observed rc=124 round 4 — whole artifact lost)
     // degrades to "timings up to the last finished query" instead of
     // nothing. Each line is complete and self-consistent.
+    // Full-fidelity sidecar next to the stdout line: long query names,
+    // 3-decimal timings, every error — written (best-effort) every emit.
+    // The harness's artifact is built from a 2000-char stdout tail; at
+    // 134 queries the cumulative line brushes that window, and this file
+    // is where the complete numbers live regardless of truncation. The
+    // driver runs sbt from the repo root, so the file lands in-tree and
+    // rides the round commit.
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     def emit(): Unit = {
       val snap = results.synchronized(results.toList)
       // a failed/skipped query reports -1, never a normal-looking timing.
-      // 2-decimal timings + 1-char error codes: the whole line must fit
-      // inside the harness's 2000-char output-tail capture window even at
-      // 122 queries (a truncated line parses as nothing and the round's
-      // numbers are lost — observed in rounds 1-3 with long keys).
-      val qs = snap.map { case (k, v, err) =>
-        "\"" + short(k) + "\":" + (if (err.isDefined) "-1" else f"$v%.2f")
+      def qline(dec: Int) = snap.map { case (k, v, err) =>
+        "\"" + short(k) + "\":" +
+          (if (err.isDefined) "-1" else String.format(s"%.${dec}f", Double.box(v)))
       }.mkString("{", ",", "}")
       def code(e: String): String = e match {
         case "Timeout" => "T"
@@ -77,8 +83,23 @@ object Bench {
         (if (allErrs.size > 8) Seq("\"more\":\"" + (allErrs.size - 8) + "\"") else Nil))
         .mkString("{", ",", "}")
       val total = snap.collect { case (_, v, None) => v }.sum
-      println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfNum}""")
+      def line(dec: Int) =
+        f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qline(dec)},"errors":$errs,"sf":$sfNum}"""
+      // 2-decimal timings normally; if the line would overflow the tail
+      // window (leaving ~150 chars for sbt's trailing chatter), degrade to
+      // 1 decimal — a truncated line parses as NOTHING and loses the round
+      val out = { val l2 = line(2); if (l2.length <= 1850) l2 else line(1) }
+      println(out)
       System.out.flush()
+      try {
+        val detail = snap.map { case (k, v, err) =>
+          "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+        }.mkString("{", ",", "}")
+        val allErrsFull = snap.collect { case (k, _, Some(e)) =>
+          "\"" + k + "\":\"" + e.take(40) + "\"" }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+          f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$detail,"errors":$allErrsFull,"sf":$sfNum}""")
+      } catch { case _: Throwable => () } // sidecar is best-effort only
     }
     // On SIGTERM: first gag log4j so the dying SparkContext's error flood
     // (RejectedExecutionException storms from late task results) cannot

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
@@ -8,17 +9,26 @@ import java.nio.file.{Files, Paths}
   * kills this process mid-run, the already-dumped queries still get
   * compared (observed failure mode: timeout before the trailing json
   * write → the whole round's correctness artifact came back empty).
-  * Each query also runs under a watchdog (SPARK_GRAFT_QUERY_TIMEOUT,
-  * default 120 s) and the loop under a global deadline
-  * (SPARK_GRAFT_VERIFY_DEADLINE, default 900 s) so one wedged query
-  * cannot eat the remaining queries' budget. */
+  *
+  * Queries run on a small concurrent pool (SPARK_GRAFT_VERIFY_WORKERS,
+  * default 4): at sf0.01 each query underuses the session's cores, so
+  * 4-way overlap cuts the dump's wall time ~3× — and a single wedged
+  * query stalls ONE worker, not the whole loop (the failure that emptied
+  * round 4's artifact). Safe because every query registers identical
+  * temp views (same sfDir → same parquet), no operator mutates session
+  * conf, and outputs go to disjoint directories. Each query still gets a
+  * watchdog (SPARK_GRAFT_QUERY_TIMEOUT, default 120 s — a scheduled
+  * cancelJobGroup) and the whole run a deadline
+  * (SPARK_GRAFT_VERIFY_DEADLINE, default 900 s) after which remaining
+  * queries are skipped and stragglers are cancelled. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // default 8 (not 4): at 122 queries the dump is query-bound, not
-    // startup-bound, and the driver box has 32 cores — halving the loop
-    // time is what keeps the full suite inside the harness wall clock
+    // 8 cores (not 32): with 4 concurrent queries the aggregate
+    // parallelism is what keeps the driver box busy; one fat session
+    // would just queue the tiny sf0.01 stages behind each other
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_WORKERS", "4").toInt
     val perQueryTimeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong
     val deadlineSec =
@@ -46,58 +56,71 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    def newWorker() = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
-      val t = new Thread(r, "verify-query"); t.setDaemon(true); t }
-    var worker = newWorker()
     // dev loop: SPARK_GRAFT_QUERIES=q46,q51 dumps only matching prefixes
     // (oracle_sql.json always carries every oracle; tools/check.py skips
     // result dirs that weren't dumped)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
-    val loopStart = System.nanoTime()
-    // numeric order (q01..q122): if the deadline ever hits, what gets
+    // numeric order (q01..q134): if the deadline ever hits, what gets
     // skipped is the newest-query suffix, never the core suite
     def qnum(n: String): Int =
       n.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case d => d.toInt }
-    SparkEntry.queries.toSeq.sortBy { case (n, _) => (qnum(n), n) }
+    val selected = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qnum(n), n) }
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      .foreach { case (name, fn) =>
-        if ((System.nanoTime() - loopStart) / 1e9 > deadlineSec) {
-          System.err.println(s"[verify] $name SKIPPED: past ${deadlineSec}s deadline")
-        } else {
-          val fut = worker.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = {
-              spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-              try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/$name")
-              finally spark.sparkContext.clearJobGroup()
-            }
-          })
-          try fut.get(perQueryTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-          catch {
-            case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelJobGroup(name)
-              try fut.get(10, java.util.concurrent.TimeUnit.SECONDS)
-              catch { case _: Throwable =>
-                // thread may be wedged pre-submission where cancelJobGroup
-                // can't reach it — interrupt and start the next query on a
-                // fresh thread (see Bench.run)
-                worker.shutdownNow()
-                worker = newWorker()
-              }
+
+    def daemonFactory(prefix: String) = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
+    val pool = Executors.newFixedThreadPool(workers, daemonFactory("verify"))
+    val watchdog = Executors.newScheduledThreadPool(1, daemonFactory("verify-watchdog"))
+    val done = new java.util.concurrent.atomic.AtomicInteger
+    val loopStart = System.nanoTime()
+
+    selected.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          if ((System.nanoTime() - loopStart) / 1e9 > deadlineSec) {
+            System.err.println(s"[verify] $name SKIPPED: past ${deadlineSec}s deadline")
+            return
+          }
+          // job group is thread-local: this worker's jobs only, so the
+          // watchdog can cancel THIS query without touching neighbors
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          val killer = watchdog.schedule(new Runnable {
+            def run(): Unit = {
               System.err.println(s"[verify] $name TIMEOUT after ${perQueryTimeoutSec}s")
-            case e: java.util.concurrent.ExecutionException =>
-              System.err.println(s"[verify] $name failed: ${e.getCause.getMessage}")
+              spark.sparkContext.cancelJobGroup(name)
+            }
+          }, perQueryTimeoutSec, TimeUnit.SECONDS)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch {
             case e: Throwable =>
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          } finally {
+            killer.cancel(false)
+            spark.sparkContext.clearJobGroup()
+            // Spark frees broadcast/shuffle blocks via the ContextCleaner,
+            // which only drains when the JVM GCs; give it a beat to drain
+            // every couple dozen queries (cheap, and keeps a 134-query
+            // single-JVM run from accreting blocks until the heap thrashes)
+            if (done.incrementAndGet() % 24 == 0) System.gc()
           }
-          // same hygiene as Bench: engine persists + broadcast/shuffle
-          // blocks pile up across 122 queries in one JVM unless dropped
-          // and the ContextCleaner is given a GC to drain on
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-          spark.catalog.clearCache()
-          System.gc()
         }
-      }
+      })
+    }
+    pool.shutdown()
+    // budget: the deadline plus one watchdog period for stragglers that
+    // started just under the wire, plus unwind slack
+    if (!pool.awaitTermination(deadlineSec + perQueryTimeoutSec + 30, TimeUnit.SECONDS)) {
+      System.err.println("[verify] pool did not quiesce — cancelling all jobs")
+      spark.sparkContext.cancelAllJobs()
+      pool.shutdownNow()
+      pool.awaitTermination(30, TimeUnit.SECONDS)
+    }
     spark.stop()
     sys.exit(0)
   }

@@ -1,0 +1,447 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Determinism._
+import graft.core.Tables
+
+/** Round-5 statistics / pipeline-diagnostics surface: one-pass pairwise
+  * correlation matrix, winsorized & trimmed robust means, interval-union
+  * session coverage, model-eval lift/gains deciles, entity-resolution
+  * survivorship (golden record), revenue coverage-k, mergeable HLL
+  * cardinality sketches as columns, and recency-decayed revenue.
+  *
+  * Contract is the same as every other query group: one `queries` entry
+  * + one DuckDB oracle per operator; every fp-critical expression is
+  * integer- or decimal-bridged (power sums exact, half-up rounds on
+  * bit-identical doubles) so the two engines cannot drift; every
+  * rank/limit carries a deterministic total order.
+  */
+object StatsOps {
+
+  // Shared tuning constants (Spark plan ⟷ oracle SQL)
+  val SessionGapMs = 1800000L // q129: interval half-width (30 min)
+  val LiftDeciles = 10        // q130
+  val DecayCapDays = 45L      // q134: weight 2^-days truncates to 0 here
+                              //   (keeps the 1e6-grid term representable)
+
+  // ---------------------------------------------------------------- q127
+  /** Pairwise Pearson correlation matrix over the four lineitem measures
+    * in ONE scan + ONE 1-row aggregate: every value bridges to an
+    * integer grid (quantity/price → cents, discount/tax → basis points),
+    * all 4 sums + 10 second-order power sums accumulate exactly (products
+    * bridged per-row to DECIMAL before summing — q116's overflow rule:
+    * cents² ~ 1e14 per row × 6e8 rows at sf100 wraps int64), and the six
+    * pairwise r values come from the closed form on bit-identical
+    * integers. The UNION ALL unpivot runs on the single aggregated row —
+    * downstream sees 6 rows at any data size. Dialect-neutral: this one
+    * string is both the Spark plan and the oracle. */
+  def corrMatrixSql(table: String): String = {
+    // (pair label, x-column, y-column) over the bridged names
+    val pairs = Seq(
+      ("disc~tax", "db", "tb"), ("price~disc", "pc", "db"),
+      ("price~tax", "pc", "tb"), ("qty~disc", "qc", "db"),
+      ("qty~price", "qc", "pc"), ("qty~tax", "qc", "tb"))
+    def sq(x: String) =
+      s"CAST(sum(CAST($x AS DECIMAL(19,0)) * $x) AS DECIMAL(38,0)) AS s_$x$x"
+    def cross(x: String, y: String) =
+      s"CAST(sum(CAST($x AS DECIMAL(19,0)) * $y) AS DECIMAL(38,0)) AS s_$x$y"
+    // unpivot via a literal pair table + CASE column picks: the power-sum
+    // CTE `s` is referenced exactly ONCE, so no engine can re-execute the
+    // corpus scan per pair (a 6-way UNION ALL over `s` is 6 scans unless
+    // exchange reuse happens to fire)
+    def pick(alias: String, f: (String, String) => String) =
+      pairs.map { case (lbl, x, y) => s"WHEN '$lbl' THEN ${f(x, y)}" }
+        .mkString("CASE pr.pair ", " ", s" END AS $alias")
+    val cases = Seq(
+      pick("sx", (x, _) => s"CAST(s_$x AS DOUBLE)"),
+      pick("sy", (_, y) => s"CAST(s_$y AS DOUBLE)"),
+      pick("sxx", (x, _) => s"CAST(s_$x$x AS DOUBLE)"),
+      pick("syy", (_, y) => s"CAST(s_$y$y AS DOUBLE)"),
+      pick("sxy", (x, y) => s"CAST(s_$x$y AS DOUBLE)")
+    ).mkString(",\n        ")
+    val pairRows = pairs.map { case (lbl, _, _) => s"('$lbl')" }.mkString(", ")
+    val unpivot = s"""SELECT pr.pair, s.n,
+        $cases
+      FROM s CROSS JOIN (VALUES $pairRows) AS pr(pair)"""
+    s"""
+    WITH b AS (
+      SELECT
+        CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+        CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS db,
+        CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tb
+      FROM $table),
+    s AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(qc) AS BIGINT) AS s_qc, CAST(sum(pc) AS BIGINT) AS s_pc,
+        CAST(sum(db) AS BIGINT) AS s_db, CAST(sum(tb) AS BIGINT) AS s_tb,
+        ${sq("qc")}, ${sq("pc")}, ${sq("db")}, ${sq("tb")},
+        ${cross("qc", "pc")}, ${cross("qc", "db")}, ${cross("qc", "tb")},
+        ${cross("pc", "db")}, ${cross("pc", "tb")}, ${cross("db", "tb")}
+      FROM b),
+    p AS (
+      ${unpivot})
+    SELECT pair, n,
+      ${droundSql(
+        "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))",
+        6)} AS r
+    FROM p ORDER BY pair"""
+  }
+
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(corrMatrixSql("lineitem"))
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** Winsorized + trimmed means per group at [p10, p90]: the robust
+    * location estimates an outlier-laden 100 TB corpus actually needs
+    * (a single fat-fingered value moves a plain mean arbitrarily; it
+    * moves these not at all). Spark side feeds `percentile(v, p, freq)`
+    * from the (group, value) histogram — the sort-agg sees
+    * ~|groups|·|distinct| rows, never the corpus (q46's move) — then
+    * clips/filters against the half-up-integerized bounds so every
+    * subsequent sum is exact int64. The oracle computes the same bounds
+    * with `quantile_cont` over raw rows (same linear interpolation on
+    * identical integer inputs). */
+  def winsorSpark: String = s"""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+        count(1) AS cnt
+      FROM lineitem GROUP BY l_returnflag, floor(l_extendedprice * 100 + 0.5)),
+    q AS (
+      SELECT flag,
+        CAST(floor(percentile(c, 0.1, cnt) + 0.5) AS BIGINT) AS lo,
+        CAST(floor(percentile(c, 0.9, cnt) + 0.5) AS BIGINT) AS hi
+      FROM h GROUP BY flag),
+    ${winsorTail}"""
+
+  def winsorOracle: String = s"""
+    WITH r0 AS (
+      SELECT l_returnflag AS flag,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem),
+    h AS (SELECT flag, c, count(1) AS cnt FROM r0 GROUP BY flag, c),
+    q AS (
+      SELECT flag,
+        CAST(floor(quantile_cont(c, 0.1) + 0.5) AS BIGINT) AS lo,
+        CAST(floor(quantile_cont(c, 0.9) + 0.5) AS BIGINT) AS hi
+      FROM r0 GROUP BY flag),
+    ${winsorTail}"""
+
+  /** Shared tail: clip (winsorize) / filter (trim) on the integer
+    * bounds, exact integer sums, one final half-up divide. */
+  private def winsorTail: String = s"""
+    w AS (
+      SELECT h.flag,
+        CAST(sum(CASE WHEN h.c < q.lo THEN q.lo * h.cnt
+                      WHEN h.c > q.hi THEN q.hi * h.cnt
+                      ELSE h.c * h.cnt END) AS BIGINT) AS wsum,
+        CAST(sum(h.cnt) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN h.c BETWEEN q.lo AND q.hi
+                      THEN h.c * h.cnt ELSE 0 END) AS BIGINT) AS tsum,
+        CAST(sum(CASE WHEN h.c BETWEEN q.lo AND q.hi
+                      THEN h.cnt ELSE 0 END) AS BIGINT) AS tn
+      FROM h JOIN q ON h.flag = q.flag
+      GROUP BY h.flag)
+    SELECT flag, n,
+      ${droundSql("CAST(wsum AS DOUBLE) / (100.0 * n)", 4)} AS winsor_mean,
+      ${droundSql("CAST(tsum AS DOUBLE) / (100.0 * tn)", 4)} AS trim_mean
+    FROM w ORDER BY flag"""
+
+  def winsorMeans(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(winsorSpark)
+  }
+
+  // ---------------------------------------------------------------- q129
+  /** Interval-union session coverage per user: each event claims
+    * [ts, ts + 30 min); overlapping claims merge (gaps-and-islands:
+    * a row opens a new island iff its start exceeds the running max end
+    * of all PRIOR intervals), and the answer is per-user islands, total
+    * covered time, and the longest stretch — "how much wall-clock was
+    * this user active", which a naive sum-of-durations double-counts.
+    * One user-partitioned sort serves both window passes; integer
+    * epoch-ms arithmetic end to end. Equal (start,end) ties cannot
+    * perturb the island labeling: a duplicate's prior-max-end is ≥ its
+    * own start either way. */
+  private def intervalUnionSql(table: String, em: String => String): String = s"""
+    WITH iv AS (
+      SELECT user_id, CAST(${em("ts")} AS BIGINT) AS s,
+        CAST(${em("ts")} AS BIGINT) + $SessionGapMs AS e
+      FROM $table),
+    w AS (
+      SELECT user_id, s, e,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+        CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS island
+      FROM w),
+    m AS (
+      SELECT user_id, island,
+        CAST(min(s) AS BIGINT) AS i_start, CAST(max(e) AS BIGINT) AS i_end
+      FROM g GROUP BY user_id, island)
+    SELECT user_id,
+      CAST(count(1) AS BIGINT) AS n_islands,
+      CAST(sum(i_end - i_start) AS BIGINT) AS covered_ms,
+      CAST(max(i_end - i_start) AS BIGINT) AS longest_ms
+    FROM m GROUP BY user_id ORDER BY user_id"""
+
+  def sparkIntervalUnionSql(table: String): String =
+    intervalUnionSql(table, c => s"unix_millis($c)")
+
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(sparkIntervalUnionSql("events"))
+  }
+
+  def intervalUnionOracleSql: String =
+    intervalUnionSql("events", c => s"epoch_ms($c)")
+
+  // ---------------------------------------------------------------- q130
+  /** Decile lift / gains table — the standard model-eval readout (does
+    * ranking by this score concentrate the positives?): orders ranked
+    * by totalprice (integer cents, full tiebreak on key), ntile(10),
+    * per-decile positives ('F' status) vs base rate → lift, plus the
+    * cumulative capture ("top-k deciles hold x% of all positives").
+    * One sort + one hash agg + a 10-row window; ratios are 6dp-bridged
+    * on exact integers. Dialect-neutral. */
+  def liftTableSql(table: String): String = s"""
+    WITH b AS (
+      SELECT o_orderkey,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM $table),
+    d AS (
+      SELECT CAST(ntile($LiftDeciles)
+          OVER (ORDER BY cents DESC, o_orderkey) AS INT) AS decile, pos
+      FROM b),
+    a AS (
+      SELECT decile, CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(pos) AS BIGINT) AS pos_n
+      FROM d GROUP BY decile),
+    c AS (
+      SELECT decile, n, pos_n,
+        CAST(sum(pos_n) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_pos,
+        CAST(sum(pos_n) OVER () AS BIGINT) AS tot_pos,
+        CAST(sum(n) OVER () AS BIGINT) AS tot_n
+      FROM a)
+    SELECT decile, n, pos_n,
+      ${droundSql("CAST(cum_pos AS DOUBLE) / tot_pos", 6)} AS capture,
+      ${droundSql(
+        "(CAST(pos_n AS DOUBLE) / n) / (CAST(tot_pos AS DOUBLE) / tot_n)",
+        6)} AS lift
+    FROM c ORDER BY decile"""
+
+  def liftTable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(liftTableSql("orders"))
+  }
+
+  // ---------------------------------------------------------------- q131
+  /** Entity-resolution survivorship (golden record): duplicate groups
+    * keyed by the fingerprint of the normalized HEAD (first
+    * $SurvivorHeadWords words, lowercased, whitespace-collapsed — the
+    * re-crawl/boilerplate-variant signature: families share their
+    * lead even when tails diverge), canonical record chosen by
+    * richness-then-stability (longest n_chars, doc_id as the
+    * total-order tiebreak), output the duplicate→canonical mapping.
+    * One fingerprint hash agg + one group-partitioned window; the
+    * mapping is O(duplicates), not O(corpus). The survivorship RULE is
+    * the operator; the mapping feeds the same exchange-free anti-join
+    * q34's exact dedup uses. */
+  val SurvivorHeadWords = 5
+  private def survivorshipSql(normExpr: String): String = s"""
+    WITH f AS (
+      SELECT doc_id, n_chars, $normExpr AS fp FROM documents),
+    r AS (
+      SELECT doc_id, fp, n_chars,
+        row_number() OVER (PARTITION BY fp
+          ORDER BY n_chars DESC, doc_id) AS rk,
+        CAST(count(1) OVER (PARTITION BY fp) AS BIGINT) AS grp_n
+      FROM f),
+    c AS (SELECT fp, doc_id AS canon_id FROM r WHERE rk = 1)
+    SELECT r.doc_id, c.canon_id, r.grp_n AS group_size
+    FROM r JOIN c ON r.fp = c.fp
+    WHERE r.grp_n > 1 AND r.doc_id <> c.canon_id
+    ORDER BY r.doc_id"""
+
+  def sparkSurvivorshipSql: String = survivorshipSql(
+    xhashExpr("array_join(slice(split(" +
+      "trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), " +
+      s"1, $SurvivorHeadWords), ' ')"))
+
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(sparkSurvivorshipSql)
+  }
+
+  def survivorshipOracleSql: String = survivorshipSql(
+    xhashSql("array_to_string(list_slice(string_split(" +
+      "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), " +
+      s"1, $SurvivorHeadWords), ' ')"))
+
+  // ---------------------------------------------------------------- q132
+  /** Revenue coverage-k per brand: the smallest prefix of parts (by
+    * descending revenue, key tiebreak) covering ≥ half the brand's
+    * revenue — "how concentrated is this brand" as an actionable part
+    * count (q121's Gini gives the same story as an index; this names
+    * the parts). Part-grain rollup first, so the window sorts
+    * |parts-per-brand| rows, never line items; threshold compare is
+    * integer-exact (2·cum ≥ total). Dialect-neutral. */
+  def coverageKSql: String = s"""
+    WITH b AS (
+      SELECT p.p_brand AS brand, l.l_partkey AS part,
+        CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+          AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey),
+    w AS (
+      SELECT brand, part, cents,
+        CAST(sum(cents) OVER (PARTITION BY brand
+          ORDER BY cents DESC, part
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(sum(cents) OVER (PARTITION BY brand) AS BIGINT) AS tot,
+        CAST(row_number() OVER (PARTITION BY brand
+          ORDER BY cents DESC, part) AS BIGINT) AS rk
+      FROM b)
+    SELECT brand, CAST(min(rk) AS BIGINT) AS k_parts,
+      CAST(max(tot) AS BIGINT) AS total_cents,
+      ${droundSql("CAST(min(cum) AS DOUBLE) / max(tot)", 6)} AS share
+    FROM w WHERE 2 * cum >= tot
+    GROUP BY brand ORDER BY brand"""
+
+  def coverageK(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(coverageKSql)
+  }
+
+  // ---------------------------------------------------------------- q133
+  /** Mergeable cardinality sketches ([[graft.functions.HllSketch]]):
+    * per-event-type HLL sketches of distinct users built in one pass,
+    * PLUS the all-types row computed by MERGING THE SKETCHES (register
+    * max — O(types·4096) bytes), not by rescanning events. Distincts
+    * don't add (Σ per-type > union); the merged sketch gets the union
+    * right anyway — that is the property the oracle gates: exact
+    * distinct counts hash-compared, estimates gated through within-5%
+    * booleans (the sketch's 1.6% standard error at p=12 keeps 5% safe).
+    * At 100 TB the sketch column persists next to each shard and any
+    * later union query costs O(shards), never a rescan. */
+  def hllCardinality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HllSketch.register(spark)
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(s"""
+      WITH per AS (
+        SELECT event_type AS grp,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+          hll_build(user_id) AS sk
+        FROM events GROUP BY event_type),
+      per_est AS (
+        SELECT grp, n_exact, hll_est(sk) AS est FROM per),
+      tot AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events),
+      all_est AS (
+        SELECT '__all__' AS grp, max(t.n_exact) AS n_exact,
+          hll_merge_est(p.sk) AS est
+        FROM per p CROSS JOIN tot t),
+      u AS (
+        SELECT grp, n_exact, est FROM per_est
+        UNION ALL SELECT grp, n_exact, est FROM all_est)
+      SELECT grp, n_exact,
+        (abs(est - n_exact) <= 0.05 * n_exact) AS within_5pct
+      FROM u ORDER BY grp""")
+  }
+
+  def hllCardinalitySql: String = s"""
+    SELECT event_type AS grp,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS grp,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      TRUE AS within_5pct
+    FROM events
+    ORDER BY grp"""
+
+  // ---------------------------------------------------------------- q134
+  /** Recency-decayed revenue per customer (half-life = 1 day, zero past
+    * $DecayCapDays): the freshness-weighted spend feature every churn /
+    * LTV model starts from. Exactness without trusting `exp` to agree
+    * across engines: age is INTEGER days; 2^-days is an exact IEEE
+    * double (pure exponent); cents·2^-days is an exact product (24-bit
+    * mantissa × power of two); each term half-up bridges to a 1e6 grid
+    * and sums in decimal — order-independent, so the one hash agg can
+    * combine partials in any order AQE picks. */
+  private def decaySql(em: String => String): String = s"""
+    WITH mx AS (
+      SELECT max(CAST(${em("o_orderdate")} AS BIGINT)) AS tmax FROM orders),
+    b AS (
+      SELECT o.o_custkey,
+        CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        CAST(floor((mx.tmax - CAST(${em("o.o_orderdate")} AS BIGINT))
+          / 86400000.0) AS BIGINT) AS days
+      FROM orders o CROSS JOIN mx),
+    t AS (
+      SELECT o_custkey,
+        CASE WHEN days >= $DecayCapDays THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(CAST(cents AS DOUBLE) * 1e6
+                    / power(2.0, CAST(days AS DOUBLE)) + 0.5) AS BIGINT)
+        END AS term
+      FROM b),
+    s AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(term AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s6,
+        CAST(count(1) AS BIGINT) AS n_orders
+      FROM t GROUP BY o_custkey)
+    SELECT o_custkey, n_orders,
+      ${droundSql("CAST(s6 AS DOUBLE) / 1e8", 2)} AS decayed_dollars
+    FROM s ORDER BY o_custkey"""
+
+  // o_orderdate is TIMESTAMP_NTZ in the parquet; the session pins UTC, so
+  // the cast makes unix_millis agree bit-for-bit with DuckDB's epoch_ms
+  // over the same naive timestamps
+  def sparkDecaySql: String =
+    decaySql(c => s"unix_millis(CAST($c AS TIMESTAMP))")
+
+  def decayRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(sparkDecaySql)
+  }
+
+  def decayOracleSql: String = decaySql(c => s"epoch_ms($c)")
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_corr_matrix"    -> corrMatrix _,
+    "q128_winsor_mean"    -> winsorMeans _,
+    "q129_interval_union" -> intervalUnion _,
+    "q130_lift_table"     -> liftTable _,
+    "q131_survivorship"   -> survivorship _,
+    "q132_coverage_k"     -> coverageK _,
+    "q133_hll_sketch"     -> hllCardinality _,
+    "q134_decay_revenue"  -> decayRevenue _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q127_corr_matrix"    -> corrMatrixSql("lineitem"),
+    "q128_winsor_mean"    -> winsorOracle,
+    "q129_interval_union" -> intervalUnionOracleSql,
+    "q130_lift_table"     -> liftTableSql("orders"),
+    "q131_survivorship"   -> survivorshipOracleSql,
+    "q132_coverage_k"     -> coverageKSql,
+    "q133_hll_sketch"     -> hllCardinalitySql,
+    "q134_decay_revenue"  -> decayOracleSql
+  )
+}

