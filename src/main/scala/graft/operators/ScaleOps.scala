@@ -850,11 +850,13 @@ object ScaleOps {
     * from one orders scan, then ntile(5) per dimension with full
     * deterministic tiebreaks (metric, custkey) — the classic marketing
     * segmentation that doubles as a mixture-weighting signal. One
-    * shuffle on o_custkey, three global ntile windows over the
-    * customer-grain frame (|customers| ≪ |orders|; at larger scale the
-    * cutpoints come from approx_percentile instead of a total sort —
-    * q61 shows that path oracle-gated). */
-  def rfmSql(daysBetween: (String, String) => String): String = s"""
+    * shuffle on o_custkey to the customer-grain frame; the ORACLE then
+    * scores with three global ntile(5) windows, but the Spark plan must
+    * NOT (empty-partition window = single-task sort) — [[rfm]] ranks
+    * each dimension with [[DistributedRank]]'s range-partitioned global
+    * rank and assigns quintiles arithmetically, bit-identical to ntile
+    * under the same (metric, custkey) total order. */
+  def rfmBaseSql(daysBetween: (String, String) => String): String = s"""
     WITH cust AS (
       SELECT o_custkey,
         CAST(max(o_orderdate) AS DATE) AS last_order,
@@ -862,12 +864,14 @@ object ScaleOps {
         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
           AS monetary_cents
       FROM orders GROUP BY o_custkey),
-    mx AS (SELECT max(last_order) AS ref_date FROM cust),
-    r AS (
-      SELECT o_custkey,
-        CAST(${daysBetween("last_order", "ref_date")} AS BIGINT) AS recency_days,
-        frequency, monetary_cents
-      FROM cust CROSS JOIN mx)
+    mx AS (SELECT max(last_order) AS ref_date FROM cust)
+    SELECT o_custkey,
+      CAST(${daysBetween("last_order", "ref_date")} AS BIGINT) AS recency_days,
+      frequency, monetary_cents
+    FROM cust CROSS JOIN mx"""
+
+  def rfmSql(daysBetween: (String, String) => String): String = s"""
+    WITH r AS (${rfmBaseSql(daysBetween)})
     SELECT o_custkey, recency_days, frequency, monetary_cents,
       CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
@@ -876,8 +880,23 @@ object ScaleOps {
     ORDER BY o_custkey"""
 
   def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
-    spark.sql(rfmSql((from, to) => s"datediff($to, $from)"))
+    val r = spark.sql(rfmBaseSql((from, to) => s"datediff($to, $from)"))
+    val (r1, n) = DistributedRank.withGlobalRank(
+      r, "rk", col("recency_days").asc, col("o_custkey").asc)
+    val s1 = r1.withColumn("r_score", DistributedRank.ntileFromRank("rk", n, 5))
+      .drop("rk")
+    val (r2, _) = DistributedRank.withGlobalRank(
+      s1, "rk", col("frequency").desc, col("o_custkey").asc)
+    val s2 = r2.withColumn("f_score", DistributedRank.ntileFromRank("rk", n, 5))
+      .drop("rk")
+    val (r3, _) = DistributedRank.withGlobalRank(
+      s2, "rk", col("monetary_cents").desc, col("o_custkey").asc)
+    r3.withColumn("m_score", DistributedRank.ntileFromRank("rk", n, 5))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy("o_custkey")
   }
 
   // ---------------------------------------------------------------- q118
@@ -946,14 +965,18 @@ object ScaleOps {
     * Computed from the rank formulation G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx)
     * on EXACT integers: cents sums, a global rank with custkey
     * tiebreak, and a decimal numerator — the only fp is the final
-    * division of identical integers. The global sort is customer-grain
-    * (≪ orders); at larger scale the rank comes from a two-pass
-    * bucketed sort, same formula. */
+    * division of identical integers. The ORACLE ranks with a global
+    * `row_number()` window; the Spark plan must NOT (empty-partition
+    * window = single-task sort) — [[gini]] gets the identical rank from
+    * [[DistributedRank]]'s range-partitioned two-pass scheme, same
+    * formula, same oracle. */
+  def giniBaseSql(table: String): String = s"""
+    SELECT o_custkey,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM $table GROUP BY o_custkey"""
+
   def giniSql(table: String): String = s"""
-    WITH c AS (
-      SELECT o_custkey,
-        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
-      FROM $table GROUP BY o_custkey),
+    WITH c AS (${giniBaseSql(table)}),
     rk AS (
       SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
       FROM c),
@@ -972,8 +995,23 @@ object ScaleOps {
     FROM num CROSS JOIN nn"""
 
   def gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
-    spark.sql(giniSql("orders"))
+    val c = spark.sql(giniBaseSql("orders"))
+    val (rk, n) = DistributedRank.withGlobalRank(
+      c, "i", col("x").asc, col("o_custkey").asc)
+    rk.agg(
+        sum((lit(2L) * col("i") - lit(n) - lit(1L)).cast(DecimalType(19, 0)) *
+            col("x"))
+          .cast(DecimalType(38, 0)).as("g"),
+        sum(col("x").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0)).as("sx"))
+      .select(
+        lit(n).as("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        dround(col("g").cast("double") /
+          (lit(n).cast("double") * col("sx").cast("double")), 9).as("gini"))
   }
 
   // ---------------------------------------------------------------- q122

@@ -207,17 +207,25 @@ object StatsOps {
   // ---------------------------------------------------------------- q130
   /** Decile lift / gains table — the standard model-eval readout (does
     * ranking by this score concentrate the positives?): orders ranked
-    * by totalprice (integer cents, full tiebreak on key), ntile(10),
-    * per-decile positives ('F' status) vs base rate → lift, plus the
-    * cumulative capture ("top-k deciles hold x% of all positives").
-    * One sort + one hash agg + a 10-row window; ratios are 6dp-bridged
-    * on exact integers. Dialect-neutral. */
+    * by totalprice (integer cents, full tiebreak on key), decile
+    * assignment, per-decile positives ('F' status) vs base rate → lift,
+    * plus the cumulative capture ("top-k deciles hold x% of all
+    * positives"). Ratios are 6dp-bridged on exact integers.
+    *
+    * The ORACLE uses `ntile(10) OVER (ORDER BY ...)`; the Spark plan
+    * must NOT — an empty-partition window is a single-partition sort
+    * (every order through one task). [[liftTable]] instead assigns
+    * deciles from [[DistributedRank]]'s range-partitioned global rank
+    * (bit-identical ntile semantics, PlanSpec-asserted window-free) and
+    * computes the 10-row cumulative with a decile<=decile self-join. */
+  def liftBaseSql(table: String): String = s"""
+    SELECT o_orderkey,
+      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+    FROM $table"""
+
   def liftTableSql(table: String): String = s"""
-    WITH b AS (
-      SELECT o_orderkey,
-        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
-      FROM $table),
+    WITH b AS (${liftBaseSql(table)}),
     d AS (
       SELECT CAST(ntile($LiftDeciles)
           OVER (ORDER BY cents DESC, o_orderkey) AS INT) AS decile, pos
@@ -242,8 +250,32 @@ object StatsOps {
     FROM c ORDER BY decile"""
 
   def liftTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
-    spark.sql(liftTableSql("orders"))
+    val b = spark.sql(liftBaseSql("orders"))
+    val (ranked, n) = DistributedRank.withGlobalRank(
+      b, "rk", col("cents").desc, col("o_orderkey").asc)
+    val d = ranked.withColumn(
+      "decile", DistributedRank.ntileFromRank("rk", n, LiftDeciles))
+    // 10-row decile aggregate, persisted: it feeds the cumulative
+    // self-join AND the totals cross-join, and without the persist the
+    // full rank pipeline would recompute per consumer
+    val a = graft.core.EngineCache.persisted(
+      d.groupBy("decile").agg(
+        count(lit(1)).as("n"), sum("pos").cast("long").as("pos_n")))
+    val y = a.select(col("decile").as("yd"), col("pos_n").as("yp"))
+    val cum = a.join(y, col("yd") <= col("decile"))
+      .groupBy("decile", "n", "pos_n")
+      .agg(sum("yp").cast("long").as("cum_pos"))
+    val tot = a.agg(
+      sum("pos_n").cast("long").as("tot_pos"),
+      sum("n").cast("long").as("tot_n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("pos_n"),
+        dround(col("cum_pos").cast("double") / col("tot_pos"), 6).as("capture"),
+        dround((col("pos_n").cast("double") / col("n")) /
+          (col("tot_pos").cast("double") / col("tot_n")), 6).as("lift"))
+      .orderBy("decile")
   }
 
   // ---------------------------------------------------------------- q131

@@ -224,4 +224,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"bucket rewrite must avoid the inequality-join plan:\n$p")
   }
+
+  test("rank-based queries plan NO single-partition window (empty partitionBy)") {
+    // q117 RFM, q121 Gini, q130 lift: the oracle uses global ntile /
+    // row_number, but the engine must rank via DistributedRank's
+    // range-partitioned two-pass scheme — an empty-partitionBy Window
+    // is a one-task sort of the whole table, dead at 100x scale
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dfs = Seq(
+      "q117_rfm" -> graft.operators.ScaleOps.rfm(spark, sfDir),
+      "q121_gini" -> graft.operators.ScaleOps.gini(spark, sfDir),
+      "q130_lift_table" -> graft.operators.StatsOps.liftTable(spark, sfDir))
+    for ((name, df) <- dfs) {
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans ${bad.size} global window(s) — single-task sort:\n" +
+          df.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("distributed rank reuses ONE range exchange for counts and assignment") {
+    // correctness hinges on the offsets describing the same shuffle
+    // output the ranks ride on: the counts branch and the stream branch
+    // must share the range exchange (RangePartitioner samples with an
+    // RDD-id seed, so two separate executions can disagree)
+    val (ranked, n) = graft.operators.DistributedRank.withGlobalRank(
+      graft.core.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      "rk", col("o_totalprice").desc, col("o_orderkey").asc)
+    assert(n > 0)
+    ranked.collect()
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"expected the range exchange to be planned once and reused:\n$p")
+    // and the ranks themselves are a correct 1..n permutation
+    val ranks = ranked.select("rk").collect().map(_.getLong(0)).sorted
+    assert(ranks.head == 1L && ranks.last == n && ranks.distinct.length == ranks.length,
+      "global rank must be a dense 1..n permutation")
+  }
 }
