@@ -101,10 +101,30 @@ object HllSketch {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Register `hll_build` / `hll_merge_est` / `hll_est` on the session.
-    * Idempotent — safe to call from every query that needs them. */
+  /** Sketch → MERGED SKETCH BYTES (not an estimate): the union sketch of
+    * a group of sketches, itself storable. This is the missing half of
+    * the persistence lifecycle — roll daily shard sketches up to a
+    * monthly sketch, STORE THAT, and later merge months without ever
+    * touching the shards again. Register-wise max, so the result is
+    * byte-identical to building one sketch over the union of the inputs'
+    * data (asserted in FunctionsSpec), and merging is associative /
+    * commutative / idempotent at every rollup level. */
+  private object Merge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](M)
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      if (a == null || a.length != M) b else maxMerge(b, a)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = maxMerge(a, b)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Register `hll_build` / `hll_merge` / `hll_merge_est` / `hll_est` on
+    * the session. Idempotent — safe to call from every query that needs
+    * them. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("hll_build", udaf(Build, Encoders.scalaLong))
+    spark.udf.register("hll_merge", udaf(Merge, Encoders.BINARY))
     spark.udf.register("hll_merge_est", udaf(MergeEst, Encoders.BINARY))
     spark.udf.register("hll_est", (b: Array[Byte]) => estimate(b))
   }

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * typed metadata, exactly how a 100 TB image/audio corpus rides in
   * Parquet next to its text.
   *
-  * The Spark-side mechanics are real and tested — schema, batch-shaped
-  * per-partition processing, metadata extraction as codegen'd expressions.
-  * The actual media decode is a STUB (no image/audio libs in this
-  * container): [[decodeStub]] produces deterministic fake features from
-  * the bytes. Swapping in a real decoder keeps every signature.
+  * Everything here is real and tested: schema, batch-shaped
+  * per-partition processing, metadata extraction as codegen'd
+  * expressions, and an actual image decode/resample path built on
+  * `javax.imageio` (in the JDK — zero added dependencies): PNG / BMP /
+  * GIF / JPEG decode to dimensions + channel statistics, and a
+  * deterministic nearest-neighbor resize that re-encodes PNG. Bytes a
+  * decoder rejects flow through with `decode_ok = false` rather than
+  * failing the job — at corpus scale some objects are always corrupt.
   *
   * Mirrors the reference's treatment of payloads as opaque bytes
   * (kafka.clj:58) — but where bifrost only ever copies them, this module
@@ -75,61 +78,109 @@ object Multimodal {
       .withColumn("frame_sample", expr(
         "transform(sequence(0, 3), i -> substr(hex(content), i * 32 + 1, 2))"))
 
-  /** Feature-extraction schema the decode stage emits. */
+  /** Feature-extraction schema the decode stage emits: dimensions,
+    * channel count, per-channel mean statistics (R, G, B, luma — each in
+    * [0,1]), and a decode flag (corrupt bytes survive as `false` rows,
+    * never task failures). */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
-  /** STUB RESIZE — the binary→binary media transform shape (decode →
-    * resample → re-encode) with the same per-partition batch contract as
-    * [[decodeStub]]: decoder/encoder init once per partition, content in,
-    * content out, metadata updated. The fake "resize" derives a
-    * deterministic target-length byte string by striding the input to
-    * targetW*targetH bytes (0-padded) — replace the body with a real
-    * codec, keep the signature and schema. */
-  def resizeStub(spark: SparkSession, media: DataFrame,
-                 targetW: Int, targetH: Int): DataFrame = {
+  /** Decode bytes with the JDK's ImageIO. Returns null for anything the
+    * installed readers reject (wrong magic, truncated stream, ...). */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null || bytes.length == 0) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null } // corrupt container headers throw
+
+  /** REAL image decode + feature extraction via `javax.imageio` (PNG /
+    * BMP / GIF / JPEG — all JDK-bundled readers; an external codec for
+    * other formats drops into the same loop). The Scala analog of
+    * `mapInPandas`: one `mapPartitions` pass, per-partition init (the
+    * ImageIO disk cache is disabled once per task, decoder instances are
+    * pooled by the JDK), then row-at-a-time decode. Channel means are
+    * exact-integer pixel sums divided once at the end — deterministic
+    * across partitionings and retries. */
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(mediaSchema)
-    val target = targetW * targetH
-    media.select("media_id", "content", "mime", "byte_len").mapPartitions { rows =>
-      // per-partition init happens here (codec context, scaler buffers...)
+      .encoderFor(featureSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      // per-partition init: no temp-file cache for ByteArray streams
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        // ??? real decode→resample→encode goes here; fake = strided bytes
-        val out = Array.tabulate(target) { i =>
-          if (bytes.isEmpty) 0.toByte
-          else bytes((i.toLong * bytes.length / target).toInt % bytes.length)
+        val img = readImage(r.getAs[Array[Byte]](1))
+        if (img == null)
+          Row(id, false, 0, 0, 0, Seq(0f, 0f, 0f, 0f))
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y) // ARGB, color-converted by the reader
+              sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h * 255L
+          val feats = Seq(
+            (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+            (sb.toDouble / n).toFloat,
+            // ITU-R BT.601 luma on the exact integer sums
+            ((299L * sr + 587L * sg + 114L * sb).toDouble / (1000L * n)).toFloat)
+          Row(id, true, w, h, img.getColorModel.getNumComponents, feats)
         }
-        Row(id, out, s"image/stub-resized-${targetW}x$targetH", out.length)
       }
     }(enc)
   }
 
-  /** STUB DECODE — deterministic fake standing in for an image decoder.
-    * Real shape: `mapPartitions` over batches of binary rows (the Scala
-    * analog of `mapInPandas`), one decoder instance per partition, emitting
-    * fixed-dim features. The fake derives "width/height/features" from the
-    * bytes so tests are deterministic. Replace the body, keep the shape. */
-  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** REAL resize — decode → nearest-neighbor resample → PNG re-encode,
+    * all JDK (`javax.imageio` + a manual pixel loop: no Graphics2D
+    * filtering, so the output bytes are a pure function of the input
+    * pixels — deterministic across runs and retries). Same per-partition
+    * batch contract as [[decodeImages]]. Bytes that don't decode pass
+    * through UNCHANGED (content, mime, byte_len) — a resize stage must
+    * be lossless over the objects it cannot handle. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(featureSchema)
-    media.select("media_id", "content").mapPartitions { rows =>
-      // per-partition init happens here (decoder handle, model weights...)
+      .encoderFor(mediaSchema)
+    media.select("media_id", "content", "mime", "byte_len").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val n = bytes.length
-        // ??? real decoder goes here; fake = byte statistics
-        val w = if (n == 0) 0 else (bytes.head & 0xff)
-        val h = if (n == 0) 0 else (bytes.last & 0xff)
-        val feats = Array.tabulate(4) { i =>
-          if (n == 0) 0f else (bytes(i * (n / 4).max(1) % n) & 0xff) / 255f
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = readImage(bytes)
+        if (img == null) Row(id, bytes, r.getString(2), r.getInt(3))
+        else {
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * img.getHeight / targetH).toInt
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * img.getWidth / targetW).toInt
+              out.setRGB(x, y, img.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val enc2 = bos.toByteArray
+          Row(id, enc2, "image/png", enc2.length)
         }
-        Row(id, w, h, feats.toSeq)
       }
     }(enc)
   }

@@ -576,8 +576,8 @@ object LlmQueries {
     Similarity.ivfAssign(embs(spark, dir), "label")
       .orderBy("vec_id")
 
-  /** Multimodal metadata over binary content (decode itself is the stubbed
-    * mapPartitions stage — see Multimodal.decodeStub; this is the
+  /** Multimodal metadata over binary content (the real imageio decode is
+    * the mapPartitions stage — see Multimodal.decodeImages; this is the
     * expression-level plumbing that needs no decoder). */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.withMetadata(

@@ -406,6 +406,70 @@ object StatsOps {
     FROM events
     ORDER BY grp"""
 
+  // ---------------------------------------------------------------- q135
+  /** HLL sketch PERSISTENCE lifecycle — the archive-then-analyze shape
+    * the reference exists for (bifrost stores raw segments so later
+    * metadata queries need not re-read them): q133 proves sketches
+    * merge; this proves they survive AT REST.
+    *
+    *   1. ingest: per (event_type, shard) user sketches — `hll_build` —
+    *      WRITTEN TO PARQUET (BINARY sketch column next to the shard
+    *      keys, exactly "store the sketch beside the partition");
+    *   2. later analysis: RE-READ only the sketch table (the events
+    *      scan is gone), `hll_merge` shard sketches into one storable
+    *      per-type sketch (bytes, not an estimate — the rollup you'd
+    *      write back), `hll_est` it, and `hll_merge_est` the per-type
+    *      sketches again for the all-types union — two merge LEVELS over
+    *      re-hydrated bytes.
+    *
+    * Oracle gates exact distincts (hash-compared) + within-5% booleans,
+    * same contract as q133; byte-identity of merged vs direct-built
+    * sketches is asserted in FunctionsSpec. */
+  def hllPersist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HllSketch.register(spark)
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    // stage 1: ingest-time shard sketches, persisted as data
+    spark.sql(s"""
+      SELECT event_type, CAST(user_id % 8 AS INT) AS shard,
+        hll_build(user_id) AS sk
+      FROM events GROUP BY event_type, CAST(user_id % 8 AS INT)""")
+      .write.mode("overwrite").parquet(s"$tmp/sketches")
+    // stage 2: analysis from the sketch table alone
+    spark.read.parquet(s"$tmp/sketches").createOrReplaceTempView("hll_shards")
+    spark.sql(s"""
+      WITH m AS (
+        SELECT event_type AS grp, hll_merge(sk) AS msk
+        FROM hll_shards GROUP BY event_type),
+      per AS (SELECT grp, hll_est(msk) AS est FROM m),
+      allx AS (SELECT '__all__' AS grp, hll_merge_est(msk) AS est FROM m),
+      u AS (SELECT grp, est FROM per UNION ALL SELECT grp, est FROM allx),
+      ex AS (
+        SELECT event_type AS grp,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS grp,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events)
+      SELECT u.grp, ex.n_exact,
+        (abs(u.est - ex.n_exact) <= 0.05 * ex.n_exact) AS within_5pct
+      FROM u JOIN ex ON u.grp = ex.grp
+      ORDER BY u.grp""")
+  }
+
+  def hllPersistSql: String = s"""
+    SELECT event_type AS grp,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS grp,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      TRUE AS within_5pct
+    FROM events
+    ORDER BY grp"""
+
   // ---------------------------------------------------------------- q134
   /** Recency-decayed revenue per customer (half-life = 1 day, zero past
     * $DecayCapDays): the freshness-weighted spend feature every churn /
@@ -463,7 +527,8 @@ object StatsOps {
     "q131_survivorship"   -> survivorship _,
     "q132_coverage_k"     -> coverageK _,
     "q133_hll_sketch"     -> hllCardinality _,
-    "q134_decay_revenue"  -> decayRevenue _
+    "q134_decay_revenue"  -> decayRevenue _,
+    "q135_hll_persist"    -> hllPersist _
   )
 
   val oracles: Map[String, String] = Map(
@@ -474,6 +539,7 @@ object StatsOps {
     "q131_survivorship"   -> survivorshipOracleSql,
     "q132_coverage_k"     -> coverageKSql,
     "q133_hll_sketch"     -> hllCardinalitySql,
-    "q134_decay_revenue"  -> decayOracleSql
+    "q134_decay_revenue"  -> decayOracleSql,
+    "q135_hll_persist"    -> hllPersistSql
   )
 }

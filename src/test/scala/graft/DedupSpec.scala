@@ -209,13 +209,50 @@ class DedupSpec extends SparkSpec {
     assert(langs.subsetOf(TextFunctions.LangMarkers.map(_._1).toSet))
   }
 
-  test("multimodal decode stub preserves ids and emits fixed-dim features") {
-    val media = graft.llm.Multimodal.asMediaTable(
-      graft.core.Tables.load(spark, sfDir, "documents").limit(10), "doc_id", "text")
-    val feats = graft.llm.Multimodal.decodeStub(spark, media)
-    assert(feats.count() === 10)
-    assert(feats.selectExpr("size(features)").distinct().collect()
-      .map(_.getInt(0)).toSeq === Seq(4))
+  /** Encode a solid-color or two-band test image with the JDK itself. */
+  private def testImage(w: Int, h: Int, fmt: String,
+                        rgbOf: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbOf(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal decode extracts real PNG/BMP dimensions and channel stats") {
+    // 1: 16x8 solid red PNG; 2: 10x10 half-red/half-blue BMP; 3: garbage
+    val red = testImage(16, 8, "png", (_, _) => 0xff0000)
+    val band = testImage(10, 10, "bmp", (x, _) => if (x < 5) 0xff0000 else 0x0000ff)
+    val junk = "this is not an image".getBytes("UTF-8")
+    val sq = spark
+    import sq.implicits._
+    val media = Seq((1L, red), (2L, band), (3L, junk))
+      .toDF("media_id", "content")
+    val out = graft.llm.Multimodal.decodeImages(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getBoolean(1) && r1.getInt(2) === 16 && r1.getInt(3) === 8)
+    val f1 = r1.getSeq[Float](5)
+    assert(f1(0) === 1f && f1(1) === 0f && f1(2) === 0f) // pure red
+    assert(math.abs(f1(3) - 0.299f) < 1e-6)              // BT.601 luma of red
+    val r2 = out(2L)
+    assert(r2.getBoolean(1) && r2.getInt(2) === 10 && r2.getInt(3) === 10)
+    val f2 = r2.getSeq[Float](5)
+    assert(f2(0) === 0.5f && f2(1) === 0f && f2(2) === 0.5f) // half red half blue
+    // corrupt bytes survive as a decode_ok=false row, not a task failure
+    val r3 = out(3L)
+    assert(!r3.getBoolean(1) && r3.getInt(2) === 0 && r3.getSeq[Float](5).forall(_ == 0f))
+  }
+
+  test("multimodal decode over the binaryFile source end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("media-real").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "g.png").toPath,
+      testImage(4, 6, "png", (_, _) => 0x00ff00))
+    val media = graft.llm.Multimodal.fromBinaryFiles(spark, dir.toString, "*.png")
+    val row = graft.llm.Multimodal.decodeImages(spark, media).collect().head
+    assert(row.getBoolean(1) && row.getInt(2) === 4 && row.getInt(3) === 6)
+    assert(row.getSeq[Float](5)(1) === 1f) // solid green
   }
 
   test("binaryFile ingestion produces the media envelope with glob pruning") {
@@ -252,21 +289,36 @@ class DedupSpec extends SparkSpec {
     assert(lines.exists(_.startsWith(s"graft.docscan.rows:$n|c")))
   }
 
-  test("multimodal resize stub keeps the media schema with target-sized content") {
-    val media = graft.llm.Multimodal.asMediaTable(
-      graft.core.Tables.load(spark, sfDir, "documents").limit(10), "doc_id", "text")
-    val resized = graft.llm.Multimodal.resizeStub(spark, media, 8, 8)
+  test("multimodal resize decodes, resamples, and re-encodes real images") {
+    // 2x2 quadrant image: nearest-neighbor 8x8 upscale must tile the quadrants
+    val quad = testImage(2, 2, "png",
+      (x, y) => if (x == 0 && y == 0) 0xff0000 else if (x == 1 && y == 0) 0x00ff00
+                else if (x == 0 && y == 1) 0x0000ff else 0xffffff)
+    val junk = "still not an image".getBytes("UTF-8")
+    val sq = spark
+    import sq.implicits._
+    val media = Seq(
+      (1L, quad, "image/png", quad.length),
+      (2L, junk, "application/octet-stream", junk.length)
+    ).toDF("media_id", "content", "mime", "byte_len")
+    val resized = graft.llm.Multimodal.resizeImages(spark, media, 8, 8)
     assert(resized.schema === graft.llm.Multimodal.mediaSchema)
-    val rows = resized.collect()
-    assert(rows.length === 10)
-    rows.foreach { r =>
-      assert(r.getAs[Array[Byte]]("content").length === 64)
-      assert(r.getAs[Int]("byte_len") === 64)
-      assert(r.getAs[String]("mime") === "image/stub-resized-8x8")
-    }
+    val rows = resized.collect().map(r => r.getLong(0) -> r).toMap
+    // the resized image decodes back at the target size with quadrant colors
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(1L).getAs[Array[Byte]]("content")))
+    assert(back.getWidth === 8 && back.getHeight === 8)
+    assert((back.getRGB(1, 1) & 0xffffff) === 0xff0000)
+    assert((back.getRGB(6, 1) & 0xffffff) === 0x00ff00)
+    assert((back.getRGB(1, 6) & 0xffffff) === 0x0000ff)
+    assert((back.getRGB(6, 6) & 0xffffff) === 0xffffff)
+    assert(rows(1L).getAs[String]("mime") === "image/png")
+    // non-image bytes pass through unchanged (lossless over the unhandled)
+    assert(rows(2L).getAs[Array[Byte]]("content").toSeq === junk.toSeq)
+    assert(rows(2L).getAs[String]("mime") === "application/octet-stream")
     // deterministic: same input, same bytes
-    val again = graft.llm.Multimodal.resizeStub(spark, media, 8, 8).collect()
-    assert(rows.map(_.getAs[Array[Byte]]("content").toSeq).toSet ===
-      again.map(_.getAs[Array[Byte]]("content").toSeq).toSet)
+    val again = graft.llm.Multimodal.resizeImages(spark, media, 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content").toSeq).toMap
+    assert(again(1L) === rows(1L).getAs[Array[Byte]]("content").toSeq)
   }
 }

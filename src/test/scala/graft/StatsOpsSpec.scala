@@ -109,6 +109,36 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(m - 10000) <= 500, s"merged estimate $m off > 5%")
   }
 
+  test("HLL lifecycle: parquet round-trip + merge is byte-identical to direct build") {
+    import org.apache.spark.sql.functions._
+    HllSketch.register(spark)
+    // shard sketches (8 shards over 10k ids), persisted AT REST
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-spec").toString
+    spark.range(0, 10000).withColumn("shard", (col("id") % 8).cast("int"))
+      .groupBy("shard").agg(expr("hll_build(id)").as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    // re-read bytes, hll_merge → ONE storable sketch
+    val merged = spark.read.parquet(tmp)
+      .agg(expr("hll_merge(sk)").as("msk"))
+      .select("msk").first().getAs[Array[Byte]](0)
+    // direct single-pass build over the same data
+    val direct = spark.range(0, 10000)
+      .agg(expr("hll_build(id)").as("sk"))
+      .select("sk").first().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "register-max merge of shard sketches must equal the direct build byte-for-byte")
+    // and the re-hydrated merged sketch estimates like the original
+    assert(math.abs(HllSketch.estimate(merged) - 10000) <= 500)
+    // second rollup level: merging the merged sketch with a subset sketch
+    // is idempotent (subset adds nothing)
+    val sub = spark.range(0, 5000).agg(expr("hll_build(id)").as("sk"))
+      .select("sk").first().getAs[Array[Byte]](0)
+    val both = Seq(("a", merged), ("b", sub)).toDF("g", "sk")
+      .agg(expr("hll_merge(sk)").as("m")).first().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(both, direct),
+      "union with a subset sketch must be a no-op")
+  }
+
   test("decay revenue: exact closed-form on a planted two-order customer") {
     // customer 7: 100.00$ at tmax (days=0, weight 1) + 200.00$ 2 days
     //   earlier (weight 1/4) → 150.00; customer 8: 50.00$ 60 days back →
