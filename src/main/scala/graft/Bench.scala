@@ -63,12 +63,16 @@ object Bench {
     // rides the round commit.
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // Locale-pinned number formatting: on a comma-decimal-locale JVM the
+    // default-locale f"" / String.format would print 1,23 and make the
+    // bench line unparseable JSON — the whole round's numbers lost.
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def emit(): Unit = {
       val snap = results.synchronized(results.toList)
       // a failed/skipped query reports -1, never a normal-looking timing.
       def qline(dec: Int) = snap.map { case (k, v, err) =>
-        "\"" + short(k) + "\":" +
-          (if (err.isDefined) "-1" else String.format(s"%.${dec}f", Double.box(v)))
+        "\"" + short(k) + "\":" + (if (err.isDefined) "-1" else fmt(v, dec))
       }.mkString("{", ",", "}")
       def code(e: String): String = e match {
         case "Timeout" => "T"
@@ -84,7 +88,7 @@ object Bench {
         .mkString("{", ",", "}")
       val total = snap.collect { case (_, v, None) => v }.sum
       def line(dec: Int) =
-        f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qline(dec)},"errors":$errs,"sf":$sfNum}"""
+        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qline(dec)},"errors":$errs,"sf":$sfNum}"""
       // 2-decimal timings normally; if the line would overflow the tail
       // window (leaving ~150 chars for sbt's trailing chatter), degrade to
       // 1 decimal — a truncated line parses as NOTHING and loses the round
@@ -93,12 +97,12 @@ object Bench {
       System.out.flush()
       try {
         val detail = snap.map { case (k, v, err) =>
-          "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+          "\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v, 3))
         }.mkString("{", ",", "}")
         val allErrsFull = snap.collect { case (k, _, Some(e)) =>
           "\"" + k + "\":\"" + e.take(40) + "\"" }.mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-          f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$detail,"errors":$allErrsFull,"sf":$sfNum}""")
+          s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$detail,"errors":$allErrsFull,"sf":$sfNum}""")
       } catch { case _: Throwable => () } // sidecar is best-effort only
     }
     // On SIGTERM: first gag log4j so the dying SparkContext's error flood
@@ -117,9 +121,18 @@ object Bench {
     def newWorker() = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, "bench-query"); t.setDaemon(true); t }
     var worker = newWorker()
+    // Job groups abandoned on timeout: the interrupted-but-still-running
+    // worker thread can submit NEW jobs after its cancelJobGroup (it was
+    // mid-planning when cancelled), and those would compete for cores and
+    // skew later timings. Re-cancel every abandoned group before each new
+    // timing (cancelling an idle group is a no-op).
+    val abandoned = scala.collection.mutable.Set.empty[String]
     def run(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             timeoutSec: Long = perQueryTimeoutSec): Option[String] = {
+      abandoned.synchronized {
+        abandoned.foreach(g => spark.sparkContext.cancelJobGroup(g))
+      }
       val fut = worker.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -142,9 +155,11 @@ object Bench {
               // active jobs" for a timed-out warmup, then every later query
               // queued behind the wedged thread, corrupting its timing).
               // Interrupt it and replace the executor so the next query
-              // starts on a free thread immediately.
+              // starts on a free thread immediately; remember the group so
+              // jobs it submits post-planning still get cancelled.
               worker.shutdownNow()
               worker = newWorker()
+              abandoned.synchronized { abandoned += name }
             }
             System.err.println(s"[bench] $name TIMEOUT after ${timeoutSec}s")
             Some("Timeout")

@@ -103,6 +103,14 @@ object Verify {
           } finally {
             killer.cancel(false)
             spark.sparkContext.clearJobGroup()
+            // Operators persist intermediates (LSH signatures, edge lists,
+            // BM25 postings) for the duration of their query; without a
+            // release the 134-query single-JVM run accretes cache until the
+            // heap feels it. Safe mid-run even with 4 concurrent workers:
+            // an unpersisted frame another query still holds just
+            // recomputes (deterministically) if re-consumed.
+            graft.core.EngineCache.releaseAll()
+            spark.catalog.clearCache()
             // Spark frees broadcast/shuffle blocks via the ContextCleaner,
             // which only drains when the JVM GCs; give it a beat to drain
             // every couple dozen queries (cheap, and keeps a 134-query

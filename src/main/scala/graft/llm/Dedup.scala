@@ -331,39 +331,72 @@ object Dedup {
     * smaller than the corpus (it is the OUTPUT of thresholded LSH), and a
     * multi-round distributed fixpoint on a few thousand edges is pure
     * job-scheduling latency. Below `driverEdgeLimit` edges the id-pairs
-    * (16 bytes each — never text or payloads) are collected and solved
-    * with path-compressed union-find on the driver — the same size-gated
-    * strategy switch Spark itself makes when it broadcasts a small join
-    * side. The distributed loop remains the over-limit path and the two
-    * are cross-validated in DedupSpec (`driverEdgeLimit = 0` forces the
+    * are streamed (`toLocalIterator` — one partition buffered at a time,
+    * never an Array[Row] of the whole edge list) into two primitive
+    * long arrays and solved with index-based path-compressed union-find
+    * — the same size-gated strategy switch Spark itself makes when it
+    * broadcasts a small join side. Measured driver heap at the default
+    * 2M-edge gate: 32 MB for the edge arrays (16 B/edge) plus ≤ 80 MB
+    * for the sorted-id, parent, and component arrays at the 4M-node
+    * worst case (20 B/node) — transient, all reclaimed after the result
+    * frame is built from a broadcast of the two final arrays. The
+    * distributed loop remains the over-limit path and the two are
+    * cross-validated in DedupSpec (`driverEdgeLimit = 0` forces the
     * loop on identical input). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          driverEdgeLimit: Long = 5000000L): DataFrame = {
+                          driverEdgeLimit: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val idPairs = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .transform(graft.core.EngineCache.persisted)
-    if (idPairs.count() <= driverEdgeLimit) {
-      val collected = idPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nEdges = idPairs.count()
+    if (nEdges <= driverEdgeLimit) {
+      val n = nEdges.toInt
+      val src = new Array[Long](n)
+      val dst = new Array[Long](n)
+      val it = idPairs.toLocalIterator()
+      var i = 0
+      while (it.hasNext) {
+        val r = it.next(); src(i) = r.getLong(0); dst(i) = r.getLong(1); i += 1
+      }
       idPairs.unpersist()
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
+      // dense relabel: sorted distinct endpoint ids -> [0, m)
+      val all = new Array[Long](2 * n)
+      System.arraycopy(src, 0, all, 0, n)
+      System.arraycopy(dst, 0, all, n, n)
+      java.util.Arrays.sort(all)
+      var m = 0
+      var j = 0
+      while (j < all.length) {
+        if (m == 0 || all(j) != all(m - 1)) { all(m) = all(j); m += 1 }
+        j += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, m)
+      val parent = Array.tabulate(m)(identity)
+      def find(x: Int): Int = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x // path compression
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      collected.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+      var e = 0
+      while (e < n) {
+        // ids are sorted, so min root index == min root id: union-by-min
+        // keeps the contract "component = MIN reachable id"
+        val ra = find(java.util.Arrays.binarySearch(ids, src(e)))
+        val rb = find(java.util.Arrays.binarySearch(ids, dst(e)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        e += 1
       }
-      // contract: component = MIN reachable id; union-by-min keeps the
-      // root minimal, so find() already yields it
-      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val comp = Array.tabulate(m)(i => ids(find(i)))
+      // result frame from broadcast arrays — no driver-side Seq of rows
+      val bIds = spark.sparkContext.broadcast(ids)
+      val bComp = spark.sparkContext.broadcast(comp)
       val sq = spark
       import sq.implicits._
-      return rows.toDF("doc_id", "component")
+      return spark.range(0, m.toLong)
+        .map(i => (bIds.value(i.toInt), bComp.value(i.toInt)))
+        .toDF("doc_id", "component")
     }
     idPairs.unpersist()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

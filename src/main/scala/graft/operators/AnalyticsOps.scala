@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Determinism._
 import graft.core.Tables
@@ -35,9 +35,18 @@ object AnalyticsOps {
     * m − ⌈τ·m⌉ + 1 tokens (for τ = 1/2: ⌊m/2⌋ + 1), so candidates are
     * pairs sharing a PREFIX token — and prefixes hold the RAREST
     * tokens, so the candidate join's per-key fan-out is bounded by
-    * construction (a stopword can never be a blocking key for a large
-    * doc). Verification recomputes the exact intersection only for
-    * candidates. τ = 1/2 makes the threshold integer-exact:
+    * construction for docs of any size (a stopword can never be a
+    * blocking key for a large doc). CAVEAT: a 1–2 token document's
+    * prefix is its whole token set, so a stopword CAN be a tiny doc's
+    * blocking key, and a corpus with many near-empty docs sharing one
+    * hot token would make that token's candidate self-join quadratic.
+    * At corpus scale, pair PPJoin's length filter with a df cap on
+    * prefix keys restricted to below-minimum-size docs (dropping a
+    * pair of tiny docs on a capped token is the only recall risk, and
+    * only for docs shorter than the floor); the fixture corpus has no
+    * such degenerate docs, so the unfiltered form here keeps the
+    * all-pairs oracle exact. Verification recomputes the exact
+    * intersection only for candidates. τ = 1/2 makes the threshold integer-exact:
     * J ≥ 1/2 ⟺ 3·|x∩y| ≥ |x| + |y|. The ORACLE is the unblocked
     * all-pairs ground truth, so a hash match PROVES the prefix filter
     * lost nothing. At 100 TB the shape holds: tokenize+order is two
@@ -146,9 +155,14 @@ object AnalyticsOps {
         sxd, syd, nd
       FROM m)
     SELECT brand, n,
-      ${droundSql("num / denx", 6)} AS slope,
-      ${droundSql("(syd - (num / denx) * sxd) / nd", 4)} AS icept,
-      ${droundSql("num / sqrt(denx * deny)", 6)} AS r
+      ${droundSql("CASE WHEN denx = 0 THEN NULL ELSE num / denx END", 6)}
+        AS slope,
+      ${droundSql(
+        "CASE WHEN denx = 0 THEN NULL " +
+          "ELSE (syd - (num / denx) * sxd) / nd END", 4)} AS icept,
+      ${droundSql(
+        "CASE WHEN denx * deny = 0 THEN NULL " +
+          "ELSE num / sqrt(denx * deny) END", 6)} AS r
     FROM f
     ORDER BY brand"""
 
@@ -186,15 +200,23 @@ object AnalyticsOps {
 
   /** Level-synchronous BFS over a symmetrized (src, dst) edge frame
     * from the given seed nodes; returns (node, hops) for every node
-    * within `iters` hops. Factored out so specs can drive it on a
-    * hand-built graph. */
-  def bfsFrom(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    * within `iters` hops, plus the number of expansion rounds actually
+    * run: the loop stops as soon as a round reaches no new node
+    * (frontier empty — counted on the already-materialized state, one
+    * driver scalar per round), so `iters` is a CAP, not a schedule —
+    * a 20-cap BFS on a diameter-3 graph runs 4 rounds. Factored out so
+    * specs can drive it on a hand-built graph. */
+  def bfsFromWithRounds(edges: DataFrame, seeds: DataFrame,
+                        iters: Int): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst"))
       .transform(graft.core.EngineCache.persisted)
     var dist = seeds.select(col("node"), lit(0).as("d"))
       .transform(graft.core.EngineCache.persisted)
     dist.count() // materialize seeds (and e) before the loop
-    for (i <- 1 to iters) {
+    var i = 1
+    var rounds = 0
+    var frontier = 1L
+    while (i <= iters && frontier > 0) {
       val next = dist.filter(col("d") === i - 1).alias("f")
         .join(e.alias("g"), col("f.node") === col("g.src"))
         .select(col("g.dst").as("node"), lit(i).as("d"))
@@ -202,10 +224,17 @@ object AnalyticsOps {
         .agg(min(col("d")).as("d"))
         .transform(graft.core.EngineCache.persisted)
       merged.count() // cut lineage: next round reads materialized state
+      frontier = merged.filter(col("d") === i).count() // cache-local scan
       dist = merged
+      rounds = i
+      i += 1
     }
-    dist.select(col("node"), col("d").cast("int").as("hops")).orderBy("node")
+    (dist.select(col("node"), col("d").cast("int").as("hops")).orderBy("node"),
+      rounds)
   }
+
+  def bfsFrom(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
+    bfsFromWithRounds(edges, seeds, iters)._1
 
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -248,6 +277,47 @@ object AnalyticsOps {
   def skewProfile(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     spark.sql(skewProfileSql("lineitem", "l_partkey"))
+  }
+
+  /** The q126 profiler's headline number as a driver scalar: the
+    * heaviest join key's multiple-of-mean (`x_mean` of the top row).
+    * One small two-level aggregate — the per-key histogram collapses
+    * map-side, so this is cheap even on the full fact table. 1.0 on an
+    * empty/uniform frame. */
+  def measuredSkew(fact: DataFrame, key: String): Double = {
+    val r = fact.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg((max(col("c")).cast("double") / avg(col("c"))).as("x"))
+      .first()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
+  /** Measured-skew salting: q126's diagnostic wired into q48's remedy.
+    * Profiles the fact side's join key first; if the heaviest key is no
+    * worse than `skewThreshold`× the mean, plans the PLAIN join (salting
+    * uniform data just multiplies the dim side for nothing). Above it,
+    * picks the salt factor FROM THE MEASUREMENT — ⌈x_mean⌉ spreads the
+    * hottest key back down to ~mean-sized reducer inputs, capped at
+    * `maxSalt` so a pathological key cannot explode the dim side — and
+    * plans q48's salted shuffle join (fact salt from `saltOn`, dim
+    * replicated ×S, shuffle_hash hint so a broadcast cannot mask the
+    * mechanism). The result is row-identical to the plain join either
+    * way; PlanSpec asserts the plan SWITCHES on measured skew. */
+  def autoSaltedJoin(fact: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String, saltOn: Column,
+                     skewThreshold: Double = 2.0, maxSalt: Int = 32): DataFrame = {
+    val xMean = measuredSkew(fact, factKey)
+    if (xMean <= skewThreshold)
+      fact.join(dim, col(factKey) === col(dimKey))
+    else {
+      val s = math.min(maxSalt, math.max(2, math.ceil(xMean).toInt))
+      val salted = fact.withColumn("__fsalt",
+        pmod(xxhash64(saltOn), lit(s)).cast("int"))
+      val rep = dim.withColumn("__dsalt", explode(sequence(lit(0), lit(s - 1))))
+        .hint("shuffle_hash")
+      salted.join(rep,
+          col(factKey) === col(dimKey) && col("__fsalt") === col("__dsalt"))
+        .drop("__fsalt", "__dsalt")
+    }
   }
 
   // ------------------------------------------------------------ wiring

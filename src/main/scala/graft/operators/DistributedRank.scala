@@ -1,73 +1,85 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Distributed global rank / ntile — the scale-safe replacement for
   * `row_number() OVER (ORDER BY ...)` and `ntile(k) OVER (ORDER BY ...)`
   * with no PARTITION BY, which Spark plans as a SINGLE-partition window
   * (every row through one task's sort — correct at sf0.1, dead at 100×).
   *
-  * Shape: the same two-pass scheme Spark itself uses for a distributed
-  * global ORDER BY —
-  *   1. `repartitionByRange` on the sort key (RangePartitioner samples
-  *      boundaries; each of the P partitions holds a contiguous key range),
-  *   2. local sort + per-partition 1-based index attached in ONE
-  *      `mapPartitions` pass (no second shuffle — the index rides the
-  *      range exchange's partitioning),
-  *   3. per-partition counts (a P-row aggregate) prefix-summed on the
-  *      driver into rank offsets, broadcast-joined back.
+  * Bucketed two-pass scheme, every step a PURE FUNCTION OF THE DATA:
+  *   1. bucket each row by an equal-width split of the primary sort
+  *      column's exact [min, max] (one cheap aggregate — deterministic,
+  *      unlike `repartitionByRange`, whose RangePartitioner SAMPLES with
+  *      an RDD-id-derived seed: two executions of the same lineage can
+  *      disagree on boundaries, and any consistency scheme built on it
+  *      inherits that fragility under cache eviction / plan nesting);
+  *   2. rank within each bucket with a bucket-PARTITIONED window over
+  *      the full sort key (distributed: ~n/B rows per bucket);
+  *   3. exact per-bucket counts (B scalars) prefix-summed on the driver
+  *      into rank offsets, broadcast back.
   *
-  * global rank = partition offset + local index. The caller's sort key
-  * MUST be a total order (include a unique tiebreak column, as every
-  * oracle here already does): then the rank is unique and deterministic
-  * REGARDLESS of where the sampled range boundaries fall, so the result
-  * is bit-identical to the single-partition window's — same oracle, no
-  * single-task bottleneck. Cost: one range shuffle + one P-row agg,
-  * exactly a distributed sort's price.
+  * global rank = bucket offset + in-bucket rank. The full sort key MUST
+  * be a total order (include a unique tiebreak, as every oracle here
+  * already does); the result is then bit-identical to the
+  * single-partition window's, under ANY recomputation, cache drop, or
+  * partial re-execution — there is no sampled state to drift.
+  *
+  * Caveat: a (near-)constant primary column degenerates to few buckets
+  * (the ties all share one bucket); give the helper the highest-
+  * cardinality leading sort column. Cost: two light passes over the
+  * input (min/max + counts; both collapse map-side) plus one keyed
+  * window — a distributed sort's price.
   */
 object DistributedRank {
 
-  private val PidCol = "__graft_pid"
+  private val BCol = "__graft_bucket"
 
-  /** Append `rankCol` = the global 1-based rank of each row under
-    * `sortCols` (must include a unique tiebreak). Returns the ranked
-    * frame and the total row count.
-    *
-    * The offsets are computed IN-PLAN (per-partition counts → non-equi
-    * self-join over the P-row counts frame → broadcast back), NOT via a
-    * driver collect: RangePartitioner samples boundaries with an
-    * RDD-id-derived seed, so a SEPARATE action over the same lineage can
-    * land rows in different partitions — offsets collected in action A
-    * would not describe the partitions of action B. In one plan the
-    * range exchange is a single reused stage (asserted in PlanSpec), so
-    * the counts and the assignment always describe the same shuffle
-    * output. The total row count is boundary-independent, so a plain
-    * `df.count()` is safe for it. */
-  def withGlobalRank(df: DataFrame, rankCol: String, sortCols: Column*): (DataFrame, Long) = {
+  /** Buckets: several per shuffle partition so bucket-size variance
+    * smooths out across tasks; capped so the driver-side offset array
+    * stays trivial. */
+  private def numBuckets(df: DataFrame): Int = {
+    val p = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    math.min(4096, p * 8)
+  }
+
+  /** Append `rankCol` = the global 1-based rank of each row.
+    * `primary` is the leading sort column (numeric), `desc` its
+    * direction; `sortCols` is the FULL sort order including `primary`
+    * and a unique tiebreak, exactly as the equivalent window would
+    * spell it. Fully lazy except two small deterministic aggregates
+    * (min/max, per-bucket counts). */
+  def rankOnly(df: DataFrame, rankCol: String, primary: String, desc: Boolean,
+               sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val p = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val ranged = df.repartitionByRange(p, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val outSchema = ranged.schema
-      .add(PidCol, IntegerType, nullable = false)
-      .add(rankCol, LongType, nullable = false)
-    val local = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var i = 0L
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
-    }(Encoders.row(outSchema))
-    // P rows after the partial agg: offset(pid) = Σ counts of prior pids
-    val counts = local.groupBy(PidCol).agg(count(lit(1)).as("__n"))
-    val prior = counts.select(col(PidCol).as("__ppid"), col("__n").as("__pn"))
-    val offs = counts.join(prior, col("__ppid") < col(PidCol), "left")
-      .groupBy(PidCol).agg(coalesce(sum("__pn"), lit(0L)).as("__off"))
-    val ranked = local.join(broadcast(offs), PidCol)
+    val nb = numBuckets(df)
+    val mm = df.agg(
+      min(col(primary)).cast("double"), max(col(primary)).cast("double")).first()
+    if (mm.isNullAt(0)) // empty input: nothing to rank
+      return df.withColumn(rankCol, lit(1L)).limit(0)
+    val lo = mm.getDouble(0)
+    val span = mm.getDouble(1) - lo + 1.0
+    // monotone in the primary (double conversion, positive scale, floor
+    // all preserve order), so bucket order == sort order
+    val raw = floor((col(primary).cast("double") - lit(lo)) / lit(span) * lit(nb))
+      .cast("int")
+    val flipped = if (desc) lit(nb - 1) - raw else raw
+    val bucketed = df.withColumn(
+      BCol, least(greatest(flipped, lit(0)), lit(nb - 1)))
+    // exact counts -> offsets: B scalars, deterministic
+    val counts = bucketed.groupBy(BCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF(BCol, "__off")
+    val w = Window.partitionBy(col(BCol)).orderBy(sortCols: _*)
+    bucketed
+      .withColumn(rankCol, row_number().over(w).cast("long"))
+      .join(broadcast(offDf), BCol)
       .withColumn(rankCol, col(rankCol) + col("__off"))
-      .drop(PidCol, "__off")
-    (ranked, df.count())
+      .drop(BCol, "__off")
   }
 
   /** `ntile(k)` from a global rank: first (n mod k) tiles get

@@ -882,18 +882,26 @@ object ScaleOps {
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
-    val r = spark.sql(rfmBaseSql((from, to) => s"datediff($to, $from)"))
-    val (r1, n) = DistributedRank.withGlobalRank(
-      r, "rk", col("recency_days").asc, col("o_custkey").asc)
-    val s1 = r1.withColumn("r_score", DistributedRank.ntileFromRank("rk", n, 5))
+    // persist the customer-grain frame: the one count (for ntile's n) and
+    // the three chained rank pipelines all start from the cache, not from
+    // a re-aggregation of orders
+    val r = graft.core.EngineCache.persisted(
+      spark.sql(rfmBaseSql((from, to) => s"datediff($to, $from)")))
+    val n = r.count()
+    val s1 = DistributedRank.rankOnly(
+        r, "rk", "recency_days", desc = false,
+        col("recency_days"), col("o_custkey"))
+      .withColumn("r_score", DistributedRank.ntileFromRank("rk", n, 5))
       .drop("rk")
-    val (r2, _) = DistributedRank.withGlobalRank(
-      s1, "rk", col("frequency").desc, col("o_custkey").asc)
-    val s2 = r2.withColumn("f_score", DistributedRank.ntileFromRank("rk", n, 5))
+    val s2 = DistributedRank.rankOnly(
+        s1, "rk", "frequency", desc = true,
+        col("frequency").desc, col("o_custkey"))
+      .withColumn("f_score", DistributedRank.ntileFromRank("rk", n, 5))
       .drop("rk")
-    val (r3, _) = DistributedRank.withGlobalRank(
-      s2, "rk", col("monetary_cents").desc, col("o_custkey").asc)
-    r3.withColumn("m_score", DistributedRank.ntileFromRank("rk", n, 5))
+    DistributedRank.rankOnly(
+        s2, "rk", "monetary_cents", desc = true,
+        col("monetary_cents").desc, col("o_custkey"))
+      .withColumn("m_score", DistributedRank.ntileFromRank("rk", n, 5))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
       .orderBy("o_custkey")
@@ -998,9 +1006,10 @@ object ScaleOps {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
-    val c = spark.sql(giniBaseSql("orders"))
-    val (rk, n) = DistributedRank.withGlobalRank(
-      c, "i", col("x").asc, col("o_custkey").asc)
+    val c = graft.core.EngineCache.persisted(spark.sql(giniBaseSql("orders")))
+    val n = c.count()
+    val rk = DistributedRank.rankOnly(
+      c, "i", "x", desc = false, col("x"), col("o_custkey"))
     rk.agg(
         sum((lit(2L) * col("i") - lit(n) - lit(1L)).cast(DecimalType(19, 0)) *
             col("x"))

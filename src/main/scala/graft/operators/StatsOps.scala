@@ -83,7 +83,12 @@ object StatsOps {
       ${unpivot})
     SELECT pair, n,
       ${droundSql(
-        "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))",
+        // degenerate-group guard: a constant column zeroes its variance
+        // term — Spark yields NULL for x/0 where DuckDB yields Inf/NaN,
+        // so agree on NULL explicitly before the hash compare
+        "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL " +
+          "ELSE (n * sxy - sx * sy) / " +
+          "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END",
         6)} AS r
     FROM p ORDER BY pair"""
   }
@@ -252,9 +257,10 @@ object StatsOps {
   def liftTable(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
-    val b = spark.sql(liftBaseSql("orders"))
-    val (ranked, n) = DistributedRank.withGlobalRank(
-      b, "rk", col("cents").desc, col("o_orderkey").asc)
+    val b = graft.core.EngineCache.persisted(spark.sql(liftBaseSql("orders")))
+    val n = b.count()
+    val ranked = DistributedRank.rankOnly(
+      b, "rk", "cents", desc = true, col("cents").desc, col("o_orderkey"))
     val d = ranked.withColumn(
       "decile", DistributedRank.ntileFromRank("rk", n, LiftDeciles))
     // 10-row decile aggregate, persisted: it feeds the cumulative
@@ -347,7 +353,9 @@ object StatsOps {
       FROM b)
     SELECT brand, CAST(min(rk) AS BIGINT) AS k_parts,
       CAST(max(tot) AS BIGINT) AS total_cents,
-      ${droundSql("CAST(min(cum) AS DOUBLE) / max(tot)", 6)} AS share
+      ${droundSql(
+        "CASE WHEN max(tot) = 0 THEN NULL " +
+          "ELSE CAST(min(cum) AS DOUBLE) / max(tot) END", 6)} AS share
     FROM w WHERE 2 * cum >= tot
     GROUP BY brand ORDER BY brand"""
 

@@ -56,6 +56,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("BFS stops expanding once the frontier empties, well under the cap") {
+    // chain 0-1-2-3 (diameter 3), cap 20: rounds = 4 (3 growth + 1 empty)
+    val e0 = (0L to 2L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq(0L).toDF("node")
+    val (res, rounds) = AnalyticsOps.bfsFromWithRounds(e, seeds, iters = 20)
+    assert(res.as[(Long, Int)].collect().toMap ===
+      Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    assert(rounds === 4, s"expected early termination at round 4, ran $rounds")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("skew profiler ranks the heavy key first with exact share") {
     // key 7 has 6 of 10 rows across 3 keys: share .6, 1.8x mean
     (Seq.fill(6)(7) ++ Seq(8, 8, 9, 9)).toDF("l_partkey")

@@ -225,6 +225,30 @@ class PlanSpec extends SparkSpec {
       s"bucket rewrite must avoid the inequality-join plan:\n$p")
   }
 
+  test("auto-skew wiring: measured skew flips the plan to a salted join") {
+    val sq = spark
+    import sq.implicits._
+    // key 7 carries 600 of 660 rows (x_mean ~ 55): must salt
+    val skewed = (Seq.fill(600)(7L) ++ (1L to 60L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "rid")
+    val uniform = (1L to 600L).map(k => (k, k)).toDF("k", "rid")
+    val dim = Seq((7L, "a"), (8L, "b"), (9L, "c")).toDF("dk", "v")
+    val saltedJoin = graft.operators.AnalyticsOps.autoSaltedJoin(
+      skewed, "k", dim, "dk", col("rid"))
+    val pSkew = plan(saltedJoin)
+    assert(pSkew.contains("Generate"),
+      s"skewed key must trigger dim replication (explode):\n$pSkew")
+    assert(pSkew.contains("ShuffledHashJoin") || pSkew.contains("SortMergeJoin"),
+      s"salted join must stay a shuffle join:\n$pSkew")
+    val pUni = plan(graft.operators.AnalyticsOps.autoSaltedJoin(
+      uniform, "k", dim, "dk", col("rid")))
+    assert(!pUni.contains("Generate"),
+      s"uniform key must plan the plain join, no salting:\n$pUni")
+    // and the salted result is row-identical to the plain join
+    val plainCount = skewed.join(dim, col("k") === col("dk")).count()
+    assert(saltedJoin.count() === plainCount)
+  }
+
   test("rank-based queries plan NO single-partition window (empty partitionBy)") {
     // q117 RFM, q121 Gini, q130 lift: the oracle uses global ntile /
     // row_number, but the engine must rank via DistributedRank's
@@ -245,23 +269,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("distributed rank reuses ONE range exchange for counts and assignment") {
-    // correctness hinges on the offsets describing the same shuffle
-    // output the ranks ride on: the counts branch and the stream branch
-    // must share the range exchange (RangePartitioner samples with an
-    // RDD-id seed, so two separate executions can disagree)
-    val (ranked, n) = graft.operators.DistributedRank.withGlobalRank(
-      graft.core.Tables.load(spark, sfDir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice")),
-      "rk", col("o_totalprice").desc, col("o_orderkey").asc)
-    assert(n > 0)
-    ranked.collect()
-    val p = ranked.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-      s"expected the range exchange to be planned once and reused:\n$p")
-    // and the ranks themselves are a correct 1..n permutation
+  test("distributed rank is a deterministic dense 1..n permutation matching the window") {
+    val base = graft.core.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").multiply(100).cast("long").as("cents"))
+    val ranked = graft.operators.DistributedRank.rankOnly(
+      base, "rk", "cents", desc = true, col("cents").desc, col("o_orderkey"))
+    val n = base.count()
+    // dense 1..n permutation
     val ranks = ranked.select("rk").collect().map(_.getLong(0)).sorted
-    assert(ranks.head == 1L && ranks.last == n && ranks.distinct.length == ranks.length,
+    assert(ranks.head == 1L && ranks.last == n &&
+      ranks.distinct.length == ranks.length,
       "global rank must be a dense 1..n permutation")
+    // bit-identical to the single-partition window it replaces
+    val viaWindow = base.withColumn("rk",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cents").desc, col("o_orderkey"))).cast("long"))
+    assert(ranked.exceptAll(viaWindow).count() === 0 &&
+      viaWindow.exceptAll(ranked).count() === 0,
+      "bucketed rank must equal the window rank row for row")
+    // deterministic: a second materialization agrees exactly (no sampled
+    // state anywhere in the pipeline)
+    val again = graft.operators.DistributedRank.rankOnly(
+      base, "rk", "cents", desc = true, col("cents").desc, col("o_orderkey"))
+    assert(ranked.exceptAll(again).count() === 0)
+    // and the rank plan itself carries no empty-partitionBy window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bad = ranked.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "rank pipeline must not plan a global window")
   }
 }
