@@ -119,6 +119,20 @@ object HllSketch {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Driver-side sketch build — the same update path the aggregator runs
+    * per partition. For tests (algebraic laws without a cluster) and for
+    * seeding a sketch from local data. */
+  def sketchOf(vs: IterableOnce[Long]): Array[Byte] = {
+    val r = new Array[Byte](M)
+    vs.iterator.foreach(update(r, _))
+    r
+  }
+
+  /** Pure register-max merge into a NEW array (the aggregators use the
+    * in-place form; this one never mutates its inputs). */
+  def mergeSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    maxMerge(java.util.Arrays.copyOf(a, M), b)
+
   /** Register `hll_build` / `hll_merge` / `hll_merge_est` / `hll_est` on
     * the session. Idempotent — safe to call from every query that needs
     * them. */

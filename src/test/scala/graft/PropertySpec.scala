@@ -1,0 +1,170 @@
+package graft
+
+import graft.functions.HllSketch
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test => ScTest}
+import org.scalacheck.Prop.forAll
+
+/** Property tests (SURVEY.md §5.2): the algebraic laws the example-based
+  * specs cannot sweep — merge commutativity/idempotence, invariance under
+  * row order and edge orientation, dedup idempotence — over GENERATED
+  * inputs. Pure laws run at full sample count; Spark-backed laws run a
+  * reduced count (each sample is a handful of local jobs). */
+object HllProperties extends Properties("hll") {
+
+  private val genLongs: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  property("merge equals union build (order-free), commutative") =
+    forAll(genLongs, genLongs) { (a, b) =>
+      val sa = HllSketch.sketchOf(a)
+      val sb = HllSketch.sketchOf(b)
+      val ab = HllSketch.mergeSketches(sa, sb)
+      val ba = HllSketch.mergeSketches(sb, sa)
+      val direct = HllSketch.sketchOf(a ++ b)
+      java.util.Arrays.equals(ab, ba) && java.util.Arrays.equals(ab, direct)
+    }
+
+  property("merge is idempotent and subset-absorbing") =
+    forAll(genLongs) { a =>
+      val sa = HllSketch.sketchOf(a)
+      val sub = HllSketch.sketchOf(a.take(a.length / 2))
+      java.util.Arrays.equals(HllSketch.mergeSketches(sa, sa), sa) &&
+        java.util.Arrays.equals(HllSketch.mergeSketches(sa, sub), sa)
+    }
+
+  property("merge is associative") =
+    forAll(genLongs, genLongs, genLongs) { (a, b, c) =>
+      val (sa, sb, sc) =
+        (HllSketch.sketchOf(a), HllSketch.sketchOf(b), HllSketch.sketchOf(c))
+      java.util.Arrays.equals(
+        HllSketch.mergeSketches(HllSketch.mergeSketches(sa, sb), sc),
+        HllSketch.mergeSketches(sa, HllSketch.mergeSketches(sb, sc)))
+    }
+
+  property("build is duplicate-insensitive") =
+    forAll(genLongs) { a =>
+      java.util.Arrays.equals(
+        HllSketch.sketchOf(a), HllSketch.sketchOf(a ++ a))
+    }
+}
+
+object EngineProperties extends Properties("engine") {
+
+  // each sample runs real (local) Spark jobs — keep the count modest
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(6).withMaxDiscardRatio(10f)
+
+  private lazy val spark = TestSession.spark
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(24,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))
+        .suchThat { case (a, b) => a != b })
+
+  private def componentsOf(edges: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    val sq = spark
+    import sq.implicits._
+    val df =
+      if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      else edges.toDF("id_a", "id_b")
+    val out = graft.llm.Dedup.connectedComponents(df)
+      .as[(Long, Long)].collect().toSet
+    graft.core.EngineCache.releaseAll()
+    out
+  }
+
+  property("connected components invariant under edge order and orientation") =
+    forAll(genEdges, Gen.long) { (edges, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val mangled = rnd.shuffle(edges).map { case (a, b) =>
+        if (rnd.nextBoolean()) (b, a) else (a, b)
+      }
+      componentsOf(edges) == componentsOf(mangled)
+    }
+
+  private val genEvents: Gen[List[(Long, Int)]] =
+    Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0, 300)))
+
+  property("interval union invariant under row order") =
+    forAll(genEvents, Gen.long) { (evs, seed) =>
+      val sq = spark
+      import sq.implicits._
+      def run(rows: Seq[(Long, Int)]): Seq[(Long, Long, Long, Long)] = {
+        val df =
+          if (rows.isEmpty) Seq.empty[(Long, java.sql.Timestamp)]
+            .toDF("user_id", "ts")
+          else rows.map { case (u, m) =>
+            (u, new java.sql.Timestamp(m * 60000L))
+          }.toDF("user_id", "ts")
+        df.createOrReplaceTempView("prop_events")
+        spark.sql(graft.operators.StatsOps.sparkIntervalUnionSql("prop_events"))
+          .as[(Long, Long, Long, Long)].collect().toSeq
+      }
+      run(evs) == run(new scala.util.Random(seed).shuffle(evs))
+    }
+
+  private val genDocs: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 100L),
+      Gen.listOfN(3, word).map(_.mkString(" "))))
+      .map(_.groupBy(_._1).map { case (id, rs) => (id, rs.head._2) }.toList)
+  }
+
+  property("exact dedup is idempotent (deduped corpus has no clusters left)") =
+    forAll(genDocs) { docs =>
+      val sq = spark
+      import sq.implicits._
+      val df =
+        if (docs.isEmpty) Seq.empty[(Long, String)].toDF("doc_id", "text")
+        else docs.toDF("doc_id", "text")
+      val clusters = graft.llm.Dedup.exactClusters(df, "doc_id", md5(col("text")))
+      // survivors: drop every copy that is not its cluster's keeper
+      val survivors = df.join(
+        clusters.select(col("fp"), col("keep_id")),
+        md5(col("text")) === col("fp"), "left")
+        .filter(col("keep_id").isNull || col("doc_id") === col("keep_id"))
+        .select("doc_id", "text")
+      graft.llm.Dedup.exactClusters(survivors, "doc_id", md5(col("text")))
+        .count() == 0L
+    }
+
+  private val genKeyed: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 1000000L)))
+      .map(_.groupBy(_._2).map { case (id, rs) => (rs.head._1, id) }.toList)
+
+  property("distributed rank equals the global window rank (ties included)") =
+    forAll(genKeyed) { rows =>
+      val sq = spark
+      import sq.implicits._
+      val df =
+        if (rows.isEmpty) Seq.empty[(Long, Long)].toDF("k", "id")
+        else rows.toDF("k", "id")
+      val ranked = graft.operators.DistributedRank.rankOnly(
+        df, "rk", "k", desc = false, col("k"), col("id"))
+        .as[(Long, Long, Long)].collect().toSet
+      val viaWindow = df.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id")))
+        .cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      ranked == viaWindow
+    }
+
+  property("ntileFromRank reproduces SQL ntile tile sizes") =
+    forAll(Gen.chooseNum(1, 200), Gen.chooseNum(1, 12)) { (n, k) =>
+      val sq = spark
+      import sq.implicits._
+      val tiles = spark.range(1, n + 1).toDF("rk")
+        .select(graft.operators.DistributedRank
+          .ntileFromRank("rk", n.toLong, k).as("t"))
+        .as[Int].collect().sorted.toSeq
+      val q = n / k
+      val r = n % k
+      val expected = (1 to k).flatMap(t =>
+        Seq.fill(if (t <= r) q + 1 else q)(t)).take(n)
+      tiles == expected
+    }
+}
