@@ -23,6 +23,7 @@ object StatsOps {
   val LiftDeciles = 10        // q130
   val DecayCapDays = 45L      // q134: weight 2^-days truncates to 0 here
                               //   (keeps the 1e6-grid term representable)
+  val CmsTopK = 10            // q137 heavy hitters point-queried
 
   // ---------------------------------------------------------------- q127
   /** Pairwise Pearson correlation matrix over the four lineitem measures
@@ -478,6 +479,118 @@ object StatsOps {
     FROM events
     ORDER BY grp"""
 
+  // ---------------------------------------------------------------- q136
+  /** Mergeable QUANTILE sketches at rest ([[graft.functions.DdSketch]]) —
+    * the quantile twin of q135's HLL lifecycle: per-(priority, shard)
+    * DDSketches of order cents built at "ingest" and WRITTEN TO PARQUET;
+    * the analysis re-reads ONLY the sketch table, `ddq_merge`s shards
+    * into one storable sketch per priority, reads p50/p99 off the
+    * re-hydrated bytes, and merges AGAIN for the all-priorities row —
+    * two rollup levels, no re-scan. Gates: exact counts (hash-compared),
+    * sketch count == exact count (bucket sums are exact longs), and
+    * p50/p99 within 3% relative of the exact percentiles (α = 1% sketch
+    * + interpolation discretization; the exact side here is Spark's
+    * sort-based `percentile`, which is the GATE, not the capability —
+    * the sketch exists precisely so the 100 TB run never pays it). */
+  def ddqPersist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DdSketch.register(spark)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ddq").toString
+    spark.sql(s"""
+      SELECT o_orderpriority AS grp, CAST(o_custkey % 8 AS INT) AS shard,
+        ddq_build(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sk
+      FROM orders GROUP BY o_orderpriority, CAST(o_custkey % 8 AS INT)""")
+      .write.mode("overwrite").parquet(s"$tmp/sketches")
+    spark.read.parquet(s"$tmp/sketches").createOrReplaceTempView("ddq_shards")
+    spark.sql(s"""
+      WITH m AS (
+        SELECT grp, ddq_merge(sk) AS msk FROM ddq_shards GROUP BY grp),
+      est AS (
+        SELECT grp, ddq_quantile(msk, 0.5D) AS e50,
+          ddq_quantile(msk, 0.99D) AS e99, ddq_count(msk) AS sk_n
+        FROM m),
+      allm AS (SELECT ddq_merge(msk) AS gsk FROM m),
+      alle AS (
+        SELECT '__all__' AS grp, ddq_quantile(gsk, 0.5D) AS e50,
+          ddq_quantile(gsk, 0.99D) AS e99, ddq_count(gsk) AS sk_n
+        FROM allm),
+      u AS (
+        SELECT grp, e50, e99, sk_n FROM est
+        UNION ALL SELECT grp, e50, e99, sk_n FROM alle),
+      b AS (
+        SELECT o_orderpriority AS grp,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+      ex AS (
+        SELECT grp, CAST(count(1) AS BIGINT) AS n,
+          percentile(cents, 0.5D) AS x50, percentile(cents, 0.99D) AS x99
+        FROM b GROUP BY grp
+        UNION ALL
+        SELECT '__all__' AS grp, CAST(count(1) AS BIGINT) AS n,
+          percentile(cents, 0.5D) AS x50, percentile(cents, 0.99D) AS x99
+        FROM b)
+      SELECT u.grp, ex.n,
+        (u.sk_n = ex.n) AS count_exact,
+        (abs(u.e50 - ex.x50) <= 0.03 * ex.x50) AS p50_within_3pct,
+        (abs(u.e99 - ex.x99) <= 0.03 * ex.x99) AS p99_within_3pct
+      FROM u JOIN ex ON u.grp = ex.grp
+      ORDER BY u.grp""")
+  }
+
+  def ddqPersistSql: String = s"""
+    SELECT o_orderpriority AS grp, CAST(count(1) AS BIGINT) AS n,
+      TRUE AS count_exact, TRUE AS p50_within_3pct, TRUE AS p99_within_3pct
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__all__' AS grp, CAST(count(1) AS BIGINT) AS n,
+      TRUE AS count_exact, TRUE AS p50_within_3pct, TRUE AS p99_within_3pct
+    FROM orders
+    ORDER BY grp"""
+
+  // ---------------------------------------------------------------- q137
+  /** Mergeable FREQUENCY sketches at rest ([[graft.functions.CmSketch]])
+    * — heavy-hitter point queries from stored sketches, completing the
+    * sketch trio (q135 cardinality, q136 quantiles): per-shard count-min
+    * sketches of the lineitem part-key stream WRITTEN TO PARQUET; the
+    * analysis re-reads only the sketch table, `cms_merge`s the shards
+    * (counter-wise add — exact), and point-queries the top-k keys off
+    * the re-hydrated bytes. Gates: exact top-k counts (hash-compared,
+    * deterministic tiebreak), `cms_count` == stream length (row sums are
+    * exact), est ≥ exact (structural: counters only over-count), and
+    * est ≤ exact + ⌈2N/width⌉ (the CM error bound — deterministic here
+    * because the hash family is fixed). */
+  def cmsPersist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CmSketch.register(spark)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    spark.sql(s"""
+      SELECT CAST(l_orderkey % 8 AS INT) AS shard, cms_build(l_partkey) AS sk
+      FROM lineitem GROUP BY CAST(l_orderkey % 8 AS INT)""")
+      .write.mode("overwrite").parquet(s"$tmp/sketches")
+    spark.read.parquet(s"$tmp/sketches").createOrReplaceTempView("cms_shards")
+    spark.sql(s"""
+      WITH m AS (SELECT cms_merge(sk) AS msk FROM cms_shards),
+      n AS (SELECT CAST(count(1) AS BIGINT) AS n FROM lineitem),
+      top AS (
+        SELECT l_partkey AS k, CAST(count(1) AS BIGINT) AS exact
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY exact DESC, k LIMIT $CmsTopK)
+      SELECT t.k, t.exact,
+        (cms_count(m.msk) = n.n) AS stream_len_exact,
+        (cms_est(m.msk, t.k) >= t.exact) AS lower_ok,
+        (cms_est(m.msk, t.k) <= t.exact +
+          CAST(ceil(2.0 * n.n / ${graft.functions.CmSketch.Width}) AS BIGINT))
+          AS upper_ok
+      FROM top t CROSS JOIN m CROSS JOIN n
+      ORDER BY t.exact DESC, t.k""")
+  }
+
+  def cmsPersistSql: String = s"""
+    SELECT l_partkey AS k, CAST(count(1) AS BIGINT) AS exact,
+      TRUE AS stream_len_exact, TRUE AS lower_ok, TRUE AS upper_ok
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY exact DESC, k LIMIT $CmsTopK"""
+
   // ---------------------------------------------------------------- q134
   /** Recency-decayed revenue per customer (half-life = 1 day, zero past
     * $DecayCapDays): the freshness-weighted spend feature every churn /
@@ -536,7 +649,9 @@ object StatsOps {
     "q132_coverage_k"     -> coverageK _,
     "q133_hll_sketch"     -> hllCardinality _,
     "q134_decay_revenue"  -> decayRevenue _,
-    "q135_hll_persist"    -> hllPersist _
+    "q135_hll_persist"    -> hllPersist _,
+    "q136_quantile_sketch" -> ddqPersist _,
+    "q137_heavy_hitters"  -> cmsPersist _
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +663,8 @@ object StatsOps {
     "q132_coverage_k"     -> coverageKSql,
     "q133_hll_sketch"     -> hllCardinalitySql,
     "q134_decay_revenue"  -> decayOracleSql,
-    "q135_hll_persist"    -> hllPersistSql
+    "q135_hll_persist"    -> hllPersistSql,
+    "q136_quantile_sketch" -> ddqPersistSql,
+    "q137_heavy_hitters"  -> cmsPersistSql
   )
 }

@@ -49,6 +49,64 @@ object HllProperties extends Properties("hll") {
     }
 }
 
+object DdqProperties extends Properties("ddsketch") {
+  import graft.functions.DdSketch
+
+  private val genPos: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(1L, 1000000000000L))
+
+  property("merge equals union build byte-for-byte; commutative; associative") =
+    forAll(genPos, genPos, genPos) { (a, b, c) =>
+      val (sa, sb, sc) =
+        (DdSketch.sketchOf(a), DdSketch.sketchOf(b), DdSketch.sketchOf(c))
+      val ab = DdSketch.mergeSketches(sa, sb)
+      java.util.Arrays.equals(ab, DdSketch.sketchOf(a ++ b)) &&
+        java.util.Arrays.equals(ab, DdSketch.mergeSketches(sb, sa)) &&
+        java.util.Arrays.equals(
+          DdSketch.mergeSketches(ab, sc),
+          DdSketch.mergeSketches(sa, DdSketch.mergeSketches(sb, sc)))
+    }
+
+  property("counts are exact; self-merge doubles counts (NOT idempotent)") =
+    forAll(genPos.suchThat(_.nonEmpty)) { a =>
+      val sk = DdSketch.sketchOf(a)
+      val dbl = DdSketch.mergeSketches(sk, sk)
+      DdSketch.count(sk) == a.length && DdSketch.count(dbl) == 2L * a.length
+    }
+
+  property("quantile estimate within alpha relative error of the exact element") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 100000000L)), Gen.choose(0.0, 1.0)) {
+      (a, q) =>
+        val sk = DdSketch.sketchOf(a)
+        val sorted = a.sorted
+        val exact = sorted(math.floor(q * (a.length - 1)).toInt).toDouble
+        math.abs(DdSketch.quantile(sk, q) - exact) <= DdSketch.Alpha * exact + 1e-9
+    }
+}
+
+object CmsProperties extends Properties("countmin") {
+  import graft.functions.CmSketch
+
+  private val genKeys: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+
+  property("merge equals union build byte-for-byte; commutative") =
+    forAll(genKeys, genKeys) { (a, b) =>
+      val m = CmSketch.mergeSketches(CmSketch.sketchOf(a), CmSketch.sketchOf(b))
+      java.util.Arrays.equals(m, CmSketch.sketchOf(a ++ b)) &&
+        java.util.Arrays.equals(m,
+          CmSketch.mergeSketches(CmSketch.sketchOf(b), CmSketch.sketchOf(a)))
+    }
+
+  property("estimates never undercount and the stream length is exact") =
+    forAll(genKeys) { a =>
+      val sk = CmSketch.sketchOf(a)
+      val exact = a.groupBy(identity).view.mapValues(_.size.toLong)
+      CmSketch.count(sk) == a.length &&
+        exact.forall { case (k, n) => CmSketch.estimate(sk, k) >= n }
+    }
+}
+
 object EngineProperties extends Properties("engine") {
 
   // each sample runs real (local) Spark jobs — keep the count modest

@@ -139,6 +139,31 @@ class StatsOpsSpec extends SparkSpec {
       "union with a subset sketch must be a no-op")
   }
 
+  test("DDSketch lifecycle: parquet round-trip + merge equals direct build; " +
+       "quantiles within alpha") {
+    import org.apache.spark.sql.functions._
+    graft.functions.DdSketch.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ddq-spec").toString
+    // shard sketches over 1..10000, persisted at rest
+    spark.range(1, 10001).withColumn("shard", (col("id") % 8).cast("int"))
+      .groupBy("shard").agg(expr("ddq_build(id)").as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val merged = spark.read.parquet(tmp)
+      .agg(expr("ddq_merge(sk)").as("msk"))
+      .select("msk").first().getAs[Array[Byte]](0)
+    val direct = spark.range(1, 10001)
+      .agg(expr("ddq_build(id)").as("sk"))
+      .select("sk").first().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "bucket-sum merge of shard sketches must equal the direct build")
+    assert(graft.functions.DdSketch.count(merged) === 10000L)
+    // uniform 1..10000: p50 ~ 5000, p99 ~ 9901, within 1% + slack
+    val p50 = graft.functions.DdSketch.quantile(merged, 0.5)
+    val p99 = graft.functions.DdSketch.quantile(merged, 0.99)
+    assert(math.abs(p50 - 5000) <= 0.015 * 5000, s"p50=$p50")
+    assert(math.abs(p99 - 9901) <= 0.015 * 9901, s"p99=$p99")
+  }
+
   test("decay revenue: exact closed-form on a planted two-order customer") {
     // customer 7: 100.00$ at tmax (days=0, weight 1) + 200.00$ 2 days
     //   earlier (weight 1/4) → 150.00; customer 8: 50.00$ 60 days back →
