@@ -662,7 +662,124 @@ object LlmQueries {
       dround(expr("CAST(array_min(embedding) AS DOUBLE)"), 6).as("min_elem"))
       .orderBy("vec_id")
 
+  // ---------------------------------------------------------------- q138
+  /** BPE-ish token-count estimate — the budget number every packing /
+    * mixture / pricing decision needs BEFORE a real tokenizer runs:
+    * split into GPT-2-style pieces (letter runs | single digits |
+    * single punctuation — whitespace never tokenizes), then estimate
+    * subwords as ⌈len/4⌉ per letter run (the "~4 chars per BPE token"
+    * rule of thumb) and 1 per digit/punct piece. Pure string ops on an
+    * ASCII-safe regex whose alternation resolves identically under
+    * Java's leftmost-first and RE2's leftmost-longest (the letter-run
+    * branch IS the longest match), so the counts hash-match exactly.
+    * One projection, codegen'd, no UDF. */
+  val BpePieceRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH p AS (
+        SELECT doc_id,
+          regexp_extract_all(text, '$BpePieceRe', 0) AS pieces
+        FROM documents)
+      SELECT doc_id,
+        CAST(size(pieces) AS BIGINT) AS n_pieces,
+        CAST(aggregate(
+          transform(pieces, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)),
+          CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS n_subtokens
+      FROM p ORDER BY doc_id""")
+  }
+
+  def bpeTokensSql: String = s"""
+    WITH p AS (
+      SELECT doc_id,
+        regexp_extract_all(text, '$BpePieceRe') AS pieces
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(pieces) AS BIGINT) AS n_pieces,
+      CAST(coalesce(list_sum(
+        list_transform(pieces, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))),
+        0) AS BIGINT) AS n_subtokens
+    FROM p ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q139
+  /** Per-source corpus card — the dataset-documentation aggregate every
+    * training-mixture decision reads: document and character volume,
+    * mean quality (the q31 composite, decimal-bridged through the
+    * order-free average), English share, and the exact within-source
+    * duplicate rate (1 − distinct fingerprints / docs — md5 is
+    * cross-engine identical). One hash aggregate over one scan; output
+    * is O(|sources|) at any corpus size. */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy(col("source")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        davg(qualityCol, 6).as("mean_quality"),
+        dround(sum(when(col("lang") === "en", 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("en_share"),
+        dround(lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+          count(lit(1)), 6).as("dup_rate"))
+      .orderBy("source")
+
+  def sourceReportSql: String = s"""
+    SELECT source,
+      CAST(count(1) AS BIGINT) AS n_docs,
+      CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      ${avgSql(qualitySql, 6)} AS mean_quality,
+      ${droundSql(
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)" +
+          " / count(1)", 6)} AS en_share,
+      ${droundSql(
+        "1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(1)",
+        6)} AS dup_rate
+    FROM documents GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------------- q140
+  /** Query-level media decode: render one REAL 8×8 grayscale PNG per
+    * embedding row (first 64 dims → pixel bytes, encoded with JDK
+    * imageio inside the same per-partition batch contract production
+    * ingest uses), then run [[Multimodal.decodeImages]] over the bytes
+    * and report dimensions + channel means. Self-contained on purpose:
+    * the fixture corpus carries no image column, and synthesizing the
+    * PNGs in-query exercises the encode AND decode halves of the codec
+    * path on every row. No SQL oracle can decode PNGs — declared
+    * without one, so the driver applies its rows-only check; the
+    * byte-level assertions live in DedupSpec. */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(Multimodal.mediaSchema)
+    val media = embs(spark, dir).select(col("vec_id"), col("embedding"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val e = r.getSeq[Float](1)
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          while (i < 64) {
+            val v = if (i < e.length)
+              math.max(0, math.min(255, math.round(e(i) * 127f + 128f))) else 0
+            img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val b = bos.toByteArray
+          org.apache.spark.sql.Row(id, b, "image/png", b.length)
+        }
+      }(enc)
+    Multimodal.decodeImages(spark, media)
+      .select(col("media_id").as("vec_id"), col("decode_ok"),
+        col("width"), col("height"), col("channels"),
+        dround(element_at(col("features"), 4).cast("double"), 6).as("mean_luma"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_bpe_tokens"     -> bpeTokens _,
+    "q139_source_report"  -> sourceReport _,
+    "q140_media_decode"   -> mediaDecode _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -721,6 +838,8 @@ object LlmQueries {
       ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "q138_bpe_tokens" -> bpeTokensSql,
+    "q139_source_report" -> sourceReportSql,
     "q30_text_stats" -> s"""
       SELECT doc_id,
         length(text)::INT AS n_chars_actual,

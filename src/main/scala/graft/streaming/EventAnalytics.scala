@@ -46,6 +46,26 @@ object EventAnalytics {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
 
+  /** Per-window per-type distinct-user HLL sketches built AT STREAM TIME
+    * — the ingest end of q135's sketch-at-rest lifecycle: the stream job
+    * emits the BINARY sketch column directly, so the archive carries
+    * queryable cardinality state from the moment data lands and no batch
+    * backfill ever re-reads the raw events. Works because
+    * [[graft.functions.HllSketch]]'s aggregator is a standard mergeable
+    * agg: the state store holds the register buffer per (window, type),
+    * merges are register-max (order-free), and the emitted sketch is
+    * BYTE-IDENTICAL to a batch build over the same rows — asserted in
+    * StreamingAnalyticsSpec. State is O(windows × types) × 4 KB. */
+  def windowedUserSketches(events: DataFrame, watermark: String = "10 minutes",
+                           window_ : String = "5 minutes"): DataFrame = {
+    graft.functions.HllSketch.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(expr("hll_build(user_id)").as("sk"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("sk"))
+  }
+
   /** Streaming exact dedup on event_id, state bounded by the watermark —
     * the engine-side analog of the reference's replay-duplicate tolerance
     * (§2.1.7): duplicates are eliminated, not tolerated. */

@@ -104,6 +104,51 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(out === Set((201L, 101L), (202L, 102L)))
   }
 
+  test("streaming windowed HLL sketches are byte-identical to the batch build") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val source = MemoryStream[Event]
+    val sketches = EventAnalytics.windowedUserSketches(
+      source.toDF(), watermark = "10 minutes", window_ = "5 minutes")
+    val q = sketches.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream_out").start()
+    // two 5-minute windows; users overlap across types within a window
+    val data = Seq(
+      ev(1, 0, user = 1), ev(2, 1, user = 2), ev(3, 2, user = 1),
+      ev(4, 3, user = 3, typ = "view"),
+      ev(5, 6, user = 1), ev(6, 7, user = 4), ev(7, 8, user = 4))
+    source.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    // batch build over the identical rows, same grouping
+    import org.apache.spark.sql.functions.{col, expr, window}
+    graft.functions.HllSketch.register(spark)
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(expr("hll_build(user_id)").as("sk"))
+      .select(col("window.start"), col("event_type"), col("sk"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(k)),
+        s"stream/batch sketch mismatch for $k")
+    }
+    // and the sketches answer the cardinality question correctly
+    val est = streamed.map { case (k, sk) =>
+      k -> math.round(graft.functions.HllSketch.estimate(sk)) }
+    val exact = data.groupBy(e =>
+      (new Timestamp(e.ts.getTime / 300000L * 300000L), e.event_type))
+      .view.mapValues(_.map(_.user_id).distinct.size.toLong).toMap
+    assert(est === exact)
+  }
+
   test("multiSink replaying a micro-batch replaces rather than duplicates") {
     val sq = spark
     import sq.implicits._
