@@ -225,6 +225,14 @@ class PlanSpec extends SparkSpec {
       s"bucket rewrite must avoid the inequality-join plan:\n$p")
   }
 
+  test("source report is one scan, single-distinct two-phase agg, no Expand") {
+    val p = plan(graft.operators.LlmQueries.sourceReport(spark, sfDir))
+    assert(!p.contains("Expand"),
+      s"single count(DISTINCT) must not plan an Expand (row multiplication):\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"corpus card must read the corpus exactly once:\n$p")
+  }
+
   test("auto-skew wiring: measured skew flips the plan to a salted join") {
     val sq = spark
     import sq.implicits._
