@@ -248,6 +248,55 @@ object LlmQueries {
     definitelyNovel.unionByName(confirmedNovel).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q141
+  /** Bloom filters AT REST ([[graft.functions.BloomSketch]]) — the
+    * membership leg of the sketch-at-rest story and the scale path q62
+    * only gestures at: q62 rebuilds its filter from the corpus on every
+    * run, while a real incremental pipeline builds per-shard blooms AT
+    * INGEST, persists the BINARY bit arrays, and filters every later
+    * batch from the stored sketches alone. Stage 1 writes per-shard
+    * blooms of the corpus bag-fingerprints to parquet; stage 2 re-reads
+    * ONLY the bloom table, `bloom_merge`s (bit-OR) into one filter, and
+    * probes the incoming batch. Gates: exact duplicate flags
+    * (hash-compared against the oracle's EXISTS) and the bloom contract
+    * itself — a probe may only say "absent" when the key is truly
+    * absent (no false negatives, structural: OR never clears a bit). */
+  def bloomPersist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomSketch.register(spark)
+    val d = docs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    d.filter(col("source") =!= BatchSource)
+      .select(bagFingerprint("text").as("fp"))
+      .withColumn("shard", (col("fp") % 8).cast("int"))
+      .groupBy("shard").agg(expr("bloom_build(fp)").as("sk"))
+      .write.mode("overwrite").parquet(s"$tmp/blooms")
+    val merged = spark.read.parquet(s"$tmp/blooms")
+      .agg(expr("bloom_merge(sk)").as("msk"))
+    val corpusFp = d.filter(col("source") =!= BatchSource)
+      .select(bagFingerprint("text").as("cfp")).distinct()
+    d.filter(col("source") === BatchSource)
+      .select(col("doc_id"), bagFingerprint("text").as("fp"))
+      .crossJoin(broadcast(merged))
+      .join(broadcast(corpusFp), col("fp") === col("cfp"), "left")
+      .select(col("doc_id"),
+        col("cfp").isNotNull.as("exact_dup"),
+        (col("cfp").isNull || expr("bloom_contains(msk, fp)"))
+          .as("no_false_negative"))
+      .orderBy("doc_id")
+  }
+
+  def bloomPersistSql: String = s"""
+    WITH b AS (
+      SELECT doc_id, ${bagFingerprintSql("text")} AS fp
+      FROM documents WHERE source = '$BatchSource'),
+    c AS (
+      SELECT DISTINCT ${bagFingerprintSql("text")} AS fp
+      FROM documents WHERE source <> '$BatchSource')
+    SELECT b.doc_id,
+      EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp) AS exact_dup,
+      TRUE AS no_false_negative
+    FROM b ORDER BY b.doc_id"""
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * DecontamN-word shingle with a held-out eval source — the standard
     * "did training data leak the benchmark" check. The eval side's
@@ -780,6 +829,7 @@ object LlmQueries {
     "q138_bpe_tokens"     -> bpeTokens _,
     "q139_source_report"  -> sourceReport _,
     "q140_media_decode"   -> mediaDecode _,
+    "q141_bloom_persist"  -> bloomPersist _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -840,6 +890,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q138_bpe_tokens" -> bpeTokensSql,
     "q139_source_report" -> sourceReportSql,
+    "q141_bloom_persist" -> bloomPersistSql,
     "q30_text_stats" -> s"""
       SELECT doc_id,
         length(text)::INT AS n_chars_actual,

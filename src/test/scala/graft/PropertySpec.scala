@@ -107,6 +107,30 @@ object CmsProperties extends Properties("countmin") {
     }
 }
 
+object BloomProperties extends Properties("bloom") {
+  import graft.functions.BloomSketch
+
+  private val genKeys: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  property("no false negatives, including through shard merges") =
+    forAll(genKeys, genKeys) { (a, b) =>
+      val m = BloomSketch.mergeSketches(
+        BloomSketch.sketchOf(a), BloomSketch.sketchOf(b))
+      (a ++ b).forall(BloomSketch.contains(m, _))
+    }
+
+  property("merge equals union build; commutative; idempotent") =
+    forAll(genKeys, genKeys) { (a, b) =>
+      val sa = BloomSketch.sketchOf(a)
+      val sb = BloomSketch.sketchOf(b)
+      val m = BloomSketch.mergeSketches(sa, sb)
+      java.util.Arrays.equals(m, BloomSketch.sketchOf(a ++ b)) &&
+        java.util.Arrays.equals(m, BloomSketch.mergeSketches(sb, sa)) &&
+        java.util.Arrays.equals(BloomSketch.mergeSketches(sa, sa), sa)
+    }
+}
+
 object EngineProperties extends Properties("engine") {
 
   // each sample runs real (local) Spark jobs — keep the count modest
