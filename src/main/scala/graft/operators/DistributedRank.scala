@@ -53,14 +53,26 @@ object DistributedRank {
     * (min/max, per-bucket counts). */
   def rankOnly(df: DataFrame, rankCol: String, primary: String, desc: Boolean,
                sortCols: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val nb = numBuckets(df)
     val mm = df.agg(
       min(col(primary)).cast("double"), max(col(primary)).cast("double")).first()
     if (mm.isNullAt(0)) // empty input: nothing to rank
       return df.withColumn(rankCol, lit(1L)).limit(0)
-    val lo = mm.getDouble(0)
-    val span = mm.getDouble(1) - lo + 1.0
+    rankOnlyBounded(df, rankCol, primary, desc,
+      mm.getDouble(0), mm.getDouble(1), sortCols: _*)
+  }
+
+  /** [[rankOnly]] with caller-supplied primary-column bounds: a caller
+    * ranking several dimensions of one frame (q117's three scores) pays
+    * ONE stats pass for all of them instead of a min/max action per
+    * rank. Bounds may be loose (any [lo, hi] ⊇ the data range is
+    * correct — out-of-range rows clamp into the edge buckets); only
+    * bucket balance degrades with slack. */
+  def rankOnlyBounded(df: DataFrame, rankCol: String, primary: String,
+                      desc: Boolean, lo: Double, hi: Double,
+                      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val nb = numBuckets(df)
+    val span = hi - lo + 1.0
     // monotone in the primary (double conversion, positive scale, floor
     // all preserve order), so bucket order == sort order
     val raw = floor((col(primary).cast("double") - lit(lo)) / lit(span) * lit(nb))

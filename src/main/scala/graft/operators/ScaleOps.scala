@@ -887,19 +887,29 @@ object ScaleOps {
     // a re-aggregation of orders
     val r = graft.core.EngineCache.persisted(
       spark.sql(rfmBaseSql((from, to) => s"datediff($to, $from)")))
-    val n = r.count()
-    val s1 = DistributedRank.rankOnly(
-        r, "rk", "recency_days", desc = false,
+    // ONE stats pass serves n plus all three dimensions' bucket bounds
+    val st = r.agg(
+      count(lit(1)),
+      min("recency_days").cast("double"), max("recency_days").cast("double"),
+      min("frequency").cast("double"), max("frequency").cast("double"),
+      min("monetary_cents").cast("double"), max("monetary_cents").cast("double")
+    ).first()
+    val n = st.getLong(0)
+    if (n == 0) return r.selectExpr("o_custkey", "recency_days", "frequency",
+      "monetary_cents", "CAST(1 AS INT) r_score", "CAST(1 AS INT) f_score",
+      "CAST(1 AS INT) m_score")
+    val s1 = DistributedRank.rankOnlyBounded(
+        r, "rk", "recency_days", desc = false, st.getDouble(1), st.getDouble(2),
         col("recency_days"), col("o_custkey"))
       .withColumn("r_score", DistributedRank.ntileFromRank("rk", n, 5))
       .drop("rk")
-    val s2 = DistributedRank.rankOnly(
-        s1, "rk", "frequency", desc = true,
+    val s2 = DistributedRank.rankOnlyBounded(
+        s1, "rk", "frequency", desc = true, st.getDouble(3), st.getDouble(4),
         col("frequency").desc, col("o_custkey"))
       .withColumn("f_score", DistributedRank.ntileFromRank("rk", n, 5))
       .drop("rk")
-    DistributedRank.rankOnly(
-        s2, "rk", "monetary_cents", desc = true,
+    DistributedRank.rankOnlyBounded(
+        s2, "rk", "monetary_cents", desc = true, st.getDouble(5), st.getDouble(6),
         col("monetary_cents").desc, col("o_custkey"))
       .withColumn("m_score", DistributedRank.ntileFromRank("rk", n, 5))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
@@ -1007,9 +1017,12 @@ object ScaleOps {
     import org.apache.spark.sql.types.DecimalType
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
     val c = graft.core.EngineCache.persisted(spark.sql(giniBaseSql("orders")))
-    val n = c.count()
-    val rk = DistributedRank.rankOnly(
-      c, "i", "x", desc = false, col("x"), col("o_custkey"))
+    val st = c.agg(count(lit(1)),
+      min("x").cast("double"), max("x").cast("double")).first()
+    val n = st.getLong(0)
+    val rk = DistributedRank.rankOnlyBounded(
+      c, "i", "x", desc = false, st.getDouble(1), st.getDouble(2),
+      col("x"), col("o_custkey"))
     rk.agg(
         sum((lit(2L) * col("i") - lit(n) - lit(1L)).cast(DecimalType(19, 0)) *
             col("x"))

@@ -259,9 +259,12 @@ object StatsOps {
     import org.apache.spark.sql.functions._
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
     val b = graft.core.EngineCache.persisted(spark.sql(liftBaseSql("orders")))
-    val n = b.count()
-    val ranked = DistributedRank.rankOnly(
-      b, "rk", "cents", desc = true, col("cents").desc, col("o_orderkey"))
+    val st = b.agg(count(lit(1)),
+      min("cents").cast("double"), max("cents").cast("double")).first()
+    val n = st.getLong(0)
+    val ranked = DistributedRank.rankOnlyBounded(
+      b, "rk", "cents", desc = true, st.getDouble(1), st.getDouble(2),
+      col("cents").desc, col("o_orderkey"))
     val d = ranked.withColumn(
       "decile", DistributedRank.ntileFromRank("rk", n, LiftDeciles))
     // 10-row decile aggregate, persisted: it feeds the cumulative
