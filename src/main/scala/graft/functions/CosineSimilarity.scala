@@ -149,5 +149,10 @@ object GraftFunctions {
       WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
     ifAbsent("char_shingles")(exprs =>
       CharShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    // the sketch-column UDAF/UDF families (each registrar is idempotent)
+    HllSketch.register(spark)
+    DdSketch.register(spark)
+    CmSketch.register(spark)
+    BloomSketch.register(spark)
   }
 }
