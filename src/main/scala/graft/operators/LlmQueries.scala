@@ -248,6 +248,62 @@ object LlmQueries {
     definitelyNovel.unionByName(confirmedNovel).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q142
+  /** Leakage-safe train/val/test split: q100 hashes DOCUMENTS into
+    * splits, which leaks whenever two near-duplicates straddle the
+    * boundary (the eval answer sits in the training set verbatim-ish —
+    * the failure mode behind benchmark-contamination findings). This
+    * split hashes the near-dup COMPONENT instead: LSH pairs (q35's
+    * machinery) → connected components (q51's) → every doc not in any
+    * pair is its own singleton component → split = hash(component) % 10
+    * (8/1/1). Whole clusters land in one split BY CONSTRUCTION. The
+    * oracle replays pairs + components through the recursive-CTE ground
+    * truth and the identical hash arithmetic — hash-compared per doc. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(d, "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+      .withColumnRenamed("doc_id", "cid")
+    d.select(col("doc_id"))
+      .join(comps, col("doc_id") === col("cid"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("b",
+        xhash(concat(lit("split:"), col("component").cast("string"))) % 10)
+      .select(col("doc_id"), col("component"),
+        when(col("b") < 8, "train").when(col("b") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  def leakageSplitSql: String = {
+    val pairs = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
+    s"""
+    WITH RECURSIVE pairs AS ($pairs),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+    comp AS (
+      SELECT id AS doc_id, min(label) AS component
+      FROM reach GROUP BY id),
+    all_docs AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    hashed AS (
+      SELECT doc_id, component,
+        ${xhashSql("'split:' || component::VARCHAR")} % 10 AS b
+      FROM all_docs)
+    SELECT doc_id, component,
+      CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END
+        AS split
+    FROM hashed ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------------- q141
   /** Bloom filters AT REST ([[graft.functions.BloomSketch]]) — the
     * membership leg of the sketch-at-rest story and the scale path q62
@@ -830,6 +886,7 @@ object LlmQueries {
     "q139_source_report"  -> sourceReport _,
     "q140_media_decode"   -> mediaDecode _,
     "q141_bloom_persist"  -> bloomPersist _,
+    "q142_leakage_split"  -> leakageSplit _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -891,6 +948,7 @@ object LlmQueries {
     "q138_bpe_tokens" -> bpeTokensSql,
     "q139_source_report" -> sourceReportSql,
     "q141_bloom_persist" -> bloomPersistSql,
+    "q142_leakage_split" -> leakageSplitSql,
     "q30_text_stats" -> s"""
       SELECT doc_id,
         length(text)::INT AS n_chars_actual,

@@ -209,6 +209,28 @@ class DedupSpec extends SparkSpec {
     assert(langs.subsetOf(TextFunctions.LangMarkers.map(_._1).toSet))
   }
 
+  test("leakage-safe split keeps every near-dup pair in one split") {
+    val out = graft.operators.LlmQueries.leakageSplit(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      graft.operators.LlmQueries.WordShingleN,
+      graft.operators.LlmQueries.MinhashK,
+      graft.operators.LlmQueries.MinhashBands,
+      graft.operators.LlmQueries.MinhashTau)
+      .select(col("id_a"), col("id_b"))
+    val straddling = pairs
+      .join(out.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(out.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    assert(straddling.count() === 0,
+      "no near-dup pair may straddle a split boundary")
+    graft.core.EngineCache.releaseAll()
+  }
+
   /** Encode a solid-color or two-band test image with the JDK itself. */
   private def testImage(w: Int, h: Int, fmt: String,
                         rgbOf: (Int, Int) => Int): Array[Byte] = {
