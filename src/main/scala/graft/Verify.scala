@@ -105,12 +105,13 @@ object Verify {
             spark.sparkContext.clearJobGroup()
             // Operators persist intermediates (LSH signatures, edge lists,
             // BM25 postings) for the duration of their query; without a
-            // release the 134-query single-JVM run accretes cache until the
-            // heap feels it. Safe mid-run even with 4 concurrent workers:
-            // an unpersisted frame another query still holds just
-            // recomputes (deterministically) if re-consumed.
-            graft.core.EngineCache.releaseAll()
-            spark.catalog.clearCache()
+            // release the 140+-query single-JVM run accretes cache until
+            // the heap feels it. Scoped to THIS worker's frames: a global
+            // releaseAll()/clearCache() here once yanked a neighboring
+            // in-flight query's cached frame mid-execution and produced an
+            // EMPTY scan (observed: q68 wrote 0 rows at sf0.1), so only
+            // frames this thread registered are freed.
+            graft.core.EngineCache.releaseOwned()
             // Spark frees broadcast/shuffle blocks via the ContextCleaner,
             // which only drains when the JVM GCs; give it a beat to drain
             // every couple dozen queries (cheap, and keeps a 134-query
