@@ -66,6 +66,24 @@ object EventAnalytics {
       .select(col("window.start").as("win_start"), col("event_type"), col("sk"))
   }
 
+  /** Per-window per-type value-quantile DDSketches at stream time — the
+    * quantile twin of [[windowedUserSketches]] (latency/size/value
+    * distributions per window, stored as BINARY and mergeable later).
+    * Values bridge to integer cents before sketching, matching the
+    * batch convention; counter-add state merges are order-free, so the
+    * emitted sketch is byte-identical to a batch build (spec-asserted).
+    * State is O(windows × types) × 16 KB. */
+  def windowedValueSketches(events: DataFrame, watermark: String = "10 minutes",
+                            window_ : String = "5 minutes"): DataFrame = {
+    graft.functions.DdSketch.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(expr(
+        "ddq_build(CAST(floor(value * 100 + 0.5) AS BIGINT))").as("sk"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("sk"))
+  }
+
   /** Streaming exact dedup on event_id, state bounded by the watermark —
     * the engine-side analog of the reference's replay-duplicate tolerance
     * (§2.1.7): duplicates are eliminated, not tolerated. */

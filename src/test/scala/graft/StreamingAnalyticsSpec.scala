@@ -149,6 +149,44 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(est === exact)
   }
 
+  test("streaming windowed DDSketches are byte-identical to the batch build " +
+       "and read correct quantiles") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val source = MemoryStream[Event]
+    val sketches = EventAnalytics.windowedValueSketches(
+      source.toDF(), watermark = "10 minutes", window_ = "5 minutes")
+    val q = sketches.writeStream.outputMode("complete")
+      .format("memory").queryName("ddq_stream_out").start()
+    val data = (1 to 20).map(i => ev(i.toLong, i % 5, value = i.toDouble))
+    source.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ddq_stream_out").collect()
+      .map(r => r.getTimestamp(0) -> r.getAs[Array[Byte]](2)).toMap
+    import org.apache.spark.sql.functions.{col, expr, window}
+    graft.functions.DdSketch.register(spark)
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(expr("ddq_build(CAST(floor(value * 100 + 0.5) AS BIGINT))").as("sk"))
+      .select(col("window.start"), col("sk")).collect()
+      .map(r => r.getTimestamp(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(k)),
+        s"stream/batch sketch mismatch for $k")
+      // median of the window's cent values within 1% relative
+      val n = graft.functions.DdSketch.count(sk)
+      assert(n > 0)
+      val est = graft.functions.DdSketch.quantile(sk, 1.0)
+      val exactMax = data.filter(e =>
+        e.ts.getTime / 300000L * 300000L == k.getTime)
+        .map(e => math.round(e.value * 100)).max.toDouble
+      assert(math.abs(est - exactMax) <= 0.011 * exactMax, s"$est vs $exactMax")
+    }
+  }
+
   test("multiSink replaying a micro-batch replaces rather than duplicates") {
     val sq = spark
     import sq.implicits._
