@@ -91,10 +91,13 @@ object Formats {
       .select(col("event_type").as("topic"),
         (col("user_id") % 4).cast("int").as("partition"),
         col("event_id").as("offset"))
-    // fragment into ~200 small files at ANY scale factor — a fixed
+    // fragment into ~125-200 small files at ANY scale factor — a fixed
     // records-per-file would degenerate into thousands of file writes as
-    // the input grows, timing the file system instead of the operator
-    val fragRecords = math.max(100L, src.count() / 200)
+    // the input grows, timing the file system instead of the operator.
+    // Floor of 8 (not 100): at the sf0.001 probe fixture a 100-record
+    // floor produced so few raw files that compaction could not shrink
+    // the count and the compacted_fewer_files gate read false.
+    val fragRecords = math.max(8L, src.count() / 200)
     src.write.partitionBy("topic", "partition")
       .option("maxRecordsPerFile", fragRecords)
       .mode("overwrite").parquet(s"$tmp/raw")
