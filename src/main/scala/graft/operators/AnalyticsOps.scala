@@ -223,8 +223,11 @@ object AnalyticsOps {
       val merged = dist.union(next).groupBy("node")
         .agg(min(col("d")).as("d"))
         .transform(graft.core.EngineCache.persisted)
-      merged.count() // cut lineage: next round reads materialized state
-      frontier = merged.filter(col("d") === i).count() // cache-local scan
+      // ONE action both materializes the round's state (lineage cut) and
+      // reads the frontier size off it — not a count() pair
+      frontier = merged
+        .agg(count(when(col("d") === i, 1)).as("f"))
+        .first().getLong(0)
       dist = merged
       rounds = i
       i += 1
