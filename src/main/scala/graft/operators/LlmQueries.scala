@@ -304,6 +304,62 @@ object LlmQueries {
     FROM hashed ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Cross-source contamination matrix — which sources copy from which:
+    * LSH near-dup pairs (q35's machinery) mapped to their sources and
+    * rolled up per UNORDERED source pair, with each side's pair count
+    * normalized by the smaller source's document count (an upper-bound
+    * "mirror share": a feed that is a subset-mirror of another scores
+    * near 1 even when the bigger side dwarfs it). O(|sources|²) output
+    * at any corpus size; the expensive part is the pair generation the
+    * dedup pipeline already runs. */
+  def sourceContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau)
+      .select(col("id_a"), col("id_b"))
+    val src = d.select(col("doc_id"), col("source"))
+    val sized = d.groupBy(col("source")).agg(count(lit(1)).as("sn"))
+    val m = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("raw_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("raw_b")), "id_b")
+      .select(least(col("raw_a"), col("raw_b")).as("source_a"),
+        greatest(col("raw_a"), col("raw_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    m.join(sized.select(col("source").as("source_a"), col("sn").as("na")), "source_a")
+      .join(sized.select(col("source").as("source_b"), col("sn").as("nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        dround(col("n_pairs").cast("double") / least(col("na"), col("nb")), 6)
+          .as("mirror_share"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceContaminationSql: String = {
+    val pairs = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
+    s"""
+    WITH pairs AS ($pairs),
+    src AS (SELECT doc_id, source FROM documents),
+    sized AS (SELECT source, CAST(count(1) AS BIGINT) AS sn
+              FROM documents GROUP BY source),
+    m AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+        greatest(sa.source, sb.source) AS source_b,
+        CAST(count(1) AS BIGINT) AS n_pairs
+      FROM pairs p
+      JOIN src sa ON sa.doc_id = p.id_a
+      JOIN src sb ON sb.doc_id = p.id_b
+      GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source))
+    SELECT m.source_a, m.source_b, m.n_pairs,
+      ${droundSql(
+        "CAST(m.n_pairs AS DOUBLE) / least(za.sn, zb.sn)", 6)} AS mirror_share
+    FROM m
+    JOIN sized za ON za.source = m.source_a
+    JOIN sized zb ON zb.source = m.source_b
+    ORDER BY m.source_a, m.source_b"""
+  }
+
   // ---------------------------------------------------------------- q141
   /** Bloom filters AT REST ([[graft.functions.BloomSketch]]) — the
     * membership leg of the sketch-at-rest story and the scale path q62
@@ -887,6 +943,7 @@ object LlmQueries {
     "q140_media_decode"   -> mediaDecode _,
     "q141_bloom_persist"  -> bloomPersist _,
     "q142_leakage_split"  -> leakageSplit _,
+    "q143_source_contam"  -> sourceContamination _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -949,6 +1006,7 @@ object LlmQueries {
     "q139_source_report" -> sourceReportSql,
     "q141_bloom_persist" -> bloomPersistSql,
     "q142_leakage_split" -> leakageSplitSql,
+    "q143_source_contam" -> sourceContaminationSql,
     "q30_text_stats" -> s"""
       SELECT doc_id,
         length(text)::INT AS n_chars_actual,
