@@ -105,7 +105,17 @@ object Multimodal {
     * ImageIO disk cache is disabled once per task, decoder instances are
     * pooled by the JDK), then row-at-a-time decode. Channel means are
     * exact-integer pixel sums divided once at the end — deterministic
-    * across partitionings and retries. */
+    * across partitionings and retries.
+    *
+    * Pixel access is BULK, not per-pixel: 8-bit component images sum
+    * raw raster bands (one `getSamples` call per channel), everything
+    * else (palette / >8-bit) takes one bulk `getRGB` for the whole
+    * image. Raster reads mean a grayscale image's channel value IS its
+    * stored sample — no gray→sRGB colorspace detour — which is both the
+    * standard reading of a gray PNG and what makes the decode a pure
+    * arithmetic function of the encoded bytes (q140's oracle relies on
+    * this). Raster band index = color-component index regardless of the
+    * storage order (e.g. 3BYTE_BGR's sample model maps band 0 → red). */
   def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
@@ -120,16 +130,33 @@ object Multimodal {
         else {
           val w = img.getWidth
           val h = img.getHeight
+          val cm = img.getColorModel
+          val rawBands = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+            (0 until cm.getNumComponents).forall(cm.getComponentSize(_) <= 8)
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y) // ARGB, color-converted by the reader
-              sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
-              x += 1
+          if (rawBands) {
+            val raster = img.getRaster
+            val buf = new Array[Int](w * h)
+            def bandSum(b: Int): Long = {
+              raster.getSamples(0, 0, w, h, b, buf)
+              var s = 0L; var i = 0
+              while (i < buf.length) { s += buf(i); i += 1 }
+              s
             }
-            y += 1
+            if (raster.getNumBands <= 2) { // gray / gray+alpha
+              sr = bandSum(0); sg = sr; sb = sr
+            } else {
+              sr = bandSum(0); sg = bandSum(1); sb = bandSum(2)
+            }
+          } else {
+            // palette or deep images: one bulk ARGB conversion call
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+              i += 1
+            }
           }
           val n = w.toLong * h * 255L
           val feats = Seq(
@@ -137,7 +164,7 @@ object Multimodal {
             (sb.toDouble / n).toFloat,
             // ITU-R BT.601 luma on the exact integer sums
             ((299L * sr + 587L * sg + 114L * sb).toDouble / (1000L * n)).toFloat)
-          Row(id, true, w, h, img.getColorModel.getNumComponents, feats)
+          Row(id, true, w, h, cm.getNumComponents, feats)
         }
       }
     }(enc)

@@ -897,15 +897,21 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q140
   /** Query-level media decode: render one REAL 8×8 grayscale PNG per
-    * embedding row (first 64 dims → pixel bytes, encoded with JDK
-    * imageio inside the same per-partition batch contract production
-    * ingest uses), then run [[Multimodal.decodeImages]] over the bytes
-    * and report dimensions + channel means. Self-contained on purpose:
-    * the fixture corpus carries no image column, and synthesizing the
-    * PNGs in-query exercises the encode AND decode halves of the codec
-    * path on every row. No SQL oracle can decode PNGs — declared
-    * without one, so the driver applies its rows-only check; the
-    * byte-level assertions live in DedupSpec. */
+    * embedding row (64 dims → pixel bytes, encoded with JDK imageio
+    * inside the same per-partition batch contract production ingest
+    * uses), then run [[Multimodal.decodeImages]] over the bytes and
+    * report dimensions + channel means. Self-contained on purpose: the
+    * fixture corpus carries no image column, and synthesizing the PNGs
+    * in-query exercises the encode AND decode halves of the codec path
+    * on every row.
+    *
+    * Fully oracle-gated: pixels are written as RAW raster samples
+    * (`setSample`, not `setRGB` — which would route through an
+    * sRGB→gray colorspace conversion and destroy the arithmetic
+    * identity), PNG is lossless, and the decode side reads raw raster
+    * bands, so `mean_luma` is a pure double-arithmetic function of the
+    * embedding that DuckDB replicates bit-for-bit: pixel v_i =
+    * clamp(floor(e_i*127+128+0.5), 0, 255), mean = Σv / (64·255). */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(Multimodal.mediaSchema)
@@ -917,11 +923,14 @@ object LlmQueries {
           val e = r.getSeq[Float](1)
           val img = new java.awt.image.BufferedImage(
             8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val ras = img.getRaster
           var i = 0
           while (i < 64) {
             val v = if (i < e.length)
-              math.max(0, math.min(255, math.round(e(i) * 127f + 128f))) else 0
-            img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+              math.max(0, math.min(255,
+                math.floor(e(i).toDouble * 127.0 + 128.0 + 0.5).toInt))
+            else 0
+            ras.setSample(i % 8, i / 8, 0, v)
             i += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
@@ -936,6 +945,22 @@ object LlmQueries {
         dround(element_at(col("features"), 4).cast("double"), 6).as("mean_luma"))
       .orderBy("vec_id")
   }
+
+  /** DuckDB twin of [[mediaDecode]]: the PNG round-trip is lossless and
+    * the decode reads raw samples, so the expected output is plain
+    * arithmetic over the embedding — no image codec needed. The cast
+    * chain (DOUBLE division → FLOAT → DOUBLE → dround) mirrors the
+    * Spark side's exact-integer-sum / FloatType-features / dround path. */
+  def mediaDecodeSql: String = s"""
+    SELECT vec_id,
+      true AS decode_ok,
+      8 AS width, 8 AS height, 1 AS channels,
+      ${droundSql(
+        "CAST(CAST(CAST(list_sum(list_transform(embedding, x -> " +
+          "LEAST(255, GREATEST(0, CAST(floor(CAST(x AS DOUBLE) * 127.0" +
+          " + 128.0 + 0.5) AS INTEGER))))) AS DOUBLE) / 16320.0" +
+          " AS FLOAT) AS DOUBLE)", 6)} AS mean_luma
+    FROM embeddings ORDER BY vec_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_bpe_tokens"     -> bpeTokens _,
@@ -1004,6 +1029,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "q138_bpe_tokens" -> bpeTokensSql,
     "q139_source_report" -> sourceReportSql,
+    "q140_media_decode" -> mediaDecodeSql,
     "q141_bloom_persist" -> bloomPersistSql,
     "q142_leakage_split" -> leakageSplitSql,
     "q143_source_contam" -> sourceContaminationSql,

@@ -267,6 +267,27 @@ class DedupSpec extends SparkSpec {
     assert(!r3.getBoolean(1) && r3.getInt(2) === 0 && r3.getSeq[Float](5).forall(_ == 0f))
   }
 
+  test("grayscale decode reads raw raster samples (q140 oracle identity)") {
+    // write known gray bytes with setSample; PNG is lossless, and the
+    // raster-band decode path must hand back EXACTLY sum(v)/(n*255) —
+    // no sRGB colorspace detour — or q140's arithmetic oracle breaks
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val vs = Array(0, 51, 102, 255)
+    for (i <- 0 until 4) img.getRaster.setSample(i % 2, i / 2, 0, vs(i))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val sq = spark
+    import sq.implicits._
+    val media = Seq((7L, bos.toByteArray)).toDF("media_id", "content")
+    val row = graft.llm.Multimodal.decodeImages(spark, media).collect().head
+    assert(row.getBoolean(1) && row.getInt(2) === 2 && row.getInt(3) === 2)
+    assert(row.getInt(4) === 1) // gray color model: one component
+    val expect = (vs.sum.toDouble / (4 * 255L)).toFloat // = 0.4
+    val f = row.getSeq[Float](5)
+    assert(f.forall(_ === expect), s"raw-sample identity broken: $f")
+  }
+
   test("multimodal decode over the binaryFile source end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("media-real").toFile
     java.nio.file.Files.write(new java.io.File(dir, "g.png").toPath,
