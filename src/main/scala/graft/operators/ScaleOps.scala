@@ -256,8 +256,8 @@ object ScaleOps {
   /** Product-quantization encode — the IVF-PQ building block: split the
     * 64-dim embedding into [[PqM]] × [[PqSub]]-dim subspaces; per
     * subspace, assign each vector to its nearest of [[PqK]] centroids
-    * (deterministic codebook: the PqK smallest vec_ids — in production
-    * a per-subspace k-means, same assignment shape). Output is one
+    * (codebook = deterministic-seed k-means, [[PqRounds]] Lloyd
+    * iterations per subspace — the production IVF-PQ shape). Output is one
     * (vec_id, m, code) row per subspace — 64 floats compress to PqM
     * codes, the 16×-compression memory story that makes billion-vector
     * ANN fit a cluster. The codebook is O(K·dim) and broadcasts; the
@@ -266,9 +266,55 @@ object ScaleOps {
     * half-up-bridged to a 1e-6 grid before the argmin; ties break by
     * centroid id (q38/q39 precedent for cross-engine fold equality). */
   /** Shared PQ pipeline through per-(vector, subspace, centroid)
-    * distances `d` and the argmin ranking `r` — both q105 (encode) and
-    * q107 (ADC search) build on this. Spark dialect. */
-  private def pqBaseSpark: String = s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
+    * distances `d` and the argmin ranking `r` — q105 (encode), q107
+    * (ADC search) and q119 (IVF-PQ) all build on this. Spark dialect.
+    *
+    * The codebook is a REAL per-subspace k-means: seeds are the PqK
+    * smallest vec_ids' subvectors (deterministic init), then
+    * [[PqRounds]] Lloyd iterations (assign by d6-bridged L2², ties by
+    * cid; update = per-dim decimal-bridged mean, q84's proven
+    * cross-engine fold) refine them. A centroid that loses all members
+    * simply drops out of the next round — same set in both engines.
+    * The codebook CTEs are O(PqK·PqM·PqSub) and broadcast; the corpus
+    * is scanned once per assign round (at 100 TB the codebook build
+    * runs on a SAMPLE — the fixture corpus is already sample-sized). */
+  val PqRounds = 2 // Lloyd iterations refining the seed codebook
+
+  /** Per-dim mean with the decimal bridge (Determinism.davg's SQL twin,
+    * Spark spelling): exact decimal sum → double → half-up 1e-8 grid. */
+  private def davgSparkSql(x: String): String =
+    s"floor((CAST(sum(CAST(CAST(($x) AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE)" +
+      s" / count($x)) * 1e8 + 0.5) / 1e8"
+
+  private def pqBaseSpark: String = pqBaseSpark(PqRounds)
+
+  private def pqBaseSpark(rounds: Int): String = {
+    def assign(cents: String, name: String) = s""",
+    ${name}_d AS (
+      SELECT s.vec_id, s.m, c.cid,
+        CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
+      FROM sub s JOIN $cents c ON s.m = c.m),
+    $name AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
+        FROM ${name}_d) WHERE rn = 1)"""
+    def update(assigned: String, name: String) = s""",
+    ${name}_e AS (
+      SELECT a.m, a.cid, posexplode(s.v) AS (dim, x)
+      FROM $assigned a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m),
+    ${name}_d AS (
+      SELECT m, cid, dim, ${davgSparkSql("x")} AS c
+      FROM ${name}_e GROUP BY m, cid, dim),
+    $name AS (
+      SELECT cid, m,
+        transform(array_sort(collect_list(struct(dim, c))),
+          s -> CAST(s.c AS FLOAT)) AS c
+      FROM ${name}_d GROUP BY cid, m)"""
+    val lloyd = (1 to rounds)
+      .map(i => assign(s"c${i - 1}", s"a$i") + update(s"a$i", s"c$i"))
+      .mkString
+    s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
              embedding
@@ -276,9 +322,10 @@ object ScaleOps {
     sub AS (
       SELECT vec_id, m, slice(embedding, m * $PqSub + 1, $PqSub) AS v
       FROM embeddings CROSS JOIN ms),
-    csub AS (
+    c0 AS (
       SELECT cid, m, slice(embedding, m * $PqSub + 1, $PqSub) AS c
-      FROM seeds CROSS JOIN ms),
+      FROM seeds CROSS JOIN ms)$lloyd,
+    csub AS (SELECT cid, m, c FROM c$rounds),
     d AS (
       SELECT s.vec_id, s.m, c.cid,
         CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
@@ -287,6 +334,7 @@ object ScaleOps {
       SELECT vec_id, m, cid, d6,
         row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
       FROM d)"""
+  }
 
   private def pqSparkSql: String = s"""
     WITH $pqBaseSpark
@@ -294,28 +342,56 @@ object ScaleOps {
     FROM r WHERE rn = 1
     ORDER BY vec_id, m"""
 
-  /** DuckDB dialect of [[pqBaseSpark]] (unnest/list-slice forms). */
-  private def pqBaseOracle: String = s"""ms AS (SELECT unnest(range(0, $PqM)) AS m),
+  /** DuckDB dialect of [[pqBaseSpark]] (unnest/list-slice forms), same
+    * seed + [[PqRounds]]-iteration Lloyd codebook, fold-for-fold. */
+  private def pqBaseOracle: String = {
+    def l2d6(v: String, c: String) =
+      s"""CAST(floor(list_sum(list_transform(range(1, ${PqSub + 1}),
+          i -> (($v)[i]::DOUBLE - ($c)[i]::DOUBLE) *
+               (($v)[i]::DOUBLE - ($c)[i]::DOUBLE))) * 1e6 + 0.5)
+          AS BIGINT)"""
+    def assign(cents: String, name: String) = s""",
+    ${name}_d AS (
+      SELECT s.vec_id, s.m, c.cid, ${l2d6("s.v", "c.c")} AS d6
+      FROM sub s JOIN $cents c ON s.m = c.m),
+    $name AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
+        FROM ${name}_d) WHERE rn = 1)"""
+    def update(assigned: String, name: String) = s""",
+    ${name}_e AS (
+      SELECT a.m, a.cid, (unnest(range(1, len(s.v) + 1)) - 1)::INT AS dim,
+        unnest(s.v) AS x
+      FROM $assigned a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m),
+    ${name}_d AS (
+      SELECT m, cid, dim, ${graft.core.Determinism.avgSql("x::DOUBLE", 8)} AS c
+      FROM ${name}_e GROUP BY m, cid, dim),
+    $name AS (
+      SELECT cid, m, list_transform(list(c ORDER BY dim), y -> y::FLOAT) AS c
+      FROM ${name}_d GROUP BY cid, m)"""
+    val lloyd = (1 to PqRounds)
+      .map(i => assign(s"c${i - 1}", s"a$i") + update(s"a$i", s"c$i"))
+      .mkString
+    s"""ms AS (SELECT unnest(range(0, $PqM)) AS m),
     seeds AS (
       SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cid, embedding
       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqK)),
     sub AS (
       SELECT vec_id, m, embedding[m * $PqSub + 1 : m * $PqSub + $PqSub] AS v
       FROM embeddings CROSS JOIN ms),
-    csub AS (
+    c0 AS (
       SELECT cid, m, embedding[m * $PqSub + 1 : m * $PqSub + $PqSub] AS c
-      FROM seeds CROSS JOIN ms),
+      FROM seeds CROSS JOIN ms)$lloyd,
+    csub AS (SELECT cid, m, c FROM c$PqRounds),
     d AS (
-      SELECT s.vec_id, s.m, c.cid,
-        CAST(floor(list_sum(list_transform(range(1, ${PqSub + 1}),
-          i -> ((s.v)[i]::DOUBLE - (c.c)[i]::DOUBLE) *
-               ((s.v)[i]::DOUBLE - (c.c)[i]::DOUBLE))) * 1e6 + 0.5)
-          AS BIGINT) AS d6
+      SELECT s.vec_id, s.m, c.cid, ${l2d6("s.v", "c.c")} AS d6
       FROM sub s JOIN csub c ON s.m = c.m),
     r AS (
       SELECT vec_id, m, cid, d6,
         row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
       FROM d)"""
+  }
 
   private def pqOracleSql: String = s"""
     WITH $pqBaseOracle
@@ -327,6 +403,18 @@ object ScaleOps {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     spark.sql(pqSparkSql)
+  }
+
+  /** Mean quantization error (avg d6 of the winning assignment, in L2²
+    * units) under a codebook refined by `rounds` Lloyd iterations;
+    * rounds = 0 is the raw seed codebook. Spec hook proving the k-means
+    * refinement actually lowers distortion. */
+  def pqMeanError(spark: SparkSession, dir: String, rounds: Int): Double = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(s"WITH ${pqBaseSpark(rounds)} " +
+      "SELECT avg(CAST(d6 AS DOUBLE)) / 1e6 AS e FROM r WHERE rn = 1")
+      .head().getDouble(0)
   }
 
   // ---------------------------------------------------------------- q106

@@ -43,19 +43,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(ranks.sum - 1.0) < 1e-9 * ranks.length + 1e-6)
   }
 
-  test("pq encode: every (vec, subspace) coded once; seeds self-code at dist 0") {
+  test("pq encode: every (vec, subspace) coded once; Lloyd beats the seed codebook") {
     val r = ScaleOps.pqEncode(spark, sfDir).collect()
     val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
     assert(r.length == n * ScaleOps.PqM)
     assert(r.forall(row => row.getInt(2) >= 0 && row.getInt(2) < ScaleOps.PqK))
-    // the PqK smallest vec_ids ARE the codebook: each must encode to its
-    // own centroid id with distance exactly 0 in every subspace
-    val seedIds = r.map(_.getLong(0)).distinct.sorted.take(ScaleOps.PqK)
-    seedIds.zipWithIndex.foreach { case (vid, cid) =>
-      val own = r.filter(_.getLong(0) == vid)
-      assert(own.forall(_.getInt(2) == cid))
-      assert(own.forall(_.getDouble(3) == 0.0))
+    // the k-means refinement must strictly lower mean L2² distortion vs
+    // the raw seed codebook (rounds = 0), and each extra round must
+    // never make it worse — the monotone-descent property of Lloyd
+    val errs = (0 to ScaleOps.PqRounds)
+      .map(ScaleOps.pqMeanError(spark, sfDir, _))
+    assert(errs.last < errs.head,
+      s"k-means codebook did not lower distortion: $errs")
+    errs.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"Lloyd ascended: $errs")
+      case _ =>
     }
+    // the shipped encode carries exactly the final-codebook distortion
+    val shipped = r.map(_.getDouble(3)).sum / r.length
+    assert(math.abs(shipped - errs.last) < 1e-6)
   }
 
   test("attribution credits exactly the purchases that have a prior touch") {
