@@ -84,6 +84,43 @@ object EventAnalytics {
       .select(col("window.start").as("win_start"), col("event_type"), col("sk"))
   }
 
+  /** Per-window per-type key-frequency count-min sketches at stream time
+    * — the frequency leg of the sketch-at-rest family (q137's ingest
+    * end), completing ingest parity with the HLL / DDSketch twins:
+    * heavy-hitter questions over archived windows never re-read raw
+    * events. Counter-add state merges are commutative+associative
+    * (property-tested in FunctionsSpec), so the emitted sketch is
+    * byte-identical to a batch build over the same rows
+    * (StreamingAnalyticsSpec). State is O(windows × types) × the fixed
+    * counter grid. */
+  def windowedFreqSketches(events: DataFrame, watermark: String = "10 minutes",
+                           window_ : String = "5 minutes"): DataFrame = {
+    graft.functions.CmSketch.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(expr("cms_build(user_id)").as("sk"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("sk"))
+  }
+
+  /** Per-window per-type membership Bloom filters at stream time — the
+    * membership leg (q141's ingest end), the last of the four sketch
+    * columns a stream job can land next to its archive partition.
+    * Bit-OR state merges are order-free and the filter admits no false
+    * negatives by construction; the emitted bytes equal a batch build
+    * over the same rows (StreamingAnalyticsSpec). State is
+    * O(windows × types) × filter bytes. */
+  def windowedMembershipSketches(events: DataFrame,
+                                 watermark: String = "10 minutes",
+                                 window_ : String = "5 minutes"): DataFrame = {
+    graft.functions.BloomSketch.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(expr("bloom_build(user_id)").as("sk"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("sk"))
+  }
+
   /** Streaming exact dedup on event_id, state bounded by the watermark —
     * the engine-side analog of the reference's replay-duplicate tolerance
     * (§2.1.7): duplicates are eliminated, not tolerated. */

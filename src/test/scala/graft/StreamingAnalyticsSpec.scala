@@ -187,6 +187,90 @@ class StreamingAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed count-min sketches are byte-identical to the " +
+       "batch build and bound frequencies from above") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val source = MemoryStream[Event]
+    val sketches = EventAnalytics.windowedFreqSketches(
+      source.toDF(), watermark = "10 minutes", window_ = "5 minutes")
+    val q = sketches.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream_out").start()
+    // skewed user frequencies within one window, plus a second window
+    val data = Seq(
+      ev(1, 0, user = 1), ev(2, 1, user = 1), ev(3, 2, user = 1),
+      ev(4, 3, user = 2), ev(5, 4, user = 3),
+      ev(6, 6, user = 1), ev(7, 7, user = 9))
+    source.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    import org.apache.spark.sql.functions.{col, expr, window}
+    graft.functions.CmSketch.register(spark)
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(expr("cms_build(user_id)").as("sk"))
+      .select(col("window.start"), col("event_type"), col("sk")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(k)),
+        s"stream/batch sketch mismatch for $k")
+    }
+    // count-min guarantee holds on the streamed bytes: est >= true count
+    data.groupBy(e => (new Timestamp(e.ts.getTime / 300000L * 300000L),
+        e.event_type)).foreach { case (k, evs) =>
+      evs.groupBy(_.user_id).foreach { case (u, hits) =>
+        assert(graft.functions.CmSketch.estimate(streamed(k), u) >= hits.size)
+      }
+      assert(graft.functions.CmSketch.count(streamed(k)) === evs.size)
+    }
+  }
+
+  test("streaming windowed bloom filters are byte-identical to the batch " +
+       "build and admit no false negatives") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val source = MemoryStream[Event]
+    val sketches = EventAnalytics.windowedMembershipSketches(
+      source.toDF(), watermark = "10 minutes", window_ = "5 minutes")
+    val q = sketches.writeStream.outputMode("complete")
+      .format("memory").queryName("bloom_stream_out").start()
+    val data = Seq(
+      ev(1, 0, user = 11), ev(2, 1, user = 12), ev(3, 2, user = 13),
+      ev(4, 6, user = 14), ev(5, 7, user = 15))
+    source.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_stream_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    import org.apache.spark.sql.functions.{col, expr, window}
+    graft.functions.BloomSketch.register(spark)
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(expr("bloom_build(user_id)").as("sk"))
+      .select(col("window.start"), col("event_type"), col("sk")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(k)),
+        s"stream/batch filter mismatch for $k")
+    }
+    // no false negatives on the streamed bytes; absent keys mostly miss
+    data.groupBy(e => (new Timestamp(e.ts.getTime / 300000L * 300000L),
+        e.event_type)).foreach { case (k, evs) =>
+      evs.foreach(e =>
+        assert(graft.functions.BloomSketch.contains(streamed(k), e.user_id)))
+    }
+  }
+
   test("multiSink replaying a micro-batch replaces rather than duplicates") {
     val sq = spark
     import sq.implicits._
