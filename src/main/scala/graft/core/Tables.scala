@@ -16,15 +16,28 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), read as raw nanos
-      // (nanosAsLong is set once at session build, GraftSession.tune — no
-      // hidden config mutation here) and converted; the fixture has no
-      // sub-microsecond components (FIXTURES.md §B), so truncation is
-      // lossless. Sessions not built via GraftSession must set
-      // spark.sql.legacy.parquet.nanosAsLong=true themselves.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across fixture generations. With
+      // spark.sql.legacy.parquet.nanosAsLong=true (set at session build,
+      // GraftSession.tune) the nanos variant surfaces as LongType and must
+      // be truncated to micros (lossless: the fixture has no sub-microsecond
+      // components, FIXTURES.md §B); the micros variant is already a
+      // TimestampType and passes through untouched. Branching on the read
+      // schema keeps one loader valid for both.
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // isAdjustedToUTC=false parquet surfaces as TIMESTAMP_NTZ, which
+          // unix_millis & co. reject. The session timezone is pinned to UTC
+          // (GraftSession.tune), so the NTZ→LTZ cast is value-preserving and
+          // matches DuckDB's naive reading of the same file.
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so SQL queries (grouping sets,
