@@ -286,46 +286,121 @@ object ScaleOps {
     s"floor((CAST(sum(CAST(CAST(($x) AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE)" +
       s" / count($x)) * 1e8 + 0.5) / 1e8"
 
-  private def pqBaseSpark: String = pqBaseSpark(PqRounds)
-
-  private def pqBaseSpark(rounds: Int): String = {
-    def assign(cents: String, name: String) = s""",
-    ${name}_d AS (
-      SELECT s.vec_id, s.m, c.cid,
-        CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
-      FROM sub s JOIN $cents c ON s.m = c.m),
-    $name AS (
-      SELECT vec_id, m, cid FROM (
-        SELECT vec_id, m, cid,
-          row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
-        FROM ${name}_d) WHERE rn = 1)"""
-    def update(assigned: String, name: String) = s""",
-    ${name}_e AS (
-      SELECT a.m, a.cid, posexplode(s.v) AS (dim, x)
-      FROM $assigned a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m),
-    ${name}_d AS (
-      SELECT m, cid, dim, ${davgSparkSql("x")} AS c
-      FROM ${name}_e GROUP BY m, cid, dim),
-    $name AS (
-      SELECT cid, m,
-        transform(array_sort(collect_list(struct(dim, c))),
-          s -> CAST(s.c AS FLOAT)) AS c
-      FROM ${name}_d GROUP BY cid, m)"""
-    val lloyd = (1 to rounds)
-      .map(i => assign(s"c${i - 1}", s"a$i") + update(s"a$i", s"c$i"))
-      .mkString
+  /** `ms` + `sub` CTE bodies shared by the codebook rounds and the final
+    * encode: one subvector row per (vector, subspace). */
+  private def pqSubSql: String =
     s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
-    seeds AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
-             embedding
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqK)),
     sub AS (
       SELECT vec_id, m, slice(embedding, m * $PqSub + 1, $PqSub) AS v
-      FROM embeddings CROSS JOIN ms),
-    c0 AS (
+      FROM embeddings CROSS JOIN ms)"""
+
+  /** The Lloyd codebook, built ROUND BY ROUND with a driver-side
+    * materialization barrier between iterations.
+    *
+    * The naive spelling — one WITH chain `c0 → a1 → c1 → a2 → c2` handed
+    * to Spark whole — is quadratic-to-exponential in plan size: Spark
+    * INLINES multiply-referenced CTEs, and every round references both
+    * `sub` and the entire previous round's subtree twice (assign join +
+    * update join), so each added iteration re-expands everything before
+    * it. At 2 rounds that plan ran ~40× slower than the seed-only
+    * codebook (27 s for a 2 000 × 64-float fixture). The codebook itself
+    * is PqK×PqM rows, so the scalable shape is: run ONE flat
+    * assign+update query per round against the previous round's
+    * materialized (collected, re-registered) codebook — each round is a
+    * bounded scan of `sub`, plan depth constant in `rounds`. Arithmetic
+    * is byte-identical to the inline spelling (same SQL expressions,
+    * decimal-bridged means, d6 grid, cid tiebreaks), so the oracle's
+    * inline CTE chain still folds to the same codebook. At 100 TB the
+    * build runs on a sample; the collect is K·M centroid rows, never
+    * corpus-sized. */
+  /** Codebook rows memoized by (fixture dir, rounds): q105/q107/q119 all
+    * need the IDENTICAL codebook over the same embeddings table, and the
+    * build is a multi-job driver loop — recomputing it per query tripled
+    * the PQ family's cost. The fixture dirs are immutable (read-only
+    * testdata / unique temp dirs), so the key is sound. K·M rows per
+    * entry — memory-trivial. */
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Array[org.apache.spark.sql.Row]]
+
+  private def pqCodebook(spark: SparkSession, dir: String,
+                         rounds: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cbSchema = StructType(Seq(
+      StructField("cid", IntegerType), StructField("m", IntegerType),
+      StructField("c", ArrayType(FloatType))))
+    // Double-checked under the class monitor: Verify launches q105/q107/
+    // q119 on concurrent workers, and an unguarded first call would
+    // stampede three identical multi-job builds through the session at
+    // once (observed starving a neighboring query past its watchdog).
+    // The build is driver-coordinated and quick; serializing first-build
+    // is cheaper than duplicating it.
+    def cached = pqCbCache.get((dir, rounds))
+    val rows = cached.getOrElse(synchronized {
+      cached.getOrElse(pqCodebookBuild(spark, rounds))
+    })
+    pqCbCache.put((dir, rounds), rows)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), cbSchema)
+  }
+
+  private def pqCodebookBuild(spark: SparkSession,
+                              rounds: Int): Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val cbSchema = StructType(Seq(
+      StructField("cid", IntegerType), StructField("m", IntegerType),
+      StructField("c", ArrayType(FloatType))))
+    // Temp views are session-global and Verify runs queries on concurrent
+    // worker threads; a shared view name would let one query's round-1
+    // cents stomp another's mid-iteration. Thread-scoped names make each
+    // worker's build race-free without any locking.
+    val centsView = s"graft_pq_cents_t${Thread.currentThread().getId}"
+    var cents = spark.sql(
+      s"""WITH seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+               embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+      ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m)
       SELECT cid, m, slice(embedding, m * $PqSub + 1, $PqSub) AS c
-      FROM seeds CROSS JOIN ms)$lloyd,
-    csub AS (SELECT cid, m, c FROM c$rounds),
+      FROM seeds CROSS JOIN ms""").collect()
+    for (_ <- 1 to rounds) {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.toIndexedSeq, 1), cbSchema)
+        .createOrReplaceTempView(centsView)
+      cents = spark.sql(
+        s"""WITH $pqSubSql,
+        a_d AS (
+          SELECT s.vec_id, s.m, c.cid,
+            CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
+          FROM sub s JOIN $centsView c ON s.m = c.m),
+        a AS (
+          SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
+            FROM a_d) WHERE rn = 1),
+        e AS (
+          SELECT a.m, a.cid, posexplode(s.v) AS (dim, x)
+          FROM a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m),
+        e_d AS (
+          SELECT m, cid, dim, ${davgSparkSql("x")} AS c
+          FROM e GROUP BY m, cid, dim)
+        SELECT cid, m,
+          transform(array_sort(collect_list(struct(dim, c))),
+            s -> CAST(s.c AS FLOAT)) AS c
+        FROM e_d GROUP BY cid, m""").collect()
+    }
+    cents
+  }
+
+  /** Register the materialized `rounds`-iteration codebook as `csub` and
+    * return the flat base CTEs (`sub` → `d` → `r`) every PQ query tails
+    * onto. Plan depth no longer depends on `rounds`. */
+  private def pqFlatBase(spark: SparkSession, dir: String,
+                         rounds: Int = PqRounds): String = {
+    val cbView = s"graft_pq_codebook_t${Thread.currentThread().getId}"
+    pqCodebook(spark, dir, rounds).createOrReplaceTempView(cbView)
+    s"""$pqSubSql,
+    csub AS (SELECT cid, m, c FROM $cbView),
     d AS (
       SELECT s.vec_id, s.m, c.cid,
         CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
@@ -336,13 +411,13 @@ object ScaleOps {
       FROM d)"""
   }
 
-  private def pqSparkSql: String = s"""
-    WITH $pqBaseSpark
+  private def pqSparkSql(spark: SparkSession, dir: String): String = s"""
+    WITH ${pqFlatBase(spark, dir)}
     SELECT vec_id, m, cid AS code, CAST(d6 AS DOUBLE) / 1e6 AS dist
     FROM r WHERE rn = 1
     ORDER BY vec_id, m"""
 
-  /** DuckDB dialect of [[pqBaseSpark]] (unnest/list-slice forms), same
+  /** DuckDB dialect of the PQ base (inline CTE spelling) (unnest/list-slice forms), same
     * seed + [[PqRounds]]-iteration Lloyd codebook, fold-for-fold. */
   private def pqBaseOracle: String = {
     def l2d6(v: String, c: String) =
@@ -402,7 +477,7 @@ object ScaleOps {
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
-    spark.sql(pqSparkSql)
+    spark.sql(pqSparkSql(spark, dir))
   }
 
   /** Mean quantization error (avg d6 of the winning assignment, in L2²
@@ -412,7 +487,7 @@ object ScaleOps {
   def pqMeanError(spark: SparkSession, dir: String, rounds: Int): Double = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
-    spark.sql(s"WITH ${pqBaseSpark(rounds)} " +
+    spark.sql(s"WITH ${pqFlatBase(spark, dir, rounds)} " +
       "SELECT avg(CAST(d6 AS DOUBLE)) / 1e6 AS e FROM r WHERE rn = 1")
       .head().getDouble(0)
   }
@@ -486,7 +561,7 @@ object ScaleOps {
   def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
-    spark.sql(s"WITH $pqBaseSpark $pqAdcTail")
+    spark.sql(s"WITH ${pqFlatBase(spark, dir)} $pqAdcTail")
   }
 
   // ---------------------------------------------------------------- q119
@@ -526,7 +601,7 @@ object ScaleOps {
   def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
-    spark.sql(s"WITH $pqBaseSpark $pqIvfAdcTail")
+    spark.sql(s"WITH ${pqFlatBase(spark, dir)} $pqIvfAdcTail")
   }
 
   // ---------------------------------------------------------------- q108
