@@ -35,10 +35,22 @@ object GraftSession {
       // Dimension tables (region/nation/supplier/customer at any SF that
       // matters) broadcast; 64 MB is safe with multi-GB executors.
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-      // rejects; read nanos as long session-wide (Tables.load converts).
+      // events.ts is parquet TIMESTAMP(NANOS) in some fixture generations,
+      // which the vectorized reader rejects; read nanos as long session-wide
+      // (Tables.load converts, and passes TIMESTAMP_NTZ fixtures through).
       // Set here, once, at build time — not as a hidden per-load mutation.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The SQL status store retains up to 1000 executions' plan graphs
+      // (strings, per-stage metrics) even with the UI off; across a
+      // 143-query bench/verify run in one JVM that is hundreds of MB of
+      // driver heap that the per-query cache clearing cannot touch —
+      // observed as queries late in the run degrading 2-4x. A long-lived
+      // service session wants the same cap.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.worker.ui.retainedExecutors", "10")
 
   /** Local session for tests/bench. `cpus` mirrors executor-core count. */
   def local(appName: String = "graft", cpus: Int = 32): SparkSession = {
