@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   *
   * Caveat: a (near-)constant primary column degenerates to few buckets
   * (the ties all share one bucket); give the helper the highest-
-  * cardinality leading sort column. Cost: two light passes over the
+  * cardinality leading sort column. A total one-bucket collapse above
+  * `graft.rank.degenerateRowLimit` rows (default 8M) now throws rather
+  * than silently re-creating the single-partition window — the failure
+  * is loud at scale, while small inputs stay correct (one bucket is one
+  * keyed partition). Cost: two light passes over the
   * input (min/max + counts; both collapse map-side) plus one keyed
   * window — a distributed sort's price.
   */
@@ -83,6 +87,22 @@ object DistributedRank {
     // exact counts -> offsets: B scalars, deterministic
     val counts = bucketed.groupBy(BCol).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // Degeneracy guard: a (near-)constant primary collapses every row
+    // into one bucket, silently re-creating the single-partition window
+    // this operator exists to avoid. Small inputs are still correct that
+    // way (one bucket == one keyed partition), so only fail when the
+    // collapsed bucket is big enough that the single-task sort is the
+    // actual scale hazard. Tunable so specs can exercise the trip wire.
+    if (counts.length == 1 && nb > 1) {
+      val limit = spark.conf.getOption("graft.rank.degenerateRowLimit")
+        .map(_.toLong).getOrElse(8000000L)
+      if (counts.head._2 > limit) throw new IllegalArgumentException(
+        s"DistributedRank: all ${counts.head._2} rows fell into one of $nb " +
+        s"buckets — primary sort column '$primary' is (near-)constant. " +
+        "Pass the highest-cardinality leading sort column as `primary`, " +
+        "or raise graft.rank.degenerateRowLimit if a single-task sort of " +
+        "this size is acceptable.")
+    }
     var acc = 0L
     val offsets = counts.map { case (b, n) => val o = acc; acc += n; (b, o) }
     val offDf = spark.createDataFrame(offsets.toSeq).toDF(BCol, "__off")

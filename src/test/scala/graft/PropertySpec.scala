@@ -235,6 +235,37 @@ object EngineProperties extends Properties("engine") {
       ranked == viaWindow
     }
 
+  property("distributed rank on a constant primary: correct small, loud large") =
+    forAll(Gen.chooseNum(2L, 40L)) { n =>
+      val sq = spark
+      import sq.implicits._
+      val df = sq.range(n).toDF("id").withColumn("k", lit(7L))
+      // below the degeneracy limit the one-bucket collapse is just a
+      // single keyed partition — result must still equal the window
+      val ranked = graft.operators.DistributedRank.rankOnly(
+        df.select(col("k"), col("id")), "rk", "k", desc = false,
+        col("k"), col("id"))
+        .as[(Long, Long, Long)].collect().toSet
+      val viaWindow = df.select(col("k"), col("id")).withColumn("rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id")))
+        .cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      // above the (lowered) limit the collapse must throw, not silently
+      // plan a single-task sort
+      sq.conf.set("graft.rank.degenerateRowLimit", "1")
+      val loud =
+        try {
+          graft.operators.DistributedRank.rankOnly(
+            df.select(col("k"), col("id")), "rk", "k", desc = false,
+            col("k"), col("id")).count()
+          false
+        } catch {
+          case e: IllegalArgumentException => e.getMessage.contains("constant")
+        } finally sq.conf.unset("graft.rank.degenerateRowLimit")
+      ranked == viaWindow && loud
+    }
+
   property("ntileFromRank reproduces SQL ntile tile sizes") =
     forAll(Gen.chooseNum(1, 200), Gen.chooseNum(1, 12)) { (n, k) =>
       val sq = spark
