@@ -376,13 +376,13 @@ object LlmQueries {
   def bloomPersist(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.BloomSketch.register(spark)
     val d = docs(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
-    d.filter(col("source") =!= BatchSource)
-      .select(bagFingerprint("text").as("fp"))
-      .withColumn("shard", (col("fp") % 8).cast("int"))
-      .groupBy("shard").agg(expr("bloom_build(fp)").as("sk"))
-      .write.mode("overwrite").parquet(s"$tmp/blooms")
-    val merged = spark.read.parquet(s"$tmp/blooms")
+    graft.core.Warehouse.writeTable(
+      d.filter(col("source") =!= BatchSource)
+        .select(bagFingerprint("text").as("fp"))
+        .withColumn("shard", (col("fp") % 8).cast("int"))
+        .groupBy("shard").agg(expr("bloom_build(fp)").as("sk")),
+      "bloom_fp_shards", "shard")
+    val merged = graft.core.Warehouse.readTable(spark, "bloom_fp_shards")
       .agg(expr("bloom_merge(sk)").as("msk"))
     val corpusFp = d.filter(col("source") =!= BatchSource)
       .select(bagFingerprint("text").as("cfp")).distinct()

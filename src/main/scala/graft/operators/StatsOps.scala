@@ -440,15 +440,18 @@ object StatsOps {
   def hllPersist(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HllSketch.register(spark)
     Tables.load(spark, dir, "events").createOrReplaceTempView("events")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
-    // stage 1: ingest-time shard sketches, persisted as data
-    spark.sql(s"""
-      SELECT event_type, CAST(user_id % 8 AS INT) AS shard,
-        hll_build(user_id) AS sk
-      FROM events GROUP BY event_type, CAST(user_id % 8 AS INT)""")
-      .write.mode("overwrite").parquet(s"$tmp/sketches")
+    // stage 1: ingest-time shard sketches, persisted as a WAREHOUSE table
+    // (Hive shard=N layout, not scratch tmp — the sketch table is the
+    // durable artifact later jobs re-read; Warehouse scaladoc)
+    graft.core.Warehouse.writeTable(
+      spark.sql(s"""
+        SELECT event_type, CAST(user_id % 8 AS INT) AS shard,
+          hll_build(user_id) AS sk
+        FROM events GROUP BY event_type, CAST(user_id % 8 AS INT)"""),
+      "hll_user_shards", "shard")
     // stage 2: analysis from the sketch table alone
-    spark.read.parquet(s"$tmp/sketches").createOrReplaceTempView("hll_shards")
+    graft.core.Warehouse.readTable(spark, "hll_user_shards")
+      .createOrReplaceTempView("hll_shards")
     spark.sql(s"""
       WITH m AS (
         SELECT event_type AS grp, hll_merge(sk) AS msk
@@ -498,13 +501,14 @@ object StatsOps {
   def ddqPersist(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DdSketch.register(spark)
     Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ddq").toString
-    spark.sql(s"""
-      SELECT o_orderpriority AS grp, CAST(o_custkey % 8 AS INT) AS shard,
-        ddq_build(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sk
-      FROM orders GROUP BY o_orderpriority, CAST(o_custkey % 8 AS INT)""")
-      .write.mode("overwrite").parquet(s"$tmp/sketches")
-    spark.read.parquet(s"$tmp/sketches").createOrReplaceTempView("ddq_shards")
+    graft.core.Warehouse.writeTable(
+      spark.sql(s"""
+        SELECT o_orderpriority AS grp, CAST(o_custkey % 8 AS INT) AS shard,
+          ddq_build(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sk
+        FROM orders GROUP BY o_orderpriority, CAST(o_custkey % 8 AS INT)"""),
+      "ddq_price_shards", "shard")
+    graft.core.Warehouse.readTable(spark, "ddq_price_shards")
+      .createOrReplaceTempView("ddq_shards")
     spark.sql(s"""
       WITH m AS (
         SELECT grp, ddq_merge(sk) AS msk FROM ddq_shards GROUP BY grp),
@@ -565,12 +569,13 @@ object StatsOps {
   def cmsPersist(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CmSketch.register(spark)
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
-    spark.sql(s"""
-      SELECT CAST(l_orderkey % 8 AS INT) AS shard, cms_build(l_partkey) AS sk
-      FROM lineitem GROUP BY CAST(l_orderkey % 8 AS INT)""")
-      .write.mode("overwrite").parquet(s"$tmp/sketches")
-    spark.read.parquet(s"$tmp/sketches").createOrReplaceTempView("cms_shards")
+    graft.core.Warehouse.writeTable(
+      spark.sql(s"""
+        SELECT CAST(l_orderkey % 8 AS INT) AS shard, cms_build(l_partkey) AS sk
+        FROM lineitem GROUP BY CAST(l_orderkey % 8 AS INT)"""),
+      "cms_partkey_shards", "shard")
+    graft.core.Warehouse.readTable(spark, "cms_partkey_shards")
+      .createOrReplaceTempView("cms_shards")
     spark.sql(s"""
       WITH m AS (SELECT cms_merge(sk) AS msk FROM cms_shards),
       n AS (SELECT CAST(count(1) AS BIGINT) AS n FROM lineitem),

@@ -186,6 +186,22 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch-at-rest tables land in the Hive shard=N warehouse layout") {
+    // the durable-artifact contract: the persisted sketch table sits in
+    // the warehouse under its name, partitioned like the archive's
+    // partition=N discipline — not in an anonymous scratch directory
+    StatsOps.hllPersist(spark, sfDir).collect()
+    val path = graft.core.Warehouse.tablePath(spark, "hll_user_shards")
+    val shards = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shards.nonEmpty, s"no shard=N partitions under $path")
+    // a shard-pruned read touches one partition directory and still
+    // yields mergeable sketch bytes
+    val one = graft.core.Warehouse.readTable(spark, "hll_user_shards")
+      .filter(org.apache.spark.sql.functions.col("shard") === 0)
+    assert(one.count() > 0)
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
