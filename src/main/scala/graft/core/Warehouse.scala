@@ -44,4 +44,27 @@ object Warehouse {
   /** Read a warehouse table back (partition columns become prunable). */
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(tablePath(spark, table))
+
+  // full path -> built marker; keyed by path (not table name) because
+  // the root is conf-dependent
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Materialize-once: the first caller builds and writes the table, every
+    * later (or concurrent — first-build serializes under the monitor)
+    * caller reads the parquet AT REST. This is the "persist, don't
+    * recompute" contract for shared intermediates a whole query family
+    * consumes: build cost is paid once per JVM, downstream plans carry a
+    * partition-prunable scan instead of the producing subtree. */
+  def tableOnce(spark: SparkSession, table: String,
+                partitionCols: String*)(build: => DataFrame): DataFrame = {
+    val path = tablePath(spark, table)
+    def hit = built.get(path)
+    if (hit.isEmpty) synchronized {
+      if (hit.isEmpty) {
+        writeTable(build, table, partitionCols: _*)
+        built.put(path, ())
+      }
+    }
+    readTable(spark, table)
+  }
 }

@@ -261,9 +261,7 @@ object LlmQueries {
     * truth and the identical hash arithmetic — hash-compared per doc. */
   def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val comps = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(d, "doc_id", "text",
-        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+    val comps = Dedup.connectedComponents(lshPairsAtRest(spark, dir))
       .withColumnRenamed("doc_id", "cid")
     d.select(col("doc_id"))
       .join(comps, col("doc_id") === col("cid"), "left")
@@ -315,9 +313,7 @@ object LlmQueries {
     * dedup pipeline already runs. */
   def sourceContamination(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
-      WordShingleN, MinhashK, MinhashBands, MinhashTau)
-      .select(col("id_a"), col("id_b"))
+    val pairs = lshPairsAtRest(spark, dir).select(col("id_a"), col("id_b"))
     val src = d.select(col("doc_id"), col("source"))
     val sized = d.groupBy(col("source")).agg(count(lit(1)).as("sn"))
     val m = pairs
@@ -671,19 +667,42 @@ object LlmQueries {
       .orderBy("doc_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q144
+  /** The MinHash-LSH pair table AT REST — the "persist, don't recompute"
+    * move for the whole dedup family (mirror of q141's bloom-at-rest):
+    * the signature/banding/Jaccard pipeline runs ONCE per corpus and
+    * lands in the warehouse (`shard = id_a % 8` Hive layout); every
+    * downstream consumer — components (q51/q76), corpus survivorship
+    * (q74), leakage split (q142), contamination matrix (q143) — joins
+    * the stored pairs instead of re-shingling the corpus. At 100 TB the
+    * pair generation is the expensive leg of the dedup pipeline; a
+    * production run amortizes it across every analysis that rides it
+    * (PlanSpec asserts the downstream plans are shingle-free). */
+  def lshPairsAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val table = "lsh_pairs_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table, "shard") {
+      Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau)
+        .withColumn("shard", (col("id_a") % 8).cast("int"))
+    }.select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def lshPairTable(spark: SparkSession, dir: String): DataFrame =
+    lshPairsAtRest(spark, dir).orderBy("id_a", "id_b")
+
   /** End-to-end dedup: the surviving corpus after exact dedup (keep the
     * min doc_id per bag fingerprint) AND near-dedup (keep only each
     * MinHash-LSH connected component's min-id representative) — the final
     * artifact every dedup stage upstream exists to produce. Rule: a doc
     * survives iff it wins its exact-fp group and is either untouched by
-    * the near-dup graph or is its component's representative. */
+    * the near-dup graph or is its component's representative. Pairs come
+    * from the q144 at-rest table, not a fresh shingling pass. */
   def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val exactKeep = d.select(col("doc_id"), bagFingerprint("text").as("fp"))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-    val comp = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(d, "doc_id", "text",
-        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+    val comp = Dedup.connectedComponents(lshPairsAtRest(spark, dir))
     exactKeep.join(comp, Seq("doc_id"), "left")
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .select(col("doc_id"), col("fp"))
@@ -691,11 +710,9 @@ object LlmQueries {
   }
 
   /** Pairwise near-dup hits → dedup clusters: connected components over
-    * the MinHash-LSH pair graph (same parameters as q35). */
+    * the q144 at-rest MinHash-LSH pair table (same parameters as q35). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
-        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+    Dedup.connectedComponents(lshPairsAtRest(spark, dir))
       .orderBy("doc_id")
 
   /** Same clusters via alternating large-star/small-star contraction —
@@ -703,9 +720,7 @@ object LlmQueries {
     * propagation needs O(diameter) rounds). Same oracle as q51: both
     * algorithms must land on identical components. */
   def dedupComponentsStar(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponentsStar(
-      Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
-        WordShingleN, MinhashK, MinhashBands, MinhashTau))
+    Dedup.connectedComponentsStar(lshPairsAtRest(spark, dir))
       .orderBy("doc_id")
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -969,6 +984,7 @@ object LlmQueries {
     "q141_bloom_persist"  -> bloomPersist _,
     "q142_leakage_split"  -> leakageSplit _,
     "q143_source_contam"  -> sourceContamination _,
+    "q144_lsh_pair_table" -> lshPairTable _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1033,6 +1049,11 @@ object LlmQueries {
     "q141_bloom_persist" -> bloomPersistSql,
     "q142_leakage_split" -> leakageSplitSql,
     "q143_source_contam" -> sourceContaminationSql,
+    // q144 persists exactly the q35 pair set; the oracle replays the
+    // full signature pipeline, proving the at-rest bytes lost nothing
+    "q144_lsh_pair_table" -> Dedup.minhashLshPairsSql(
+      "documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
     "q30_text_stats" -> s"""
       SELECT doc_id,
         length(text)::INT AS n_chars_actual,

@@ -309,4 +309,16 @@ class PlanSpec extends SparkSpec {
     }
     assert(bad.isEmpty, "rank pipeline must not plan a global window")
   }
+
+  test("dedup family consumes the at-rest pair table without re-shingling") {
+    // materialize the q144 pair table once, then the downstream plans
+    // must carry a parquet scan of lsh_pairs_* and NO shingle/minhash
+    // expressions — the persist-don't-recompute contract
+    graft.operators.LlmQueries.lshPairsAtRest(spark, sfDir).collect()
+    val p = plan(graft.operators.LlmQueries.sourceContamination(spark, sfDir))
+    assert(p.contains("lsh_pairs_"),
+      s"q143 must scan the persisted pair table:\n$p")
+    assert(!p.contains("word_shingles") && !p.contains("minhash"),
+      s"q143 must not recompute signatures:\n$p")
+  }
 }
