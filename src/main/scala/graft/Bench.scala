@@ -22,7 +22,13 @@ import scala.collection.mutable.ArrayBuffer
   *      of query-loop time) remaining queries are skipped, recorded as
   *      -1 + "DeadlineSkip" (never a fake timing);
   *   3. shutdown hook — if the process is SIGTERMed anyway, the JSON
-  *      summary line for everything measured so far is still printed. */
+  *      summary line for everything measured so far is still printed.
+  *
+  * After the loop, the slowest SPARK_GRAFT_BENCH_MEDIAN_TOP (default 5)
+  * queries are re-measured up to twice more within the remaining deadline
+  * and reported as the median of their samples — the host's ~2-4x
+  * run-to-run noise otherwise turns one unlucky timing on a heavy query
+  * into a phantom cross-round regression. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,6 +215,40 @@ object Bench {
         val err = run(name, fn)
         val sec = (System.nanoTime() - t0) / 1e9
         results.synchronized { results += ((name, sec, err)) }
+        emit()
+      }
+    }
+    // Noise control: this host's run-to-run variance is ~2-4x, and the
+    // slowest queries dominate cross-round comparisons — one unlucky
+    // timing reads as a regression. Re-measure the slowest successful
+    // queries twice more (deadline budget permitting) and record each
+    // query's MEDIAN of its up-to-3 samples. Medians only ever replace
+    // the single-sample figure, so a query that times out on a re-run
+    // keeps its original successful timing.
+    val medianN =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDIAN_TOP", "5").toInt
+    val slowest = results.synchronized {
+      results.filter(_._3.isEmpty).sortBy(-_._2).take(medianN).toList
+    }
+    slowest.foreach { case (name, first, _) =>
+      val fn = SparkEntry.queries(name)
+      val samples = scala.collection.mutable.ArrayBuffer(first)
+      var tries = 0
+      while (tries < 2 &&
+             (System.nanoTime() - loopStart) / 1e9 < deadlineSec) {
+        val t0 = System.nanoTime()
+        if (run(name, fn).isEmpty)
+          samples += (System.nanoTime() - t0) / 1e9
+        tries += 1
+      }
+      if (samples.size == 3) {
+        val med = samples.sorted.apply(1)
+        results.synchronized {
+          val i = results.indexWhere(_._1 == name)
+          if (i >= 0) results(i) = ((name, med, None))
+        }
+        System.err.println(
+          s"[bench] $name median of ${samples.map(s => f"$s%.2f").mkString("/")}")
         emit()
       }
     }
