@@ -61,21 +61,113 @@ object Dedup {
     * once per side. Persisting pre-explode keeps the cache at one row per
     * doc (not bands×). At a real 100 TB run the same move is writing the
     * signature table to storage once and joining the materialized form. */
-  private def bandedSignatures(sh0: DataFrame, numHashes: Int,
-                               bands: Int): (DataFrame, String) = {
-    GraftFunctions.register(sh0.sparkSession)
+  /** Band-key expressions "b<band>:mh,mh,…" over a `sig` array column. */
+  private def bandKeysExpr(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
-    val sh = sh0.filter(size(col("sh")) > 0)
-    val sig = sh.selectExpr("id", "md5_i64(sh) AS hs")
-      .selectExpr("id", "hs", s"minhash_sig(hs, $numHashes) AS sig")
-      .transform(graft.core.EngineCache.persisted)
-    val bandKeys = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val slice = (0 until rows)
         .map(r => s"CAST(element_at(sig, ${b * rows + r + 1}) AS STRING)")
         .mkString(", ',', ")
       s"concat('b$b:', $slice)"
     }.mkString(", ")
-    (sig, bandKeys)
+  }
+
+  private def bandedSignatures(sh0: DataFrame, numHashes: Int,
+                               bands: Int): (DataFrame, String) = {
+    GraftFunctions.register(sh0.sparkSession)
+    val sh = sh0.filter(size(col("sh")) > 0)
+    val sig = sh.selectExpr("id", "md5_i64(sh) AS hs")
+      .selectExpr("id", "hs", s"minhash_sig(hs, $numHashes) AS sig")
+      .transform(graft.core.EngineCache.persisted)
+    (sig, bandKeysExpr(numHashes, bands))
+  }
+
+  /** The PERSISTABLE signature form — (id, hs: shingle-hash set, sig:
+    * MinHash signature) — for writing the signature table to storage at
+    * ingest: [[incrementalLshPairs]] then scores new batches against the
+    * stored frame without ever re-shingling the corpus. Same kernels as
+    * [[minhashLshPairs]], so pairs derived from the at-rest frame are
+    * bit-identical to a from-scratch run. */
+  def signatureFrame(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, numHashes: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr(s"$idCol AS id", s"${wordsExpr(textCol)} AS w")
+      .selectExpr("id", s"word_shingles(w, $shingleN) AS sh")
+      .filter(size(col("sh")) > 0)
+      .selectExpr("id", "md5_i64(sh) AS hs")
+      .selectExpr("id", "hs", s"minhash_sig(hs, $numHashes) AS sig")
+  }
+
+  /** Incremental near-dedup: score a NEW batch against an existing corpus
+    * represented only by its at-rest signature frame ([[signatureFrame]]
+    * schema). Only the batch is shingled; the corpus side is read back
+    * from storage. Banding is identical to the self-join path, but the
+    * join is batch-bands ⋈ corpus-bands (disjoint sides, no id ordering),
+    * so the work is O(batch bands + matching corpus buckets) — the
+    * production shape where a daily batch is orders of magnitude smaller
+    * than the accumulated corpus. */
+  def incrementalLshPairs(corpusSig: DataFrame, batchSig: DataFrame,
+                          numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    val bk = bandKeysExpr(numHashes, bands)
+    val bb = batchSig.selectExpr("id", s"explode(array($bk)) AS bk")
+      .select(col("id").as("batch_id"), col("bk"))
+    val cb = corpusSig.selectExpr("id", s"explode(array($bk)) AS bk")
+      .select(col("id").as("corpus_id"), col("bk").as("bk_c"))
+    bb.join(cb, col("bk") === col("bk_c"))
+      .drop("bk", "bk_c")
+      .dropDuplicates("batch_id", "corpus_id")
+      .join(batchSig.select(col("id").as("batch_id"), col("hs").as("hs_a")),
+        "batch_id")
+      .join(corpusSig.select(col("id").as("corpus_id"), col("hs").as("hs_b")),
+        "corpus_id")
+      .withColumn("inter", expr("size(array_intersect(hs_a, hs_b))"))
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / (size(hs_a) + size(hs_b) - inter)"))
+      .filter(col("jaccard") >= tau)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** DuckDB oracle for [[incrementalLshPairs]]: replays the FULL two-sided
+    * pipeline (both sides re-signed from text), so a hash match proves the
+    * at-rest signature frame lost nothing. `batchPred` selects the batch
+    * side as a SQL predicate over the table's columns. */
+  def incrementalLshPairsSql(table: String, idCol: String, textCol: String,
+                             batchPred: String, shingleN: Int, numHashes: Int,
+                             bands: Int, tau: Double): String = {
+    val rows = numHashes / bands
+    val mh = (0 until numHashes).map(i => s"${mixSql(i, "hs")} AS mh$i")
+      .mkString(",\n      ")
+    val bandCases = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN 'b$b:' || $slice"
+    }.mkString(" ")
+    val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
+    val tExpr = graft.functions.TextFunctions.wordShinglesSql(textCol, shingleN)
+    val tGuard =
+      s"len(${graft.functions.TextFunctions.wordsSql(textCol)}) >= $shingleN"
+    s"""
+    WITH t AS (
+      SELECT $idCol AS id, ($batchPred) AS is_batch, ${hsSql(tExpr)} AS hs
+      FROM $table WHERE $tGuard),
+    sig AS (SELECT id, is_batch, hs, $mh FROM t),
+    banded AS (
+      SELECT id, is_batch, CASE b.band_id $bandCases END AS bk
+      FROM sig, (VALUES $bandVals) b(band_id)),
+    cand AS (
+      SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id
+      FROM banded a JOIN banded b
+        ON a.bk = b.bk AND a.is_batch AND NOT b.is_batch),
+    scored AS (
+      SELECT batch_id, corpus_id,
+        len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+        (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+      FROM cand
+      JOIN sig sa ON cand.batch_id = sa.id
+      JOIN sig sb ON cand.corpus_id = sb.id)
+    SELECT batch_id, corpus_id, jaccard FROM scored
+    WHERE jaccard >= $tau
+    ORDER BY batch_id, corpus_id"""
   }
 
   /** Shared LSH candidate skeleton, used by MinHash, char-n-gram, SimHash

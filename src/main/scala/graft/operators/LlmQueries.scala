@@ -691,6 +691,35 @@ object LlmQueries {
   def lshPairTable(spark: SparkSession, dir: String): DataFrame =
     lshPairsAtRest(spark, dir).orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q145
+  /** Incremental near-dedup against SIGNATURES at rest — the daily-batch
+    * production path: the corpus (source ≠ '[[BatchSource]]') is
+    * represented only by its persisted (id, hs, sig) signature table
+    * (built once, warehouse shard=N layout); the incoming batch
+    * (source = '[[BatchSource]]') is the only text that gets shingled.
+    * Banded join batch-vs-stored, exact Jaccard from the stored shingle
+    * hash sets, threshold — the same contract as q35 restricted to
+    * cross-side pairs. The oracle replays BOTH sides from raw text, so
+    * the hash match proves the at-rest signature frame is lossless. At
+    * 100 TB this is the difference between re-signing a corpus per batch
+    * and an O(batch) increment. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sigTable = "lsh_sig_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val corpusSig = graft.core.Warehouse.tableOnce(spark, sigTable, "shard") {
+      Dedup.signatureFrame(d.filter(col("source") =!= BatchSource),
+        "doc_id", "text", WordShingleN, MinhashK)
+        .withColumn("shard", (col("id") % 8).cast("int"))
+    }.select("id", "hs", "sig")
+    val batchSig = Dedup.signatureFrame(
+      d.filter(col("source") === BatchSource),
+      "doc_id", "text", WordShingleN, MinhashK)
+    Dedup.incrementalLshPairs(corpusSig, batchSig,
+      MinhashK, MinhashBands, MinhashTau)
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** End-to-end dedup: the surviving corpus after exact dedup (keep the
     * min doc_id per bag fingerprint) AND near-dedup (keep only each
     * MinHash-LSH connected component's min-id representative) — the final
@@ -985,6 +1014,7 @@ object LlmQueries {
     "q142_leakage_split"  -> leakageSplit _,
     "q143_source_contam"  -> sourceContamination _,
     "q144_lsh_pair_table" -> lshPairTable _,
+    "q145_incremental_dedup" -> incrementalDedup _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1054,6 +1084,9 @@ object LlmQueries {
     "q144_lsh_pair_table" -> Dedup.minhashLshPairsSql(
       "documents", "doc_id", "text",
       WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+    "q145_incremental_dedup" -> Dedup.incrementalLshPairsSql(
+      "documents", "doc_id", "text", s"source = '$BatchSource'",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau),
     "q30_text_stats" -> s"""
       SELECT doc_id,
         length(text)::INT AS n_chars_actual,

@@ -26,6 +26,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) === 1.0)
   }
 
+  test("incremental dedup from at-rest signatures equals a from-scratch run") {
+    val corpus = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven",
+      3L -> "totally different words entirely here now")
+    val batch = docsOf(
+      10L -> "alpha beta gamma delta epsilon zeta", // near-dup of 1
+      11L -> "nothing like anything stored before at all")
+    val corpusSig = Dedup.signatureFrame(corpus, "doc_id", "text", 3, 8)
+    val batchSig = Dedup.signatureFrame(batch, "doc_id", "text", 3, 8)
+    val pairs = Dedup.incrementalLshPairs(corpusSig, batchSig, 8, 4, 0.5)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 10L && pairs.head.getLong(1) === 1L)
+    assert(pairs.head.getDouble(2) === 1.0)
+    // signature round-trip through parquet is lossless: same pairs after
+    // writing/reading the corpus frame (the at-rest form q145 joins)
+    val path = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    corpusSig.write.mode("overwrite").parquet(path)
+    val rehydrated = spark.read.parquet(path)
+    val again = Dedup.incrementalLshPairs(rehydrated, batchSig, 8, 4, 0.5)
+      .collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("pairs are oriented id_a < id_b and never self-paired") {
     val d = docsOf(
       5L -> "one two three four five six seven",
