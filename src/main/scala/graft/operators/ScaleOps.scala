@@ -604,6 +604,55 @@ object ScaleOps {
     spark.sql(s"WITH ${pqFlatBase(spark, dir)} $pqIvfAdcTail")
   }
 
+  // ---------------------------------------------------------------- q146
+  /** IVF-PQ SERVING from an index at rest — the query-time half of the
+    * ANN story q105/q119 build: the (vec_id, m, code, cell) PQ-code index
+    * is persisted ONCE to the warehouse (Hive `cell=N` layout via
+    * [[graft.core.Warehouse.tableOnce]]) and every search after that
+    * touches ONLY the index table plus the probes' own rows — the corpus
+    * embedding column is never re-read, let alone re-encoded. This is the
+    * billion-vector serving shape: the index is PqM bytes-ish per vector
+    * at rest, cell partitioning prunes candidate I/O, and the per-probe
+    * work is a PqM×PqK distance table plus integer lookups. The oracle is
+    * q119's full-recompute pipeline — a hash match proves the at-rest
+    * index reproduces the live computation exactly. */
+  def ivfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val table = "ivfpq_codes_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val codesView = s"graft_ivfpq_codes_t${Thread.currentThread().getId}"
+    graft.core.Warehouse.tableOnce(spark, table, "cell") {
+      spark.sql(s"""WITH ${pqFlatBase(spark, dir)}
+        SELECT r.vec_id, r.m, r.cid AS code, e.label AS cell
+        FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1""")
+    }.createOrReplaceTempView(codesView)
+    // d is restricted to probe rows before the join (predicate pushdown
+    // into sub's scan) — the corpus side of the search is the index scan
+    spark.sql(s"""
+      WITH ${pqFlatBase(spark, dir)},
+      codes AS (SELECT vec_id, m, code, cell FROM $codesView),
+      dtab AS (
+        SELECT vec_id AS probe_id, m, cid, d6
+        FROM d WHERE vec_id % $PqProbeMod = 0),
+      pcell AS (SELECT vec_id, label AS cell FROM embeddings),
+      adc AS (
+        SELECT t.probe_id, c.vec_id, c.cell, CAST(sum(t.d6) AS BIGINT) AS ad6
+        FROM codes c
+        JOIN dtab t ON c.m = t.m AND c.code = t.cid
+        JOIN pcell cp ON t.probe_id = cp.vec_id AND cp.cell = c.cell
+        GROUP BY t.probe_id, c.vec_id, c.cell),
+      ranked AS (
+        SELECT probe_id, vec_id, cell, ad6,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY ad6, vec_id) AS INT) AS rk
+        FROM adc)
+      SELECT probe_id, rk, vec_id, CAST(cell AS INT) AS cell,
+        CAST(ad6 AS DOUBLE) / 1e6 AS adist
+      FROM ranked WHERE rk <= $PqTopK
+      ORDER BY probe_id, rk""")
+  }
+
   // ---------------------------------------------------------------- q108
   /** CDC merge-upsert (MERGE INTO semantics without a table format):
     * apply a changeset of updates / deletes / inserts to a keyed target
@@ -1243,6 +1292,7 @@ object ScaleOps {
     "q117_rfm"           -> rfm _,
     "q118_event_paths"   -> eventPaths _,
     "q119_ivfpq_search"  -> ivfPqSearch _,
+    "q146_ivfpq_serve"   -> ivfPqServe _,
     "q120_chi_square"    -> chiSquare _,
     "q121_gini"          -> gini _,
     "q122_seasonal"      -> seasonal _
@@ -1268,6 +1318,9 @@ object ScaleOps {
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
     "q118_event_paths" -> eventPathsSql,
     "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
+    // q146 serves from the at-rest code index; the oracle recomputes the
+    // whole q119 pipeline — hash equality proves the index is lossless
+    "q146_ivfpq_serve" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
     "q120_chi_square" -> chiSquareSql("orders"),
     "q121_gini" -> giniSql("orders"),
     "q122_seasonal" -> seasonalSql("orders")

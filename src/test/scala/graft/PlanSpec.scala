@@ -310,6 +310,12 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, "rank pipeline must not plan a global window")
   }
 
+  test("IVF-PQ serving scans the at-rest code index, not a fresh encode") {
+    val p = plan(graft.operators.ScaleOps.ivfPqServe(spark, sfDir))
+    assert(p.contains("ivfpq_codes_"),
+      s"q146 must scan the persisted code index:\n$p")
+  }
+
   test("dedup family consumes the at-rest pair table without re-shingling") {
     // materialize the q144 pair table once, then the downstream plans
     // must carry a parquet scan of lsh_pairs_* and NO shingle/minhash
