@@ -92,6 +92,50 @@ object Similarity {
     SELECT query_id, rnk, cand_id, cos FROM ranked WHERE rnk <= $k
     ORDER BY query_id, rnk"""
 
+  /** Metadata-FILTERED exact top-k — the "filtered vector search" shape
+    * every production retrieval stack needs (tenant / language / license
+    * predicates over the candidate set). PRE-filtering, not
+    * post-filtering: the predicate lands on the corpus scan BEFORE any
+    * scoring, so (a) the scan reads only qualifying rows (predicate
+    * pushdown to parquet — a selective filter prunes I/O, not just
+    * compute) and (b) the top-k is always k deep — post-filtering a
+    * top-k list can silently return fewer than k when the filter bites.
+    * Same bounded top-k `Aggregator` as [[bruteForceTopK]]: map-side
+    * partials, the exchange carries O(queries × partitions × k). */
+  def filteredTopK(vectors: DataFrame, probeFilter: Column,
+                   candWhere: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val probes = vectors.filter(probeFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = vectors.filter(expr(candWhere))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    broadcast(probes)
+      .join(corpus, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", expr(cosineExpr("qv", "cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topKOf(k, col("cos"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rnk"),
+        col("s.cand_id").as("cand_id"), col("s.cos").as("cos"))
+  }
+
+  def filteredTopKSql(table: String, probeWhere: String, candWhere: String,
+                      k: Int): String = s"""
+    WITH p AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM $table WHERE $probeWhere),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv
+          FROM $table WHERE $candWhere),
+    scored AS (
+      SELECT query_id, cand_id, ${cosineSql("qv", "cv")} AS cos
+      FROM p JOIN c ON query_id <> cand_id),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+        (row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id))::INT AS rnk
+      FROM scored)
+    SELECT query_id, rnk, cand_id, cos FROM ranked WHERE rnk <= $k
+    ORDER BY query_id, rnk"""
+
   /** IVF-style ANN: search only the probe's own coarse cell. */
   def ivfTopK(vectors: DataFrame, cellCol: String, probeFilter: Column, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)

@@ -767,6 +767,78 @@ object LlmQueries {
     Similarity.bruteForceTopK(embs(spark, dir), col("vec_id") < 20, BruteK)
       .orderBy("query_id", "rnk")
 
+  // ---------------------------------------------------------------- q147
+  /** Metadata-filtered ANN ([[Similarity.filteredTopK]]): candidates are
+    * restricted by a predicate BEFORE scoring, so the corpus scan reads
+    * only qualifying rows (pushdown) and every query still gets a full
+    * k — post-filtering a top-k can come up short when the filter bites.
+    * The even-label predicate here stands in for the tenant / language /
+    * license filters of a production retrieval stack. */
+  val FilteredCandWhere = "label % 2 = 0"
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    Similarity.filteredTopK(embs(spark, dir), col("vec_id") < 10,
+      FilteredCandWhere, BruteK)
+      .orderBy("query_id", "rnk")
+
+  // ---------------------------------------------------------------- q148
+  /** Padding-efficiency report for fixed-size inference/training batches
+    * — the batching-planner readout: a batch of B docs pads every doc to
+    * the batch max, so padded cost = Σ_batches n·max(tokens). 'arrival'
+    * batches docs in doc_id order (the naive collate); 'sorted' batches
+    * them in (tokens DESC, doc_id) order — length-sorted batching, the
+    * standard trick that puts like-sized docs together and collapses the
+    * padding waste. Both global ranks come from [[DistributedRank]]
+    * (never a single-partition window); the token frame is persisted
+    * once and serves both rank passes. All tallies are exact integers;
+    * fp appears only in the final waste ratio. Output is O(strategies)
+    * rows at any corpus size. */
+  val PadBatchRows = 8
+  def padBatching(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), tokenCount("text").cast("long").as("tok"))
+      .transform(graft.core.EngineCache.persisted)
+    val arrival = DistributedRank.rankOnly(
+      toks, "rk", "doc_id", desc = false, col("doc_id"))
+    val sorted = DistributedRank.rankOnly(
+      toks, "rk", "tok", desc = true, col("tok").desc, col("doc_id"))
+    def strat(df: DataFrame, name: String): DataFrame =
+      df.withColumn("batch_id", expr(s"(rk - 1) div $PadBatchRows"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n"), max(col("tok")).as("mx"),
+          sum(col("tok")).as("st"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("st")).as("actual_tokens"),
+          sum(col("n") * col("mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("actual_tokens"), col("padded_tokens"))
+    strat(arrival, "arrival").unionByName(strat(sorted, "sorted"))
+      .withColumn("waste_ratio", dround(
+        (col("padded_tokens") - col("actual_tokens")).cast("double") /
+          col("padded_tokens").cast("double"), 6))
+      .orderBy("strategy")
+  }
+
+  def padBatchingSql: String = {
+    def strat(ranked: String, name: String) = s"""
+      SELECT '$name' AS strategy, count(1)::BIGINT AS n_batches,
+        sum(st)::BIGINT AS actual_tokens, sum(n * mx)::BIGINT AS padded_tokens
+      FROM (
+        SELECT (rk - 1) // $PadBatchRows AS batch_id, count(1) AS n,
+          max(tok) AS mx, sum(tok) AS st
+        FROM $ranked GROUP BY 1)"""
+    s"""
+    WITH t AS (
+      SELECT doc_id, ${tokenCountSql("text")}::BIGINT AS tok FROM documents),
+    ar AS (SELECT tok, row_number() OVER (ORDER BY doc_id) AS rk FROM t),
+    sr AS (SELECT tok, row_number() OVER (ORDER BY tok DESC, doc_id) AS rk FROM t),
+    u AS (${strat("ar", "arrival")} UNION ALL ${strat("sr", "sorted")})
+    SELECT strategy, n_batches, actual_tokens, padded_tokens,
+      ${droundSql(
+        "(padded_tokens - actual_tokens)::DOUBLE / padded_tokens::DOUBLE", 6)}
+        AS waste_ratio
+    FROM u ORDER BY strategy"""
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(embs(spark, dir), "label", col("vec_id") < 50, IvfK)
       .orderBy("query_id", "rnk")
@@ -1015,6 +1087,8 @@ object LlmQueries {
     "q143_source_contam"  -> sourceContamination _,
     "q144_lsh_pair_table" -> lshPairTable _,
     "q145_incremental_dedup" -> incrementalDedup _,
+    "q147_ann_filtered"   -> annFiltered _,
+    "q148_pad_batching"   -> padBatching _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1131,6 +1205,9 @@ object LlmQueries {
       CharNgramN, CharHashK, CharBands, CharTau, "id_a, id_b"),
     "q38_embed_near_dup" -> Similarity.cosineNearDupPairsSql("embeddings", "label", EmbTau),
     "q39_ann_bruteforce" -> Similarity.bruteForceTopKSql("embeddings", "vec_id < 20", BruteK),
+    "q147_ann_filtered" -> Similarity.filteredTopKSql(
+      "embeddings", "vec_id < 10", FilteredCandWhere, BruteK),
+    "q148_pad_batching" -> padBatchingSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

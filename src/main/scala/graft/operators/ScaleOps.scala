@@ -252,6 +252,83 @@ object ScaleOps {
     r.select(col("node"), dround(col("r"), 9).as("pagerank")).orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q149
+  /** HITS hubs & authorities over the bipartite customer→part purchase
+    * graph (edges = distinct (o_custkey, l_partkey) via orders⋈lineitem)
+    * — the classic mutual-reinforcement ranking: a part is authoritative
+    * when influential customers buy it; a customer is a hub when they
+    * buy authoritative parts. [[HitsIters]] fixed alternations of
+    * h = Σ a(out-neighbors), a = Σ h(in-neighbors), each half-step
+    * max-normalized. Cross-engine determinism mirrors q104: scores live
+    * on a 1e12 grid, per-edge contributions are floor-bridged to
+    * DECIMAL(38,0) before the order-nondeterministic sum, and the
+    * normalizing division casts the same exact integers to double in
+    * both engines. Scale shape: the edge list is built and persisted
+    * ONCE (the oracle's unrolled CTEs re-derive it per reference —
+    * exactly what a 100 TB iteration cannot afford); each half-step is
+    * one edge⋈score join + hash agg keyed on the score side, and the
+    * 1-row max broadcasts. State is O(|V|) per step. */
+  val HitsIters = 3
+  private val hitsNormSql =
+    "floor(CAST(sc AS DOUBLE) / CAST(mx AS DOUBLE) * 1e12 + 0.5) / 1e12"
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .transform(graft.core.EngineCache.persisted)
+    var a = e.select(col("part")).distinct().withColumn("a", lit(1.0))
+    var h: DataFrame = a // placeholder; assigned in round 1
+    for (_ <- 1 to HitsIters) {
+      val hraw = e.join(a, "part").groupBy("cust")
+        .agg(expr("sum(CAST(floor(a * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
+      h = hraw.crossJoin(broadcast(hraw.agg(max(col("sc")).as("mx"))))
+        .select(col("cust"), expr(hitsNormSql).as("h"))
+      val araw = e.join(h, "cust").groupBy("part")
+        .agg(expr("sum(CAST(floor(h * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
+      a = araw.crossJoin(broadcast(araw.agg(max(col("sc")).as("mx"))))
+        .select(col("part"), expr(hitsNormSql).as("a"))
+    }
+    h.select(lit("customer").as("node_type"), col("cust").as("node_id"),
+        dround(col("h"), 9).as("score"))
+      .unionByName(a.select(lit("part").as("node_type"),
+        col("part").as("node_id"), dround(col("a"), 9).as("score")))
+      .orderBy("node_type", "node_id")
+  }
+
+  def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""hs$i AS (
+      SELECT e.cust, sum(CAST(floor(a${i - 1}.a * 1e12 + 0.5)
+        AS DECIMAL(38,0))) AS sc
+      FROM e JOIN a${i - 1} ON e.part = a${i - 1}.part GROUP BY e.cust),
+    hm$i AS (SELECT max(sc) AS mx FROM hs$i),
+    h$i AS (SELECT cust, $hitsNormSql AS h FROM hs$i CROSS JOIN hm$i),
+    as$i AS (
+      SELECT e.part, sum(CAST(floor(h$i.h * 1e12 + 0.5)
+        AS DECIMAL(38,0))) AS sc
+      FROM e JOIN h$i ON e.cust = h$i.cust GROUP BY e.part),
+    am$i AS (SELECT max(sc) AS mx FROM as$i),
+    a$i AS (SELECT part, $hitsNormSql AS a FROM as$i CROSS JOIN am$i)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    a0 AS (SELECT DISTINCT part, 1.0 AS a FROM e),
+    $rounds
+    SELECT 'customer' AS node_type, cust AS node_id,
+      ${droundSql("h", 9)} AS score FROM h$iters
+    UNION ALL
+    SELECT 'part' AS node_type, part AS node_id,
+      ${droundSql("a", 9)} AS score FROM a$iters
+    ORDER BY node_type, node_id"""
+  }
+
   // ---------------------------------------------------------------- q105
   /** Product-quantization encode — the IVF-PQ building block: split the
     * 64-dim embedding into [[PqM]] × [[PqSub]]-dim subspaces; per
@@ -1295,7 +1372,8 @@ object ScaleOps {
     "q146_ivfpq_serve"   -> ivfPqServe _,
     "q120_chi_square"    -> chiSquare _,
     "q121_gini"          -> gini _,
-    "q122_seasonal"      -> seasonal _
+    "q122_seasonal"      -> seasonal _,
+    "q149_hits"          -> hits _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1323,6 +1401,7 @@ object ScaleOps {
     "q146_ivfpq_serve" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
     "q120_chi_square" -> chiSquareSql("orders"),
     "q121_gini" -> giniSql("orders"),
-    "q122_seasonal" -> seasonalSql("orders")
+    "q122_seasonal" -> seasonalSql("orders"),
+    "q149_hits" -> hitsSql(HitsIters)
   )
 }

@@ -270,4 +270,54 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - -best._1) <= 1e-6 + 1e-12)
     }
   }
+
+  test("filtered ANN is k-deep, respects the predicate, and beats post-filtering") {
+    val got = LlmQueries.annFiltered(spark, sfDir).collect()
+    val evenLabelIds = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .filter(expr(LlmQueries.FilteredCandWhere))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every probe gets a FULL k (pre-filtering: the top-k runs over
+    // qualifying candidates only), and every candidate qualifies
+    val byProbe = got.groupBy(_.getLong(0))
+    assert(byProbe.size == 10)
+    byProbe.values.foreach(rows => assert(rows.length == LlmQueries.BruteK))
+    assert(got.forall(r => evenLabelIds.contains(r.getLong(2))))
+    // the naive alternative — post-filtering an unfiltered top-k — comes
+    // up short for at least one probe here, which is exactly why the
+    // operator filters BEFORE ranking
+    val postFiltered = graft.llm.Similarity
+      .bruteForceTopK(graft.core.Tables.load(spark, sfDir, "embeddings"),
+        col("vec_id") < 10, LlmQueries.BruteK)
+      .collect().filter(r => evenLabelIds.contains(r.getLong(2)))
+      .groupBy(_.getLong(0))
+    assert(postFiltered.values.exists(_.length < LlmQueries.BruteK),
+      "fixture surprise: post-filtering lost nothing — pick a sharper predicate")
+  }
+
+  test("pad batching matches a local recompute and sorted never wastes more") {
+    val toks = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount("text").cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val B = LlmQueries.PadBatchRows
+    def cost(order: Seq[Long]): (Long, Long, Long) = {
+      val batches = order.grouped(B).toSeq
+      (batches.length.toLong,
+        batches.map(_.sum).sum,
+        batches.map(b => b.length.toLong * b.max).sum)
+    }
+    val arrival = cost(toks.sortBy(_._1).map(_._2))
+    val sorted = cost(toks.sortBy { case (id, t) => (-t, id) }.map(_._2))
+    val got = LlmQueries.padBatching(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getDouble(4))).toMap
+    assert(got("arrival")._1 == arrival)
+    assert(got("sorted")._1 == sorted)
+    // length-sorted batching can only reduce padding, and on this
+    // fixture it strictly does
+    assert(got("sorted")._2 < got("arrival")._2)
+    got.values.foreach { case ((_, actual, padded), waste) =>
+      assert(math.abs(waste - (padded - actual).toDouble / padded) <= 1e-6)
+    }
+  }
 }

@@ -34,6 +34,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(nObs == nOrders)
   }
 
+  test("hits: max-normalized scores, full node coverage, exact local recompute") {
+    val r = ScaleOps.hits(spark, sfDir).collect()
+    val hubs = r.filter(_.getString(0) == "customer")
+    val auths = r.filter(_.getString(0) == "part")
+    // every node of the bipartite purchase graph is scored
+    val edges = graft.core.Tables.load(spark, sfDir, "orders")
+      .join(graft.core.Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    assert(hubs.length == edges.map(_._1).distinct.length)
+    assert(auths.length == edges.map(_._2).distinct.length)
+    // scores are positive and max-normalized to exactly 1.0 on each side
+    assert(r.forall(row => row.getDouble(2) > 0 && row.getDouble(2) <= 1.0))
+    assert(hubs.map(_.getDouble(2)).max == 1.0)
+    assert(auths.map(_.getDouble(2)).max == 1.0)
+    // full local recompute with the SAME bridged arithmetic (floor to the
+    // 1e12 grid, exact integer sums, max-normalize in double) — the
+    // strongest check: every score must agree to the output grid
+    var a = edges.map(_._2).distinct.map(_ -> 1.0).toMap
+    var h = Map.empty[Long, Double]
+    def norm(raw: Map[Long, BigInt]): Map[Long, Double] = {
+      val mx = raw.values.max.toDouble
+      raw.map { case (k, s) =>
+        k -> math.floor(s.toDouble / mx * 1e12 + 0.5) / 1e12 }
+    }
+    def bridged(x: Double): BigInt = BigInt(math.floor(x * 1e12 + 0.5).toLong)
+    for (_ <- 1 to ScaleOps.HitsIters) {
+      h = norm(edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => bridged(a(e._2))).sum })
+      a = norm(edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => bridged(h(e._1))).sum })
+    }
+    hubs.foreach { row =>
+      val want = math.floor(h(row.getLong(1)) * 1e9 + 0.5) / 1e9
+      assert(math.abs(row.getDouble(2) - want) <= 1e-12,
+        s"hub ${row.getLong(1)}: got ${row.getDouble(2)}, want $want")
+    }
+    auths.foreach { row =>
+      val want = math.floor(a(row.getLong(1)) * 1e9 + 0.5) / 1e9
+      assert(math.abs(row.getDouble(2) - want) <= 1e-12,
+        s"authority ${row.getLong(1)}: got ${row.getDouble(2)}, want $want")
+    }
+  }
+
   test("pageRank conserves probability mass and is positive") {
     val r = ScaleOps.pageRank(spark, sfDir).collect()
     val ranks = r.map(_.getDouble(1))
