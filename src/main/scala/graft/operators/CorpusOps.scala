@@ -249,6 +249,129 @@ object CorpusOps {
     * [[graft.functions.TextFunctions.tokenCount]]). */
   private def tokenCountExprSql: String = s"size(${wordsExpr("text")})"
 
+  // ---------------------------------------------------------------- q150
+  /** Hybrid retrieval with reciprocal-rank fusion — the production
+    * search stack's merge step: a lexical ranking (q90's BM25 top-k)
+    * and a dense ranking (cosine top-k for a per-query probe vector,
+    * [[DenseProbes]] mapping query ids to probe vec_ids, vec_id ≡
+    * doc_id in this corpus) are fused by
+    * RRF(d) = Σ_lists 1/(C + rank_list(d)), the rank-only fusion that
+    * needs no score calibration between modalities. Determinism: each
+    * 1/(C+rank) term is floor-bridged to an exact 1e9-grid integer, so
+    * the fused score is a BIGINT sum — rank ties break by doc_id.
+    * Scale shape: both input rankings are already k-bounded per query
+    * (BM25's windowed top-k, dense's bounded top-k `Aggregator`), so
+    * the fusion join touches O(queries × k) rows regardless of corpus
+    * size. */
+  val RrfC = 60              // the standard RRF damping constant
+  val FuseTopK = 10
+  val DenseProbes: Seq[(String, Long)] =
+    Seq("bq1" -> 1L, "bq2" -> 2L, "bq3" -> 3L)
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val sparse = bm25Search(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rk").as("sparse_rk"))
+    val e = embs(spark, dir)
+    val probes = broadcast(
+      spark.createDataFrame(DenseProbes).toDF("query_id", "probe_id"))
+      .join(e, col("probe_id") === col("vec_id"))
+      .select(col("query_id"), col("probe_id"), col("embedding").as("qv"))
+    val dense = broadcast(probes)
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("cv")),
+        col("doc_id") =!= col("probe_id"))
+      .withColumn("cos", expr(Similarity.cosineExpr("qv", "cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topKOf(Bm25TopK, col("cos"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), col("s.cand_id").as("doc_id"),
+        (col("i") + 1).cast("int").as("dense_rk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf9").desc, col("doc_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf9", expr(
+        s"coalesce(CAST(floor(1e9 / ($RrfC + sparse_rk)) AS BIGINT), 0) + " +
+        s"coalesce(CAST(floor(1e9 / ($RrfC + dense_rk)) AS BIGINT), 0)"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= FuseTopK)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        (col("rrf9").cast("double") / lit(1e9)).as("rrf"),
+        col("sparse_rk"), col("dense_rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The q90 oracle's CTE chain through the ranked BM25 list (`sparse`),
+    * shared verbatim with the q150 fusion oracle. */
+  private def bm25RankedOracleCtes: String = s"""
+      qt(query_id, term) AS (VALUES $bm25ValuesSql),
+      uni AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
+      hits AS (SELECT u.doc_id, u.term, qt.query_id
+               FROM uni u JOIN qt ON u.term = qt.term),
+      tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+             FROM hits GROUP BY query_id, doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df
+             FROM hits GROUP BY term),
+      dl AS (SELECT doc_id, ${tokenCountSql("text")}::BIGINT AS dl
+             FROM documents),
+      st AS (SELECT count(*) AS n_docs,
+               CAST(sum(${tokenCountSql("text")}::BIGINT) AS BIGINT) AS sum_dl
+             FROM documents),
+      contrib AS (
+        SELECT query_id, tf.doc_id, $bm25ContribSql AS c6
+        FROM (SELECT query_id, doc_id, term, tf::DOUBLE AS tfd FROM tf) tf
+        JOIN (SELECT term, df::DOUBLE AS dfd FROM df) df ON tf.term = df.term
+        JOIN (SELECT doc_id, dl::DOUBLE AS dld FROM dl) dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN (SELECT n_docs::DOUBLE AS ndd,
+                      sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl FROM st)),
+      sc AS (SELECT query_id, doc_id, CAST(sum(c6) AS DOUBLE) / 1e6 AS score
+             FROM contrib GROUP BY query_id, doc_id),
+      sparse AS (
+        SELECT query_id, doc_id, score,
+          (row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id))::INT AS rk
+        FROM sc)"""
+
+  private def hybridSearchOracleSql: String = {
+    val probeVals = DenseProbes
+      .map { case (q, p) => s"('$q', $p)" }.mkString(", ")
+    s"""
+      WITH $bm25RankedOracleCtes,
+      dq(query_id, probe_id) AS (VALUES $probeVals),
+      dp AS (SELECT dq.query_id, dq.probe_id, e.embedding AS qv
+             FROM dq JOIN embeddings e ON e.vec_id = dq.probe_id),
+      dsc AS (
+        SELECT query_id, vec_id AS doc_id,
+          ${Similarity.cosineSql("qv", "embedding")} AS cos
+        FROM dp JOIN embeddings ON vec_id <> probe_id),
+      dense AS (
+        SELECT query_id, doc_id,
+          (row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, doc_id))::INT AS rk
+        FROM dsc),
+      s AS (SELECT query_id, doc_id, rk FROM sparse WHERE rk <= $Bm25TopK),
+      d AS (SELECT query_id, doc_id, rk FROM dense WHERE rk <= $Bm25TopK),
+      f AS (
+        SELECT coalesce(s.query_id, d.query_id) AS query_id,
+          coalesce(s.doc_id, d.doc_id) AS doc_id,
+          s.rk AS sparse_rk, d.rk AS dense_rk,
+          coalesce(CAST(floor(1e9 / ($RrfC + s.rk)) AS BIGINT), 0) +
+          coalesce(CAST(floor(1e9 / ($RrfC + d.rk)) AS BIGINT), 0) AS rrf9
+        FROM s FULL OUTER JOIN d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+      SELECT query_id, rk, doc_id, rrf9::DOUBLE / 1e9 AS rrf,
+        sparse_rk, dense_rk
+      FROM (
+        SELECT query_id, doc_id, rrf9, sparse_rk, dense_rk,
+          (row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf9 DESC, doc_id))::INT AS rk
+        FROM f)
+      WHERE rk <= $FuseTopK
+      ORDER BY query_id, rk"""
+  }
+
   // ---------------------------------------------------------------- q91
   /** Equi-width numeric histogram: two passes (exact min/max, then one
     * hash agg on the bin id) — the portable form of width_bucket, with
@@ -542,6 +665,7 @@ object CorpusOps {
     "q88_text_entropy"    -> textEntropy _,
     "q89_dist_shape"      -> distShape _,
     "q90_bm25_search"     -> bm25Search _,
+    "q150_hybrid_rrf"     -> hybridSearch _,
     "q91_numeric_hist"    -> numericHist _,
     "q92_semantic_dedup"  -> semanticDedup _,
     "q93_kl_drift"        -> klDrift _,
@@ -610,36 +734,11 @@ object CorpusOps {
       FROM s ORDER BY doc_id""",
     "q89_dist_shape" -> distShapeSql("lineitem"),
     "q90_bm25_search" -> s"""
-      WITH qt(query_id, term) AS (VALUES $bm25ValuesSql),
-      uni AS (
-        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
-      hits AS (SELECT u.doc_id, u.term, qt.query_id
-               FROM uni u JOIN qt ON u.term = qt.term),
-      tf AS (SELECT query_id, doc_id, term, count(*) AS tf
-             FROM hits GROUP BY query_id, doc_id, term),
-      df AS (SELECT term, count(DISTINCT doc_id) AS df
-             FROM hits GROUP BY term),
-      dl AS (SELECT doc_id, ${tokenCountSql("text")}::BIGINT AS dl
-             FROM documents),
-      st AS (SELECT count(*) AS n_docs,
-               CAST(sum(${tokenCountSql("text")}::BIGINT) AS BIGINT) AS sum_dl
-             FROM documents),
-      contrib AS (
-        SELECT query_id, tf.doc_id, $bm25ContribSql AS c6
-        FROM (SELECT query_id, doc_id, term, tf::DOUBLE AS tfd FROM tf) tf
-        JOIN (SELECT term, df::DOUBLE AS dfd FROM df) df ON tf.term = df.term
-        JOIN (SELECT doc_id, dl::DOUBLE AS dld FROM dl) dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN (SELECT n_docs::DOUBLE AS ndd,
-                      sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl FROM st)),
-      sc AS (SELECT query_id, doc_id, CAST(sum(c6) AS DOUBLE) / 1e6 AS score
-             FROM contrib GROUP BY query_id, doc_id)
-      SELECT query_id, rk, doc_id, score FROM (
-        SELECT query_id, doc_id, score,
-          (row_number() OVER (PARTITION BY query_id
-            ORDER BY score DESC, doc_id))::INT AS rk
-        FROM sc)
+      WITH $bm25RankedOracleCtes
+      SELECT query_id, rk, doc_id, score FROM sparse
       WHERE rk <= $Bm25TopK
       ORDER BY query_id, rk""",
+    "q150_hybrid_rrf" -> hybridSearchOracleSql,
     "q91_numeric_hist" -> numericHistSql("lineitem"),
     "q92_semantic_dedup" -> s"""
       WITH comp AS (${Dedup.componentsSql(

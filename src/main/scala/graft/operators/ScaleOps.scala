@@ -488,6 +488,32 @@ object ScaleOps {
       FROM d)"""
   }
 
+  /** [[pqFlatBase]] with the corpus scan RESTRICTED by `where` — the
+    * incremental-index building block: encoding a new batch (or just
+    * the probe set) touches only qualifying rows, with the filter
+    * pushed into the embedding scan. The codebook stays the memoized
+    * frozen one — exactly the production contract, where the codebook
+    * is trained once and an arriving batch must never shift it. */
+  private def pqFlatBaseWhere(spark: SparkSession, dir: String,
+                              where: String,
+                              rounds: Int = PqRounds): String = {
+    val cbView = s"graft_pq_codebook_t${Thread.currentThread().getId}"
+    pqCodebook(spark, dir, rounds).createOrReplaceTempView(cbView)
+    s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
+    sub AS (
+      SELECT vec_id, m, slice(embedding, m * $PqSub + 1, $PqSub) AS v
+      FROM embeddings CROSS JOIN ms WHERE $where),
+    csub AS (SELECT cid, m, c FROM $cbView),
+    d AS (
+      SELECT s.vec_id, s.m, c.cid,
+        CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
+      FROM sub s JOIN csub c ON s.m = c.m),
+    r AS (
+      SELECT vec_id, m, cid, d6,
+        row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
+      FROM d)"""
+  }
+
   private def pqSparkSql(spark: SparkSession, dir: String): String = s"""
     WITH ${pqFlatBase(spark, dir)}
     SELECT vec_id, m, cid AS code, CAST(d6 AS DOUBLE) / 1e6 AS dist
@@ -712,6 +738,63 @@ object ScaleOps {
       dtab AS (
         SELECT vec_id AS probe_id, m, cid, d6
         FROM d WHERE vec_id % $PqProbeMod = 0),
+      pcell AS (SELECT vec_id, label AS cell FROM embeddings),
+      adc AS (
+        SELECT t.probe_id, c.vec_id, c.cell, CAST(sum(t.d6) AS BIGINT) AS ad6
+        FROM codes c
+        JOIN dtab t ON c.m = t.m AND c.code = t.cid
+        JOIN pcell cp ON t.probe_id = cp.vec_id AND cp.cell = c.cell
+        GROUP BY t.probe_id, c.vec_id, c.cell),
+      ranked AS (
+        SELECT probe_id, vec_id, cell, ad6,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY ad6, vec_id) AS INT) AS rk
+        FROM adc)
+      SELECT probe_id, rk, vec_id, CAST(cell AS INT) AS cell,
+        CAST(ad6 AS DOUBLE) / 1e6 AS adist
+      FROM ranked WHERE rk <= $PqTopK
+      ORDER BY probe_id, rk""")
+  }
+
+  // ---------------------------------------------------------------- q151
+  /** Incremental IVF-PQ index APPEND — the maintenance half of the q146
+    * serving story: the corpus's PQ-code index sits at rest partitioned
+    * by cell; when a batch of new vectors arrives (here vec_id ≡
+    * [[PqBatchMod]] (mod 10), ~10% of the corpus), ONLY the batch is
+    * encoded — the filter is pushed into the embedding scan, the frozen
+    * memoized codebook broadcasts, and the base index is read back, not
+    * rebuilt. Searches then run over stored-base ∪ fresh-batch codes.
+    * The oracle is q119's FULL recompute over the whole corpus, so the
+    * hash match proves the incremental path is lossless: append ∘ store
+    * ≡ rebuild. At 100 TB this is the difference between re-encoding a
+    * corpus per ingest batch and an O(batch) increment — the same
+    * contract q145 establishes for the dedup signature table. */
+  val PqBatchMod = 7 // batch = vec_id ≡ 7 (mod 10); probes (≡0 mod 100) stay in the base
+  def ivfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val batchWhere = s"vec_id % 10 = $PqBatchMod"
+    val tid = Thread.currentThread().getId
+    val baseView = s"graft_ivfpq_base_t$tid"
+    val batchView = s"graft_ivfpq_batch_t$tid"
+    val baseTable = "ivfpq_base_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    def encode(where: String) = spark.sql(
+      s"""WITH ${pqFlatBaseWhere(spark, dir, where)}
+      SELECT r.vec_id, r.m, r.cid AS code, e.label AS cell
+      FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1""")
+    graft.core.Warehouse.tableOnce(spark, baseTable, "cell") {
+      encode(s"NOT ($batchWhere)")
+    }.createOrReplaceTempView(baseView)
+    encode(batchWhere).createOrReplaceTempView(batchView)
+    // the probe leg's distance tables: `d` restricted to probe rows at
+    // the scan — the corpus side of the search is the (stored ∪ fresh)
+    // index, never the embedding column
+    spark.sql(s"""
+      WITH ${pqFlatBaseWhere(spark, dir, s"vec_id % $PqProbeMod = 0")},
+      codes AS (SELECT vec_id, m, code, cell FROM $baseView
+                UNION ALL SELECT vec_id, m, code, cell FROM $batchView),
+      dtab AS (SELECT vec_id AS probe_id, m, cid, d6 FROM d),
       pcell AS (SELECT vec_id, label AS cell FROM embeddings),
       adc AS (
         SELECT t.probe_id, c.vec_id, c.cell, CAST(sum(t.d6) AS BIGINT) AS ad6
@@ -1370,6 +1453,7 @@ object ScaleOps {
     "q118_event_paths"   -> eventPaths _,
     "q119_ivfpq_search"  -> ivfPqSearch _,
     "q146_ivfpq_serve"   -> ivfPqServe _,
+    "q151_ivfpq_append"  -> ivfPqAppend _,
     "q120_chi_square"    -> chiSquare _,
     "q121_gini"          -> gini _,
     "q122_seasonal"      -> seasonal _,
@@ -1399,6 +1483,9 @@ object ScaleOps {
     // q146 serves from the at-rest code index; the oracle recomputes the
     // whole q119 pipeline — hash equality proves the index is lossless
     "q146_ivfpq_serve" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
+    // q151 appends batch codes to the at-rest base index; the oracle is
+    // again the full q119 recompute — append ∘ store ≡ rebuild
+    "q151_ivfpq_append" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
     "q120_chi_square" -> chiSquareSql("orders"),
     "q121_gini" -> giniSql("orders"),
     "q122_seasonal" -> seasonalSql("orders"),

@@ -80,4 +80,29 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
+
+  test("hybrid RRF fusion is arithmetic-consistent with its input rankings") {
+    val fused = CorpusOps.hybridSearch(spark, sfDir).collect()
+    assert(fused.nonEmpty)
+    val byQuery = fused.groupBy(_.getString(0))
+    assert(byQuery.keySet == CorpusOps.DenseProbes.map(_._1).toSet)
+    byQuery.values.foreach(rows => assert(rows.length <= CorpusOps.FuseTopK))
+    fused.foreach { r =>
+      val rs = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val rd = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      // every fused doc came from at least one list, and its score is
+      // exactly the bridged 1/(C+rank) sum of the lists it appears in
+      assert(rs.nonEmpty || rd.nonEmpty)
+      def term(rk: Option[Int]): Long = rk
+        .map(x => math.floor(1e9 / (CorpusOps.RrfC + x)).toLong).getOrElse(0L)
+      assert(r.getDouble(3) == (term(rs) + term(rd)).toDouble / 1e9)
+    }
+    // fused scores are non-increasing down each query's ranking
+    byQuery.values.foreach { rows =>
+      rows.sortBy(_.getInt(1)).map(_.getDouble(3)).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ =>
+      }
+    }
+  }
 }

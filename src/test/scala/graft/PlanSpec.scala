@@ -316,6 +316,20 @@ class PlanSpec extends SparkSpec {
       s"q146 must scan the persisted code index:\n$p")
   }
 
+  test("IVF-PQ append reads the stored base index and equals a full rebuild") {
+    val appended = graft.operators.ScaleOps.ivfPqAppend(spark, sfDir)
+    // the serve plan reads the at-rest BASE index (not a re-encode of
+    // the base corpus)…
+    val p = plan(appended)
+    assert(p.contains("ivfpq_base_"),
+      s"q151 must scan the persisted base index:\n$p")
+    // …and the incremental path is lossless: stored-base ∪ fresh-batch
+    // reproduces the full-recompute search bit for bit
+    val rebuild = graft.operators.ScaleOps.ivfPqSearch(spark, sfDir)
+    assert(appended.exceptAll(rebuild).count() === 0)
+    assert(rebuild.exceptAll(appended).count() === 0)
+  }
+
   test("dedup family consumes the at-rest pair table without re-shingling") {
     // materialize the q144 pair table once, then the downstream plans
     // must carry a parquet scan of lsh_pairs_* and NO shingle/minhash
