@@ -128,6 +128,38 @@ object EventAnalytics {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming incremental near-dedup against SIGNATURES at rest — the
+    * stream-time twin of q145's daily-batch path: each arriving
+    * micro-batch of documents is the ONLY text that gets shingled and
+    * MinHash-signed; its signatures banded-join the stored corpus
+    * signature table ([[graft.llm.Dedup.signatureFrame]], built once and
+    * persisted in the warehouse) and the near-dup hits land under
+    * `hits/batch_run=N`. Per-batch idempotent overwrite of that
+    * directory restores exactly-once under foreachBatch replay — the
+    * same batch-id-keyed discipline as [[Archive.startMultiSink]].
+    * At 100 TB/day the corpus is never re-signed and each micro-batch
+    * costs O(batch): sign, band-join, verify against stored shingle
+    * hash sets. */
+  def startStreamingNearDedup(docStream: DataFrame, corpusSig: DataFrame,
+                              shingleN: Int, numHashes: Int, bands: Int,
+                              tau: Double, hitsPath: String,
+                              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val batchSig = graft.llm.Dedup.signatureFrame(
+            batch, "doc_id", "text", shingleN, numHashes)
+          graft.llm.Dedup.incrementalLshPairs(
+              corpusSig, batchSig, numHashes, bands, tau)
+            .write.mode("overwrite")
+            .parquet(s"$hitsPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   // ---- custom stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -299,6 +299,48 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(agg.count() === 1 && agg.select("n").head.getLong(0) === 2)
   }
 
+  test("streaming near-dedup against at-rest signatures equals the batch increment") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import graft.operators.LlmQueries
+    import org.apache.spark.sql.functions.col
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val corpusSig = graft.llm.Dedup.signatureFrame(
+      d.filter(col("source") =!= LlmQueries.BatchSource), "doc_id", "text",
+      LlmQueries.WordShingleN, LlmQueries.MinhashK)
+      .transform(graft.core.EngineCache.persisted)
+    val batchDocs = d.filter(col("source") === LlmQueries.BatchSource)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(batchDocs.length >= 2)
+    // the batch source arrives as TWO micro-batches — the incremental
+    // contract must hold per batch, not just in one shot
+    val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snd").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingNearDedup(
+      source.toDF().toDF("doc_id", "text"), corpusSig,
+      LlmQueries.WordShingleN, LlmQueries.MinhashK, LlmQueries.MinhashBands,
+      LlmQueries.MinhashTau, s"$dir/hits", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val got = spark.read.parquet(s"$dir/hits")
+      .select("batch_id", "corpus_id", "jaccard").collect().map(key).toSet
+    // ground truth: the one-shot q145-style increment over the whole
+    // batch source (cross-side pairs don't depend on the batch split)
+    val want = graft.llm.Dedup.incrementalLshPairs(corpusSig,
+      graft.llm.Dedup.signatureFrame(
+        d.filter(col("source") === LlmQueries.BatchSource), "doc_id", "text",
+        LlmQueries.WordShingleN, LlmQueries.MinhashK),
+      LlmQueries.MinhashK, LlmQueries.MinhashBands, LlmQueries.MinhashTau)
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture surprise: no cross-side near-dups")
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
