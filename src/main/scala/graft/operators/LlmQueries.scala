@@ -818,6 +818,82 @@ object LlmQueries {
       .orderBy("strategy")
   }
 
+  // ---------------------------------------------------------------- q152
+  /** Content-defined chunking (CDC) — the shift-robust complement to
+    * q72's fixed sliding windows: chunk boundaries are declared wherever
+    * the hash of the trailing [[CdcWindow]]-word window ≡ 0 (mod
+    * [[CdcDiv]]), so a boundary depends only on LOCAL content. Insert a
+    * sentence at the top of a document and every q72 chunk shifts (all
+    * fingerprints change); CDC boundaries downstream of the edit stay
+    * put, so unchanged chunks keep their fingerprints — the property
+    * dedup storage systems are built on. Expected chunk length is
+    * CdcDiv words. One window pass per doc orders the tokens (boundary
+    * flags → running-sum chunk ids), one hash agg fingerprints each
+    * chunk, and the final fp_share count is the corpus-wide duplicate
+    * signal; output is O(corpus tokens / CdcDiv) rows. */
+  val CdcWindow = 3   // boundary decision window, in words
+  val CdcDiv = 16     // boundary when window-hash % CdcDiv == 0
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(docs(spark, dir))
+
+  /** [[cdcChunks]] over an arbitrary (doc_id, text) frame — the spec
+    * entry point for shift-robustness (edit a doc, most fps survive). */
+  def cdcChunksOf(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    val view = s"graft_cdc_docs_t${Thread.currentThread().getId}"
+    docsDf.createOrReplaceTempView(view)
+    val win = "'cdc:' || words[i-2] || ' ' || words[i-1] || ' ' || words[i]"
+    spark.sql(s"""
+      WITH d AS (SELECT doc_id, ${wordsExpr("text")} AS words FROM $view),
+      w AS (SELECT doc_id, words, posexplode(words) AS (i, word) FROM d),
+      b AS (
+        SELECT doc_id, i, word,
+          CASE WHEN i >= ${CdcWindow - 1}
+                 AND ${xhashExpr(win)} % $CdcDiv = 0
+               THEN 1 ELSE 0 END AS is_b
+        FROM w),
+      c AS (
+        SELECT doc_id, i, word,
+          sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+        FROM b),
+      g AS (
+        SELECT doc_id, chunk_id, count(1) AS n_tokens,
+          ${xhashExpr("array_join(transform(array_sort(" +
+            "collect_list(struct(i, word))), s -> s.word), ' ')")} AS chunk_fp
+        FROM c GROUP BY doc_id, chunk_id)
+      SELECT doc_id, chunk_id, n_tokens, chunk_fp,
+        count(1) OVER (PARTITION BY chunk_fp) AS fp_share
+      FROM g ORDER BY doc_id, chunk_id""")
+  }
+
+  def cdcChunksSql: String = {
+    val win = "'cdc:' || words[pos-2] || ' ' || words[pos-1] || ' ' || words[pos]"
+    s"""
+      WITH d AS (SELECT doc_id, ${wordsSql("text")} AS words FROM documents),
+      e AS (SELECT doc_id, words,
+              unnest(range(1, len(words) + 1))::INT AS pos FROM d),
+      b AS (
+        SELECT doc_id, pos, words[pos] AS word,
+          CASE WHEN pos >= $CdcWindow
+                 AND ${xhashSql(win)} % $CdcDiv = 0
+               THEN 1 ELSE 0 END AS is_b
+        FROM e),
+      c AS (
+        SELECT doc_id, pos, word,
+          CAST(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS chunk_id
+        FROM b),
+      g AS (
+        SELECT doc_id, chunk_id, count(*) AS n_tokens,
+          ${xhashSql("string_agg(word, ' ' ORDER BY pos)")} AS chunk_fp
+        FROM c GROUP BY doc_id, chunk_id)
+      SELECT doc_id, chunk_id, n_tokens, chunk_fp,
+        count(*) OVER (PARTITION BY chunk_fp) AS fp_share
+      FROM g ORDER BY doc_id, chunk_id"""
+  }
+
   def padBatchingSql: String = {
     def strat(ranked: String, name: String) = s"""
       SELECT '$name' AS strategy, count(1)::BIGINT AS n_batches,
@@ -1089,6 +1165,7 @@ object LlmQueries {
     "q145_incremental_dedup" -> incrementalDedup _,
     "q147_ann_filtered"   -> annFiltered _,
     "q148_pad_batching"   -> padBatching _,
+    "q152_cdc_chunks"     -> cdcChunks _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1208,6 +1285,7 @@ object LlmQueries {
     "q147_ann_filtered" -> Similarity.filteredTopKSql(
       "embeddings", "vec_id < 10", FilteredCandWhere, BruteK),
     "q148_pad_batching" -> padBatchingSql,
+    "q152_cdc_chunks" -> cdcChunksSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

@@ -813,6 +813,80 @@ object ScaleOps {
       ORDER BY probe_id, rk""")
   }
 
+  // ---------------------------------------------------------------- q153
+  /** Johnson–Lindenstrauss random-projection audit: project the 64-dim
+    * embeddings to [[JlDims]] dims with the deterministic ±1 hyperplane
+    * matrix ([[graft.functions.HashKernels.srpSigns]] — the same public
+    * md5-parity source the SRP signatures use, so both engines carry the
+    * matrix as literals) scaled by 1/√[[JlDims]] = 0.25 (exact binary),
+    * then report per-pair L2² distortion `proj/orig` on the
+    * deterministic (even id, id+1) pair sample. This is the
+    * dimensionality-reduction leg of the ANN story: JL says distances
+    * survive a 4× dim cut within (1±ε), and this query MEASURES it
+    * instead of assuming it. One scan computes the projections; the
+    * pair join is id+1 equi (no fan-out); distances bridge to a 1e6
+    * grid before the ratio, ties impossible. */
+  val JlDims = 16 // 64 → 16: scale 1/√16 = 0.25 is exact in binary fp
+  private def jlProjections: (String, String) = {
+    val signs = graft.functions.HashKernels.srpSigns(JlDims, PqM * PqSub)
+    val spark = (0 until JlDims).map { j =>
+      val lits = signs(j).map(s => if (s > 0) "1.0D" else "-1.0D").mkString(",")
+      s"(aggregate(zip_with(embedding, array($lits), " +
+        "(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), " +
+        "(acc, v) -> acc + v) * 0.25D)"
+    }.mkString("array(", ", ", ")")
+    val duck = (0 until JlDims).map { j =>
+      val lits = signs(j).map(s => if (s > 0) "1.0" else "-1.0").mkString(",")
+      s"(list_sum(list_transform(range(1, len(embedding) + 1), " +
+        s"i -> (embedding[i]::DOUBLE) * ([$lits])[i])) * 0.25)"
+    }.mkString("[", ", ", "]")
+    (spark, duck)
+  }
+
+  def jlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val (projSpark, _) = jlProjections
+    spark.sql(s"""
+      WITH p AS (
+        SELECT vec_id, embedding, $projSpark AS pv FROM embeddings),
+      pr AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(floor(l2_sq(a.embedding, b.embedding) * 1e6 + 0.5) AS BIGINT)
+            AS do6,
+          CAST(floor(aggregate(zip_with(a.pv, b.pv,
+              (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),
+              (acc, v) -> acc + v) * 1e6 + 0.5) AS BIGINT) AS dp6
+        FROM p a JOIN p b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0)
+      SELECT id_a, id_b, CAST(do6 AS DOUBLE) / 1e6 AS d_orig,
+        CAST(dp6 AS DOUBLE) / 1e6 AS d_proj,
+        ${droundSql("CAST(dp6 AS DOUBLE) / CAST(do6 AS DOUBLE)", 6)} AS ratio
+      FROM pr WHERE do6 > 0
+      ORDER BY id_a""")
+  }
+
+  def jlDistortionSql: String = {
+    val (_, projDuck) = jlProjections
+    val l2Orig = s"""list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE) *
+             (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)))"""
+    val l2Proj = s"""list_sum(list_transform(range(1, $JlDims + 1),
+        i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])))"""
+    s"""
+      WITH p AS (
+        SELECT vec_id, embedding, $projDuck AS pv FROM embeddings),
+      pr AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(floor($l2Orig * 1e6 + 0.5) AS BIGINT) AS do6,
+          CAST(floor($l2Proj * 1e6 + 0.5) AS BIGINT) AS dp6
+        FROM p a JOIN p b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0)
+      SELECT id_a, id_b, do6::DOUBLE / 1e6 AS d_orig,
+        dp6::DOUBLE / 1e6 AS d_proj,
+        ${droundSql("dp6::DOUBLE / do6::DOUBLE", 6)} AS ratio
+      FROM pr WHERE do6 > 0
+      ORDER BY id_a"""
+  }
+
   // ---------------------------------------------------------------- q108
   /** CDC merge-upsert (MERGE INTO semantics without a table format):
     * apply a changeset of updates / deletes / inserts to a keyed target
@@ -1454,6 +1528,7 @@ object ScaleOps {
     "q119_ivfpq_search"  -> ivfPqSearch _,
     "q146_ivfpq_serve"   -> ivfPqServe _,
     "q151_ivfpq_append"  -> ivfPqAppend _,
+    "q153_jl_distortion" -> jlDistortion _,
     "q120_chi_square"    -> chiSquare _,
     "q121_gini"          -> gini _,
     "q122_seasonal"      -> seasonal _,
@@ -1486,6 +1561,7 @@ object ScaleOps {
     // q151 appends batch codes to the at-rest base index; the oracle is
     // again the full q119 recompute — append ∘ store ≡ rebuild
     "q151_ivfpq_append" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
+    "q153_jl_distortion" -> jlDistortionSql,
     "q120_chi_square" -> chiSquareSql("orders"),
     "q121_gini" -> giniSql("orders"),
     "q122_seasonal" -> seasonalSql("orders"),

@@ -294,6 +294,31 @@ class PipelineOpsSpec extends SparkSpec {
       "fixture surprise: post-filtering lost nothing — pick a sharper predicate")
   }
 
+  test("CDC chunk fingerprints survive a prepended edit") {
+    val sq = spark
+    import sq.implicits._
+    // deterministic 400-word body; doc 2 is doc 1 with a 4-word edit
+    // PREPENDED — the scenario that shifts every fixed-window chunk
+    val body = (1 to 400).map(i => s"tok${i % 50}w$i").mkString(" ")
+    val d = Seq((1L, body), (2L, "a fresh sentence prepended " + body))
+      .toDF("doc_id", "text")
+    val chunks = LlmQueries.cdcChunksOf(d).collect()
+    val f1 = chunks.filter(_.getLong(0) == 1).map(_.getLong(3)).toSet
+    val f2 = chunks.filter(_.getLong(0) == 2).map(_.getLong(3)).toSet
+    assert(f1.size > 5, s"fixture surprise: only ${f1.size} chunks")
+    val shared = f1 intersect f2
+    // boundaries depend only on local 3-word windows, so every chunk
+    // strictly after the first post-edit boundary must survive intact
+    assert(shared.size >= f1.size - 2,
+      s"CDC lost chunks to an upstream edit: ${shared.size}/${f1.size}")
+    // and the corpus-wide share count sees the duplicated chunks
+    chunks.filter(r => shared.contains(r.getLong(3)))
+      .foreach(r => assert(r.getLong(4) == 2))
+    // coverage: chunk token counts add back to each doc's word count
+    val n1 = chunks.filter(_.getLong(0) == 1).map(_.getLong(2)).sum
+    assert(n1 == 400)
+  }
+
   test("pad batching matches a local recompute and sorted never wastes more") {
     val toks = graft.core.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),

@@ -79,6 +79,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("JL projection preserves pairwise distance in expectation") {
+    val r = ScaleOps.jlDistortion(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val ratios = r.map(_.getDouble(4))
+    // distortion ratios are positive, unbiased around 1 (E[ratio] = 1
+    // for a ±1/√k projection), and concentrated per JL: with k = 16 the
+    // per-pair sd is ~0.35, so the sample mean sits tight around 1 and
+    // most pairs land within ±50%
+    assert(ratios.forall(_ > 0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15, s"distortion mean drifted: $mean")
+    val within = ratios.count(x => x >= 0.5 && x <= 1.5).toDouble / ratios.length
+    assert(within >= 0.7, s"distortion spread too wide: $within within ±50%")
+    // the projection really is 4x smaller: d_proj comes from JlDims dims
+    assert(ScaleOps.JlDims * 4 == 64)
+  }
+
   test("pageRank conserves probability mass and is positive") {
     val r = ScaleOps.pageRank(spark, sfDir).collect()
     val ranks = r.map(_.getDouble(1))
