@@ -281,17 +281,32 @@ object ScaleOps {
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
       .transform(graft.core.EngineCache.persisted)
+    // Each half-step PERSISTS its raw-sum frame and collects the 1-scalar
+    // max on the driver (DistributedRank's counts-collect idiom). The
+    // tempting alternative — crossJoin(broadcast(raw.agg(max))) — embeds
+    // the frame in its own plan TWICE (max subquery + main), doubling the
+    // unpersisted lineage per half-step: 2^(2·iters) re-expansions, which
+    // is exactly the CTE-inlining blowup the PQ codebook build hit
+    // (observed: 3-iteration HITS > 60 s at sf0.1; with the barrier it is
+    // one join + one agg per half-step). BigDecimal.doubleValue is the
+    // same round-to-nearest as the oracle's CAST(mx AS DOUBLE).
     var a = e.select(col("part")).distinct().withColumn("a", lit(1.0))
     var h: DataFrame = a // placeholder; assigned in round 1
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val mx = raw.agg(max(col("sc"))).head.getDecimal(0).doubleValue
+      raw.select(col(key),
+        (floor(col("sc").cast("double") / lit(mx) * lit(1e12) + lit(0.5)) /
+          lit(1e12)).as(out))
+    }
     for (_ <- 1 to HitsIters) {
       val hraw = e.join(a, "part").groupBy("cust")
         .agg(expr("sum(CAST(floor(a * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
-      h = hraw.crossJoin(broadcast(hraw.agg(max(col("sc")).as("mx"))))
-        .select(col("cust"), expr(hitsNormSql).as("h"))
+        .transform(graft.core.EngineCache.persisted)
+      h = normalized(hraw, "cust", "h")
       val araw = e.join(h, "cust").groupBy("part")
         .agg(expr("sum(CAST(floor(h * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
-      a = araw.crossJoin(broadcast(araw.agg(max(col("sc")).as("mx"))))
-        .select(col("part"), expr(hitsNormSql).as("a"))
+        .transform(graft.core.EngineCache.persisted)
+      a = normalized(araw, "part", "a")
     }
     h.select(lit("customer").as("node_type"), col("cust").as("node_id"),
         dround(col("h"), 9).as("score"))
@@ -885,6 +900,83 @@ object ScaleOps {
         ${droundSql("dp6::DOUBLE / do6::DOUBLE", 6)} AS ratio
       FROM pr WHERE do6 > 0
       ORDER BY id_a"""
+  }
+
+  // ---------------------------------------------------------------- q154
+  /** Embedding cohesion/drift matrix: mean pairwise cosine between every
+    * pair of label groups (and within each group on the diagonal,
+    * self-pairs included) — the embedding-space mirror of q93's KL drift
+    * matrix, the signal that says two sources' embedding distributions
+    * are converging or drifting. The trick that makes it scale: since
+    * cos(a,b) = â·b̂, the mean over A×B factorizes as
+    * (Σ_A â)·(Σ_B b̂) / (|A||B|) — so ONE corpus scan computes per-group
+    * per-dim sums of normalized vectors (each component floor-bridged to
+    * a 1e8 grid, so the sums are exact integers), and the "all pairs"
+    * answer is a G²·D-sized join over those tiny sums. No pair join
+    * over the corpus, ever. Products bridge through DECIMAL(38,0)
+    * (s_a·s_b can exceed int64), division happens once per cell. */
+  def embDriftSparkSql: String = {
+    val norm = "sqrt(aggregate(transform(embedding, " +
+      "p -> CAST(p AS DOUBLE) * CAST(p AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+      "(acc, v) -> acc + v))"
+    s"""
+      WITH e AS (
+        SELECT label, posexplode(embedding) AS (dim, v), $norm AS nrm
+        FROM embeddings),
+      s AS (
+        SELECT label, dim,
+          CAST(sum(CAST(floor(CAST(v AS DOUBLE) / nrm * 1e8 + 0.5) AS BIGINT))
+            AS BIGINT) AS sb
+        FROM e GROUP BY label, dim),
+      cnt AS (SELECT label, count(1) AS n FROM embeddings GROUP BY label),
+      dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+          CAST(sum(CAST(a.sb AS DECIMAL(19,0)) * CAST(b.sb AS DECIMAL(19,0)))
+            AS DECIMAL(38,0)) AS dot16
+        FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
+        GROUP BY a.label, b.label)
+      SELECT label_a, label_b,
+        ${droundSql("CAST(dot16 AS DOUBLE) / 1e16 / " +
+          "(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))", 6)} AS mean_cos
+      FROM dots
+      JOIN cnt ca ON dots.label_a = ca.label
+      JOIN cnt cb ON dots.label_b = cb.label
+      ORDER BY label_a, label_b"""
+  }
+
+  def embDrift(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(embDriftSparkSql)
+  }
+
+  def embDriftSql: String = {
+    val norm = "sqrt(list_sum(list_transform(embedding, " +
+      "p -> p::DOUBLE * p::DOUBLE)))"
+    s"""
+      WITH e AS (
+        SELECT label,
+          (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
+          unnest(embedding) AS v, $norm AS nrm
+        FROM embeddings),
+      s AS (
+        SELECT label, dim,
+          CAST(sum(CAST(floor(v::DOUBLE / nrm * 1e8 + 0.5) AS BIGINT))
+            AS BIGINT) AS sb
+        FROM e GROUP BY label, dim),
+      cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+          CAST(sum(a.sb::DECIMAL(19,0) * b.sb::DECIMAL(19,0))
+            AS DECIMAL(38,0)) AS dot16
+        FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
+        GROUP BY a.label, b.label)
+      SELECT label_a, label_b,
+        ${droundSql("dot16::DOUBLE / 1e16 / (ca.n::DOUBLE * cb.n::DOUBLE)", 6)}
+          AS mean_cos
+      FROM dots
+      JOIN cnt ca ON dots.label_a = ca.label
+      JOIN cnt cb ON dots.label_b = cb.label
+      ORDER BY label_a, label_b"""
   }
 
   // ---------------------------------------------------------------- q108
@@ -1529,6 +1621,7 @@ object ScaleOps {
     "q146_ivfpq_serve"   -> ivfPqServe _,
     "q151_ivfpq_append"  -> ivfPqAppend _,
     "q153_jl_distortion" -> jlDistortion _,
+    "q154_emb_drift"     -> embDrift _,
     "q120_chi_square"    -> chiSquare _,
     "q121_gini"          -> gini _,
     "q122_seasonal"      -> seasonal _,
@@ -1562,6 +1655,7 @@ object ScaleOps {
     // again the full q119 recompute — append ∘ store ≡ rebuild
     "q151_ivfpq_append" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
     "q153_jl_distortion" -> jlDistortionSql,
+    "q154_emb_drift" -> embDriftSql,
     "q120_chi_square" -> chiSquareSql("orders"),
     "q121_gini" -> giniSql("orders"),
     "q122_seasonal" -> seasonalSql("orders"),

@@ -96,6 +96,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ScaleOps.JlDims * 4 == 64)
   }
 
+  test("embedding drift matrix matches a brute-force pair recompute") {
+    val got = ScaleOps.embDrift(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val labels = vecs.map(_._1).distinct.sorted
+    // full matrix incl. diagonal, labels as unordered pairs
+    assert(got.keySet == (for (a <- labels; b <- labels if a <= b)
+      yield (a, b)).toSet)
+    def normd(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(x / n * 1e8 + 0.5) / 1e8) // the 1e8 bridge
+    }
+    val byLabel = vecs.groupBy(_._1).map { case (l, vs) =>
+      l -> vs.map(p => normd(p._2))
+    }
+    // brute force: mean over ALL cross pairs (self-pairs incl. on diag)
+    for (((a, b), want) <- Seq(
+        ((labels.head, labels.head), 0.0),
+        ((labels.head, labels.last), 0.0)).map(_._1).map { k =>
+      val (va, vb) = (byLabel(k._1), byLabel(k._2))
+      val mean = (for (x <- va; y <- vb)
+        yield x.zip(y).map(p => p._1 * p._2).sum).sum / (va.length * vb.length)
+      k -> mean
+    }) {
+      // the factorized sum matches the O(n^2) mean up to the output grid
+      assert(math.abs(got((a, b)) - want) <= 1e-5,
+        s"cell ($a,$b): got ${got((a, b))}, brute force $want")
+    }
+  }
+
   test("pageRank conserves probability mass and is positive") {
     val r = ScaleOps.pageRank(spark, sfDir).collect()
     val ranks = r.map(_.getDouble(1))
