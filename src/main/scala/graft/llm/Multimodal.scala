@@ -170,6 +170,77 @@ object Multimodal {
     }(enc)
   }
 
+  /** 63-bit average perceptual hash (aHash) over REAL decoded pixels —
+    * the image-space fingerprint that survives re-encodes and small
+    * edits where a byte hash breaks: decode, nearest-neighbor-sample an
+    * 8×8 luma grid (identity for 8×8 inputs), set bit i iff pixel i's
+    * luma exceeds the grid mean. Exact integer arithmetic throughout:
+    * luma = (299r+587g+114b) div 1000 and the mean compare is
+    * 64·lᵢ > Σl — no division, no fp, so the hash is a pure function of
+    * the decoded pixels (which q140 proves are a pure function of the
+    * encoded bytes for our PNGs). 63 bits, not 64: bit 63 would need
+    * 1<<63, outside signed-int64 range in standard SQL engines — the
+    * oracle must be able to spell the same hash. Same per-partition
+    * decode contract as [[decodeImages]]. Undecodable bytes →
+    * decode_ok = false, phash = 0. */
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  def aHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(aHashSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = readImage(r.getAs[Array[Byte]](1))
+        if (img == null) Row(id, false, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val cm = img.getColorModel
+          // raw raster samples, NOT getRGB: getRGB on a gray image runs
+          // the gray→sRGB colorspace conversion and the stored sample is
+          // lost — the exact defect the q140 raster fix removed
+          val rawBands = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+            (0 until cm.getNumComponents).forall(cm.getComponentSize(_) <= 8)
+          val raster = img.getRaster
+          val luma = new Array[Long](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            // nearest-neighbor grid sample (top-left convention, the
+            // same mapping resizeImages uses)
+            val sx = (i % 8) * w / 8
+            val sy = (i / 8) * h / 8
+            val l =
+              if (rawBands && raster.getNumBands <= 2)
+                raster.getSample(sx, sy, 0).toLong
+              else if (rawBands)
+                (299L * raster.getSample(sx, sy, 0) +
+                  587L * raster.getSample(sx, sy, 1) +
+                  114L * raster.getSample(sx, sy, 2)) / 1000L
+              else {
+                val p = img.getRGB(sx, sy) // palette/deep: ARGB fallback
+                (299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) +
+                  114L * (p & 0xff)) / 1000L
+              }
+            luma(i) = l; sum += l; i += 1
+          }
+          var hash = 0L
+          i = 0
+          while (i < 63) { // 63 bits — see Scaladoc
+            if (64L * luma(i) > sum) hash |= 1L << i
+            i += 1
+          }
+          Row(id, true, hash)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL resize — decode → nearest-neighbor resample → PNG re-encode,
     * all JDK (`javax.imageio` + a manual pixel loop: no Graphics2D
     * filtering, so the output bytes are a pure function of the input

@@ -1104,10 +1104,13 @@ object LlmQueries {
     * bands, so `mean_luma` is a pure double-arithmetic function of the
     * embedding that DuckDB replicates bit-for-bit: pixel v_i =
     * clamp(floor(e_i*127+128+0.5), 0, 255), mean = Σv / (64·255). */
-  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+  /** Render each embedding row as a REAL 8×8 gray PNG via raw raster
+    * writes (q140's lossless contract) — the shared media fixture for
+    * the codec queries (q140 decode, q155 perceptual hash). */
+  private def renderMedia(spark: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(Multimodal.mediaSchema)
-    val media = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    embs(spark, dir).select(col("vec_id"), col("embedding"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
@@ -1131,7 +1134,55 @@ object LlmQueries {
           org.apache.spark.sql.Row(id, b, "image/png", b.length)
         }
       }(enc)
-    Multimodal.decodeImages(spark, media)
+  }
+
+  // ---------------------------------------------------------------- q155
+  /** Perceptual-hash near-dup detection over REAL decoded pixels — the
+    * multimodal mirror of q36's SimHash text dedup: render → PNG →
+    * decode → 63-bit aHash ([[Multimodal.aHashes]], raw raster reads) →
+    * pigeonhole-blocked Hamming self-join (the same guaranteed-recall
+    * block machinery as SimHash, [[Dedup.simhashPairsFromSigs]]). A
+    * byte hash breaks on any re-encode; the perceptual hash survives
+    * re-encodes and small edits, which is what image dedup needs. The
+    * oracle needs no codec: q140 proves the decoded pixels are pure
+    * arithmetic over the embedding, so DuckDB replays pixel → luma →
+    * threshold → hash → all-pairs bit_count exactly — the hash match
+    * certifies both the codec path and the blocking's zero recall loss.
+    * Note the honest scale caveat: at maxHamming 16 on 63 bits the
+    * pigeonhole blocks are 3-4 bits wide, so block selectivity carries
+    * less than at q36's production-shaped threshold (3 over 60 bits) —
+    * real image corpora cluster, which is what makes the blocks pay. */
+  val PhashMaxHamming = 16
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Multimodal.aHashes(spark, renderMedia(spark, dir))
+      .filter(col("decode_ok"))
+      .select(col("media_id").as("id"), col("phash").as("sig"))
+      .transform(graft.core.EngineCache.persisted)
+    Dedup.simhashPairsFromSigs(sigs, PhashMaxHamming, sigBits = 63)
+      .orderBy("id_a", "id_b")
+  }
+
+  def phashPairsSql: String = s"""
+    WITH px AS (
+      SELECT vec_id, list_transform(embedding, x ->
+        LEAST(255, GREATEST(0,
+          CAST(floor(CAST(x AS DOUBLE) * 127.0 + 128.0 + 0.5) AS BIGINT)))) AS p
+      FROM embeddings),
+    st AS (SELECT vec_id, p, list_sum(p) AS s FROM px),
+    ph AS (
+      SELECT vec_id,
+        CAST(coalesce(list_sum(list_transform(range(1, 64), i ->
+          CASE WHEN 64 * p[i] > s THEN (1::BIGINT << (i - 1))
+               ELSE 0 END)), 0) AS BIGINT) AS phash
+      FROM st)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM ph a JOIN ph b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+    ORDER BY id_a, id_b"""
+
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    Multimodal.decodeImages(spark, renderMedia(spark, dir))
       .select(col("media_id").as("vec_id"), col("decode_ok"),
         col("width"), col("height"), col("channels"),
         dround(element_at(col("features"), 4).cast("double"), 6).as("mean_luma"))
@@ -1166,6 +1217,7 @@ object LlmQueries {
     "q147_ann_filtered"   -> annFiltered _,
     "q148_pad_batching"   -> padBatching _,
     "q152_cdc_chunks"     -> cdcChunks _,
+    "q155_phash_neardup"  -> phashPairs _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1286,6 +1338,7 @@ object LlmQueries {
       "embeddings", "vec_id < 10", FilteredCandWhere, BruteK),
     "q148_pad_batching" -> padBatchingSql,
     "q152_cdc_chunks" -> cdcChunksSql,
+    "q155_phash_neardup" -> phashPairsSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

@@ -390,4 +390,33 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content").toSeq).toMap
     assert(again(1L) === rows(1L).getAs[Array[Byte]]("content").toSeq)
   }
+
+  test("perceptual hash survives a resize re-encode where the byte hash breaks") {
+    val sq = spark
+    import sq.implicits._
+    // a gradient image with real structure (flat images hash to ~0 bits)
+    val grad = testImage(8, 8, "png", (x, y) => {
+      val v = x * 32 + y * 4; (v << 16) | (v << 8) | v
+    })
+    val media = Seq((1L, grad, "image/png", grad.length))
+      .toDF("media_id", "content", "mime", "byte_len")
+    val orig = graft.llm.Multimodal.aHashes(spark, media).collect().head
+    assert(orig.getBoolean(1) && orig.getLong(2) != 0L)
+    // NN-upscale 8x8 -> 16x16 and re-encode: bytes change, but the aHash
+    // grid samples land back on the original pixels, so the perceptual
+    // hash is IDENTICAL — the invariance image dedup needs and a content
+    // checksum cannot give
+    val big = graft.llm.Multimodal.resizeImages(spark, media, 16, 16)
+    val bigRow = big.collect().head
+    assert(bigRow.getAs[Array[Byte]]("content").toSeq !=
+      grad.toSeq, "re-encode must change bytes")
+    val rehash = graft.llm.Multimodal.aHashes(spark, big).collect().head
+    assert(rehash.getLong(2) === orig.getLong(2),
+      "aHash must survive the resize re-encode")
+    // corrupt bytes degrade to decode_ok=false, not an exception
+    val bad = Seq((2L, "not an image".getBytes("UTF-8"), "image/png", 12))
+      .toDF("media_id", "content", "mime", "byte_len")
+    val badRow = graft.llm.Multimodal.aHashes(spark, bad).collect().head
+    assert(!badRow.getBoolean(1) && badRow.getLong(2) === 0L)
+  }
 }
