@@ -1136,6 +1136,91 @@ object LlmQueries {
       }(enc)
   }
 
+  // ---------------------------------------------------------------- q156
+  /** Vocabulary coverage ladder — the tokenizer-engineering readout:
+    * for each min-count threshold k, how many distinct words survive a
+    * "drop words seen < k times" vocabulary cut, and what share of ALL
+    * token occurrences they still cover. The Zipf shape of the answer
+    * (tiny vocab ⇒ still-high coverage) is what justifies truncated
+    * vocabularies. Deliberately RANK-FREE: thresholding on the count
+    * needs only one explode + one hash agg + ONE conditional-aggregation
+    * pass over the vocab (all thresholds in one scan, unpivoted after) —
+    * no global sort of a 100M-row vocabulary anywhere. Exact integers
+    * until the final share. */
+  val VocabMinCounts = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    val aggs = VocabMinCounts.map(k =>
+      s"CAST(count(CASE WHEN c >= $k THEN 1 END) AS BIGINT) AS v$k, " +
+      s"CAST(coalesce(sum(CASE WHEN c >= $k THEN c END), 0) AS BIGINT) AS s$k")
+      .mkString(", ")
+    val stack = VocabMinCounts.map(k => s"$k, v$k, s$k").mkString(", ")
+    spark.sql(s"""
+      WITH cnt AS (
+        SELECT term, count(1) AS c
+        FROM (SELECT explode(${wordsExpr("text")}) AS term FROM documents)
+        GROUP BY term),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+      agg AS (SELECT $aggs FROM cnt),
+      u AS (
+        SELECT stack(${VocabMinCounts.length}, $stack)
+          AS (min_count, vocab_size, covered_tokens)
+        FROM agg)
+      SELECT min_count, vocab_size, covered_tokens,
+        ${droundSql(
+          "CAST(covered_tokens AS DOUBLE) / CAST(total AS DOUBLE)", 6)}
+          AS coverage
+      FROM u CROSS JOIN tot
+      ORDER BY min_count""")
+  }
+
+  def vocabCoverageSql: String = {
+    val ks = VocabMinCounts.map(k => s"($k)").mkString(",")
+    s"""
+      WITH cnt AS (
+        SELECT term, count(*) AS c
+        FROM (SELECT unnest(${wordsSql("text")}) AS term FROM documents)
+        GROUP BY term),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+      ks(min_count) AS (VALUES $ks),
+      agg AS (
+        SELECT k.min_count,
+          (count(*) FILTER (WHERE c >= k.min_count))::BIGINT AS vocab_size,
+          coalesce(sum(c) FILTER (WHERE c >= k.min_count), 0)::BIGINT
+            AS covered_tokens
+        FROM cnt CROSS JOIN ks k GROUP BY k.min_count)
+      SELECT min_count, vocab_size, covered_tokens,
+        ${droundSql("covered_tokens::DOUBLE / total::DOUBLE", 6)} AS coverage
+      FROM agg CROSS JOIN tot
+      ORDER BY min_count"""
+  }
+
+  // ---------------------------------------------------------------- q157
+  /** Near-dup cluster size histogram — the dedup health readout (a spike
+    * of large clusters means template spam or a mirror dump; a corpus of
+    * pairs-only means organic duplication): connected components over
+    * the q144 AT-REST pair table rolled up to (cluster size →
+    * n_clusters, n_docs). Output is O(max cluster size) rows at any
+    * corpus scale, and the expensive leg (the pair table) is read from
+    * the warehouse, not recomputed. */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(lshPairsAtRest(spark, dir))
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+      .orderBy("size")
+
+  def dupClusterSizesSql: String = s"""
+    WITH comp AS (${Dedup.componentsSql(
+      Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+      "doc_id")}),
+    cs AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+    SELECT size::BIGINT AS size, count(*)::BIGINT AS n_clusters,
+      (size * count(*))::BIGINT AS n_docs
+    FROM cs GROUP BY size ORDER BY size"""
+
   // ---------------------------------------------------------------- q155
   /** Perceptual-hash near-dup detection over REAL decoded pixels — the
     * multimodal mirror of q36's SimHash text dedup: render → PNG →
@@ -1218,6 +1303,8 @@ object LlmQueries {
     "q148_pad_batching"   -> padBatching _,
     "q152_cdc_chunks"     -> cdcChunks _,
     "q155_phash_neardup"  -> phashPairs _,
+    "q156_vocab_coverage" -> vocabCoverage _,
+    "q157_dup_clusters"   -> dupClusterSizes _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1339,6 +1426,8 @@ object LlmQueries {
     "q148_pad_batching" -> padBatchingSql,
     "q152_cdc_chunks" -> cdcChunksSql,
     "q155_phash_neardup" -> phashPairsSql,
+    "q156_vocab_coverage" -> vocabCoverageSql,
+    "q157_dup_clusters" -> dupClusterSizesSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

@@ -294,6 +294,42 @@ class PipelineOpsSpec extends SparkSpec {
       "fixture surprise: post-filtering lost nothing — pick a sharper predicate")
   }
 
+  test("vocab coverage ladder is monotone and matches a local recount") {
+    val r = LlmQueries.vocabCoverage(spark, sfDir).collect()
+    assert(r.map(_.getInt(0)).toSeq == LlmQueries.VocabMinCounts)
+    // k=1 keeps everything: coverage exactly 1
+    assert(r.head.getDouble(3) == 1.0)
+    // vocab shrinks and coverage falls as the threshold climbs
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1))
+        assert(b.getLong(2) <= a.getLong(2))
+      case _ =>
+    }
+    // local recount from raw word counts
+    val counts = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.words("text")).as("t"))
+      .groupBy("t").count().collect().map(_.getLong(1))
+    val byK = r.map(row => row.getInt(0) -> (row.getLong(1), row.getLong(2))).toMap
+    for (k <- LlmQueries.VocabMinCounts) {
+      val kept = counts.filter(_ >= k)
+      assert(byK(k) == ((kept.length.toLong, kept.sum)))
+    }
+  }
+
+  test("dup cluster histogram accounts for every clustered doc") {
+    val hist = LlmQueries.dupClusterSizes(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    // components have >= 2 members by construction (every node in the
+    // pair graph has a neighbor)
+    assert(hist.forall(_.getLong(0) >= 2))
+    assert(hist.forall(r => r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    val totalDocs = hist.map(_.getLong(2)).sum
+    val comp = graft.llm.Dedup.connectedComponents(
+      LlmQueries.lshPairsAtRest(spark, sfDir)).count()
+    assert(totalDocs == comp)
+  }
+
   test("CDC chunk fingerprints survive a prepended edit") {
     val sq = spark
     import sq.implicits._

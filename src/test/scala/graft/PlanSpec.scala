@@ -310,6 +310,14 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, "rank pipeline must not plan a global window")
   }
 
+  test("filtered ANN pushes the candidate predicate into the corpus scan") {
+    val p = plan(graft.operators.LlmQueries.annFiltered(spark, sfDir))
+    // pre-filtering means the metadata predicate reaches the parquet
+    // scan — a selective filter then prunes I/O, not just compute
+    assert(p.contains("PushedFilters") && p.contains("label"),
+      s"q147's label filter must push to the scan:\n$p")
+  }
+
   test("IVF-PQ serving scans the at-rest code index, not a fresh encode") {
     val p = plan(graft.operators.ScaleOps.ivfPqServe(spark, sfDir))
     assert(p.contains("ivfpq_codes_"),
