@@ -266,6 +266,32 @@ object EngineProperties extends Properties("engine") {
       ranked == viaWindow && loud
     }
 
+  private val genCdcWords: Gen[List[String]] =
+    Gen.chooseNum(5, 90).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("red", "blue", "gold", "iron", "moss", "salt", "wolf", "pine")))
+
+  property("CDC chunks partition the tokens; edits stay local to the seam") =
+    forAll(genCdcWords, Gen.listOfN(4,
+      Gen.oneOf("zinc", "opal", "fern", "dune"))) { (w, prefix) =>
+      val sq = spark
+      import sq.implicits._
+      def chunksOf(words: Seq[String]): Seq[(Long, Long, Long)] =
+        graft.operators.LlmQueries.cdcChunksOf(
+          Seq((1L, words.mkString(" "))).toDF("doc_id", "text"))
+          .select("chunk_id", "n_tokens", "chunk_fp")
+          .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val base = chunksOf(w)
+      val edited = chunksOf(prefix ++ w)
+      // partition: chunk token counts add back to the doc length
+      val covers = base.map(_._2).sum == w.length &&
+        edited.map(_._2).sum == prefix.length + w.length
+      // locality: boundaries depend only on the trailing 3-word window,
+      // so every chunk of `w` after its FIRST boundary survives a
+      // prepended edit fingerprint-for-fingerprint
+      val survivors = base.drop(1).map(_._3).toSet
+      covers && survivors.subsetOf(edited.map(_._3).toSet)
+    }
+
   property("ntileFromRank reproduces SQL ntile tile sizes") =
     forAll(Gen.chooseNum(1, 200), Gen.chooseNum(1, 12)) { (n, k) =>
       val sq = spark
