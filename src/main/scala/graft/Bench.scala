@@ -35,11 +35,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val perQueryTimeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "60").toLong
-    // 390 s: a healthy 122-query loop runs ~300 s; the margin absorbs
-    // host stalls. Overshooting the harness's wall clock is non-fatal —
-    // the per-query emission keeps everything measured so far.
+    // 480 s: a healthy 157-query loop runs ~180-330 s depending on host;
+    // the margin absorbs a ~2x-slower driver box without DeadlineSkips.
+    // Overshooting the harness's own wall clock stays non-fatal — the
+    // cumulative per-query emission keeps everything measured so far.
     val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "390").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "480").toLong
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")

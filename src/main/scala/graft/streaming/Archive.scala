@@ -127,6 +127,18 @@ object Archive {
   def readArchive(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Time-travel read over a [[startMultiSink]] archive: the batch_id=N
+    * partition directories double as a commit history, so "the table as
+    * of batch N" is one partition-pruned predicate — no snapshot
+    * manifests, no table format, and the pruning happens at the listing
+    * (only directories ≤ N are read at all). This is the §2.1.8
+    * queryable-layout guarantee turned into a versioned read: replaying
+    * an analysis against last night's state is `asOfBatch(n)`, and an
+    * incremental consumer diffs two reads with `batch_id` bounds. */
+  def readArchiveAsOf(spark: SparkSession, path: String,
+                      maxBatchId: Long): DataFrame =
+    spark.read.parquet(path).filter(col("batch_id") <= maxBatchId)
+
   /** Multi-sink delivery via `foreachBatch`: one micro-batch fans out to
     * (1) the parquet archive and (2) a per-batch topic-count index table
     * — the "rotated-file event" metadata stream the reference pushes to

@@ -223,6 +223,17 @@ class ArchiveSpec extends SparkSpec {
     // both sinks are batch_id-partitioned (prunable, idempotent target)
     assert(archived.columns.contains("batch_id"))
     assert(index.columns.contains("batch_id"))
+
+    // time travel: "as of batch 0" excludes the restarted run's batch,
+    // and the bound prunes PARTITIONS, not rows — the predicate must
+    // show up as a partition filter on the scan
+    val asOf = Archive.readArchiveAsOf(spark, out, 0L)
+    assert(asOf.count() === 3)
+    assert(asOf.agg(org.apache.spark.sql.functions.max("offset"))
+      .head().getLong(0) === 1L)
+    val plan = asOf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+      s"as-of bound must prune batch_id partitions:\n$plan")
   }
 
   test("mergeSchema read spans producer schema evolution; old files read " +
