@@ -136,6 +136,45 @@ object Similarity {
     SELECT query_id, rnk, cand_id, cos FROM ranked WHERE rnk <= $k
     ORDER BY query_id, rnk"""
 
+  /** Hard-negative mining for contrastive training: per probe, the k
+    * most-similar vectors with a DIFFERENT label — near the anchor in
+    * embedding space but semantically negative, exactly the pairs a
+    * contrastive objective learns the most from (random negatives are
+    * trivially far). Unlike [[filteredTopK]]'s static predicate this is
+    * a PER-PAIR relational condition (probe.label ≠ cand.label), so it
+    * lives in the join, and the bounded top-k `Aggregator` still keeps
+    * the exchange at O(probes × partitions × k). */
+  def hardNegatives(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val probes = vectors.filter(probeFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val corpus = vectors.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("label").as("clabel"))
+    broadcast(probes)
+      .join(corpus, col("qlabel") =!= col("clabel"))
+      .withColumn("cos", expr(cosineExpr("qv", "cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggregates
+        .topKOf(k, col("cos"), col("cand_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rnk"),
+        col("s.cand_id").as("cand_id"), col("s.cos").as("cos"))
+  }
+
+  def hardNegativesSql(table: String, probeWhere: String, k: Int): String = s"""
+    WITH p AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM $table WHERE $probeWhere),
+    scored AS (
+      SELECT query_id, vec_id AS cand_id, ${cosineSql("qv", "embedding")} AS cos
+      FROM p JOIN $table ON qlabel <> label),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+        (row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id))::INT AS rnk
+      FROM scored)
+    SELECT query_id, rnk, cand_id, cos FROM ranked WHERE rnk <= $k
+    ORDER BY query_id, rnk"""
+
   /** IVF-style ANN: search only the probe's own coarse cell. */
   def ivfTopK(vectors: DataFrame, cellCol: String, probeFilter: Column, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)

@@ -780,6 +780,16 @@ object LlmQueries {
       FilteredCandWhere, BruteK)
       .orderBy("query_id", "rnk")
 
+  // ---------------------------------------------------------------- q158
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per anchor,
+    * the k most-similar vectors with a DIFFERENT label — the pairs a
+    * contrastive objective learns most from. The negativity predicate
+    * is per-pair (anchor.label ≠ candidate.label), i.e. it lives in the
+    * join, where q147's tenant filter was a static scan predicate. */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(embs(spark, dir), col("vec_id") < 10, BruteK)
+      .orderBy("query_id", "rnk")
+
   // ---------------------------------------------------------------- q148
   /** Padding-efficiency report for fixed-size inference/training batches
     * — the batching-planner readout: a batch of B docs pads every doc to
@@ -1305,6 +1315,7 @@ object LlmQueries {
     "q155_phash_neardup"  -> phashPairs _,
     "q156_vocab_coverage" -> vocabCoverage _,
     "q157_dup_clusters"   -> dupClusterSizes _,
+    "q158_hard_negatives" -> hardNegativeMining _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1428,6 +1439,8 @@ object LlmQueries {
     "q155_phash_neardup" -> phashPairsSql,
     "q156_vocab_coverage" -> vocabCoverageSql,
     "q157_dup_clusters" -> dupClusterSizesSql,
+    "q158_hard_negatives" -> Similarity.hardNegativesSql(
+      "embeddings", "vec_id < 10", BruteK),
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

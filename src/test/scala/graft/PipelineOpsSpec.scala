@@ -355,6 +355,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n1 == 400)
   }
 
+  test("hard negatives are cross-label and rank-exact vs a local recompute") {
+    val got = LlmQueries.hardNegativeMining(spark, sfDir).collect()
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val byProbe = got.groupBy(_.getLong(0))
+    assert(byProbe.size == 10)
+    byProbe.foreach { case (qid, rows) =>
+      assert(rows.length == LlmQueries.BruteK)
+      // every mined negative carries a different label than its anchor
+      rows.foreach(r => assert(byId(r.getLong(2))._3 != byId(qid)._3))
+      // and the ranking equals the local cross-label top-k exactly
+      val want = vecs.filter(_._3 != byId(qid)._3)
+        .map(v => (-cos(byId(qid)._2, v._2), v._1))
+        .sorted.take(LlmQueries.BruteK)
+      val gotRanks = rows.sortBy(_.getInt(1))
+        .map(r => (-r.getDouble(3), r.getLong(2))).toSeq
+      assert(gotRanks == want.toSeq, s"probe $qid mismatch")
+    }
+  }
+
   test("pad batching matches a local recompute and sorted never wastes more") {
     val toks = graft.core.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
