@@ -406,6 +406,163 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Blocking-strategy audit — "measure your blocking, don't guess":
+    * three candidate-generation schemes for near-dup detection are run
+    * over the same corpus and scored against the UNBLOCKED all-pairs
+    * exact-Jaccard ground truth (the audit's labeled sample; at 100 TB
+    * this runs on a sample, which the fixture already is — the schemes
+    * themselves stay O(n·keys)):
+    *  - `minhash_bands`: banded MinHash bucket collisions (q35's
+    *    candidates) — probabilistic recall, tunable via (K, bands);
+    *  - `simhash_blocks`: pigeonhole SimHash block collisions (q36's
+    *    candidates) — guaranteed recall vs HAMMING, but Hamming is a
+    *    proxy, so recall vs Jaccard truth is what needs measuring;
+    *  - `head_key`: q131's normalized-head fingerprint — the cheap
+    *    heuristic key, recall entirely data-dependent.
+    * Output per scheme: candidate count, truth size, hits, recall,
+    * precision — the numbers that decide which blocking a production
+    * dedup can afford. All schemes run over the eligible corpus (docs
+    * long enough to shingle), so the denominators agree. */
+  def blockingAudit(docs0: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, numHashes: Int, bands: Int,
+                    maxHamming: Int, headWords: Int, tau: Double): DataFrame = {
+    GraftFunctions.register(docs0.sparkSession)
+    val sig = signatureFrame(docs0, idCol, textCol, shingleN, numHashes)
+      .transform(graft.core.EngineCache.persisted)
+    val docs = docs0.selectExpr(s"$idCol AS id", s"$textCol AS text")
+      .join(sig.select("id"), Seq("id"), "left_semi")
+    val hs = sig.select(col("id"), col("hs"))
+    val truth = hs.alias("a").join(hs.alias("b"), col("a.id") < col("b.id"))
+      .withColumn("inter", expr("size(array_intersect(a.hs, b.hs))"))
+      .filter(expr(
+        s"CAST(inter AS DOUBLE) / (size(a.hs) + size(b.hs) - inter) >= $tau"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .transform(graft.core.EngineCache.persisted)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+
+    val candBands = lshCandidatePairs(sig, bandKeysExpr(numHashes, bands))
+    val ssig = withSimhash(docs, "id", "text")
+      .transform(graft.core.EngineCache.persisted)
+    val blockKeys = simhashBlocks(maxHamming).map { case (b, start, width) =>
+      s"concat('k$b:', CAST(shiftright(sig, $start) & ${(1L << width) - 1} AS STRING))"
+    }.mkString(", ")
+    val candSim = lshCandidatePairs(ssig, blockKeys)
+    val headFp = graft.core.Determinism.xhashExpr(
+      "array_join(slice(split(trim(regexp_replace(lower(text), " +
+        s"'\\\\s+', ' ')), ' '), 1, $headWords), ' ')")
+    val heads = docs.selectExpr("id", s"$headFp AS bk")
+    val candHead = heads.alias("a")
+      .join(heads.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    def scored(name: String, cand0: DataFrame): DataFrame = {
+      val cand = cand0.transform(graft.core.EngineCache.persisted)
+      cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
+        cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("hits")))
+        .select(lit(name).as("scheme"), col("n_candidates"), col("hits"))
+    }
+    scored("head_key", candHead)
+      .unionByName(scored("minhash_bands", candBands))
+      .unionByName(scored("simhash_blocks", candSim))
+      .crossJoin(nTruth)
+      .select(col("scheme"), col("n_candidates"), col("n_truth"), col("hits"),
+        graft.core.Determinism.dround(
+          col("hits").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"),
+        graft.core.Determinism.dround(
+          col("hits").cast("double") / col("n_candidates").cast("double"), 6)
+          .as("precision"))
+      .orderBy("scheme")
+  }
+
+  /** DuckDB twin of [[blockingAudit]] — replays all three candidate
+    * generators and the unblocked truth from raw text. */
+  def blockingAuditSql(table: String, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int, bands: Int,
+                       maxHamming: Int, headWords: Int, tau: Double): String = {
+    val tExpr = graft.functions.TextFunctions.wordShinglesSql(textCol, shingleN)
+    val tGuard =
+      s"len(${graft.functions.TextFunctions.wordsSql(textCol)}) >= $shingleN"
+    val rows = numHashes / bands
+    val mh = (0 until numHashes).map(i => s"${mixSql(i, "hs")} AS mh$i")
+      .mkString(",\n      ")
+    val bandCases = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN 'b$b:' || $slice"
+    }.mkString(" ")
+    val bandVals = (0 until bands).map(b => s"($b)").mkString(",")
+    val whs = hsSql(s"list_transform(${
+      graft.functions.TextFunctions.wordsSql("text")}, w -> 's99:' || w)")
+    val bits = (0 until SimhashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform(whs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val blockCases = simhashBlocks(maxHamming).map { case (b, start, width) =>
+      s"WHEN $b THEN 'k$b:' || ((sig >> $start) & ${(1L << width) - 1})::VARCHAR"
+    }.mkString(" ")
+    val blockVals = simhashBlocks(maxHamming).map { case (b, _, _) => s"($b)" }
+      .mkString(",")
+    val headFp = graft.core.Determinism.xhashSql(
+      "array_to_string(list_slice(string_split(" +
+        s"trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), " +
+        s"1, $headWords), ' ')")
+    s"""
+    WITH t AS (
+      SELECT $idCol AS id, $textCol AS text, ${hsSql(tExpr)} AS hs
+      FROM $table WHERE $tGuard),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM t a JOIN t b ON a.id < b.id
+      WHERE len(list_intersect(a.hs, b.hs)) * 1.0 /
+        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= $tau),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    msig AS (SELECT id, hs, $mh FROM t),
+    mbanded AS (
+      SELECT id, CASE b.band_id $bandCases END AS bk
+      FROM msig, (VALUES $bandVals) b(band_id)),
+    cand_bands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM mbanded a JOIN mbanded b ON a.bk = b.bk AND a.id < b.id),
+    w AS (SELECT id, $whs AS whs FROM t),
+    ssig AS (SELECT id, ($bits)::BIGINT AS sig FROM w),
+    sbanded AS (
+      SELECT id, CASE blk.block_id $blockCases END AS bk
+      FROM ssig, (VALUES $blockVals) blk(block_id)),
+    cand_sim AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sbanded a JOIN sbanded b ON a.bk = b.bk AND a.id < b.id),
+    heads AS (SELECT id, $headFp AS bk FROM t),
+    cand_head AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM heads a JOIN heads b ON a.bk = b.bk AND a.id < b.id),
+    u AS (
+      SELECT 'head_key' AS scheme,
+        (SELECT count(*) FROM cand_head)::BIGINT AS n_candidates,
+        (SELECT count(*) FROM cand_head c
+          JOIN truth x ON c.id_a = x.id_a AND c.id_b = x.id_b)::BIGINT AS hits
+      UNION ALL
+      SELECT 'minhash_bands',
+        (SELECT count(*) FROM cand_bands)::BIGINT,
+        (SELECT count(*) FROM cand_bands c
+          JOIN truth x ON c.id_a = x.id_a AND c.id_b = x.id_b)::BIGINT
+      UNION ALL
+      SELECT 'simhash_blocks',
+        (SELECT count(*) FROM cand_sim)::BIGINT,
+        (SELECT count(*) FROM cand_sim c
+          JOIN truth x ON c.id_a = x.id_a AND c.id_b = x.id_b)::BIGINT)
+    SELECT scheme, n_candidates, n_truth, hits,
+      ${graft.core.Determinism.droundSql(
+        "hits::DOUBLE / n_truth::DOUBLE", 6)} AS recall,
+      ${graft.core.Determinism.droundSql(
+        "hits::DOUBLE / n_candidates::DOUBLE", 6)} AS precision
+    FROM u CROSS JOIN nt
+    ORDER BY scheme"""
+  }
+
   /** Connected components over a dup-pair graph (id_a, id_b) — the step
     * that turns pairwise near-dup hits into dedup CLUSTERS (keep
     * min-id per component, drop the rest). Min-label propagation to a

@@ -790,6 +790,17 @@ object LlmQueries {
     Similarity.hardNegatives(embs(spark, dir), col("vec_id") < 10, BruteK)
       .orderBy("query_id", "rnk")
 
+  // ---------------------------------------------------------------- q159
+  /** Blocking-strategy audit ([[Dedup.blockingAudit]]): MinHash bands vs
+    * SimHash pigeonhole blocks vs the normalized-head key, each scored
+    * for candidate volume, recall, and precision against the unblocked
+    * exact-Jaccard ground truth — the measurement that decides which
+    * blocking a production dedup can afford before anyone trusts it. */
+  def blockingAudit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockingAudit(docs(spark, dir), "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, SimhashMaxHamming,
+      StatsOps.SurvivorHeadWords, MinhashTau)
+
   // ---------------------------------------------------------------- q148
   /** Padding-efficiency report for fixed-size inference/training batches
     * — the batching-planner readout: a batch of B docs pads every doc to
@@ -1316,6 +1327,7 @@ object LlmQueries {
     "q156_vocab_coverage" -> vocabCoverage _,
     "q157_dup_clusters"   -> dupClusterSizes _,
     "q158_hard_negatives" -> hardNegativeMining _,
+    "q159_blocking_audit" -> blockingAudit _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1441,6 +1453,9 @@ object LlmQueries {
     "q157_dup_clusters" -> dupClusterSizesSql,
     "q158_hard_negatives" -> Similarity.hardNegativesSql(
       "embeddings", "vec_id < 10", BruteK),
+    "q159_blocking_audit" -> Dedup.blockingAuditSql(
+      "documents", "doc_id", "text", WordShingleN, MinhashK, MinhashBands,
+      SimhashMaxHamming, StatsOps.SurvivorHeadWords, MinhashTau),
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

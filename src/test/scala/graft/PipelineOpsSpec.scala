@@ -330,6 +330,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(totalDocs == comp)
   }
 
+  test("blocking audit is internally consistent and truth-anchored") {
+    val r = LlmQueries.blockingAudit(spark, sfDir).collect()
+    assert(r.map(_.getString(0)).toSeq ==
+      Seq("head_key", "minhash_bands", "simhash_blocks"))
+    val truths = r.map(_.getLong(2)).distinct
+    assert(truths.length == 1 && truths.head > 0,
+      "every scheme is scored against the same nonempty truth set")
+    r.foreach { row =>
+      val (cand, truth, hits) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(hits <= math.min(cand, truth))
+      assert(row.getDouble(4) ==
+        math.floor(hits.toDouble / truth * 1e6 + 0.5) / 1e6)
+      assert(row.getDouble(5) ==
+        math.floor(hits.toDouble / cand * 1e6 + 0.5) / 1e6)
+    }
+    // the truth count equals an independent exact all-pairs recompute
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val sig = graft.llm.Dedup.signatureFrame(d, "doc_id", "text",
+      LlmQueries.WordShingleN, LlmQueries.MinhashK)
+      .select("id", "hs").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Long](1).toSet)
+    val nTruth = (for {
+      (ia, ha) <- sig; (ib, hb) <- sig if ia < ib
+      inter = (ha intersect hb).size
+      if inter.toDouble / (ha.size + hb.size - inter) >= LlmQueries.MinhashTau
+    } yield 1).length
+    assert(r.head.getLong(2) == nTruth)
+  }
+
   test("CDC chunk fingerprints survive a prepended edit") {
     val sq = spark
     import sq.implicits._
