@@ -422,7 +422,13 @@ object Dedup {
     * Output per scheme: candidate count, truth size, hits, recall,
     * precision — the numbers that decide which blocking a production
     * dedup can afford. All schemes run over the eligible corpus (docs
-    * long enough to shingle), so the denominators agree. */
+    * long enough to shingle), so the denominators agree.
+    *
+    * Callers MUST bound the input to the audit sample: the truth side
+    * is O(sample²) by definition (that is what "unblocked ground truth"
+    * means), so the sample is the knob — the measurement's fidelity
+    * scales with sample², its cost identically, and the schemes' rates
+    * are sample-estimates of their corpus rates. */
   def blockingAudit(docs0: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
                     maxHamming: Int, headWords: Int, tau: Double): DataFrame = {
@@ -482,7 +488,8 @@ object Dedup {
     * generators and the unblocked truth from raw text. */
   def blockingAuditSql(table: String, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int, bands: Int,
-                       maxHamming: Int, headWords: Int, tau: Double): String = {
+                       maxHamming: Int, headWords: Int, tau: Double,
+                       samplePred: String = "true"): String = {
     val tExpr = graft.functions.TextFunctions.wordShinglesSql(textCol, shingleN)
     val tGuard =
       s"len(${graft.functions.TextFunctions.wordsSql(textCol)}) >= $shingleN"
@@ -513,7 +520,7 @@ object Dedup {
     s"""
     WITH t AS (
       SELECT $idCol AS id, $textCol AS text, ${hsSql(tExpr)} AS hs
-      FROM $table WHERE $tGuard),
+      FROM $table WHERE ($samplePred) AND $tGuard),
     truth AS (
       SELECT a.id AS id_a, b.id AS id_b
       FROM t a JOIN t b ON a.id < b.id

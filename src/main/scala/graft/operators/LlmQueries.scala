@@ -796,10 +796,15 @@ object LlmQueries {
     * for candidate volume, recall, and precision against the unblocked
     * exact-Jaccard ground truth — the measurement that decides which
     * blocking a production dedup can afford before anyone trusts it. */
+  /** The audit's labeled sample: the unblocked truth is O(sample²), so
+    * the cap — not the corpus — prices the measurement (5 000 docs at
+    * sf0.1 already cost 12.5M exact set intersections unbounded). */
+  val AuditSampleCap = 500
   def blockingAudit(spark: SparkSession, dir: String): DataFrame =
-    Dedup.blockingAudit(docs(spark, dir), "doc_id", "text",
-      WordShingleN, MinhashK, MinhashBands, SimhashMaxHamming,
-      StatsOps.SurvivorHeadWords, MinhashTau)
+    Dedup.blockingAudit(
+      docs(spark, dir).filter(col("doc_id") < AuditSampleCap),
+      "doc_id", "text", WordShingleN, MinhashK, MinhashBands,
+      SimhashMaxHamming, StatsOps.SurvivorHeadWords, MinhashTau)
 
   // ---------------------------------------------------------------- q148
   /** Padding-efficiency report for fixed-size inference/training batches
@@ -1455,7 +1460,8 @@ object LlmQueries {
       "embeddings", "vec_id < 10", BruteK),
     "q159_blocking_audit" -> Dedup.blockingAuditSql(
       "documents", "doc_id", "text", WordShingleN, MinhashK, MinhashBands,
-      SimhashMaxHamming, StatsOps.SurvivorHeadWords, MinhashTau),
+      SimhashMaxHamming, StatsOps.SurvivorHeadWords, MinhashTau,
+      s"doc_id < $AuditSampleCap"),
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """
