@@ -511,13 +511,22 @@ object ScaleOps {
     * is trained once and an arriving batch must never shift it. */
   private def pqFlatBaseWhere(spark: SparkSession, dir: String,
                               where: String,
-                              rounds: Int = PqRounds): String = {
+                              rounds: Int = PqRounds): String =
+    pqFlatBaseOver(spark, dir, "embeddings", where, rounds)
+
+  /** The PQ base over an arbitrary `(vec_id, embedding)` source view —
+    * the further generalization streaming ingest needs: a micro-batch
+    * frame is not a predicate over the corpus table, it is its own
+    * (tiny) relation, and only IT gets scanned. */
+  private def pqFlatBaseOver(spark: SparkSession, dir: String,
+                             srcView: String, where: String,
+                             rounds: Int = PqRounds): String = {
     val cbView = s"graft_pq_codebook_t${Thread.currentThread().getId}"
     pqCodebook(spark, dir, rounds).createOrReplaceTempView(cbView)
     s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
     sub AS (
       SELECT vec_id, m, slice(embedding, m * $PqSub + 1, $PqSub) AS v
-      FROM embeddings CROSS JOIN ms WHERE $where),
+      FROM $srcView CROSS JOIN ms WHERE $where),
     csub AS (SELECT cid, m, c FROM $cbView),
     d AS (
       SELECT s.vec_id, s.m, c.cid,
@@ -826,6 +835,22 @@ object ScaleOps {
         CAST(ad6 AS DOUBLE) / 1e6 AS adist
       FROM ranked WHERE rk <= $PqTopK
       ORDER BY probe_id, rk""")
+  }
+
+  /** Encode an arriving batch FRAME with the frozen memoized codebook —
+    * the entry point streaming/incremental ingest uses: the batch is its
+    * own relation (thread-scoped view), only its rows are scanned, and
+    * the codebook never shifts. Same arithmetic as q105's encode, so
+    * appended codes are bit-compatible with the stored index. */
+  def encodeWithFrozenCodebook(spark: SparkSession, dir: String,
+                               batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // codebook builds lazily off the corpus table on first use
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val view = s"graft_pq_ingest_t${Thread.currentThread().getId}"
+    batch.createOrReplaceTempView(view)
+    spark.sql(s"""WITH ${pqFlatBaseOver(spark, dir, view, "true")}
+      SELECT vec_id, m, cid AS code FROM r WHERE rn = 1""")
   }
 
   // ---------------------------------------------------------------- q153

@@ -160,6 +160,32 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming IVF-PQ index maintenance — the stream-time twin of
+    * q151's batch append: each arriving micro-batch of (vec_id,
+    * embedding) rows is PQ-encoded with the FROZEN memoized codebook
+    * ([[graft.operators.ScaleOps.encodeWithFrozenCodebook]] — only the
+    * batch is scanned, the codebook never shifts) and its codes land
+    * under `index/batch_run=N` with per-batch idempotent overwrite
+    * (exactly-once under foreachBatch replay, the multi-sink
+    * discipline). A search tier reading the base index plus these
+    * partitions sees new vectors one trigger after they arrive, with
+    * no corpus re-encode anywhere. */
+  def startStreamingIndexAppend(vecStream: DataFrame, dir: String,
+                                indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.ScaleOps
+            .encodeWithFrozenCodebook(batch.sparkSession, dir, batch)
+            .write.mode("overwrite")
+            .parquet(s"$indexPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   // ---- custom stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -341,6 +341,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture surprise: no cross-side near-dups")
   }
 
+  test("streaming PQ index append equals the batch encode, micro-batch by micro-batch") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the q151 batch: vectors arriving after the codebook froze
+    val newVecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 === graft.operators.ScaleOps.PqBatchMod)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    assert(newVecs.length >= 2)
+    val (h1, h2) = newVecs.splitAt(newVecs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spq").toString
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = EventAnalytics.startStreamingIndexAppend(
+      source.toDF().toDF("vec_id", "embedding"), sfDir,
+      s"$dir/index", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2))
+    val got = spark.read.parquet(s"$dir/index")
+      .select("vec_id", "m", "code").collect().map(key).toSet
+    // ground truth: the full q105 batch encode restricted to these ids
+    val ids = newVecs.map(_._1).toSet
+    val want = graft.operators.ScaleOps.pqEncode(spark, sfDir)
+      .select("vec_id", "m", "code").collect().map(key)
+      .filter(t => ids.contains(t._1)).toSet
+    assert(got == want)
+    assert(want.size == newVecs.length * graft.operators.ScaleOps.PqM)
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
