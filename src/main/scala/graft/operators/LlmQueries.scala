@@ -790,6 +790,81 @@ object LlmQueries {
     Similarity.hardNegatives(embs(spark, dir), col("vec_id") < 10, BruteK)
       .orderBy("query_id", "rnk")
 
+  /** The q74 surviving-corpus oracle's CTE chain ending in `surv` —
+    * shared verbatim with the q160 impact report. */
+  private def dedupSurvivorsOracleCtes: String = {
+    val pairsSql = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
+    s"""
+      WITH RECURSIVE pairs AS ($pairsSql),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+      comp AS (SELECT id AS doc_id, min(label) AS component
+        FROM reach GROUP BY id),
+      fps AS (SELECT doc_id, ${bagFingerprintSql("text")} AS fp
+        FROM documents),
+      keepx AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp),
+      surv AS (
+        SELECT k.doc_id, k.fp
+        FROM keepx k LEFT JOIN comp c ON k.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.component = k.doc_id)"""
+  }
+
+  // ---------------------------------------------------------------- q160
+  /** Dedup impact report — the ROI readout every dedup pipeline owes
+    * its operator: per source, how many docs and tokens the full
+    * exact+near dedup (q74's surviving corpus, riding the q144 at-rest
+    * pair table) actually removed, as exact counts and retention
+    * shares. A source with low retention is a mirror/template farm; a
+    * source near 1.0 contributes genuinely novel text. One hash agg
+    * over the corpus joined to the O(survivors) keep set — O(|sources|)
+    * output at any scale. */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount("text").cast("long").as("tok"))
+    val surv = dedupCorpus(spark, dir).select(col("doc_id"))
+      .withColumn("kept", lit(1L))
+    d.join(surv, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept").isNotNull, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("kept").isNotNull, col("tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_docs_kept"),
+        col("n_tokens"), col("n_tokens_kept"),
+        dround(col("n_docs_kept").cast("double") /
+          col("n_docs").cast("double"), 6).as("doc_retention"),
+        dround(col("n_tokens_kept").cast("double") /
+          col("n_tokens").cast("double"), 6).as("token_retention"))
+      .orderBy("source")
+  }
+
+  def dedupImpactSql: String = s"""
+      $dedupSurvivorsOracleCtes,
+      d AS (
+        SELECT doc_id, source, ${tokenCountSql("text")}::BIGINT AS tok
+        FROM documents)
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+        count(s.doc_id)::BIGINT AS n_docs_kept,
+        sum(tok)::BIGINT AS n_tokens,
+        coalesce(sum(CASE WHEN s.doc_id IS NOT NULL THEN tok END), 0)::BIGINT
+          AS n_tokens_kept,
+        ${droundSql(
+          "count(s.doc_id)::DOUBLE / count(*)::DOUBLE", 6)} AS doc_retention,
+        ${droundSql(
+          "coalesce(sum(CASE WHEN s.doc_id IS NOT NULL THEN tok END), 0)::DOUBLE" +
+            " / sum(tok)::DOUBLE", 6)} AS token_retention
+      FROM d LEFT JOIN surv s ON d.doc_id = s.doc_id
+      GROUP BY d.source
+      ORDER BY d.source"""
+
   // ---------------------------------------------------------------- q159
   /** Blocking-strategy audit ([[Dedup.blockingAudit]]): MinHash bands vs
     * SimHash pigeonhole blocks vs the normalized-head key, each scored
@@ -1333,6 +1408,7 @@ object LlmQueries {
     "q157_dup_clusters"   -> dupClusterSizes _,
     "q158_hard_negatives" -> hardNegativeMining _,
     "q159_blocking_audit" -> blockingAudit _,
+    "q160_dedup_impact"   -> dedupImpact _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1462,6 +1538,7 @@ object LlmQueries {
       "documents", "doc_id", "text", WordShingleN, MinhashK, MinhashBands,
       SimhashMaxHamming, StatsOps.SurvivorHeadWords, MinhashTau,
       s"doc_id < $AuditSampleCap"),
+    "q160_dedup_impact" -> dedupImpactSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """
@@ -1624,28 +1701,10 @@ object LlmQueries {
         FROM tf JOIN df USING (term) CROSS JOIN n)
       WHERE rk <= $TfidfTopK
       ORDER BY doc_id, rk""",
-    "q74_dedup_corpus" -> {
-      val pairsSql = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
-        WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
-      s"""
-      WITH RECURSIVE pairs AS ($pairsSql),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
-      reach(id, label) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
-      comp AS (SELECT id AS doc_id, min(label) AS component
-        FROM reach GROUP BY id),
-      fps AS (SELECT doc_id, ${bagFingerprintSql("text")} AS fp
-        FROM documents),
-      keepx AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
-      SELECT k.doc_id, k.fp
-      FROM keepx k LEFT JOIN comp c ON k.doc_id = c.doc_id
-      WHERE c.doc_id IS NULL OR c.component = k.doc_id
-      ORDER BY k.doc_id"""
-    },
+    "q74_dedup_corpus" -> s"""
+      $dedupSurvivorsOracleCtes
+      SELECT doc_id, fp FROM surv
+      ORDER BY doc_id""",
     "q78_rank_correlation" -> {
       val tokens = s"${tokenCountSql("text")}::DOUBLE"
       val punctR = s"${punctCountSql("text")}::DOUBLE / length(text)"

@@ -330,6 +330,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(totalDocs == comp)
   }
 
+  test("dedup impact report reconciles with the surviving corpus") {
+    val r = LlmQueries.dedupImpact(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val totalDocs = r.map(_.getLong(1)).sum
+    val totalKept = r.map(_.getLong(2)).sum
+    assert(totalDocs ==
+      graft.core.Tables.load(spark, sfDir, "documents").count())
+    assert(totalKept == LlmQueries.dedupCorpus(spark, sfDir).count())
+    assert(totalKept < totalDocs, "fixture has duplicates; some must drop")
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1))
+      assert(row.getLong(4) <= row.getLong(3))
+      assert(row.getDouble(5) > 0 && row.getDouble(5) <= 1.0)
+      assert(row.getDouble(6) > 0 && row.getDouble(6) <= 1.0)
+    }
+  }
+
   test("blocking audit is internally consistent and truth-anchored") {
     val r = LlmQueries.blockingAudit(spark, sfDir).collect()
     assert(r.map(_.getString(0)).toSeq ==
