@@ -815,6 +815,46 @@ object LlmQueries {
         WHERE c.doc_id IS NULL OR c.component = k.doc_id)"""
   }
 
+  // ---------------------------------------------------------------- q161
+  /** Temperature-sampling mixture plan (α = 0.5): per source, the
+    * sampling weight ∝ tokens^α that flattens the source distribution —
+    * the standard multi-source/multilingual mixing rule (small sources
+    * up-weighted relative to their size, dominant sources damped) —
+    * turned into an executable plan: normalized weight, the token
+    * allocation out of a [[MixtureTokenBudget]]-token budget, and the
+    * implied epochs over each source (epochs > 1 = upsampling, which
+    * q66's hash-gated resampler then executes). Determinism: sqrt runs
+    * on exact integer token counts and is floor-bridged to a 1e6 grid,
+    * so the normalizing sum is an exact BIGINT and the allocation is
+    * pure integer arithmetic. O(|sources|) everything. */
+  val MixtureTokenBudget = 1000000L
+  private def mixturePlanSql(tokExpr: String, intDiv: String): String = s"""
+      WITH t AS (
+        SELECT source, CAST(sum($tokExpr) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      s AS (
+        SELECT source, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+            AS sw
+        FROM t),
+      tot AS (SELECT CAST(sum(sw) AS BIGINT) AS tw FROM s)
+      SELECT source, n_tokens,
+        ${droundSql("CAST(sw AS DOUBLE) / CAST(tw AS DOUBLE)", 6)} AS weight,
+        CAST(($MixtureTokenBudget * sw) $intDiv tw AS BIGINT) AS alloc_tokens,
+        ${droundSql(
+          s"CAST(($MixtureTokenBudget * sw) $intDiv tw AS DOUBLE) / " +
+            "CAST(n_tokens AS DOUBLE)", 6)} AS epochs
+      FROM s CROSS JOIN tot
+      ORDER BY source"""
+
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(mixturePlanSql(s"size(${wordsExpr("text")})", "DIV"))
+  }
+
+  def mixturePlanOracleSql: String =
+    mixturePlanSql(tokenCountSql("text"), "//")
+
   // ---------------------------------------------------------------- q160
   /** Dedup impact report — the ROI readout every dedup pipeline owes
     * its operator: per source, how many docs and tokens the full
@@ -1409,6 +1449,7 @@ object LlmQueries {
     "q158_hard_negatives" -> hardNegativeMining _,
     "q159_blocking_audit" -> blockingAudit _,
     "q160_dedup_impact"   -> dedupImpact _,
+    "q161_mixture_plan"   -> mixturePlan _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1539,6 +1580,7 @@ object LlmQueries {
       SimhashMaxHamming, StatsOps.SurvivorHeadWords, MinhashTau,
       s"doc_id < $AuditSampleCap"),
     "q160_dedup_impact" -> dedupImpactSql,
+    "q161_mixture_plan" -> mixturePlanOracleSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """
