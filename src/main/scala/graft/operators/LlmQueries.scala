@@ -905,6 +905,105 @@ object LlmQueries {
       GROUP BY d.source
       ORDER BY d.source"""
 
+  // ---------------------------------------------------------------- q162
+  /** Cross-document duplicate-substring profile — span-level exact dedup
+    * in the shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), whose suffix-array pass finds verbatim
+    * runs repeated across documents, re-expressed Spark-first: every
+    * K-token positional gram is reduced to an 8-byte cross-engine hash
+    * ([[graft.core.Determinism.xhashExpr]]) so the only corpus-sized
+    * shuffle carries (doc_id, pos, ghash) and never the gram text; grams
+    * seen in ≥2 DISTINCT docs (within-doc repetition is q56's metric)
+    * mark their [pos, pos+K-1] token spans duplicated; per doc the spans
+    * are merged by the q129 gaps-and-islands interval union (adjacent
+    * spans fuse, so a repeated run of any length ≥ K is counted once,
+    * exactly — overlapping grams chain through the union). No suffix
+    * array needed: a hash agg + one doc-partitioned window is the whole
+    * plan, which is why it survives 100 TB. Output: the span-removal
+    * work list — per affected doc, how many tokens a cut pass deletes. */
+  val SubdupK = 8
+  private def subdupIslandTail: String = s"""
+    w2 AS (
+      SELECT doc_id, n_tokens, s, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM sp),
+    isl AS (
+      SELECT doc_id, n_tokens, s, e,
+        CAST(sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS island
+      FROM w2),
+    m AS (
+      SELECT doc_id, n_tokens, island,
+        min(s) AS i_s, max(e) AS i_e
+      FROM isl GROUP BY doc_id, n_tokens, island)
+    SELECT doc_id, n_tokens,
+      CAST(count(1) AS BIGINT) AS dup_spans,
+      CAST(sum(i_e - i_s + 1) AS BIGINT) AS dup_tokens,
+      ${droundSql(
+        "CAST(sum(i_e - i_s + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)",
+        6)} AS dup_frac
+    FROM m GROUP BY doc_id, n_tokens
+    ORDER BY doc_id"""
+
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOf(docs(spark, dir))
+
+  /** [[substringDedup]] over an arbitrary (doc_id, text) frame — the
+    * spec entry point (planted shared runs → exact span boundaries). */
+  def substringDedupOf(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    val view = s"graft_subdup_docs_t${Thread.currentThread().getId}"
+    docsDf.createOrReplaceTempView(view)
+    // Positional gram hashes, persisted once: both the ≥2-docs gram
+    // filter and the span join consume this frame, and Spark would
+    // otherwise re-tokenize the corpus for each.
+    spark.sql(s"""
+      WITH d AS (SELECT doc_id, ${wordsExpr("text")} AS w FROM $view),
+      e AS (
+        SELECT doc_id, CAST(size(w) AS INT) AS n_tokens, w,
+          explode(CASE WHEN size(w) >= $SubdupK
+            THEN sequence(1, size(w) - ${SubdupK - 1})
+            ELSE array_repeat(1, 0) END) AS pos
+        FROM d)
+      SELECT doc_id, n_tokens, pos,
+        ${xhashExpr(s"concat_ws(' ', slice(w, pos, $SubdupK))")} AS ghash
+      FROM e""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(s"${view}_grams")
+    spark.sql(s"""
+      WITH df AS (
+        SELECT ghash FROM ${view}_grams GROUP BY ghash
+        HAVING count(DISTINCT doc_id) >= 2),
+      sp AS (
+        SELECT g.doc_id, g.n_tokens, g.pos AS s,
+          g.pos + ${SubdupK - 1} AS e
+        FROM ${view}_grams g JOIN df ON g.ghash = df.ghash),
+      $subdupIslandTail""")
+  }
+
+  def substringDedupSql: String = s"""
+      WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      e AS (
+        SELECT doc_id, len(w)::INT AS n_tokens, w,
+          unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM d),
+      g AS (
+        SELECT doc_id, n_tokens, pos,
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM e),
+      df AS (
+        SELECT ghash FROM g GROUP BY ghash
+        HAVING count(DISTINCT doc_id) >= 2),
+      sp AS (
+        SELECT g.doc_id, g.n_tokens, g.pos AS s,
+          g.pos + ${SubdupK - 1} AS e
+        FROM g JOIN df ON g.ghash = df.ghash),
+      $subdupIslandTail"""
+
   // ---------------------------------------------------------------- q159
   /** Blocking-strategy audit ([[Dedup.blockingAudit]]): MinHash bands vs
     * SimHash pigeonhole blocks vs the normalized-head key, each scored
@@ -1450,6 +1549,7 @@ object LlmQueries {
     "q159_blocking_audit" -> blockingAudit _,
     "q160_dedup_impact"   -> dedupImpact _,
     "q161_mixture_plan"   -> mixturePlan _,
+    "q162_substring_dedup" -> substringDedup _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1581,6 +1681,7 @@ object LlmQueries {
       s"doc_id < $AuditSampleCap"),
     "q160_dedup_impact" -> dedupImpactSql,
     "q161_mixture_plan" -> mixturePlanOracleSql,
+    "q162_substring_dedup" -> substringDedupSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

@@ -419,4 +419,49 @@ class DedupSpec extends SparkSpec {
     val badRow = graft.llm.Multimodal.aHashes(spark, bad).collect().head
     assert(!badRow.getBoolean(1) && badRow.getLong(2) === 0L)
   }
+
+  test("substring dedup finds exact shared-run boundaries across docs") {
+    import graft.operators.LlmQueries
+    val run = (1 to 10).map(i => s"s$i").mkString(" ") // 10 shared tokens
+    val d = docsOf(
+      1L -> s"a1 a2 a3 $run b1 b2", // run at token positions 4..13 of 15
+      2L -> s"$run c1 c2 c3", // run at positions 1..10 of 13
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9", // unrelated, long enough
+      // same 8-token run twice WITHIN one doc: distinct-doc count is 1,
+      // so within-doc repetition alone must not mark spans (q56's metric)
+      4L -> "t1 t2 t3 t4 t5 t6 t7 t8 t1 t2 t3 t4 t5 t6 t7 t8",
+      5L -> "v1 v2 v3") // shorter than the gram window
+    val out = LlmQueries.substringDedupOf(d).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val Array(r1, r2) = out
+    // exactly the shared run is covered — boundary grams that straddle
+    // unique context exist in only one doc and must not widen the span
+    assert(r1.getInt(1) === 15 && r1.getLong(2) === 1L && r1.getLong(3) === 10L)
+    assert(r2.getInt(1) === 13 && r2.getLong(2) === 1L && r2.getLong(3) === 10L)
+    assert(math.abs(r1.getDouble(4) - 0.666667) < 1e-9)
+  }
+
+  test("substring dedup merges overlapping spans, keeps separated ones apart") {
+    import graft.operators.LlmQueries
+    val run1 = (1 to 8).map(i => s"p$i").mkString(" ")
+    val run2 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val d = docsOf(
+      1L -> s"$run1 gap1 $run2", // two dup runs split by a unique token
+      2L -> s"$run1 w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> s"z1 z2 z3 z4 z5 z6 z7 z8 $run2")
+    val out = LlmQueries.substringDedupOf(d).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(2) === 2L, "separated runs stay two spans")
+    assert(r1.getLong(3) === 16L)
+    // adjacent spans fuse: doc 10 = run1 directly followed by run2 is
+    // covered 1..16 contiguously; islands merge on s <= pmax + 1
+    val d2 = docsOf(
+      10L -> s"$run1 $run2 tail1 tail2",
+      11L -> s"$run1 y1 y2 y3 y4 y5 y6 y7 y8",
+      12L -> s"x1 x2 x3 x4 x5 x6 x7 x8 $run2")
+    val out2 = LlmQueries.substringDedupOf(d2).collect()
+    val r10 = out2.find(_.getLong(0) == 10L).get
+    assert(r10.getLong(2) === 1L, "adjacent spans merge into one island")
+    assert(r10.getLong(3) === 16L)
+  }
 }
