@@ -646,6 +646,109 @@ object StatsOps {
 
   def decayOracleSql: String = decaySql(c => s"epoch_ms($c)")
 
+  // ---------------------------------------------------------------- q163
+  /** In-engine quality-classifier training + scoring — the CCNet/fastText
+    * move (score every doc by a linear classifier trained to recognize a
+    * trusted slice; here the language-ID label stands in for the trusted
+    * side) as a fixed-iteration batch-gradient-descent plan that BOTH
+    * engines replay bit-identically:
+    *
+    *  - Features are exact by construction: integer counts (tokens,
+    *    punctuation, chars) divided by powers of two — binary-exact
+    *    doubles, no standardization pass to drift.
+    *  - The link is the rational sigmoid σ̃(z) = 0.5 + z/(2(1+|z|)) —
+    *    same shape/range as logistic but pure {+,-,*,/,abs}, so its
+    *    bits are IEEE-identical across engines, where exp()'s last ulp
+    *    is libm-dependent (production would swap in MLlib's logistic;
+    *    the operator here is the deterministic pipeline shape).
+    *  - Each iteration's gradient is a per-row contribution rounded on a
+    *    1e-9 grid and summed as exact DECIMAL — order-independent, so
+    *    Spark's nondeterministic partition-merge order cannot flake the
+    *    hash — then one 1-row weight frame cross-joins into the next
+    *    pass. T scans of a persisted skinny feature frame + T 1-row
+    *    aggs: exactly distributed full-batch GD at 100 TB (weights
+    *    broadcast, gradients map-side-combined).
+    *
+    * Output: per-doc label + final score — the filter a data pipeline
+    * thresholds. The oracle replays all [[ClsIters]] iterations in SQL
+    * (q84's Lloyd-replay pattern). */
+  val ClsIters = 3
+  val ClsLr = "0.5"
+  private def bridge9(e: String): String =
+    s"CAST(sum(CAST(floor(($e) * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e9"
+
+  private def clsFeatsSql(tokExpr: String, punctExpr: String): String = s"""
+      SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS yi,
+        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        CAST($tokExpr AS DOUBLE) / 256.0 AS f1,
+        CAST($punctExpr AS DOUBLE) / 64.0 AS f2,
+        CAST(n_chars AS DOUBLE) / 4096.0 AS f3
+      FROM documents"""
+
+  /** GD chain from a feature relation named `feats` (engine-common). */
+  private def clsChainSql(withFeats: Option[String]): String = {
+    def iter(t: Int): String = {
+      val wp = s"w_${t - 1}"
+      s"""
+      g_$t AS (
+        SELECT count(1) AS n,
+          ${bridge9("r")} AS g0, ${bridge9("r * f1")} AS g1,
+          ${bridge9("r * f2")} AS g2, ${bridge9("r * f3")} AS g3
+        FROM (
+          SELECT y, f1, f2, f3,
+            (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS r
+          FROM (SELECT f.*, w0 + w1 * f1 + w2 * f2 + w3 * f3 AS z
+                FROM feats f CROSS JOIN $wp) zz) rr),
+      w_$t AS (
+        SELECT w0 - $ClsLr * (g0 / CAST(n AS DOUBLE)) AS w0,
+               w1 - $ClsLr * (g1 / CAST(n AS DOUBLE)) AS w1,
+               w2 - $ClsLr * (g2 / CAST(n AS DOUBLE)) AS w2,
+               w3 - $ClsLr * (g3 / CAST(n AS DOUBLE)) AS w3
+        FROM $wp CROSS JOIN g_$t)"""
+    }
+    val featsCte = withFeats.map(f => s"feats AS ($f),").getOrElse("")
+    s"""
+      WITH $featsCte
+      w_0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                     CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+      ${(1 to ClsIters).map(iter).mkString(",")}
+      SELECT doc_id, yi AS label,
+        ${droundSql("0.5 + z / (2.0 * (1.0 + abs(z)))", 6)} AS score
+      FROM (SELECT f.doc_id, f.yi, w0 + w1 * f1 + w2 * f2 + w3 * f3 AS z
+            FROM feats f CROSS JOIN w_$ClsIters) fin
+      ORDER BY doc_id"""
+  }
+
+  /** [[qualityClassifier]] over an arbitrary (doc_id, text, lang,
+    * n_chars) frame — the spec entry point (separable planted labels →
+    * scores must order positives above negatives). */
+  def qualityClassifierOf(docsDf: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val spark = docsDf.sparkSession
+    val view = s"graft_qcls_docs_t${Thread.currentThread().getId}"
+    docsDf.createOrReplaceTempView(view)
+    // Feature frame persisted once: every GD iteration scans it, and the
+    // regex token/punct extraction should run exactly one corpus pass.
+    spark.sql(clsFeatsSql(
+      s"size(${TextFunctions.wordsExpr("text")})",
+      s"(length(text) - length(regexp_replace(text, '[\\\\p{Punct}]', '')))")
+      .replace("FROM documents", s"FROM $view"))
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(s"${view}_feats")
+    spark.sql(clsChainSql(None).replace("FROM feats", s"FROM ${view}_feats"))
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables.load(spark, dir, "documents"))
+
+  def qualityClassifierOracleSql: String = {
+    import graft.functions.TextFunctions
+    clsChainSql(Some(clsFeatsSql(
+      TextFunctions.tokenCountSql("text"),
+      TextFunctions.punctCountSql("text"))))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,7 +762,8 @@ object StatsOps {
     "q134_decay_revenue"  -> decayRevenue _,
     "q135_hll_persist"    -> hllPersist _,
     "q136_quantile_sketch" -> ddqPersist _,
-    "q137_heavy_hitters"  -> cmsPersist _
+    "q137_heavy_hitters"  -> cmsPersist _,
+    "q163_quality_classifier" -> qualityClassifier _
   )
 
   val oracles: Map[String, String] = Map(
@@ -673,6 +777,7 @@ object StatsOps {
     "q134_decay_revenue"  -> decayOracleSql,
     "q135_hll_persist"    -> hllPersistSql,
     "q136_quantile_sketch" -> ddqPersistSql,
-    "q137_heavy_hitters"  -> cmsPersistSql
+    "q137_heavy_hitters"  -> cmsPersistSql,
+    "q163_quality_classifier" -> qualityClassifierOracleSql
   )
 }

@@ -202,6 +202,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("quality classifier separates a separable planted corpus") {
+    // positives (lang=en) are long + punctuation-free, negatives short —
+    // after the fixed GD iterations every positive must outscore every
+    // negative, scores live in (0,1), and the op is deterministic
+    val rows = (0 until 20).map { i =>
+      val pos = i % 2 == 0
+      val text =
+        if (pos) (1 to 60).map(j => s"w$j").mkString(" ")
+        else (1 to 5).map(j => s"x$j!!").mkString(" ")
+      (i.toLong, text, if (pos) "en" else "xx", text.length)
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "n_chars")
+    val out = StatsOps.qualityClassifierOf(d).collect()
+    assert(out.length === 20)
+    val (pos, neg) = out.partition(_.getInt(1) == 1)
+    assert(pos.map(_.getDouble(2)).min > neg.map(_.getDouble(2)).max,
+      "positives must outscore negatives on separable data")
+    assert(out.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0))
+    val again = StatsOps.qualityClassifierOf(d).collect()
+    assert(out.map(_.getDouble(2)).toSeq === again.map(_.getDouble(2)).toSeq)
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
