@@ -249,6 +249,101 @@ object CorpusOps {
     * [[graft.functions.TextFunctions.tokenCount]]). */
   private def tokenCountExprSql: String = s"size(${wordsExpr("text")})"
 
+  // ---------------------------------------------------------------- q164
+  /** BM25 serving from an inverted index AT REST — the text-retrieval
+    * mirror of q146's ANN serving: the posting-list table
+    * (term, doc_id, tf) and the doc-length table are built ONCE into the
+    * warehouse ([[graft.core.Warehouse.tableOnce]], Hive `shard=N`
+    * layout, shard = xhash(term) mod [[Bm25Shards]]) and the serve path
+    * answers the whole query batch from those tables alone — no scan,
+    * split, or explode of corpus text at query time (PlanSpec-asserted).
+    * Because the query vocabulary is literal, BOTH prunings push into
+    * the index scan: `shard IN (...)` is precomputed driver-side with
+    * the same md5-derived hash (partition pruning — unlisted shards are
+    * never even listed) and `term IN (...)` reaches the parquet reader
+    * as a row-group filter. Scoring is q90's decimal-bridged formula
+    * verbatim over the stored tf/df/dl, and the ORACLE IS q90's oracle:
+    * same contract, different execution — the hash match proves the
+    * at-rest index lost nothing. At 100 TB the index build is one
+    * explode + hash agg (the shuffle key is the term), and every serve
+    * after it touches |query-vocab| shards of a table that is ~1% the
+    * corpus size. */
+  val Bm25Shards = 8
+
+  /** Driver-side twin of [[graft.core.Determinism.xhash]] (first 15 md5
+    * hex chars as a 60-bit long) — lets the literal query vocabulary
+    * turn into a `shard IN (...)` partition-pruning predicate. */
+  private[operators] def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private def wtable(dir: String, base: String): String =
+    base + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+
+  /** Build-or-read the at-rest postings + doclen tables for `dir`. */
+  def bm25IndexTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    val postings = graft.core.Warehouse.tableOnce(
+      spark, wtable(dir, "bm25_postings"), "shard") {
+      spark.sql(s"""
+        SELECT term, doc_id, CAST(count(1) AS BIGINT) AS tf,
+          CAST(pmod(${graft.core.Determinism.xhashExpr("term")},
+            $Bm25Shards) AS INT) AS shard
+        FROM (SELECT doc_id, explode(${wordsExpr("text")}) AS term
+              FROM documents)
+        GROUP BY term, doc_id""")
+    }
+    val doclen = graft.core.Warehouse.tableOnce(
+      spark, wtable(dir, "bm25_doclen")) {
+      spark.sql(s"""
+        SELECT doc_id, CAST($tokenCountExprSql AS BIGINT) AS dl
+        FROM documents""")
+    }
+    (postings, doclen)
+  }
+
+  def bm25IndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, doclen) = bm25IndexTables(spark, dir)
+    postings.createOrReplaceTempView("bm25_idx")
+    doclen.createOrReplaceTempView("bm25_dlen")
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val shardList = terms.map(t => md5Hash60(t) % Bm25Shards)
+      .distinct.sorted.mkString(", ")
+    spark.sql(s"""
+      WITH qt AS (SELECT * FROM VALUES $bm25ValuesSql AS t(query_id, term)),
+      p AS (
+        SELECT term, doc_id, tf FROM bm25_idx
+        WHERE shard IN ($shardList) AND term IN ($termList)),
+      df AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM p GROUP BY term),
+      st AS (SELECT count(1) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+             FROM bm25_dlen),
+      contrib AS (
+        SELECT /*+ BROADCAST(qt, df) */ qt.query_id, tf.doc_id,
+          $bm25ContribSql AS c6
+        FROM (SELECT term, doc_id, CAST(tf AS DOUBLE) AS tfd FROM p) tf
+        JOIN qt ON tf.term = qt.term
+        JOIN (SELECT term, CAST(df AS DOUBLE) AS dfd FROM df) df
+          ON tf.term = df.term
+        JOIN (SELECT doc_id, CAST(dl AS DOUBLE) AS dld FROM bm25_dlen) dl
+          ON tf.doc_id = dl.doc_id
+        CROSS JOIN (SELECT CAST(n_docs AS DOUBLE) AS ndd,
+                      CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                    FROM st)),
+      sc AS (SELECT query_id, doc_id, CAST(sum(c6) AS DOUBLE) / 1e6 AS score
+             FROM contrib GROUP BY query_id, doc_id)
+      SELECT query_id, rk, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INT) AS rk
+        FROM sc)
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk""")
+  }
+
   // ---------------------------------------------------------------- q150
   /** Hybrid retrieval with reciprocal-rank fusion — the production
     * search stack's merge step: a lexical ranking (q90's BM25 top-k)
@@ -665,6 +760,7 @@ object CorpusOps {
     "q88_text_entropy"    -> textEntropy _,
     "q89_dist_shape"      -> distShape _,
     "q90_bm25_search"     -> bm25Search _,
+    "q164_bm25_index_serve" -> bm25IndexServe _,
     "q150_hybrid_rrf"     -> hybridSearch _,
     "q91_numeric_hist"    -> numericHist _,
     "q92_semantic_dedup"  -> semanticDedup _,
@@ -734,6 +830,13 @@ object CorpusOps {
       FROM s ORDER BY doc_id""",
     "q89_dist_shape" -> distShapeSql("lineitem"),
     "q90_bm25_search" -> s"""
+      WITH $bm25RankedOracleCtes
+      SELECT query_id, rk, doc_id, score FROM sparse
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk""",
+    // q164 serves the SAME contract from the at-rest index — one oracle,
+    // two execution paths; the hash match proves the index lost nothing
+    "q164_bm25_index_serve" -> s"""
       WITH $bm25RankedOracleCtes
       SELECT query_id, rk, doc_id, score FROM sparse
       WHERE rk <= $Bm25TopK

@@ -349,4 +349,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("word_shingles") && !p.contains("minhash"),
       s"q143 must not recompute signatures:\n$p")
   }
+
+  test("BM25 serve reads the at-rest index, prunes shards, never re-tokenizes") {
+    // build the index tables once, then the serve plan must scan
+    // bm25_postings/bm25_doclen with a shard partition filter and carry
+    // no tokenization of corpus text — the q146-for-text contract
+    graft.operators.CorpusOps.bm25IndexTables(spark, sfDir)
+    val p = plan(graft.operators.CorpusOps.bm25IndexServe(spark, sfDir))
+    assert(p.contains("bm25_postings"),
+      s"serve must scan the persisted postings:\n$p")
+    assert(p.contains("bm25_doclen"),
+      s"serve must scan the persisted doc lengths:\n$p")
+    assert(p.contains("PartitionFilters: [shard"),
+      s"query-vocab shards must prune at the partition level:\n$p")
+    assert(!p.contains("split(") && !p.contains("documents.parquet"),
+      s"serve must not re-tokenize or rescan the corpus:\n$p")
+  }
 }
