@@ -114,6 +114,65 @@ object DistributedRank {
       .drop(BCol, "__off")
   }
 
+  /** Keyed variant: rank within each `key` group — the scale-safe
+    * replacement for `row_number() OVER (PARTITION BY key ORDER BY ...)`
+    * when a single group can outgrow one task (a dominant source in a
+    * 100 TB corpus is one window partition = one task's sort). Same
+    * bucketed two-pass scheme with the count/offset step keyed: the
+    * driver sees |key-cardinality| × B scalars, so this is for
+    * DIMENSION-cardinality keys (sources, languages, shards) — for
+    * per-user keys the plain keyed window is already distributed, use
+    * that. Bit-identical to the keyed window under the same total sort
+    * order (`sortCols` must include a unique tiebreak). */
+  def rankWithin(df: DataFrame, key: String, rankCol: String,
+                 primary: String, desc: Boolean,
+                 sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val mm = df.agg(
+      min(col(primary)).cast("double"), max(col(primary)).cast("double")).first()
+    if (mm.isNullAt(0)) return df.withColumn(rankCol, lit(1L)).limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val nb = numBuckets(df)
+    val span = hi - lo + 1.0
+    val raw = floor((col(primary).cast("double") - lit(lo)) / lit(span) * lit(nb))
+      .cast("int")
+    val flipped = if (desc) lit(nb - 1) - raw else raw
+    val bucketed = df.withColumn(
+      BCol, least(greatest(flipped, lit(0)), lit(nb - 1)))
+    val counts = bucketed.groupBy(col(key), col(BCol))
+      .agg(count(lit(1)).as("n")).collect()
+    require(counts.length <= (1 << 20),
+      s"DistributedRank.rankWithin: ${counts.length} (key, bucket) cells — " +
+        "this helper is for dimension-cardinality keys; use a plain keyed " +
+        "window for high-cardinality keys (it is already distributed)")
+    val limit = spark.conf.getOption("graft.rank.degenerateRowLimit")
+      .map(_.toLong).getOrElse(8000000L)
+    val rows = counts.groupBy(_.get(0)).toSeq.flatMap { case (k, rs) =>
+      if (rs.length == 1 && nb > 1 && rs.head.getLong(2) > limit)
+        throw new IllegalArgumentException(
+          s"DistributedRank.rankWithin: all ${rs.head.getLong(2)} rows of " +
+            s"key $k fell into one of $nb buckets — primary '$primary' is " +
+            "(near-)constant within that key")
+      var acc = 0L
+      rs.sortBy(_.getInt(1)).map { r =>
+        val o = acc; acc += r.getLong(2); Row(k, r.getInt(1), o)
+      }
+    }
+    val schema = StructType(Seq(
+      df.schema(key).copy(nullable = true),
+      StructField(BCol, IntegerType), StructField("__off", LongType)))
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val w = Window.partitionBy(col(key), col(BCol)).orderBy(sortCols: _*)
+    bucketed
+      .withColumn(rankCol, row_number().over(w).cast("long"))
+      .join(broadcast(offDf), Seq(key, BCol))
+      .withColumn(rankCol, col(rankCol) + col("__off"))
+      .drop(BCol, "__off")
+  }
+
   /** `ntile(k)` from a global rank: first (n mod k) tiles get
     * ceil(n/k) rows, the rest floor(n/k) — the exact SQL-standard
     * semantics, so the result matches `ntile(k) OVER (ORDER BY ...)`

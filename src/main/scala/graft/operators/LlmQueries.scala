@@ -855,6 +855,48 @@ object LlmQueries {
   def mixturePlanOracleSql: String =
     mixturePlanSql(tokenCountSql("text"), "//")
 
+  // ---------------------------------------------------------------- q165
+  /** Quality-curriculum training order — the standard data-schedule
+    * construction (best data first, source mixture held uniform across
+    * the whole schedule): rank docs by q31's composite quality WITHIN
+    * each source, then interleave sources round-robin by that rank. Both
+    * ranks are scale-safe: the within-source rank uses the new
+    * [[DistributedRank.rankWithin]] (bucketed keyed two-pass — a
+    * dominant source never becomes one task's sort, which is exactly
+    * what `OVER (PARTITION BY source)` degenerates to on a skewed
+    * corpus), and the global interleave position reuses
+    * [[DistributedRank.rankOnly]] on (src_rank, source). The oracle
+    * spells both as plain windows — the hash match proves the
+    * distributed rewrite is bit-identical. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), qualityCol.as("quality"))
+      .transform(graft.core.EngineCache.persisted)
+    val ranked = DistributedRank.rankWithin(
+      d, "source", "src_rank", "quality", desc = true,
+      col("quality").desc, col("doc_id"))
+    val pos = DistributedRank.rankOnly(
+      ranked, "global_pos", "src_rank", desc = false,
+      col("src_rank"), col("source"))
+    pos.select(col("global_pos"), col("doc_id"), col("source"),
+        col("src_rank"), col("quality"))
+      .orderBy("global_pos")
+  }
+
+  def curriculumOrderSql: String = s"""
+      WITH q AS (
+        SELECT doc_id, source, $qualitySql AS quality FROM documents),
+      r AS (
+        SELECT doc_id, source, quality,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id) AS BIGINT) AS src_rank
+        FROM q)
+      SELECT
+        CAST(row_number() OVER (ORDER BY src_rank, source) AS BIGINT)
+          AS global_pos,
+        doc_id, source, src_rank, quality
+      FROM r ORDER BY global_pos"""
+
   // ---------------------------------------------------------------- q160
   /** Dedup impact report — the ROI readout every dedup pipeline owes
     * its operator: per source, how many docs and tokens the full
@@ -1550,6 +1592,7 @@ object LlmQueries {
     "q160_dedup_impact"   -> dedupImpact _,
     "q161_mixture_plan"   -> mixturePlan _,
     "q162_substring_dedup" -> substringDedup _,
+    "q165_curriculum_order" -> curriculumOrder _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1682,6 +1725,7 @@ object LlmQueries {
     "q160_dedup_impact" -> dedupImpactSql,
     "q161_mixture_plan" -> mixturePlanOracleSql,
     "q162_substring_dedup" -> substringDedupSql,
+    "q165_curriculum_order" -> curriculumOrderSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

@@ -266,6 +266,28 @@ object EngineProperties extends Properties("engine") {
       ranked == viaWindow && loud
     }
 
+  property("keyed distributed rank equals the keyed window rank") =
+    forAll(genKeyed) { rows =>
+      val sq = spark
+      import sq.implicits._
+      val df =
+        if (rows.isEmpty) Seq.empty[(Long, Long)].toDF("k", "id")
+        else rows.toDF("k", "id")
+      // key = id mod 3: a handful of groups, sizes uneven
+      val keyed = df.withColumn("g", (col("id") % 3L).cast("long"))
+      val ranked = graft.operators.DistributedRank.rankWithin(
+        keyed, "g", "rk", "k", desc = false, col("k"), col("id"))
+        .select("g", "k", "id", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val viaWindow = keyed.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("g")).orderBy(col("k"), col("id")))
+        .cast("long"))
+        .select("g", "k", "id", "rk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      ranked == viaWindow
+    }
+
   private val genCdcWords: Gen[List[String]] =
     Gen.chooseNum(5, 90).flatMap(n => Gen.listOfN(n,
       Gen.oneOf("red", "blue", "gold", "iron", "moss", "salt", "wolf", "pine")))
