@@ -552,6 +552,64 @@ object CorpusOps {
       ORDER BY source_a, source_b""")
   }
 
+  // ---------------------------------------------------------------- q167
+  /** Population-stability-index drift per source — the other standard
+    * mixture-monitoring readout beside q93's KL matrix: each source's
+    * quality-score distribution over 10 fixed [0,1] bins against the
+    * whole-corpus baseline, PSI = Σ_bins (p_s − p_0)·ln(p_s/p_0) with
+    * add-one smoothing (so empty bins are finite). Fixed equal-width
+    * bins mean NO quantile pass — two hash aggs over a 1-byte bin key
+    * and an O(|sources|·10) grid, at any corpus size. The ln terms ride
+    * q93's proven 1e-12 decimal bridge; the sum is order-independent.
+    * PSI > 0.25 is the classic "population shifted" alarm threshold. */
+  private def psiSql(qHead: String): String = s"""
+      WITH q AS ($qHead),
+      b AS (
+        SELECT source, CAST(least(floor(q * 10), 9) AS INT) AS bin FROM q),
+      bins AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9))
+               AS t(bin)),
+      src AS (SELECT source, count(1) AS ns FROM b GROUP BY source),
+      cnt AS (SELECT source, bin, count(1) AS c FROM b GROUP BY source, bin),
+      tot AS (SELECT bin, count(1) AS c0 FROM b GROUP BY bin),
+      nn AS (SELECT count(1) AS n FROM b),
+      grid AS (
+        SELECT s.source, bins.bin, s.ns,
+          coalesce(c.c, 0) AS c, coalesce(t.c0, 0) AS c0, nn.n
+        FROM src s CROSS JOIN bins
+        LEFT JOIN cnt c ON c.source = s.source AND c.bin = bins.bin
+        LEFT JOIN tot t ON t.bin = bins.bin
+        CROSS JOIN nn),
+      p AS (
+        SELECT source, ns,
+          CAST(c + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE) AS ps,
+          CAST(c0 + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE) AS p0
+        FROM grid),
+      term AS (
+        SELECT source, ns,
+          CAST(floor((ps - p0) * ln(ps / p0) * 1e12 + 0.5) AS DECIMAL(38,0))
+            AS t12
+        FROM p)
+      SELECT source, CAST(min(ns) AS BIGINT) AS n_docs,
+        ${droundSql("CAST(sum(t12) AS DOUBLE) / 1e12", 6)} AS psi
+      FROM term GROUP BY source ORDER BY source"""
+
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftOf(docs(spark, dir))
+
+  /** [[psiDrift]] over an arbitrary (source, text) frame — the spec
+    * entry point (a planted shifted source must alarm, twins must not). */
+  def psiDriftOf(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    val view = s"graft_psi_docs_t${Thread.currentThread().getId}"
+    docsDf
+      .select(col("source"), LlmQueries.qualityCol.as("q"))
+      .createOrReplaceTempView(view)
+    spark.sql(psiSql(s"SELECT source, q FROM $view"))
+  }
+
+  def psiDriftOracleSql: String =
+    psiSql(s"SELECT source, ${LlmQueries.qualitySql} AS q FROM documents")
+
   // ---------------------------------------------------------------- q94
   /** Remaining rank-family window functions — percent_rank, cume_dist,
     * ntile, nth_value with an explicit ROWS frame — over a total
@@ -765,6 +823,7 @@ object CorpusOps {
     "q91_numeric_hist"    -> numericHist _,
     "q92_semantic_dedup"  -> semanticDedup _,
     "q93_kl_drift"        -> klDrift _,
+    "q167_psi_drift"      -> psiDrift _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
     "q96_robust_stats"    -> robustStats _,
@@ -852,6 +911,7 @@ object CorpusOps {
         (c.component IS NULL OR c.component = e.vec_id) AS keep
       FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id
       ORDER BY e.vec_id""",
+    "q167_psi_drift" -> psiDriftOracleSql,
     "q93_kl_drift" -> s"""
       WITH uni AS (
         SELECT source, unnest(${wordsSql("text")}) AS t FROM documents),

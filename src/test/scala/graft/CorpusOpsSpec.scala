@@ -105,4 +105,25 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("PSI drift alarms on a shifted source, stays flat on twins") {
+    val sq = spark
+    import sq.implicits._
+    val clean = (1 to 80).map(j => s"w$j").mkString(" ")   // long, high quality
+    val junk = "x!! y!! z!!"                               // short, punct-heavy
+    val rows =
+      (1 to 20).map(i => (i.toLong, clean, "srcA")) ++
+      (21 to 40).map(i => (i.toLong, clean, "srcB")) ++     // twin of A
+      (41 to 50).map(i => (i.toLong, junk, "srcC"))         // shifted
+    val d = rows.toDF("doc_id", "text", "source")
+    val psi = CorpusOps.psiDriftOf(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psi.keySet === Set("srcA", "srcB", "srcC"))
+    // PSI is a sum of (p-q)ln(p/q) >= 0 terms
+    assert(psi.values.forall(_ >= 0.0))
+    assert(psi("srcA") === psi("srcB"),
+      "identically distributed sources must score identically")
+    assert(psi("srcC") > psi("srcA") + 0.25,
+      s"shifted source must alarm: $psi")
+  }
 }
