@@ -687,7 +687,15 @@ object StatsOps {
       FROM documents"""
 
   /** GD chain from a feature relation named `feats` (engine-common). */
-  private def clsChainSql(withFeats: Option[String]): String = {
+  private def clsChainSql(withFeats: Option[String]): String =
+    clsCtes(withFeats) + s"""
+      SELECT doc_id, yi AS label,
+        ${droundSql("0.5 + z / (2.0 * (1.0 + abs(z)))", 6)} AS score
+      FROM (SELECT f.doc_id, f.yi, w0 + w1 * f1 + w2 * f2 + w3 * f3 AS z
+            FROM feats f CROSS JOIN w_$ClsIters) fin
+      ORDER BY doc_id"""
+
+  private def clsCtes(withFeats: Option[String]): String = {
     def iter(t: Int): String = {
       val wp = s"w_${t - 1}"
       s"""
@@ -712,31 +720,62 @@ object StatsOps {
       WITH $featsCte
       w_0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
                      CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
-      ${(1 to ClsIters).map(iter).mkString(",")}
-      SELECT doc_id, yi AS label,
-        ${droundSql("0.5 + z / (2.0 * (1.0 + abs(z)))", 6)} AS score
-      FROM (SELECT f.doc_id, f.yi, w0 + w1 * f1 + w2 * f2 + w3 * f3 AS z
-            FROM feats f CROSS JOIN w_$ClsIters) fin
-      ORDER BY doc_id"""
+      ${(1 to ClsIters).map(iter).mkString(",")}"""
   }
 
   /** [[qualityClassifier]] over an arbitrary (doc_id, text, lang,
     * n_chars) frame — the spec entry point (separable planted labels →
     * scores must order positives above negatives). */
-  def qualityClassifierOf(docsDf: DataFrame): DataFrame = {
+  /** Register the persisted feature frame for `docsDf`; returns its view
+    * name. Persisted once: every GD iteration scans it, and the regex
+    * token/punct extraction should run exactly one corpus pass. */
+  private def clsFeatsView(docsDf: DataFrame): String = {
     import graft.functions.TextFunctions
     val spark = docsDf.sparkSession
     val view = s"graft_qcls_docs_t${Thread.currentThread().getId}"
     docsDf.createOrReplaceTempView(view)
-    // Feature frame persisted once: every GD iteration scans it, and the
-    // regex token/punct extraction should run exactly one corpus pass.
     spark.sql(clsFeatsSql(
       s"size(${TextFunctions.wordsExpr("text")})",
       s"(length(text) - length(regexp_replace(text, '[\\\\p{Punct}]', '')))")
       .replace("FROM documents", s"FROM $view"))
       .transform(graft.core.EngineCache.persisted)
       .createOrReplaceTempView(s"${view}_feats")
-    spark.sql(clsChainSql(None).replace("FROM feats", s"FROM ${view}_feats"))
+    s"${view}_feats"
+  }
+
+  def qualityClassifierOf(docsDf: DataFrame): DataFrame = {
+    val feats = clsFeatsView(docsDf)
+    docsDf.sparkSession.sql(
+      clsChainSql(None).replace("FROM feats", s"FROM $feats"))
+  }
+
+  /** The trained weights alone — the FROZEN model artifact a serving or
+    * stream tier applies ([[scoreWithWeights]]): same GD chain, weights
+    * projection instead of the scoring join. */
+  def trainedClsWeights(docsDf: DataFrame): Array[Double] = {
+    val feats = clsFeatsView(docsDf)
+    val r = docsDf.sparkSession.sql(
+      (clsCtes(None) + s" SELECT w0, w1, w2, w3 FROM w_$ClsIters")
+        .replace("FROM feats", s"FROM $feats")).first()
+    Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** Score a (doc_id, text, lang, n_chars) batch with frozen weights —
+    * the serving stage of the classifier, bit-identical to the scores
+    * [[qualityClassifierOf]] emits when `w` came from the same corpus
+    * (weight literals round-trip through Double.toString, which is
+    * exact). Only the batch is scanned; the model is four doubles. */
+  def scoreWithWeights(batch: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == 4)
+    val feats = clsFeatsView(batch)
+    val Array(w0, w1, w2, w3) = w.map(d => s"CAST('${d.toString}' AS DOUBLE)")
+    batch.sparkSession.sql(s"""
+      SELECT doc_id, yi AS label,
+        ${droundSql("0.5 + z / (2.0 * (1.0 + abs(z)))", 6)} AS score
+      FROM (SELECT f.doc_id, f.yi,
+              $w0 + $w1 * f1 + $w2 * f2 + $w3 * f3 AS z
+            FROM $feats f) fin
+      ORDER BY doc_id""")
   }
 
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =

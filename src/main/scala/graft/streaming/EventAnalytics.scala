@@ -186,6 +186,29 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming quality scoring with a FROZEN trained classifier — the
+    * stream-time twin of q163: the model (four doubles from
+    * [[graft.operators.StatsOps.trainedClsWeights]], trained once on the
+    * at-rest corpus) is closed over and applied to each arriving
+    * micro-batch; scores land under `batch_run=N` with idempotent
+    * overwrite (exactly-once under foreachBatch replay). Only the batch
+    * is ever scanned — train-once / score-forever, the q151
+    * frozen-codebook discipline for the text-quality leg. */
+  def startStreamingQualityScore(docStream: DataFrame, weights: Array[Double],
+                                 outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.StatsOps.scoreWithWeights(batch, weights)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   // ---- custom stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -384,4 +384,34 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .count()
     assert(sessions.count() > 0)
   }
+
+  test("streaming quality scores with frozen weights equal the batch classifier") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    val w = graft.operators.StatsOps.trainedClsWeights(corpus)
+    val rows = corpus.as[(Long, String, String, Long)].collect()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqs").toString
+    val source = MemoryStream[(Long, String, String, Long)]
+    val q = EventAnalytics.startStreamingQualityScore(
+      source.toDF().toDF("doc_id", "text", "lang", "n_chars"), w,
+      s"$dir/scores", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2))
+    val got = spark.read.parquet(s"$dir/scores")
+      .select("doc_id", "label", "score").collect().map(key).toSet
+    // ground truth: the in-plan train+score pass over the same corpus —
+    // frozen-weight serving must reproduce it bit for bit
+    val want = graft.operators.StatsOps.qualityClassifierOf(corpus)
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
 }
