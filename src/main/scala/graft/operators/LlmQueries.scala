@@ -964,7 +964,10 @@ object LlmQueries {
     * plan, which is why it survives 100 TB. Output: the span-removal
     * work list — per affected doc, how many tokens a cut pass deletes. */
   val SubdupK = 8
-  private def subdupIslandTail: String = s"""
+  /** The island-merge CTE block (w2 → isl → m) shared by q162's profile
+    * and q168's executable span cut; expects an `sp(doc_id, n_tokens,
+    * s, e)` relation in scope. */
+  private def subdupIslandCtes: String = s"""
     w2 AS (
       SELECT doc_id, n_tokens, s, e,
         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -980,7 +983,10 @@ object LlmQueries {
     m AS (
       SELECT doc_id, n_tokens, island,
         min(s) AS i_s, max(e) AS i_e
-      FROM isl GROUP BY doc_id, n_tokens, island)
+      FROM isl GROUP BY doc_id, n_tokens, island)"""
+
+  private def subdupIslandTail: String = s"""
+    $subdupIslandCtes
     SELECT doc_id, n_tokens,
       CAST(count(1) AS BIGINT) AS dup_spans,
       CAST(sum(i_e - i_s + 1) AS BIGINT) AS dup_tokens,
@@ -993,15 +999,14 @@ object LlmQueries {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedupOf(docs(spark, dir))
 
-  /** [[substringDedup]] over an arbitrary (doc_id, text) frame — the
-    * spec entry point (planted shared runs → exact span boundaries). */
-  def substringDedupOf(docsDf: DataFrame): DataFrame = {
+  /** Register the base docs view + the persisted positional-gram-hash
+    * view for `docsDf`; returns (baseView, gramsView). Grams persist
+    * once: both the ≥2-docs gram filter and the span join consume the
+    * frame, and Spark would otherwise re-tokenize the corpus for each. */
+  private def subdupGramsView(docsDf: DataFrame): (String, String) = {
     val spark = docsDf.sparkSession
     val view = s"graft_subdup_docs_t${Thread.currentThread().getId}"
     docsDf.createOrReplaceTempView(view)
-    // Positional gram hashes, persisted once: both the ≥2-docs gram
-    // filter and the span join consume this frame, and Spark would
-    // otherwise re-tokenize the corpus for each.
     spark.sql(s"""
       WITH d AS (SELECT doc_id, ${wordsExpr("text")} AS w FROM $view),
       e AS (
@@ -1015,16 +1020,108 @@ object LlmQueries {
       FROM e""")
       .transform(graft.core.EngineCache.persisted)
       .createOrReplaceTempView(s"${view}_grams")
-    spark.sql(s"""
-      WITH df AS (
-        SELECT ghash FROM ${view}_grams GROUP BY ghash
+    (view, s"${view}_grams")
+  }
+
+  /** The df (≥2-docs grams) + sp (dup spans) CTE pair over a grams
+    * view — shared by q162 (all occurrences: the coverage PROFILE) and
+    * q168 (`keepFirst`: the min-doc_id holder of each gram is its
+    * canonical copy and keeps it — the Lee et al. "all but one" cut). */
+  private def subdupSpanCtes(g: String, keepFirst: Boolean = false): String = {
+    val skip = if (keepFirst) " AND gg.doc_id <> df.keeper" else ""
+    s"""
+      df AS (
+        SELECT ghash, CAST(min(doc_id) AS BIGINT) AS keeper
+        FROM $g GROUP BY ghash
+        HAVING count(DISTINCT doc_id) >= 2),
+      sp AS (
+        SELECT gg.doc_id, gg.n_tokens, gg.pos AS s,
+          gg.pos + ${SubdupK - 1} AS e
+        FROM $g gg JOIN df ON gg.ghash = df.ghash$skip)"""
+  }
+
+  /** [[substringDedup]] over an arbitrary (doc_id, text) frame — the
+    * spec entry point (planted shared runs → exact span boundaries). */
+  def substringDedupOf(docsDf: DataFrame): DataFrame = {
+    val (_, g) = subdupGramsView(docsDf)
+    docsDf.sparkSession.sql(s"""
+      WITH ${subdupSpanCtes(g)},
+      $subdupIslandTail""")
+  }
+
+  // ---------------------------------------------------------------- q168
+  /** Executable duplicate-span CUT — q162's work list turned into the
+    * cleaned corpus itself, with Lee et al.'s "all but one" semantics:
+    * each duplicate gram's min-doc_id holder is its canonical copy and
+    * KEEPS the text; every other occurrence is covered by a cut span
+    * (so a doc pair sharing a run loses it once, never twice, and a
+    * fully-duplicated doc drops only if every one of its grams is
+    * canonical elsewhere). Survivors re-join in position order into the
+    * cleaned text (whitespace-normalized, as any span cut must be). The
+    * anti join is doc-keyed with a per-doc range predicate against the
+    * O(spans) island list; the rebuild is one doc-keyed hash agg over
+    * (pos, word) structs — no window over the corpus, no driver text
+    * handling, so the pass that writes a 100 TB cleaned corpus is
+    * scan → two hash joins → hash agg. Output: the cleaned corpus. */
+  def dedupClean(spark: SparkSession, dir: String): DataFrame =
+    dedupCleanOf(docs(spark, dir))
+
+  def dedupCleanOf(docsDf: DataFrame): DataFrame = {
+    val (base, g) = subdupGramsView(docsDf)
+    docsDf.sparkSession.sql(s"""
+      WITH ${subdupSpanCtes(g, keepFirst = true)},
+      $subdupIslandCtes,
+      tok AS (
+        SELECT doc_id, w, posexplode(w) AS (p, word)
+        FROM (SELECT doc_id, ${wordsExpr("text")} AS w FROM $base)),
+      t AS (SELECT doc_id, CAST(size(w) AS INT) AS n_tokens,
+              p + 1 AS pos, word FROM tok),
+      kept AS (
+        SELECT t.doc_id, t.n_tokens, t.pos, t.word
+        FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+          AND t.pos BETWEEN m.i_s AND m.i_e
+        WHERE m.i_s IS NULL)
+      SELECT doc_id, CAST(min(n_tokens) AS INT) AS n_tokens,
+        CAST(count(1) AS BIGINT) AS kept_tokens,
+        array_join(transform(array_sort(collect_list(struct(pos, word))),
+          s -> s.word), ' ') AS clean_text
+      FROM kept GROUP BY doc_id ORDER BY doc_id""")
+  }
+
+  def dedupCleanSql: String = s"""
+      WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      e AS (
+        SELECT doc_id, len(w)::INT AS n_tokens, w,
+          unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM d),
+      g AS (
+        SELECT doc_id, n_tokens, pos,
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM e),
+      df AS (
+        SELECT ghash, CAST(min(doc_id) AS BIGINT) AS keeper
+        FROM g GROUP BY ghash
         HAVING count(DISTINCT doc_id) >= 2),
       sp AS (
         SELECT g.doc_id, g.n_tokens, g.pos AS s,
           g.pos + ${SubdupK - 1} AS e
-        FROM ${view}_grams g JOIN df ON g.ghash = df.ghash),
-      $subdupIslandTail""")
-  }
+        FROM g JOIN df ON g.ghash = df.ghash AND g.doc_id <> df.keeper),
+      $subdupIslandCtes,
+      tokpos AS (
+        SELECT doc_id, len(w)::INT AS n_tokens,
+          unnest(range(1, len(w) + 1))::INT AS pos, w
+        FROM d),
+      t AS (SELECT doc_id, n_tokens, pos, w[pos] AS word FROM tokpos),
+      kept AS (
+        SELECT t.doc_id, t.n_tokens, t.pos, t.word
+        FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+          AND t.pos BETWEEN m.i_s AND m.i_e
+        WHERE m.i_s IS NULL)
+      SELECT doc_id, min(n_tokens)::INT AS n_tokens,
+        count(*)::BIGINT AS kept_tokens,
+        string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""
 
   def substringDedupSql: String = s"""
       WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
@@ -1593,6 +1690,7 @@ object LlmQueries {
     "q161_mixture_plan"   -> mixturePlan _,
     "q162_substring_dedup" -> substringDedup _,
     "q165_curriculum_order" -> curriculumOrder _,
+    "q168_dedup_clean"    -> dedupClean _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1726,6 +1824,7 @@ object LlmQueries {
     "q161_mixture_plan" -> mixturePlanOracleSql,
     "q162_substring_dedup" -> substringDedupSql,
     "q165_curriculum_order" -> curriculumOrderSql,
+    "q168_dedup_clean" -> dedupCleanSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

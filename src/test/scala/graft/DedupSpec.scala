@@ -441,6 +441,27 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(4) - 0.666667) < 1e-9)
   }
 
+  test("duplicate-span cut keeps the canonical copy, cuts the rest") {
+    import graft.operators.LlmQueries
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docsOf(
+      1L -> s"a1 a2 a3 $run b1 b2", // min doc_id holds the run: untouched
+      2L -> s"$run c1 c2 c3", // later copy: run cut, own context kept
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9", // unaffected
+      4L -> run, // identical to the shared run, all tokens non-canonical
+      5L -> "v1 v2") // shorter than the gram window: passes through whole
+    val out = LlmQueries.dedupCleanOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._2 === s"a1 a2 a3 $run b1 b2",
+      "canonical doc must keep its text verbatim (ws-normalized)")
+    assert(out(2L)._2 === "c1 c2 c3", "later copy loses exactly the run")
+    assert(out(3L)._2 === "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    assert(out(5L)._2 === "v1 v2")
+    assert(!out.contains(4L),
+      "a doc whose every token is a non-canonical duplicate drops out")
+    assert(out(2L)._1 === 3L && out(1L)._1 === 15L)
+  }
+
   test("substring dedup merges overlapping spans, keeps separated ones apart") {
     import graft.operators.LlmQueries
     val run1 = (1 to 8).map(i => s"p$i").mkString(" ")
