@@ -667,7 +667,7 @@ object ScaleOps {
     * tail (codes ⋈ dtab → sum → rank) is dialect-neutral; only the PQ
     * base differs per engine. Integer d6 partials make the sum
     * order-independent; ties rank by vec_id. */
-  private def pqAdcTail: String = s""",
+  private def pqAdcCtes: String = s""",
     codes AS (SELECT vec_id, m, cid AS code FROM r WHERE rn = 1),
     dtab AS (
       SELECT vec_id AS probe_id, m, cid, d6
@@ -680,7 +680,9 @@ object ScaleOps {
       SELECT probe_id, vec_id, ad6,
         CAST(row_number() OVER (PARTITION BY probe_id
           ORDER BY ad6, vec_id) AS INT) AS rk
-      FROM adc)
+      FROM adc)"""
+
+  private def pqAdcTail: String = s"""$pqAdcCtes
     SELECT probe_id, rk, vec_id, CAST(ad6 AS DOUBLE) / 1e6 AS adist
     FROM ranked WHERE rk <= $PqTopK
     ORDER BY probe_id, rk"""
@@ -689,6 +691,140 @@ object ScaleOps {
     graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     spark.sql(s"WITH ${pqFlatBase(spark, dir)} $pqAdcTail")
+  }
+
+  // ---------------------------------------------------------------- q169
+  /** ANN recall audit — q159's blocking-audit discipline applied to the
+    * similarity leg: each approximate path is scored for recall@k
+    * against ITS OWN exact metric on the same probes, so the number
+    * isolates exactly what the approximation loses.
+    *
+    *  - `ivf_cell` (q40's blocking): cell-restricted cosine top-k vs
+    *    unblocked brute-force cosine — measures the INVERTED-FILE loss
+    *    (neighbors living in other cells), plus the scanned fraction
+    *    ((cell−1)/(N−1) per probe) that blocking buys.
+    *  - `pq_adc` (q107's compression): ADC ranking over PQ codes vs
+    *    exact squared-L2 ranking (probe included, q107's convention) —
+    *    measures the QUANTIZATION loss alone; scanned_frac is 1.0 (ADC
+    *    reads every code, just 8 bytes instead of 256).
+    *
+    * recall@k = |approx ∩ exact| / (n_probes·k) on exact integers; the
+    * exact-L2 d6 grid is q107's own bridge, so rank ties cannot split
+    * across engines. This is the measurement that picks cell counts /
+    * code budgets before anyone trusts an ANN index at 10⁹ vectors —
+    * and on this fixture it does its job by failing things: class
+    * labels are a lousy geometric cell (recall@3 ≈ 0.08 for ~10% of
+    * the scan — q41/q84's learned k-means cells are the fix), and the
+    * deliberately tiny 4×8 code budget keeps only ≈ 0.26 of the exact
+    * top-10 (PqK is sized for oracle replayability, not fidelity; the
+    * audit is what would justify 256 centroids in production). */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val k1 = LlmQueries.IvfK
+    val tid = Thread.currentThread().getId
+    vecs.createOrReplaceTempView(s"graft_ara_vecs_t$tid")
+    Similarity.bruteForceTopK(vecs, col("vec_id") < 50, k1)
+      .select(col("query_id"), col("cand_id"))
+      .createOrReplaceTempView(s"graft_ara_t1_t$tid")
+    Similarity.ivfTopK(vecs, "label", col("vec_id") < 50, k1)
+      .select(col("query_id"), col("cand_id"))
+      .createOrReplaceTempView(s"graft_ara_i1_t$tid")
+    // exact-L2 truth for the ADC probes (self included, as ADC ranks it)
+    val probes2 = vecs.filter(col("vec_id") % PqProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+    val corpus2 = vecs
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    broadcast(probes2).join(corpus2)
+      .withColumn("d6",
+        expr("CAST(floor(l2_sq(qv, cv) * 1e6 + 0.5) AS BIGINT)"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.VectorAggregates
+        .topKOf(PqTopK, -col("d6").cast("double"), col("cand_id")).as("top"))
+      .select(col("probe_id").as("query_id"),
+        explode(col("top.cand_id")).as("cand_id"))
+      .createOrReplaceTempView(s"graft_ara_t2_t$tid")
+    pqAdcSearch(spark, dir)
+      .select(col("probe_id").as("query_id"), col("vec_id").as("cand_id"))
+      .createOrReplaceTempView(s"graft_ara_i2_t$tid")
+    spark.sql(annRecallAssembleSql(
+      s"graft_ara_vecs_t$tid", s"graft_ara_t1_t$tid", s"graft_ara_i1_t$tid",
+      s"graft_ara_t2_t$tid", s"graft_ara_i2_t$tid", k1))
+  }
+
+  /** The dialect-neutral audit assembly over five relations;
+    * `extraCtes` lets the oracle prepend the relation definitions. */
+  private def annRecallAssembleSql(vecs: String, t1: String, i1: String,
+                                   t2: String, i2: String, k1: Int,
+                                   extraCtes: String = ""): String = s"""
+      WITH $extraCtes h1 AS (
+        SELECT CAST(count(1) AS BIGINT) AS h
+        FROM $t1 t JOIN $i1 i
+          ON t.query_id = i.query_id AND t.cand_id = i.cand_id),
+      n1 AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM $t1),
+      cs AS (SELECT label, count(1) AS csz FROM $vecs GROUP BY label),
+      sc1 AS (
+        SELECT CAST(sum(csz - 1) AS BIGINT) AS s
+        FROM (SELECT label FROM $vecs WHERE vec_id < 50) p
+        JOIN cs ON p.label = cs.label),
+      nv AS (SELECT CAST(count(1) AS BIGINT) AS nn FROM $vecs),
+      h2 AS (
+        SELECT CAST(count(1) AS BIGINT) AS h
+        FROM $t2 t JOIN $i2 i
+          ON t.query_id = i.query_id AND t.cand_id = i.cand_id),
+      n2 AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM $t2)
+      SELECT method, n_probes, k, recall_at_k, scanned_frac FROM (
+        SELECT 'ivf_cell' AS method, n1.n AS n_probes, $k1 AS k,
+          ${droundSql(
+            s"CAST(h1.h AS DOUBLE) / (CAST(n1.n AS DOUBLE) * $k1)", 6)}
+            AS recall_at_k,
+          ${droundSql(
+            "CAST(sc1.s AS DOUBLE) / (CAST(n1.n AS DOUBLE) * " +
+              "CAST(nv.nn - 1 AS DOUBLE))", 6)} AS scanned_frac
+        FROM h1 CROSS JOIN n1 CROSS JOIN sc1 CROSS JOIN nv
+        UNION ALL
+        SELECT 'pq_adc' AS method, n2.n AS n_probes, $PqTopK AS k,
+          ${droundSql(
+            s"CAST(h2.h AS DOUBLE) / (CAST(n2.n AS DOUBLE) * $PqTopK)", 6)}
+            AS recall_at_k,
+          CAST(1.0 AS DOUBLE) AS scanned_frac
+        FROM h2 CROSS JOIN n2) u
+      ORDER BY method"""
+
+  def annRecallAuditOracleSql: String = {
+    import graft.llm.Similarity
+    val k1 = LlmQueries.IvfK
+    val l2full =
+      """CAST(floor(list_sum(list_transform(range(1, len(qv) + 1),
+         i -> (qv[i]::DOUBLE - cv[i]::DOUBLE) *
+              (qv[i]::DOUBLE - cv[i]::DOUBLE))) * 1e6 + 0.5) AS BIGINT)"""
+    val rel = s"""
+      ara_vecs AS (SELECT vec_id, embedding, label FROM embeddings),
+      ara_t1 AS (SELECT query_id, cand_id FROM
+        (${Similarity.bruteForceTopKSql("embeddings", "vec_id < 50", k1)}) q),
+      ara_i1 AS (SELECT query_id, cand_id FROM
+        (${Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", k1)}) q),
+      ara_p2 AS (
+        SELECT vec_id AS probe_id, embedding AS qv FROM embeddings
+        WHERE vec_id % $PqProbeMod = 0),
+      ara_s2 AS (
+        SELECT probe_id, e.vec_id AS cand_id, $l2full AS d6
+        FROM ara_p2 CROSS JOIN
+          (SELECT vec_id, embedding AS cv FROM embeddings) e),
+      ara_t2 AS (
+        SELECT probe_id AS query_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+            row_number() OVER (PARTITION BY probe_id
+              ORDER BY d6, cand_id) AS rk
+          FROM ara_s2) r WHERE rk <= $PqTopK),
+      ara_i2 AS (
+        SELECT probe_id AS query_id, vec_id AS cand_id FROM
+          (WITH $pqBaseOracle $pqAdcCtes
+           SELECT probe_id, vec_id FROM ranked WHERE rk <= $PqTopK) q)"""
+    annRecallAssembleSql(
+      "ara_vecs", "ara_t1", "ara_i1", "ara_t2", "ara_i2", k1, s"$rel,")
   }
 
   // ---------------------------------------------------------------- q119
@@ -1631,6 +1767,7 @@ object ScaleOps {
     "q105_pq_encode"     -> pqEncode _,
     "q106_attribution"   -> attribution _,
     "q107_pq_adc_topk"   -> pqAdcSearch _,
+    "q169_ann_recall"    -> annRecallAudit _,
     "q108_merge_upsert"  -> mergeUpsert _,
     "q109_star_flatten"  -> starFlatten _,
     "q110_data_quality"  -> dataQuality _,
@@ -1661,6 +1798,7 @@ object ScaleOps {
     "q105_pq_encode" -> pqOracleSql,
     "q106_attribution" -> attributionSql("epoch_ms(ts)"),
     "q107_pq_adc_topk" -> s"WITH $pqBaseOracle $pqAdcTail",
+    "q169_ann_recall" -> annRecallAuditOracleSql,
     "q108_merge_upsert" -> mergeUpsertSql("customer"),
     "q109_star_flatten" -> starFlattenSql(centsRound),
     "q110_data_quality" -> dataQualitySql,

@@ -403,4 +403,19 @@ class ScaleOpsSpec extends SparkSpec {
       assert(c >= ScaleOps.SparseTau.toDouble && c <= 1.000001)
     }
   }
+
+  test("ANN recall audit: bounded metrics, blocking cheaper than exact") {
+    val rows = ScaleOps.annRecallAudit(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("ivf_cell", "pq_adc"))
+    rows.foreach { r =>
+      val recall = r.getDouble(3); val scanned = r.getDouble(4)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(scanned > 0.0 && scanned <= 1.0)
+      assert(r.getLong(1) > 0 && r.getInt(2) > 0)
+    }
+    val ivf = rows.find(_.getString(0) == "ivf_cell").get
+    // the whole point of the inverted file: it reads a small fraction
+    assert(ivf.getDouble(4) < 0.5,
+      "cell blocking must scan well under half the corpus")
+  }
 }
