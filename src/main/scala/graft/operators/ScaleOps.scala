@@ -712,9 +712,10 @@ object ScaleOps {
     * exact-L2 d6 grid is q107's own bridge, so rank ties cannot split
     * across engines. This is the measurement that picks cell counts /
     * code budgets before anyone trusts an ANN index at 10⁹ vectors —
-    * and on this fixture it does its job by failing things: class
-    * labels are a lousy geometric cell (recall@3 ≈ 0.08 for ~10% of
-    * the scan — q41/q84's learned k-means cells are the fix), and the
+    * and on this fixture it does its job: class labels are a lousy
+    * geometric cell (recall@3 ≈ 0.08 for ~10% of the scan), the
+    * `ivf_kmeans` leg PROVES the fix — q84's learned Lloyd cells lift
+    * recall to ≈ 0.40 at a comparable ≈ 0.13 scan fraction — and the
     * deliberately tiny 4×8 code budget keeps only ≈ 0.26 of the exact
     * top-10 (PqK is sized for oracle replayability, not fidelity; the
     * audit is what would justify 256 centroids in production). */
@@ -732,6 +733,15 @@ object ScaleOps {
     Similarity.ivfTopK(vecs, "label", col("vec_id") < 50, k1)
       .select(col("query_id"), col("cand_id"))
       .createOrReplaceTempView(s"graft_ara_i1_t$tid")
+    // learned-cell leg: q84's Lloyd assignments as the inverted file
+    val vk = vecs.select(col("vec_id"), col("embedding"))
+      .join(Similarity.kmeansLloyd(vecs, LlmQueries.KmK, LlmQueries.KmRounds)
+        .select(col("vec_id"), col("cell")), "vec_id")
+      .transform(graft.core.EngineCache.persisted)
+    vk.createOrReplaceTempView(s"graft_ara_vk_t$tid")
+    Similarity.ivfTopK(vk, "cell", col("vec_id") < 50, k1)
+      .select(col("query_id"), col("cand_id"))
+      .createOrReplaceTempView(s"graft_ara_i3_t$tid")
     // exact-L2 truth for the ADC probes (self included, as ADC ranks it)
     val probes2 = vecs.filter(col("vec_id") % PqProbeMod === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
@@ -751,39 +761,51 @@ object ScaleOps {
       .createOrReplaceTempView(s"graft_ara_i2_t$tid")
     spark.sql(annRecallAssembleSql(
       s"graft_ara_vecs_t$tid", s"graft_ara_t1_t$tid", s"graft_ara_i1_t$tid",
-      s"graft_ara_t2_t$tid", s"graft_ara_i2_t$tid", k1))
+      s"graft_ara_t2_t$tid", s"graft_ara_i2_t$tid",
+      s"graft_ara_vk_t$tid", s"graft_ara_i3_t$tid", k1))
   }
 
-  /** The dialect-neutral audit assembly over five relations;
+  /** The dialect-neutral audit assembly over seven relations;
     * `extraCtes` lets the oracle prepend the relation definitions. */
   private def annRecallAssembleSql(vecs: String, t1: String, i1: String,
-                                   t2: String, i2: String, k1: Int,
-                                   extraCtes: String = ""): String = s"""
-      WITH $extraCtes h1 AS (
+                                   t2: String, i2: String,
+                                   vk: String, i3: String, k1: Int,
+                                   extraCtes: String = ""): String = {
+    def hits(t: String, i: String, name: String) = s"""
+      $name AS (
         SELECT CAST(count(1) AS BIGINT) AS h
-        FROM $t1 t JOIN $i1 i
-          ON t.query_id = i.query_id AND t.cand_id = i.cand_id),
+        FROM $t t JOIN $i i
+          ON t.query_id = i.query_id AND t.cand_id = i.cand_id)"""
+    def ivfRow(label: String, h: String, sc: String) = s"""
+        SELECT '$label' AS method, n1.n AS n_probes, $k1 AS k,
+          ${droundSql(
+            s"CAST($h.h AS DOUBLE) / (CAST(n1.n AS DOUBLE) * $k1)", 6)}
+            AS recall_at_k,
+          ${droundSql(
+            s"CAST($sc.s AS DOUBLE) / (CAST(n1.n AS DOUBLE) * " +
+              "CAST(nv.nn - 1 AS DOUBLE))", 6)} AS scanned_frac
+        FROM $h CROSS JOIN n1 CROSS JOIN $sc CROSS JOIN nv"""
+    s"""
+      WITH $extraCtes ${hits(t1, i1, "h1")},
       n1 AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM $t1),
       cs AS (SELECT label, count(1) AS csz FROM $vecs GROUP BY label),
       sc1 AS (
         SELECT CAST(sum(csz - 1) AS BIGINT) AS s
         FROM (SELECT label FROM $vecs WHERE vec_id < 50) p
         JOIN cs ON p.label = cs.label),
+      csk AS (SELECT cell, count(1) AS csz FROM $vk GROUP BY cell),
+      sc3 AS (
+        SELECT CAST(sum(csz - 1) AS BIGINT) AS s
+        FROM (SELECT cell FROM $vk WHERE vec_id < 50) p
+        JOIN csk ON p.cell = csk.cell),
       nv AS (SELECT CAST(count(1) AS BIGINT) AS nn FROM $vecs),
-      h2 AS (
-        SELECT CAST(count(1) AS BIGINT) AS h
-        FROM $t2 t JOIN $i2 i
-          ON t.query_id = i.query_id AND t.cand_id = i.cand_id),
-      n2 AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM $t2)
+      ${hits(t2, i2, "h2").trim},
+      n2 AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM $t2),
+      ${hits(t1, i3, "h3").trim}
       SELECT method, n_probes, k, recall_at_k, scanned_frac FROM (
-        SELECT 'ivf_cell' AS method, n1.n AS n_probes, $k1 AS k,
-          ${droundSql(
-            s"CAST(h1.h AS DOUBLE) / (CAST(n1.n AS DOUBLE) * $k1)", 6)}
-            AS recall_at_k,
-          ${droundSql(
-            "CAST(sc1.s AS DOUBLE) / (CAST(n1.n AS DOUBLE) * " +
-              "CAST(nv.nn - 1 AS DOUBLE))", 6)} AS scanned_frac
-        FROM h1 CROSS JOIN n1 CROSS JOIN sc1 CROSS JOIN nv
+        ${ivfRow("ivf_cell", "h1", "sc1")}
+        UNION ALL
+        ${ivfRow("ivf_kmeans", "h3", "sc3")}
         UNION ALL
         SELECT 'pq_adc' AS method, n2.n AS n_probes, $PqTopK AS k,
           ${droundSql(
@@ -792,6 +814,7 @@ object ScaleOps {
           CAST(1.0 AS DOUBLE) AS scanned_frac
         FROM h2 CROSS JOIN n2) u
       ORDER BY method"""
+  }
 
   def annRecallAuditOracleSql: String = {
     import graft.llm.Similarity
@@ -822,9 +845,18 @@ object ScaleOps {
       ara_i2 AS (
         SELECT probe_id AS query_id, vec_id AS cand_id FROM
           (WITH $pqBaseOracle $pqAdcCtes
-           SELECT probe_id, vec_id FROM ranked WHERE rk <= $PqTopK) q)"""
+           SELECT probe_id, vec_id FROM ranked WHERE rk <= $PqTopK) q),
+      ara_km AS (SELECT vec_id, cell FROM
+        (${Similarity.kmeansLloydSql("embeddings", LlmQueries.KmK,
+          LlmQueries.KmRounds)}) q),
+      ara_vk AS (
+        SELECT e.vec_id, e.embedding, k.cell
+        FROM embeddings e JOIN ara_km k ON e.vec_id = k.vec_id),
+      ara_i3 AS (SELECT query_id, cand_id FROM
+        (${Similarity.ivfTopKSql("ara_vk", "cell", "vec_id < 50", k1)}) q)"""
     annRecallAssembleSql(
-      "ara_vecs", "ara_t1", "ara_i1", "ara_t2", "ara_i2", k1, s"$rel,")
+      "ara_vecs", "ara_t1", "ara_i1", "ara_t2", "ara_i2",
+      "ara_vk", "ara_i3", k1, s"$rel,")
   }
 
   // ---------------------------------------------------------------- q119

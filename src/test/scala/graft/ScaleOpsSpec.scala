@@ -406,7 +406,8 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("ANN recall audit: bounded metrics, blocking cheaper than exact") {
     val rows = ScaleOps.annRecallAudit(spark, sfDir).collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("ivf_cell", "pq_adc"))
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("ivf_cell", "ivf_kmeans", "pq_adc"))
     rows.foreach { r =>
       val recall = r.getDouble(3); val scanned = r.getDouble(4)
       assert(recall >= 0.0 && recall <= 1.0)
@@ -417,5 +418,11 @@ class ScaleOpsSpec extends SparkSpec {
     // the whole point of the inverted file: it reads a small fraction
     assert(ivf.getDouble(4) < 0.5,
       "cell blocking must scan well under half the corpus")
+    // the audit's actionable claim: learned geometric cells beat the
+    // class-label stand-in at comparable scan cost
+    val km = rows.find(_.getString(0) == "ivf_kmeans").get
+    assert(km.getDouble(3) > ivf.getDouble(3),
+      "k-means cells must out-recall label cells")
+    assert(km.getDouble(4) < 0.5)
   }
 }
