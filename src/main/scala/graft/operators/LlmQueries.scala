@@ -1298,6 +1298,34 @@ object LlmQueries {
     Similarity.ivfTopK(embs(spark, dir), "label", col("vec_id") < 50, IvfK)
       .orderBy("query_id", "rnk")
 
+  // ---------------------------------------------------------------- q166
+  /** IVF top-k over LEARNED cells — the production search path q169's
+    * audit validates (q84 Lloyd cells: ~5× the recall of the label
+    * stand-in at comparable scan): cluster once ([[Similarity
+    * .kmeansLloyd]], broadcast-assign per round, corpus never
+    * shuffles), then the cell-restricted search of q40 over the learned
+    * assignment. The oracle composes the Lloyd replay with the IVF
+    * chain — both already proven — so the learned inverted file is
+    * hash-gated end to end. */
+  def annKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = embs(spark, dir)
+    val vk = vecs.select(col("vec_id"), col("embedding"))
+      .join(Similarity.kmeansLloyd(vecs, KmK, KmRounds)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    Similarity.ivfTopK(vk, "cell", col("vec_id") < 50, IvfK)
+      .orderBy("query_id", "rnk")
+  }
+
+  def annKmeansSql: String = s"""
+      WITH akm AS (SELECT vec_id, cell FROM
+        (${Similarity.kmeansLloydSql("embeddings", KmK, KmRounds)}) q),
+      akv AS (
+        SELECT e.vec_id, e.embedding, k.cell
+        FROM embeddings e JOIN akm k ON e.vec_id = k.vec_id)
+      SELECT query_id, cell, rnk, cand_id, cos FROM
+        (${Similarity.ivfTopKSql("akv", "cell", "vec_id < 50", IvfK)}) q
+      ORDER BY query_id, rnk"""
+
   def embCentroids(spark: SparkSession, dir: String): DataFrame =
     Similarity.centroids(embs(spark, dir), "label")
       .orderBy("cell", "dim")
@@ -1690,6 +1718,7 @@ object LlmQueries {
     "q161_mixture_plan"   -> mixturePlan _,
     "q162_substring_dedup" -> substringDedup _,
     "q165_curriculum_order" -> curriculumOrder _,
+    "q166_ann_kmeans"     -> annKmeans _,
     "q168_dedup_clean"    -> dedupClean _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -1824,6 +1853,7 @@ object LlmQueries {
     "q161_mixture_plan" -> mixturePlanOracleSql,
     "q162_substring_dedup" -> substringDedupSql,
     "q165_curriculum_order" -> curriculumOrderSql,
+    "q166_ann_kmeans" -> annKmeansSql,
     "q168_dedup_clean" -> dedupCleanSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
