@@ -859,6 +859,104 @@ object ScaleOps {
       "ara_vk", "ara_i3", k1, s"$rel,")
   }
 
+  // ---------------------------------------------------------------- q170
+  /** Dominant principal component of the embedding corpus by POWER
+    * ITERATION — the spectral readout behind embedding-drift and
+    * anisotropy monitoring (a collapsing embedding model concentrates
+    * variance in one direction; `explained_frac` is that alarm):
+    * center (exact-decimal per-dim means), then [[PcaRounds]] rounds of
+    * v ← normalize(X'ᵀ(X'v)), Rayleigh quotient at the end. Engineered
+    * like q163's GD for bit-identical cross-engine replay: the corpus
+    * lives as an exploded (vec_id, dim, x) frame so every step is a
+    * join + hash agg (no lambdas, ONE dialect for both engines); every
+    * corpus-sized sum bridges per-term to a decimal grid (1e12 for the
+    * per-vector projections, 1e9 for the per-dim gradient), so Spark's
+    * partition-merge order cannot flake a bit. Per round: two hash
+    * aggs over the persisted exploded frame with a broadcast 64-row v —
+    * at 10⁹ vectors that is the distributed matvec, no dense matrix
+    * anywhere. Output: per dim, the centered mean, the unit loading,
+    * and the (repeated) component variance + explained fraction. */
+  val PcaRounds = 3
+  private def pcaBridge(e: String, grid: String): String =
+    s"CAST(sum(CAST(floor(($e) * $grid + 0.5) AS DECIMAL(38,0))) AS DOUBLE)" +
+      s" / $grid"
+
+  /** The full PCA chain over an exploded relation `xd(vec_id, dim, x)`
+    * (engine-common; `xd` itself is the only dialect-specific CTE). */
+  private def pcaChainSql(xdCte: String): String = {
+    def iter(t: Int): String = {
+      val vp = s"v_${t - 1}"
+      s"""
+      s_$t AS (
+        SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
+        FROM xc c JOIN $vp v ON c.dim = v.dim
+        GROUP BY c.vec_id),
+      g_$t AS (
+        SELECT c.dim, ${pcaBridge("s.s * c.xc", "1e9")} AS g
+        FROM xc c JOIN s_$t s ON c.vec_id = s.vec_id
+        GROUP BY c.dim),
+      nrm_$t AS (
+        SELECT sqrt(${pcaBridge("g * g", "1e12")}) AS nrm FROM g_$t),
+      v_$t AS (
+        SELECT dim, g / nrm AS v FROM g_$t CROSS JOIN nrm_$t)"""
+    }
+    s"""
+      WITH $xdCte,
+      mu AS (
+        SELECT dim,
+          floor((CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / count(x))
+            * 1e8 + 0.5) / 1e8 AS mu
+        FROM xd GROUP BY dim),
+      xc AS (
+        SELECT xd.vec_id, xd.dim, xd.x - mu.mu AS xc
+        FROM xd JOIN mu ON xd.dim = mu.dim),
+      nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM xd),
+      dims AS (SELECT CAST(count(1) AS DOUBLE) AS nd FROM mu),
+      v_0 AS (
+        SELECT dim, 1.0 / sqrt(nd) AS v FROM mu CROSS JOIN dims),
+      ${(1 to PcaRounds).map(iter).mkString(",")},
+      lam AS (
+        SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
+        FROM v_$PcaRounds v JOIN g_$PcaRounds g ON v.dim = g.dim),
+      tv AS (
+        SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM xc)
+      SELECT v.dim, mu.mu,
+        ${droundSql("v.v", 6)} AS loading,
+        ${droundSql("lam.lam_raw / CAST(nn.n AS DOUBLE)", 6)} AS pc_var,
+        ${droundSql(
+          "(lam.lam_raw / CAST(nn.n AS DOUBLE)) / (tv.tvn / CAST(nn.n AS DOUBLE))",
+          6)} AS explained_frac
+      FROM v_$PcaRounds v JOIN mu ON v.dim = mu.dim
+      CROSS JOIN lam CROSS JOIN tv CROSS JOIN nn
+      ORDER BY v.dim"""
+  }
+
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaOf(Tables.load(spark, dir, "embeddings"))
+
+  /** [[embPca]] over an arbitrary (vec_id, embedding) frame — the spec
+    * entry point (a planted dominant direction must be recovered). */
+  def embPcaOf(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    val tid = Thread.currentThread().getId
+    val v = s"graft_pca_xd_t$tid"
+    // exploded + persisted ONCE: every iteration's two aggs and the
+    // variance pass all scan this frame
+    vecs
+      .selectExpr("vec_id",
+        "posexplode(embedding) AS (dim, xf)")
+      .selectExpr("vec_id", "CAST(dim AS INT) AS dim",
+        "CAST(xf AS DOUBLE) AS x")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(v)
+    spark.sql(pcaChainSql(s"xd AS (SELECT vec_id, dim, x FROM $v)"))
+  }
+
+  def embPcaOracleSql: String = pcaChainSql(s"""xd AS (
+        SELECT vec_id, (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
+          unnest(embedding)::DOUBLE AS x
+        FROM embeddings)""")
+
   // ---------------------------------------------------------------- q119
   /** IVF-PQ search — the production ANN shape, combining q40's inverted
     * file with q107's ADC: a probe scores ONLY vectors in its own
@@ -1800,6 +1898,7 @@ object ScaleOps {
     "q106_attribution"   -> attribution _,
     "q107_pq_adc_topk"   -> pqAdcSearch _,
     "q169_ann_recall"    -> annRecallAudit _,
+    "q170_emb_pca"       -> embPca _,
     "q108_merge_upsert"  -> mergeUpsert _,
     "q109_star_flatten"  -> starFlatten _,
     "q110_data_quality"  -> dataQuality _,
@@ -1831,6 +1930,7 @@ object ScaleOps {
     "q106_attribution" -> attributionSql("epoch_ms(ts)"),
     "q107_pq_adc_topk" -> s"WITH $pqBaseOracle $pqAdcTail",
     "q169_ann_recall" -> annRecallAuditOracleSql,
+    "q170_emb_pca" -> embPcaOracleSql,
     "q108_merge_upsert" -> mergeUpsertSql("customer"),
     "q109_star_flatten" -> starFlattenSql(centsRound),
     "q110_data_quality" -> dataQualitySql,

@@ -425,4 +425,30 @@ class ScaleOpsSpec extends SparkSpec {
       "k-means cells must out-recall label cells")
     assert(km.getDouble(4) < 0.5)
   }
+
+  test("power-iteration PCA recovers a planted dominant direction") {
+    val sq = spark
+    import sq.implicits._
+    // variance concentrated on axis 2: x_i = t_i * e2 + tiny tilt on e5;
+    // deterministic, zero randomness
+    val rows = (0 until 40).map { i =>
+      val t = (i % 9) - 4.0f // spread -4..4 along e2
+      val arr = Array.fill(8)(0.0f)
+      arr(2) = t
+      arr(5) = 0.05f * ((i % 3) - 1.0f)
+      (i.toLong, arr.toSeq)
+    }
+    val out = ScaleOps.embPcaOf(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.length === 8)
+    val byDim = out.map(r => r.getInt(0) -> r).toMap
+    // unit loading concentrated on dim 2 (sign is data-determined)
+    assert(math.abs(math.abs(byDim(2).getDouble(2)) - 1.0) < 1e-3,
+      s"dominant loading must sit on dim 2: ${byDim(2)}")
+    assert(out.map(r => math.abs(r.getDouble(2))).sorted.dropRight(1).sum < 0.05)
+    // essentially all variance explained by the planted direction
+    assert(byDim(2).getDouble(4) > 0.99, s"explained: ${byDim(2).getDouble(4)}")
+    // determinism across runs
+    val again = ScaleOps.embPcaOf(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
