@@ -1123,6 +1123,89 @@ object LlmQueries {
         string_agg(word, ' ' ORDER BY pos) AS clean_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q171
+  /** Incremental substring dedup against GRAMS at rest — the q145
+    * discipline for the span leg: the corpus's distinct positional-gram
+    * hashes persist ONCE to the warehouse (`shard=N` on ghash; 8 bytes
+    * per unique gram — the smallest artifact that answers "is this run
+    * verbatim in the corpus?"), and each arriving batch is the only
+    * text that gets tokenized: batch grams semi-join the stored set,
+    * matched spans merge through the same gaps-and-islands union, and
+    * the output is q162's profile for the BATCH docs alone — the cut
+    * list for an arriving increment, O(batch) work per increment.
+    * Within-batch duplication is deliberately out of scope here (q162
+    * owns it); this measures overlap with what is already stored. The
+    * oracle replays both sides from raw text, proving the at-rest gram
+    * set lost nothing. The STREAM-TIME twin
+    * [[graft.streaming.EventAnalytics.startStreamingSpanDedup]] runs
+    * the same increment per micro-batch against the same stored set. */
+  def spanIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    spanIncrementOf(
+      d.filter(col("source") === BatchSource), corpusGramsAtRest(spark, dir))
+  }
+
+  /** Build-or-read the corpus-side distinct-gram table for `dir`. */
+  def corpusGramsAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val table = "subdup_grams_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table, "shard") {
+      val (_, g) = subdupGramsView(
+        docs(spark, dir).filter(col("source") =!= BatchSource))
+      spark.table(g).select(col("ghash")).distinct()
+        .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
+    }.select("ghash")
+  }
+
+  /** The increment over an arbitrary batch frame + stored gram set —
+    * the spec and foreachBatch entry point. */
+  def spanIncrementOf(batchDocs: DataFrame,
+                      corpusGrams: DataFrame): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val (_, bg) = subdupGramsView(batchDocs)
+    // DataFrame-API semi join (no temp view for the corpus side): under
+    // foreachBatch the batch frame lives in a CLONED session whose
+    // catalog snapshot predates any view registered here — frames
+    // compose across the clone, catalog lookups do not
+    val sp = spark.table(bg)
+      .join(corpusGrams.select(col("ghash")), Seq("ghash"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos").as("s"),
+        (col("pos") + (SubdupK - 1)).as("e"))
+    val spView = s"graft_spaninc_sp_t${Thread.currentThread().getId}"
+    sp.createOrReplaceTempView(spView)
+    spark.sql(s"""
+      WITH sp AS (SELECT * FROM $spView),
+      $subdupIslandTail""")
+  }
+
+  def spanIncrementSql: String = s"""
+      WITH bd AS (SELECT doc_id, ${wordsSql("text")} AS w
+                  FROM documents WHERE source = '$BatchSource'),
+      be AS (
+        SELECT doc_id, len(w)::INT AS n_tokens, w,
+          unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM bd),
+      bg AS (
+        SELECT doc_id, n_tokens, pos,
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM be),
+      cd AS (SELECT ${wordsSql("text")} AS w
+             FROM documents WHERE source <> '$BatchSource'),
+      ce AS (
+        SELECT w, unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM cd),
+      cg AS (
+        SELECT DISTINCT
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM ce),
+      sp AS (
+        SELECT bg.doc_id, bg.n_tokens, bg.pos AS s,
+          bg.pos + ${SubdupK - 1} AS e
+        FROM bg JOIN cg ON bg.ghash = cg.ghash),
+      $subdupIslandTail"""
+
   def substringDedupSql: String = s"""
       WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
       e AS (
@@ -1720,6 +1803,7 @@ object LlmQueries {
     "q165_curriculum_order" -> curriculumOrder _,
     "q166_ann_kmeans"     -> annKmeans _,
     "q168_dedup_clean"    -> dedupClean _,
+    "q171_span_increment" -> spanIncrement _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1855,6 +1939,7 @@ object LlmQueries {
     "q165_curriculum_order" -> curriculumOrderSql,
     "q166_ann_kmeans" -> annKmeansSql,
     "q168_dedup_clean" -> dedupCleanSql,
+    "q171_span_increment" -> spanIncrementSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

@@ -186,6 +186,30 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming incremental SUBSTRING dedup — the stream-time twin of
+    * q171: each arriving micro-batch of (doc_id, text) rows is the only
+    * text tokenized; its positional gram hashes semi-join the AT-REST
+    * corpus gram set (built once, [[graft.operators.LlmQueries
+    * .corpusGramsAtRest]]) and the matched spans merge into the q162
+    * profile for just that batch, landing under `batch_run=N` with
+    * idempotent overwrite. Per-doc output is independent of batch
+    * splits (the profile only consults the stored set), so replay and
+    * re-batching cannot change a row. */
+  def startStreamingSpanDedup(docStream: DataFrame, corpusGrams: DataFrame,
+                              outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.LlmQueries.spanIncrementOf(batch, corpusGrams)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming quality scoring with a FROZEN trained classifier — the
     * stream-time twin of q163: the model (four doubles from
     * [[graft.operators.StatsOps.trainedClsWeights]], trained once on the

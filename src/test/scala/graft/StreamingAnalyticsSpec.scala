@@ -414,4 +414,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("streaming span dedup equals the one-shot batch increment") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LlmQueries
+    val cg = LlmQueries.corpusGramsAtRest(spark, sfDir)
+      .transform(graft.core.EngineCache.persisted)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === LlmQueries.BatchSource)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssd").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingSpanDedup(
+      source.toDF().toDF("doc_id", "text"), cg, s"$dir/spans", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = spark.read.parquet(s"$dir/spans")
+      .select("doc_id", "n_tokens", "dup_spans", "dup_tokens", "dup_frac")
+      .collect().map(key).toSet
+    // per-doc rows consult only the stored gram set, so a batch split
+    // cannot change them — the union must equal the one-shot increment
+    val want = LlmQueries.spanIncrement(spark, sfDir)
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture surprise: no batch-vs-corpus span overlap")
+  }
 }
