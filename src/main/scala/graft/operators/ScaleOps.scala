@@ -957,6 +957,64 @@ object ScaleOps {
           unnest(embedding)::DOUBLE AS x
         FROM embeddings)""")
 
+  // ---------------------------------------------------------------- q172
+  /** All-but-the-top embedding correction (Mu & Viswanath 2018) — the
+    * standard isotropy fix applied as a query: center every vector and
+    * remove its projection onto q170's dominant component. Rides the
+    * same power-iteration CTE chain, then needs NO second pass over
+    * dims for the result: with v unit, ‖xc − s·v‖² = ‖xc‖² − s², so
+    * one more per-vector agg (the bridged projection s and the bridged
+    * ‖xc‖²) yields the corrected norm algebraically. Output per vector:
+    * the projection coefficient (how much of the doc rode the common
+    * direction — the outlier signal) and the residual norm (what a
+    * downstream cosine actually sees after correction). O(corpus·dims)
+    * total, no dense algebra, same bit-determinism story as q170. */
+  private def abttTailSql: String = s""",
+      sfin AS (
+        SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
+        FROM xc c JOIN v_$PcaRounds v ON c.dim = v.dim
+        GROUP BY c.vec_id),
+      n2 AS (
+        SELECT vec_id, ${pcaBridge("xc * xc", "1e12")} AS nsq
+        FROM xc GROUP BY vec_id)
+      SELECT s.vec_id,
+        ${droundSql("s.s", 6)} AS proj,
+        ${droundSql(
+          "sqrt(CASE WHEN n2.nsq - s.s * s.s < 0.0 THEN 0.0 " +
+            "ELSE n2.nsq - s.s * s.s END)", 6)} AS resid_norm
+      FROM sfin s JOIN n2 ON s.vec_id = n2.vec_id
+      ORDER BY s.vec_id"""
+
+  /** Splice: the PCA chain up to v_N, with the ABTT projection tail in
+    * place of the loading report. */
+  private def abttSql(xdCte: String): String = {
+    val chain = pcaChainSql(xdCte)
+    val cut = chain.indexOf(",\n      lam AS (")
+    require(cut > 0, "pca chain shape changed under abtt")
+    chain.substring(0, cut) + abttTailSql
+  }
+
+  def embAbtt(spark: SparkSession, dir: String): DataFrame =
+    embAbttOf(Tables.load(spark, dir, "embeddings"))
+
+  def embAbttOf(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    val tid = Thread.currentThread().getId
+    val v = s"graft_abtt_xd_t$tid"
+    vecs
+      .selectExpr("vec_id", "posexplode(embedding) AS (dim, xf)")
+      .selectExpr("vec_id", "CAST(dim AS INT) AS dim",
+        "CAST(xf AS DOUBLE) AS x")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(v)
+    spark.sql(abttSql(s"xd AS (SELECT vec_id, dim, x FROM $v)"))
+  }
+
+  def embAbttOracleSql: String = abttSql(s"""xd AS (
+        SELECT vec_id, (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
+          unnest(embedding)::DOUBLE AS x
+        FROM embeddings)""")
+
   // ---------------------------------------------------------------- q119
   /** IVF-PQ search — the production ANN shape, combining q40's inverted
     * file with q107's ADC: a probe scores ONLY vectors in its own
@@ -1899,6 +1957,7 @@ object ScaleOps {
     "q107_pq_adc_topk"   -> pqAdcSearch _,
     "q169_ann_recall"    -> annRecallAudit _,
     "q170_emb_pca"       -> embPca _,
+    "q172_emb_abtt"      -> embAbtt _,
     "q108_merge_upsert"  -> mergeUpsert _,
     "q109_star_flatten"  -> starFlatten _,
     "q110_data_quality"  -> dataQuality _,
@@ -1931,6 +1990,7 @@ object ScaleOps {
     "q107_pq_adc_topk" -> s"WITH $pqBaseOracle $pqAdcTail",
     "q169_ann_recall" -> annRecallAuditOracleSql,
     "q170_emb_pca" -> embPcaOracleSql,
+    "q172_emb_abtt" -> embAbttOracleSql,
     "q108_merge_upsert" -> mergeUpsertSql("customer"),
     "q109_star_flatten" -> starFlattenSql(centsRound),
     "q110_data_quality" -> dataQualitySql,

@@ -451,4 +451,23 @@ class ScaleOpsSpec extends SparkSpec {
     val again = ScaleOps.embPcaOf(rows.toDF("vec_id", "embedding")).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("ABTT removes the planted common direction almost entirely") {
+    val sq = spark
+    import sq.implicits._
+    val rows = (0 until 40).map { i =>
+      val t = (i % 9) - 4.0f
+      val arr = Array.fill(8)(0.0f)
+      arr(2) = t
+      arr(5) = 0.05f * ((i % 3) - 1.0f)
+      (i.toLong, arr.toSeq)
+    }
+    val out = ScaleOps.embAbttOf(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.length === 40)
+    val projVar = out.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    val residVar = out.map(r => r.getDouble(2) * r.getDouble(2)).sum
+    assert(residVar < 0.01 * (projVar + residVar),
+      s"residual must be tiny after removing the top component: " +
+        s"resid=$residVar proj=$projVar")
+  }
 }
