@@ -855,6 +855,64 @@ object LlmQueries {
   def mixturePlanOracleSql: String =
     mixturePlanSql(tokenCountSql("text"), "//")
 
+  // ---------------------------------------------------------------- q173
+  /** First-round BPE merge-candidate table — the opening move of
+    * tokenizer training (Sennrich et al.: count adjacent symbol pairs,
+    * merge the most frequent): every adjacent CHARACTER pair inside
+    * every pre-token (q138's GPT-2-style pre-tokenizer regex, so pairs
+    * never cross a letter/digit/punct boundary), counted corpus-wide,
+    * top-[[BpeMergeTopK]] by (count DESC, pair) — the exact table the
+    * first merge round consumes, and the readout that sizes a vocab
+    * budget. One codegen'd projection (regex → nested transform →
+    * flatten) + one hash agg + a TakeOrdered top-k; the shuffle carries
+    * (2-char pair, partial count) rows only. Full BPE iterates this
+    * with re-segmentation — rounds beyond the first change the SYMBOL
+    * table, not the plan shape. */
+  val BpeMergeTopK = 20
+  private val BpePieceRegexSpark = "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]'"
+  private val BpePieceRegexDuck = "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'"
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH pieces AS (
+        SELECT explode(regexp_extract_all(text, $BpePieceRegexSpark, 0)) AS p
+        FROM documents),
+      pairs AS (
+        SELECT explode(CASE WHEN length(p) >= 2
+          THEN transform(sequence(1, length(p) - 1), i -> substr(p, i, 2))
+          ELSE array_repeat('', 0) END) AS pair
+        FROM pieces),
+      cnt AS (
+        SELECT pair, CAST(count(1) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair),
+      top AS (
+        SELECT pair, cnt FROM cnt
+        ORDER BY cnt DESC, pair LIMIT $BpeMergeTopK)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+          AS rank,
+        pair, cnt
+      FROM top ORDER BY rank""")
+  }
+
+  def bpeMergesSql: String = s"""
+      WITH pieces AS (
+        SELECT unnest(regexp_extract_all(text, $BpePieceRegexDuck)) AS p
+        FROM documents),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, length(p)), i ->
+          substr(p, i, 2))) AS pair
+        FROM pieces),
+      cnt AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair),
+      top AS (
+        SELECT pair, cnt FROM cnt
+        ORDER BY cnt DESC, pair LIMIT $BpeMergeTopK)
+      SELECT (row_number() OVER (ORDER BY cnt DESC, pair))::INT AS rank,
+        pair, cnt
+      FROM top ORDER BY rank"""
+
   // ---------------------------------------------------------------- q165
   /** Quality-curriculum training order — the standard data-schedule
     * construction (best data first, source mixture held uniform across
@@ -1804,6 +1862,7 @@ object LlmQueries {
     "q166_ann_kmeans"     -> annKmeans _,
     "q168_dedup_clean"    -> dedupClean _,
     "q171_span_increment" -> spanIncrement _,
+    "q173_bpe_merges"     -> bpeMerges _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -1940,6 +1999,7 @@ object LlmQueries {
     "q166_ann_kmeans" -> annKmeansSql,
     "q168_dedup_clean" -> dedupCleanSql,
     "q171_span_increment" -> spanIncrementSql,
+    "q173_bpe_merges" -> bpeMergesSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """
