@@ -926,8 +926,13 @@ object LlmQueries {
     * [[DistributedRank.rankOnly]] on (src_rank, source). The oracle
     * spells both as plain windows — the hash match proves the
     * distributed rewrite is bit-identical. */
-  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(docs(spark, dir))
+
+  /** [[curriculumOrder]] over an arbitrary (doc_id, text, source) frame
+    * — the composition entry point (cleaned corpora, filtered slices). */
+  def curriculumOrderOf(docsDf: DataFrame): DataFrame = {
+    val d = docsDf
       .select(col("doc_id"), col("source"), qualityCol.as("quality"))
       .transform(graft.core.EngineCache.persisted)
     val ranked = DistributedRank.rankWithin(

@@ -129,4 +129,46 @@ class PipelineIntegrationSpec extends SparkSpec {
 
     graft.core.EngineCache.releaseAll()
   }
+
+  test("span cut -> classifier training -> curriculum over one lineage") {
+    // round-8 composition: the cleaned corpus (q168) feeds classifier
+    // training (q163's weights) and the curriculum order (q165) — the
+    // stages a real data pipeline chains after dedup
+    val sq = spark
+    import sq.implicits._
+    val run = (1 to 12).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run", "en", "srcA"),
+      (2L, s"$run delta epsilon zeta", "en", "srcA"), // loses the run
+      (3L, (1 to 40).map(j => s"w$j").mkString(" "), "en", "srcB"),
+      (4L, "kurz und knapp!!", "xx", "srcB"),
+      (5L, (1 to 30).map(j => s"u$j").mkString(" "), "xx", "srcA")
+    ).toDF("doc_id", "text", "lang", "source")
+    // 1. span cut: doc 2 must lose the duplicated run but survive
+    val cleaned = graft.operators.LlmQueries
+      .dedupCleanOf(docs.select("doc_id", "text"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val c2 = cleaned.filter(col("doc_id") === 2L).collect().head.getString(1)
+    assert(c2 === "delta epsilon zeta")
+    // 2. rejoin metadata, train the classifier on the CLEANED text
+    val meta = docs.select("doc_id", "lang", "source")
+    val cleanedDocs = cleaned.join(meta, "doc_id")
+      .withColumn("n_chars", length(col("text")))
+    val w = graft.operators.StatsOps.trainedClsWeights(
+      cleanedDocs.select("doc_id", "text", "lang", "n_chars"))
+    assert(w.exists(_ != 0.0), "training must move the weights")
+    // 3. curriculum order over the cleaned corpus: every surviving doc
+    // gets exactly one position, sources interleave by quality rank
+    val viewDocs = cleanedDocs.select("doc_id", "text", "lang", "source")
+    val order = graft.operators.LlmQueries.curriculumOrderOf(viewDocs)
+      .collect()
+    assert(order.map(_.getLong(1)).sorted.toSeq ===
+      cleaned.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(order.map(_.getLong(0)).toSeq ===
+      (1L to order.length).toSeq, "positions are a contiguous ranking")
+    // first block of the schedule holds each source's best doc
+    val firstBlock = order.take(2).map(_.getString(2)).toSet
+    assert(firstBlock === Set("srcA", "srcB"))
+    graft.core.EngineCache.releaseAll()
+  }
 }
