@@ -881,19 +881,34 @@ object ScaleOps {
     s"CAST(sum(CAST(floor(($e) * $grid + 0.5) AS DECIMAL(38,0))) AS DOUBLE)" +
       s" / $grid"
 
-  /** The full PCA chain over an exploded relation `xd(vec_id, dim, x)`
-    * (engine-common; `xd` itself is the only dialect-specific CTE). */
-  private def pcaChainSql(xdCte: String): String = {
+  /** Portable mean + centering CTEs over an exploded `xd(vec_id, dim,
+    * x)`; the oracle inlines them, the Spark side materializes the same
+    * strings as PERSISTED views (every iteration scans `xc` — persist
+    * once, not once per stage). */
+  private def pcaMuSql(xd: String): String = s"""
+      SELECT dim,
+        floor((CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / count(x))
+          * 1e8 + 0.5) / 1e8 AS mu
+      FROM $xd GROUP BY dim"""
+  private def pcaXcSql(xd: String, mu: String): String = s"""
+      SELECT $xd.vec_id, $xd.dim, $xd.x - $mu.mu AS xc
+      FROM $xd JOIN $mu ON $xd.dim = $mu.dim"""
+
+  /** The PCA chain body; expects `xc(vec_id, dim, xc)` and `mu(dim,
+    * mu)` relations in scope (engine-common given that). `prefixCtes`
+    * lets the oracle inline xd/mu/xc; Spark passes "" and registers
+    * views instead. */
+  private def pcaChainSql(prefix: String, xcR: String, muR: String): String = {
     def iter(t: Int): String = {
       val vp = s"v_${t - 1}"
       s"""
       s_$t AS (
         SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
-        FROM xc c JOIN $vp v ON c.dim = v.dim
+        FROM $xcR c JOIN $vp v ON c.dim = v.dim
         GROUP BY c.vec_id),
       g_$t AS (
         SELECT c.dim, ${pcaBridge("s.s * c.xc", "1e9")} AS g
-        FROM xc c JOIN s_$t s ON c.vec_id = s.vec_id
+        FROM $xcR c JOIN s_$t s ON c.vec_id = s.vec_id
         GROUP BY c.dim),
       nrm_$t AS (
         SELECT sqrt(${pcaBridge("g * g", "1e12")}) AS nrm FROM g_$t),
@@ -901,32 +916,24 @@ object ScaleOps {
         SELECT dim, g / nrm AS v FROM g_$t CROSS JOIN nrm_$t)"""
     }
     s"""
-      WITH $xdCte,
-      mu AS (
-        SELECT dim,
-          floor((CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / count(x))
-            * 1e8 + 0.5) / 1e8 AS mu
-        FROM xd GROUP BY dim),
-      xc AS (
-        SELECT xd.vec_id, xd.dim, xd.x - mu.mu AS xc
-        FROM xd JOIN mu ON xd.dim = mu.dim),
-      nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM xd),
-      dims AS (SELECT CAST(count(1) AS DOUBLE) AS nd FROM mu),
+      WITH ${if (prefix.nonEmpty) s"$prefix," else ""}
+      nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM $xcR),
+      dims AS (SELECT CAST(count(1) AS DOUBLE) AS nd FROM $muR),
       v_0 AS (
-        SELECT dim, 1.0 / sqrt(nd) AS v FROM mu CROSS JOIN dims),
+        SELECT dim, 1.0 / sqrt(nd) AS v FROM $muR CROSS JOIN dims),
       ${(1 to PcaRounds).map(iter).mkString(",")},
       lam AS (
         SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
         FROM v_$PcaRounds v JOIN g_$PcaRounds g ON v.dim = g.dim),
       tv AS (
-        SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM xc)
-      SELECT v.dim, mu.mu,
+        SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM $xcR)
+      SELECT v.dim, m.mu,
         ${droundSql("v.v", 6)} AS loading,
         ${droundSql("lam.lam_raw / CAST(nn.n AS DOUBLE)", 6)} AS pc_var,
         ${droundSql(
           "(lam.lam_raw / CAST(nn.n AS DOUBLE)) / (tv.tvn / CAST(nn.n AS DOUBLE))",
           6)} AS explained_frac
-      FROM v_$PcaRounds v JOIN mu ON v.dim = mu.dim
+      FROM v_$PcaRounds v JOIN $muR m ON v.dim = m.dim
       CROSS JOIN lam CROSS JOIN tv CROSS JOIN nn
       ORDER BY v.dim"""
   }
@@ -937,25 +944,44 @@ object ScaleOps {
   /** [[embPca]] over an arbitrary (vec_id, embedding) frame — the spec
     * entry point (a planted dominant direction must be recovered). */
   def embPcaOf(vecs: DataFrame): DataFrame = {
-    val spark = vecs.sparkSession
-    val tid = Thread.currentThread().getId
-    val v = s"graft_pca_xd_t$tid"
-    // exploded + persisted ONCE: every iteration's two aggs and the
-    // variance pass all scan this frame
-    vecs
-      .selectExpr("vec_id",
-        "posexplode(embedding) AS (dim, xf)")
-      .selectExpr("vec_id", "CAST(dim AS INT) AS dim",
-        "CAST(xf AS DOUBLE) AS x")
-      .transform(graft.core.EngineCache.persisted)
-      .createOrReplaceTempView(v)
-    spark.sql(pcaChainSql(s"xd AS (SELECT vec_id, dim, x FROM $v)"))
+    val (spark, xcV, muV) = pcaViews(vecs, "pca")
+    spark.sql(pcaChainSql("", xcV, muV))
   }
 
-  def embPcaOracleSql: String = pcaChainSql(s"""xd AS (
+  /** Register the exploded / mean / CENTERED views for `vecs` (prefix
+    * distinguishes q170/q172 so concurrent Verify workers cannot race
+    * on view names); `xc` persists — every chain stage scans it, and
+    * without the persist Spark re-derives the explode+join per stage
+    * (measured 13.9 s → the fix at sf0.1). Returns (session, xc, mu). */
+  private def pcaViews(vecs: DataFrame,
+                       prefix: String): (SparkSession, String, String) = {
+    val spark = vecs.sparkSession
+    val tid = Thread.currentThread().getId
+    val xd = s"graft_${prefix}_xd_t$tid"
+    val mu = s"graft_${prefix}_mu_t$tid"
+    val xc = s"graft_${prefix}_xc_t$tid"
+    vecs
+      .selectExpr("vec_id", "posexplode(embedding) AS (dim, xf)")
+      .selectExpr("vec_id", "CAST(dim AS INT) AS dim",
+        "CAST(xf AS DOUBLE) AS x")
+      .createOrReplaceTempView(xd)
+    spark.sql(pcaMuSql(xd))
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(mu)
+    spark.sql(pcaXcSql(xd, mu))
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(xc)
+    (spark, xc, mu)
+  }
+
+  private def pcaOracleXd: String = s"""xd AS (
         SELECT vec_id, (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
           unnest(embedding)::DOUBLE AS x
-        FROM embeddings)""")
+        FROM embeddings)"""
+  private def pcaOraclePrefix: String =
+    s"$pcaOracleXd, mu AS (${pcaMuSql("xd")}), xc AS (${pcaXcSql("xd", "mu")})"
+
+  def embPcaOracleSql: String = pcaChainSql(pcaOraclePrefix, "xc", "mu")
 
   // ---------------------------------------------------------------- q172
   /** All-but-the-top embedding correction (Mu & Viswanath 2018) — the
@@ -969,14 +995,14 @@ object ScaleOps {
     * direction — the outlier signal) and the residual norm (what a
     * downstream cosine actually sees after correction). O(corpus·dims)
     * total, no dense algebra, same bit-determinism story as q170. */
-  private def abttTailSql: String = s""",
+  private def abttTailSql(xcR: String): String = s""",
       sfin AS (
         SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
-        FROM xc c JOIN v_$PcaRounds v ON c.dim = v.dim
+        FROM $xcR c JOIN v_$PcaRounds v ON c.dim = v.dim
         GROUP BY c.vec_id),
       n2 AS (
         SELECT vec_id, ${pcaBridge("xc * xc", "1e12")} AS nsq
-        FROM xc GROUP BY vec_id)
+        FROM $xcR GROUP BY vec_id)
       SELECT s.vec_id,
         ${droundSql("s.s", 6)} AS proj,
         ${droundSql(
@@ -987,33 +1013,22 @@ object ScaleOps {
 
   /** Splice: the PCA chain up to v_N, with the ABTT projection tail in
     * place of the loading report. */
-  private def abttSql(xdCte: String): String = {
-    val chain = pcaChainSql(xdCte)
+  private def abttSql(prefix: String, xcR: String, muR: String): String = {
+    val chain = pcaChainSql(prefix, xcR, muR)
     val cut = chain.indexOf(",\n      lam AS (")
     require(cut > 0, "pca chain shape changed under abtt")
-    chain.substring(0, cut) + abttTailSql
+    chain.substring(0, cut) + abttTailSql(xcR)
   }
 
   def embAbtt(spark: SparkSession, dir: String): DataFrame =
     embAbttOf(Tables.load(spark, dir, "embeddings"))
 
   def embAbttOf(vecs: DataFrame): DataFrame = {
-    val spark = vecs.sparkSession
-    val tid = Thread.currentThread().getId
-    val v = s"graft_abtt_xd_t$tid"
-    vecs
-      .selectExpr("vec_id", "posexplode(embedding) AS (dim, xf)")
-      .selectExpr("vec_id", "CAST(dim AS INT) AS dim",
-        "CAST(xf AS DOUBLE) AS x")
-      .transform(graft.core.EngineCache.persisted)
-      .createOrReplaceTempView(v)
-    spark.sql(abttSql(s"xd AS (SELECT vec_id, dim, x FROM $v)"))
+    val (spark, xcV, muV) = pcaViews(vecs, "abtt")
+    spark.sql(abttSql("", xcV, muV))
   }
 
-  def embAbttOracleSql: String = abttSql(s"""xd AS (
-        SELECT vec_id, (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
-          unnest(embedding)::DOUBLE AS x
-        FROM embeddings)""")
+  def embAbttOracleSql: String = abttSql(pcaOraclePrefix, "xc", "mu")
 
   // ---------------------------------------------------------------- q119
   /** IVF-PQ search — the production ANN shape, combining q40's inverted
