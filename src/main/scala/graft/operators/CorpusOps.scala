@@ -610,6 +610,48 @@ object CorpusOps {
   def psiDriftOracleSql: String =
     psiSql(s"SELECT source, ${LlmQueries.qualitySql} AS q FROM documents")
 
+  /** q167's corpus baseline persisted AT REST: the zero-filled 10-row
+    * quality-bin histogram — the reference distribution an ingest
+    * monitor compares arrivals against without ever rescanning the
+    * corpus. */
+  def psiBaselineAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val table = "psi_baseline_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table) {
+      val b = docs(spark, dir).select(LlmQueries.qualityCol.as("q"))
+        .select(expr("CAST(least(floor(q * 10), 9) AS INT)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c0"))
+      spark.range(10).select(col("id").cast("int").as("bin"))
+        .join(b, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("c0"), lit(0L)).as("c0"))
+    }
+  }
+
+  /** PSI of one arriving batch against the stored baseline — a single
+    * (n_docs, psi) row, q167's arithmetic (add-one smoothing, 1e-12
+    * ln-term bridge). Pure DataFrame API so it runs under foreachBatch
+    * clones; only the batch is scanned, the baseline is 10 rows. */
+  def psiOfBatch(batch: DataFrame, baseline: DataFrame): DataFrame = {
+    val bb = batch.select(LlmQueries.qualityCol.as("q"))
+      .select(expr("CAST(least(floor(q * 10), 9) AS INT)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val grid = baseline
+      .join(bb, Seq("bin"), "left")
+      .select(col("c0"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = grid.agg(
+      sum(col("c")).as("nb"), sum(col("c0")).as("n0"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("nb"),
+        expr("CAST(c + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)").as("ps"),
+        expr("CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)").as("p0"))
+      .select(col("nb"), expr(
+        "CAST(floor((ps - p0) * ln(ps / p0) * 1e12 + 0.5) AS DECIMAL(38,0))")
+        .as("t12"))
+      .groupBy()
+      .agg(min(col("nb")).cast("long").as("n_docs"),
+        dround(sum(col("t12")).cast("double") / lit(1e12), 6).as("psi"))
+  }
+
   // ---------------------------------------------------------------- q94
   /** Remaining rank-family window functions — percent_rank, cume_dist,
     * ntile, nth_value with an explicit ROWS frame — over a total

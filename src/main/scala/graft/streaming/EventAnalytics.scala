@@ -186,6 +186,29 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming quality-DRIFT monitor — the stream-time twin of q167:
+    * every arriving micro-batch of (doc_id, text) rows is scored
+    * against the AT-REST corpus quality-bin baseline
+    * ([[graft.operators.CorpusOps.psiBaselineAtRest]]), yielding one
+    * (n_docs, psi) row per batch under `batch_run=N` — the live alarm
+    * an ingest pipeline watches (PSI > 0.25 = the arriving data no
+    * longer looks like the corpus). Only the batch is scanned; the
+    * baseline is 10 stored rows. */
+  def startStreamingQualityDrift(docStream: DataFrame, baseline: DataFrame,
+                                 outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.CorpusOps.psiOfBatch(batch, baseline)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming incremental SUBSTRING dedup — the stream-time twin of
     * q171: each arriving micro-batch of (doc_id, text) rows is the only
     * text tokenized; its positional gram hashes semi-join the AT-REST

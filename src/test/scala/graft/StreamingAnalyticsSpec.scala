@@ -446,4 +446,37 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == want)
     assert(want.nonEmpty, "fixture surprise: no batch-vs-corpus span overlap")
   }
+
+  test("streaming quality drift equals the direct per-batch PSI") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.CorpusOps
+    val baseline = CorpusOps.psiBaselineAtRest(spark, sfDir)
+      .transform(graft.core.EngineCache.persisted)
+    assert(baseline.count() === 10)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === graft.operators.LlmQueries.BatchSource)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqd").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingQualityDrift(
+      source.toDF().toDF("doc_id", "text"), baseline,
+      s"$dir/psi", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def direct(rows: Seq[(Long, String)]) =
+      CorpusOps.psiOfBatch(rows.toDF("doc_id", "text"), baseline)
+        .collect().head
+    val got = spark.read.parquet(s"$dir/psi")
+      .select("batch_run", "n_docs", "psi").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val w1 = direct(h1.toIndexedSeq); val w2 = direct(h2.toIndexedSeq)
+    assert(got(0) === ((w1.getLong(0), w1.getDouble(1))))
+    assert(got(1) === ((w2.getLong(0), w2.getDouble(1))))
+    assert(got.values.forall(_._2 >= 0.0))
+  }
 }
