@@ -266,7 +266,13 @@ class PlanSpec extends SparkSpec {
     val dfs = Seq(
       "q117_rfm" -> graft.operators.ScaleOps.rfm(spark, sfDir),
       "q121_gini" -> graft.operators.ScaleOps.gini(spark, sfDir),
-      "q130_lift_table" -> graft.operators.StatsOps.liftTable(spark, sfDir))
+      "q130_lift_table" -> graft.operators.StatsOps.liftTable(spark, sfDir),
+      // q165: within-source rank must ride rankWithin's keyed buckets,
+      // and the global interleave position must ride rankOnly — neither
+      // may fall back to a single-task global window
+      "q165_curriculum" -> graft.operators.LlmQueries.curriculumOrder(spark, sfDir),
+      // q148 batching ranks two global orders the same way
+      "q148_pad_batching" -> graft.operators.LlmQueries.padBatching(spark, sfDir))
     for ((name, df) <- dfs) {
       val bad = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
@@ -364,5 +370,18 @@ class PlanSpec extends SparkSpec {
       s"query-vocab shards must prune at the partition level:\n$p")
     assert(!p.contains("split(") && !p.contains("documents.parquet"),
       s"serve must not re-tokenize or rescan the corpus:\n$p")
+  }
+
+  test("iterative trainers scan a persisted frame, not the corpus per pass") {
+    // q163 (3 GD iterations) and q170 (3 power iterations): the per-pass
+    // input must be an InMemoryTableScan of the persisted feature /
+    // centered frame — re-deriving the regex features or the explode per
+    // stage multiplies the corpus scans by the iteration count
+    val cls = executedPlan(graft.operators.StatsOps.qualityClassifier(spark, sfDir))
+    assert(cls.contains("InMemoryTableScan"),
+      s"q163 must scan the persisted feature frame:\n$cls")
+    val pca = executedPlan(graft.operators.ScaleOps.embPca(spark, sfDir))
+    assert("InMemoryTableScan".r.findAllIn(pca).size >= 3,
+      s"q170's iterations must each hit the persisted centered frame:\n$pca")
   }
 }
