@@ -788,6 +788,62 @@ object StatsOps {
       TextFunctions.punctCountSql("text"))))
   }
 
+  // ---------------------------------------------------------------- q174
+  /** Calibration (reliability) table for the q163 classifier — the
+    * model-eval readout that decides whether scores can gate data at a
+    * threshold: score DECILES (rank-based, because an undertrained
+    * linear model concentrates scores — fixed-width bins would collapse
+    * to one row and hide exactly the miscalibration being measured),
+    * each reporting volume, the exact-decimal mean score, and the
+    * observed positive rate; mean score tracking positive rate decile
+    * by decile is what "calibrated" means. The decile comes from
+    * [[DistributedRank]] + exact SQL-ntile arithmetic (never a
+    * single-task window); scores bridge to 1e6-grid integers so the
+    * rank order and the means are bit-identical cross-engine. O(10)
+    * output at any corpus size. The oracle wraps the full q163 replay,
+    * gating training AND evaluation end to end. */
+  private def calibrationAggSql(rel: String): String = s"""
+      SELECT decile, CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(label) AS BIGINT) AS n_pos,
+        ${droundSql(
+          "CAST(sum(CAST(s6 AS DECIMAL(38,0))) AS DOUBLE) / (1e6 * count(1))",
+          6)} AS mean_score,
+        ${droundSql("CAST(sum(label) AS DOUBLE) / CAST(count(1) AS DOUBLE)",
+          6)} AS pos_rate
+      FROM $rel
+      GROUP BY decile ORDER BY decile"""
+
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scored = graft.core.EngineCache.persisted(
+      qualityClassifier(spark, dir).select(col("doc_id"), col("label"),
+        expr("CAST(floor(score * 1e6 + 0.5) AS BIGINT)").as("s6")))
+    val st = scored.agg(count(lit(1)),
+      min("s6").cast("double"), max("s6").cast("double")).first()
+    val n = st.getLong(0)
+    val ranked = DistributedRank.rankOnlyBounded(
+      scored, "rk", "s6", desc = false, st.getDouble(1), st.getDouble(2),
+      col("s6"), col("doc_id"))
+    val d = ranked.withColumn(
+      "decile", DistributedRank.ntileFromRank("rk", n, LiftDeciles))
+    val v = s"graft_qcal_t${Thread.currentThread().getId}"
+    d.createOrReplaceTempView(v)
+    spark.sql(calibrationAggSql(v))
+  }
+
+  def qualityCalibrationOracleSql: String = s"""
+      WITH scored AS ($qualityClassifierOracleSql),
+      b AS (
+        SELECT doc_id, label,
+          CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS s6
+        FROM scored),
+      d AS (
+        SELECT label, s6,
+          CAST(ntile($LiftDeciles) OVER (ORDER BY s6, doc_id) AS INT)
+            AS decile
+        FROM b)
+      ${calibrationAggSql("d")}"""
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -802,7 +858,8 @@ object StatsOps {
     "q135_hll_persist"    -> hllPersist _,
     "q136_quantile_sketch" -> ddqPersist _,
     "q137_heavy_hitters"  -> cmsPersist _,
-    "q163_quality_classifier" -> qualityClassifier _
+    "q163_quality_classifier" -> qualityClassifier _,
+    "q174_quality_calibration" -> qualityCalibration _
   )
 
   val oracles: Map[String, String] = Map(
@@ -817,6 +874,7 @@ object StatsOps {
     "q135_hll_persist"    -> hllPersistSql,
     "q136_quantile_sketch" -> ddqPersistSql,
     "q137_heavy_hitters"  -> cmsPersistSql,
-    "q163_quality_classifier" -> qualityClassifierOracleSql
+    "q163_quality_classifier" -> qualityClassifierOracleSql,
+    "q174_quality_calibration" -> qualityCalibrationOracleSql
   )
 }
