@@ -844,6 +844,60 @@ object StatsOps {
         FROM b)
       ${calibrationAggSql("d")}"""
 
+  // ---------------------------------------------------------------- q175
+  /** Exact AUC for the q163 classifier — the Mann-Whitney rank-sum
+    * form with full tie handling, computed from the SCORE HISTOGRAM:
+    * group by the 1e6-bridged score (hash agg over the corpus), then
+    * one window over the |distinct scores| histogram rows (the q128
+    * histogram discipline — the corpus itself is never sorted) gives
+    * each tie-group's average-rank contribution as pure integers:
+    * Σ mp·(2c+m+1) doubles the positive rank-sum, so
+    * AUC = (R2 − np(np+1)) / (2·np·nn) divides exact int64s once at
+    * the end. One row out; the oracle wraps the full training replay.
+    * AUC ≈ 0.5 on this fixture is the honest readout q174 already
+    * shows decile-wise — the metric exists to prove it exactly. */
+  private def aucAggSql(scored: String): String = s"""
+      WITH b AS (
+        SELECT label, CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS s6
+        FROM $scored),
+      h AS (
+        SELECT s6, CAST(count(1) AS BIGINT) AS m,
+          CAST(sum(label) AS BIGINT) AS mp
+        FROM b GROUP BY s6),
+      w AS (
+        SELECT s6, m, mp,
+          CAST(coalesce(sum(m) OVER (ORDER BY s6
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS c
+        FROM h),
+      agg AS (
+        SELECT CAST(sum(mp * (2 * c + m + 1)) AS BIGINT) AS r2,
+          CAST(sum(mp) AS BIGINT) AS np, CAST(sum(m) AS BIGINT) AS nt
+        FROM w)
+      SELECT np AS n_pos, CAST(nt - np AS BIGINT) AS n_neg,
+        ${droundSql(
+          "CAST(r2 - np * (np + 1) AS DOUBLE) / " +
+            "(2.0 * CAST(np AS DOUBLE) * CAST(nt - np AS DOUBLE))",
+          6)} AS auc
+      FROM agg"""
+
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_auc_t${Thread.currentThread().getId}"
+    qualityClassifier(spark, dir).createOrReplaceTempView(v)
+    spark.sql(aucAggSql(v))
+  }
+
+  /** [[classifierAuc]] over an arbitrary docs frame — the spec entry
+    * point (separable planted labels must score AUC ≈ 1). */
+  def classifierAucOf(docsDf: DataFrame): DataFrame = {
+    val v = s"graft_auc_of_t${Thread.currentThread().getId}"
+    qualityClassifierOf(docsDf).createOrReplaceTempView(v)
+    docsDf.sparkSession.sql(aucAggSql(v))
+  }
+
+  def classifierAucOracleSql: String =
+    aucAggSql(s"($qualityClassifierOracleSql) scored")
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -859,7 +913,8 @@ object StatsOps {
     "q136_quantile_sketch" -> ddqPersist _,
     "q137_heavy_hitters"  -> cmsPersist _,
     "q163_quality_classifier" -> qualityClassifier _,
-    "q174_quality_calibration" -> qualityCalibration _
+    "q174_quality_calibration" -> qualityCalibration _,
+    "q175_classifier_auc" -> classifierAuc _
   )
 
   val oracles: Map[String, String] = Map(
@@ -875,6 +930,7 @@ object StatsOps {
     "q136_quantile_sketch" -> ddqPersistSql,
     "q137_heavy_hitters"  -> cmsPersistSql,
     "q163_quality_classifier" -> qualityClassifierOracleSql,
-    "q174_quality_calibration" -> qualityCalibrationOracleSql
+    "q174_quality_calibration" -> qualityCalibrationOracleSql,
+    "q175_classifier_auc" -> classifierAucOracleSql
   )
 }

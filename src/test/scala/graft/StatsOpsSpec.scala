@@ -224,6 +224,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq === again.map(_.getDouble(2)).toSeq)
   }
 
+  test("exact AUC is 1.0 on the separable corpus, tie-aware in between") {
+    val rows = (0 until 20).map { i =>
+      val pos = i % 2 == 0
+      val text =
+        if (pos) (1 to 60).map(j => s"w$j").mkString(" ")
+        else (1 to 5).map(j => s"x$j!!").mkString(" ")
+      (i.toLong, text, if (pos) "en" else "xx", text.length)
+    }
+    val sq = spark
+    import sq.implicits._
+    val d = rows.toDF("doc_id", "text", "lang", "n_chars")
+    val r = StatsOps.classifierAucOf(d).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 1.0, s"separable data must give AUC 1: $r")
+    // all-identical scores -> every pair tied -> AUC exactly 0.5
+    val flat = (0 until 10).map(i =>
+      (i.toLong, "same same same", if (i % 2 == 0) "en" else "xx", 14))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val rf = StatsOps.classifierAucOf(flat).collect().head
+    assert(rf.getDouble(2) === 0.5, s"all-tied scores must give 0.5: $rf")
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
