@@ -855,6 +855,81 @@ object LlmQueries {
   def mixturePlanOracleSql: String =
     mixturePlanSql(tokenCountSql("text"), "//")
 
+  // ---------------------------------------------------------------- q176
+  /** Source-pair shingle-Jaccard matrix via BOTTOM-K (KMV) sketches —
+    * the fourth mergeable-sketch family (beside HLL/DDSketch/CMS/Bloom):
+    * each source's distinct 3-word-shingle set reduces to its K
+    * smallest 60-bit hashes — a [[KmvK]]-row sketch a billion-shingle
+    * source still fits in — built with the bounded TopKAgg (map-side
+    * partials, never a per-source window sort). The pairwise estimate
+    * is the classic KMV form: merge two sketches, keep the union's K
+    * smallest, and the fraction present in BOTH estimates J(A,B). The
+    * |sources|²·2K pair stage is dimension-sized at any corpus scale.
+    * Unlike q143 (doc-pair contamination via LSH), this reads
+    * set-overlap at the SOURCE level — mirror detection when the docs
+    * themselves differ but the vocabulary is shared. Deterministic end
+    * to end (integer hashes, integer counts, one final divide). */
+  val KmvK = 128
+
+  private def kmvPairTailSql(sk: String): String = s"""
+      srcs AS (SELECT DISTINCT source FROM $sk),
+      prs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM srcs a JOIN srcs b ON a.source < b.source),
+      uni AS (
+        SELECT sa, sb, h,
+          max(ina) AS ina, max(inb) AS inb
+        FROM (
+          SELECT p.sa, p.sb, k.h, 1 AS ina, 0 AS inb
+          FROM prs p JOIN $sk k ON k.source = p.sa
+          UNION ALL
+          SELECT p.sa, p.sb, k.h, 0 AS ina, 1 AS inb
+          FROM prs p JOIN $sk k ON k.source = p.sb) z
+        GROUP BY sa, sb, h),
+      rr AS (
+        SELECT sa, sb, ina, inb,
+          row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+          count(1) OVER (PARTITION BY sa, sb) AS nu
+        FROM uni)
+      SELECT sa AS source_a, sb AS source_b,
+        ${droundSql(
+          s"CAST(sum(CASE WHEN rn <= $KmvK AND ina = 1 AND inb = 1 " +
+            "THEN 1 ELSE 0 END) AS DOUBLE) / " +
+            s"CAST(least($KmvK, max(nu)) AS DOUBLE)", 6)} AS est_jaccard
+      FROM rr GROUP BY sa, sb ORDER BY sa, sb"""
+
+  def sourceJaccard(spark: SparkSession, dir: String): DataFrame =
+    sourceJaccardOf(docs(spark, dir))
+
+  def sourceJaccardOf(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    val sh = docsDf
+      .select(col("source"), explode(wordShingles("text", WordShingleN)).as("s"))
+      .select(col("source"),
+        graft.core.Determinism.xhash(concat(lit("kmv:"), col("s"))).as("h"))
+      .distinct()
+    val sk = sh.groupBy("source")
+      .agg(graft.functions.VectorAggregates
+        .topKOf(KmvK, -col("h").cast("double"), col("h")).as("top"))
+      .select(col("source"), explode(col("top.cand_id")).as("h"))
+    val v = s"graft_kmv_sk_t${Thread.currentThread().getId}"
+    sk.createOrReplaceTempView(v)
+    spark.sql(s"WITH ${kmvPairTailSql(v)}")
+  }
+
+  def sourceJaccardSql: String = s"""
+      WITH sh AS (
+        SELECT DISTINCT source,
+          ${xhashSql(s"'kmv:' || s")} AS h
+        FROM (SELECT source, unnest(${wordShinglesSql("text", WordShingleN)})
+                AS s FROM documents) z),
+      sk AS (
+        SELECT source, h FROM (
+          SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS krn
+          FROM sh) zz WHERE krn <= $KmvK),
+      ${kmvPairTailSql("sk")}"""
+
   // ---------------------------------------------------------------- q173
   /** First-round BPE merge-candidate table — the opening move of
     * tokenizer training (Sennrich et al.: count adjacent symbol pairs,
@@ -1868,6 +1943,7 @@ object LlmQueries {
     "q168_dedup_clean"    -> dedupClean _,
     "q171_span_increment" -> spanIncrement _,
     "q173_bpe_merges"     -> bpeMerges _,
+    "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
     "q32_langid"          -> langIdQuery _,
@@ -2005,6 +2081,7 @@ object LlmQueries {
     "q168_dedup_clean" -> dedupCleanSql,
     "q171_span_increment" -> spanIncrementSql,
     "q173_bpe_merges" -> bpeMergesSql,
+    "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),
     "q42_multimodal_meta" -> """

@@ -126,4 +126,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(psi("srcC") > psi("srcA") + 0.25,
       s"shifted source must alarm: $psi")
   }
+
+  test("KMV source Jaccard: exact on twins and disjoint, close in between") {
+    val sq = spark
+    import sq.implicits._
+    def text(words: Seq[String]) = words.mkString(" ")
+    val vocabA = (1 to 300).map(i => s"a$i")
+    val vocabC = (1 to 300).map(i => s"c$i")
+    // srcA and srcB identical text -> identical shingle sets -> J = 1;
+    // srcC fully disjoint -> J = 0
+    val d = Seq(
+      (1L, text(vocabA), "srcA"),
+      (2L, text(vocabA), "srcB"),
+      (3L, text(vocabC), "srcC")
+    ).toDF("doc_id", "text", "source")
+    val est = graft.operators.LlmQueries.sourceJaccardOf(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est(("srcA", "srcB")) === 1.0)
+    assert(est(("srcA", "srcC")) === 0.0)
+    assert(est(("srcB", "srcC")) === 0.0)
+    // half-overlapping vocab: estimate within KMV error of the truth
+    val shared = (1 to 150).map(i => s"s$i")
+    val d2 = Seq(
+      (1L, text(shared ++ (1 to 150).map(i => s"x$i")), "srcX"),
+      (2L, text(shared ++ (1 to 150).map(i => s"y$i")), "srcY")
+    ).toDF("doc_id", "text", "source")
+    val e2 = graft.operators.LlmQueries.sourceJaccardOf(d2).collect()
+      .head.getDouble(2)
+    // exact J of the shingle sets (3-gram shingles across the seam mix,
+    // so compute the truth from the real sets, not the vocab ratio)
+    import graft.functions.TextFunctions
+    val sets = d2.select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(
+          TextFunctions.wordShingles("text", 3)).as("s"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val (sx, sy) = (sets("srcX"), sets("srcY"))
+    val truth = sx.intersect(sy).size.toDouble / sx.union(sy).size
+    assert(math.abs(e2 - truth) < 0.15,
+      s"KMV estimate $e2 too far from exact $truth")
+  }
 }
