@@ -288,6 +288,34 @@ object EngineProperties extends Properties("engine") {
       ranked == viaWindow
     }
 
+  private val genKmvDocs: Gen[List[(Long, String, String)]] = {
+    val word = Gen.oneOf((1 to 12).map(i => s"k$i"))
+    Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 50L),
+      Gen.listOfN(6, word).map(_.mkString(" ")),
+      Gen.oneOf("sA", "sB")))
+  }
+
+  property("KMV source Jaccard is set-based: order- and duplicate-insensitive") =
+    forAll(genKmvDocs, Gen.long) { (docs0, seed) =>
+      val sq = spark
+      import sq.implicits._
+      // ensure both sources exist so a pair row is always produced
+      val docs = (900L, "k1 k2 k3 k4 k5 k6", "sA") ::
+        (901L, "k4 k5 k6 k7 k8 k9", "sB") :: docs0
+      def run(rows: Seq[(Long, String, String)]): Seq[(String, String, Double)] = {
+        val out = graft.operators.LlmQueries.sourceJaccardOf(
+          rows.toDF("doc_id", "text", "source"))
+          .as[(String, String, Double)].collect().toSeq.sorted
+        graft.core.EngineCache.releaseAll()
+        out
+      }
+      val base = run(docs)
+      val shuffled = run(new scala.util.Random(seed).shuffle(docs))
+      // duplicating whole docs adds no new shingles — the sketch is a SET
+      val duped = run(docs ++ docs.map { case (id, t, s0) => (id + 1000L, t, s0) })
+      base == shuffled && base == duped
+    }
+
   private val genCdcWords: Gen[List[String]] =
     Gen.chooseNum(5, 90).flatMap(n => Gen.listOfN(n,
       Gen.oneOf("red", "blue", "gold", "iron", "moss", "salt", "wolf", "pine")))
