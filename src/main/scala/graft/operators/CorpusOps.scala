@@ -552,6 +552,85 @@ object CorpusOps {
       ORDER BY source_a, source_b""")
   }
 
+  // ---------------------------------------------------------------- q177
+  /** Exact PHRASE search over a positional inverted index at rest —
+    * the capability tf-only retrieval (q90/q164) cannot express: the
+    * postings table gains a position column ((term, doc_id, pos),
+    * same warehouse shard=N-on-term layout), and a k-word phrase is k
+    * doc-aligned self-joins with position offsets (p_i = p_1 + i − 1)
+    * — equality joins the optimizer handles, no window, no regex over
+    * text at query time. Phrase hit counts rank per query (top-
+    * [[PhraseTopK]], doc_id tiebreak). Same double pruning as q164:
+    * `shard IN` precomputed driver-side from the literal phrase
+    * vocabulary + `term IN` pushed to the parquet reader. The oracle
+    * builds positions inline from raw text — the hash match proves the
+    * at-rest positional index is lossless. */
+  val PhraseTopK = 5
+  val PhraseQueries: Seq[(String, Seq[String])] = Seq(
+    "ph1" -> Seq("hash", "table"),
+    "ph2" -> Seq("window", "sort"),
+    "ph3" -> Seq("batch", "line"))
+
+  def phrasePositionsTable(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    graft.core.Warehouse.tableOnce(
+      spark, wtable(dir, "bm25_positions"), "shard") {
+      spark.sql(s"""
+        SELECT doc_id, word AS term, CAST(p + 1 AS INT) AS pos,
+          CAST(pmod(${graft.core.Determinism.xhashExpr("word")},
+            $Bm25Shards) AS INT) AS shard
+        FROM (
+          SELECT doc_id, posexplode(${wordsExpr("text")}) AS (p, word)
+          FROM documents)""")
+    }
+  }
+
+  /** The per-phrase match + rank SQL over a positional relation `P`
+    * (engine-common). */
+  private def phraseSearchSql(p: String): String = {
+    val branches = PhraseQueries.map { case (qid, terms) =>
+      val joins = terms.zipWithIndex.tail.map { case (t, i) =>
+        s"""JOIN $p p$i ON p$i.doc_id = p0.doc_id
+           AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"""
+      }.mkString("\n        ")
+      s"""
+        SELECT '$qid' AS query_id, p0.doc_id,
+          CAST(count(1) AS BIGINT) AS n_hits
+        FROM $p p0
+        $joins
+        WHERE p0.term = '${terms.head}'
+        GROUP BY p0.doc_id"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH hits AS ($branches)
+      SELECT query_id, rk, doc_id, n_hits FROM (
+        SELECT query_id, doc_id, n_hits,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_hits DESC, doc_id) AS INT) AS rk
+        FROM hits) z
+      WHERE rk <= $PhraseTopK
+      ORDER BY query_id, rk"""
+  }
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val postings = phrasePositionsTable(spark, dir)
+    val terms = PhraseQueries.flatMap(_._2).distinct
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val shardList = terms.map(t => md5Hash60(t) % Bm25Shards)
+      .distinct.sorted.mkString(", ")
+    val v = s"graft_phrase_idx_t${Thread.currentThread().getId}"
+    postings.createOrReplaceTempView(v)
+    spark.sql(phraseSearchSql(
+      s"""(SELECT term, doc_id, pos FROM $v
+           WHERE shard IN ($shardList) AND term IN ($termList))"""))
+  }
+
+  def phraseSearchOracleSql: String = phraseSearchSql(s"""
+      (SELECT doc_id, w[p] AS term, p AS pos FROM (
+        SELECT doc_id, unnest(range(1, len(w) + 1))::INT AS p, w
+        FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents) d0) d1)
+      """)
+
   // ---------------------------------------------------------------- q167
   /** Population-stability-index drift per source — the other standard
     * mixture-monitoring readout beside q93's KL matrix: each source's
@@ -866,6 +945,7 @@ object CorpusOps {
     "q92_semantic_dedup"  -> semanticDedup _,
     "q93_kl_drift"        -> klDrift _,
     "q167_psi_drift"      -> psiDrift _,
+    "q177_phrase_search"  -> phraseSearch _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
     "q96_robust_stats"    -> robustStats _,
@@ -954,6 +1034,7 @@ object CorpusOps {
       FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id
       ORDER BY e.vec_id""",
     "q167_psi_drift" -> psiDriftOracleSql,
+    "q177_phrase_search" -> phraseSearchOracleSql,
     "q93_kl_drift" -> s"""
       WITH uni AS (
         SELECT source, unnest(${wordsSql("text")}) AS t FROM documents),

@@ -372,6 +372,17 @@ class PlanSpec extends SparkSpec {
       s"serve must not re-tokenize or rescan the corpus:\n$p")
   }
 
+  test("phrase search reads the positional index with shard pruning") {
+    graft.operators.CorpusOps.phrasePositionsTable(spark, sfDir)
+    val p = plan(graft.operators.CorpusOps.phraseSearch(spark, sfDir))
+    assert(p.contains("bm25_positions"),
+      s"phrase search must scan the persisted positional index:\n$p")
+    assert(p.contains("PartitionFilters: [shard"),
+      s"phrase vocabulary shards must prune:\n$p")
+    assert(!p.contains("split(") && !p.contains("documents.parquet"),
+      s"no query-time tokenization:\n$p")
+  }
+
   test("iterative trainers scan a persisted frame, not the corpus per pass") {
     // q163 (3 GD iterations) and q170 (3 power iterations): the per-pass
     // input must be an InMemoryTableScan of the persisted feature /
