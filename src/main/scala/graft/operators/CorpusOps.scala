@@ -307,8 +307,17 @@ object CorpusOps {
 
   def bm25IndexServe(spark: SparkSession, dir: String): DataFrame = {
     val (postings, doclen) = bm25IndexTables(spark, dir)
-    postings.createOrReplaceTempView("bm25_idx")
-    doclen.createOrReplaceTempView("bm25_dlen")
+    bm25ServeFrom(spark, postings, doclen)
+  }
+
+  /** The q164 serve stage over arbitrary (term, doc_id, tf, shard)
+    * postings + (doc_id, dl) doclen frames — shared with q178's
+    * base-plus-append composition. */
+  def bm25ServeFrom(spark: SparkSession, postings: DataFrame,
+                    doclen: DataFrame): DataFrame = {
+    val tid = Thread.currentThread().getId
+    postings.createOrReplaceTempView(s"bm25_idx_t$tid")
+    doclen.createOrReplaceTempView(s"bm25_dlen_t$tid")
     val terms = Bm25Queries.flatMap(_._2).distinct
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val shardList = terms.map(t => md5Hash60(t) % Bm25Shards)
@@ -316,11 +325,11 @@ object CorpusOps {
     spark.sql(s"""
       WITH qt AS (SELECT * FROM VALUES $bm25ValuesSql AS t(query_id, term)),
       p AS (
-        SELECT term, doc_id, tf FROM bm25_idx
+        SELECT term, doc_id, tf FROM bm25_idx_t$tid
         WHERE shard IN ($shardList) AND term IN ($termList)),
       df AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM p GROUP BY term),
       st AS (SELECT count(1) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-             FROM bm25_dlen),
+             FROM bm25_dlen_t$tid),
       contrib AS (
         SELECT /*+ BROADCAST(qt, df) */ qt.query_id, tf.doc_id,
           $bm25ContribSql AS c6
@@ -328,7 +337,7 @@ object CorpusOps {
         JOIN qt ON tf.term = qt.term
         JOIN (SELECT term, CAST(df AS DOUBLE) AS dfd FROM df) df
           ON tf.term = df.term
-        JOIN (SELECT doc_id, CAST(dl AS DOUBLE) AS dld FROM bm25_dlen) dl
+        JOIN (SELECT doc_id, CAST(dl AS DOUBLE) AS dld FROM bm25_dlen_t$tid) dl
           ON tf.doc_id = dl.doc_id
         CROSS JOIN (SELECT CAST(n_docs AS DOUBLE) AS ndd,
                       CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
@@ -550,6 +559,59 @@ object CorpusOps {
       SELECT source_a, source_b, $klBitsSql AS kl_bits
       FROM term GROUP BY source_a, source_b
       ORDER BY source_a, source_b""")
+  }
+
+  // ---------------------------------------------------------------- q178
+  /** Append-only BM25 index maintenance — q151's frozen-codebook
+    * discipline for the TEXT index: the base corpus (source ≠
+    * BatchSource) builds its postings + doclen tables into the
+    * warehouse ONCE; an arriving batch is the only text tokenized —
+    * its postings/doclen rows union with the stored base and the q164
+    * serve runs over the composition. The result is hash-proven equal
+    * to q90/q164 over the FULL corpus (same oracle), so the append
+    * path loses nothing while never re-reading base text. Works
+    * because tf/df/dl are per-(term,doc) local and the corpus stats
+    * are one aggregate over the unioned doclen — BM25's statistics
+    * decompose over disjoint doc sets. The STREAM-TIME twin
+    * [[graft.streaming.EventAnalytics.startStreamingPostingsAppend]]
+    * lands each micro-batch's postings under `batch_run=N`. */
+  def bm25BaseTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = docs(spark, dir)
+      .filter(col("source") =!= LlmQueries.BatchSource)
+    val postings = graft.core.Warehouse.tableOnce(
+      spark, wtable(dir, "bm25_postings_base"), "shard") {
+      bm25PostingsOf(base)
+    }
+    val doclen = graft.core.Warehouse.tableOnce(
+      spark, wtable(dir, "bm25_doclen_base")) {
+      bm25DoclenOf(base)
+    }
+    (postings, doclen)
+  }
+
+  /** Postings / doclen for an arbitrary (doc_id, text) frame — the
+    * increment builder (only this frame is tokenized). */
+  def bm25PostingsOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), explode(words("text")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("shard", expr(
+        s"CAST(pmod(${graft.core.Determinism.xhashExpr("term")}, " +
+          s"$Bm25Shards) AS INT)"))
+      .select("term", "doc_id", "tf", "shard")
+
+  def bm25DoclenOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      tokenCount("text").cast("long").as("dl"))
+
+  def bm25IndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (bp, bd) = bm25BaseTables(spark, dir)
+    val batch = docs(spark, dir)
+      .filter(col("source") === LlmQueries.BatchSource)
+    bm25ServeFrom(spark,
+      bp.select("term", "doc_id", "tf", "shard")
+        .union(bm25PostingsOf(batch)),
+      bd.select("doc_id", "dl").union(bm25DoclenOf(batch)))
   }
 
   // ---------------------------------------------------------------- q177
@@ -946,6 +1008,7 @@ object CorpusOps {
     "q93_kl_drift"        -> klDrift _,
     "q167_psi_drift"      -> psiDrift _,
     "q177_phrase_search"  -> phraseSearch _,
+    "q178_bm25_index_append" -> bm25IndexAppend _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
     "q96_robust_stats"    -> robustStats _,
@@ -1035,6 +1098,13 @@ object CorpusOps {
       ORDER BY e.vec_id""",
     "q167_psi_drift" -> psiDriftOracleSql,
     "q177_phrase_search" -> phraseSearchOracleSql,
+    // same contract as q90/q164: the base+append composition must equal
+    // the full-corpus BM25 answer bit for bit
+    "q178_bm25_index_append" -> s"""
+      WITH $bm25RankedOracleCtes
+      SELECT query_id, rk, doc_id, score FROM sparse
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk""",
     "q93_kl_drift" -> s"""
       WITH uni AS (
         SELECT source, unnest(${wordsSql("text")}) AS t FROM documents),

@@ -186,6 +186,32 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming BM25 index maintenance — the stream-time twin of q178:
+    * each arriving micro-batch of (doc_id, text) rows is tokenized
+    * alone and its postings (term, doc_id, tf, shard) land under
+    * `postings/batch_run=N`, its doc lengths under
+    * `doclen/batch_run=N`, both with idempotent overwrite. A serve
+    * tier reading the base tables plus these partitions answers with
+    * the new docs one trigger after they arrive — no base re-tokenize
+    * anywhere (BM25's statistics decompose over disjoint doc sets). */
+  def startStreamingPostingsAppend(docStream: DataFrame, outPath: String,
+                                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.CorpusOps.bm25PostingsOf(batch)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/postings/batch_run=$batchId")
+          graft.operators.CorpusOps.bm25DoclenOf(batch)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/doclen/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming quality-DRIFT monitor — the stream-time twin of q167:
     * every arriving micro-batch of (doc_id, text) rows is scored
     * against the AT-REST corpus quality-bin baseline

@@ -479,4 +479,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got(1) === ((w2.getLong(0), w2.getDouble(1))))
     assert(got.values.forall(_._2 >= 0.0))
   }
+
+  test("streamed postings appends compose into the exact full-corpus BM25") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{CorpusOps, LlmQueries}
+    val (bp, bd) = CorpusOps.bm25BaseTables(spark, sfDir)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === LlmQueries.BatchSource)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spa").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingPostingsAppend(
+      source.toDF().toDF("doc_id", "text"), dir, s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    // serve from base + streamed appends: must equal the one-shot
+    // full-corpus index serve (q164) row for row
+    val appendsP = spark.read.parquet(s"$dir/postings")
+      .select("term", "doc_id", "tf", "shard")
+    val appendsD = spark.read.parquet(s"$dir/doclen").select("doc_id", "dl")
+    val got = CorpusOps.bm25ServeFrom(spark,
+      bp.select("term", "doc_id", "tf", "shard").union(appendsP),
+      bd.select("doc_id", "dl").union(appendsD)).collect().map(_.toSeq).toSeq
+    val want = CorpusOps.bm25IndexServe(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }
