@@ -1537,6 +1537,106 @@ object LlmQueries {
       .orderBy("query_id", "rnk")
   }
 
+  // ---------------------------------------------------------------- q179
+  /** Multi-probe IVF search (nprobe = [[MultiProbe]]) — the production
+    * recall knob q169's audit prices: a probe ranks the learned cells
+    * by cosine to their member-mean centroids (davg-bridged, so the
+    * centroid bits match cross-engine) and searches its
+    * [[MultiProbe]] nearest cells instead of one — recall climbs at
+    * nprobe/K of the scan cost, which is exactly the trade a
+    * billion-vector inverted file tunes. Centroids are K tiny rows
+    * (broadcast); cell ranking and the candidate top-k both ride the
+    * bounded TopKAgg; the corpus never shuffles. Oracle replays
+    * Lloyd → member centroids → cell ranking → search. */
+  val MultiProbe = 2
+
+  /** (vk, pcells, results) — the multiprobe internals, exposed so the
+    * q169 audit can price the nprobe trade from the same frames. */
+  def annMultiprobeParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorAggregates.topKOf
+    val vecs = embs(spark, dir)
+    val vk = vecs.select(col("vec_id"), col("embedding"))
+      .join(Similarity.kmeansLloyd(vecs, KmK, KmRounds)
+        .select(col("vec_id"), col("cell")), "vec_id")
+      .transform(graft.core.EngineCache.persisted)
+    val cents = vk
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(graft.core.Determinism.davg(col("x").cast("double"), 8).as("c"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), " +
+        "s -> CAST(s.c AS FLOAT))").as("cv"))
+    val probes = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pcells = broadcast(probes).join(broadcast(cents))
+      .withColumn("ccos", expr(Similarity.cosineExpr("qv", "cv")))
+      .groupBy(col("query_id"))
+      .agg(topKOf(MultiProbe, col("ccos"), col("cell")).as("top"))
+      .select(col("query_id"), explode(col("top.cand_id")).as("cell"))
+    val results = pcells
+      .join(broadcast(probes), "query_id")
+      .join(vk, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(Similarity.cosineExpr("qv", "embedding")))
+      .groupBy(col("query_id"))
+      .agg(topKOf(IvfK, col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rnk"),
+        col("s.cand_id").as("cand_id"), col("s.cos").as("cos"))
+    (vk, pcells, results)
+  }
+
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    annMultiprobeParts(spark, dir)._3.orderBy("query_id", "rnk")
+
+  def annMultiprobeSql: String =
+    s"WITH $annMultiprobeCtes" + s"""
+      SELECT query_id, rnk, cand_id, cos FROM (
+        SELECT query_id, cand_id, cos,
+          (row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id))::INT AS rnk
+        FROM sc) r
+      WHERE rnk <= $IvfK
+      ORDER BY query_id, rnk"""
+
+  /** The multiprobe oracle CTE chain through `pc` (probed cells) and
+    * `sc` (scored candidates) — shared with the q169 audit oracle. */
+  def annMultiprobeCtes: String = s"""
+      akm AS (SELECT vec_id, cell FROM
+        (${Similarity.kmeansLloydSql("embeddings", KmK, KmRounds)}) q),
+      akv AS (
+        SELECT e.vec_id, e.embedding, k.cell
+        FROM embeddings e JOIN akm k ON e.vec_id = k.vec_id),
+      ce AS (
+        SELECT cell, (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
+          unnest(embedding) AS x
+        FROM akv),
+      cd AS (
+        SELECT cell, dim, ${graft.core.Determinism.avgSql("x::DOUBLE", 8)} AS c
+        FROM ce GROUP BY cell, dim),
+      cents AS (
+        SELECT cell, list_transform(list(c ORDER BY dim), y -> y::FLOAT) AS cv
+        FROM cd GROUP BY cell),
+      prb AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 50),
+      pc AS (
+        SELECT query_id, cell FROM (
+          SELECT p.query_id, c.cell,
+            row_number() OVER (PARTITION BY p.query_id
+              ORDER BY ${Similarity.cosineSql("p.qv", "c.cv")} DESC, c.cell)
+              AS crn
+          FROM prb p CROSS JOIN cents c) z
+        WHERE crn <= $MultiProbe),
+      sc AS (
+        SELECT pc.query_id, v2.vec_id AS cand_id,
+          ${Similarity.cosineSql("p.qv", "v2.embedding")} AS cos
+        FROM pc
+        JOIN prb p ON p.query_id = pc.query_id
+        JOIN akv v2 ON v2.cell = pc.cell
+        WHERE v2.vec_id <> pc.query_id)"""
+
   def annKmeansSql: String = s"""
       WITH akm AS (SELECT vec_id, cell FROM
         (${Similarity.kmeansLloydSql("embeddings", KmK, KmRounds)}) q),
@@ -1940,6 +2040,7 @@ object LlmQueries {
     "q162_substring_dedup" -> substringDedup _,
     "q165_curriculum_order" -> curriculumOrder _,
     "q166_ann_kmeans"     -> annKmeans _,
+    "q179_ivf_multiprobe" -> annMultiprobe _,
     "q168_dedup_clean"    -> dedupClean _,
     "q171_span_increment" -> spanIncrement _,
     "q173_bpe_merges"     -> bpeMerges _,
@@ -2078,6 +2179,7 @@ object LlmQueries {
     "q162_substring_dedup" -> substringDedupSql,
     "q165_curriculum_order" -> curriculumOrderSql,
     "q166_ann_kmeans" -> annKmeansSql,
+    "q179_ivf_multiprobe" -> annMultiprobeSql,
     "q168_dedup_clean" -> dedupCleanSql,
     "q171_span_increment" -> spanIncrementSql,
     "q173_bpe_merges" -> bpeMergesSql,

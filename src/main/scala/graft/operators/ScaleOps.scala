@@ -715,7 +715,9 @@ object ScaleOps {
     * and on this fixture it does its job: class labels are a lousy
     * geometric cell (recall@3 ≈ 0.08 for ~10% of the scan), the
     * `ivf_kmeans` leg PROVES the fix — q84's learned Lloyd cells lift
-    * recall to ≈ 0.40 at a comparable ≈ 0.13 scan fraction — and the
+    * recall to ≈ 0.40 at a comparable ≈ 0.13 scan fraction — the
+    * `ivf_multiprobe` leg prices the production knob on top (nprobe=2:
+    * recall ≈ 0.57 at ≈ 2× the scan, q179) — and the
     * deliberately tiny 4×8 code budget keeps only ≈ 0.26 of the exact
     * top-10 (PqK is sized for oracle replayability, not fidelity; the
     * audit is what would justify 256 centroids in production). */
@@ -742,6 +744,11 @@ object ScaleOps {
     Similarity.ivfTopK(vk, "cell", col("vec_id") < 50, k1)
       .select(col("query_id"), col("cand_id"))
       .createOrReplaceTempView(s"graft_ara_i3_t$tid")
+    // nprobe>1 leg: q179's probed cells + results, same probes and k
+    val (_, pcells, mpResults) = LlmQueries.annMultiprobeParts(spark, dir)
+    pcells.createOrReplaceTempView(s"graft_ara_pc_t$tid")
+    mpResults.select(col("query_id"), col("cand_id"))
+      .createOrReplaceTempView(s"graft_ara_i4_t$tid")
     // exact-L2 truth for the ADC probes (self included, as ADC ranks it)
     val probes2 = vecs.filter(col("vec_id") % PqProbeMod === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
@@ -762,14 +769,16 @@ object ScaleOps {
     spark.sql(annRecallAssembleSql(
       s"graft_ara_vecs_t$tid", s"graft_ara_t1_t$tid", s"graft_ara_i1_t$tid",
       s"graft_ara_t2_t$tid", s"graft_ara_i2_t$tid",
-      s"graft_ara_vk_t$tid", s"graft_ara_i3_t$tid", k1))
+      s"graft_ara_vk_t$tid", s"graft_ara_i3_t$tid",
+      s"graft_ara_pc_t$tid", s"graft_ara_i4_t$tid", k1))
   }
 
   /** The dialect-neutral audit assembly over seven relations;
     * `extraCtes` lets the oracle prepend the relation definitions. */
   private def annRecallAssembleSql(vecs: String, t1: String, i1: String,
                                    t2: String, i2: String,
-                                   vk: String, i3: String, k1: Int,
+                                   vk: String, i3: String,
+                                   pc: String, i4: String, k1: Int,
                                    extraCtes: String = ""): String = {
     def hits(t: String, i: String, name: String) = s"""
       $name AS (
@@ -801,11 +810,22 @@ object ScaleOps {
       nv AS (SELECT CAST(count(1) AS BIGINT) AS nn FROM $vecs),
       ${hits(t2, i2, "h2").trim},
       n2 AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM $t2),
-      ${hits(t1, i3, "h3").trim}
+      ${hits(t1, i3, "h3").trim},
+      ${hits(t1, i4, "h4").trim},
+      csk4 AS (SELECT cell, count(1) AS csz FROM $vk GROUP BY cell),
+      sc4 AS (
+        SELECT CAST(sum(k.csz) -
+          sum(CASE WHEN o.cell IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM $pc p
+        JOIN csk4 k ON p.cell = k.cell
+        LEFT JOIN (SELECT vec_id, cell FROM $vk) o
+          ON o.vec_id = p.query_id AND o.cell = p.cell)
       SELECT method, n_probes, k, recall_at_k, scanned_frac FROM (
         ${ivfRow("ivf_cell", "h1", "sc1")}
         UNION ALL
         ${ivfRow("ivf_kmeans", "h3", "sc3")}
+        UNION ALL
+        ${ivfRow("ivf_multiprobe", "h4", "sc4")}
         UNION ALL
         SELECT 'pq_adc' AS method, n2.n AS n_probes, $PqTopK AS k,
           ${droundSql(
@@ -853,10 +873,15 @@ object ScaleOps {
         SELECT e.vec_id, e.embedding, k.cell
         FROM embeddings e JOIN ara_km k ON e.vec_id = k.vec_id),
       ara_i3 AS (SELECT query_id, cand_id FROM
-        (${Similarity.ivfTopKSql("ara_vk", "cell", "vec_id < 50", k1)}) q)"""
+        (${Similarity.ivfTopKSql("ara_vk", "cell", "vec_id < 50", k1)}) q),
+      ara_pc AS (SELECT query_id, cell FROM
+        (WITH ${LlmQueries.annMultiprobeCtes}
+         SELECT query_id, cell FROM pc) q),
+      ara_i4 AS (SELECT query_id, cand_id FROM
+        (${LlmQueries.annMultiprobeSql}) q)"""
     annRecallAssembleSql(
       "ara_vecs", "ara_t1", "ara_i1", "ara_t2", "ara_i2",
-      "ara_vk", "ara_i3", k1, s"$rel,")
+      "ara_vk", "ara_i3", "ara_pc", "ara_i4", k1, s"$rel,")
   }
 
   // ---------------------------------------------------------------- q170

@@ -407,7 +407,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("ANN recall audit: bounded metrics, blocking cheaper than exact") {
     val rows = ScaleOps.annRecallAudit(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq ===
-      Seq("ivf_cell", "ivf_kmeans", "pq_adc"))
+      Seq("ivf_cell", "ivf_kmeans", "ivf_multiprobe", "pq_adc"))
     rows.foreach { r =>
       val recall = r.getDouble(3); val scanned = r.getDouble(4)
       assert(recall >= 0.0 && recall <= 1.0)
@@ -424,6 +424,11 @@ class ScaleOpsSpec extends SparkSpec {
     assert(km.getDouble(3) > ivf.getDouble(3),
       "k-means cells must out-recall label cells")
     assert(km.getDouble(4) < 0.5)
+    // nprobe > 1 buys recall with proportional scan — both must rise
+    val mp = rows.find(_.getString(0) == "ivf_multiprobe").get
+    assert(mp.getDouble(3) > km.getDouble(3),
+      "probing more cells must not lose recall")
+    assert(mp.getDouble(4) > km.getDouble(4) && mp.getDouble(4) < 0.5)
   }
 
   test("power-iteration PCA recovers a planted dominant direction") {
