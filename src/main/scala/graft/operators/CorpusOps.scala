@@ -693,6 +693,59 @@ object CorpusOps {
         FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents) d0) d1)
       """)
 
+  // ---------------------------------------------------------------- q180
+  /** NEAR / slop proximity search over the same positional index —
+    * the middle ground between q90's bag-of-words and q177's exact
+    * phrase: a 2-term query hits wherever its terms appear in order
+    * within [[NearSlop]] tokens (p₂ − p₁ ∈ [1, slop]), the equality
+    * join relaxed to a band — still an index-only plan with the same
+    * shard/term pruning, no text at query time. Hit counts rank per
+    * query. (k-term slop queries decompose into k−1 banded pair joins
+    * the same way; the declared queries are pairs.) */
+  val NearSlop = 4
+  private def nearSearchSql(p: String): String = {
+    val branches = PhraseQueries.map { case (qid, terms) =>
+      val (t1, t2) = (terms.head, terms(1))
+      s"""
+        SELECT '$qid' AS query_id, p0.doc_id,
+          CAST(count(1) AS BIGINT) AS n_hits
+        FROM $p p0
+        JOIN $p p1 ON p1.doc_id = p0.doc_id
+          AND p1.pos - p0.pos BETWEEN 1 AND $NearSlop
+          AND p1.term = '$t2'
+        WHERE p0.term = '$t1'
+        GROUP BY p0.doc_id"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH hits AS ($branches)
+      SELECT query_id, rk, doc_id, n_hits FROM (
+        SELECT query_id, doc_id, n_hits,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY n_hits DESC, doc_id) AS INT) AS rk
+        FROM hits) z
+      WHERE rk <= $PhraseTopK
+      ORDER BY query_id, rk"""
+  }
+
+  def nearSearch(spark: SparkSession, dir: String): DataFrame = {
+    val postings = phrasePositionsTable(spark, dir)
+    val terms = PhraseQueries.flatMap(_._2).distinct
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val shardList = terms.map(t => md5Hash60(t) % Bm25Shards)
+      .distinct.sorted.mkString(", ")
+    val v = s"graft_near_idx_t${Thread.currentThread().getId}"
+    postings.createOrReplaceTempView(v)
+    spark.sql(nearSearchSql(
+      s"""(SELECT term, doc_id, pos FROM $v
+           WHERE shard IN ($shardList) AND term IN ($termList))"""))
+  }
+
+  def nearSearchOracleSql: String = nearSearchSql(s"""
+      (SELECT doc_id, w[p] AS term, p AS pos FROM (
+        SELECT doc_id, unnest(range(1, len(w) + 1))::INT AS p, w
+        FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents) d0) d1)
+      """)
+
   // ---------------------------------------------------------------- q167
   /** Population-stability-index drift per source — the other standard
     * mixture-monitoring readout beside q93's KL matrix: each source's
@@ -1008,6 +1061,7 @@ object CorpusOps {
     "q93_kl_drift"        -> klDrift _,
     "q167_psi_drift"      -> psiDrift _,
     "q177_phrase_search"  -> phraseSearch _,
+    "q180_near_search"    -> nearSearch _,
     "q178_bm25_index_append" -> bm25IndexAppend _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
@@ -1098,6 +1152,7 @@ object CorpusOps {
       ORDER BY e.vec_id""",
     "q167_psi_drift" -> psiDriftOracleSql,
     "q177_phrase_search" -> phraseSearchOracleSql,
+    "q180_near_search" -> nearSearchOracleSql,
     // same contract as q90/q164: the base+append composition must equal
     // the full-corpus BM25 answer bit for bit
     "q178_bm25_index_append" -> s"""
