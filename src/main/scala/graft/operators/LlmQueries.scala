@@ -903,15 +903,24 @@ object LlmQueries {
 
   def sourceJaccardOf(docsDf: DataFrame): DataFrame = {
     val spark = docsDf.sparkSession
+    // materialize words BEFORE shingling: the inlined form re-runs the
+    // regex split once per element inside the interpreted lambda
+    // (TextFunctions.wordShinglesFromArrayExpr's documented hot-path rule)
     val sh = docsDf
-      .select(col("source"), explode(wordShingles("text", WordShingleN)).as("s"))
+      .select(col("source"), expr(wordsExpr("text")).as("w"))
+      .select(col("source"), explode(expr(
+        TextFunctions.wordShinglesFromArrayExpr("w", WordShingleN))).as("s"))
       .select(col("source"),
         graft.core.Determinism.xhash(concat(lit("kmv:"), col("s"))).as("h"))
       .distinct()
+    // persisted: the pair stage's UNION ALL consumes the sketch twice
+    // (A-side and B-side) — without the persist the whole shingling +
+    // distinct + top-K pipeline runs once per branch
     val sk = sh.groupBy("source")
       .agg(graft.functions.VectorAggregates
         .topKOf(KmvK, -col("h").cast("double"), col("h")).as("top"))
       .select(col("source"), explode(col("top.cand_id")).as("h"))
+      .transform(graft.core.EngineCache.persisted)
     val v = s"graft_kmv_sk_t${Thread.currentThread().getId}"
     sk.createOrReplaceTempView(v)
     spark.sql(s"WITH ${kmvPairTailSql(v)}")
