@@ -372,6 +372,19 @@ class PlanSpec extends SparkSpec {
       s"serve must not re-tokenize or rescan the corpus:\n$p")
   }
 
+  test("BM25 append serves from stored base tables plus the batch alone") {
+    graft.operators.CorpusOps.bm25BaseTables(spark, sfDir)
+    val p = plan(graft.operators.CorpusOps.bm25IndexAppend(spark, sfDir))
+    assert(p.contains("bm25_postings_base") && p.contains("bm25_doclen_base"),
+      s"append must read the at-rest base index:\n$p")
+    // the only text tokenization is the arriving batch: every documents
+    // scan in the plan carries the batch-source pushed filter
+    val scans = "PushedFilters: \\[[^\\]]*source".r.findAllIn(p).size
+    val docScans = "documents.parquet".r.findAllIn(p).size
+    assert(docScans > 0 && scans >= docScans,
+      s"base text must never re-tokenize (docScans=$docScans, filtered=$scans):\n$p")
+  }
+
   test("phrase search reads the positional index with shard pruning") {
     graft.operators.CorpusOps.phrasePositionsTable(spark, sfDir)
     val p = plan(graft.operators.CorpusOps.phraseSearch(spark, sfDir))
