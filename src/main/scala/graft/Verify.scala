@@ -77,6 +77,23 @@ object Verify {
     val pool = Executors.newFixedThreadPool(workers, daemonFactory("verify"))
     val watchdog = Executors.newScheduledThreadPool(1, daemonFactory("verify-watchdog"))
     val done = new java.util.concurrent.atomic.AtomicInteger
+    // name -> error for queries that dumped nothing. Written as
+    // errors.json beside the result dirs (and rewritten as failures
+    // accrue): a query that throws produces NO parquet, and a
+    // compare that only walks result dirs would silently omit it —
+    // the driver's round-7 artifact listed 121/143 queries with the
+    // 22 events-table failures invisible. The sidecar keeps the
+    // correctness artifact and the bench errors consistent.
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def writeErrors(): Unit = {
+      val entries = failed.entrySet().toArray(
+        Array.empty[java.util.Map.Entry[String, String]])
+        .sortBy(_.getKey)
+        .map(e => s"${q(e.getKey)}: ${q(e.getValue.take(200))}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"),
+        entries.mkString("{", ",", "}"))
+    }
+    writeErrors() // {} when everything dumps
     val loopStart = System.nanoTime()
 
     selected.foreach { case (name, fn) =>
@@ -84,6 +101,7 @@ object Verify {
         def run(): Unit = {
           if ((System.nanoTime() - loopStart) / 1e9 > deadlineSec) {
             System.err.println(s"[verify] $name SKIPPED: past ${deadlineSec}s deadline")
+            failed.put(name, "DeadlineSkip"); writeErrors()
             return
           }
           // job group is thread-local: this worker's jobs only, so the
@@ -100,6 +118,9 @@ object Verify {
           catch {
             case e: Throwable =>
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              failed.put(name,
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+              writeErrors()
           } finally {
             killer.cancel(false)
             spark.sparkContext.clearJobGroup()

@@ -923,30 +923,44 @@ object ScaleOps {
     * mu)` relations in scope (engine-common given that). `prefixCtes`
     * lets the oracle inline xd/mu/xc; Spark passes "" and registers
     * views instead. */
-  private def pcaChainSql(prefix: String, xcR: String, muR: String): String = {
-    def iter(t: Int): String = {
-      val vp = s"v_${t - 1}"
-      s"""
-      s_$t AS (
+  /** One power-iteration round's CTEs over centered relation `xcRel`;
+    * `sfx` namespaces the CTE chain so two chains (q181's deflation)
+    * can share a WITH. */
+  private def pcaIterSql(xcRel: String, sfx: String, mat: String = "")
+                        (t: Int): String = {
+    val vp = s"v_$sfx${t - 1}"
+    s"""
+      s_$sfx$t AS $mat(
         SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
-        FROM $xcR c JOIN $vp v ON c.dim = v.dim
+        FROM $xcRel c JOIN $vp v ON c.dim = v.dim
         GROUP BY c.vec_id),
-      g_$t AS (
+      g_$sfx$t AS $mat(
         SELECT c.dim, ${pcaBridge("s.s * c.xc", "1e9")} AS g
-        FROM $xcR c JOIN s_$t s ON c.vec_id = s.vec_id
+        FROM $xcRel c JOIN s_$sfx$t s ON c.vec_id = s.vec_id
         GROUP BY c.dim),
-      nrm_$t AS (
-        SELECT sqrt(${pcaBridge("g * g", "1e12")}) AS nrm FROM g_$t),
-      v_$t AS (
-        SELECT dim, g / nrm AS v FROM g_$t CROSS JOIN nrm_$t)"""
-    }
+      nrm_$sfx$t AS $mat(
+        SELECT sqrt(${pcaBridge("g * g", "1e12")}) AS nrm FROM g_$sfx$t),
+      v_$sfx$t AS $mat(
+        SELECT dim, g / nrm AS v FROM g_$sfx$t CROSS JOIN nrm_$sfx$t)"""
+  }
+
+  /** v_{sfx}0 start + the [[PcaRounds]] iteration chain. `mat` is ""
+    * (Spark, q170's inline chain) or "MATERIALIZED " (q181's DuckDB
+    * oracle: without the hint DuckDB re-inlines each stage per
+    * reference and the nested deflation chain re-executes
+    * exponentially — observed >240 s at sf0.01 vs 0.5 s for q170). */
+  private def pcaRoundsSql(xcRel: String, muR: String, sfx: String,
+                           mat: String = ""): String = s"""
+      v_$sfx${0} AS $mat(
+        SELECT dim, 1.0 / sqrt(nd) AS v FROM $muR CROSS JOIN dims),
+      ${(1 to PcaRounds).map(pcaIterSql(xcRel, sfx, mat)).mkString(",")}"""
+
+  private def pcaChainSql(prefix: String, xcR: String, muR: String): String = {
     s"""
       WITH ${if (prefix.nonEmpty) s"$prefix," else ""}
       nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM $xcR),
       dims AS (SELECT CAST(count(1) AS DOUBLE) AS nd FROM $muR),
-      v_0 AS (
-        SELECT dim, 1.0 / sqrt(nd) AS v FROM $muR CROSS JOIN dims),
-      ${(1 to PcaRounds).map(iter).mkString(",")},
+      ${pcaRoundsSql(xcR, muR, "").trim},
       lam AS (
         SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
         FROM v_$PcaRounds v JOIN g_$PcaRounds g ON v.dim = g.dim),
@@ -967,10 +981,29 @@ object ScaleOps {
     embPcaOf(Tables.load(spark, dir, "embeddings"))
 
   /** [[embPca]] over an arbitrary (vec_id, embedding) frame — the spec
-    * entry point (a planted dominant direction must be recovered). */
+    * entry point (a planted dominant direction must be recovered).
+    * Runs the power iteration through [[pcaChainRun]]'s driver-barrier
+    * rounds (q181's shape): Spark inlines multiply-referenced CTEs, so
+    * the single-WITH spelling re-executed each stage per reference —
+    * measured 9 s at sf0.1 vs ~3 s barriered, same bits (the oracle
+    * keeps the WITH; DuckDB materializes it fine at this depth). */
   def embPcaOf(vecs: DataFrame): DataFrame = {
     val (spark, xcV, muV) = pcaViews(vecs, "pca")
-    spark.sql(pcaChainSql("", xcV, muV))
+    val (v, g) = pcaChainRun(spark, xcV, muV, "pca", "a")
+    spark.sql(s"""
+      SELECT v.dim, m.mu,
+        ${droundSql("v.v", 6)} AS loading,
+        ${droundSql("lam.lam_raw / CAST(nn.n AS DOUBLE)", 6)} AS pc_var,
+        ${droundSql(
+          "(lam.lam_raw / CAST(nn.n AS DOUBLE)) / (tv.tvn / CAST(nn.n AS DOUBLE))",
+          6)} AS explained_frac
+      FROM $v v JOIN $muV m ON v.dim = m.dim
+      CROSS JOIN (SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
+                  FROM $v v JOIN $g g ON v.dim = g.dim) lam
+      CROSS JOIN (SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM $xcV) tv
+      CROSS JOIN (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+                  FROM $xcV) nn
+      ORDER BY v.dim""")
   }
 
   /** Register the exploded / mean / CENTERED views for `vecs` (prefix
@@ -1005,8 +1038,161 @@ object ScaleOps {
         FROM embeddings)"""
   private def pcaOraclePrefix: String =
     s"$pcaOracleXd, mu AS (${pcaMuSql("xd")}), xc AS (${pcaXcSql("xd", "mu")})"
+  /** q181's prefix: xc is scanned by every stage of BOTH chains plus
+    * tv/nn — materialize it once. */
+  private def pcaOraclePrefixMat: String =
+    s"$pcaOracleXd, mu AS MATERIALIZED (${pcaMuSql("xd")}), " +
+      s"xc AS MATERIALIZED (${pcaXcSql("xd", "mu")})"
 
   def embPcaOracleSql: String = pcaChainSql(pcaOraclePrefix, "xc", "mu")
+
+  // ---------------------------------------------------------------- q181
+  /** Top-2 principal components by DEFLATION — q170's chain run twice:
+    * after the first component v₁ converges, each centered vector
+    * sheds its projection (xc₂ = xc − s·v₁ — the Hotelling deflation,
+    * one join per (vec, dim)) and the same power iteration runs on the
+    * residual, yielding the orthogonal second direction. Both
+    * components report explained fractions against the ORIGINAL total
+    * variance, so the two rows-per-dim output reads as a scree table.
+    * Everything rides the namespaced iteration CTEs (suffix a/b in one
+    * WITH), same decimal bridges, same persisted centered frame — cost
+    * is exactly 2× q170, and k components cost k× (each deflation is
+    * one extra join-project over the exploded frame). */
+  private def pca2Sql(prefix: String, xcR: String, muR: String): String = s"""
+      WITH ${if (prefix.nonEmpty) s"$prefix," else ""}
+      nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM $xcR),
+      dims AS (SELECT CAST(count(1) AS DOUBLE) AS nd FROM $muR),
+      ${pcaRoundsSql(xcR, muR, "a", "MATERIALIZED ").trim},
+      sfa AS MATERIALIZED (
+        SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
+        FROM $xcR c JOIN v_a$PcaRounds v ON c.dim = v.dim
+        GROUP BY c.vec_id),
+      xcb AS MATERIALIZED (
+        SELECT c.vec_id, c.dim, c.xc - s.s * v.v AS xc
+        FROM $xcR c
+        JOIN sfa s ON c.vec_id = s.vec_id
+        JOIN v_a$PcaRounds v ON c.dim = v.dim),
+      ${pcaRoundsSql("xcb", muR, "b", "MATERIALIZED ").trim},
+      lam_a AS (
+        SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
+        FROM v_a$PcaRounds v JOIN g_a$PcaRounds g ON v.dim = g.dim),
+      lam_b AS (
+        SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
+        FROM v_b$PcaRounds v JOIN g_b$PcaRounds g ON v.dim = g.dim),
+      tv AS (
+        SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM $xcR)
+      SELECT component, dim, loading, pc_var, explained_frac FROM (
+        SELECT 1 AS component, v.dim,
+          ${droundSql("v.v", 6)} AS loading,
+          ${droundSql("lam_a.lam_raw / CAST(nn.n AS DOUBLE)", 6)} AS pc_var,
+          ${droundSql("lam_a.lam_raw / tv.tvn", 6)} AS explained_frac
+        FROM v_a$PcaRounds v CROSS JOIN lam_a CROSS JOIN tv CROSS JOIN nn
+        UNION ALL
+        SELECT 2 AS component, v.dim,
+          ${droundSql("v.v", 6)} AS loading,
+          ${droundSql("lam_b.lam_raw / CAST(nn.n AS DOUBLE)", 6)} AS pc_var,
+          ${droundSql("lam_b.lam_raw / tv.tvn", 6)} AS explained_frac
+        FROM v_b$PcaRounds v CROSS JOIN lam_b CROSS JOIN tv CROSS JOIN nn) u
+      ORDER BY component, dim"""
+
+  def embPca2(spark: SparkSession, dir: String): DataFrame =
+    embPca2Of(Tables.load(spark, dir, "embeddings"))
+
+  /** Run [[PcaRounds]] barriered power-iteration rounds over centered
+    * relation `xcRel`: each round is ONE distributed statement (the
+    * per-vector projection as a subquery feeding the per-dim gradient
+    * agg) whose 64-row gradient COLLECTS and re-registers as a local
+    * relation — the q84/PQ-codebook materialization barrier; normalize
+    * then runs over that local frame with the exact oracle
+    * expressions, so every value is the same bits while plan depth
+    * stays CONSTANT in rounds. Lazily chained views instead re-inline
+    * each stage's subtree per reference, and with q181's two nested
+    * 3-round chains that expansion compounds until planning itself
+    * dominates (observed: the analyzed tree wedged
+    * `ExplainUtils.generateOperatorIDs` for minutes — the HITS
+    * crossJoin lineage lesson, q149, at the planner level). The
+    * barrier collect is 64 rows per round, never corpus-sized; the
+    * corpus-sized frames (xc, q181's deflated xcb) persist once and
+    * every round scans the cache. Statements stay CTE-free: a temp
+    * view whose stored plan carries a WITH, referenced from a later
+    * statement that also has one, crashes Spark 4.1's
+    * PushdownPredicatesAndPruneColumnsForCTEDef ("key not found:
+    * <cte id>"). Returns the final (v, g) view names — both 64-row
+    * local relations. View names carry `prefix`/`sfx` and the thread
+    * id (Verify's workers are concurrent). */
+  private def pcaChainRun(spark: SparkSession, xcRel: String, muV: String,
+                          prefix: String, sfx: String): (String, String) = {
+    import org.apache.spark.sql.types._
+    val tid = Thread.currentThread().getId
+    def local(name: String, schema: StructType,
+              rows: Array[org.apache.spark.sql.Row]): String = {
+      val v = s"graft_${prefix}_${name}_t$tid"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        .createOrReplaceTempView(v)
+      v
+    }
+    val vSchema = StructType(Seq(StructField("dim", IntegerType),
+      StructField("v", DoubleType)))
+    val gSchema = StructType(Seq(StructField("dim", IntegerType),
+      StructField("g", DoubleType)))
+    var v = local(s"v${sfx}0", vSchema, spark.sql(s"""
+      SELECT dim, 1.0 / sqrt(nd) AS v FROM $muV CROSS JOIN
+        (SELECT CAST(count(1) AS DOUBLE) AS nd FROM $muV)""").collect())
+    var g = ""
+    for (t <- 1 to PcaRounds) {
+      g = local(s"g$sfx$t", gSchema, spark.sql(s"""
+        SELECT c.dim, ${pcaBridge("s.s * c.xc", "1e9")} AS g
+        FROM $xcRel c JOIN (
+          SELECT c2.vec_id, ${pcaBridge("c2.xc * v.v", "1e12")} AS s
+          FROM $xcRel c2 JOIN $v v ON c2.dim = v.dim
+          GROUP BY c2.vec_id) s ON c.vec_id = s.vec_id
+        GROUP BY c.dim""").collect())
+      v = local(s"v$sfx$t", vSchema, spark.sql(s"""
+        SELECT dim, g / nrm AS v FROM $g CROSS JOIN
+          (SELECT sqrt(${pcaBridge("g * g", "1e12")}) AS nrm FROM $g)""")
+        .collect())
+    }
+    (v, g)
+  }
+
+  def embPca2Of(vecs: DataFrame): DataFrame = {
+    val (spark, xcV, muV) = pcaViews(vecs, "pca2")
+    val tid = Thread.currentThread().getId
+    val (vA, gA) = pcaChainRun(spark, xcV, muV, "pca2", "a")
+    // Hotelling deflation: xc2 = xc − (xc·v1)·v1, persisted once so the
+    // second chain's 3 rounds scan the cache, not the join lineage
+    val xcB = s"graft_pca2_xcb_t$tid"
+    spark.sql(s"""
+      SELECT c.vec_id, c.dim, c.xc - s.s * v.v AS xc
+      FROM $xcV c
+      JOIN (SELECT c2.vec_id, ${pcaBridge("c2.xc * v.v", "1e12")} AS s
+            FROM $xcV c2 JOIN $vA v ON c2.dim = v.dim
+            GROUP BY c2.vec_id) s ON c.vec_id = s.vec_id
+      JOIN $vA v ON c.dim = v.dim""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(xcB)
+    val (vB, gB) = pcaChainRun(spark, xcB, muV, "pca2", "b")
+    def rep(comp: Int, v: String, g: String): String = s"""
+      SELECT $comp AS component, v.dim,
+        ${droundSql("v.v", 6)} AS loading,
+        ${droundSql("lam.lam_raw / CAST(nn.n AS DOUBLE)", 6)} AS pc_var,
+        ${droundSql("lam.lam_raw / tv.tvn", 6)} AS explained_frac
+      FROM $v v
+      CROSS JOIN (SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
+                  FROM $v v JOIN $g g ON v.dim = g.dim) lam
+      CROSS JOIN (SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM $xcV) tv
+      CROSS JOIN (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+                  FROM $xcV) nn"""
+    spark.sql(s"""
+      SELECT component, dim, loading, pc_var, explained_frac FROM (
+        ${rep(1, vA, gA)}
+        UNION ALL
+        ${rep(2, vB, gB)}) u
+      ORDER BY component, dim""")
+  }
+
+  def embPca2OracleSql: String = pca2Sql(pcaOraclePrefixMat, "xc", "mu")
 
   // ---------------------------------------------------------------- q172
   /** All-but-the-top embedding correction (Mu & Viswanath 2018) — the
@@ -1997,6 +2183,7 @@ object ScaleOps {
     "q107_pq_adc_topk"   -> pqAdcSearch _,
     "q169_ann_recall"    -> annRecallAudit _,
     "q170_emb_pca"       -> embPca _,
+    "q181_emb_pca2"      -> embPca2 _,
     "q172_emb_abtt"      -> embAbtt _,
     "q108_merge_upsert"  -> mergeUpsert _,
     "q109_star_flatten"  -> starFlatten _,
@@ -2030,6 +2217,7 @@ object ScaleOps {
     "q107_pq_adc_topk" -> s"WITH $pqBaseOracle $pqAdcTail",
     "q169_ann_recall" -> annRecallAuditOracleSql,
     "q170_emb_pca" -> embPcaOracleSql,
+    "q181_emb_pca2" -> embPca2OracleSql,
     "q172_emb_abtt" -> embAbttOracleSql,
     "q108_merge_upsert" -> mergeUpsertSql("customer"),
     "q109_star_flatten" -> starFlattenSql(centsRound),

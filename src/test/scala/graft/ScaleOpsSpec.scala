@@ -457,6 +457,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("deflated 2-component PCA recovers two planted orthogonal directions") {
+    val sq = spark
+    import sq.implicits._
+    // variance on axis 2 (spread -4..4) dominates variance on axis 5
+    // (spread -2..2); both planted, orthogonal by construction
+    val rows = (0 until 40).map { i =>
+      val arr = Array.fill(8)(0.0f)
+      arr(2) = ((i % 9) - 4.0f)
+      arr(5) = ((i % 5) - 2.0f)
+      (i.toLong, arr.toSeq)
+    }
+    val out = ScaleOps.embPca2Of(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.length === 16)
+    val c1 = out.filter(_.getInt(0) == 1).map(r => r.getInt(1) -> r).toMap
+    val c2 = out.filter(_.getInt(0) == 2).map(r => r.getInt(1) -> r).toMap
+    // component 1 sits on dim 2, component 2 on dim 5 (deflation found
+    // the orthogonal residual direction, not the same axis again)
+    assert(math.abs(math.abs(c1(2).getDouble(2)) - 1.0) < 1e-3, s"${c1(2)}")
+    assert(math.abs(math.abs(c2(5).getDouble(2)) - 1.0) < 1e-3, s"${c2(5)}")
+    // loadings are orthogonal: v1 · v2 ~ 0
+    val dot = (0 until 8).map(d => c1(d).getDouble(2) * c2(d).getDouble(2)).sum
+    assert(math.abs(dot) < 1e-3, s"v1.v2 = $dot")
+    // scree order: pc1 explains more than pc2, fractions against the
+    // SAME original total variance and together essentially all of it
+    assert(c1(0).getDouble(4) > c2(0).getDouble(4))
+    assert(c1(0).getDouble(4) + c2(0).getDouble(4) > 0.99)
+    // determinism across runs (driver-barrier collect must not flake)
+    val again = ScaleOps.embPca2Of(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("ABTT removes the planted common direction almost entirely") {
     val sq = spark
     import sq.implicits._
