@@ -997,6 +997,138 @@ object LlmQueries {
         pair, cnt
       FROM top ORDER BY rank"""
 
+  // ---------------------------------------------------------------- q182
+  /** Multi-round BPE tokenizer TRAINING — the full Sennrich loop q173
+    * only opens: [[BpeRounds]] rounds of (count adjacent symbol pairs,
+    * merge the most frequent everywhere, recount). Runs on the
+    * VOCABULARY, not the corpus — Sennrich's own compression: one scan
+    * reduces the corpus to (distinct pre-token segmentation, freq),
+    * and every round after that touches only that vocab frame, so at
+    * 100 TB the trainer's per-round cost is O(unique words), never
+    * O(tokens). The winning pair is a 1-row collect (the PQ-codebook
+    * driver barrier) re-embedded as literals, so plan depth stays
+    * constant in rounds; applying a merge is a greedy left-to-right
+    * fold over each segmentation — acc carries the merged prefix, a
+    * symbol merges only when the accumulator's LAST symbol is exactly
+    * the pair's left and it was not itself just consumed, which is
+    * precisely non-overlapping BPE ("a a a a" → "aa aa", not "aa a a")
+    * — expressed as the same `split_part`-on-accumulator fold in both
+    * engines (Spark `aggregate`, DuckDB `list_reduce`), so the oracle
+    * replays every round bit-identically, merge selection included.
+    * Segmentations are chr(31)-joined symbol strings: pairs never
+    * cross q138's pre-token boundaries, pre-tokens are letter/digit
+    * runs or single punct chars, so the separator cannot occur inside
+    * a symbol. Output: the merge table itself — rank, the pair, the
+    * merged symbol, and its corpus pair-frequency at selection time —
+    * the artifact a tokenizer ships. */
+  val BpeRounds = 5
+  private def bpeStepSql(x: String, y: String): String = s"""
+    CASE WHEN split_part(acc, chr(31), -1) = $x AND e = $y
+         THEN substr(acc, 1,
+                length(acc) - length(split_part(acc, chr(31), -1))) || $x || $y
+         ELSE acc || chr(31) || e END"""
+
+  /** (x, y, cnt) of the most frequent adjacent pair over `vocab`
+    * (Spark dialect; freq-weighted, ties broken by pair). */
+  private def bpePairTopSql(vocab: String): String = s"""
+      SELECT x, y, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT element_at(arr, i) AS x, element_at(arr, i + 1) AS y, freq
+        FROM (SELECT arr, freq, explode(sequence(1, size(arr) - 1)) AS i
+              FROM (SELECT split(seq, chr(31)) AS arr, freq FROM $vocab) z
+              WHERE size(arr) >= 2) zz)
+      GROUP BY x, y ORDER BY cnt DESC, x, y LIMIT 1"""
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(docs(spark, dir))
+
+  def bpeTrainOf(docsF: DataFrame): DataFrame = {
+    val spark = docsF.sparkSession
+    val tid = Thread.currentThread().getId
+    val dv = s"graft_bpe_docs_t$tid"
+    docsF.createOrReplaceTempView(dv)
+    def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+    var vocab = s"graft_bpe_vocab0_t$tid"
+    spark.sql(s"""
+      SELECT seq, CAST(count(1) AS BIGINT) AS freq FROM (
+        SELECT array_join(transform(sequence(1, length(p)),
+          i -> substr(p, i, 1)), chr(31)) AS seq
+        FROM (SELECT explode(regexp_extract_all(text,
+          $BpePieceRegexSpark, 0)) AS p FROM $dv) z) zz
+      GROUP BY seq""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(vocab)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var t = 1
+    var exhausted = false
+    while (t <= BpeRounds && !exhausted) {
+      // a corpus can run dry before BpeRounds (every piece fully
+      // merged); the merge table just ends early then
+      spark.sql(bpePairTopSql(vocab)).collect().headOption match {
+        case None => exhausted = true
+        case Some(r) =>
+          merges += ((t, r.getString(0), r.getString(1), r.getLong(2)))
+          val next = s"graft_bpe_vocab${t}_t$tid"
+          // injective on seq (same text ⇒ same merge history), no regroup
+          spark.sql(s"""
+            SELECT aggregate(slice(arr, 2, size(arr) - 1),
+                element_at(arr, 1),
+                (acc, e) -> ${bpeStepSql(lit(r.getString(0)),
+                  lit(r.getString(1)))})
+              AS seq, freq
+            FROM (SELECT split(seq, chr(31)) AS arr, freq FROM $vocab) z""")
+            .transform(graft.core.EngineCache.persisted)
+            .createOrReplaceTempView(next)
+          vocab = next
+      }
+      t += 1
+    }
+    val rows = merges.result().map { case (k, x, y, c) =>
+      s"(CAST($k AS INT), ${lit(x)}, ${lit(y)}, ${lit(x + y)}, " +
+        s"CAST($c AS BIGINT))"
+    }
+    spark.sql(s"""
+      SELECT rank, lhs, rhs, merged, pair_cnt
+      FROM VALUES ${rows.mkString(",")}
+        AS t(rank, lhs, rhs, merged, pair_cnt)
+      ORDER BY rank""")
+  }
+
+  def bpeTrainSql: String = {
+    def viter(t: Int): String = {
+      val vp = s"v${t - 1}"
+      s"""
+      p$t AS MATERIALIZED (
+        SELECT arr[i] AS x, arr[i + 1] AS y, freq
+        FROM (SELECT arr, freq, unnest(range(1, len(arr))) AS i
+              FROM (SELECT string_split(seq, chr(31)) AS arr, freq
+                    FROM $vp) z
+              WHERE len(arr) >= 2) zz),
+      m$t AS MATERIALIZED (
+        SELECT x, y, CAST(sum(freq) AS BIGINT) AS cnt FROM p$t
+        GROUP BY x, y ORDER BY cnt DESC, x, y LIMIT 1),
+      v$t AS MATERIALIZED (
+        SELECT list_reduce(string_split(v.seq, chr(31)),
+          (acc, e) -> ${bpeStepSql("m.x", "m.y")}) AS seq, v.freq
+        FROM $vp v CROSS JOIN m$t m)"""
+    }
+    val reports = (1 to BpeRounds).map { t =>
+      s"""SELECT CAST($t AS INT) AS rank, x AS lhs, y AS rhs,
+        x || y AS merged, cnt AS pair_cnt FROM m$t"""
+    }
+    s"""
+      WITH v0 AS MATERIALIZED (
+        SELECT seq, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT array_to_string(list_transform(range(1, length(p) + 1),
+            i -> substr(p, i, 1)), chr(31)) AS seq
+          FROM (SELECT unnest(regexp_extract_all(text,
+            $BpePieceRegexDuck)) AS p FROM documents) z) zz
+        GROUP BY seq),
+      ${(1 to BpeRounds).map(viter).mkString(",")}
+      SELECT rank, lhs, rhs, merged, pair_cnt FROM (
+        ${reports.mkString(" UNION ALL ")}) u
+      ORDER BY rank"""
+  }
+
   // ---------------------------------------------------------------- q165
   /** Quality-curriculum training order — the standard data-schedule
     * construction (best data first, source mixture held uniform across
@@ -2053,6 +2185,7 @@ object LlmQueries {
     "q168_dedup_clean"    -> dedupClean _,
     "q171_span_increment" -> spanIncrement _,
     "q173_bpe_merges"     -> bpeMerges _,
+    "q182_bpe_train"      -> bpeTrain _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2192,6 +2325,7 @@ object LlmQueries {
     "q168_dedup_clean" -> dedupCleanSql,
     "q171_span_increment" -> spanIncrementSql,
     "q173_bpe_merges" -> bpeMergesSql,
+    "q182_bpe_train" -> bpeTrainSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

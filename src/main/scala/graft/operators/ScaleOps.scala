@@ -1234,9 +1234,25 @@ object ScaleOps {
   def embAbtt(spark: SparkSession, dir: String): DataFrame =
     embAbttOf(Tables.load(spark, dir, "embeddings"))
 
+  /** Runs the power iteration through [[pcaChainRun]]'s driver-barrier
+    * rounds (same bits as the oracle's inline chain, constant plan
+    * depth), then one statement computes projection + residual norm
+    * against the 64-row local v. */
   def embAbttOf(vecs: DataFrame): DataFrame = {
     val (spark, xcV, muV) = pcaViews(vecs, "abtt")
-    spark.sql(abttSql("", xcV, muV))
+    val (v, _) = pcaChainRun(spark, xcV, muV, "abtt", "a")
+    spark.sql(s"""
+      SELECT s.vec_id,
+        ${droundSql("s.s", 6)} AS proj,
+        ${droundSql(
+          "sqrt(CASE WHEN n2.nsq - s.s * s.s < 0.0 THEN 0.0 " +
+            "ELSE n2.nsq - s.s * s.s END)", 6)} AS resid_norm
+      FROM (SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
+            FROM $xcV c JOIN $v v ON c.dim = v.dim
+            GROUP BY c.vec_id) s
+      JOIN (SELECT vec_id, ${pcaBridge("xc * xc", "1e12")} AS nsq
+            FROM $xcV GROUP BY vec_id) n2 ON s.vec_id = n2.vec_id
+      ORDER BY s.vec_id""")
   }
 
   def embAbttOracleSql: String = abttSql(pcaOraclePrefix, "xc", "mu")

@@ -44,6 +44,21 @@ class CorpusOpsSpec extends SparkSpec {
       Set((1L, 2L), (3L, 4L)))
   }
 
+  test("BPE trainer replays Sennrich merges with non-overlapping greedy application") {
+    // "aaaa" ×2 and "ab": round 1 counts (a,a) 3·2=6 vs (a,b) 1 →
+    // merge (a,a); greedy non-overlap turns a|a|a|a into aa|aa (NOT
+    // aa|a|a), so round 2 sees (aa,aa) 2 vs (a,b) 1 → merge (aa,aa);
+    // round 3 merges the leftover (a,b); then the corpus runs dry and
+    // the table ends early (3 rows, not BpeRounds)
+    val out = graft.operators.LlmQueries.bpeTrainOf(
+      docsOf(1L -> "aaaa", 2L -> "aaaa", 3L -> "ab")).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "aa", "aa", "aaaa", 2L),
+      (3, "a", "b", "ab", 1L)))
+  }
+
   test("wordEntropy matches closed-form values on known distributions") {
     val d = docsOf(
       1L -> "a a b b",     // uniform over 2 → 1 bit, gini 0.5
