@@ -1042,6 +1042,24 @@ object LlmQueries {
     bpeTrainOf(docs(spark, dir))
 
   def bpeTrainOf(docsF: DataFrame): DataFrame = {
+    val (spark, merges, _) = bpeTrainCore(docsF)
+    def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+    val rows = merges.map { case (k, x, y, c) =>
+      s"(CAST($k AS INT), ${lit(x)}, ${lit(y)}, ${lit(x + y)}, " +
+        s"CAST($c AS BIGINT))"
+    }
+    spark.sql(s"""
+      SELECT rank, lhs, rhs, merged, pair_cnt
+      FROM VALUES ${rows.mkString(",")}
+        AS t(rank, lhs, rhs, merged, pair_cnt)
+      ORDER BY rank""")
+  }
+
+  /** Run the trainer; returns (session, merge list, FINAL vocab view) —
+    * the vocab view holds each pre-token's fully-merged segmentation,
+    * the artifact [[bpeTokenize]] serves token counts from. */
+  private def bpeTrainCore(docsF: DataFrame)
+      : (SparkSession, Seq[(Int, String, String, Long)], String) = {
     val spark = docsF.sparkSession
     val tid = Thread.currentThread().getId
     val dv = s"graft_bpe_docs_t$tid"
@@ -1082,15 +1100,71 @@ object LlmQueries {
       }
       t += 1
     }
-    val rows = merges.result().map { case (k, x, y, c) =>
-      s"(CAST($k AS INT), ${lit(x)}, ${lit(y)}, ${lit(x + y)}, " +
-        s"CAST($c AS BIGINT))"
-    }
+    (spark, merges.result(), vocab)
+  }
+
+  // ---------------------------------------------------------------- q183
+  /** BPE tokenization with the learned merges — the apply half that
+    * makes q182 end-to-end: per document, the token count under the
+    * trained vocabulary (plus piece and pre-merge symbol counts, so
+    * the row reads as a compression report: chars → merged tokens).
+    * The corpus is NOT re-folded per occurrence: the trainer's final
+    * vocab frame already holds every pre-token's fully-merged
+    * segmentation, so tokenization is a (piece-text → token count)
+    * broadcast-shaped join — the vocabulary-compression payoff a
+    * second time, and the reason applying a tokenizer at 100 TB is a
+    * join, not a per-token loop. The piece text recovers from the
+    * segmentation by stripping the chr(31) separators (injective, so
+    * the map is exact); docs whose text yields no pieces keep a row
+    * with zero counts. Oracle replays training AND apply, so the gate
+    * covers the whole train→tokenize lifecycle. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOf(docs(spark, dir))
+
+  def bpeTokenizeOf(docsF: DataFrame): DataFrame = {
+    val (spark, _, vocab) = bpeTrainCore(docsF)
+    val tid = Thread.currentThread().getId
+    val dv = s"graft_bpe_docs_t$tid" // registered by bpeTrainCore
     spark.sql(s"""
-      SELECT rank, lhs, rhs, merged, pair_cnt
-      FROM VALUES ${rows.mkString(",")}
-        AS t(rank, lhs, rhs, merged, pair_cnt)
-      ORDER BY rank""")
+      SELECT d.doc_id,
+        CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+        CAST(coalesce(a.n_sym0, 0) AS BIGINT) AS n_sym0,
+        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM $dv d
+      LEFT JOIN (
+        SELECT pd.doc_id, count(1) AS n_pieces,
+          sum(length(pd.p)) AS n_sym0, sum(tk.ntok) AS n_tokens
+        FROM (SELECT doc_id, explode(regexp_extract_all(text,
+                $BpePieceRegexSpark, 0)) AS p FROM $dv) pd
+        JOIN (SELECT replace(seq, chr(31), '') AS p,
+                size(split(seq, chr(31))) AS ntok FROM $vocab) tk
+          ON pd.p = tk.p
+        GROUP BY pd.doc_id) a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id""")
+  }
+
+  def bpeTokenizeSql: String = {
+    val chain = bpeTrainSql
+    val cut = chain.indexOf("\n      SELECT rank")
+    require(cut > 0, "bpe train chain shape changed under tokenize")
+    chain.substring(0, cut) + s""",
+      tok AS MATERIALIZED (
+        SELECT replace(seq, chr(31), '') AS p,
+          len(string_split(seq, chr(31))) AS ntok
+        FROM v$BpeRounds)
+      SELECT d.doc_id,
+        CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+        CAST(coalesce(a.n_sym0, 0) AS BIGINT) AS n_sym0,
+        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM documents d
+      LEFT JOIN (
+        SELECT pd.doc_id, count(*) AS n_pieces,
+          sum(length(pd.p)) AS n_sym0, sum(tk.ntok) AS n_tokens
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+                $BpePieceRegexDuck)) AS p FROM documents) pd
+        JOIN tok tk ON pd.p = tk.p
+        GROUP BY pd.doc_id) a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""
   }
 
   def bpeTrainSql: String = {
@@ -2186,6 +2260,7 @@ object LlmQueries {
     "q171_span_increment" -> spanIncrement _,
     "q173_bpe_merges"     -> bpeMerges _,
     "q182_bpe_train"      -> bpeTrain _,
+    "q183_bpe_tokenize"   -> bpeTokenize _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2326,6 +2401,7 @@ object LlmQueries {
     "q171_span_increment" -> spanIncrementSql,
     "q173_bpe_merges" -> bpeMergesSql,
     "q182_bpe_train" -> bpeTrainSql,
+    "q183_bpe_tokenize" -> bpeTokenizeSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

@@ -59,6 +59,17 @@ class CorpusOpsSpec extends SparkSpec {
       (3, "a", "b", "ab", 1L)))
   }
 
+  test("BPE tokenize serves counts from the trained vocab, zeros for empty docs") {
+    val out = graft.operators.LlmQueries.bpeTokenizeOf(
+      docsOf(1L -> "aaaa", 2L -> "aaaa", 3L -> "ab", 4L -> "")).collect()
+    // after merges (a,a), (aa,aa), (a,b): both pre-tokens collapse to
+    // one symbol; the empty doc keeps a zero row
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq(
+      (1L, 1L, 4L, 1L), (2L, 1L, 4L, 1L),
+      (3L, 1L, 2L, 1L), (4L, 0L, 0L, 0L)))
+  }
+
   test("wordEntropy matches closed-form values on known distributions") {
     val d = docsOf(
       1L -> "a a b b",     // uniform over 2 → 1 bit, gini 0.5
