@@ -1419,11 +1419,10 @@ object LlmQueries {
   def dedupClean(spark: SparkSession, dir: String): DataFrame =
     dedupCleanOf(docs(spark, dir))
 
-  def dedupCleanOf(docsDf: DataFrame): DataFrame = {
-    val (base, g) = subdupGramsView(docsDf)
-    docsDf.sparkSession.sql(s"""
-      WITH ${subdupSpanCtes(g, keepFirst = true)},
-      $subdupIslandCtes,
+  /** The survivor-rebuild tail (tok → t → kept → cleaned text) shared
+    * by q168 and q184; expects an `m(doc_id, i_s, i_e)` island relation
+    * in scope. */
+  private def subdupRebuildTail(base: String): String = s"""
       tok AS (
         SELECT doc_id, w, posexplode(w) AS (p, word)
         FROM (SELECT doc_id, ${wordsExpr("text")} AS w FROM $base)),
@@ -1438,8 +1437,84 @@ object LlmQueries {
         CAST(count(1) AS BIGINT) AS kept_tokens,
         array_join(transform(array_sort(collect_list(struct(pos, word))),
           s -> s.word), ' ') AS clean_text
-      FROM kept GROUP BY doc_id ORDER BY doc_id""")
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""
+
+  def dedupCleanOf(docsDf: DataFrame): DataFrame = {
+    val (base, g) = subdupGramsView(docsDf)
+    docsDf.sparkSession.sql(s"""
+      WITH ${subdupSpanCtes(g, keepFirst = true)},
+      $subdupIslandCtes,
+      ${subdupRebuildTail(base)}""")
   }
+
+  // ---------------------------------------------------------------- q184
+  /** WITHIN-document repetition cut — the intra-doc complement to
+    * q168's cross-doc span cut (which deliberately ignores within-doc
+    * repeats): any K-token gram occurring at ≥2 positions in the SAME
+    * doc keeps its FIRST occurrence and every later occurrence falls
+    * in a cut span; overlapping spans chain through the q129 island
+    * union, so a PERIODIC run collapses to its leading period ("abc"
+    * × 10 → "abc", "a" × 50 → "a") — the template/boilerplate-loop
+    * scrub Gopher's repetition signals (q56) only measure. Spans
+    * never start at position 1 (a gram at pos 1 is always its hash's
+    * keeper), so every doc keeps ≥1 token. Same plan skeleton as
+    * q168 — the persisted gram frame, one doc-keyed window for the
+    * island union, a doc-keyed range anti join, one rebuild agg — so
+    * the same 100 TB argument applies verbatim; the df/sp stage
+    * groups by (doc, hash) instead of hash alone, which SHRINKS the
+    * shuffle (no cross-doc gram fan-in at all). */
+  def intradocDedup(spark: SparkSession, dir: String): DataFrame =
+    intradocDedupOf(docs(spark, dir))
+
+  def intradocDedupOf(docsDf: DataFrame): DataFrame = {
+    val (base, g) = subdupGramsView(docsDf)
+    docsDf.sparkSession.sql(s"""
+      WITH dfw AS (
+        SELECT doc_id, ghash, CAST(min(pos) AS INT) AS keeper
+        FROM $g GROUP BY doc_id, ghash HAVING count(1) >= 2),
+      sp AS (
+        SELECT gg.doc_id, gg.n_tokens, gg.pos AS s,
+          gg.pos + ${SubdupK - 1} AS e
+        FROM $g gg JOIN dfw ON gg.doc_id = dfw.doc_id
+          AND gg.ghash = dfw.ghash AND gg.pos <> dfw.keeper),
+      $subdupIslandCtes,
+      ${subdupRebuildTail(base)}""")
+  }
+
+  def intradocDedupSql: String = s"""
+      WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+      e AS (
+        SELECT doc_id, len(w)::INT AS n_tokens, w,
+          unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM d),
+      g AS (
+        SELECT doc_id, n_tokens, pos,
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM e),
+      dfw AS (
+        SELECT doc_id, ghash, CAST(min(pos) AS INT) AS keeper
+        FROM g GROUP BY doc_id, ghash HAVING count(*) >= 2),
+      sp AS (
+        SELECT g.doc_id, g.n_tokens, g.pos AS s,
+          g.pos + ${SubdupK - 1} AS e
+        FROM g JOIN dfw ON g.doc_id = dfw.doc_id
+          AND g.ghash = dfw.ghash AND g.pos <> dfw.keeper),
+      $subdupIslandCtes,
+      tokpos AS (
+        SELECT doc_id, len(w)::INT AS n_tokens,
+          unnest(range(1, len(w) + 1))::INT AS pos, w
+        FROM d),
+      t AS (SELECT doc_id, n_tokens, pos, w[pos] AS word FROM tokpos),
+      kept AS (
+        SELECT t.doc_id, t.n_tokens, t.pos, t.word
+        FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+          AND t.pos BETWEEN m.i_s AND m.i_e
+        WHERE m.i_s IS NULL)
+      SELECT doc_id, min(n_tokens)::INT AS n_tokens,
+        count(*)::BIGINT AS kept_tokens,
+        string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""
 
   def dedupCleanSql: String = s"""
       WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
@@ -2261,6 +2336,7 @@ object LlmQueries {
     "q173_bpe_merges"     -> bpeMerges _,
     "q182_bpe_train"      -> bpeTrain _,
     "q183_bpe_tokenize"   -> bpeTokenize _,
+    "q184_intradoc_dedup" -> intradocDedup _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2402,6 +2478,7 @@ object LlmQueries {
     "q173_bpe_merges" -> bpeMergesSql,
     "q182_bpe_train" -> bpeTrainSql,
     "q183_bpe_tokenize" -> bpeTokenizeSql,
+    "q184_intradoc_dedup" -> intradocDedupSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

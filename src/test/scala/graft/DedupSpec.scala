@@ -462,6 +462,33 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._1 === 3L && out(1L)._1 === 15L)
   }
 
+  test("within-doc repetition cut keeps the first occurrence, collapses periodic runs") {
+    import graft.operators.LlmQueries
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docsOf(
+      // the 8-gram repeats within ONE doc, separated by unique context:
+      // the first copy survives whole, the second is cut exactly
+      1L -> s"$run g1 g2 g3 $run h1",
+      // periodic run: every later period falls in chained spans — the
+      // doc collapses to its leading period
+      2L -> Array.fill(30)("abc x yz").flatMap(_.split(" ")).mkString(" "),
+      3L -> Array.fill(50)("a").mkString(" "),
+      // no within-doc repeats: passes through verbatim even though the
+      // run also appears in doc 1 (cross-doc is q168's job, not this)
+      4L -> s"$run tail1 tail2",
+      5L -> "v1 v2") // shorter than the gram window
+    val out = LlmQueries.intradocDedupOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._2 === s"$run g1 g2 g3 h1",
+      "second within-doc copy loses exactly the run")
+    assert(out(2L)._2 === "abc x yz", "periodic doc collapses to one period")
+    assert(out(3L)._2 === "a", "unigram run collapses to one token")
+    assert(out(4L)._2 === s"$run tail1 tail2",
+      "cross-doc duplication alone must not cut here")
+    assert(out(5L)._2 === "v1 v2")
+    assert(out(1L)._1 === 12L && out(2L)._1 === 3L && out(3L)._1 === 1L)
+  }
+
   test("substring dedup merges overlapping spans, keeps separated ones apart") {
     import graft.operators.LlmQueries
     val run1 = (1 to 8).map(i => s"p$i").mkString(" ")
