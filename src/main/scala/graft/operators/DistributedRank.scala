@@ -173,6 +173,82 @@ object DistributedRank {
       .drop(BCol, "__off")
   }
 
+  /** Keyed rank + EXCLUSIVE running total in one bucketed pass — the
+    * distributed prefix sum (scan). The scale-safe replacement for
+    *   row_number() OVER (PARTITION BY key ORDER BY ...)   and
+    *   sum(v) OVER (PARTITION BY key ORDER BY ...
+    *                ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+    * together: same bucket decomposition as [[rankWithin]], with the
+    * per-(key, bucket) aggregate carrying an exact value sum next to
+    * the row count, so the driver prefix-sums BOTH into offsets and
+    * one keyed window serves rank and in-bucket running total. The
+    * value column must be integral (LongType after cast) — the scan is
+    * then exact int64 and order-independent, the same reason every
+    * oracle bridge here is integer. `scanCol` is the sum of `valueCol`
+    * over all STRICTLY EARLIER rows in the (key, sort) order — the
+    * form token-budget sharding consumes (a row starts where its
+    * predecessors end). */
+  def rankAndScanWithin(df: DataFrame, key: String, rankCol: String,
+                        scanCol: String, valueCol: String,
+                        primary: String, desc: Boolean,
+                        sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val mm = df.agg(
+      min(col(primary)).cast("double"), max(col(primary)).cast("double")).first()
+    if (mm.isNullAt(0))
+      return df.withColumn(rankCol, lit(1L))
+        .withColumn(scanCol, lit(0L)).limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val nb = numBuckets(df)
+    val span = hi - lo + 1.0
+    val raw = floor((col(primary).cast("double") - lit(lo)) / lit(span) * lit(nb))
+      .cast("int")
+    val flipped = if (desc) lit(nb - 1) - raw else raw
+    val bucketed = df.withColumn(
+      BCol, least(greatest(flipped, lit(0)), lit(nb - 1)))
+    val counts = bucketed.groupBy(col(key), col(BCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("v")).collect()
+    require(counts.length <= (1 << 20),
+      s"DistributedRank.rankAndScanWithin: ${counts.length} (key, bucket) " +
+        "cells — this helper is for dimension-cardinality keys")
+    val limit = spark.conf.getOption("graft.rank.degenerateRowLimit")
+      .map(_.toLong).getOrElse(8000000L)
+    val rows = counts.groupBy(_.get(0)).toSeq.flatMap { case (k, rs) =>
+      if (rs.length == 1 && nb > 1 && rs.head.getLong(2) > limit)
+        throw new IllegalArgumentException(
+          s"DistributedRank.rankAndScanWithin: all ${rs.head.getLong(2)} " +
+            s"rows of key $k fell into one of $nb buckets — primary " +
+            s"'$primary' is (near-)constant within that key")
+      var accN = 0L
+      var accV = 0L
+      rs.sortBy(_.getInt(1)).map { r =>
+        val (oN, oV) = (accN, accV)
+        accN += r.getLong(2); accV += r.getLong(3)
+        Row(k, r.getInt(1), oN, oV)
+      }
+    }
+    val schema = StructType(Seq(
+      df.schema(key).copy(nullable = true),
+      StructField(BCol, IntegerType), StructField("__off", LongType),
+      StructField("__voff", LongType)))
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val w = Window.partitionBy(col(key), col(BCol)).orderBy(sortCols: _*)
+    bucketed
+      .withColumn(rankCol, row_number().over(w).cast("long"))
+      .withColumn(scanCol,
+        sum(col(valueCol).cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(scanCol, coalesce(col(scanCol), lit(0L)))
+      .join(broadcast(offDf), Seq(key, BCol))
+      .withColumn(rankCol, col(rankCol) + col("__off"))
+      .withColumn(scanCol, col(scanCol) + col("__voff"))
+      .drop(BCol, "__off", "__voff")
+  }
+
   /** `ntile(k)` from a global rank: first (n mod k) tiles get
     * ceil(n/k) rows, the rest floor(n/k) — the exact SQL-standard
     * semantics, so the result matches `ntile(k) OVER (ORDER BY ...)`

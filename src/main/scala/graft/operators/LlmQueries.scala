@@ -1551,6 +1551,78 @@ object LlmQueries {
         string_agg(word, ' ' ORDER BY pos) AS clean_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q185
+  /** Deterministic per-epoch training shuffle + token-balanced shard
+    * assignment — the data-loader order a trainer actually consumes.
+    * Each epoch permutes the corpus by a pure hash of (epoch, doc_id):
+    * RNG-free, partitioning-invariant, different every epoch, and
+    * reproducible from the doc ids alone. Shards are TOKEN-balanced,
+    * not count-balanced: shard = ⌊tokens-before / ⌈total/S⌉⌋, so every
+    * shard carries an equal token budget (±1 doc) and no trainer rank
+    * idles on short documents. The tokens-before scan is the new
+    * [[DistributedRank.rankAndScanWithin]] — a bucketed two-pass
+    * distributed PREFIX SUM (per-(epoch, bucket) exact int64 sums,
+    * driver-side offsets, one keyed window) — never the
+    * single-partition `SUM OVER (ORDER BY)` window the oracle spells,
+    * and the hash match proves the scan rewrite bit-identical. Output:
+    * the full (epoch, position, doc, shard) assignment table. */
+  val ShuffleEpochs = 2
+  val ShuffleShards = 8
+
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleOf(docs(spark, dir))
+
+  def epochShuffleOf(docsF: DataFrame): DataFrame = {
+    val spark = docsF.sparkSession
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val base = docsF
+      .selectExpr("doc_id",
+        s"CAST(size(${wordsExpr("text")}) AS BIGINT) AS n_tokens")
+      .crossJoin(spark.sql(
+        s"SELECT explode(sequence(1, $ShuffleEpochs)) AS epoch"))
+      .selectExpr("epoch", "doc_id", "n_tokens",
+        xhashExpr("concat('shuf:', CAST(epoch AS STRING), ':', " +
+          "CAST(doc_id AS STRING))") + " AS okey")
+    val ranked = DistributedRank.rankAndScanWithin(
+      base, "epoch", "pos", "tok_before", "n_tokens",
+      "okey", desc = false, col("okey"), col("doc_id"))
+    val totals = base.groupBy(col("epoch"))
+      .agg(sum(col("n_tokens")).as("tot"))
+    ranked.join(bcast(totals), "epoch")
+      .selectExpr("CAST(epoch AS INT) AS epoch", "pos", "doc_id",
+        "n_tokens",
+        s"""CAST(least($ShuffleShards - 1,
+          tok_before div ((tot + $ShuffleShards - 1) div $ShuffleShards))
+          AS INT) AS shard""")
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  def epochShuffleSql: String = s"""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len(${wordsSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      eps AS (SELECT unnest(range(1, ${ShuffleEpochs + 1}))::INT AS epoch),
+      keyed AS (
+        SELECT epoch, doc_id, n_tokens,
+          ${xhashSql("'shuf:' || epoch || ':' || doc_id")} AS okey
+        FROM base CROSS JOIN eps),
+      r AS (
+        SELECT epoch, doc_id, n_tokens,
+          CAST(row_number() OVER (PARTITION BY epoch
+            ORDER BY okey, doc_id) AS BIGINT) AS pos,
+          CAST(coalesce(sum(n_tokens) OVER (PARTITION BY epoch
+            ORDER BY okey, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_before,
+          CAST(sum(n_tokens) OVER (PARTITION BY epoch) AS BIGINT) AS tot
+        FROM keyed)
+      SELECT epoch, pos, doc_id, n_tokens,
+        CAST(least($ShuffleShards - 1,
+          tok_before // ((tot + ${ShuffleShards - 1}) // $ShuffleShards))
+          AS INT) AS shard
+      FROM r ORDER BY epoch, pos"""
+
   // ---------------------------------------------------------------- q171
   /** Incremental substring dedup against GRAMS at rest — the q145
     * discipline for the span leg: the corpus's distinct positional-gram
@@ -2337,6 +2409,7 @@ object LlmQueries {
     "q182_bpe_train"      -> bpeTrain _,
     "q183_bpe_tokenize"   -> bpeTokenize _,
     "q184_intradoc_dedup" -> intradocDedup _,
+    "q185_epoch_shuffle"  -> epochShuffle _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2479,6 +2552,7 @@ object LlmQueries {
     "q182_bpe_train" -> bpeTrainSql,
     "q183_bpe_tokenize" -> bpeTokenizeSql,
     "q184_intradoc_dedup" -> intradocDedupSql,
+    "q185_epoch_shuffle" -> epochShuffleSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

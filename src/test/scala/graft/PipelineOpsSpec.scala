@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
   * chunk coverage, dedup-survivor structure). */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("epoch shuffle: complete permutations, token-balanced shards, epochs differ") {
+    val sq = spark
+    import sq.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill((i % 9 + 1).toInt)(s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = LlmQueries.epochShuffleOf(docs).collect()
+    val byEpoch = out.groupBy(_.getInt(0))
+    assert(byEpoch.keySet === Set(1, 2))
+    byEpoch.foreach { case (_, rows) =>
+      // a complete permutation: every doc once, positions 1..n
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to 60L))
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 60L))
+      // shard is nondecreasing in position and token-balanced: each
+      // shard's load stays under budget + one max-doc overhang
+      val inOrder = rows.sortBy(_.getLong(1))
+      val shards = inOrder.map(_.getInt(4))
+      assert(shards.sameElements(shards.sorted), "shards follow the order")
+      val total = rows.map(_.getLong(3)).sum
+      val budget = (total + LlmQueries.ShuffleShards - 1) / LlmQueries.ShuffleShards
+      val maxDoc = rows.map(_.getLong(3)).max
+      inOrder.groupBy(_.getInt(4)).values.foreach { s =>
+        assert(s.map(_.getLong(3)).sum <= budget + maxDoc)
+      }
+    }
+    // the two epochs are genuinely different permutations
+    val p1 = byEpoch(1).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    val p2 = byEpoch(2).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(p1 !== p2)
+    // determinism across runs
+    val again = LlmQueries.epochShuffleOf(docs).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("gap-fill emits a contiguous hourly grid with non-null carry-forward") {
     val rows = Windows.gapFill(spark, sfDir).collect()
     assert(rows.nonEmpty)

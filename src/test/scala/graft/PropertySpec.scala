@@ -288,6 +288,32 @@ object EngineProperties extends Properties("engine") {
       ranked == viaWindow
     }
 
+  property("keyed rank+scan equals the keyed window rank and exclusive cumsum") =
+    forAll(genKeyed) { rows =>
+      val sq = spark
+      import sq.implicits._
+      val df =
+        if (rows.isEmpty) Seq.empty[(Long, Long)].toDF("k", "id")
+        else rows.toDF("k", "id")
+      // value = a deterministic small weight; key = id mod 3
+      val keyed = df.withColumn("g", (col("id") % 3L).cast("long"))
+        .withColumn("v", (col("id") % 7L + 1L).cast("long"))
+      val got = graft.operators.DistributedRank.rankAndScanWithin(
+        keyed, "g", "rk", "sc", "v", "k", desc = false, col("k"), col("id"))
+        .select("g", "k", "id", "v", "rk", "sc")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("k"), col("id"))
+      val viaWindow = keyed
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("sc", coalesce(sum(col("v")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+        .select("g", "k", "id", "v", "rk", "sc")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      got == viaWindow
+    }
+
   private val genKmvDocs: Gen[List[(Long, String, String)]] = {
     val word = Gen.oneOf((1 to 12).map(i => s"k$i"))
     Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 50L),
