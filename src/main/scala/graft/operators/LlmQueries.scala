@@ -1623,7 +1623,152 @@ object LlmQueries {
           AS INT) AS shard
       FROM r ORDER BY epoch, pos"""
 
-  // ---------------------------------------------------------------- q171
+  // ---------------------------------------------------------------- q186
+  /** Deterministic skip-gram + negative-sample generation — the
+    * word2vec-style embedding-training input pipeline as a query.
+    * Three classic stages, every "random" choice a pure hash:
+    *   1. frequency SUBSAMPLING (Mikolov's t-rule): token survives iff
+    *      hash(doc,pos) mod 1e6 < ⌊p_keep·1e6⌉ with p_keep =
+    *      min(1, (√(f/t)+1)·t/f) — frequent-word tokens thin out,
+    *      reproducibly on any partitioning;
+    *   2. skip-gram PAIRS: surviving tokens within ±[[SgWindow]]
+    *      positions in the same doc — a doc-keyed band join, never a
+    *      corpus window;
+    *   3. NEGATIVES: [[SgNegK]] draws per pair from the unigram^0.75
+    *      table. The 3/4 power is sqrt(cnt·sqrt(cnt)) — two IEEE
+    *      sqrts and a product, all correctly rounded, so BOTH engines
+    *      get the same integer weight (pow() would not cross-engine).
+    *      Cumulative weight intervals come from the
+    *      [[DistributedRank.rankAndScanWithin]] distributed prefix
+    *      sum over the vocab; each hash draw lands in [0, W_total)
+    *      and resolves to its interval through a BUCKETED equi-join
+    *      (intervals explode into ⌈w/bs⌉ covering buckets, draws
+    *      compute their bucket arithmetically) — the q95 trick, so
+    *      the lookup is an equi-join at any vocab size while the
+    *      oracle spells the plain inequality join.
+    * Output: one row per (pair, negative slot) — the exact training
+    * stream a skip-gram trainer consumes, RNG-free end to end. */
+  val SgWindow = 2
+  val SgNegK = 2
+  val SgSubsampleT = "1e-3"
+  val SgBuckets = 1024
+
+  def skipgramNegatives(spark: SparkSession, dir: String): DataFrame =
+    skipgramNegativesOf(docs(spark, dir))
+
+  def skipgramNegativesOf(docsF: DataFrame): DataFrame = {
+    val spark = docsF.sparkSession
+    val tid = Thread.currentThread().getId
+    val dv = s"graft_sg_docs_t$tid"
+    docsF.createOrReplaceTempView(dv)
+    val tokV = s"graft_sg_tok_t$tid"
+    spark.sql(s"""
+      SELECT doc_id, p + 1 AS pos, word
+      FROM (SELECT doc_id, posexplode(${wordsExpr("text")}) AS (p, word)
+            FROM $dv) z""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(tokV)
+    val vocabV = s"graft_sg_vocab_t$tid"
+    spark.sql(s"""
+      SELECT word, CAST(count(1) AS BIGINT) AS cnt,
+        CAST(greatest(1, floor(sqrt(CAST(count(1) AS DOUBLE) *
+          sqrt(CAST(count(1) AS DOUBLE))))) AS BIGINT) AS w,
+        ${xhashExpr("concat('w:', word)")} AS hw
+      FROM $tokV GROUP BY word""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(vocabV)
+    val Array(totT, totW) = spark.sql(
+      s"SELECT CAST(sum(cnt) AS BIGINT), CAST(sum(w) AS BIGINT) FROM $vocabV")
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val bs = (totW + SgBuckets - 1) / SgBuckets
+    // cumulative unigram^0.75 intervals via the distributed prefix sum
+    val cum = DistributedRank.rankAndScanWithin(
+      spark.sql(s"SELECT word, w, hw, 1 AS k FROM $vocabV"),
+      "k", "rk", "sc", "w", "hw", desc = false, col("hw"), col("word"))
+    val cumV = s"graft_sg_cum_t$tid"
+    cum.createOrReplaceTempView(cumV)
+    val vbV = s"graft_sg_vb_t$tid"
+    spark.sql(s"""
+      SELECT word, w, sc, explode(sequence(sc div $bs, (sc + w - 1) div $bs))
+        AS b
+      FROM $cumV""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(vbV)
+    val pk = s"""least(1.0, (sqrt((CAST(v.cnt AS DOUBLE) / $totT)
+      / $SgSubsampleT) + 1.0) * $SgSubsampleT
+      / (CAST(v.cnt AS DOUBLE) / $totT))"""
+    val keptV = s"graft_sg_kept_t$tid"
+    spark.sql(s"""
+      SELECT t.doc_id, t.pos, t.word
+      FROM $tokV t JOIN $vocabV v ON t.word = v.word
+      WHERE ${xhashExpr(
+        "concat('ss:', CAST(t.doc_id AS STRING), ':', CAST(t.pos AS STRING))")}
+        % 1000000 < CAST(floor(($pk) * 1e6 + 0.5) AS BIGINT)""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(keptV)
+    spark.sql(s"""
+      SELECT n.doc_id, n.pos, n.cpos, n.center, n.context,
+        n.neg_slot, vb.word AS neg_word
+      FROM (
+        SELECT c.doc_id, c.pos, x.pos AS cpos, c.word AS center,
+          x.word AS context, j AS neg_slot,
+          ${xhashExpr(
+            "concat('neg:', CAST(c.doc_id AS STRING), ':', " +
+            "CAST(c.pos AS STRING), ':', CAST(x.pos AS STRING), ':', " +
+            "CAST(j AS STRING))")} % $totW AS draw
+        FROM $keptV c
+        JOIN $keptV x ON c.doc_id = x.doc_id
+          AND x.pos BETWEEN c.pos - $SgWindow AND c.pos + $SgWindow
+          AND x.pos <> c.pos
+        LATERAL VIEW explode(sequence(1, $SgNegK)) nj AS j) n
+      JOIN $vbV vb ON vb.b = n.draw div $bs
+        AND n.draw >= vb.sc AND n.draw < vb.sc + vb.w
+      ORDER BY doc_id, pos, cpos, neg_slot""")
+  }
+
+  def skipgramNegativesSql: String = s"""
+      WITH tok AS MATERIALIZED (
+        SELECT doc_id, pos, w[pos] AS word FROM (
+          SELECT doc_id, w, unnest(range(1, len(w) + 1))::INT AS pos
+          FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents) d) z),
+      vocab AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(greatest(1, floor(sqrt(CAST(count(*) AS DOUBLE) *
+            sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS w,
+          ${xhashSql("'w:' || word")} AS hw
+        FROM tok GROUP BY word),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                     CAST(sum(w) AS BIGINT) AS wt FROM vocab),
+      kept AS MATERIALIZED (
+        SELECT t.doc_id, t.pos, t.word
+        FROM tok t JOIN vocab v ON t.word = v.word CROSS JOIN tot
+        WHERE ${xhashSql("'ss:' || t.doc_id || ':' || t.pos")} % 1000000
+          < CAST(floor(least(1.0,
+              (sqrt((CAST(v.cnt AS DOUBLE) / tot.t) / $SgSubsampleT) + 1.0)
+              * $SgSubsampleT / (CAST(v.cnt AS DOUBLE) / tot.t)) * 1e6 + 0.5)
+            AS BIGINT)),
+      cum AS MATERIALIZED (
+        SELECT word, w,
+          CAST(coalesce(sum(w) OVER (ORDER BY hw, word
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS sc
+        FROM vocab),
+      pairs AS MATERIALIZED (
+        SELECT c.doc_id, c.pos, x.pos AS cpos, c.word AS center,
+          x.word AS context, j AS neg_slot,
+          ${xhashSql(
+            "'neg:' || c.doc_id || ':' || c.pos || ':' || x.pos || ':' || j")}
+            % tot.wt AS draw
+        FROM kept c
+        JOIN kept x ON c.doc_id = x.doc_id
+          AND x.pos BETWEEN c.pos - $SgWindow AND c.pos + $SgWindow
+          AND x.pos <> c.pos
+        CROSS JOIN (SELECT unnest(range(1, ${SgNegK + 1}))::INT AS j) nj
+        CROSS JOIN tot)
+      SELECT p.doc_id, p.pos, p.cpos, p.center, p.context, p.neg_slot,
+        c.word AS neg_word
+      FROM pairs p JOIN cum c ON p.draw >= c.sc AND p.draw < c.sc + c.w
+      ORDER BY doc_id, pos, cpos, neg_slot"""
   /** Incremental substring dedup against GRAMS at rest — the q145
     * discipline for the span leg: the corpus's distinct positional-gram
     * hashes persist ONCE to the warehouse (`shard=N` on ghash; 8 bytes
@@ -2410,6 +2555,7 @@ object LlmQueries {
     "q183_bpe_tokenize"   -> bpeTokenize _,
     "q184_intradoc_dedup" -> intradocDedup _,
     "q185_epoch_shuffle"  -> epochShuffle _,
+    "q186_skipgram_negs"  -> skipgramNegatives _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2553,6 +2699,7 @@ object LlmQueries {
     "q183_bpe_tokenize" -> bpeTokenizeSql,
     "q184_intradoc_dedup" -> intradocDedupSql,
     "q185_epoch_shuffle" -> epochShuffleSql,
+    "q186_skipgram_negs" -> skipgramNegativesSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

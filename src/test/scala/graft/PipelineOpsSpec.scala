@@ -42,6 +42,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("skip-gram negatives match a full local replay of hash, subsample, and draws") {
+    val sq = spark
+    import sq.implicits._
+    val texts = Seq(
+      1L -> "the cat sat on the mat the end",
+      2L -> "the dog ran to the cat fast now",
+      3L -> "a bird flew over the tall tree",
+      4L -> "the cat and the dog met a bird",
+      5L -> "sun rose over the hill this day",
+      6L -> "the end of the day came fast")
+    val out = graft.operators.LlmQueries.skipgramNegativesOf(
+      texts.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getString(4), r.getInt(5), r.getString(6))).toSeq
+
+    // local replay with the same md5-derived hash and IEEE arithmetic
+    def xh(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val toks = texts.flatMap { case (id, t) =>
+      t.trim.split("\\s+").zipWithIndex.map { case (w, i) => (id, i + 1, w) }
+    }
+    val cnt = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val totT = toks.size.toLong
+    val tt = 1e-3
+    def pKeep(c: Long): Double = {
+      val f = c.toDouble / totT
+      math.min(1.0, (math.sqrt(f / tt) + 1.0) * tt / f)
+    }
+    val kept = toks.filter { case (id, pos, w) =>
+      xh(s"ss:$id:$pos") % 1000000L <
+        math.floor(pKeep(cnt(w)) * 1e6 + 0.5).toLong
+    }
+    def wgt(c: Long): Long =
+      math.max(1L, math.floor(
+        math.sqrt(c.toDouble * math.sqrt(c.toDouble))).toLong)
+    val vocab = cnt.keys.toSeq.map(w => (xh(s"w:$w"), w, wgt(cnt(w))))
+      .sortBy(v => (v._1, v._2))
+    val totW = vocab.map(_._3).sum
+    val cum = vocab.scanLeft(("", 0L, 0L)) { case ((_, sc, w0), (_, wd, w)) =>
+      (wd, sc + w0, w)
+    }.drop(1) // (word, sc, w)
+    def negOf(draw: Long): String =
+      cum.find(c => draw >= c._2 && draw < c._2 + c._3).get._1
+    val expected = (for {
+      (cd, cp, cw) <- kept
+      (xd, xp, xw) <- kept
+      if xd == cd && xp != cp && (xp - cp).abs <= 2
+      j <- 1 to 2
+    } yield (cd, cp, xp, cw, xw, j,
+      negOf(xh(s"neg:$cd:$cp:$xp:$j") % totW))).sortBy(r =>
+      (r._1, r._2, r._3, r._6))
+    assert(kept.nonEmpty && kept.size < toks.size,
+      "fixture must exercise both kept and dropped tokens")
+    assert(out === expected)
+  }
+
   test("gap-fill emits a contiguous hourly grid with non-null carry-forward") {
     val rows = Windows.gapFill(spark, sfDir).collect()
     assert(rows.nonEmpty)
