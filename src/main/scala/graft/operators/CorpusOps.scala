@@ -249,6 +249,129 @@ object CorpusOps {
     * [[graft.functions.TextFunctions.tokenCount]]). */
   private def tokenCountExprSql: String = s"size(${wordsExpr("text")})"
 
+  // ---------------------------------------------------------------- q187
+  /** Ranking-quality audit for the retrieval stack: nDCG@k of q90's
+    * BM25 ordering against a graded TERM-COVERAGE relevance — rel(q,d)
+    * = distinct query terms present in d (0..|q|), the deterministic
+    * relevance both engines can derive from the corpus alone. This is
+    * q169's discipline (score the approximate path against its own
+    * exact metric) applied to the text leg: BM25 ranks by tf/idf-
+    * weighted evidence, the audit asks how well that order agrees with
+    * plain coverage, per query. Gains are integer (2^rel − 1 via bit
+    * shift — pow() is not cross-engine-stable, shifts are), discounts
+    * are ln(rk+1)/ln 2 on integer args (bitwise-equal across engines,
+    * q88's verification), each DCG term half-up bridges to a 1e-9
+    * decimal grid so the ≤k-row sums are order-independent. The ideal
+    * ranking is rel-sorted with doc-id tiebreak over the same matched
+    * set. O(|queries|) output; all per-query frames are k-bounded. */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame =
+    retrievalNdcgOf(docs(spark, dir))
+
+  /** [[retrievalNdcg]] over an arbitrary (doc_id, text) frame — the
+    * spec entry point (a planted tf-vs-coverage disagreement must
+    * surface as ndcg < 1). */
+  def retrievalNdcgOf(docsF: DataFrame): DataFrame = {
+    val spark = docsF.sparkSession
+    val dv = s"graft_ndcg_docs_t${Thread.currentThread().getId}"
+    docsF.createOrReplaceTempView(dv)
+    val hitsV = s"graft_ndcg_hits_t${Thread.currentThread().getId}"
+    spark.sql(s"""
+      WITH qt AS (SELECT * FROM VALUES $bm25ValuesSql AS t(query_id, term)),
+      uni AS (
+        SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM $dv)
+      SELECT /*+ BROADCAST(qt) */ u.doc_id, u.term, qt.query_id
+      FROM uni u JOIN qt ON u.term = qt.term""")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(hitsV)
+    val gain = "CAST(shiftleft(1, rel) - 1 AS DOUBLE)"
+    spark.sql(s"""
+      WITH tf AS (SELECT query_id, doc_id, term, count(1) AS tf
+             FROM $hitsV GROUP BY query_id, doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df
+             FROM $hitsV GROUP BY term),
+      dl AS (SELECT doc_id, CAST($tokenCountExprSql AS BIGINT) AS dl
+             FROM $dv),
+      st AS (SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      contrib AS (
+        SELECT query_id, tf.doc_id, $bm25ContribSql AS c6
+        FROM (SELECT query_id, doc_id, term, CAST(tf AS DOUBLE) AS tfd FROM tf) tf
+        JOIN (SELECT term, CAST(df AS DOUBLE) AS dfd FROM df) df ON tf.term = df.term
+        JOIN (SELECT doc_id, CAST(dl AS DOUBLE) AS dld FROM dl) dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN (SELECT CAST(n_docs AS DOUBLE) AS ndd,
+                      CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st)),
+      sc AS (SELECT query_id, doc_id, CAST(sum(c6) AS DOUBLE) / 1e6 AS score
+             FROM contrib GROUP BY query_id, doc_id),
+      sparse AS (
+        SELECT query_id, doc_id, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INT) AS rk
+        FROM sc),
+      rel AS (SELECT query_id, doc_id, CAST(count(DISTINCT term) AS INT) AS rel
+              FROM $hitsV GROUP BY query_id, doc_id),
+      dterm AS (
+        SELECT s.query_id,
+          CAST(floor(($gain / (ln(CAST(s.rk + 1 AS DOUBLE)) / ln(2.0)))
+            * 1e9 + 0.5) AS DECIMAL(30,0)) AS t9
+        FROM sparse s JOIN rel r
+          ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+        WHERE s.rk <= $Bm25TopK),
+      ideal AS (
+        SELECT query_id, rel,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, doc_id) AS INT) AS rk
+        FROM rel),
+      iterm AS (
+        SELECT query_id,
+          CAST(floor(($gain / (ln(CAST(rk + 1 AS DOUBLE)) / ln(2.0)))
+            * 1e9 + 0.5) AS DECIMAL(30,0)) AS t9
+        FROM ideal WHERE rk <= $Bm25TopK),
+      d AS (SELECT query_id, CAST(sum(t9) AS DOUBLE) / 1e9 AS dcg
+            FROM dterm GROUP BY query_id),
+      i AS (SELECT query_id, CAST(sum(t9) AS DOUBLE) / 1e9 AS idcg
+            FROM iterm GROUP BY query_id)
+      SELECT d.query_id,
+        ${droundSql("d.dcg", 6)} AS dcg,
+        ${droundSql("i.idcg", 6)} AS idcg,
+        ${droundSql("d.dcg / i.idcg", 6)} AS ndcg
+      FROM d JOIN i ON d.query_id = i.query_id
+      ORDER BY d.query_id""")
+  }
+
+  def retrievalNdcgSql: String = {
+    val gain = "CAST((1 << rel) - 1 AS DOUBLE)"
+    s"""
+      WITH $bm25RankedOracleCtes,
+      rel AS (SELECT query_id, doc_id, count(DISTINCT term)::INT AS rel
+              FROM hits GROUP BY query_id, doc_id),
+      dterm AS (
+        SELECT s.query_id,
+          CAST(floor(($gain / (ln(CAST(s.rk + 1 AS DOUBLE)) / ln(2.0)))
+            * 1e9 + 0.5) AS DECIMAL(30,0)) AS t9
+        FROM sparse s JOIN rel r
+          ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+        WHERE s.rk <= $Bm25TopK),
+      ideal AS (
+        SELECT query_id, rel,
+          (row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, doc_id))::INT AS rk
+        FROM rel),
+      iterm AS (
+        SELECT query_id,
+          CAST(floor(($gain / (ln(CAST(rk + 1 AS DOUBLE)) / ln(2.0)))
+            * 1e9 + 0.5) AS DECIMAL(30,0)) AS t9
+        FROM ideal WHERE rk <= $Bm25TopK),
+      d AS (SELECT query_id, CAST(sum(t9) AS DOUBLE) / 1e9 AS dcg
+            FROM dterm GROUP BY query_id),
+      i AS (SELECT query_id, CAST(sum(t9) AS DOUBLE) / 1e9 AS idcg
+            FROM iterm GROUP BY query_id)
+      SELECT d.query_id,
+        ${droundSql("d.dcg", 6)} AS dcg,
+        ${droundSql("i.idcg", 6)} AS idcg,
+        ${droundSql("d.dcg / i.idcg", 6)} AS ndcg
+      FROM d JOIN i ON d.query_id = i.query_id
+      ORDER BY d.query_id"""
+  }
+
   // ---------------------------------------------------------------- q164
   /** BM25 serving from an inverted index AT REST — the text-retrieval
     * mirror of q146's ANN serving: the posting-list table
@@ -1054,6 +1177,7 @@ object CorpusOps {
     "q88_text_entropy"    -> textEntropy _,
     "q89_dist_shape"      -> distShape _,
     "q90_bm25_search"     -> bm25Search _,
+    "q187_retrieval_ndcg" -> retrievalNdcg _,
     "q164_bm25_index_serve" -> bm25IndexServe _,
     "q150_hybrid_rrf"     -> hybridSearch _,
     "q91_numeric_hist"    -> numericHist _,
@@ -1140,6 +1264,7 @@ object CorpusOps {
       WHERE rk <= $Bm25TopK
       ORDER BY query_id, rk""",
     "q150_hybrid_rrf" -> hybridSearchOracleSql,
+    "q187_retrieval_ndcg" -> retrievalNdcgSql,
     "q91_numeric_hist" -> numericHistSql("lineitem"),
     "q92_semantic_dedup" -> s"""
       WITH comp AS (${Dedup.componentsSql(

@@ -70,6 +70,35 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 1L), (4L, 0L, 0L, 0L)))
   }
 
+  test("retrieval nDCG exposes tf-vs-coverage disagreement, 1.0 on agreement") {
+    val sq = spark
+    import sq.implicits._
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docsF = Seq(
+      // short doc, one query term repeated: BM25 loves it, rel = 1
+      1L -> "spark spark",
+      // all three bq1 terms once, buried in length: rel = 3, BM25
+      // length normalization pushes it below doc 1
+      2L -> s"spark hash table $filler",
+      // exactly one relevant doc for bq2: any order is ideal
+      3L -> "window sort merge",
+      // hash/table appear here too: raises their df (deflating doc 2's
+      // rare-term advantage) and makes these rel=2 docs BM25 ranks
+      // above the rel=3 doc — the planted order disagreement
+      4L -> "hash table g1 g2 g3 g4 g5 g6 g7 g8",
+      5L -> "hash table h1 h2 h3 h4 h5 h6 h7 h8").toDF("doc_id", "text")
+    val out = CorpusOps.retrievalNdcgOf(docsF).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // bq3 terms are absent entirely: no row
+    assert(out.keySet === Set("bq1", "bq2"))
+    val (d1, i1, n1) = out("bq1")
+    assert(d1 <= i1, "DCG can never beat the ideal ordering")
+    assert(n1 < 1.0,
+      s"planted tf-heavy doc must outrank the full-coverage doc: $out")
+    assert(out("bq2")._3 === 1.0)
+  }
+
   test("wordEntropy matches closed-form values on known distributions") {
     val d = docsOf(
       1L -> "a a b b",     // uniform over 2 → 1 bit, gini 0.5
