@@ -1623,6 +1623,78 @@ object LlmQueries {
           AS INT) AS shard
       FROM r ORDER BY epoch, pos"""
 
+  // ---------------------------------------------------------------- q188
+  /** Unicode script / codepoint-class profile — the triage pass a
+    * multilingual crawl needs before q32's n-gram language ID can even
+    * apply (n-gram LID assumes you already know the script): per doc,
+    * codepoint counts for Latin, digits, whitespace, CJK, Cyrillic,
+    * Greek, Arabic, and the remainder, plus the dominant script with a
+    * deterministic tie rule (highest count, alphabetical on ties,
+    * 'none' when no script chars at all). Counts come from
+    * length-after-scrub (len(text) − len(regexp_replace(class, ''))) —
+    * one codegen'd projection, no explode, no shuffle beyond the scan;
+    * ranges are BMP so both engines count codepoints identically. */
+  private val ScriptClasses: Seq[(String, String)] = Seq(
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "latin" -> "[A-Za-z]")
+
+  def scriptProfile(spark: SparkSession, dir: String): DataFrame =
+    scriptProfileOf(docs(spark, dir))
+
+  def scriptProfileOf(docsF: DataFrame): DataFrame = {
+    val spark = docsF.sparkSession
+    val dv = s"graft_script_docs_t${Thread.currentThread().getId}"
+    docsF.createOrReplaceTempView(dv)
+    // Spark SQL string literals process backslash escapes, so the regex
+    // backslashes double here; DuckDB literals are raw (see the *Sql twin)
+    def cnt(re: String) = {
+      val esc = re.replace("\\", "\\\\")
+      s"CAST(length(text) - length(regexp_replace(text, '$esc', '')) AS BIGINT)"
+    }
+    val classCols = ScriptClasses.map { case (n, re) => s"${cnt(re)} AS $n" }
+    val scripts = ScriptClasses.map(_._1)
+    val dominant = scripts.map { s =>
+      val geAll = scripts.filter(_ != s).map(o => s"$s >= $o").mkString(" AND ")
+      s"WHEN $s > 0 AND $geAll THEN '$s'"
+    }.mkString(" ")
+    spark.sql(s"""
+      SELECT doc_id, n_chars, ${scripts.mkString(", ")}, n_digit, n_space,
+        n_chars - (${scripts.mkString(" + ")} + n_digit + n_space) AS n_other,
+        CASE $dominant ELSE 'none' END AS dominant_script
+      FROM (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          ${classCols.mkString(", ")},
+          ${cnt("[0-9]")} AS n_digit,
+          ${cnt("\\s")} AS n_space
+        FROM $dv) z
+      ORDER BY doc_id""")
+  }
+
+  def scriptProfileSql: String = {
+    def cnt(re: String) =
+      s"CAST(length(text) - length(regexp_replace(text, '$re', '', 'g')) AS BIGINT)"
+    val classCols = ScriptClasses.map { case (n, re) => s"${cnt(re)} AS $n" }
+    val scripts = ScriptClasses.map(_._1)
+    val dominant = scripts.map { s =>
+      val geAll = scripts.filter(_ != s).map(o => s"$s >= $o").mkString(" AND ")
+      s"WHEN $s > 0 AND $geAll THEN '$s'"
+    }.mkString(" ")
+    s"""
+      SELECT doc_id, n_chars, ${scripts.mkString(", ")}, n_digit, n_space,
+        n_chars - (${scripts.mkString(" + ")} + n_digit + n_space) AS n_other,
+        CASE $dominant ELSE 'none' END AS dominant_script
+      FROM (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          ${classCols.mkString(", ")},
+          ${cnt("[0-9]")} AS n_digit,
+          ${cnt("\\s")} AS n_space
+        FROM documents) z
+      ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------------- q186
   /** Deterministic skip-gram + negative-sample generation — the
     * word2vec-style embedding-training input pipeline as a query.
@@ -2556,6 +2628,7 @@ object LlmQueries {
     "q184_intradoc_dedup" -> intradocDedup _,
     "q185_epoch_shuffle"  -> epochShuffle _,
     "q186_skipgram_negs"  -> skipgramNegatives _,
+    "q188_script_profile" -> scriptProfile _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2700,6 +2773,7 @@ object LlmQueries {
     "q184_intradoc_dedup" -> intradocDedupSql,
     "q185_epoch_shuffle" -> epochShuffleSql,
     "q186_skipgram_negs" -> skipgramNegativesSql,
+    "q188_script_profile" -> scriptProfileSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

@@ -44,6 +44,35 @@ class CorpusOpsSpec extends SparkSpec {
       Set((1L, 2L), (3L, 4L)))
   }
 
+  test("script profile counts BMP ranges and picks the dominant script deterministically") {
+    val out = graft.operators.LlmQueries.scriptProfileOf(docsOf(
+      1L -> "hello world 42",            // latin + digits + spaces
+      2L -> "привет мир",                // cyrillic
+      3L -> "你好世界 hello",              // cjk beats latin 4:5? no — latin 5 wins
+      4L -> "αβγ αβγ",                   // greek
+      5L -> "مرحبا",                     // arabic
+      6L -> "12 34",                     // digits only: no script → none
+      7L -> "你好 ok"                     // tie cjk=2 latin=2 → alphabetical: cjk
+    )).collect().map(r => r.getLong(0) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(10)))).toMap
+    // columns: arabic, cjk, cyrillic, greek, latin, dominant
+    assert(out(1L) === ((0L, 0L, 0L, 0L, 10L, "latin")))
+    assert(out(2L) === ((0L, 0L, 9L, 0L, 0L, "cyrillic")))
+    assert(out(3L) === ((0L, 4L, 0L, 0L, 5L, "latin")))
+    assert(out(4L) === ((0L, 0L, 0L, 6L, 0L, "greek")))
+    assert(out(5L) === ((5L, 0L, 0L, 0L, 0L, "arabic")))
+    assert(out(6L) === ((0L, 0L, 0L, 0L, 0L, "none")))
+    assert(out(7L) === ((0L, 2L, 0L, 0L, 2L, "cjk")),
+      "ties break alphabetically on the script name")
+    // n_other accounts exactly: n_chars = scripts + digit + space + other
+    graft.operators.LlmQueries.scriptProfileOf(docsOf(
+      8L -> "a9 好 ب!#")).collect().foreach { r =>
+      val total = (2 to 8).map(r.getLong).sum + r.getLong(9)
+      assert(r.getLong(1) === total)
+    }
+  }
+
   test("BPE trainer replays Sennrich merges with non-overlapping greedy application") {
     // "aaaa" ×2 and "ab": round 1 counts (a,a) 3·2=6 vs (a,b) 1 →
     // merge (a,a); greedy non-overlap turns a|a|a|a into aa|aa (NOT
