@@ -1728,25 +1728,30 @@ object LlmQueries {
   def skipgramNegatives(spark: SparkSession, dir: String): DataFrame =
     skipgramNegativesOf(docs(spark, dir))
 
-  def skipgramNegativesOf(docsF: DataFrame): DataFrame = {
-    val spark = docsF.sparkSession
+  /** Corpus-derived sampling state: vocab / bucketed-interval view
+    * names plus the total token count, total unigram^0.75 weight, and
+    * interval bucket size. Session-bound (the views live on the
+    * session that built them). */
+  private case class SgStats(vocabV: String, vbV: String,
+                             totT: Long, totW: Long, bs: Long)
+
+  /** Build the frozen sampling state from a base corpus: vocab counts,
+    * unigram^0.75 weights, the rankAndScanWithin cumulative intervals,
+    * and their bucket explosion. One pass over the base; everything
+    * downstream (batch or stream) only reads the views. */
+  private def sgStats(baseDocs: DataFrame, tag: String): SgStats = {
+    val spark = baseDocs.sparkSession
     val tid = Thread.currentThread().getId
-    val dv = s"graft_sg_docs_t$tid"
-    docsF.createOrReplaceTempView(dv)
-    val tokV = s"graft_sg_tok_t$tid"
-    spark.sql(s"""
-      SELECT doc_id, p + 1 AS pos, word
-      FROM (SELECT doc_id, posexplode(${wordsExpr("text")}) AS (p, word)
-            FROM $dv) z""")
-      .transform(graft.core.EngineCache.persisted)
-      .createOrReplaceTempView(tokV)
-    val vocabV = s"graft_sg_vocab_t$tid"
+    val dv = s"graft_sg_base_${tag}_t$tid"
+    baseDocs.createOrReplaceTempView(dv)
+    val vocabV = s"graft_sg_vocab_${tag}_t$tid"
     spark.sql(s"""
       SELECT word, CAST(count(1) AS BIGINT) AS cnt,
         CAST(greatest(1, floor(sqrt(CAST(count(1) AS DOUBLE) *
           sqrt(CAST(count(1) AS DOUBLE))))) AS BIGINT) AS w,
         ${xhashExpr("concat('w:', word)")} AS hw
-      FROM $tokV GROUP BY word""")
+      FROM (SELECT explode(${wordsExpr("text")}) AS word FROM $dv) z
+      GROUP BY word""")
       .transform(graft.core.EngineCache.persisted)
       .createOrReplaceTempView(vocabV)
     val Array(totT, totW) = spark.sql(
@@ -1757,22 +1762,39 @@ object LlmQueries {
     val cum = DistributedRank.rankAndScanWithin(
       spark.sql(s"SELECT word, w, hw, 1 AS k FROM $vocabV"),
       "k", "rk", "sc", "w", "hw", desc = false, col("hw"), col("word"))
-    val cumV = s"graft_sg_cum_t$tid"
+    val cumV = s"graft_sg_cum_${tag}_t$tid"
     cum.createOrReplaceTempView(cumV)
-    val vbV = s"graft_sg_vb_t$tid"
+    val vbV = s"graft_sg_vb_${tag}_t$tid"
     spark.sql(s"""
       SELECT word, w, sc, explode(sequence(sc div $bs, (sc + w - 1) div $bs))
         AS b
       FROM $cumV""")
       .transform(graft.core.EngineCache.persisted)
       .createOrReplaceTempView(vbV)
-    val pk = s"""least(1.0, (sqrt((CAST(v.cnt AS DOUBLE) / $totT)
+    SgStats(vocabV, vbV, totT, totW, bs)
+  }
+
+  /** The per-batch half: subsample, pair, and draw negatives for
+    * `batchDocs` ALONE under frozen `st` statistics — the stream-time
+    * unit of work. Batch words absent from the base vocab drop out
+    * (no frequency ⇒ no subsample decision ⇒ no pair), the same
+    * frozen-artifact contract as q151's codebook. */
+  private def sgPairsFor(batchDocs: DataFrame, st: SgStats,
+                         tag: String): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val tid = Thread.currentThread().getId
+    val bv = s"graft_sg_batch_${tag}_t$tid"
+    batchDocs.createOrReplaceTempView(bv)
+    val pk = s"""least(1.0, (sqrt((CAST(v.cnt AS DOUBLE) / ${st.totT})
       / $SgSubsampleT) + 1.0) * $SgSubsampleT
-      / (CAST(v.cnt AS DOUBLE) / $totT))"""
-    val keptV = s"graft_sg_kept_t$tid"
+      / (CAST(v.cnt AS DOUBLE) / ${st.totT}))"""
+    val keptV = s"graft_sg_kept_${tag}_t$tid"
     spark.sql(s"""
       SELECT t.doc_id, t.pos, t.word
-      FROM $tokV t JOIN $vocabV v ON t.word = v.word
+      FROM (SELECT doc_id, p + 1 AS pos, word
+            FROM (SELECT doc_id, posexplode(${wordsExpr("text")})
+                    AS (p, word) FROM $bv) zz) t
+      JOIN ${st.vocabV} v ON t.word = v.word
       WHERE ${xhashExpr(
         "concat('ss:', CAST(t.doc_id AS STRING), ':', CAST(t.pos AS STRING))")}
         % 1000000 < CAST(floor(($pk) * 1e6 + 0.5) AS BIGINT)""")
@@ -1787,15 +1809,33 @@ object LlmQueries {
           ${xhashExpr(
             "concat('neg:', CAST(c.doc_id AS STRING), ':', " +
             "CAST(c.pos AS STRING), ':', CAST(x.pos AS STRING), ':', " +
-            "CAST(j AS STRING))")} % $totW AS draw
+            "CAST(j AS STRING))")} % ${st.totW} AS draw
         FROM $keptV c
         JOIN $keptV x ON c.doc_id = x.doc_id
           AND x.pos BETWEEN c.pos - $SgWindow AND c.pos + $SgWindow
           AND x.pos <> c.pos
         LATERAL VIEW explode(sequence(1, $SgNegK)) nj AS j) n
-      JOIN $vbV vb ON vb.b = n.draw div $bs
+      JOIN ${st.vbV} vb ON vb.b = n.draw div ${st.bs}
         AND n.draw >= vb.sc AND n.draw < vb.sc + vb.w
       ORDER BY doc_id, pos, cpos, neg_slot""")
+  }
+
+  def skipgramNegativesOf(docsF: DataFrame): DataFrame =
+    sgPairsFor(docsF, sgStats(docsF, "self"), "self")
+
+  /** Frozen-stats batch entry: pairs for `batchDocs` under `baseDocs`'
+    * statistics — the unit [[graft.streaming.EventAnalytics
+    * .startStreamingSkipgram]] runs per micro-batch. */
+  def skipgramBatchPairs(baseDocs: DataFrame,
+                         batchDocs: DataFrame): DataFrame =
+    sgPairsFor(batchDocs, sgStats(baseDocs, "base"), "base")
+
+  /** [[skipgramBatchPairs]] with the stats built once and reused —
+    * returns the per-batch closure the streaming twin installs. */
+  def skipgramPairsWithFrozenStats(baseDocs: DataFrame)
+      : DataFrame => DataFrame = {
+    val st = sgStats(baseDocs, "frozen")
+    batch => sgPairsFor(batch, st, "frozen")
   }
 
   def skipgramNegativesSql: String = s"""

@@ -186,6 +186,42 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming skip-gram training-pair generation — the stream-time
+    * twin of q186 under the frozen-artifact discipline (q151's
+    * codebook, q178's postings): the base corpus's vocabulary
+    * statistics — token counts, the unigram^0.75 cumulative intervals —
+    * are built ONCE before the stream starts and every arriving
+    * micro-batch of documents is subsampled, paired, and
+    * negative-sampled against those frozen tables alone. Because pairs
+    * are strictly within-document and every hash draw keys on
+    * (doc, pos), the emitted stream is batch-split-invariant: any
+    * partition of the docs into micro-batches lands the identical pair
+    * set under `pairs/batch_run=N` (idempotent overwrite, the
+    * multi-sink exactly-once discipline). Batch words outside the base
+    * vocab drop out — the stats never shift mid-stream. */
+  def startStreamingSkipgram(docStream: DataFrame, baseDocs: DataFrame,
+                             pairsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pairsFor = graft.operators.LlmQueries
+      .skipgramPairsWithFrozenStats(baseDocs)
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          pairsFor(batch)
+            .write.mode("overwrite")
+            .parquet(s"$pairsPath/batch_run=$batchId")
+          // the per-batch kept frame persists for the pair self-join;
+          // release THIS thread's frames so batches don't accrete cache
+          // (the frozen stats views belong to the driver thread and
+          // stay)
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Streaming BM25 index maintenance — the stream-time twin of q178:
     * each arriving micro-batch of (doc_id, text) rows is tokenized
     * alone and its postings (term, doc_id, tf, shard) land under

@@ -272,7 +272,13 @@ class PlanSpec extends SparkSpec {
       // may fall back to a single-task global window
       "q165_curriculum" -> graft.operators.LlmQueries.curriculumOrder(spark, sfDir),
       // q148 batching ranks two global orders the same way
-      "q148_pad_batching" -> graft.operators.LlmQueries.padBatching(spark, sfDir))
+      "q148_pad_batching" -> graft.operators.LlmQueries.padBatching(spark, sfDir),
+      // q185: the position AND the token prefix sum must both ride the
+      // bucketed rank+scan, never SUM OVER (ORDER BY) on one task
+      "q185_epoch_shuffle" -> graft.operators.LlmQueries.epochShuffle(spark, sfDir),
+      // q186: the cumulative negative-sampling table is vocab-sized but
+      // its scan must still be the bucketed prefix sum
+      "q186_skipgram_negs" -> graft.operators.LlmQueries.skipgramNegatives(spark, sfDir))
     for ((name, df) <- dfs) {
       val bad = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w

@@ -447,6 +447,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture surprise: no batch-vs-corpus span overlap")
   }
 
+  test("streaming skip-gram pairs equal the one-shot batch under frozen stats") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import graft.operators.LlmQueries
+    val base = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val batchDocs = base.limit(40).as[(Long, String)].collect()
+    val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssg").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingSkipgram(
+      source.toDF().toDF("doc_id", "text"), base,
+      s"$dir/pairs", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getString(4), r.getInt(5), r.getString(6))
+    val got = spark.read.parquet(s"$dir/pairs")
+      .select("doc_id", "pos", "cpos", "center", "context",
+        "neg_slot", "neg_word")
+      .collect().map(key).toSet
+    // pairs are within-doc and every draw keys on (doc, pos), so the
+    // batch split cannot change the stream — union == one-shot batch
+    val want = LlmQueries.skipgramBatchPairs(
+      base, batchDocs.toSeq.toDF("doc_id", "text"))
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming quality drift equals the direct per-batch PSI") {
     val sq = spark
     import sq.implicits._
