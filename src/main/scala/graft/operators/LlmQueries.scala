@@ -1551,6 +1551,73 @@ object LlmQueries {
         string_agg(word, ' ' ORDER BY pos) AS clean_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q189
+  /** Gram-novelty of an incoming batch against the corpus at rest —
+    * the ingest "newness" gauge a crawl pipeline reads before paying
+    * for a full dedup pass: per batch doc, the fraction of its
+    * DISTINCT K-token gram hashes absent from the stored corpus gram
+    * set (q171's at-rest table, 8 bytes per unique gram). A mirror or
+    * re-crawl scores ≈ 0, genuinely fresh text ≈ 1, and a
+    * boilerplate-wrapped page sits in between — the number that
+    * decides whether an incoming source is worth processing at all.
+    * One anti-join-shaped left join of O(batch) gram hashes against
+    * the shard-pruned stored set; the corpus is never re-tokenized
+    * (the same frozen-artifact discipline as q171's span increment). */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame =
+    gramNoveltyOf(
+      docs(spark, dir).filter(col("source") === BatchSource),
+      corpusGramsAtRest(spark, dir))
+
+  /** [[gramNovelty]] over an arbitrary batch frame + stored gram set —
+    * the spec and foreachBatch entry point. */
+  def gramNoveltyOf(batchDocs: DataFrame, corpusGrams: DataFrame): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val (_, bg) = subdupGramsView(batchDocs)
+    spark.table(bg).select(col("doc_id"), col("ghash")).distinct()
+      .join(corpusGrams.select(col("ghash")).withColumn("seen", lit(1)),
+        Seq("ghash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        dround(col("novel_grams").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gramNoveltySql: String = s"""
+      WITH bd AS (SELECT doc_id, ${wordsSql("text")} AS w
+                  FROM documents WHERE source = '$BatchSource'),
+      be AS (
+        SELECT doc_id, w,
+          unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM bd),
+      bg AS (
+        SELECT DISTINCT doc_id,
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM be),
+      cd AS (SELECT doc_id, ${wordsSql("text")} AS w
+             FROM documents WHERE source <> '$BatchSource'),
+      ce AS (
+        SELECT doc_id, w,
+          unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM cd),
+      cg AS (
+        SELECT DISTINCT
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM ce)
+      SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN cg.ghash IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS novel_grams,
+        ${droundSql(
+          "CAST(sum(CASE WHEN cg.ghash IS NULL THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / CAST(count(*) AS DOUBLE)", 6)} AS novelty
+      FROM bg LEFT JOIN cg ON bg.ghash = cg.ghash
+      GROUP BY bg.doc_id
+      ORDER BY bg.doc_id"""
+
   // ---------------------------------------------------------------- q185
   /** Deterministic per-epoch training shuffle + token-balanced shard
     * assignment — the data-loader order a trainer actually consumes.
@@ -1903,13 +1970,19 @@ object LlmQueries {
   }
 
   /** Build-or-read the corpus-side distinct-gram table for `dir`. */
+  /** The distinct positional-gram hash set of a corpus frame — the
+    * content of the at-rest gram table, exposed for specs and ad-hoc
+    * baselines. */
+  def corpusGramsOf(docsDf: DataFrame): DataFrame = {
+    val (_, g) = subdupGramsView(docsDf)
+    docsDf.sparkSession.table(g).select(col("ghash")).distinct()
+  }
+
   def corpusGramsAtRest(spark: SparkSession, dir: String): DataFrame = {
     val table = "subdup_grams_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
     graft.core.Warehouse.tableOnce(spark, table, "shard") {
-      val (_, g) = subdupGramsView(
-        docs(spark, dir).filter(col("source") =!= BatchSource))
-      spark.table(g).select(col("ghash")).distinct()
+      corpusGramsOf(docs(spark, dir).filter(col("source") =!= BatchSource))
         .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
     }.select("ghash")
   }
@@ -2669,6 +2742,7 @@ object LlmQueries {
     "q185_epoch_shuffle"  -> epochShuffle _,
     "q186_skipgram_negs"  -> skipgramNegatives _,
     "q188_script_profile" -> scriptProfile _,
+    "q189_gram_novelty"   -> gramNovelty _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2814,6 +2888,7 @@ object LlmQueries {
     "q185_epoch_shuffle" -> epochShuffleSql,
     "q186_skipgram_negs" -> skipgramNegativesSql,
     "q188_script_profile" -> scriptProfileSql,
+    "q189_gram_novelty" -> gramNoveltySql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

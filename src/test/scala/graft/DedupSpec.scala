@@ -462,6 +462,25 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._1 === 3L && out(1L)._1 === 15L)
   }
 
+  test("gram novelty: 0 for a mirror, 1 for fresh text, between for partial copies") {
+    import graft.operators.LlmQueries
+    val corpusRun = (1 to 12).map(i => s"c$i").mkString(" ")
+    val cg = LlmQueries.corpusGramsOf(docsOf(100L -> corpusRun))
+    val fresh = (1 to 12).map(i => s"n$i").mkString(" ")
+    val out = LlmQueries.gramNoveltyOf(docsOf(
+      1L -> corpusRun,                        // verbatim mirror
+      2L -> fresh,                            // entirely new
+      3L -> s"${(1 to 12).map(i => s"c$i").mkString(" ")} $fresh"),
+      cg).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L)._3 === 0.0, "a mirror has nothing novel")
+    assert(out(2L)._3 === 1.0, "fresh text is fully novel")
+    assert(out(3L)._3 > 0.0 && out(3L)._3 < 1.0,
+      "a partial copy sits strictly between")
+    assert(out(3L)._1 > out(1L)._1, "doc 3 is longer, more grams")
+  }
+
   test("within-doc repetition cut keeps the first occurrence, collapses periodic runs") {
     import graft.operators.LlmQueries
     val run = (1 to 8).map(i => s"r$i").mkString(" ")
