@@ -1516,8 +1516,13 @@ object LlmQueries {
         string_agg(word, ' ' ORDER BY pos) AS clean_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""
 
-  def dedupCleanSql: String = s"""
-      WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+  def dedupCleanSql: String = dedupCleanSqlFrom("documents")
+
+  /** [[dedupCleanSql]] over an arbitrary (doc_id, text) relation —
+    * q190's funnel runs the cut on the DEDUP SURVIVORS, not the raw
+    * corpus. */
+  def dedupCleanSqlFrom(rel: String): String = s"""
+      WITH d AS (SELECT doc_id, ${wordsSql("text")} AS w FROM $rel),
       e AS (
         SELECT doc_id, len(w)::INT AS n_tokens, w,
           unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
@@ -1550,6 +1555,83 @@ object LlmQueries {
         count(*)::BIGINT AS kept_tokens,
         string_agg(word, ' ' ORDER BY pos) AS clean_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q190
+  /** The corpus cleaning FUNNEL — the end-to-end per-source readout a
+    * data lead looks at before a training run: raw volume → exact+near
+    * dedup survivors (q74's keep set) → tokens left after the
+    * duplicate-span cut applied to those survivors (q168's pass, run
+    * on the deduped corpus the way a real pipeline stages it) → docs
+    * and tokens clearing the q31 quality floor. One row per source,
+    * every figure an exact integer, so the funnel doubles as the
+    * reconciliation check between the stages it composes (each number
+    * is BY CONSTRUCTION ≤ the one before it in token terms). The
+    * oracle replays the full survivor chain, the span cut over the
+    * survivor relation, and the quality rule — the deepest composed
+    * gate in the suite: five operators, one hash compare. */
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val surv = dedupCorpus(spark, dir)
+      .select(col("doc_id"), lit(1L).as("s"))
+    val cut = dedupCleanOf(
+      d.join(surv.select("doc_id"), Seq("doc_id")).select("doc_id", "text"))
+      .select(col("doc_id"), col("kept_tokens"))
+    d.select(col("source"), col("doc_id"),
+        tokenCount("text").cast("long").as("toks"),
+        (qualityCol >= 0.35).cast("long").as("qok"))
+      .join(surv, Seq("doc_id"), "left")
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("source"), col("toks"), col("qok"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs_raw"),
+        sum(col("toks")).cast("long").as("n_tokens_raw"),
+        sum(col("s")).cast("long").as("n_docs_dedup"),
+        sum(col("s") * col("toks")).cast("long").as("n_tokens_dedup"),
+        sum(col("kept")).cast("long").as("n_tokens_cut"),
+        sum(when(col("s") === 1 && col("qok") === 1 && col("kept") > 0, 1L)
+          .otherwise(0L)).cast("long").as("n_docs_final"),
+        sum(when(col("s") === 1 && col("qok") === 1, col("kept"))
+          .otherwise(0L)).cast("long").as("n_tokens_final"))
+      .orderBy(col("source"))
+  }
+
+  def corpusFunnelSql: String = {
+    val tokens = s"${tokenCountSql("text")}::DOUBLE"
+    val punctR = s"${punctCountSql("text")}::DOUBLE / length(text)"
+    val stopR =
+      s"${lexiconHitsSql("text", EnglishStopwords)}::DOUBLE / ($tokens)"
+    val score = droundSql(
+      s"least($tokens / 100.0, 1.0) * 0.4 + (1.0 - ($punctR)) * 0.3 + " +
+        s"($stopR) * 0.3", 6)
+    s"""
+      $dedupSurvivorsOracleCtes,
+      sd AS (SELECT d.doc_id, d.text FROM documents d
+             JOIN surv s ON d.doc_id = s.doc_id),
+      cutres AS (${dedupCleanSqlFrom("sd")}),
+      base AS (
+        SELECT d.source,
+          CAST(${tokenCountSql("text")} AS BIGINT) AS toks,
+          CASE WHEN $score >= 0.35 THEN 1 ELSE 0 END AS qok,
+          CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS s,
+          CAST(coalesce(c.kept_tokens, 0) AS BIGINT) AS kept
+        FROM documents d
+        LEFT JOIN surv s ON d.doc_id = s.doc_id
+        LEFT JOIN cutres c ON d.doc_id = c.doc_id)
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs_raw,
+        CAST(sum(toks) AS BIGINT) AS n_tokens_raw,
+        CAST(sum(s) AS BIGINT) AS n_docs_dedup,
+        CAST(sum(s * toks) AS BIGINT) AS n_tokens_dedup,
+        CAST(sum(kept) AS BIGINT) AS n_tokens_cut,
+        CAST(sum(CASE WHEN s = 1 AND qok = 1 AND kept > 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_final,
+        CAST(sum(CASE WHEN s = 1 AND qok = 1 THEN kept ELSE 0 END)
+          AS BIGINT) AS n_tokens_final
+      FROM base GROUP BY source ORDER BY source"""
+  }
 
   // ---------------------------------------------------------------- q189
   /** Gram-novelty of an incoming batch against the corpus at rest —
@@ -2743,6 +2825,7 @@ object LlmQueries {
     "q186_skipgram_negs"  -> skipgramNegatives _,
     "q188_script_profile" -> scriptProfile _,
     "q189_gram_novelty"   -> gramNovelty _,
+    "q190_corpus_funnel"  -> corpusFunnel _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2889,6 +2972,7 @@ object LlmQueries {
     "q186_skipgram_negs" -> skipgramNegativesSql,
     "q188_script_profile" -> scriptProfileSql,
     "q189_gram_novelty" -> gramNoveltySql,
+    "q190_corpus_funnel" -> corpusFunnelSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

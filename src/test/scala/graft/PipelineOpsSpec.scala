@@ -42,6 +42,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("corpus funnel reconciles with its component stages and stays monotone") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val out = LlmQueries.corpusFunnel(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(docsRaw, toksRaw, docsDd, toksDd, toksCut, docsFin, toksFin) =
+        (1 to 7).map(r.getLong)
+      assert(docsRaw >= docsDd && docsDd >= docsFin)
+      assert(toksRaw >= toksDd && toksDd >= toksCut && toksCut >= toksFin,
+        s"funnel must shrink monotonically: $r")
+    }
+    // reconcile the dedup stage against the standalone survivor query
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val survIds = LlmQueries.dedupCorpus(spark, sfDir).select("doc_id")
+    val wantDocsDd = d.join(survIds, "doc_id").count()
+    assert(out.map(_.getLong(3)).sum === wantDocsDd)
+    // and the cut stage against the standalone cut over the survivors
+    val wantToksCut = LlmQueries.dedupCleanOf(
+        d.join(survIds, "doc_id").select("doc_id", "text"))
+      .agg(org.apache.spark.sql.functions.sum(col("kept_tokens"))).head.getLong(0)
+    assert(out.map(_.getLong(5)).sum === wantToksCut)
+  }
+
   test("skip-gram negatives match a full local replay of hash, subsample, and draws") {
     val sq = spark
     import sq.implicits._
