@@ -362,6 +362,19 @@ class PlanSpec extends SparkSpec {
       s"q143 must not recompute signatures:\n$p")
   }
 
+  test("gram novelty scans the at-rest gram table, tokenizes only the batch") {
+    // materialize the q171 gram table once; q189's plan must then read
+    // subdup_grams_* and tokenize exactly ONE documents scan (the
+    // batch side) — the corpus side is the stored 8-byte hashes
+    graft.operators.LlmQueries.corpusGramsAtRest(spark, sfDir).collect()
+    val p = plan(graft.operators.LlmQueries.gramNovelty(spark, sfDir))
+    assert(p.contains("subdup_grams_"),
+      s"q189 must scan the persisted gram table:\n$p")
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans <= 1,
+      s"only the batch may be tokenized (docScans=$docScans):\n$p")
+  }
+
   test("BM25 serve reads the at-rest index, prunes shards, never re-tokenizes") {
     // build the index tables once, then the serve plan must scan
     // bm25_postings/bm25_doclen with a shard partition filter and carry
