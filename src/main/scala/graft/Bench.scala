@@ -33,8 +33,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // 90 s: the heaviest queries run 5-9 s in-suite, but this host has
+    // shown rare one-off stalls (observed: q104 5 s standalone, 9 s
+    // typical in-suite, one >60 s spike in ~10 full runs) — the wider
+    // watchdog turns such a spike into a slow timing instead of a
+    // recorded error, while still bounding a genuinely wedged query.
     val perQueryTimeoutSec =
-      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "60").toLong
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "90").toLong
     // 480 s: a healthy 157-query loop runs ~180-330 s depending on host;
     // the margin absorbs a ~2x-slower driver box without DeadlineSkips.
     // Overshooting the harness's own wall clock stays non-fatal — the

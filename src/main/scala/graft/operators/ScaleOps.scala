@@ -237,7 +237,7 @@ object ScaleOps {
     val d = PrDamping
     var r = deg.select(col("node"), col("deg"),
       expr(s"floor(1e12 / CAST($n AS DOUBLE) + 0.5) / 1e12").as("r"))
-    for (_ <- 1 to PrIters) {
+    for (i <- 1 to PrIters) {
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst").as("node"),
           expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
@@ -248,6 +248,15 @@ object ScaleOps {
           expr(s"floor((((1.0 - $d) / CAST($n AS DOUBLE)) + " +
             s"$d * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5) " +
             "/ 1e12").as("r"))
+      // q149's barrier discipline: persist + materialize each round so
+      // the execution is five short independent jobs over cached state
+      // instead of one 12-stage DAG — the lazily-chained form ran ~2×
+      // slower deep in a long-lived session (accumulated listener/GC
+      // pressure stretches long DAGs first) with rare far-worse spikes
+      if (i < PrIters) {
+        r = r.transform(graft.core.EngineCache.persisted)
+        r.count()
+      }
     }
     r.select(col("node"), dround(col("r"), 9).as("pagerank")).orderBy("node")
   }
