@@ -186,6 +186,33 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming WITHIN-document repetition cut — the stream-time twin of
+    * q184. The operator is per-document (a doc's cut depends only on
+    * its own grams), so unlike the other twins it needs NO at-rest
+    * state at all: each arriving micro-batch is cut on its own and the
+    * cleaned docs land under `clean/batch_run=N` with idempotent
+    * overwrite. Batch-split-invariant by construction — a doc's
+    * cleaned text is the same whichever batch carries it — which makes
+    * this the cheapest pass to push to the ingest edge: template spam
+    * shrinks to one period before it ever reaches the archive. */
+  def startStreamingIntradocCut(docStream: DataFrame, cleanPath: String,
+                                checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.LlmQueries.intradocDedupOf(batch)
+            .write.mode("overwrite")
+            .parquet(s"$cleanPath/batch_run=$batchId")
+          // the per-batch gram frame persists for the span join;
+          // release this thread's frames between batches
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming skip-gram training-pair generation — the stream-time
     * twin of q186 under the frozen-artifact discipline (q151's
     * codebook, q178's postings): the base corpus's vocabulary

@@ -447,6 +447,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture surprise: no batch-vs-corpus span overlap")
   }
 
+  test("streaming intra-doc cut equals the batch cut, split-invariant") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import graft.operators.LlmQueries
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$run g1 g2 g3 $run h1",
+      2L -> Array.fill(30)("abc x yz").flatMap(_.split(" ")).mkString(" "),
+      3L -> "plain u1 u2 u3 u4 u5 u6 u7",
+      4L -> s"$run tail1 tail2")
+    val (h1, h2) = docs.splitAt(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sic").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingIntradocCut(
+      source.toDF().toDF("doc_id", "text"), s"$dir/clean", s"$dir/ckpt")
+    source.addData(h1: _*); q.processAllAvailable()
+    source.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))
+    val got = spark.read.parquet(s"$dir/clean")
+      .select("doc_id", "n_tokens", "kept_tokens", "clean_text")
+      .collect().map(key).toSet
+    val want = LlmQueries.intradocDedupOf(docs.toDF("doc_id", "text"))
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(want.exists(_._4 == "abc x yz"), "periodic doc must collapse")
+  }
+
   test("streaming skip-gram pairs equal the one-shot batch under frozen stats") {
     val sq = spark
     import sq.implicits._
