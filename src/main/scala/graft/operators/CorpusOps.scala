@@ -1168,6 +1168,107 @@ object CorpusOps {
       ORDER BY doc_id""")
   }
 
+  // --------------------------------------------------------------- q191
+  /** HELD-OUT perplexity of the incoming batch under the corpus bigram
+    * LM — q101's fluency filter turned into a proper train/eval split,
+    * and the model-side twin of q189's gram novelty: the add-one
+    * bigram model trains on the corpus (source ≠ BatchSource) with its
+    * vocabulary FROZEN at train time, and every BatchSource doc scores
+    * against that model alone. Batch bigrams or history words unseen
+    * in training contribute through the smoothing (count 0 + 1), not
+    * an inner-join drop — that is the entire point of evaluating held
+    * out — and the unseen-bigram share is reported beside the
+    * surprisal as `oov_rate`. High novelty (q189) + low surprisal =
+    * genuinely fresh fluent text; high novelty + high surprisal =
+    * noise — the two gauges together are the ingest triage. Same
+    * decimal bridges and `ln` discipline as q101; the batch side joins
+    * the train model on the bigram key, O(batch) beyond the one train
+    * scan. */
+  def heldoutPerplexity(spark: SparkSession, dir: String): DataFrame =
+    heldoutPerplexityOf(docs(spark, dir), LlmQueries.BatchSource)
+
+  /** [[heldoutPerplexity]] over an arbitrary (doc_id, text, source)
+    * frame — the spec entry point. */
+  def heldoutPerplexityOf(docsF: DataFrame, batchSrc: String): DataFrame = {
+    val spark = docsF.sparkSession
+    val dv = s"graft_ppl_docs_t${Thread.currentThread().getId}"
+    docsF.createOrReplaceTempView(dv)
+    val term6 = bigramTerm6Sql
+    spark.sql(s"""
+      WITH tw AS (SELECT doc_id, ${wordsExpr("text")} AS w FROM $dv
+                  WHERE source <> '$batchSrc'),
+      tb AS (
+        SELECT explode(transform(sequence(2, size(w)),
+          i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))) AS bg
+        FROM tw WHERE size(w) >= 2),
+      cb AS (SELECT bg, count(1) AS c12 FROM tb GROUP BY bg),
+      tu AS (SELECT explode(w) AS t FROM tw),
+      cu AS (SELECT t, count(1) AS c1 FROM tu GROUP BY t),
+      vc AS (SELECT count(DISTINCT t) AS v FROM tu),
+      sw AS (SELECT doc_id, ${wordsExpr("text")} AS w FROM $dv
+             WHERE source = '$batchSrc'),
+      sb AS (
+        SELECT doc_id, explode(transform(sequence(2, size(w)),
+          i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))) AS bg
+        FROM sw WHERE size(w) >= 2),
+      db AS (SELECT doc_id, bg, count(1) AS m FROM sb GROUP BY doc_id, bg),
+      joined AS (
+        SELECT db.doc_id, db.m,
+          CAST(coalesce(cb.c12, 0) AS BIGINT) AS c12,
+          CAST(coalesce(cu.c1, 0) AS BIGINT) AS c1,
+          CASE WHEN cb.bg IS NULL THEN 1 ELSE 0 END AS oov
+        FROM db
+        LEFT JOIN cb ON db.bg = cb.bg
+        LEFT JOIN cu ON split(db.bg, ' ')[0] = cu.t),
+      scored AS (
+        SELECT doc_id, m, oov, $term6 AS t6
+        FROM joined CROSS JOIN vc)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        $bigramOutSql AS surprisal_bits,
+        ${droundSql(
+          "CAST(sum(m * oov) AS DOUBLE) / CAST(sum(m) AS DOUBLE)", 6)}
+          AS oov_rate
+      FROM scored GROUP BY doc_id
+      ORDER BY doc_id""")
+  }
+
+  def heldoutPerplexitySql: String = s"""
+      WITH tw AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+                  WHERE source <> '${LlmQueries.BatchSource}'),
+      tb AS (
+        SELECT unnest(list_transform(range(2, len(w) + 1),
+          i -> w[i - 1] || ' ' || w[i])) AS bg
+        FROM tw WHERE len(w) >= 2),
+      cb AS (SELECT bg, count(*) AS c12 FROM tb GROUP BY bg),
+      tu AS (SELECT unnest(w) AS t FROM tw),
+      cu AS (SELECT t, count(*) AS c1 FROM tu GROUP BY t),
+      vc AS (SELECT count(DISTINCT t) AS v FROM tu),
+      sw AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+             WHERE source = '${LlmQueries.BatchSource}'),
+      sb AS (
+        SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+          i -> w[i - 1] || ' ' || w[i])) AS bg
+        FROM sw WHERE len(w) >= 2),
+      db AS (SELECT doc_id, bg, count(*) AS m FROM sb GROUP BY doc_id, bg),
+      joined AS (
+        SELECT db.doc_id, db.m,
+          CAST(coalesce(cb.c12, 0) AS BIGINT) AS c12,
+          CAST(coalesce(cu.c1, 0) AS BIGINT) AS c1,
+          CASE WHEN cb.bg IS NULL THEN 1 ELSE 0 END AS oov
+        FROM db
+        LEFT JOIN cb ON db.bg = cb.bg
+        LEFT JOIN cu ON string_split(db.bg, ' ')[1] = cu.t),
+      scored AS (
+        SELECT doc_id, m, oov, $bigramTerm6Sql AS t6
+        FROM joined CROSS JOIN vc)
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        $bigramOutSql AS surprisal_bits,
+        ${droundSql(
+          "CAST(sum(m * oov) AS DOUBLE) / CAST(sum(m) AS DOUBLE)", 6)}
+          AS oov_rate
+      FROM scored GROUP BY doc_id
+      ORDER BY doc_id"""
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1194,7 +1295,8 @@ object CorpusOps {
     "q98_lateral_topk"    -> lateralTopk _,
     "q99_grouping_id"     -> groupingId _,
     "q100_data_split"     -> dataSplit _,
-    "q101_bigram_surprisal" -> bigramSurprisal _
+    "q101_bigram_surprisal" -> bigramSurprisal _,
+    "q191_heldout_ppl"    -> heldoutPerplexity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1355,6 +1457,7 @@ object CorpusOps {
       SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
         $bigramOutSql AS surprisal_bits
       FROM scored GROUP BY doc_id
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+    "q191_heldout_ppl" -> heldoutPerplexitySql
   )
 }

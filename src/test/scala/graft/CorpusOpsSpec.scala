@@ -99,6 +99,32 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 1L), (4L, 0L, 0L, 0L)))
   }
 
+  test("held-out perplexity: in-distribution scores low, alien text high, OOV exact") {
+    val sq = spark
+    import sq.implicits._
+    val fluent = "the cat sat on the mat"
+    val train = (1 to 10).map(i => (i.toLong, fluent, "train"))
+    val batch = Seq(
+      (100L, fluent, "batch"),            // every bigram seen 10x: low bits
+      (101L, "zz yy xx ww vv uu", "batch"), // nothing seen: oov 1, high bits
+      (102L, "the cat zz yy", "batch"))   // half seen
+    val out = CorpusOps.heldoutPerplexityOf(
+      (train ++ batch).toDF("doc_id", "text", "source"), "batch").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet === Set(100L, 101L, 102L),
+      "only batch docs are scored")
+    assert(out(100L)._3 === 0.0, "all bigrams seen in train")
+    assert(out(101L)._3 === 1.0, "no bigram seen in train")
+    assert(out(102L)._3 > 0.0 && out(102L)._3 < 1.0)
+    // add-one smoothing detail: an UNSEEN history scores p = 1/v while a
+    // seen history with an unseen continuation scores 1/(c1+v) — so the
+    // mixed doc can out-surprise the fully-alien one; the guaranteed
+    // order is only in-distribution below everything out-of-distribution
+    assert(out(100L)._2 < out(101L)._2 && out(100L)._2 < out(102L)._2,
+      s"in-distribution text must score lowest: $out")
+  }
+
   test("retrieval nDCG exposes tf-vs-coverage disagreement, 1.0 on agreement") {
     val sq = spark
     import sq.implicits._
