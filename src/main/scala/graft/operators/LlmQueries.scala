@@ -691,6 +691,62 @@ object LlmQueries {
   def lshPairTable(spark: SparkSession, dir: String): DataFrame =
     lshPairsAtRest(spark, dir).orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q192
+  /** Dedup-threshold sensitivity sweep — the tuning curve that picks τ
+    * before anyone commits to a near-dup pass: for each candidate
+    * threshold ≥ the banded floor, the surviving pair count and the
+    * number of distinct docs those pairs touch, read from the q144
+    * at-rest pair table in ONE scan (the exact Jaccard is stored, so
+    * raising τ is a filter, not a recompute — lowering it below the
+    * LSH floor is the only case that needs a rebuild). Six rows out;
+    * thresholds compare against hash-proven-identical doubles, so the
+    * boundary pairs cannot split across engines. */
+  val TauSweep: Seq[String] =
+    Seq("0.5", "0.6", "0.7", "0.8", "0.9", "1.0")
+
+  def dedupTauSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pv = s"graft_tausweep_pairs_t${Thread.currentThread().getId}"
+    lshPairsAtRest(spark, dir).createOrReplaceTempView(pv)
+    spark.sql(s"""
+      WITH t AS (SELECT explode(array(${TauSweep.mkString(", ")})) AS tau),
+      s AS (SELECT t.tau, p.id_a, p.id_b
+            FROM $pv p JOIN t ON p.jaccard >= t.tau),
+      np AS (SELECT tau, CAST(count(1) AS BIGINT) AS n_pairs
+             FROM s GROUP BY tau),
+      ids AS (SELECT tau, id_a AS id FROM s
+              UNION SELECT tau, id_b FROM s),
+      nd AS (SELECT tau, CAST(count(1) AS BIGINT) AS n_docs
+             FROM ids GROUP BY tau)
+      SELECT t.tau,
+        coalesce(np.n_pairs, 0) AS n_pairs,
+        coalesce(nd.n_docs, 0) AS n_docs
+      FROM t LEFT JOIN np ON t.tau = np.tau
+      LEFT JOIN nd ON t.tau = nd.tau
+      ORDER BY t.tau""")
+  }
+
+  def dedupTauSweepSql: String = {
+    val pairsSql = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
+    s"""
+      WITH p AS ($pairsSql),
+      t AS (SELECT unnest([${TauSweep.mkString(", ")}]) AS tau),
+      s AS (SELECT t.tau, p.id_a, p.id_b
+            FROM p JOIN t ON p.jaccard >= t.tau),
+      np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+             FROM s GROUP BY tau),
+      ids AS (SELECT tau, id_a AS id FROM s
+              UNION SELECT tau, id_b FROM s),
+      nd AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_docs
+             FROM ids GROUP BY tau)
+      SELECT t.tau,
+        coalesce(np.n_pairs, 0) AS n_pairs,
+        coalesce(nd.n_docs, 0) AS n_docs
+      FROM t LEFT JOIN np ON t.tau = np.tau
+      LEFT JOIN nd ON t.tau = nd.tau
+      ORDER BY t.tau"""
+  }
+
   // ---------------------------------------------------------------- q145
   /** Incremental near-dedup against SIGNATURES at rest — the daily-batch
     * production path: the corpus (source ≠ '[[BatchSource]]') is
@@ -2826,6 +2882,7 @@ object LlmQueries {
     "q188_script_profile" -> scriptProfile _,
     "q189_gram_novelty"   -> gramNovelty _,
     "q190_corpus_funnel"  -> corpusFunnel _,
+    "q192_dedup_tau_sweep" -> dedupTauSweep _,
     "q176_source_jaccard" -> sourceJaccard _,
     "q30_text_stats"      -> textStats _,
     "q31_quality_score"   -> qualityScore _,
@@ -2973,6 +3030,7 @@ object LlmQueries {
     "q188_script_profile" -> scriptProfileSql,
     "q189_gram_novelty" -> gramNoveltySql,
     "q190_corpus_funnel" -> corpusFunnelSql,
+    "q192_dedup_tau_sweep" -> dedupTauSweepSql,
     "q176_source_jaccard" -> sourceJaccardSql,
     "q40_ann_ivf" -> Similarity.ivfTopKSql("embeddings", "label", "vec_id < 50", IvfK),
     "q41_emb_centroids" -> Similarity.centroidsSql("embeddings", "label"),

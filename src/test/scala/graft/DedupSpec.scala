@@ -462,6 +462,21 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._1 === 3L && out(1L)._1 === 15L)
   }
 
+  test("tau sweep is monotone and anchored at the stored pair table") {
+    import graft.operators.LlmQueries
+    val sweep = LlmQueries.dedupTauSweep(spark, sfDir).collect()
+    assert(sweep.length === 6)
+    val pairs = sweep.map(_.getLong(1))
+    assert(pairs.sliding(2).forall(w => w(0) >= w(1)),
+      "raising tau can only remove pairs")
+    assert(pairs.head === LlmQueries.lshPairsAtRest(spark, sfDir).count(),
+      "tau = the banded floor keeps every stored pair")
+    val docs = sweep.map(_.getLong(2))
+    assert(docs.sliding(2).forall(w => w(0) >= w(1)))
+    // each pair touches at most two docs
+    assert(sweep.forall(r => r.getLong(2) <= 2 * r.getLong(1)))
+  }
+
   test("gram novelty: 0 for a mirror, 1 for fresh text, between for partial copies") {
     import graft.operators.LlmQueries
     val corpusRun = (1 to 12).map(i => s"c$i").mkString(" ")
