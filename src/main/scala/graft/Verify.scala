@@ -85,13 +85,20 @@ object Verify {
     // 22 events-table failures invisible. The sidecar keeps the
     // correctness artifact and the bench errors consistent.
     val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def writeErrors(): Unit = {
+    // Serialized under `failed` AND written via temp-file + ATOMIC_MOVE:
+    // up to 4 workers call this concurrently, and two interleaved
+    // truncate-and-write handles on the same path can leave a torn
+    // errors.json that downstream json.load chokes on.
+    def writeErrors(): Unit = failed.synchronized {
       val entries = failed.entrySet().toArray(
         Array.empty[java.util.Map.Entry[String, String]])
         .sortBy(_.getKey)
         .map(e => s"${q(e.getKey)}: ${q(e.getValue.take(200))}")
-      Files.writeString(Paths.get(s"$outDir/errors.json"),
-        entries.mkString("{", ",", "}"))
+      val tmp = Paths.get(s"$outDir/.errors.json.tmp")
+      Files.writeString(tmp, entries.mkString("{", ",", "}"))
+      Files.move(tmp, Paths.get(s"$outDir/errors.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     writeErrors() // {} when everything dumps
     val loopStart = System.nanoTime()

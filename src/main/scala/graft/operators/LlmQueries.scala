@@ -1009,8 +1009,16 @@ object LlmQueries {
     * with re-segmentation — rounds beyond the first change the SYMBOL
     * table, not the plan shape. */
   val BpeMergeTopK = 20
-  private val BpePieceRegexSpark = "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]'"
-  private val BpePieceRegexDuck = "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'"
+  // The punct alternative EXCLUDES control chars (\x00-\x1f): chr(31)
+  // is the multi-symbol segmentation separator downstream (q182/q183),
+  // and a chr(31) surviving as a piece would corrupt the split — the
+  // separator invariant is enforced by the pre-tokenizer itself, not by
+  // an assumption about the corpus (PackingSpec proves it on a document
+  // that embeds chr(31) directly).
+  private val BpePieceRegexSpark =
+    "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s\\\\x00-\\\\x1f]'"
+  private val BpePieceRegexDuck =
+    "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s\\x00-\\x1f]'"
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir).createOrReplaceTempView("documents")
@@ -1104,7 +1112,15 @@ object LlmQueries {
       s"(CAST($k AS INT), ${lit(x)}, ${lit(y)}, ${lit(x + y)}, " +
         s"CAST($c AS BIGINT))"
     }
-    spark.sql(s"""
+    // a corpus with no mergeable pair at all (every piece a single
+    // character) yields zero merges; `FROM VALUES` with no rows is a
+    // syntax error, so return the empty merge table explicitly
+    if (rows.isEmpty)
+      spark.sql("""
+        SELECT CAST(NULL AS INT) AS rank, '' AS lhs, '' AS rhs,
+          '' AS merged, CAST(NULL AS BIGINT) AS pair_cnt
+        WHERE false""")
+    else spark.sql(s"""
       SELECT rank, lhs, rhs, merged, pair_cnt
       FROM VALUES ${rows.mkString(",")}
         AS t(rank, lhs, rhs, merged, pair_cnt)

@@ -88,6 +88,36 @@ class CorpusOpsSpec extends SparkSpec {
       (3, "a", "b", "ab", 1L)))
   }
 
+  test("BPE separator invariant: a literal chr(31) in text can never become a piece") {
+    // chr(31) is the segmentation separator; the pre-tokenizer regex
+    // excludes control chars so raw text cannot inject it into a
+    // symbol — the byte behaves as a piece delimiter (like whitespace),
+    // never as a piece. A doc embedding chr(31) (and quotes, exercising
+    // the literal escaping) must train exactly like its space twin.
+    val us = 31.toChar.toString
+    val dirty = docsOf(1L -> s"aa${us}aa", 2L -> s"a'${us}'a")
+    val clean = docsOf(1L -> "aa aa", 2L -> "a' 'a")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.LlmQueries.bpeTrainOf(df).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val t = table(dirty)
+    assert(t === table(clean), "chr(31) must be invisible to training")
+    assert(t.forall { case (_, l, r2, m, _) =>
+      !(l + r2 + m).contains(us) }, "no symbol may contain the separator")
+  }
+
+  test("BPE trainer returns an empty merge table when nothing is mergeable") {
+    // every piece single-character → zero adjacent pairs → zero merges;
+    // must come back as an empty (rank, lhs, rhs, merged, pair_cnt)
+    // frame, not a FROM VALUES syntax error
+    val out = graft.operators.LlmQueries.bpeTrainOf(
+      docsOf(1L -> "a b c", 2L -> "! ? ."))
+    assert(out.columns.toSeq ===
+      Seq("rank", "lhs", "rhs", "merged", "pair_cnt"))
+    assert(out.count() === 0L)
+  }
+
   test("BPE tokenize serves counts from the trained vocab, zeros for empty docs") {
     val out = graft.operators.LlmQueries.bpeTokenizeOf(
       docsOf(1L -> "aaaa", 2L -> "aaaa", 3L -> "ab", 4L -> "")).collect()

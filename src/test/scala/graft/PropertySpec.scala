@@ -266,6 +266,36 @@ object EngineProperties extends Properties("engine") {
       ranked == viaWindow && loud
     }
 
+  property("heavy-tailed primary ranks without tripping the degeneracy guard") =
+    forAll(Gen.chooseNum(1L, 1000L)) { seed =>
+      // Zipf-ish primary over a huge value range: most mass at small
+      // values, a few enormous outliers. Equal-width [min, max] buckets
+      // collapse the mass into bucket 0 (the round-8 failure mode the
+      // guard made loud); sampled-QUANTILE boundaries must spread it so
+      // no bucket exceeds the (deliberately tight) degeneracy limit —
+      // the spec passes WITHOUT raising graft.rank.degenerateRowLimit.
+      val sq = spark
+      import sq.implicits._
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 400L).map { id =>
+        // rank-r value ~ C / r^1.2, domain stretched by huge outliers
+        val r = rnd.nextInt(400) + 1
+        (math.round(1.0e9 / math.pow(r, 1.2)), id)
+      }
+      val df = rows.toDF("k", "id")
+      sq.conf.set("graft.rank.degenerateRowLimit", "64")
+      try {
+        val ranked = graft.operators.DistributedRank.rankOnly(
+          df, "rk", "k", desc = false, col("k"), col("id"))
+          .as[(Long, Long, Long)].collect().toSet
+        val viaWindow = df.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id")))
+          .cast("long"))
+          .as[(Long, Long, Long)].collect().toSet
+        ranked == viaWindow
+      } finally sq.conf.unset("graft.rank.degenerateRowLimit")
+    }
+
   property("keyed distributed rank equals the keyed window rank") =
     forAll(genKeyed) { rows =>
       val sq = spark
