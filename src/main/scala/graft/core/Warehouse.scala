@@ -1,19 +1,56 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Partitioned warehouse layout for derived tables — the batch analog of
   * the archive's `topic/partition=N/` discipline (reference s3.clj:15-20;
   * [[graft.streaming.Archive]] reproduces it for the stream sink).
   *
   * Sketch-at-rest tables (q135 HLL, q136 DDSketch, q137 count-min, q141
-  * Bloom) are durable artifacts, not scratch: the whole point of
-  * persisting a sketch is that LATER jobs re-read it instead of the raw
-  * data. They therefore belong in a stable, named, Hive-partitioned
-  * layout — `<root>/<table>/shard=N/` — where a reader prunes shards
-  * before any I/O and an incremental ingest overwrites only the shards
-  * it touched (dynamic partition overwrite), exactly how the archive
-  * treats `partition=N`.
+  * Bloom), dedup pair/signature/gram tables (q144/q145/q171), BM25
+  * postings (q138) and PQ code indexes (q146/q193) are durable
+  * artifacts, not scratch: the whole point of persisting them is that
+  * LATER jobs re-read them instead of the raw data. They therefore live
+  * in a stable, named, Hive-partitioned layout where a reader prunes
+  * partitions before any I/O.
+  *
+  * == Crash-safe publication ==
+  *
+  * Every write is a VERSIONED PUBLISH: the table root holds immutable
+  * version directories plus one pointer file,
+  *
+  * {{{ <root>/<table>/v=1/shard=0/part-*.parquet
+  *     <root>/<table>/v=2/...
+  *     <root>/<table>/CURRENT            // contains "2" }}}
+  *
+  * A writer always writes into a FRESH `v=N` directory that no reader
+  * has ever been pointed at, and flips `CURRENT` LAST via
+  * temp-file + atomic rename. Consequences, each one a failure mode the
+  * plain overwrite-in-place layout cannot survive:
+  *
+  *  - a writer killed mid-write leaves an orphan `v=N` tree; `CURRENT`
+  *    still names the previous complete version, so readers never see a
+  *    partial table;
+  *  - a writer killed between finishing `v=N` and flipping the pointer
+  *    loses only its own work — readers stay on the old version;
+  *  - the pointer flip itself is atomic (rename), so a reader
+  *    concurrent with a publish sees the old or the new version, never
+  *    a torn pointer;
+  *  - the next publish after any crash picks `max(all v= dirs, pointer)
+  *    + 1`, so an orphan directory is never mistaken for, or reused as,
+  *    live data.
+  *
+  * This generalizes the archive's `batch_id=N` idempotent-overwrite
+  * discipline (Archive.scala startMultiSink) from per-batch to
+  * whole-table replacement. On a real object store the version
+  * directories map to immutable key prefixes and the pointer flip to an
+  * atomic conditional PUT of one tiny object (or a versioned-bucket
+  * head swap) — the same two primitives every manifest-based table
+  * format builds on; the local-FS rename here is that primitive's POSIX
+  * spelling. In-JVM concurrent publishers serialize on the object
+  * monitor; cross-process writer coordination is the conditional PUT's
+  * job, not this helper's.
   *
   * The root comes from `graft.warehouse.dir` (production: an object-store
   * URI); unset, it falls back to one stable per-JVM temp directory so
@@ -30,38 +67,89 @@ object Warehouse {
   def tablePath(spark: SparkSession, table: String): String =
     s"${root(spark)}/$table"
 
-  /** Write `df` as warehouse table `table`, Hive-partitioned by
-    * `partitionCols`. Returns the table path. */
-  def writeTable(df: DataFrame, table: String,
-                 partitionCols: String*): String = {
-    val path = tablePath(df.sparkSession, table)
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
-    path
+  private def pointer(dir: String) = Paths.get(dir, "CURRENT")
+
+  private def versionIn(dir: String): Option[Long] = {
+    val p = pointer(dir)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
   }
 
-  /** Read a warehouse table back (partition columns become prunable). */
+  /** The currently-published version of `table`, if any publish has
+    * completed (a crashed writer's orphan trees never count). */
+  def publishedVersion(spark: SparkSession, table: String): Option[Long] =
+    versionIn(tablePath(spark, table))
+
+  /** Path of the published version's root — the directory readers scan.
+    * Partition columns live BELOW it, so pruning works unchanged. */
+  def publishedPath(spark: SparkSession, table: String): String = {
+    val dir = tablePath(spark, table)
+    val v = versionIn(dir).getOrElse(throw new IllegalStateException(
+      s"warehouse table '$table' has no published version under $dir"))
+    s"$dir/v=$v"
+  }
+
+  /** Publish `df` as the next version of `table` and flip the pointer —
+    * the crash-safe write path (scaladoc above). Returns the new
+    * version number. `options` passes writer options through (e.g.
+    * maxRecordsPerFile for compaction). */
+  def publish(df: DataFrame, table: String,
+              partitionCols: Seq[String] = Nil,
+              options: Map[String, String] = Map.empty): Long =
+    this.synchronized {
+      val dir = tablePath(df.sparkSession, table)
+      Files.createDirectories(Paths.get(dir))
+      val orphanOrLive = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v=\\d+"))
+        .map(_.getName.drop(2).toLong)
+      val next =
+        (orphanOrLive ++ versionIn(dir)).foldLeft(0L)(math.max) + 1
+      val w = df.write.mode("overwrite").options(options)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$dir/v=$next")
+      // pointer flip LAST, atomic: readers see old-complete or
+      // new-complete, never a partial tree or a torn pointer
+      val tmp = Paths.get(dir, ".CURRENT.tmp")
+      Files.writeString(tmp, next.toString)
+      Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      next
+    }
+
+  /** Read the published version of a warehouse table (partition columns
+    * remain prunable — they sit below the version directory). */
   def readTable(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(tablePath(spark, table))
+    spark.read.parquet(publishedPath(spark, table))
+
+  /** Write `df` as warehouse table `table`, Hive-partitioned by
+    * `partitionCols` — a [[publish]] under the covers, so every
+    * warehouse write is crash-safe. Returns the published version's
+    * path. */
+  def writeTable(df: DataFrame, table: String,
+                 partitionCols: String*): String = {
+    publish(df, table, partitionCols)
+    publishedPath(df.sparkSession, table)
+  }
 
   // full path -> built marker; keyed by path (not table name) because
   // the root is conf-dependent
   private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** Materialize-once: the first caller builds and writes the table, every
-    * later (or concurrent — first-build serializes under the monitor)
-    * caller reads the parquet AT REST. This is the "persist, don't
-    * recompute" contract for shared intermediates a whole query family
-    * consumes: build cost is paid once per JVM, downstream plans carry a
-    * partition-prunable scan instead of the producing subtree. */
+  /** Materialize-once: the first caller builds and PUBLISHES the table,
+    * every later (or concurrent — first-build serializes under the
+    * monitor) caller reads the published parquet AT REST. This is the
+    * "persist, don't recompute" contract for shared intermediates a
+    * whole query family consumes: build cost is paid once per JVM,
+    * downstream plans carry a partition-prunable scan instead of the
+    * producing subtree — and a builder killed mid-write can never leave
+    * a half-table for the next process to trust. */
   def tableOnce(spark: SparkSession, table: String,
                 partitionCols: String*)(build: => DataFrame): DataFrame = {
     val path = tablePath(spark, table)
     def hit = built.get(path)
     if (hit.isEmpty) synchronized {
       if (hit.isEmpty) {
-        writeTable(build, table, partitionCols: _*)
+        publish(build, table, partitionCols)
         built.put(path, ())
       }
     }

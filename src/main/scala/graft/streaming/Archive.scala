@@ -207,6 +207,23 @@ object Archive {
       .mode("overwrite")
       .parquet(outPath)
 
+  /** [[compact]] with the reader-visible swap INCLUDED: the compacted
+    * tree lands as the next version of a warehouse table and the
+    * pointer flips atomically ([[graft.core.Warehouse.publish]]) — a
+    * compactor killed mid-rewrite leaves readers on the previous
+    * complete version, never a partial tree, which is exactly the step
+    * plain [[compact]] (correctly) refuses to fake over an object
+    * store's non-atomic directory rename. Returns the published
+    * version. */
+  def compactPublish(spark: SparkSession, inPath: String, table: String,
+                     targetRecordsPerFile: Long): Long =
+    graft.core.Warehouse.publish(
+      readArchive(spark, inPath)
+        .repartition(col("topic"), col("partition"))
+        .sortWithinPartitions(col("topic"), col("partition"), col("offset")),
+      table, Seq("topic", "partition"),
+      Map("maxRecordsPerFile" -> targetRecordsPerFile.toString))
+
   /** Restart-on-failure supervision — the reference retries consumer
     * build and uploads forever with 15 s pauses (kafka.clj:124-141,
     * s3.clj:40-80). Spark's analog: re-start the query from its

@@ -191,7 +191,8 @@ class StatsOpsSpec extends SparkSpec {
     // the warehouse under its name, partitioned like the archive's
     // partition=N discipline — not in an anonymous scratch directory
     StatsOps.hllPersist(spark, sfDir).collect()
-    val path = graft.core.Warehouse.tablePath(spark, "hll_user_shards")
+    // the layout now nests under the crash-safe published version root
+    val path = graft.core.Warehouse.publishedPath(spark, "hll_user_shards")
     val shards = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith("shard="))
     assert(shards.nonEmpty, s"no shard=N partitions under $path")
