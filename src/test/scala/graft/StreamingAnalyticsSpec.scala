@@ -385,6 +385,95 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(sessions.count() > 0)
   }
 
+  test("composed streaming ingest DAG equals the batch chain, restart included") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LlmQueries
+    import graft.streaming.IngestPipeline
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val corpusGrams = LlmQueries.corpusGramsAtRest(spark, sfDir)
+      .transform(graft.core.EngineCache.persisted)
+    val corpusSig = graft.llm.Dedup.signatureFrame(
+      d.filter(col("source") =!= LlmQueries.BatchSource), "doc_id", "text",
+      LlmQueries.WordShingleN, LlmQueries.MinhashK)
+      .transform(graft.core.EngineCache.persisted)
+    val weights = graft.operators.StatsOps.trainedClsWeights(
+      d.select("doc_id", "text", "lang", "n_chars"))
+    val batchDocs = d.filter(col("source") === LlmQueries.BatchSource)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    assert(batchDocs.length >= 2)
+    // the floor is a design-time choice, FROZEN before the stream starts
+    // (like the weights): the 40th percentile of a scoring pass over a
+    // reference batch, so the gate provably both keeps and drops docs
+    val preScores = graft.operators.StatsOps.scoreWithWeights(
+      batchDocs.toSeq.toDF("doc_id", "text", "lang", "n_chars"), weights)
+      .select("score").as[Double].collect().sorted
+    val cfg = IngestPipeline.Config(
+      weights, scoreFloor = preScores(preScores.length * 2 / 5),
+      LlmQueries.WordShingleN, LlmQueries.MinhashK,
+      LlmQueries.MinhashBands, LlmQueries.MinhashTau)
+    val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    def runOnce(feed: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Long)] => Unit): Unit = {
+      val source = MemoryStream[(Long, String, String, Long)]
+      val q = IngestPipeline.start(
+        source.toDF().toDF("doc_id", "text", "lang", "n_chars"),
+        corpusGrams, corpusSig, cfg, dir, s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    // first run delivers micro-batch 0, then the writer "crashes"
+    runOnce { s => s.addData(h1.toIndexedSeq: _*) }
+    // restart from the same checkpoint: batch 0 REPLAYS (the retry
+    // scenario — idempotent overwrite must replace, not duplicate),
+    // then micro-batch 1 delivers the rest
+    runOnce { s =>
+      s.addData(h1.toIndexedSeq: _*)
+      s.addData(h2.toIndexedSeq: _*)
+    }
+    // one-shot batch comparand: the SAME chain over all docs at once
+    val want = IngestPipeline.chainOf(
+      batchDocs.toSeq.toDF("doc_id", "text", "lang", "n_chars"),
+      corpusGrams, corpusSig, cfg)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    def landed(stage: String, cols: String*) =
+      rows(spark.read.parquet(s"$dir/$stage"), cols: _*)
+    // every per-doc stage: streamed union == one-shot (restart included)
+    assert(landed("scores", "doc_id", "label", "score") ===
+      rows(want.scores, "doc_id", "label", "score"))
+    assert(landed("clean", "doc_id", "n_tokens", "kept_tokens", "clean_text")
+      === rows(want.clean, "doc_id", "n_tokens", "kept_tokens", "clean_text"))
+    assert(landed("spans", "doc_id", "n_tokens", "dup_spans", "dup_tokens",
+      "dup_frac") === rows(want.spans, "doc_id", "n_tokens", "dup_spans",
+      "dup_tokens", "dup_frac"))
+    assert(landed("neardup", "batch_id", "corpus_id", "jaccard") ===
+      rows(want.hits, "batch_id", "corpus_id", "jaccard"))
+    assert(landed("postings", "term", "doc_id", "tf", "shard") ===
+      rows(want.postings, "term", "doc_id", "tf", "shard"))
+    assert(landed("doclen", "doc_id", "dl") === rows(want.doclen, "doc_id", "dl"))
+    // the funnel is per-batch rows; its additive columns must SUM to the
+    // one-shot funnel (disjoint doc sets), and stay monotone
+    import org.apache.spark.sql.functions.sum
+    val f = spark.read.parquet(s"$dir/funnel")
+      .agg(sum("n_raw"), sum("n_quality"), sum("tokens_raw"),
+        sum("tokens_after_cut"), sum("corpus_dup_tokens"),
+        sum("n_near_dup"), sum("n_indexed")).head()
+    val w1 = want.funnel.head()
+    assert((0 until 7).map(f.getLong) === (0 until 7).map(w1.getLong))
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(6),
+      "funnel counts must be monotone: raw >= quality >= indexed")
+    assert(f.getLong(2) >= f.getLong(3),
+      "the intra-doc cut can only remove tokens")
+    assert(f.getLong(0) > 0 && f.getLong(6) > 0)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming quality scores with frozen weights equal the batch classifier") {
     val sq = spark
     import sq.implicits._
