@@ -236,7 +236,19 @@ object Bench {
     val slowest = results.synchronized {
       results.filter(_._3.isEmpty).sortBy(-_._2).take(medianN).toList
     }
-    slowest.foreach { case (name, first, _) =>
+    // Always-median set: queries under active cross-round drift scrutiny
+    // get a median regardless of rank (round 8's q73/q63 apparent 3-4x
+    // regressions were this host's noise band — a single sample cannot
+    // distinguish that from a real regression, a median can).
+    val alwaysMedian = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MEDIAN_ALWAYS", "q63,q73")
+      .split(",").filter(_.nonEmpty).toSet
+    val watched = results.synchronized {
+      results.filter(r => r._3.isEmpty &&
+        alwaysMedian.exists(r._1.startsWith) &&
+        !slowest.exists(_._1 == r._1)).toList
+    }
+    (slowest ++ watched).foreach { case (name, first, _) =>
       val fn = SparkEntry.queries(name)
       val samples = scala.collection.mutable.ArrayBuffer(first)
       var tries = 0
