@@ -121,6 +121,41 @@ object Warehouse {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(publishedPath(spark, table))
 
+  /** Time-travel read: version `v` of the table, exactly as published —
+    * version directories are immutable, so this is a plain scan of the
+    * old root (the warehouse analog of `Archive.readArchiveAsOf`).
+    * Throws if `v` was never published or was pruned by [[gc]]. */
+  def readTableAsOf(spark: SparkSession, table: String, v: Long): DataFrame =
+    spark.read.parquet(s"${tablePath(spark, table)}/v=$v")
+
+  /** Retention: delete superseded version directories, keeping the
+    * published version plus up to `keepLast - 1` of its predecessors,
+    * and sweep crashed writers' orphan trees (version dirs NEWER than
+    * the pointer that no completed publish ever blessed). The published
+    * version itself is never deleted (keepLast clamps to ≥ 1). Returns
+    * the pruned version numbers. Safe against concurrent publishes via
+    * the same monitor; delayed READERS of a pruned version fail their
+    * scan loudly — size the retention to the longest reader, exactly as
+    * with any object-store lifecycle rule. */
+  def gc(spark: SparkSession, table: String, keepLast: Int = 1): Seq[Long] =
+    this.synchronized {
+      val dir = tablePath(spark, table)
+      val cur = versionIn(dir).getOrElse(return Nil)
+      val keep = math.max(1, keepLast)
+      val victims = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v=\\d+"))
+        .map(_.getName.drop(2).toLong)
+        .filter(v => v > cur || v <= cur - keep)
+        .sorted.toSeq
+      victims.foreach { v =>
+        val root = Paths.get(dir, s"v=$v")
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      victims
+    }
+
   /** Write `df` as warehouse table `table`, Hive-partitioned by
     * `partitionCols` — a [[publish]] under the covers, so every
     * warehouse write is crash-safe. Returns the published version's

@@ -336,6 +336,18 @@ class PlanSpec extends SparkSpec {
       s"q146 must scan the persisted code index:\n$p")
   }
 
+  test("rerank serve scans the at-rest retrieval index and encodes only probes") {
+    val p = plan(graft.operators.ScaleOps.annRerank(spark, sfDir))
+    // stage 1 reads the persisted retrieval-grade code table…
+    assert(p.contains("rerank_codes_"),
+      s"q193 must scan the persisted retrieval index:\n$p")
+    // …and the only embedding-column work is probe-side: the probe
+    // filter must reach the embeddings scan, so the corpus is never
+    // re-encoded at serve time (the pool joins by vec_id alone)
+    assert(p.contains("PushedFilters") && p.contains("vec_id"),
+      s"q193's probe filter must push to the embeddings scan:\n$p")
+  }
+
   test("IVF-PQ append reads the stored base index and equals a full rebuild") {
     val appended = graft.operators.ScaleOps.ivfPqAppend(spark, sfDir)
     // the serve plan reads the at-rest BASE index (not a re-encode of

@@ -71,6 +71,28 @@ class WarehouseSpec extends SparkSpec {
     assert(W.readTable(spark, t).count() === 9)
   }
 
+  test("gc prunes superseded and orphan versions, never the published one") {
+    val t = "wh_spec_gc"
+    W.publish(rows("v1", 1), t)
+    W.publish(rows("v2", 2), t)
+    W.publish(rows("v3", 3), t)
+    // plus a crashed writer's orphan past the pointer
+    val orphan = Paths.get(W.tablePath(spark, t), "v=9")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-00000.parquet"), "torn")
+    // time travel works while predecessors are retained
+    assert(W.readTableAsOf(spark, t, 2L).count() === 2)
+    assert(W.gc(spark, t, keepLast = 2) === Seq(1L, 9L))
+    assert(W.readTableAsOf(spark, t, 2L).count() === 2, "kept predecessor")
+    assert(W.readTable(spark, t).count() === 3)
+    // keepLast clamps to >= 1: the published version is untouchable
+    assert(W.gc(spark, t, keepLast = 0) === Seq(2L))
+    assert(W.readTable(spark, t).count() === 3)
+    assert(W.publishedVersion(spark, t) === Some(3L))
+    // and the next publish continues past the pruned history
+    assert(W.publish(rows("v4", 4), t) === 4L)
+  }
+
   test("compactPublish rewrites the archive and swaps readers atomically") {
     val sq = spark
     import sq.implicits._
