@@ -1,0 +1,336 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Determinism._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Temporal/graph/sparse-vector block, split from [[ScaleOps]] (its
+  * `queries`/`oracles` maps remain the public seam): SCD-2 intervals
+  * (q102), TF-IDF sparse cosine pairs (q103), PageRank with per-round
+  * persist barriers (q104) and HITS (q149). */
+private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
+
+  // ---------------------------------------------------------------- q102
+  /** SCD-2 dimension build from an event-ordered fact: collapse each
+    * customer's order-status observations into validity intervals
+    * [valid_from, valid_to) with an is_current flag — the standard
+    * slowly-changing-dimension type-2 construction (gaps-and-islands:
+    * change flag → running island id → min/lead per island). At scale
+    * this is two window passes and one hash agg, all partitioned by the
+    * dimension key — one shuffle on o_custkey total, because Spark
+    * reuses the (o_custkey)-hash exchange across the two windows and
+    * the groupBy. Dialect-neutral: the SAME string is the Spark plan
+    * and the DuckDB oracle. */
+  def scd2Sql(table: String, sentinel: String): String = s"""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS ts, o_orderstatus AS status,
+        lag(o_orderstatus) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM $table),
+    c AS (
+      SELECT o_custkey, o_orderkey, ts, status,
+        CASE WHEN prev_status IS NULL OR prev_status <> status
+             THEN 1 ELSE 0 END AS chg
+      FROM s),
+    g AS (
+      SELECT o_custkey, ts, status,
+        sum(chg) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM c),
+    r AS (
+      SELECT o_custkey, status, island,
+        min(ts) AS valid_from, count(1) AS n_obs
+      FROM g GROUP BY o_custkey, status, island)
+    SELECT o_custkey, status, valid_from,
+      coalesce(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island),
+        $sentinel) AS valid_to,
+      (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+        IS NULL) AS is_current,
+      n_obs
+    FROM r
+    ORDER BY o_custkey, island"""
+
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    // the fact table reads as TIMESTAMP_NTZ (nanos-safe load), so the
+    // open-interval sentinel must be NTZ too; DuckDB's plain TIMESTAMP
+    // is already time-zone-naive
+    spark.sql(scd2Sql("orders", "TIMESTAMP_NTZ '9999-12-31 00:00:00'"))
+  }
+
+  // ---------------------------------------------------------------- q103
+  /** Sparse TF-IDF cosine near-dup pairs via an inverted index — the
+    * lexical mirror of q38's dense-embedding near-dup. Postings are
+    * df-capped ([SparseDfMin, SparseDfCap]): rare-but-shared terms
+    * drive the signal, stop-terms (whose posting lists would each
+    * produce df² candidate pairs) are dropped, so the term self-join
+    * is bounded by cap·Σdf — linear in the corpus, never O(n²).
+    * Exactness: weights are decimal-bridged to a 1e-6 grid as int64
+    * the moment they leave fp (`ln` of identical doubles — q73/q90
+    * precedent); dot products and squared norms are then EXACT integer
+    * arithmetic (decimal-widened products), so the only fp in the
+    * output expression is one divide + two sqrt on identical integers. */
+  private[operators] def sparseCosineSql(unnestDocs: String): String = s"""
+    WITH uni AS ($unnestDocs),
+    tf AS (SELECT doc_id, term, count(1) AS tf FROM uni GROUP BY doc_id, term),
+    df AS (SELECT term, count(1) AS df FROM tf GROUP BY term
+           HAVING count(1) BETWEEN $SparseDfMin AND $SparseDfCap),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM uni),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+        CAST(floor(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) * 1e6 + 0.5)
+          AS BIGINT) AS w6
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd),
+    nrm AS (
+      SELECT doc_id, CAST(sum(CAST(w6 AS DECIMAL(19,0)) * w6) AS DECIMAL(38,0)) AS s
+      FROM w GROUP BY doc_id),
+    dot AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(sum(CAST(a.w6 AS DECIMAL(19,0)) * b.w6) AS DECIMAL(38,0)) AS dp
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    cos AS (
+      SELECT id_a, id_b,
+        floor(CAST(dp AS DOUBLE) /
+          (sqrt(CAST(na.s AS DOUBLE)) * sqrt(CAST(nb.s AS DOUBLE))) * 1e6 + 0.5)
+          / 1e6 AS cos6
+      FROM dot
+      JOIN nrm na ON dot.id_a = na.doc_id
+      JOIN nrm nb ON dot.id_b = nb.doc_id)
+    SELECT id_a, id_b, cos6 FROM cos
+    WHERE cos6 >= $SparseTau
+    ORDER BY id_a, id_b"""
+
+  /** Spark side splits [[sparseCosineSql]] at the weights table and
+    * persists it: `w` feeds the norm agg AND both branches of the term
+    * self-join, and Spark inlines multiply-referenced CTEs — without
+    * the persist the explode+tf+df pipeline runs three times. Same
+    * expressions, so the oracle hash is unchanged. */
+  def sparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    val w = spark.sql(s"""
+      WITH uni AS (
+        SELECT doc_id, explode(${wordsExpr("text")}) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(1) AS tf FROM uni GROUP BY doc_id, term),
+      df AS (SELECT term, count(1) AS df FROM tf GROUP BY term
+             HAVING count(1) BETWEEN $SparseDfMin AND $SparseDfCap),
+      nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM uni)
+      SELECT tf.doc_id, tf.term,
+        CAST(floor(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)) * 1e6 + 0.5)
+          AS BIGINT) AS w6
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd""")
+      .transform(graft.core.EngineCache.persisted)
+    w.createOrReplaceTempView("sparse_w")
+    spark.sql(s"""
+      WITH nrm AS (
+        SELECT doc_id, CAST(sum(CAST(w6 AS DECIMAL(19,0)) * w6) AS DECIMAL(38,0)) AS s
+        FROM sparse_w GROUP BY doc_id),
+      dot AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(sum(CAST(a.w6 AS DECIMAL(19,0)) * b.w6) AS DECIMAL(38,0)) AS dp
+        FROM sparse_w a JOIN sparse_w b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      cos AS (
+        SELECT id_a, id_b,
+          floor(CAST(dp AS DOUBLE) /
+            (sqrt(CAST(na.s AS DOUBLE)) * sqrt(CAST(nb.s AS DOUBLE))) * 1e6 + 0.5)
+            / 1e6 AS cos6
+        FROM dot
+        JOIN nrm na ON dot.id_a = na.doc_id
+        JOIN nrm nb ON dot.id_b = nb.doc_id)
+      SELECT id_a, id_b, cos6 FROM cos
+      WHERE cos6 >= $SparseTau
+      ORDER BY id_a, id_b""")
+  }
+
+  // ---------------------------------------------------------------- q104
+  /** Fixed-iteration PageRank over the part co-purchase graph (two
+    * parts are adjacent when they appear in the same order; edges
+    * symmetrized, so there are no dangling nodes). Each iteration is
+    * one edge⋈rank join + one hash agg — the canonical scale shape: the
+    * edge list partitions by src once and every iteration reuses that
+    * exchange; rank state is O(|V|), never materialized per-edge beyond
+    * the shuffle. Exactness: per-edge contributions r/deg are
+    * half-up-bridged to a 1e-12 grid as DECIMAL before the
+    * order-nondeterministic sum, and each new rank is re-rounded onto
+    * the grid, so every iteration starts from bit-identical state in
+    * both engines. Dialect-neutral: one string, both engines. */
+  def pageRankSql(table: String, iters: Int): String = {
+    val d = PrDamping
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+      SELECT e.dst AS node,
+        CAST(floor($p.r / CAST($p.deg AS DOUBLE) * 1e12 + 0.5)
+          AS DECIMAL(38,0)) AS c
+      FROM e JOIN $p ON e.src = $p.node),
+    s$i AS (SELECT node, sum(c) AS sc FROM c$i GROUP BY node),
+    r$i AS (
+      SELECT dg.node, dg.deg,
+        floor((((1.0 - $d) / nd.nd) +
+               $d * (CAST(coalesce(s$i.sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5)
+          / 1e12 AS r
+      FROM deg dg CROSS JOIN nd
+      LEFT JOIN s$i ON dg.node = s$i.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM $table a JOIN $table b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, count(1) AS deg FROM e GROUP BY src),
+    nd AS (SELECT CAST(count(1) AS DOUBLE) AS nd FROM deg),
+    r0 AS (
+      SELECT node, deg, floor(1e12 / nd.nd + 0.5) / 1e12 AS r
+      FROM deg CROSS JOIN nd),
+    $iterCtes
+    SELECT node, ${droundSql("r", 9)} AS pagerank
+    FROM r$iters
+    ORDER BY node"""
+  }
+
+  /** Spark-side PageRank: same arithmetic as [[pageRankSql]] (the
+    * oracle), but with the edge list and degree table persisted ONCE —
+    * the unrolled-CTE form recomputes the distinct self-join every
+    * iteration (Spark inlines CTEs), which is exactly the mistake a
+    * 100 TB iteration cannot afford. `deg.count()` doubles as the
+    * materialization action and the |V| the teleport term needs. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.core.EngineCache.persisted)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .transform(graft.core.EngineCache.persisted)
+    val n = deg.count() // materializes both persists; |V| for teleport
+    val d = PrDamping
+    var r = deg.select(col("node"), col("deg"),
+      expr(s"floor(1e12 / CAST($n AS DOUBLE) + 0.5) / 1e12").as("r"))
+    for (i <- 1 to PrIters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
+            "AS DECIMAL(38,0))").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      r = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          expr(s"floor((((1.0 - $d) / CAST($n AS DOUBLE)) + " +
+            s"$d * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5) " +
+            "/ 1e12").as("r"))
+      // q149's barrier discipline: persist + materialize each round so
+      // the execution is five short independent jobs over cached state
+      // instead of one 12-stage DAG — the lazily-chained form ran ~2×
+      // slower deep in a long-lived session (accumulated listener/GC
+      // pressure stretches long DAGs first) with rare far-worse spikes
+      if (i < PrIters) {
+        r = r.transform(graft.core.EngineCache.persisted)
+        r.count()
+      }
+    }
+    r.select(col("node"), dround(col("r"), 9).as("pagerank")).orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q149
+  /** HITS hubs & authorities over the bipartite customer→part purchase
+    * graph (edges = distinct (o_custkey, l_partkey) via orders⋈lineitem)
+    * — the classic mutual-reinforcement ranking: a part is authoritative
+    * when influential customers buy it; a customer is a hub when they
+    * buy authoritative parts. [[HitsIters]] fixed alternations of
+    * h = Σ a(out-neighbors), a = Σ h(in-neighbors), each half-step
+    * max-normalized. Cross-engine determinism mirrors q104: scores live
+    * on a 1e12 grid, per-edge contributions are floor-bridged to
+    * DECIMAL(38,0) before the order-nondeterministic sum, and the
+    * normalizing division casts the same exact integers to double in
+    * both engines. Scale shape: the edge list is built and persisted
+    * ONCE (the oracle's unrolled CTEs re-derive it per reference —
+    * exactly what a 100 TB iteration cannot afford); each half-step is
+    * one edge⋈score join + hash agg keyed on the score side, and the
+    * 1-row max broadcasts. State is O(|V|) per step. */
+  val HitsIters = 3
+  private[operators] val hitsNormSql =
+    "floor(CAST(sc AS DOUBLE) / CAST(mx AS DOUBLE) * 1e12 + 0.5) / 1e12"
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .transform(graft.core.EngineCache.persisted)
+    // Each half-step PERSISTS its raw-sum frame and collects the 1-scalar
+    // max on the driver (DistributedRank's counts-collect idiom). The
+    // tempting alternative — crossJoin(broadcast(raw.agg(max))) — embeds
+    // the frame in its own plan TWICE (max subquery + main), doubling the
+    // unpersisted lineage per half-step: 2^(2·iters) re-expansions, which
+    // is exactly the CTE-inlining blowup the PQ codebook build hit
+    // (observed: 3-iteration HITS > 60 s at sf0.1; with the barrier it is
+    // one join + one agg per half-step). BigDecimal.doubleValue is the
+    // same round-to-nearest as the oracle's CAST(mx AS DOUBLE).
+    var a = e.select(col("part")).distinct().withColumn("a", lit(1.0))
+    var h: DataFrame = a // placeholder; assigned in round 1
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val mx = raw.agg(max(col("sc"))).head.getDecimal(0).doubleValue
+      raw.select(col(key),
+        (floor(col("sc").cast("double") / lit(mx) * lit(1e12) + lit(0.5)) /
+          lit(1e12)).as(out))
+    }
+    for (_ <- 1 to HitsIters) {
+      val hraw = e.join(a, "part").groupBy("cust")
+        .agg(expr("sum(CAST(floor(a * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
+        .transform(graft.core.EngineCache.persisted)
+      h = normalized(hraw, "cust", "h")
+      val araw = e.join(h, "cust").groupBy("part")
+        .agg(expr("sum(CAST(floor(h * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
+        .transform(graft.core.EngineCache.persisted)
+      a = normalized(araw, "part", "a")
+    }
+    h.select(lit("customer").as("node_type"), col("cust").as("node_id"),
+        dround(col("h"), 9).as("score"))
+      .unionByName(a.select(lit("part").as("node_type"),
+        col("part").as("node_id"), dround(col("a"), 9).as("score")))
+      .orderBy("node_type", "node_id")
+  }
+
+  def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""hs$i AS (
+      SELECT e.cust, sum(CAST(floor(a${i - 1}.a * 1e12 + 0.5)
+        AS DECIMAL(38,0))) AS sc
+      FROM e JOIN a${i - 1} ON e.part = a${i - 1}.part GROUP BY e.cust),
+    hm$i AS (SELECT max(sc) AS mx FROM hs$i),
+    h$i AS (SELECT cust, $hitsNormSql AS h FROM hs$i CROSS JOIN hm$i),
+    as$i AS (
+      SELECT e.part, sum(CAST(floor(h$i.h * 1e12 + 0.5)
+        AS DECIMAL(38,0))) AS sc
+      FROM e JOIN h$i ON e.cust = h$i.cust GROUP BY e.part),
+    am$i AS (SELECT max(sc) AS mx FROM as$i),
+    a$i AS (SELECT part, $hitsNormSql AS a FROM as$i CROSS JOIN am$i)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    a0 AS (SELECT DISTINCT part, 1.0 AS a FROM e),
+    $rounds
+    SELECT 'customer' AS node_type, cust AS node_id,
+      ${droundSql("h", 9)} AS score FROM h$iters
+    UNION ALL
+    SELECT 'part' AS node_type, part AS node_id,
+      ${droundSql("a", 9)} AS score FROM a$iters
+    ORDER BY node_type, node_id"""
+  }
+
+}

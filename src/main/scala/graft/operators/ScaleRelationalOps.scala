@@ -1,0 +1,633 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Determinism._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** The relational/statistical block, split from [[ScaleOps]]: CDC
+  * merge (q108), star flatten (q109), quality audit (q110), mutual
+  * information (q111), TWAP (q112), association rules (q113), skyline
+  * (q114), triangles (q115), A/B test (q116), RFM (q117), event paths
+  * (q118), chi-square (q120), Gini (q121), seasonality (q122). */
+private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
+
+  // ---------------------------------------------------------------- q108
+  /** CDC merge-upsert (MERGE INTO semantics without a table format):
+    * apply a changeset of updates / deletes / inserts to a keyed target
+    * in one pass — target LEFT JOIN changes resolves update-vs-keep,
+    * an anti-filter drops deletes, inserts union on. At 100 TB the
+    * target is bucketed by key so the join is exchange-free on the big
+    * side, and the changeset (typically ≪ target) broadcasts. The
+    * changeset here is derived deterministically from the target itself
+    * (keys ≡1 mod 10 update, ≡2 delete, MergeInserts fresh keys past
+    * max insert), so both engines construct the identical fixture.
+    * Dialect-neutral: one string. Balances are exact integer cents. */
+  def mergeUpsertSql(table: String): String = s"""
+    WITH tgt AS (
+      SELECT c_custkey AS k,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM $table),
+    upd AS (
+      SELECT k, bal_cents + 10000 AS bal_cents, 'U' AS op
+      FROM tgt WHERE k % 10 = 1),
+    del AS (SELECT k FROM tgt WHERE k % 10 = 2),
+    mx AS (SELECT max(k) AS mx FROM tgt),
+    ins AS (
+      SELECT mx.mx + CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS k,
+        CAST(0 AS BIGINT) AS bal_cents, 'I' AS op
+      FROM (SELECT k FROM tgt ORDER BY k LIMIT $MergeInserts) seed
+      CROSS JOIN mx)
+    SELECT t.k, coalesce(u.bal_cents, t.bal_cents) AS bal_cents,
+      CASE WHEN u.k IS NOT NULL THEN 'U' ELSE 'K' END AS op
+    FROM tgt t
+    LEFT JOIN upd u ON t.k = u.k
+    LEFT JOIN del d ON t.k = d.k
+    WHERE d.k IS NULL
+    UNION ALL
+    SELECT k, bal_cents, op FROM ins
+    ORDER BY k"""
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(mergeUpsertSql("customer"))
+  }
+
+  // ---------------------------------------------------------------- q109
+  /** Star-schema flatten — the feature-denormalization step that turns
+    * the normalized warehouse into one wide training table: fact
+    * lineitem joined to orders, customer, supplier, part, and nation
+    * twice (customer's and supplier's). The true dimensions (customer,
+    * supplier, part, nation ×2) are broadcast-sized relative to the
+    * fact at any scale, so they cost zero shuffles over ONE fact scan;
+    * lineitem⋈orders is the lone fact-to-fact edge and shuffles on the
+    * order key (or is exchange-free when both are bucketed on it at
+    * rest — BucketingSpec shows that layout). Money lands as exact
+    * integer cents. */
+  def starFlattenSql(dialectRound: String => String): String = s"""
+    SELECT l.l_orderkey, l.l_linenumber,
+      o.o_orderstatus, cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      p.p_type,
+      ${dialectRound("l.l_extendedprice")} AS price_cents,
+      CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    ORDER BY l.l_orderkey, l.l_linenumber"""
+
+  private[operators] val centsRound: String => String =
+    e => s"CAST(round($e * 100) AS BIGINT)"
+
+  def starFlatten(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(starFlattenSql(centsRound))
+  }
+
+  // ---------------------------------------------------------------- q110
+  /** Declarative data-quality audit (the Deequ-style constraint pass a
+    * pipeline runs before training): uniqueness, composite-key
+    * uniqueness, referential integrity, range, accepted-values, and
+    * not-null checks, each one aggregate over one scan of its table —
+    * violations count, never example rows, so the output is O(checks)
+    * regardless of data size. The FK check is a left-anti count, the
+    * shape that broadcasts the dimension at scale. Dialect-neutral. */
+  def dataQualitySql: String = s"""
+    SELECT check_name, violations, violations = 0 AS passed FROM (
+      SELECT 'customer.c_custkey unique' AS check_name,
+        count(1) - count(DISTINCT c_custkey) AS violations FROM customer
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+        count(1) - count(DISTINCT CAST(l_orderkey AS STRING) || ':' ||
+          CAST(l_linenumber AS STRING)) FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_custkey references customer', count(1)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+      UNION ALL
+      SELECT 'lineitem.l_quantity in [1,50]', count(1) FROM lineitem
+      WHERE l_quantity < 1 OR l_quantity > 50
+      UNION ALL
+      SELECT 'orders.o_orderstatus accepted', count(1) FROM orders
+      WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+      UNION ALL
+      SELECT 'customer.c_name not null', count(1) FROM customer
+      WHERE c_name IS NULL) checks
+    ORDER BY check_name"""
+
+  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(dataQualitySql)
+  }
+
+  // ---------------------------------------------------------------- q111
+  /** Pointwise mutual information between two categorical columns —
+    * the feature-selection / association signal. One hash agg builds
+    * the joint histogram; marginals reduce it; every cell gets
+    * pmi_bits plus its contribution p(x,y)·pmi to total MI (so the MI
+    * sum is checkable from the output). The histogram is O(|X|·|Y|)
+    * after one corpus pass — nothing downstream sees row counts.
+    * `ln` runs on identical doubles in both engines (q88/q93
+    * precedent); outputs are half-up rounded at 6dp. Dialect-neutral. */
+  def mutualInfoSql(table: String): String = s"""
+    WITH j AS (
+      SELECT l_returnflag AS x, l_linestatus AS y, count(1) AS c
+      FROM $table GROUP BY l_returnflag, l_linestatus),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM j),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY x),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY y)
+    SELECT j.x, j.y, CAST(j.c AS BIGINT) AS c,
+      ${droundSql("ln((CAST(j.c AS DOUBLE) * n.n) / " +
+        "(CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))) / ln(2.0)", 6)}
+        AS pmi_bits,
+      ${droundSql("(CAST(j.c AS DOUBLE) / n.n) * " +
+        "(ln((CAST(j.c AS DOUBLE) * n.n) / " +
+        "(CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE))) / ln(2.0))", 6)}
+        AS mi_contrib_bits
+    FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y CROSS JOIN n
+    ORDER BY j.x, j.y"""
+
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(mutualInfoSql("lineitem"))
+  }
+
+  // ---------------------------------------------------------------- q112
+  /** Time-weighted average of a sampled signal per user (TWAP): each
+    * observation holds until the next one, so its weight is the
+    * interval length — the correct average for irregularly-sampled
+    * series where arithmetic mean over-weights bursts. One lead()
+    * window per user partition, then one hash agg. Exactness: value is
+    * bridged to integer cents per row, interval is integer millis, and
+    * the cents×millis products (≤ ~1e15, inside int64) accumulate as
+    * DECIMAL — the only fp is the final divide on identical integers. */
+  private[operators] def twapSql(epochMs: String): String = s"""
+    WITH t AS (
+      SELECT user_id, value,
+        lead($epochMs) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - $epochMs AS dt_ms
+      FROM events),
+    w AS (
+      SELECT user_id,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, dt_ms
+      FROM t WHERE dt_ms IS NOT NULL)
+    SELECT user_id, count(1) AS n_intervals,
+      CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+      ${droundSql("(CAST(sum(CAST(cents AS DECIMAL(19,0)) * dt_ms) AS DOUBLE) /" +
+        " CAST(sum(dt_ms) AS DOUBLE)) / 100.0", 6)} AS twap
+    FROM w GROUP BY user_id
+    ORDER BY user_id"""
+
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(twapSql("unix_millis(ts)"))
+  }
+
+  // ---------------------------------------------------------------- q113
+  /** Association rules over co-purchases (market-basket): for part
+    * pairs in the same order, support / confidence / lift, top rules
+    * by lift. Pair supports come from one self-join + hash agg (the
+    * q104 edge shape); item supports and the order count broadcast.
+    * A minimum-support prune cuts the pair space BEFORE any division,
+    * and all scores are ratios of exact integers half-up-bridged at
+    * 6dp, ranked on the rounded value with (antecedent, consequent)
+    * tiebreak — near-ties cannot reorder across engines. */
+  val MinSupport = 3
+  val RulesTopK = 100
+  def assocRulesSql(table: String): String = s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM $table),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    item AS (SELECT l_partkey, count(1) AS sup FROM li GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(1) AS sup_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(1) >= $MinSupport),
+    scored AS (
+      SELECT pa, pb, sup_ab,
+        ${droundSql("CAST(sup_ab AS DOUBLE) / CAST(ia.sup AS DOUBLE)", 6)}
+          AS conf,
+        ${droundSql("(CAST(sup_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)) / " +
+          "(CAST(ia.sup AS DOUBLE) * CAST(ib.sup AS DOUBLE))", 6)} AS lift
+      FROM pair
+      JOIN item ia ON pair.pa = ia.l_partkey
+      JOIN item ib ON pair.pb = ib.l_partkey
+      CROSS JOIN n)
+    SELECT pa, pb, CAST(sup_ab AS BIGINT) AS sup_ab, conf, lift FROM scored
+    ORDER BY lift DESC, pa, pb LIMIT $RulesTopK"""
+
+  /** Spark side persists the distinct (order, part) basket table once —
+    * it feeds the order count, the item supports, and BOTH branches of
+    * the pair self-join, and Spark's CTE inlining would otherwise
+    * recompute the distinct (a shuffle) four times. Identical
+    * expressions to [[assocRulesSql]], so the oracle hash holds. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(graft.core.EngineCache.persisted)
+    val nOrders = li.select(col("l_orderkey")).distinct().count()
+    val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
+    val pair = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= MinSupport)
+    pair
+      .join(item.select(col("l_partkey").as("pa"), col("sup").as("sup_a")), "pa")
+      .join(item.select(col("l_partkey").as("pb"), col("sup").as("sup_b")), "pb")
+      .select(col("pa"), col("pb"),
+        col("sup_ab").cast("long").as("sup_ab"),
+        expr(droundSql("CAST(sup_ab AS DOUBLE) / CAST(sup_a AS DOUBLE)", 6))
+          .as("conf"),
+        expr(droundSql(s"(CAST(sup_ab AS DOUBLE) * CAST($nOrders AS DOUBLE)) / " +
+          "(CAST(sup_a AS DOUBLE) * CAST(sup_b AS DOUBLE))", 6)).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(RulesTopK)
+  }
+
+  // ---------------------------------------------------------------- q114
+  /** Pareto/skyline filter over (minimize n_chars, maximize n_tokens) —
+    * the token-density frontier: documents packing the most tokens into
+    * the fewest characters, the multi-objective version of "take the
+    * best docs" that a single score cannot express. Distributed form:
+    * phase 1 computes a LOCAL skyline per hash bucket (a point
+    * dominated within its bucket is dominated globally, so the union of
+    * local skylines is a guaranteed superset of the answer — the bucket
+    * hash can be engine-specific because it only affects pruning);
+    * phase 2 runs the exact same dominance predicate globally over the
+    * few survivors. Each phase is two window functions over the negated
+    * char count: max-tokens within equal x, and max-tokens over
+    * STRICTLY greater x via a DESC RANGE frame ending at 1 PRECEDING.
+    * The oracle is the O(n²) NOT EXISTS ground truth, so a hash match
+    * proves the window rewrite, not just agreement. */
+  private[operators] def skylinePhase(src: String, bucketed: Boolean): String = {
+    val sameX = if (bucketed) "PARTITION BY bkt, neg_chars"
+                else "PARTITION BY neg_chars"
+    val gtX = if (bucketed) "PARTITION BY bkt ORDER BY neg_chars DESC"
+              else "ORDER BY neg_chars DESC"
+    s"""SELECT doc_id, n_chars, neg_chars, n_tokens, bkt FROM (
+      SELECT doc_id, n_chars, neg_chars, n_tokens, bkt,
+        max(n_tokens) OVER ($sameX) AS mx,
+        max(n_tokens) OVER ($gtX
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mg
+      FROM $src) ph
+    WHERE n_tokens = mx AND (mg IS NULL OR n_tokens > mg)"""
+  }
+
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+      WITH m AS (
+        SELECT doc_id, n_chars, -n_chars AS neg_chars,
+          CAST(size(${wordsExpr("text")}) AS BIGINT) AS n_tokens,
+          pmod(hash(doc_id), 32) AS bkt
+        FROM documents),
+      l AS (${skylinePhase("m", bucketed = true)})
+      SELECT doc_id, n_chars, n_tokens
+      FROM (${skylinePhase("l", bucketed = false)}) fin
+      ORDER BY doc_id""")
+  }
+
+  def skylineOracleSql: String = s"""
+    WITH m AS (
+      SELECT doc_id, n_chars, ${tokenCountSql("text")}::BIGINT AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens FROM m m1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m m2
+      WHERE m2.n_chars <= m1.n_chars AND m2.n_tokens >= m1.n_tokens
+        AND (m2.n_chars < m1.n_chars OR m2.n_tokens > m1.n_tokens))
+    ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q115
+  /** Triangle counting on the co-purchase graph (min-support 2): the
+    * local-clustering / community-density signal. Edges are canonical
+    * u < v, so each triangle a<b<c is found exactly once by the
+    * two-hop join e(a,b)⋈e(b,c)⋈e(a,c) — the standard distributed
+    * formulation (at billion-edge scale you additionally orient edges
+    * low-degree→high so the e1⋈e2 wedge join is bounded by Σ deg_out²
+    * with deg_out ≤ √m; the canonical orientation here is the same
+    * join shape). Per-node counts come from exploding each triangle's
+    * three corners into one hash agg. Dialect-neutral. */
+  val TriMinSup = 2
+  def trianglesSql(table: String): String = s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM $table),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(1) >= $TriMinSup),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT node, count(1) AS triangles
+    FROM corners GROUP BY node
+    ORDER BY node"""
+
+  /** Spark side persists the pruned edge list once (three join branches
+    * would otherwise each recompute the basket self-join), and explodes
+    * each triangle's corners in one generator instead of a triple
+    * union — one pass, one hash agg. Same semantics as
+    * [[trianglesSql]]. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSup)
+      .select("u", "v")
+      .transform(graft.core.EngineCache.persisted)
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.v") === col("e2.u"))
+      .join(e.alias("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q116
+  /** Deterministic A/B experiment analysis: users assign to arms by pure
+    * hash (reproducible, no assignment table to join), purchase values
+    * accumulate as exact integer cents power sums (S0/S1/S2) per arm in
+    * ONE conditional-aggregation pass — no per-arm scans, no shuffle
+    * beyond the final 1-row reduce — and mean/variance/Welch-z are
+    * computed once on identical integers in both engines, then half-up
+    * rounded. The single-row output is the whole experiment readout. */
+  def abTestSql(hashArm: String): String = s"""
+    WITH p AS (
+      SELECT CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS s1a,
+        CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS s1b,
+        CAST(sum(CASE WHEN arm = 'A'
+          THEN CAST(cents AS DECIMAL(19,0)) * cents
+          ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s2a,
+        CAST(sum(CASE WHEN arm = 'B'
+          THEN CAST(cents AS DECIMAL(19,0)) * cents
+          ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s2b
+      FROM p),
+    m AS (
+      SELECT n_a, n_b,
+        CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) /
+          CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS va,
+        (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) /
+          CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS vb
+      FROM s)
+    SELECT n_a, n_b,
+      ${droundSql("ma / 100.0", 6)} AS mean_a,
+      ${droundSql("mb / 100.0", 6)} AS mean_b,
+      ${droundSql("(ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) + " +
+        "vb / CAST(n_b AS DOUBLE))", 6)} AS welch_z
+    FROM m"""
+
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(abTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
+  }
+
+  // ---------------------------------------------------------------- q117
+  /** RFM customer segmentation: recency (days since last order),
+    * frequency (order count), monetary (lifetime cents) per customer
+    * from one orders scan, then ntile(5) per dimension with full
+    * deterministic tiebreaks (metric, custkey) — the classic marketing
+    * segmentation that doubles as a mixture-weighting signal. One
+    * shuffle on o_custkey to the customer-grain frame; the ORACLE then
+    * scores with three global ntile(5) windows, but the Spark plan must
+    * NOT (empty-partition window = single-task sort) — [[rfm]] ranks
+    * each dimension with [[DistributedRank]]'s range-partitioned global
+    * rank and assigns quintiles arithmetically, bit-identical to ntile
+    * under the same (metric, custkey) total order. */
+  def rfmBaseSql(daysBetween: (String, String) => String): String = s"""
+    WITH cust AS (
+      SELECT o_custkey,
+        CAST(max(o_orderdate) AS DATE) AS last_order,
+        count(1) AS frequency,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT max(last_order) AS ref_date FROM cust)
+    SELECT o_custkey,
+      CAST(${daysBetween("last_order", "ref_date")} AS BIGINT) AS recency_days,
+      frequency, monetary_cents
+    FROM cust CROSS JOIN mx"""
+
+  def rfmSql(daysBetween: (String, String) => String): String = s"""
+    WITH r AS (${rfmBaseSql(daysBetween)})
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+      CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+      CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+      CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m_score
+    FROM r
+    ORDER BY o_custkey"""
+
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    // persist the customer-grain frame: the one count (for ntile's n) and
+    // the three chained rank pipelines all start from the cache, not from
+    // a re-aggregation of orders
+    val r = graft.core.EngineCache.persisted(
+      spark.sql(rfmBaseSql((from, to) => s"datediff($to, $from)")))
+    // ONE stats pass serves n plus all three dimensions' bucket bounds
+    val st = r.agg(
+      count(lit(1)),
+      min("recency_days").cast("double"), max("recency_days").cast("double"),
+      min("frequency").cast("double"), max("frequency").cast("double"),
+      min("monetary_cents").cast("double"), max("monetary_cents").cast("double")
+    ).first()
+    val n = st.getLong(0)
+    if (n == 0) return r.selectExpr("o_custkey", "recency_days", "frequency",
+      "monetary_cents", "CAST(1 AS INT) r_score", "CAST(1 AS INT) f_score",
+      "CAST(1 AS INT) m_score")
+    val s1 = DistributedRank.rankOnlyBounded(
+        r, "rk", "recency_days", desc = false, st.getDouble(1), st.getDouble(2),
+        col("recency_days"), col("o_custkey"))
+      .withColumn("r_score", DistributedRank.ntileFromRank("rk", n, 5))
+      .drop("rk")
+    val s2 = DistributedRank.rankOnlyBounded(
+        s1, "rk", "frequency", desc = true, st.getDouble(3), st.getDouble(4),
+        col("frequency").desc, col("o_custkey"))
+      .withColumn("f_score", DistributedRank.ntileFromRank("rk", n, 5))
+      .drop("rk")
+    DistributedRank.rankOnlyBounded(
+        s2, "rk", "monetary_cents", desc = true, st.getDouble(5), st.getDouble(6),
+        col("monetary_cents").desc, col("o_custkey"))
+      .withColumn("m_score", DistributedRank.ntileFromRank("rk", n, 5))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q118
+  /** User-journey path mining: the most frequent 3-event sequences
+    * (trigrams of event_type per user in time order) — funnel discovery
+    * as opposed to q70's funnel measurement. Two lead() calls in ONE
+    * window pass build the trigram, a hash agg counts paths, and the
+    * top-k is rank-on-count with a full lexicographic tiebreak so equal
+    * counts cannot reorder across engines. */
+  val PathTopK = 20
+  def eventPathsSql: String = s"""
+    WITH t AS (
+      SELECT event_type AS e1,
+        lead(event_type, 1) OVER w AS e2,
+        lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(1) AS n
+      FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1 || ' > ' || e2 || ' > ' || e3)
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path LIMIT $PathTopK"""
+
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(eventPathsSql)
+  }
+
+  // ---------------------------------------------------------------- q120
+  /** χ² test of independence between two categoricals over the FULL
+    * r×c grid (marginals cross-joined, observed counts left-joined so
+    * zero cells contribute correctly) — the significance companion to
+    * q111's PMI. Everything is reductions of one joint histogram;
+    * expected counts and per-cell contributions are computed on
+    * identical values in both engines and bridged at 1e-9 before the
+    * order-nondeterministic total. Output is per-cell with the cell's
+    * contribution, so the χ² statistic is the checkable column sum. */
+  def chiSquareSql(table: String): String = s"""
+    WITH j AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, count(1) AS o
+      FROM $table GROUP BY o_orderpriority, o_orderstatus),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM j GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM j GROUP BY c),
+    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM j),
+    grid AS (
+      SELECT rt.r, ct.c, coalesce(j.o, 0) AS o,
+        CAST(rt.nr AS DOUBLE) * CAST(ct.nc AS DOUBLE) / n.n AS e
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN j ON j.r = rt.r AND j.c = ct.c)
+    SELECT r, c, CAST(o AS BIGINT) AS observed,
+      ${droundSql("e", 6)} AS expected,
+      ${droundSql("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e", 9)}
+        AS chi2_contrib
+    FROM grid
+    ORDER BY r, c"""
+
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(chiSquareSql("orders"))
+  }
+
+  // ---------------------------------------------------------------- q121
+  /** Gini coefficient of customer revenue concentration — the "how
+    * skewed is my corpus/revenue" scalar every mixture audit wants.
+    * Computed from the rank formulation G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx)
+    * on EXACT integers: cents sums, a global rank with custkey
+    * tiebreak, and a decimal numerator — the only fp is the final
+    * division of identical integers. The ORACLE ranks with a global
+    * `row_number()` window; the Spark plan must NOT (empty-partition
+    * window = single-task sort) — [[gini]] gets the identical rank from
+    * [[DistributedRank]]'s range-partitioned two-pass scheme, same
+    * formula, same oracle. */
+  def giniBaseSql(table: String): String = s"""
+    SELECT o_custkey,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM $table GROUP BY o_custkey"""
+
+  def giniSql(table: String): String = s"""
+    WITH c AS (${giniBaseSql(table)}),
+    rk AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM c),
+    nn AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx
+      FROM c),
+    num AS (
+      SELECT CAST(sum(CAST(2 * i - nn.n - 1 AS DECIMAL(19,0)) * x)
+        AS DECIMAL(38,0)) AS g
+      FROM rk CROSS JOIN nn)
+    SELECT nn.n AS n_customers,
+      CAST(nn.sx AS BIGINT) AS total_cents,
+      ${droundSql("CAST(num.g AS DOUBLE) / " +
+        "(CAST(nn.n AS DOUBLE) * CAST(nn.sx AS DOUBLE))", 9)} AS gini
+    FROM num CROSS JOIN nn"""
+
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    val c = graft.core.EngineCache.persisted(spark.sql(giniBaseSql("orders")))
+    val st = c.agg(count(lit(1)),
+      min("x").cast("double"), max("x").cast("double")).first()
+    val n = st.getLong(0)
+    val rk = DistributedRank.rankOnlyBounded(
+      c, "i", "x", desc = false, st.getDouble(1), st.getDouble(2),
+      col("x"), col("o_custkey"))
+    rk.agg(
+        sum((lit(2L) * col("i") - lit(n) - lit(1L)).cast(DecimalType(19, 0)) *
+            col("x"))
+          .cast(DecimalType(38, 0)).as("g"),
+        sum(col("x").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0)).as("sx"))
+      .select(
+        lit(n).as("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        dround(col("g").cast("double") /
+          (lit(n).cast("double") * col("sx").cast("double")), 9).as("gini"))
+  }
+
+  // ---------------------------------------------------------------- q122
+  /** Monthly seasonal index of revenue (month total ÷ mean month) — the
+    * calendar-effects profile used to spot ingest gaps and demand
+    * cycles. Integer cents throughout; one hash agg plus a 12-row
+    * reduction. */
+  def seasonalSql(table: String): String = s"""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS month,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM $table GROUP BY month(o_orderdate)),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+            CAST(count(1) AS BIGINT) AS nm FROM m)
+    SELECT month, cents,
+      ${droundSql("CAST(cents AS DOUBLE) / " +
+        "(CAST(total AS DOUBLE) / CAST(nm AS DOUBLE))", 6)} AS seasonal_index
+    FROM m CROSS JOIN t
+    ORDER BY month"""
+
+  def seasonal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(seasonalSql("orders"))
+  }
+
+}

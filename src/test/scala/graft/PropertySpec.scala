@@ -296,6 +296,40 @@ object EngineProperties extends Properties("engine") {
       } finally sq.conf.unset("graft.rank.degenerateRowLimit")
     }
 
+  property("keyed rank+scan survives a heavy-tailed primary under a tight limit") =
+    forAll(Gen.chooseNum(1L, 1000L)) { seed =>
+      // the keyed variants share rankOnly's quantile bucketing — prove
+      // the same Zipf-ish primary passes them under the same tight
+      // degeneracy limit, with rank AND exclusive scan window-exact
+      val sq = spark
+      import sq.implicits._
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 300L).map { id =>
+        val r = rnd.nextInt(300) + 1
+        (math.round(1.0e9 / math.pow(r, 1.2)), id)
+      }
+      val keyed = rows.toDF("k", "id")
+        .withColumn("g", (col("id") % 3L).cast("long"))
+        .withColumn("v", (col("id") % 5L + 1L).cast("long"))
+      sq.conf.set("graft.rank.degenerateRowLimit", "64")
+      try {
+        val got = graft.operators.DistributedRank.rankAndScanWithin(
+          keyed, "g", "rk", "sc", "v", "k", desc = false, col("k"), col("id"))
+          .select("g", "k", "id", "v", "rk", "sc")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("k"), col("id"))
+        val viaWindow = keyed
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("sc", coalesce(sum(col("v")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+          .select("g", "k", "id", "v", "rk", "sc")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+        got == viaWindow
+      } finally sq.conf.unset("graft.rank.degenerateRowLimit")
+    }
+
   property("keyed distributed rank equals the keyed window rank") =
     forAll(genKeyed) { rows =>
       val sq = spark
