@@ -160,6 +160,58 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** [[startStreamingNearDedup]] with GROWING at-rest state — the full
+    * incremental lifecycle rather than a frozen-corpus check: each
+    * micro-batch is signed once, scored against corpus-signatures ∪
+    * every PRIOR batch's signatures (read back at rest, O(state) never
+    * re-signed), scored against ITSELF (within-batch near-dups — the
+    * pairs a frozen-state check silently misses when two copies arrive
+    * in the same crawl), and then its own signatures land under
+    * `sigs/batch_run=N` so later batches dedup against them. The prior
+    * filter is STRICTLY `batch_run < id`: a checkpoint-replayed batch
+    * can never see its own earlier (possibly partial) signature write,
+    * which keeps replay idempotent — the same discipline as every
+    * other twin, extended to read-your-own-kind state. Hits carry
+    * (id_a = arriving doc, id_b = state-or-batch doc, jaccard). */
+  def startStreamingNearDedupAccumulating(
+      docStream: DataFrame, corpusSig: DataFrame,
+      shingleN: Int, numHashes: Int, bands: Int, tau: Double,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchSig = graft.llm.Dedup.signatureFrame(
+            batch, "doc_id", "text", shingleN, numHashes)
+            .transform(graft.core.EngineCache.persisted)
+          val prior =
+            try Some(spark.read.parquet(s"$outPath/sigs")
+              .filter(col("batch_run") < batchId)
+              .select("id", "hs", "sig"))
+            catch { // first batch: no sigs directory yet
+              case _: org.apache.spark.sql.AnalysisException => None
+            }
+          val state = prior.fold(corpusSig.select("id", "hs", "sig"))(
+            corpusSig.select("id", "hs", "sig").unionByName(_))
+          val cross = graft.llm.Dedup.incrementalLshPairs(
+              state, batchSig, numHashes, bands, tau)
+            .select(col("batch_id").as("id_a"),
+              col("corpus_id").as("id_b"), col("jaccard"))
+          val within = graft.llm.Dedup.minhashLshPairs(
+            batch, "doc_id", "text", shingleN, numHashes, bands, tau)
+          cross.unionByName(within)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/hits/batch_run=$batchId")
+          batchSig.write.mode("overwrite")
+            .parquet(s"$outPath/sigs/batch_run=$batchId")
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming IVF-PQ index maintenance — the stream-time twin of
     * q151's batch append: each arriving micro-batch of (vec_id,
     * embedding) rows is PQ-encoded with the FROZEN memoized codebook

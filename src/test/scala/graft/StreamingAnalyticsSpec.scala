@@ -341,6 +341,79 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture surprise: no cross-side near-dups")
   }
 
+  test("accumulating near-dedup grows its state and catches intra-stream dups") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import graft.operators.LlmQueries
+    import org.apache.spark.sql.functions.col
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val corpusSig = graft.llm.Dedup.signatureFrame(
+      d.filter(col("source") =!= LlmQueries.BatchSource), "doc_id", "text",
+      LlmQueries.WordShingleN, LlmQueries.MinhashK)
+      .transform(graft.core.EngineCache.persisted)
+    val batchDocs = d.filter(col("source") === LlmQueries.BatchSource)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (h1, h2base) = batchDocs.splitAt(batchDocs.length / 2)
+    // plant an intra-STREAM duplicate: a doc of micro-batch 1 is a
+    // verbatim copy of a micro-batch 0 doc under a fresh id — invisible
+    // to the frozen-corpus twin, and exactly what accumulation catches
+    val planted = (900001L, h1.head._2)
+    val h2 = h2base :+ planted
+    val dir = java.nio.file.Files.createTempDirectory("graft-acc").toString
+    def runOnce(feed: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)] => Unit): Unit = {
+      val source = MemoryStream[(Long, String)]
+      val q = EventAnalytics.startStreamingNearDedupAccumulating(
+        source.toDF().toDF("doc_id", "text"), corpusSig,
+        LlmQueries.WordShingleN, LlmQueries.MinhashK, LlmQueries.MinhashBands,
+        LlmQueries.MinhashTau, dir, s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce { s => s.addData(h1.toIndexedSeq: _*) }
+    // restart from the checkpoint: batch 0 replays (and must not see its
+    // own earlier signature write), then batch 1 arrives
+    runOnce { s =>
+      s.addData(h1.toIndexedSeq: _*)
+      s.addData(h2.toIndexedSeq: _*)
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect().map(key).toSet
+    def batchPairs(docs: Seq[(Long, String)],
+                   state: org.apache.spark.sql.DataFrame) = {
+      val df = docs.toDF("doc_id", "text")
+      val sig = graft.llm.Dedup.signatureFrame(df, "doc_id", "text",
+        LlmQueries.WordShingleN, LlmQueries.MinhashK)
+      pairs(graft.llm.Dedup.incrementalLshPairs(state, sig,
+          LlmQueries.MinhashK, LlmQueries.MinhashBands, LlmQueries.MinhashTau)
+        .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"),
+          col("jaccard"))) ++
+        pairs(graft.llm.Dedup.minhashLshPairs(df, "doc_id", "text",
+          LlmQueries.WordShingleN, LlmQueries.MinhashK,
+          LlmQueries.MinhashBands, LlmQueries.MinhashTau))
+    }
+    // sequential ground truth: batch 0 vs corpus; batch 1 vs corpus ∪
+    // batch 0's signatures — the state GREW between micro-batches
+    val sig1 = graft.llm.Dedup.signatureFrame(h1.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", LlmQueries.WordShingleN, LlmQueries.MinhashK)
+    val want0 = batchPairs(h1.toSeq, corpusSig)
+    val want1 = batchPairs(h2,
+      corpusSig.select("id", "hs", "sig").unionByName(sig1))
+    assert(pairs(spark.read.parquet(s"$dir/hits")
+      .filter(col("batch_run") === 0)) === want0)
+    assert(pairs(spark.read.parquet(s"$dir/hits")
+      .filter(col("batch_run") === 1)) === want1)
+    // the planted copy is caught AGAINST THE EARLIER MICRO-BATCH (state
+    // accumulation), with exact Jaccard 1.0 for the verbatim text
+    assert(want1.contains((planted._1, h1.head._1, 1.0)),
+      "intra-stream duplicate must be caught via the accumulated state")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming PQ index append equals the batch encode, micro-batch by micro-batch") {
     val sq = spark
     import sq.implicits._
