@@ -564,6 +564,71 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
       ORDER BY d.doc_id""")
   }
 
+  /** FROZEN-vocab BPE serving — the tokenizer's q151-style
+    * frozen-artifact entry point: train ONCE on `baseDocs` (merge list
+    * + the fully-merged vocab), then tokenize any arriving batch
+    * against those artifacts alone. Vocabulary pieces serve as a
+    * broadcast-shaped (piece → token count) join — the O(unique words)
+    * compression a second time; OUT-OF-VOCABULARY pieces (words the
+    * base corpus never saw — inevitable at the ingest edge) fold the
+    * frozen merge list over their character segmentation in rank
+    * order, exactly the greedy non-overlapping application training
+    * used, so serving and training can never disagree on a
+    * segmentation. The OOV fold runs once per DISTINCT unseen piece
+    * (not per occurrence) as a linear chain of [[BpeRounds]] bounded
+    * statements — plan depth constant in rounds, each round's frame
+    * referenced once (the multiplicative-CTE trap does not apply).
+    * The returned function is safe under foreachBatch: batch-side
+    * views register on the batch's (possibly cloned) session, the
+    * frozen frames compose across the clone. */
+  def bpeTokenizeFrozen(baseDocs: DataFrame): DataFrame => DataFrame = {
+    val (spark, merges, vocab) = bpeTrainCore(baseDocs)
+    def qlit(s: String): String = "'" + s.replace("'", "''") + "'"
+    val vocabTok = spark.sql(s"""
+        SELECT replace(seq, chr(31), '') AS p,
+          CAST(size(split(seq, chr(31))) AS BIGINT) AS ntok
+        FROM $vocab""")
+      .transform(graft.core.EngineCache.persisted)
+    batch => {
+      val bspark = batch.sparkSession
+      val btid = Thread.currentThread().getId
+      val bv = s"graft_bpef_batch_t$btid"
+      batch.createOrReplaceTempView(bv)
+      val pieces = bspark.sql(s"""
+        SELECT doc_id, explode(regexp_extract_all(text,
+          $BpePieceRegexSpark, 0)) AS p FROM $bv""")
+        .transform(graft.core.EngineCache.persisted)
+      val known = pieces.join(broadcast(vocabTok), Seq("p"), "left")
+      // fold the frozen merges over each DISTINCT unseen piece
+      var cur = known.filter(col("ntok").isNull).select("p").distinct()
+        .withColumn("seq", expr(
+          "array_join(transform(sequence(1, length(p)), " +
+            "i -> substr(p, i, 1)), chr(31))"))
+      merges.foreach { case (t, x, y, _) =>
+        val v = s"graft_bpef_m${t}_t$btid"
+        cur.createOrReplaceTempView(v)
+        cur = bspark.sql(s"""
+          SELECT p, aggregate(slice(arr, 2, size(arr) - 1),
+              element_at(arr, 1),
+              (acc, e) -> ${bpeStepSql(qlit(x), qlit(y))}) AS seq
+          FROM (SELECT p, split(seq, chr(31)) AS arr FROM $v) z""")
+      }
+      val oovTok = cur.select(col("p"),
+        expr("CAST(size(split(seq, chr(31))) AS BIGINT)").as("ntok_oov"))
+      known.join(broadcast(oovTok), Seq("p"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(length(col("p"))).as("n_sym0"),
+          sum(coalesce(col("ntok"), col("ntok_oov"))).as("n_tokens"))
+        .join(batch.select("doc_id"), Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          expr("CAST(coalesce(n_pieces, 0) AS BIGINT) AS n_pieces"),
+          expr("CAST(coalesce(n_sym0, 0) AS BIGINT) AS n_sym0"),
+          expr("CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens"))
+        .orderBy("doc_id")
+    }
+  }
+
   def bpeTokenizeSql: String = {
     val chain = bpeTrainSql
     val cut = chain.indexOf("\n      SELECT rank")

@@ -301,6 +301,36 @@ object EventAnalytics {
       .start()
   }
 
+  /** Streaming BPE tokenization with a FROZEN trained vocabulary — the
+    * tokenizer's stream-time twin (q183 under the q151 frozen-artifact
+    * discipline): the merge list and fully-merged vocab are trained
+    * ONCE on the base corpus before the stream starts
+    * ([[graft.operators.LlmQueries.bpeTokenizeFrozen]]); each arriving
+    * micro-batch tokenizes against those artifacts alone — vocab
+    * pieces by broadcast join, unseen pieces by folding the frozen
+    * merges — and its per-doc token accounting lands under
+    * `batch_run=N` with idempotent overwrite. The ingest edge thus
+    * prices every document in tokens (budget accounting, packing
+    * input) the moment it arrives, with a tokenizer that cannot drift
+    * mid-stream. */
+  def startStreamingBpeTokenize(docStream: DataFrame, baseDocs: DataFrame,
+                                outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tokenizeFor = graft.operators.LlmQueries.bpeTokenizeFrozen(baseDocs)
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          tokenizeFor(batch)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/batch_run=$batchId")
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Streaming BM25 index maintenance — the stream-time twin of q178:
     * each arriving micro-batch of (doc_id, text) rows is tokenized
     * alone and its postings (term, doc_id, tf, shard) land under

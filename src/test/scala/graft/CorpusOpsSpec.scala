@@ -129,6 +129,32 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 1L), (4L, 0L, 0L, 0L)))
   }
 
+  test("frozen-vocab BPE serving matches training and folds OOV pieces exactly") {
+    // frozen artifacts from the Sennrich spec corpus: merges
+    // (a,a)->aa, (aa,aa)->aaaa, (a,b)->ab, then the corpus runs dry
+    val serve = graft.operators.LlmQueries.bpeTokenizeFrozen(
+      docsOf(1L -> "aaaa", 2L -> "aaaa", 3L -> "ab"))
+    val out = serve(docsOf(
+        10L -> "aaaa",   // in-vocab: collapses to 1 token
+        11L -> "aaa",    // OOV: a|a|a -> greedy (a,a) -> aa|a = 2
+        12L -> "aaaaa",  // OOV: aa|aa|a -> (aa,aa) -> aaaa|a = 2
+        13L -> "ba",     // OOV: (a,b) never matches b-then-a = 2
+        14L -> ""))      // no pieces: zero row survives
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) === ((1L, 4L, 1L)))
+    assert(out(11L) === ((1L, 3L, 2L)))
+    assert(out(12L) === ((1L, 5L, 2L)))
+    assert(out(13L) === ((1L, 2L, 2L)))
+    assert(out(14L) === ((0L, 0L, 0L)))
+    // serving the training corpus itself reproduces the train-time
+    // apply bit for bit (vocab join path, no OOV anywhere)
+    val self = serve(docsOf(1L -> "aaaa", 2L -> "aaaa", 3L -> "ab"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(self === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("held-out perplexity: in-distribution scores low, alien text high, OOV exact") {
     val sq = spark
     import sq.implicits._

@@ -672,6 +672,40 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming BPE tokenize with frozen vocab equals the batch serving") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LlmQueries
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val base = d.filter(col("source") =!= LlmQueries.BatchSource)
+      .select("doc_id", "text")
+    val serve = LlmQueries.bpeTokenizeFrozen(base)
+    val batchDocs = d.filter(col("source") === LlmQueries.BatchSource)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (h1, h2) = batchDocs.splitAt(batchDocs.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbt").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingBpeTokenize(
+      source.toDF().toDF("doc_id", "text"), base, s"$dir/tok", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = spark.read.parquet(s"$dir/tok")
+      .select("doc_id", "n_pieces", "n_sym0", "n_tokens")
+      .collect().map(key).toSet
+    // per-doc accounting consults only the frozen artifacts, so the
+    // batch split cannot change a row — union == one-shot serving
+    val want = serve(batchDocs.toSeq.toDF("doc_id", "text"))
+      .collect().map(key).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming quality drift equals the direct per-batch PSI") {
     val sq = spark
     import sq.implicits._
