@@ -66,7 +66,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q120_chi_square"    -> chiSquare _,
     "q121_gini"          -> gini _,
     "q122_seasonal"      -> seasonal _,
-    "q149_hits"          -> hits _
+    "q149_hits"          -> hits _,
+    "q194_kcore"         -> kcore _
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,6 +108,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q120_chi_square" -> chiSquareSql("orders"),
     "q121_gini" -> giniSql("orders"),
     "q122_seasonal" -> seasonalSql("orders"),
-    "q149_hits" -> hitsSql(HitsIters)
+    "q149_hits" -> hitsSql(HitsIters),
+    "q194_kcore" -> kcoreSql("lineitem")
   )
 }

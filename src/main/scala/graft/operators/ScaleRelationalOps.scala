@@ -368,6 +368,95 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       .orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q194
+  /** K-core decomposition of the co-purchase graph — the
+    * density-periphery readout (graph-mining's standard "who is in the
+    * dense center" question, the structural complement of q115's
+    * triangle counts): iteratively peel nodes whose degree in the
+    * surviving subgraph falls below [[KcoreK]], [[KcorePeels]] rounds.
+    * The round count is a FIXED constant, not an until-fixpoint loop —
+    * that keeps the operator a pure function both engines spell
+    * identically (the oracle unrolls the same rounds with MATERIALIZED
+    * hints); on every current fixture the peel reaches its fixpoint
+    * well inside the budget (≤6 rounds at sf0.1), and extra rounds are
+    * no-ops by construction, so the result IS the k-core there. Output:
+    * each surviving node with its degree inside the final subgraph.
+    *
+    * Scale shape: the supported edge list persists once; each round is
+    * one degree hash-agg plus two semi joins, with
+    * `localCheckpoint(eager)` as the per-round materialization barrier
+    * (q76's lineage-truncation precedent — the alive set is referenced
+    * twice per round, so lazy chaining would double the analyzed tree
+    * every round). Peeling only shrinks frames; every shuffle is keyed
+    * on node/edge ids. */
+  val KcoreK = 2
+  val KcorePeels = 8
+
+  private[operators] def copurchaseEdges(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSup)
+      .select("u", "v")
+  }
+
+  /** The peel loop over an arbitrary (u, v) edge frame — the spec
+    * entry point. Returns (node, core_degree), unordered. */
+  def kcoreOf(e0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def degrees(edges: DataFrame) =
+      edges.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+    var edges = e0.transform(graft.core.EngineCache.persisted)
+    for (_ <- 1 to KcorePeels) {
+      val alive = degrees(edges).filter(col("d") >= KcoreK).select("node")
+      edges = edges
+        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    degrees(edges).select(col("node"), col("d").as("core_degree"))
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(copurchaseEdges(spark, dir)).orderBy("node")
+
+  def kcoreSql(table: String): String = {
+    def step(t: Int): String = {
+      val p = s"e${t - 1}"
+      s""",
+    d$t AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM $p UNION ALL SELECT v FROM $p) z$t
+      GROUP BY node),
+    a$t AS MATERIALIZED (SELECT node FROM d$t WHERE d >= $KcoreK),
+    e$t AS MATERIALIZED (
+      SELECT x.u, x.v FROM $p x
+      JOIN a$t p1 ON x.u = p1.node
+      JOIN a$t p2 ON x.v = p2.node)"""
+    }
+    s"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM $table),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= $TriMinSup)${(1 to KcorePeels).map(step).mkString}
+    SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+      SELECT u AS node FROM e$KcorePeels
+      UNION ALL SELECT v FROM e$KcorePeels) zf
+    GROUP BY node ORDER BY node"""
+  }
+
   // ---------------------------------------------------------------- q116
   /** Deterministic A/B experiment analysis: users assign to arms by pure
     * hash (reproducible, no assignment table to join), purchase values

@@ -441,6 +441,30 @@ class ScaleOpsSpec extends SparkSpec {
       "rerank must touch only the bounded pool's exact rows")
   }
 
+  test("k-core peels chains and pendants, keeps the planted clique") {
+    val sq = spark
+    import sq.implicits._
+    // 4-clique {1,2,3,4} + a pendant 5-1 + a chain 10-11-12-13: under
+    // K=2 the chain unravels end-inward and the pendant drops with it;
+    // the clique survives with every degree intact
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("u", "v")
+    val out = ScaleOps.kcoreOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "only the clique is 2-core; pendant and chain must peel away")
+    // idempotence past the fixpoint: extra rounds are no-ops, so the
+    // core of the core is the core
+    val again = ScaleOps.kcoreOf(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("power-iteration PCA recovers a planted dominant direction") {
     val sq = spark
     import sq.implicits._
