@@ -418,7 +418,21 @@ object Dedup {
     *    candidates) — guaranteed recall vs HAMMING, but Hamming is a
     *    proxy, so recall vs Jaccard truth is what needs measuring;
     *  - `head_key`: q131's normalized-head fingerprint — the cheap
-    *    heuristic key, recall entirely data-dependent.
+    *    heuristic key, recall entirely data-dependent;
+    *  - `sorted_neighborhood`: classic sorted-neighborhood blocking
+    *    (Hernández & Stolfo 1995) — rank every doc by (head
+    *    fingerprint, id) and compare only rank-neighbors within a
+    *    window of [[SnWindow]]. Its production pitch is the WORST-CASE
+    *    bound: candidates ≤ n·w regardless of key skew, where
+    *    `head_key` goes quadratic in a hot key's group (a template
+    *    head shared by 10⁶ docs is 5·10¹¹ head-key pairs but only
+    *    w·10⁶ SN pairs); the price is pairs beyond the window, which
+    *    this audit row makes visible. The rank is
+    *    [[graft.operators.DistributedRank]] (hash-valued primary →
+    *    near-uniform buckets), never a single-partition window, and
+    *    the window join is a rank-bucket self-join (each rank joins
+    *    its own and the previous ⌊rk/w⌋ bucket), so candidates stream
+    *    at O(n·w) at any corpus size.
     * Output per scheme: candidate count, truth size, hits, recall,
     * precision — the numbers that decide which blocking a production
     * dedup can afford. All schemes run over the eligible corpus (docs
@@ -429,6 +443,10 @@ object Dedup {
     * means), so the sample is the knob — the measurement's fidelity
     * scales with sample², its cost identically, and the schemes' rates
     * are sample-estimates of their corpus rates. */
+  /** Sorted-neighborhood comparison window, in ranks: each doc is a
+    * candidate against its `SnWindow` rank-successors. */
+  val SnWindow = 5
+
   def blockingAudit(docs0: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
                     maxHamming: Int, headWords: Int, tau: Double): DataFrame = {
@@ -463,6 +481,23 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // sorted-neighborhood: global (bk, id) rank, then each rank joins
+    // its own and the preceding ⌊rk/w⌋ bucket — every pair within w
+    // ranks meets in exactly one of the two, so candidates are found
+    // once and the join fans out 2 rows/doc, never n²
+    val ranked = graft.operators.DistributedRank.rankOnly(
+        heads, "rk", "bk", desc = false, col("bk"), col("id"))
+      .transform(graft.core.EngineCache.persisted)
+    val snA = ranked.selectExpr("id AS ida", "rk AS rk_a",
+      s"rk div $SnWindow AS snb")
+    val snB = ranked.selectExpr("id AS idb", "rk AS rk_b",
+      s"explode(array(rk div $SnWindow, rk div $SnWindow - 1)) AS snb")
+    val candSn = snA.join(snB, Seq("snb"))
+      .filter((col("rk_b") - col("rk_a")).between(1, SnWindow))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
     def scored(name: String, cand0: DataFrame): DataFrame = {
       val cand = cand0.transform(graft.core.EngineCache.persisted)
       cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
@@ -473,6 +508,7 @@ object Dedup {
     scored("head_key", candHead)
       .unionByName(scored("minhash_bands", candBands))
       .unionByName(scored("simhash_blocks", candSim))
+      .unionByName(scored("sorted_neighborhood", candSn))
       .crossJoin(nTruth)
       .select(col("scheme"), col("n_candidates"), col("n_truth"), col("hits"),
         graft.core.Determinism.dround(
@@ -546,6 +582,12 @@ object Dedup {
     cand_head AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM heads a JOIN heads b ON a.bk = b.bk AND a.id < b.id),
+    snr AS (
+      SELECT id, row_number() OVER (ORDER BY bk, id) AS rk FROM heads),
+    cand_sn AS (
+      SELECT DISTINCT least(a.id, b.id) AS id_a,
+        greatest(a.id, b.id) AS id_b
+      FROM snr a JOIN snr b ON b.rk - a.rk BETWEEN 1 AND $SnWindow),
     u AS (
       SELECT 'head_key' AS scheme,
         (SELECT count(*) FROM cand_head)::BIGINT AS n_candidates,
@@ -560,6 +602,11 @@ object Dedup {
       SELECT 'simhash_blocks',
         (SELECT count(*) FROM cand_sim)::BIGINT,
         (SELECT count(*) FROM cand_sim c
+          JOIN truth x ON c.id_a = x.id_a AND c.id_b = x.id_b)::BIGINT
+      UNION ALL
+      SELECT 'sorted_neighborhood',
+        (SELECT count(*) FROM cand_sn)::BIGINT,
+        (SELECT count(*) FROM cand_sn c
           JOIN truth x ON c.id_a = x.id_a AND c.id_b = x.id_b)::BIGINT)
     SELECT scheme, n_candidates, n_truth, hits,
       ${graft.core.Determinism.droundSql(

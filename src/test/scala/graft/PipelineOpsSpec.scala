@@ -466,7 +466,15 @@ class PipelineOpsSpec extends SparkSpec {
   test("blocking audit is internally consistent and truth-anchored") {
     val r = LlmQueries.blockingAudit(spark, sfDir).collect()
     assert(r.map(_.getString(0)).toSeq ==
-      Seq("head_key", "minhash_bands", "simhash_blocks"))
+      Seq("head_key", "minhash_bands", "simhash_blocks",
+        "sorted_neighborhood"))
+    // sorted-neighborhood's defining property: candidates are bounded
+    // by n·w no matter how skewed the blocking key is
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(s"doc_id < ${LlmQueries.AuditSampleCap}").count()
+    val sn = r.find(_.getString(0) == "sorted_neighborhood").get
+    assert(sn.getLong(1) <= nDocs * graft.llm.Dedup.SnWindow,
+      "SN candidate volume must respect the n*w worst-case bound")
     val truths = r.map(_.getLong(2)).distinct
     assert(truths.length == 1 && truths.head > 0,
       "every scheme is scored against the same nonempty truth set")
