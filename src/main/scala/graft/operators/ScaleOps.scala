@@ -67,7 +67,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q121_gini"          -> gini _,
     "q122_seasonal"      -> seasonal _,
     "q149_hits"          -> hits _,
-    "q194_kcore"         -> kcore _
+    "q194_kcore"         -> kcore _,
+    "q195_zorder_layout" -> zorderLayout _
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +110,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q121_gini" -> giniSql("orders"),
     "q122_seasonal" -> seasonalSql("orders"),
     "q149_hits" -> hitsSql(HitsIters),
-    "q194_kcore" -> kcoreSql("lineitem")
+    "q194_kcore" -> kcoreSql("lineitem"),
+    "q195_zorder_layout" -> zorderLayoutSql("lineitem")
   )
 }

@@ -719,4 +719,187 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(seasonalSql("orders"))
   }
 
+  // ---------------------------------------------------------------- q195
+  /** Z-order (Morton-curve) data-layout planner + file-skipping audit —
+    * the operator that decides how a 100 TB table should be WRITTEN.
+    * At scale the scan cost of every future query is set by layout:
+    * files carry min/max column stats (parquet row-group stats, the
+    * format-level contract behind `PushedFilters`), and a range
+    * predicate skips a file iff the file's [min,max] box misses it. A
+    * single-column sort clusters only that column; interleaving the
+    * bits of two keys (z = bit-interleave(p, s)) clusters BOTH, so
+    * 2-dim predicates touch O(√files) boxes instead of all of them.
+    *
+    * The interleave runs on NORMALIZED coordinates: each dim is first
+    * range-scaled to the full [0, 2^ZBits) domain from the table's own
+    * exact min/max — raw-key interleave is a classic z-order bug (this
+    * fixture exposes it: l_partkey spans ~4 more high bits than
+    * l_suppkey, so the unscaled curve is partkey-dominated and skips
+    * nothing on supplier predicates). Production z-order writers do
+    * the same normalization with per-column range-partition ids.
+    *
+    * The query plans both layouts over the same rows — `zorder` (sort
+    * by the Morton code) vs `partkey_sorted` (the single-dim
+    * baseline) — splits each into [[ZFiles]] equal-row files by global
+    * rank ([[DistributedRank]], never a single-partition window),
+    * collects each file's min/max box for both dims (one hash agg: the
+    * stats a writer would stamp into the footer), and then prices
+    * three canonical predicates against the boxes: a 2-dim
+    * quartile-window (`both_mid`), and each dim's quartile with the
+    * other unconstrained (`part_only` / `supp_only`). Predicate
+    * windows derive from the table's own exact min/max by integer
+    * arithmetic, so the audit is scale-free and deterministic. Output:
+    * one row per (layout, predicate) with files touched, the touched
+    * fraction, and the predicate's true row count — the evidence that
+    * says "z-order this table" (or not) BEFORE the rewrite pays for
+    * itself. Everything is exact integers but the final fraction;
+    * cost is two rank passes + two hash aggs over one persisted scan,
+    * and the audit join is [files × 3] rows at any data size. */
+  val ZBits = 16   // bits per dimension interleaved into the Morton code
+  val ZFiles = 64  // equal-row output files per layout
+
+  /** Bit-interleave `p` (odd bit lanes) with `s` (even lanes) — one
+    * rendering per dialect from the same bit algebra. */
+  private def zExpr(shl: (String, Int) => String,
+                    shr: (String, Int) => String,
+                    p: String, s: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(shl(s"(${shr(p, i)} & 1)", 2 * i + 1),
+        shl(s"(${shr(s, i)} & 1)", 2 * i))
+    }.mkString("(", " + ", ")")
+  private def zSpark(p: String, s: String): String =
+    zExpr((e, n) => s"shiftleft($e, $n)",
+      (e, n) => s"shiftright($e, $n)", p, s)
+  private def zDuck(p: String, s: String): String =
+    zExpr((e, n) => s"(($e) << $n)", (e, n) => s"(($e) >> $n)", p, s)
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    zorderLayoutOf(Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_partkey AS p", "l_suppkey AS s",
+        "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln"))
+
+  /** The planner over an arbitrary (p, s, o, ln) frame with unique
+    * (o, ln) — the spec entry point. */
+  def zorderLayoutOf(rows0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r0 = rows0.transform(graft.core.EngineCache.persisted)
+    val bounds = r0.agg(min("p").as("pmn"), max("p").as("pmx"),
+      min("s").as("smn"), max("s").as("smx"))
+    val rows = r0.crossJoin(broadcast(bounds))
+      .withColumn("ps",
+        expr(s"((p - pmn) * ${1L << ZBits}) div (pmx - pmn + 1)"))
+      .withColumn("ss",
+        expr(s"((s - smn) * ${1L << ZBits}) div (smx - smn + 1)"))
+      .withColumn("z", expr(zSpark("ps", "ss")))
+      .transform(graft.core.EngineCache.persisted)
+    val n = rows.count()
+    def fileStats(name: String, primary: String): DataFrame =
+      DistributedRank.rankOnly(rows, "rk", primary, desc = false,
+          col(primary), col("o"), col("ln"))
+        .withColumn("file_id", expr(s"((rk - 1) * $ZFiles) div $n"))
+        .groupBy("file_id")
+        .agg(min("p").as("p_lo"), max("p").as("p_hi"),
+          min("s").as("s_lo"), max("s").as("s_hi"))
+        .withColumn("layout", lit(name))
+    val stats = fileStats("zorder", "z")
+      .unionByName(fileStats("partkey_sorted", "p"))
+    val preds = rows
+      .agg(min("p").as("pmn"), max("p").as("pmx"),
+        min("s").as("smn"), max("s").as("smx"))
+      .selectExpr("pmn", "pmx", "smn", "smx",
+        "pmn + ((pmx - pmn + 1) * 1) div 4 AS pq_lo",
+        "pmn + ((pmx - pmn + 1) * 2) div 4 - 1 AS pq_hi",
+        "smn + ((smx - smn + 1) * 1) div 4 AS sq_lo",
+        "smn + ((smx - smn + 1) * 2) div 4 - 1 AS sq_hi")
+      .selectExpr("""explode(array(
+          named_struct('pred', 'both_mid', 'p_from', pq_lo, 'p_to', pq_hi,
+                       's_from', sq_lo, 's_to', sq_hi),
+          named_struct('pred', 'part_only', 'p_from', pq_lo, 'p_to', pq_hi,
+                       's_from', smn, 's_to', smx),
+          named_struct('pred', 'supp_only', 'p_from', pmn, 'p_to', pmx,
+                       's_from', sq_lo, 's_to', sq_hi))) AS q""")
+      .select("q.*")
+      .transform(graft.core.EngineCache.persisted)
+    val rowsMatch = rows.crossJoin(broadcast(preds))
+      .filter(col("p").between(col("p_from"), col("p_to")) &&
+        col("s").between(col("s_from"), col("s_to")))
+      .groupBy("pred").agg(count(lit(1)).as("rows_match"))
+    stats.join(broadcast(preds),
+        col("p_lo") <= col("p_to") && col("p_hi") >= col("p_from") &&
+          col("s_lo") <= col("s_to") && col("s_hi") >= col("s_from"))
+      .groupBy("layout", "pred")
+      .agg(count(lit(1)).as("files_touched"))
+      .join(rowsMatch, "pred")
+      .select(col("layout"), col("pred"),
+        lit(ZFiles).cast("long").as("files_total"), col("files_touched"),
+        dround(col("files_touched").cast("double") / ZFiles, 6)
+          .as("frac_files"),
+        col("rows_match"))
+      .orderBy("layout", "pred")
+  }
+
+  def zorderLayoutSql(table: String): String = s"""
+    WITH raw AS (
+      SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,
+        CAST(l_linenumber AS BIGINT) AS ln
+      FROM $table),
+    bb AS (
+      SELECT min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx
+      FROM raw),
+    scaled AS (
+      SELECT p, s, o, ln,
+        ((p - pmn) * ${1L << ZBits}) // (pmx - pmn + 1) AS ps,
+        ((s - smn) * ${1L << ZBits}) // (smx - smn + 1) AS ss
+      FROM raw CROSS JOIN bb),
+    r0 AS (
+      SELECT p, s, o, ln, ${zDuck("ps", "ss")} AS z
+      FROM scaled),
+    nn AS (SELECT count(*) AS n FROM r0),
+    fz AS (
+      SELECT 'zorder' AS layout,
+        ((row_number() OVER (ORDER BY z, o, ln) - 1) * $ZFiles) // nn.n
+          AS file_id, p, s
+      FROM r0 CROSS JOIN nn),
+    fp AS (
+      SELECT 'partkey_sorted' AS layout,
+        ((row_number() OVER (ORDER BY p, o, ln) - 1) * $ZFiles) // nn.n
+          AS file_id, p, s
+      FROM r0 CROSS JOIN nn),
+    stats AS (
+      SELECT layout, file_id, min(p) AS p_lo, max(p) AS p_hi,
+        min(s) AS s_lo, max(s) AS s_hi
+      FROM (SELECT * FROM fz UNION ALL SELECT * FROM fp) f
+      GROUP BY layout, file_id),
+    b AS (
+      SELECT min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
+        min(p) + ((max(p) - min(p) + 1) * 1) // 4 AS pq_lo,
+        min(p) + ((max(p) - min(p) + 1) * 2) // 4 - 1 AS pq_hi,
+        min(s) + ((max(s) - min(s) + 1) * 1) // 4 AS sq_lo,
+        min(s) + ((max(s) - min(s) + 1) * 2) // 4 - 1 AS sq_hi
+      FROM r0),
+    preds AS (
+      SELECT 'both_mid' AS pred, pq_lo AS p_from, pq_hi AS p_to,
+        sq_lo AS s_from, sq_hi AS s_to FROM b
+      UNION ALL
+      SELECT 'part_only', pq_lo, pq_hi, smn, smx FROM b
+      UNION ALL
+      SELECT 'supp_only', pmn, pmx, sq_lo, sq_hi FROM b),
+    m AS (
+      SELECT pred, CAST(count(*) AS BIGINT) AS rows_match
+      FROM r0 JOIN preds
+        ON p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to
+      GROUP BY pred),
+    t AS (
+      SELECT layout, pred, CAST(count(*) AS BIGINT) AS files_touched
+      FROM stats JOIN preds
+        ON p_lo <= p_to AND p_hi >= p_from
+          AND s_lo <= s_to AND s_hi >= s_from
+      GROUP BY layout, pred)
+    SELECT layout, pred, CAST($ZFiles AS BIGINT) AS files_total,
+      files_touched,
+      ${droundSql(s"files_touched::DOUBLE / $ZFiles", 6)} AS frac_files,
+      rows_match
+    FROM t JOIN m USING (pred)
+    ORDER BY layout, pred"""
+
 }

@@ -465,6 +465,33 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("z-order layout skips on both dims; the single sort cannot") {
+    val sq = spark
+    import sq.implicits._
+    // the full 64x64 grid: 4096 rows, 64 files of 64 rows. The Morton
+    // code is a bijection here, so each z-file is EXACTLY one aligned
+    // 8x8 quad and every count below is provable by hand: quartile
+    // windows are 16 of 64 values per dim = 2 of 8 blocks
+    val rows = for { p <- 0L until 64L; s <- 0L until 64L }
+      yield (p, s, p * 64 + s, 0L)
+    val out = ScaleOps.zorderLayoutOf(rows.toDF("p", "s", "o", "ln"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(5))).toMap
+    assert(out(("zorder", "both_mid"))._1 == 4,
+      "2x2 quads for a two-dim window")
+    assert(out(("zorder", "part_only"))._1 == 16)
+    assert(out(("zorder", "supp_only"))._1 == 16)
+    assert(out(("partkey_sorted", "both_mid"))._1 == 16)
+    assert(out(("partkey_sorted", "part_only"))._1 == 16)
+    assert(out(("partkey_sorted", "supp_only"))._1 == 64,
+      "the unsorted dim cannot skip at all")
+    // predicate row counts are layout-independent ground truth
+    assert(out(("zorder", "both_mid"))._2 == 16L * 16L)
+    assert(out(("partkey_sorted", "supp_only"))._2 == 64L * 16L)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("power-iteration PCA recovers a planted dominant direction") {
     val sq = spark
     import sq.implicits._
