@@ -701,6 +701,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q185_epoch_shuffle"  -> epochShuffle _,
     "q186_skipgram_negs"  -> skipgramNegatives _,
     "q188_script_profile" -> scriptProfile _,
+    "q196_pps_sample"     -> ppsSample _,
     "q189_gram_novelty"   -> gramNovelty _,
     "q190_corpus_funnel"  -> corpusFunnel _,
     "q192_dedup_tau_sweep" -> dedupTauSweep _,
@@ -849,6 +850,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q185_epoch_shuffle" -> epochShuffleSql,
     "q186_skipgram_negs" -> skipgramNegativesSql,
     "q188_script_profile" -> scriptProfileSql,
+    "q196_pps_sample" -> ppsSampleSql,
     "q189_gram_novelty" -> gramNoveltySql,
     "q190_corpus_funnel" -> corpusFunnelSql,
     "q192_dedup_tau_sweep" -> dedupTauSweepSql,

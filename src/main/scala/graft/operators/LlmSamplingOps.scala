@@ -964,4 +964,81 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
           " AS FLOAT) AS DOUBLE)", 6)} AS mean_luma
     FROM embeddings ORDER BY vec_id"""
 
+  // ---------------------------------------------------------------- q196
+  /** Systematic probability-proportional-to-size (PPS) corpus sampling
+    * — "draw exactly K documents with inclusion probability ∝ token
+    * count", the subsample primitive behind every corpus-scale study
+    * (quality eyeballing, contamination spot checks, eval-set carving,
+    * scaling-law subcorpora) where uniform-by-doc sampling would
+    * under-represent long documents' tokens. Classic systematic
+    * sampling made RNG-free and integer-exact: documents are laid on a
+    * line in hash-permuted order (okey = xhash(doc_id) — the random
+    * shuffle, reproducible from ids alone), each occupying its token
+    * count in length; a fixed grid of [[PpsK]] points at step =
+    * ⌊total/K⌋ is dropped on the line, and a document is drawn once
+    * per grid point inside its interval: n_copies =
+    * min(K, ⌊(before+w)/step⌋) − min(K, ⌊before/step⌋). Exactly K
+    * draws always; a doc longer than the step is drawn ≥1 time with
+    * certainty (multiplicity = its systematic share) — the
+    * variance-killing property random-with-replacement lacks.
+    *
+    * The interval layout is the [[DistributedRank.rankAndScanWithin]]
+    * distributed prefix sum (q185's machinery: per-bucket exact int64
+    * sums + driver offsets, never a single-partition window), so the
+    * pass is one scan + one keyed window at any corpus size, and the
+    * oracle's `SUM OVER (ORDER BY)` spelling hash-proves the rewrite.
+    * Output: the O(K) sample with multiplicities and the exact
+    * expected inclusion count n_copies ≈ K·w/total (reported 6dp). */
+  val PpsK = 64
+
+  def ppsSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSampleOf(docs(spark, dir))
+
+  def ppsSampleOf(docsF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val base = docsF
+      .selectExpr("doc_id", "source",
+        s"CAST(size(${wordsExpr("text")}) AS BIGINT) AS w",
+        xhashExpr("concat('pps:', CAST(doc_id AS STRING))") + " AS okey")
+      .withColumn("g", lit(0))
+    val laid = DistributedRank.rankAndScanWithin(
+      base, "g", "pos", "before", "w", "okey", desc = false,
+      col("okey"), col("doc_id"))
+    val tot = base.agg(sum(col("w")).as("tot"))
+    laid.crossJoin(bcast(tot))
+      .selectExpr("doc_id", "source", "w", "before", "tot",
+        s"least($PpsK, (before + w) div (tot div $PpsK)) - " +
+          s"least($PpsK, before div (tot div $PpsK)) AS n_copies")
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("w").as("n_tokens"),
+        col("n_copies"),
+        dround(col("w").cast("double") * PpsK / col("tot").cast("double"), 6)
+          .as("expect_copies"))
+      .orderBy("doc_id")
+  }
+
+  def ppsSampleSql: String = s"""
+    WITH base AS (
+      SELECT doc_id, source,
+        CAST(len(${wordsSql("text")}) AS BIGINT) AS w,
+        ${xhashSql("'pps:' || doc_id")} AS okey
+      FROM documents),
+    laid AS (
+      SELECT doc_id, source, w,
+        CAST(coalesce(sum(w) OVER (ORDER BY okey, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS before,
+        CAST(sum(w) OVER () AS BIGINT) AS tot
+      FROM base),
+    drawn AS (
+      SELECT doc_id, source, w, tot,
+        least($PpsK, (before + w) // (tot // $PpsK)) -
+          least($PpsK, before // (tot // $PpsK)) AS n_copies
+      FROM laid)
+    SELECT doc_id, source, w AS n_tokens,
+      CAST(n_copies AS BIGINT) AS n_copies,
+      ${droundSql(s"w::DOUBLE * $PpsK / tot::DOUBLE", 6)} AS expect_copies
+    FROM drawn WHERE n_copies >= 1
+    ORDER BY doc_id"""
+
 }

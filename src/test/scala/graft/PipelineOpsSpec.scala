@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   * chunk coverage, dedup-survivor structure). */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("PPS sample: exactly K draws, giant docs certain, partition-invariant") {
+    val sq = spark
+    import sq.implicits._
+    // 120 small docs (1..8 tokens) + one giant carrying ~27% of all
+    // tokens: its interval spans many grid steps, so systematic PPS
+    // must draw it with certainty and with its proportional multiplicity
+    val small = (1L to 120L).map(i =>
+      (i, s"s${i % 4}", Seq.fill((i % 8 + 1).toInt)(s"w$i").mkString(" ")))
+    val giantTokens = 200
+    val docs = (small :+ ((999L, "big",
+      Seq.fill(giantTokens)("g").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = LlmQueries.ppsSampleOf(docs).collect()
+    assert(out.map(_.getLong(3)).sum == LlmQueries.PpsK,
+      "systematic PPS draws exactly K copies in total")
+    val giant = out.find(_.getLong(0) == 999L)
+    assert(giant.isDefined, "a doc wider than the step is always drawn")
+    val totalTokens = small.map(_._3.split(" ").length).sum + giantTokens
+    val step = totalTokens / LlmQueries.PpsK
+    assert(math.abs(giant.get.getLong(3) - giantTokens / step) <= 1,
+      "multiplicity tracks the giant's systematic share")
+    // the sample is a pure function of ids and weights, not partitioning
+    val out2 = LlmQueries.ppsSampleOf(docs.repartition(7)).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      out2.map(r => (r.getLong(0), r.getLong(3))).toSeq)
+  }
+
   test("epoch shuffle: complete permutations, token-balanced shards, epochs differ") {
     val sq = spark
     import sq.implicits._
