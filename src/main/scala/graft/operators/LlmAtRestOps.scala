@@ -40,6 +40,128 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
   def lshPairTable(spark: SparkSession, dir: String): DataFrame =
     lshPairsAtRest(spark, dir).orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q197
+  /** Personalized-PageRank taint propagation over the near-dup graph —
+    * blocklist (or allowlist) EXPANSION as a query: given a seed set of
+    * known-bad documents (here: everything from '[[TaintSeedSource]]'),
+    * score every document by its personalized-PageRank mass when the
+    * random walk restarts into the seeds, walking the q144 at-rest
+    * near-dup pair graph. A verbatim mirror of a seed scores high, a
+    * mirror-of-a-mirror lower, an untouched doc zero — the graded
+    * "contamination by association" signal that a binary transitive
+    * closure (q51's components) cannot express, and the standard
+    * seed-expansion primitive (TrustRank/anti-TrustRank) for growing a
+    * small human-labeled list into a corpus-scale policy.
+    *
+    * Scale shape: the walk runs on the PAIR graph — the O(near-dups)
+    * OUTPUT of banded LSH, orders of magnitude smaller than the corpus
+    * and already at rest (q144's table; PlanSpec-style reuse, no
+    * re-shingling) — never on the corpus itself; [[TaintIters]] fixed
+    * rounds of edge⋈score + hash agg with q104's exactness discipline
+    * (per-edge contributions floor-bridged to a 1e-12 grid, summed as
+    * DECIMAL(38,0), scores re-rounded onto the grid each round, so both
+    * engines iterate from bit-identical state). Isolated seeds keep
+    * their restart mass; the oracle replays the full pair pipeline from
+    * raw text with the pair/edge CTEs MATERIALIZED (DuckDB would
+    * otherwise re-run the LSH pipeline once per round per reference).
+    * Output: every touched doc with its seed flag and 9dp taint. */
+  val TaintSeedSource = "src0"
+  val TaintAlpha = "0.5"   // restart probability, exact decimal literal
+  val TaintIters = 3
+
+  def taintPpr(spark: SparkSession, dir: String): DataFrame =
+    taintPprOf(lshPairsAtRest(spark, dir).select("id_a", "id_b"),
+      docs(spark, dir).filter(col("source") === TaintSeedSource)
+        .select(col("doc_id").as("node")))
+
+  /** The walk over an arbitrary (id_a, id_b) pair frame and seed node
+    * frame — the spec entry point. */
+  def taintPprOf(pairs: DataFrame, seeds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .transform(graft.core.EngineCache.persisted)
+    val deg0 = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node")).distinct()
+      .unionByName(seeds).distinct()
+      .join(deg0, Seq("node"), "left")
+      .join(seeds.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .selectExpr("node", "coalesce(deg, 0L) AS deg",
+        "coalesce(is_seed, 0L) AS is_seed")
+      .transform(graft.core.EngineCache.persisted)
+    val nSeeds = nodes.filter(col("is_seed") === 1).count()
+    val a = TaintAlpha
+    var r = nodes.selectExpr("node", "deg", "is_seed",
+      s"floor(is_seed * 1e12 / CAST($nSeeds AS DOUBLE) + 0.5) / 1e12 AS r")
+    for (i <- 1 to TaintIters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
+            "AS DECIMAL(38,0))").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      r = nodes.join(sums, Seq("node"), "left")
+        .selectExpr("node", "deg", "is_seed",
+          s"floor(($a * is_seed / CAST($nSeeds AS DOUBLE) + " +
+            s"(1.0 - $a) * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) " +
+            "* 1e12 + 0.5) / 1e12 AS r")
+      if (i < TaintIters) {
+        r = r.transform(graft.core.EngineCache.persisted)
+        r.count() // q104's per-round materialization barrier
+      }
+    }
+    r.filter(col("r") > 0)
+      .select(col("node").as("doc_id"), col("is_seed"),
+        dround(col("r"), 9).as("taint"))
+      .orderBy("doc_id")
+  }
+
+  def taintPprSql: String = {
+    val pairsSql = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
+    val a = TaintAlpha
+    val iterCtes = (1 to TaintIters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+      SELECT e.dst AS node,
+        CAST(floor($p.r / CAST($p.deg AS DOUBLE) * 1e12 + 0.5)
+          AS DECIMAL(38,0)) AS c
+      FROM e JOIN $p ON e.src = $p.node),
+    s$i AS (SELECT node, sum(c) AS sc FROM c$i GROUP BY node),
+    r$i AS (
+      SELECT nd.node, nd.deg, nd.is_seed,
+        floor(($a * nd.is_seed / ns.ns +
+               (1.0 - $a) * (CAST(coalesce(s$i.sc, 0) AS DOUBLE) / 1e12))
+          * 1e12 + 0.5) / 1e12 AS r
+      FROM nd CROSS JOIN ns
+      LEFT JOIN s$i ON nd.node = s$i.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH p AS MATERIALIZED ($pairsSql),
+    e AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+    seeds AS (SELECT doc_id AS node FROM documents
+              WHERE source = '$TaintSeedSource'),
+    deg0 AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+    nd AS MATERIALIZED (
+      SELECT n.node, coalesce(deg0.deg, 0) AS deg,
+        CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+      FROM (SELECT DISTINCT src AS node FROM e
+            UNION SELECT node FROM seeds) n
+      LEFT JOIN deg0 ON n.node = deg0.node
+      LEFT JOIN seeds s ON n.node = s.node),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nd WHERE is_seed = 1),
+    r0 AS (
+      SELECT node, deg, is_seed,
+        floor(is_seed * 1e12 / ns.ns + 0.5) / 1e12 AS r
+      FROM nd CROSS JOIN ns),
+    $iterCtes
+    SELECT node AS doc_id, CAST(is_seed AS BIGINT) AS is_seed,
+      ${droundSql("r", 9)} AS taint
+    FROM r$TaintIters WHERE r > 0
+    ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------------- q192
   /** Dedup-threshold sensitivity sweep — the tuning curve that picks τ
     * before anyone commits to a near-dup pass: for each candidate

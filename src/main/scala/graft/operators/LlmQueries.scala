@@ -702,6 +702,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q186_skipgram_negs"  -> skipgramNegatives _,
     "q188_script_profile" -> scriptProfile _,
     "q196_pps_sample"     -> ppsSample _,
+    "q197_taint_ppr"      -> taintPpr _,
     "q189_gram_novelty"   -> gramNovelty _,
     "q190_corpus_funnel"  -> corpusFunnel _,
     "q192_dedup_tau_sweep" -> dedupTauSweep _,
@@ -851,6 +852,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q186_skipgram_negs" -> skipgramNegativesSql,
     "q188_script_profile" -> scriptProfileSql,
     "q196_pps_sample" -> ppsSampleSql,
+    "q197_taint_ppr" -> taintPprSql,
     "q189_gram_novelty" -> gramNoveltySql,
     "q190_corpus_funnel" -> corpusFunnelSql,
     "q192_dedup_tau_sweep" -> dedupTauSweepSql,

@@ -36,6 +36,26 @@ class PipelineOpsSpec extends SparkSpec {
       out2.map(r => (r.getLong(0), r.getLong(3))).toSeq)
   }
 
+  test("taint PPR: decays with distance, isolated seeds keep restart mass") {
+    val sq = spark
+    import sq.implicits._
+    // chain 1-2-3-4 off seed 1, isolated seed 9, untouched pair 100-101
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (100L, 101L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val out = LlmQueries.taintPprOf(pairs, seeds).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(100L) && !out.contains(101L),
+      "nodes unreachable from any seed carry zero taint and are dropped")
+    assert(out(9L)._1 == 1L && out(9L)._2 == 0.25,
+      "an isolated seed keeps exactly its restart mass alpha/|S|")
+    val (t2, t3, t4) = (out(2L)._2, out(3L)._2, out(4L)._2)
+    assert(t2 > t3 && t3 > t4 && t4 > 0,
+      s"taint must decay monotonically along the chain: $t2 $t3 $t4")
+    assert(out(1L)._1 == 1L && out(2L)._1 == 0L, "seed flags")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("epoch shuffle: complete permutations, token-balanced shards, epochs differ") {
     val sq = spark
     import sq.implicits._
