@@ -68,7 +68,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q122_seasonal"      -> seasonal _,
     "q149_hits"          -> hits _,
     "q194_kcore"         -> kcore _,
-    "q195_zorder_layout" -> zorderLayout _
+    "q195_zorder_layout" -> zorderLayout _,
+    "q198_zorder_serve"  -> zorderServe _
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +112,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q122_seasonal" -> seasonalSql("orders"),
     "q149_hits" -> hitsSql(HitsIters),
     "q194_kcore" -> kcoreSql("lineitem"),
-    "q195_zorder_layout" -> zorderLayoutSql("lineitem")
+    "q195_zorder_layout" -> zorderLayoutSql("lineitem"),
+    "q198_zorder_serve" -> zorderServeSql("lineitem")
   )
 }

@@ -838,6 +838,125 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       .orderBy("layout", "pred")
   }
 
+  // ---------------------------------------------------------------- q198
+  /** Z-order SERVING from a layout at rest — q195's plan executed, the
+    * q146-for-layout contract: the z-laid rows persist ONCE to the
+    * warehouse Hive-partitioned by file_id (the "files" q195 priced),
+    * a tiny per-file min/max MANIFEST persists beside them (built from
+    * the published rows — the stats pass every table format runs at
+    * write time), and a 2-dim range query is then served in the shape
+    * a real lakehouse reader uses: read the O(files) manifest, prune
+    * file ids against the predicate's box ON THE DRIVER (the manifest
+    * prune Delta/Iceberg do at planning time), and scan ONLY the
+    * surviving partitions — PlanSpec asserts `PartitionFilters:
+    * [file_id IN (…)]` and that neither the raw table nor the pruned
+    * partitions are touched. Because manifest boxes are true min/max,
+    * pruning cannot lose rows, and the oracle proves it: it computes
+    * the same aggregates from the RAW table plus the touched-file
+    * count from a full layout replay, so the hash match certifies the
+    * pruned serve is lossless. Output: one row — files total/touched
+    * and the predicate rows' count and exact integer sums. */
+  def zorderRowsAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val table = "zlay_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table, "file_id") {
+      import org.apache.spark.sql.functions._
+      val r0 = Tables.load(spark, dir, "lineitem")
+        .selectExpr("l_partkey AS p", "l_suppkey AS s",
+          "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
+        .transform(graft.core.EngineCache.persisted)
+      val bounds = r0.agg(min("p").as("pmn"), max("p").as("pmx"),
+        min("s").as("smn"), max("s").as("smx"))
+      val rows = r0.crossJoin(broadcast(bounds))
+        .withColumn("ps",
+          expr(s"((p - pmn) * ${1L << ZBits}) div (pmx - pmn + 1)"))
+        .withColumn("ss",
+          expr(s"((s - smn) * ${1L << ZBits}) div (smx - smn + 1)"))
+        .withColumn("z", expr(zSpark("ps", "ss")))
+        .transform(graft.core.EngineCache.persisted)
+      val n = rows.count()
+      DistributedRank.rankOnly(rows, "rk", "z", desc = false,
+          col("z"), col("o"), col("ln"))
+        .withColumn("file_id",
+          expr(s"CAST(((rk - 1) * $ZFiles) div $n AS INT)"))
+        .select("p", "s", "o", "ln", "file_id")
+    }
+  }
+
+  def zorderManifestAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val table = "zmanifest_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table) {
+      import org.apache.spark.sql.functions._
+      zorderRowsAtRest(spark, dir).groupBy("file_id")
+        .agg(min("p").as("p_lo"), max("p").as("p_hi"),
+          min("s").as("s_lo"), max("s").as("s_hi"))
+    }
+  }
+
+  def zorderServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val man = zorderManifestAtRest(spark, dir).collect() // O(files) rows
+    def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
+    val (pmn, pmx) = (man.map(long(_, 1)).min, man.map(long(_, 2)).max)
+    val (smn, smx) = (man.map(long(_, 3)).min, man.map(long(_, 4)).max)
+    // the both_mid predicate: quartile-2 window on each dim (q195)
+    val (pFrom, pTo) = (pmn + (pmx - pmn + 1) * 1 / 4,
+      pmn + (pmx - pmn + 1) * 2 / 4 - 1)
+    val (sFrom, sTo) = (smn + (smx - smn + 1) * 1 / 4,
+      smn + (smx - smn + 1) * 2 / 4 - 1)
+    val keep = man.filter(r => long(r, 1) <= pTo && long(r, 2) >= pFrom &&
+      long(r, 3) <= sTo && long(r, 4) >= sFrom).map(_.getInt(0)).sorted
+    zorderRowsAtRest(spark, dir)
+      .filter(col("file_id").isin(keep.map(Integer.valueOf): _*) &&
+        col("p").between(pFrom, pTo) && col("s").between(sFrom, sTo))
+      .agg(count(lit(1)).as("n_rows"), sum("p").as("sum_p"),
+        sum("s").as("sum_s"))
+      .select(lit(ZFiles).cast("long").as("files_total"),
+        lit(keep.length.toLong).as("files_touched"),
+        col("n_rows"), col("sum_p").cast("long").as("sum_p"),
+        col("sum_s").cast("long").as("sum_s"))
+  }
+
+  def zorderServeSql(table: String): String = s"""
+    WITH raw AS (
+      SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,
+        CAST(l_linenumber AS BIGINT) AS ln
+      FROM $table),
+    bb AS (
+      SELECT min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
+        min(p) + ((max(p) - min(p) + 1) * 1) // 4 AS p_from,
+        min(p) + ((max(p) - min(p) + 1) * 2) // 4 - 1 AS p_to,
+        min(s) + ((max(s) - min(s) + 1) * 1) // 4 AS s_from,
+        min(s) + ((max(s) - min(s) + 1) * 2) // 4 - 1 AS s_to
+      FROM raw),
+    scaled AS (
+      SELECT p, s, o, ln,
+        ((p - pmn) * ${1L << ZBits}) // (pmx - pmn + 1) AS ps,
+        ((s - smn) * ${1L << ZBits}) // (smx - smn + 1) AS ss
+      FROM raw CROSS JOIN bb),
+    r0 AS (
+      SELECT p, s, o, ln, ${zDuck("ps", "ss")} AS z FROM scaled),
+    nn AS (SELECT count(*) AS n FROM r0),
+    fz AS (
+      SELECT ((row_number() OVER (ORDER BY z, o, ln) - 1) * $ZFiles) // nn.n
+          AS file_id, p, s
+      FROM r0 CROSS JOIN nn),
+    boxes AS (
+      SELECT file_id, min(p) AS p_lo, max(p) AS p_hi,
+        min(s) AS s_lo, max(s) AS s_hi
+      FROM fz GROUP BY file_id),
+    keep AS (
+      SELECT file_id FROM boxes CROSS JOIN bb
+      WHERE p_lo <= p_to AND p_hi >= p_from
+        AND s_lo <= s_to AND s_hi >= s_from)
+    SELECT CAST($ZFiles AS BIGINT) AS files_total,
+      (SELECT CAST(count(*) AS BIGINT) FROM keep) AS files_touched,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(p) AS BIGINT) AS sum_p, CAST(sum(s) AS BIGINT) AS sum_s
+    FROM raw CROSS JOIN bb
+    WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
+
   def zorderLayoutSql(table: String): String = s"""
     WITH raw AS (
       SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,

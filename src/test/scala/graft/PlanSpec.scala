@@ -427,6 +427,17 @@ class PlanSpec extends SparkSpec {
       s"no query-time tokenization:\n$p")
   }
 
+  test("z-order serve scans only pruned at-rest partitions, not the raw table") {
+    graft.operators.ScaleOps.zorderRowsAtRest(spark, sfDir)
+    val p = plan(graft.operators.ScaleOps.zorderServe(spark, sfDir))
+    assert(p.contains("zlay_"),
+      s"serve must scan the persisted z-laid rows:\n$p")
+    assert(p.contains("PartitionFilters: [file_id"),
+      s"the manifest prune must reach the scan as a partition filter:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"serve must not rescan the raw table:\n$p")
+  }
+
   test("iterative trainers scan a persisted frame, not the corpus per pass") {
     // q163 (3 GD iterations) and q170 (3 power iterations): the per-pass
     // input must be an InMemoryTableScan of the persisted feature /
