@@ -323,19 +323,116 @@ object AnalyticsOps {
     }
   }
 
+  // ---------------------------------------------------------------- q199
+  /** Fellegi–Sunter probabilistic record linkage — entity resolution
+    * with SCORED field agreement, the family the exact/fuzzy joins
+    * (q85 PassJoin, q123 PPJoin) don't cover: when two records share
+    * some fields and differ on others, how strong is the evidence they
+    * are the same entity? Each field f carries a match weight
+    * log2(m_f/u_f) when it agrees and log2((1−m_f)/(1−u_f)) when it
+    * doesn't, where u_f — the probability two RANDOM records agree —
+    * is estimated from the data itself as Σ_v (n_v/N)² (exact integer
+    * sums over one group-by per field, so a near-unique field like a
+    * customer name earns a large weight and a 5-value segment a small
+    * one, with no labeled data needed), and m_f is the standard 0.95
+    * prior. Pair scores classify into match / possible / non-match at
+    * [[LinkUpper]]/[[LinkLower]] — the clerical-review triage every
+    * production linkage ships.
+    *
+    * The fixture derives its own dirty side deterministically (q108's
+    * self-derived-changeset discipline): customers ≡ 1 (mod 7) arrive
+    * as records whose name is tail-mangled for half of them — so
+    * ground truth is the identity mapping, and the mangled half proves
+    * the SCORING works where equality fails: segment+balance agreement
+    * alone clears the match bar. Blocking on nation key bounds
+    * candidates (the audited-blocking story, q159); pairs with <2
+    * agreeing fields drop before scoring, so the output is O(dirty).
+    * Every weight is ln-based double BUT each term is floor-bridged to
+    * a 1e-6 grid before the sum (q187's DCG discipline), so a 1-ulp
+    * libm difference cannot move a score. One dialect-neutral string
+    * runs in both engines. */
+  val LinkM = "0.95"    // P(field agrees | true match) — exact literal
+  val LinkUpper = "5.0" // score >= upper  -> 'match'
+  val LinkLower = "0.0" // score >= lower  -> 'possible', else non-match
+
+  def recordLinkageSql(table: String): String = {
+    def wa(u: String) = droundSql(s"ln($LinkM / ($u)) / ln(2.0)", 6)
+    def wd(u: String) =
+      droundSql(s"ln((1.0 - $LinkM) / (1.0 - ($u))) / ln(2.0)", 6)
+    s"""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+        c_name AS name,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM $table),
+    dirty AS (
+      SELECT id AS d_id, blk, seg,
+        CASE WHEN id % 14 = 1
+             THEN substr(name, 1, length(name) - 1) || 'x'
+             ELSE name END AS name,
+        cents
+      FROM clean WHERE id % 7 = 1),
+    nn AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM clean),
+    us AS (SELECT CAST(sum(c * c) AS DOUBLE) AS s2 FROM
+           (SELECT count(1) AS c FROM clean GROUP BY seg) z),
+    up AS (SELECT CAST(sum(c * c) AS DOUBLE) AS s2 FROM
+           (SELECT count(1) AS c FROM clean GROUP BY name) z),
+    ub AS (SELECT CAST(sum(c * c) AS DOUBLE) AS s2 FROM
+           (SELECT count(1) AS c FROM clean GROUP BY cents) z),
+    w AS (
+      SELECT
+        ${wa("us.s2 / (nn.n * nn.n)")} AS wa_seg,
+        ${wd("us.s2 / (nn.n * nn.n)")} AS wd_seg,
+        ${wa("up.s2 / (nn.n * nn.n)")} AS wa_name,
+        ${wd("up.s2 / (nn.n * nn.n)")} AS wd_name,
+        ${wa("ub.s2 / (nn.n * nn.n)")} AS wa_bal,
+        ${wd("ub.s2 / (nn.n * nn.n)")} AS wd_bal
+      FROM nn, us, up, ub),
+    cand AS (
+      SELECT d.d_id, c.id AS clean_id,
+        CASE WHEN d.seg = c.seg THEN 1 ELSE 0 END AS a_seg,
+        CASE WHEN d.name = c.name THEN 1 ELSE 0 END AS a_name,
+        CASE WHEN d.cents = c.cents THEN 1 ELSE 0 END AS a_bal
+      FROM dirty d JOIN clean c ON d.blk = c.blk),
+    scored AS (
+      SELECT d_id, clean_id, a_seg, a_name, a_bal,
+        ${droundSql(
+          "(CASE WHEN a_seg = 1 THEN w.wa_seg ELSE w.wd_seg END) + " +
+          "(CASE WHEN a_name = 1 THEN w.wa_name ELSE w.wd_name END) + " +
+          "(CASE WHEN a_bal = 1 THEN w.wa_bal ELSE w.wd_bal END)", 6)}
+          AS score
+      FROM cand CROSS JOIN w
+      WHERE a_seg + a_name + a_bal >= 2)
+    SELECT d_id, clean_id,
+      CAST(a_seg AS BIGINT) AS a_seg, CAST(a_name AS BIGINT) AS a_name,
+      CAST(a_bal AS BIGINT) AS a_bal, score,
+      CASE WHEN score >= $LinkUpper THEN 'match'
+           WHEN score >= $LinkLower THEN 'possible'
+           ELSE 'non_match' END AS decision
+    FROM scored
+    ORDER BY d_id, clean_id"""
+  }
+
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(recordLinkageSql("customer"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_setsim_join"  -> setSimJoin _,
     "q124_ols_brand"    -> olsByBrand _,
     "q125_bfs_hops"     -> bfsHops _,
-    "q126_skew_profile" -> skewProfile _
+    "q126_skew_profile" -> skewProfile _,
+    "q199_record_link"  -> recordLinkage _
   )
 
   val oracles: Map[String, String] = Map(
     "q123_setsim_join"  -> setSimJoinSql,
     "q124_ols_brand"    -> olsSql,
     "q125_bfs_hops"     -> bfsSql("lineitem"),
-    "q126_skew_profile" -> skewProfileSql("lineitem", "l_partkey")
+    "q126_skew_profile" -> skewProfileSql("lineitem", "l_partkey"),
+    "q199_record_link"  -> recordLinkageSql("customer")
   )
 }

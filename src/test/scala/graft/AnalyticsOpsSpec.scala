@@ -68,6 +68,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("record linkage: every planted twin links; scoring survives the mangled name") {
+    val out = graft.operators.AnalyticsOps.recordLinkage(spark, sfDir).collect()
+    val nDirty = graft.core.Tables.load(spark, sfDir, "customer")
+      .filter("c_custkey % 7 = 1").count()
+    val twins = out.filter(r => r.getLong(0) == r.getLong(1))
+    assert(twins.length == nDirty,
+      "ground truth is the identity mapping; every dirty record must link")
+    twins.foreach { r =>
+      assert(r.getString(6) == "match", s"twin must classify as match: $r")
+      assert(r.getLong(4) == 1L, "balance always agrees on a true twin")
+    }
+    // the mangled half links WITHOUT name equality — the point of scoring
+    val mangled = twins.filter(_.getLong(3) == 0L)
+    val exact = twins.filter(_.getLong(3) == 1L)
+    assert(mangled.nonEmpty && exact.nonEmpty)
+    assert(exact.map(_.getDouble(5)).min > mangled.map(_.getDouble(5)).max,
+      "an agreeing near-unique field must dominate the score")
+    out.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) >= 2,
+        "sub-threshold agreement pairs are pruned before scoring")
+    }
+  }
+
   test("skew profiler ranks the heavy key first with exact share") {
     // key 7 has 6 of 10 rows across 3 keys: share .6, 1.8x mean
     (Seq.fill(6)(7) ++ Seq(8, 8, 9, 9)).toDF("l_partkey")
