@@ -69,7 +69,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q149_hits"          -> hits _,
     "q194_kcore"         -> kcore _,
     "q195_zorder_layout" -> zorderLayout _,
-    "q198_zorder_serve"  -> zorderServe _
+    "q198_zorder_serve"  -> zorderServe _,
+    "q200_zorder_append" -> zorderAppendServe _
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +114,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q149_hits" -> hitsSql(HitsIters),
     "q194_kcore" -> kcoreSql("lineitem"),
     "q195_zorder_layout" -> zorderLayoutSql("lineitem"),
-    "q198_zorder_serve" -> zorderServeSql("lineitem")
+    "q198_zorder_serve" -> zorderServeSql("lineitem"),
+    "q200_zorder_append" -> zorderAppendServeSql("lineitem")
   )
 }

@@ -957,6 +957,174 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     FROM raw CROSS JOIN bb
     WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
 
+  // ---------------------------------------------------------------- q200
+  /** Incremental z-order APPEND — the maintenance half of q198, q151's
+    * frozen-parameter discipline applied to layout: the base corpus
+    * (l_orderkey ≢ [[ZBatchMod]] mod 10) is z-laid and persisted ONCE;
+    * an arriving batch (≡ [[ZBatchMod]], ~10% of rows — the filter
+    * pushed into its scan) is the ONLY data ranked at append time,
+    * encoded with the base's FROZEN normalization bounds (read from the
+    * base manifest's true min/max, never recomputed from raw data) into
+    * [[ZAppendFiles]] fresh file ids past the base's range — base files
+    * are immutable, exactly how a lakehouse OPTIMIZE-then-append
+    * behaves. Serving spans base ∪ fresh: one manifest (stored base
+    * boxes + the batch's live boxes), one driver-side prune, one scan
+    * of surviving partitions plus the filtered batch. The oracle
+    * replays both layouts and computes the aggregates from ALL raw
+    * rows, so the hash match proves the append lost nothing and the
+    * frozen-bounds encode stayed consistent with the base curve.
+    * Append cost is O(batch·log batch at worst); the base is never
+    * re-ranked, re-scaled, or rewritten. */
+  val ZBatchMod = 7     // l_orderkey % 10 = this -> the arriving batch
+  val ZAppendFiles = 8  // fresh files per append
+
+  def zorderBaseAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val table = "zbase_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table, "file_id") {
+      import org.apache.spark.sql.functions._
+      val r0 = Tables.load(spark, dir, "lineitem")
+        .filter(s"l_orderkey % 10 != $ZBatchMod")
+        .selectExpr("l_partkey AS p", "l_suppkey AS s",
+          "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
+        .transform(graft.core.EngineCache.persisted)
+      val bounds = r0.agg(min("p").as("pmn"), max("p").as("pmx"),
+        min("s").as("smn"), max("s").as("smx"))
+      val rows = r0.crossJoin(broadcast(bounds))
+        .withColumn("ps",
+          expr(s"((p - pmn) * ${1L << ZBits}) div (pmx - pmn + 1)"))
+        .withColumn("ss",
+          expr(s"((s - smn) * ${1L << ZBits}) div (smx - smn + 1)"))
+        .withColumn("z", expr(zSpark("ps", "ss")))
+        .transform(graft.core.EngineCache.persisted)
+      val n = rows.count()
+      DistributedRank.rankOnly(rows, "rk", "z", desc = false,
+          col("z"), col("o"), col("ln"))
+        .withColumn("file_id",
+          expr(s"CAST(((rk - 1) * $ZFiles) div $n AS INT)"))
+        .select("p", "s", "o", "ln", "file_id")
+    }
+  }
+
+  def zorderAppendServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = zorderBaseAtRest(spark, dir)
+    // the base manifest: O(files) true min/max boxes from stored rows
+    val baseBoxes = base.groupBy("file_id")
+      .agg(min("p").as("p_lo"), max("p").as("p_hi"),
+        min("s").as("s_lo"), max("s").as("s_hi"))
+      .collect().sortBy(_.getInt(0))
+    def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
+    // FROZEN normalization bounds = the base's global box
+    val (pmn, pmx) = (baseBoxes.map(long(_, 1)).min,
+      baseBoxes.map(long(_, 2)).max)
+    val (smn, smx) = (baseBoxes.map(long(_, 3)).min,
+      baseBoxes.map(long(_, 4)).max)
+    // the arriving batch: the only rows ranked, frozen-bounds encode
+    val batch = Tables.load(spark, dir, "lineitem")
+      .filter(s"l_orderkey % 10 = $ZBatchMod")
+      .selectExpr("l_partkey AS p", "l_suppkey AS s",
+        "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
+      .withColumn("ps", expr(
+        s"least(${(1L << ZBits) - 1}, greatest(0L, " +
+          s"((p - $pmn) * ${1L << ZBits}) div ${pmx - pmn + 1}))"))
+      .withColumn("ss", expr(
+        s"least(${(1L << ZBits) - 1}, greatest(0L, " +
+          s"((s - $smn) * ${1L << ZBits}) div ${smx - smn + 1}))"))
+      .withColumn("z", expr(zSpark("ps", "ss")))
+      .transform(graft.core.EngineCache.persisted)
+    val nb = batch.count()
+    val fresh = DistributedRank.rankOnly(batch, "rk", "z", desc = false,
+        col("z"), col("o"), col("ln"))
+      .withColumn("file_id",
+        expr(s"CAST($ZFiles + ((rk - 1) * $ZAppendFiles) div $nb AS INT)"))
+      .select("p", "s", "o", "ln", "file_id")
+      .transform(graft.core.EngineCache.persisted)
+    val freshBoxes = fresh.groupBy("file_id")
+      .agg(min("p").as("p_lo"), max("p").as("p_hi"),
+        min("s").as("s_lo"), max("s").as("s_hi"))
+      .collect()
+    // the both_mid predicate from the frozen base bounds (q195's window)
+    val (pFrom, pTo) = (pmn + (pmx - pmn + 1) * 1 / 4,
+      pmn + (pmx - pmn + 1) * 2 / 4 - 1)
+    val (sFrom, sTo) = (smn + (smx - smn + 1) * 1 / 4,
+      smn + (smx - smn + 1) * 2 / 4 - 1)
+    def touched(boxes: Array[org.apache.spark.sql.Row]): Array[Int] =
+      boxes.filter(r => long(r, 1) <= pTo && long(r, 2) >= pFrom &&
+        long(r, 3) <= sTo && long(r, 4) >= sFrom).map(_.getInt(0))
+    val keepBase = touched(baseBoxes)
+    val keepFresh = touched(freshBoxes)
+    val served = base
+      .filter(col("file_id").isin(keepBase.map(Integer.valueOf): _*))
+      .unionByName(fresh
+        .filter(col("file_id").isin(keepFresh.map(Integer.valueOf): _*)))
+      .filter(col("p").between(pFrom, pTo) && col("s").between(sFrom, sTo))
+    served.agg(count(lit(1)).as("n_rows"), sum("p").as("sum_p"),
+        sum("s").as("sum_s"))
+      .select(lit((ZFiles + ZAppendFiles).toLong).as("files_total"),
+        lit((keepBase.length + keepFresh.length).toLong).as("files_touched"),
+        col("n_rows"), col("sum_p").cast("long").as("sum_p"),
+        col("sum_s").cast("long").as("sum_s"))
+  }
+
+  def zorderAppendServeSql(table: String): String = s"""
+    WITH rawb AS (
+      SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,
+        CAST(l_linenumber AS BIGINT) AS ln
+      FROM $table WHERE l_orderkey % 10 != $ZBatchMod),
+    rawf AS (
+      SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,
+        CAST(l_linenumber AS BIGINT) AS ln
+      FROM $table WHERE l_orderkey % 10 = $ZBatchMod),
+    bb AS (
+      SELECT min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
+        min(p) + ((max(p) - min(p) + 1) * 1) // 4 AS p_from,
+        min(p) + ((max(p) - min(p) + 1) * 2) // 4 - 1 AS p_to,
+        min(s) + ((max(s) - min(s) + 1) * 1) // 4 AS s_from,
+        min(s) + ((max(s) - min(s) + 1) * 2) // 4 - 1 AS s_to
+      FROM rawb),
+    zb AS (
+      SELECT p, s, o, ln, ${zDuck("ps", "ss")} AS z FROM (
+        SELECT p, s, o, ln,
+          ((p - pmn) * ${1L << ZBits}) // (pmx - pmn + 1) AS ps,
+          ((s - smn) * ${1L << ZBits}) // (smx - smn + 1) AS ss
+        FROM rawb CROSS JOIN bb) t),
+    nnb AS (SELECT count(*) AS n FROM zb),
+    fb AS (
+      SELECT ((row_number() OVER (ORDER BY z, o, ln) - 1) * $ZFiles) // nnb.n
+          AS file_id, p, s
+      FROM zb CROSS JOIN nnb),
+    zf AS (
+      SELECT p, s, o, ln, ${zDuck("ps", "ss")} AS z FROM (
+        SELECT p, s, o, ln,
+          least(${(1L << ZBits) - 1}, greatest(0,
+            ((p - pmn) * ${1L << ZBits}) // (pmx - pmn + 1))) AS ps,
+          least(${(1L << ZBits) - 1}, greatest(0,
+            ((s - smn) * ${1L << ZBits}) // (smx - smn + 1))) AS ss
+        FROM rawf CROSS JOIN bb) t),
+    nnf AS (SELECT count(*) AS n FROM zf),
+    ff AS (
+      SELECT $ZFiles +
+          ((row_number() OVER (ORDER BY z, o, ln) - 1) * $ZAppendFiles)
+            // nnf.n AS file_id, p, s
+      FROM zf CROSS JOIN nnf),
+    boxes AS (
+      SELECT file_id, min(p) AS p_lo, max(p) AS p_hi,
+        min(s) AS s_lo, max(s) AS s_hi
+      FROM (SELECT * FROM fb UNION ALL SELECT * FROM ff) u
+      GROUP BY file_id),
+    keep AS (
+      SELECT file_id FROM boxes CROSS JOIN bb
+      WHERE p_lo <= p_to AND p_hi >= p_from
+        AND s_lo <= s_to AND s_hi >= s_from)
+    SELECT CAST(${ZFiles + ZAppendFiles} AS BIGINT) AS files_total,
+      (SELECT CAST(count(*) AS BIGINT) FROM keep) AS files_touched,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(p) AS BIGINT) AS sum_p, CAST(sum(s) AS BIGINT) AS sum_s
+    FROM (SELECT p, s FROM rawb UNION ALL SELECT p, s FROM rawf) a
+      CROSS JOIN bb
+    WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
+
   def zorderLayoutSql(table: String): String = s"""
     WITH raw AS (
       SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,

@@ -438,6 +438,25 @@ class PlanSpec extends SparkSpec {
       s"serve must not rescan the raw table:\n$p")
   }
 
+  test("z-order append serves from the stored base plus the batch alone") {
+    graft.operators.ScaleOps.zorderBaseAtRest(spark, sfDir)
+    val p = plan(graft.operators.ScaleOps.zorderAppendServe(spark, sfDir))
+    assert(p.contains("zbase_"),
+      s"append serve must scan the at-rest base layout:\n$p")
+    assert(p.contains("PartitionFilters: [file_id"),
+      s"base files must prune at the partition level:\n$p")
+    // every raw-table scan is the arriving batch's (the persisted batch
+    // frame prints its lineage per cache reference): each must carry
+    // the batch mod-filter, so the base is never re-read from raw
+    val rawScans = "lineitem.parquet".r.findAllIn(p).size
+    val batchScans =
+      ("DataFilters: \\[[^\\]]*% 10\\) = " +
+        graft.operators.ScaleOps.ZBatchMod).r.findAllIn(p).size
+    assert(rawScans > 0 && batchScans >= rawScans,
+      s"base rows must come from the layout, not a raw re-scan " +
+        s"(rawScans=$rawScans, batch-filtered=$batchScans):\n$p")
+  }
+
   test("iterative trainers scan a persisted frame, not the corpus per pass") {
     // q163 (3 GD iterations) and q170 (3 power iterations): the per-pass
     // input must be an InMemoryTableScan of the persisted feature /
