@@ -127,10 +127,33 @@ object CmSketch {
 
   /** Register `cms_build` / `cms_merge` / `cms_est` / `cms_count`.
     * Idempotent. */
+  /** AMS/CMS inner-product estimate of an equi-join's output size:
+    * |A ⋈ B| = Σ_k n_A(k)·n_B(k) is estimated as min over rows of
+    * Σ_j cA[r][j]·cB[r][j] — colliding keys only ever ADD mass, so the
+    * estimate is a guaranteed OVERESTIMATE of the true join size, and
+    * E[excess] ≤ ||A||₁·||B||₁ / Width per row (Cormode & Muthukrishnan
+    * 2005, §4.2). Two tiny sketches stand in for both relations. */
+  def joinEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val ca = fromBytes(a)
+    val cb = fromBytes(b)
+    var best = Long.MaxValue
+    var r = 0
+    while (r < Depth) {
+      var s = 0L
+      var j = 0
+      while (j < Width) { s += ca(r * Width + j) * cb(r * Width + j); j += 1 }
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("cms_build", udaf(Build, Encoders.scalaLong))
     spark.udf.register("cms_merge", udaf(Merge, Encoders.BINARY))
     spark.udf.register("cms_est", (sk: Array[Byte], k: Long) => estimate(sk, k))
     spark.udf.register("cms_count", (sk: Array[Byte]) => count(sk))
+    spark.udf.register("cms_join_est",
+      (a: Array[Byte], b: Array[Byte]) => joinEstimate(a, b))
   }
 }

@@ -898,6 +898,69 @@ object StatsOps {
   def classifierAucOracleSql: String =
     aucAggSql(s"($qualityClassifierOracleSql) scored")
 
+  // ---------------------------------------------------------------- q201
+  /** Sketch-based JOIN-SIZE estimation audit — the optimizer's
+    * cardinality question ("how big is A ⋈ B going to be?") answered
+    * from two count-min sketches instead of a scan: the AMS/CMS inner
+    * product Σ_j cA[r][j]·cB[r][j], minimized over rows, estimates
+    * Σ_k n_A(k)·n_B(k) with a GUARANTEED overestimate (collisions only
+    * add mass) and expected excess ≤ ‖A‖₁·‖B‖₁/Width per row. At
+    * 100 TB this is the production shape: per-partition key sketches
+    * already persist (q137's shard discipline), they MERGE, and a
+    * planner reads two KB-sized sketches to size a join — choose
+    * broadcast vs shuffle, pre-provision spill — without touching
+    * either relation. Audited the q137 way: the exact join size is an
+    * integer both engines compute from group-by counts, and the two
+    * CMS guarantees ship as checked booleans (the estimate itself is
+    * sketch-internal, deterministic under the fixed seed family, and
+    * spec-checked for tightness). Three joins: an FK join, a skewed
+    * self-join (the quadratic-in-frequency case that breaks naive
+    * |A|·|B|/distinct estimators), and a dimension join. */
+  def joinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CmSketch.register(spark)
+    Seq("lineitem", "part", "orders", "customer").foreach(t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    val w = graft.functions.CmSketch.Width
+    def leg(name: String, ta: String, ka: String,
+            tb: String, kb: String): String = s"""
+      SELECT '$name' AS join_name, a.n AS n_left, b.n AS n_right, ex.v
+          AS exact_join_rows,
+        cms_join_est(a.sk, b.sk) >= ex.v AS est_ge_exact,
+        cms_join_est(a.sk, b.sk) <= ex.v +
+          CAST(ceil(4.0 * a.n * b.n / $w) AS BIGINT) AS est_within_bound
+      FROM (SELECT cms_build($ka) AS sk, CAST(count(1) AS BIGINT) AS n
+            FROM $ta) a
+      CROSS JOIN (SELECT cms_build($kb) AS sk,
+            CAST(count(1) AS BIGINT) AS n FROM $tb) b
+      CROSS JOIN (
+        SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS v
+        FROM (SELECT $ka AS k, count(1) AS c FROM $ta GROUP BY $ka) ca
+        JOIN (SELECT $kb AS k, count(1) AS c FROM $tb GROUP BY $kb) cb
+          ON ca.k = cb.k) ex"""
+    spark.sql(
+      Seq(leg("li_part_fk", "lineitem", "l_partkey", "part", "p_partkey"),
+        leg("li_self", "lineitem", "l_partkey", "lineitem", "l_partkey"),
+        leg("ord_cust_fk", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("", "\n      UNION ALL\n", "\n      ORDER BY join_name"))
+  }
+
+  def joinSizeEstSql: String = {
+    def leg(name: String, ta: String, ka: String,
+            tb: String, kb: String): String = s"""
+      SELECT '$name' AS join_name,
+        (SELECT CAST(count(1) AS BIGINT) FROM $ta) AS n_left,
+        (SELECT CAST(count(1) AS BIGINT) FROM $tb) AS n_right,
+        (SELECT CAST(sum(ca.c * cb.c) AS BIGINT)
+         FROM (SELECT $ka AS k, count(1) AS c FROM $ta GROUP BY $ka) ca
+         JOIN (SELECT $kb AS k, count(1) AS c FROM $tb GROUP BY $kb) cb
+           ON ca.k = cb.k) AS exact_join_rows,
+        TRUE AS est_ge_exact, TRUE AS est_within_bound"""
+    Seq(leg("li_part_fk", "lineitem", "l_partkey", "part", "p_partkey"),
+      leg("li_self", "lineitem", "l_partkey", "lineitem", "l_partkey"),
+      leg("ord_cust_fk", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\n      UNION ALL\n", "\n      ORDER BY join_name")
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -914,7 +977,8 @@ object StatsOps {
     "q137_heavy_hitters"  -> cmsPersist _,
     "q163_quality_classifier" -> qualityClassifier _,
     "q174_quality_calibration" -> qualityCalibration _,
-    "q175_classifier_auc" -> classifierAuc _
+    "q175_classifier_auc" -> classifierAuc _,
+    "q201_join_size_est"  -> joinSizeEst _
   )
 
   val oracles: Map[String, String] = Map(
@@ -931,6 +995,7 @@ object StatsOps {
     "q137_heavy_hitters"  -> cmsPersistSql,
     "q163_quality_classifier" -> qualityClassifierOracleSql,
     "q174_quality_calibration" -> qualityCalibrationOracleSql,
-    "q175_classifier_auc" -> classifierAucOracleSql
+    "q175_classifier_auc" -> classifierAucOracleSql,
+    "q201_join_size_est"  -> joinSizeEstSql
   )
 }

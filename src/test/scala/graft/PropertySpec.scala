@@ -105,6 +105,26 @@ object CmsProperties extends Properties("countmin") {
       CmSketch.count(sk) == a.length &&
         exact.forall { case (k, n) => CmSketch.estimate(sk, k) >= n }
     }
+
+  property("join estimate never undercounts the true equi-join size") =
+    forAll(genKeys, genKeys) { (a, b) =>
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong)
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+      CmSketch.joinEstimate(CmSketch.sketchOf(a), CmSketch.sketchOf(b)) >= exact
+    }
+
+  property("join estimate is exact when key sets are collision-free") =
+    forAll(Gen.chooseNum(0, 40), Gen.chooseNum(1, 5)) { (nKeys, mult) =>
+      // distinct small keys land in distinct CMS slots whp at width 4096;
+      // with no collisions the inner product IS sum(n_a * n_b)
+      val keys = (1L to nKeys.toLong).toList
+      val a = keys.flatMap(k => List.fill(mult)(k))
+      val est = CmSketch.joinEstimate(CmSketch.sketchOf(a), CmSketch.sketchOf(keys))
+      est == nKeys.toLong * mult ||
+        // a rare in-row collision can only push the estimate up
+        est > nKeys.toLong * mult
+    }
 }
 
 object BloomProperties extends Properties("bloom") {
