@@ -278,7 +278,13 @@ class PlanSpec extends SparkSpec {
       "q185_epoch_shuffle" -> graft.operators.LlmQueries.epochShuffle(spark, sfDir),
       // q186: the cumulative negative-sampling table is vocab-sized but
       // its scan must still be the bucketed prefix sum
-      "q186_skipgram_negs" -> graft.operators.LlmQueries.skipgramNegatives(spark, sfDir))
+      "q186_skipgram_negs" -> graft.operators.LlmQueries.skipgramNegatives(spark, sfDir),
+      // q195/q198: both layout ranks ride rankOnly's bucketed scheme —
+      // a z-order writer that sorts the table on one task is pointless
+      "q195_zorder_layout" -> graft.operators.ScaleOps.zorderLayout(spark, sfDir),
+      "q198_zorder_serve" -> graft.operators.ScaleOps.zorderServe(spark, sfDir),
+      // q196: the token-line prefix sum must be the bucketed rank+scan
+      "q196_pps_sample" -> graft.operators.LlmQueries.ppsSample(spark, sfDir))
     for ((name, df) <- dfs) {
       val bad = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
