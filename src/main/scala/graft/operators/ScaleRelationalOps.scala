@@ -780,19 +780,35 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
 
   /** The planner over an arbitrary (p, s, o, ln) frame with unique
     * (o, ln) — the spec entry point. */
+  /** One collected row: (pmn, pmx, smn, smx, n) — the bounds the scaled
+    * interleave freezes plus the row count the file split needs, one
+    * job instead of three. */
+  private def zBoundsAndCount(r0: DataFrame): (Long, Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val b = r0.agg(min("p"), max("p"), min("s"), max("s"),
+      count(lit(1))).head()
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))
+  }
+
+  /** The scaled Morton column from LITERAL bounds — shared by the
+    * planner, the at-rest build, and the append's frozen encode. */
+  private def zScaled(r0: DataFrame, pmn: Long, pmx: Long,
+                      smn: Long, smx: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    r0.withColumn("ps",
+        expr(s"((p - $pmn) * ${1L << ZBits}) div ${pmx - pmn + 1}"))
+      .withColumn("ss",
+        expr(s"((s - $smn) * ${1L << ZBits}) div ${smx - smn + 1}"))
+      .withColumn("z", expr(zSpark("ps", "ss")))
+  }
+
   def zorderLayoutOf(rows0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = rows0.sparkSession
     val r0 = rows0.transform(graft.core.EngineCache.persisted)
-    val bounds = r0.agg(min("p").as("pmn"), max("p").as("pmx"),
-      min("s").as("smn"), max("s").as("smx"))
-    val rows = r0.crossJoin(broadcast(bounds))
-      .withColumn("ps",
-        expr(s"((p - pmn) * ${1L << ZBits}) div (pmx - pmn + 1)"))
-      .withColumn("ss",
-        expr(s"((s - smn) * ${1L << ZBits}) div (smx - smn + 1)"))
-      .withColumn("z", expr(zSpark("ps", "ss")))
+    val (pmn, pmx, smn, smx, n) = zBoundsAndCount(r0)
+    val rows = zScaled(r0, pmn, pmx, smn, smx)
       .transform(graft.core.EngineCache.persisted)
-    val n = rows.count()
     def fileStats(name: String, primary: String): DataFrame =
       DistributedRank.rankOnly(rows, "rk", primary, desc = false,
           col(primary), col("o"), col("ln"))
@@ -803,23 +819,16 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
         .withColumn("layout", lit(name))
     val stats = fileStats("zorder", "z")
       .unionByName(fileStats("partkey_sorted", "p"))
-    val preds = rows
-      .agg(min("p").as("pmn"), max("p").as("pmx"),
-        min("s").as("smn"), max("s").as("smx"))
-      .selectExpr("pmn", "pmx", "smn", "smx",
-        "pmn + ((pmx - pmn + 1) * 1) div 4 AS pq_lo",
-        "pmn + ((pmx - pmn + 1) * 2) div 4 - 1 AS pq_hi",
-        "smn + ((smx - smn + 1) * 1) div 4 AS sq_lo",
-        "smn + ((smx - smn + 1) * 2) div 4 - 1 AS sq_hi")
-      .selectExpr("""explode(array(
-          named_struct('pred', 'both_mid', 'p_from', pq_lo, 'p_to', pq_hi,
-                       's_from', sq_lo, 's_to', sq_hi),
-          named_struct('pred', 'part_only', 'p_from', pq_lo, 'p_to', pq_hi,
-                       's_from', smn, 's_to', smx),
-          named_struct('pred', 'supp_only', 'p_from', pmn, 'p_to', pmx,
-                       's_from', sq_lo, 's_to', sq_hi))) AS q""")
-      .select("q.*")
-      .transform(graft.core.EngineCache.persisted)
+    val (pqLo, pqHi) = (pmn + (pmx - pmn + 1) * 1 / 4,
+      pmn + (pmx - pmn + 1) * 2 / 4 - 1)
+    val (sqLo, sqHi) = (smn + (smx - smn + 1) * 1 / 4,
+      smn + (smx - smn + 1) * 2 / 4 - 1)
+    import spark.implicits._
+    val preds = Seq(
+      ("both_mid", pqLo, pqHi, sqLo, sqHi),
+      ("part_only", pqLo, pqHi, smn, smx),
+      ("supp_only", pmn, pmx, sqLo, sqHi))
+      .toDF("pred", "p_from", "p_to", "s_from", "s_to")
     val rowsMatch = rows.crossJoin(broadcast(preds))
       .filter(col("p").between(col("p_from"), col("p_to")) &&
         col("s").between(col("s_from"), col("s_to")))
@@ -865,21 +874,18 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
         .selectExpr("l_partkey AS p", "l_suppkey AS s",
           "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
         .transform(graft.core.EngineCache.persisted)
-      val bounds = r0.agg(min("p").as("pmn"), max("p").as("pmx"),
-        min("s").as("smn"), max("s").as("smx"))
-      val rows = r0.crossJoin(broadcast(bounds))
-        .withColumn("ps",
-          expr(s"((p - pmn) * ${1L << ZBits}) div (pmx - pmn + 1)"))
-        .withColumn("ss",
-          expr(s"((s - smn) * ${1L << ZBits}) div (smx - smn + 1)"))
-        .withColumn("z", expr(zSpark("ps", "ss")))
+      val (pmn, pmx, smn, smx, n) = zBoundsAndCount(r0)
+      val rows = zScaled(r0, pmn, pmx, smn, smx)
         .transform(graft.core.EngineCache.persisted)
-      val n = rows.count()
+      // cluster by file before the partitioned write: each task holds a
+      // couple of file_ids, so the layout lands as ~one parquet file per
+      // "file" instead of tasks x files tiny splinters
       DistributedRank.rankOnly(rows, "rk", "z", desc = false,
           col("z"), col("o"), col("ln"))
         .withColumn("file_id",
           expr(s"CAST(((rk - 1) * $ZFiles) div $n AS INT)"))
         .select("p", "s", "o", "ln", "file_id")
+        .repartition(col("file_id"))
     }
   }
 
@@ -988,21 +994,15 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
         .selectExpr("l_partkey AS p", "l_suppkey AS s",
           "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
         .transform(graft.core.EngineCache.persisted)
-      val bounds = r0.agg(min("p").as("pmn"), max("p").as("pmx"),
-        min("s").as("smn"), max("s").as("smx"))
-      val rows = r0.crossJoin(broadcast(bounds))
-        .withColumn("ps",
-          expr(s"((p - pmn) * ${1L << ZBits}) div (pmx - pmn + 1)"))
-        .withColumn("ss",
-          expr(s"((s - smn) * ${1L << ZBits}) div (smx - smn + 1)"))
-        .withColumn("z", expr(zSpark("ps", "ss")))
+      val (pmn, pmx, smn, smx, n) = zBoundsAndCount(r0)
+      val rows = zScaled(r0, pmn, pmx, smn, smx)
         .transform(graft.core.EngineCache.persisted)
-      val n = rows.count()
       DistributedRank.rankOnly(rows, "rk", "z", desc = false,
           col("z"), col("o"), col("ln"))
         .withColumn("file_id",
           expr(s"CAST(((rk - 1) * $ZFiles) div $n AS INT)"))
         .select("p", "s", "o", "ln", "file_id")
+        .repartition(col("file_id")) // one parquet file per layout file
     }
   }
 
