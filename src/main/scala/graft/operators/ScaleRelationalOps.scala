@@ -415,13 +415,21 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("d"))
     var edges = e0.transform(graft.core.EngineCache.persisted)
-    for (_ <- 1 to KcorePeels) {
+    // early exit at the fixpoint: peeling only removes edges, so an
+    // unchanged edge count proves the round was a no-op and every
+    // remaining round would be too — the result equals the full
+    // KcorePeels unroll the oracle spells (q125's frontier-empty rule)
+    var prev = -1L
+    var round = 0
+    while (round < KcorePeels && edges.count() != prev) {
+      prev = edges.count() // cheap: the frame is checkpointed/persisted
       val alive = degrees(edges).filter(col("d") >= KcoreK).select("node")
       edges = edges
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint(true)
+      round += 1
     }
     degrees(edges).select(col("node"), col("d").as("core_degree"))
   }
