@@ -1014,25 +1014,30 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     }
   }
 
-  def zorderAppendServe(spark: SparkSession, dir: String): DataFrame = {
+  /** The at-rest base's per-file min/max boxes — the manifest rows a
+    * serve or append reads instead of any raw data. */
+  private[graft] def zorderBaseBoxes(spark: SparkSession,
+                                     dir: String): Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
-    val base = zorderBaseAtRest(spark, dir)
-    // the base manifest: O(files) true min/max boxes from stored rows
-    val baseBoxes = base.groupBy("file_id")
+    zorderBaseAtRest(spark, dir).groupBy("file_id")
       .agg(min("p").as("p_lo"), max("p").as("p_hi"),
         min("s").as("s_lo"), max("s").as("s_hi"))
       .collect().sortBy(_.getInt(0))
+  }
+
+  /** Frozen-bounds Morton encode of arriving (p, s, o, ln) rows — the
+    * per-row-pure half of the append, shared with the stream-time twin:
+    * coordinates scale against the BASE's bounds (from its manifest,
+    * clamped at the edges for out-of-range arrivals), so the same row
+    * gets the same z whichever batch carries it. */
+  def zorderEncodeFrozen(spark: SparkSession, dir: String,
+                         rows0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val boxes = zorderBaseBoxes(spark, dir)
     def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
-    // FROZEN normalization bounds = the base's global box
-    val (pmn, pmx) = (baseBoxes.map(long(_, 1)).min,
-      baseBoxes.map(long(_, 2)).max)
-    val (smn, smx) = (baseBoxes.map(long(_, 3)).min,
-      baseBoxes.map(long(_, 4)).max)
-    // the arriving batch: the only rows ranked, frozen-bounds encode
-    val batch = Tables.load(spark, dir, "lineitem")
-      .filter(s"l_orderkey % 10 = $ZBatchMod")
-      .selectExpr("l_partkey AS p", "l_suppkey AS s",
-        "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
+    val (pmn, pmx) = (boxes.map(long(_, 1)).min, boxes.map(long(_, 2)).max)
+    val (smn, smx) = (boxes.map(long(_, 3)).min, boxes.map(long(_, 4)).max)
+    rows0
       .withColumn("ps", expr(
         s"least(${(1L << ZBits) - 1}, greatest(0L, " +
           s"((p - $pmn) * ${1L << ZBits}) div ${pmx - pmn + 1}))"))
@@ -1040,6 +1045,25 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
         s"least(${(1L << ZBits) - 1}, greatest(0L, " +
           s"((s - $smn) * ${1L << ZBits}) div ${smx - smn + 1}))"))
       .withColumn("z", expr(zSpark("ps", "ss")))
+      .select("p", "s", "o", "ln", "z")
+  }
+
+  def zorderAppendServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = zorderBaseAtRest(spark, dir)
+    val baseBoxes = zorderBaseBoxes(spark, dir)
+    def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
+    // FROZEN normalization bounds = the base's global box
+    val (pmn, pmx) = (baseBoxes.map(long(_, 1)).min,
+      baseBoxes.map(long(_, 2)).max)
+    val (smn, smx) = (baseBoxes.map(long(_, 3)).min,
+      baseBoxes.map(long(_, 4)).max)
+    // the arriving batch: the only rows ranked, frozen-bounds encode
+    val batch = zorderEncodeFrozen(spark, dir,
+      Tables.load(spark, dir, "lineitem")
+        .filter(s"l_orderkey % 10 = $ZBatchMod")
+        .selectExpr("l_partkey AS p", "l_suppkey AS s",
+          "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln"))
       .transform(graft.core.EngineCache.persisted)
     val nb = batch.count()
     val fresh = DistributedRank.rankOnly(batch, "rk", "z", desc = false,

@@ -238,6 +238,34 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming z-order append — the stream-time twin of q200's encode
+    * half under the frozen-artifact discipline (q151's codebook,
+    * q178's postings): the base layout's normalization bounds freeze
+    * when the base publishes, and every arriving micro-batch of rows
+    * is Morton-encoded against those bounds alone
+    * ([[graft.operators.ScaleOps.zorderEncodeFrozen]] — per-row pure,
+    * so the emitted codes are batch-split-invariant) into
+    * `zrows/batch_run=N` with idempotent overwrite. File assignment is
+    * deliberately NOT streamed: clustering is a compaction-time
+    * decision (the periodic OPTIMIZE re-ranks fresh rows into layout
+    * files), exactly how lakehouse ingestion lands row-files that a
+    * later pass z-orders. */
+  def startStreamingZorderAppend(rowStream: DataFrame, dir: String,
+                                 layoutPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rowStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.ScaleOps
+            .zorderEncodeFrozen(batch.sparkSession, dir, batch)
+            .write.mode("overwrite")
+            .parquet(s"$layoutPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming WITHIN-document repetition cut — the stream-time twin of
     * q184. The operator is per-document (a doc's cut depends only on
     * its own grams), so unlike the other twins it needs NO at-rest

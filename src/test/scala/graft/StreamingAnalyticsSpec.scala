@@ -447,6 +447,40 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(want.size == newVecs.length * graft.operators.ScaleOps.PqM)
   }
 
+  test("streaming z-order append encodes micro-batches with the frozen bounds") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the q200 batch: rows arriving after the base layout published
+    val newRows = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") % 10 === graft.operators.ScaleOps.ZBatchMod)
+      .selectExpr("l_partkey", "l_suppkey", "l_orderkey",
+        "CAST(l_linenumber AS BIGINT)")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(newRows.length >= 2)
+    val (h1, h2) = newRows.splitAt(newRows.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-szo").toString
+    val source = MemoryStream[(Long, Long, Long, Long)]
+    val q = EventAnalytics.startStreamingZorderAppend(
+      source.toDF().toDF("p", "s", "o", "ln"), sfDir,
+      s"$dir/zrows", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val got = spark.read.parquet(s"$dir/zrows")
+      .select("o", "ln", "z").collect().map(key).toSet
+    // ground truth: the one-shot frozen-bounds encode of the same rows
+    val want = graft.operators.ScaleOps.zorderEncodeFrozen(spark, sfDir,
+        newRows.toSeq.toDF("p", "s", "o", "ln"))
+      .select("o", "ln", "z").collect().map(key).toSet
+    assert(got == want, "stream-time codes must equal the batch encode")
+    assert(got.size == newRows.length)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
