@@ -1397,4 +1397,91 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       ORDER BY label_a, label_b"""
   }
 
+  // ---------------------------------------------------------------- q202
+  /** Dimension-TRUNCATION retrieval audit — q169's score-the-path
+    * discipline for the matryoshka question: if retrieval ranked on
+    * only the first D dimensions of the embedding (the
+    * nested-prefix-training trick that lets one model serve several
+    * precision/cost points, and the cheapest possible coarse stage —
+    * a prefix SLICE costs no projection at all, vs q153's JL matrix
+    * multiply), how much of the full-dimension exact top-k survives?
+    * For each D in [[TruncDims]]: truncated-cosine top-k per probe vs
+    * the full-dim exact top-k, exact integer hit counts, recall@k.
+    * On embeddings NOT trained matryoshka-style (this fixture), the
+    * audit prices what naive truncation costs — the measurement that
+    * says whether a prefix-dim coarse stage is serviceable BEFORE
+    * anyone ships it. Same bounded top-k Aggregator as q39; one
+    * corpus scan per D over the persisted vectors; O(probes·k) state.
+    * The oracle replays every leg with list-sliced vectors. */
+  val TruncDims = Seq(8, 16, 32)
+  val TruncProbes = "vec_id < 20"
+
+  def dimTruncationAudit(spark: SparkSession, dir: String): DataFrame =
+    dimTruncationAuditOf(
+      Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"))
+
+  /** The audit over an arbitrary (vec_id, embedding) frame — the spec
+    * entry point. */
+  def dimTruncationAuditOf(vecs0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = vecs0.sparkSession
+    val k = LlmQueries.BruteK
+    val vecs = vecs0.transform(graft.core.EngineCache.persisted)
+    val exact = graft.llm.Similarity
+      .bruteForceTopK(vecs, expr(TruncProbes), k)
+      .select("query_id", "cand_id")
+      .transform(graft.core.EngineCache.persisted)
+    val nProbes = exact.select("query_id").distinct().count()
+    val rows = TruncDims.map { d =>
+      val tv = vecs.selectExpr("vec_id",
+        s"slice(embedding, 1, $d) AS embedding")
+      val hits = graft.llm.Similarity
+        .bruteForceTopK(tv, expr(TruncProbes), k)
+        .select("query_id", "cand_id")
+        .join(exact, Seq("query_id", "cand_id"), "left_semi")
+        .count()
+      (d.toLong, nProbes, hits,
+        math.floor(hits.toDouble / (nProbes * k) * 1e6 + 0.5) / 1e6)
+    }
+    import spark.implicits._
+    rows.toDF("dims", "n_probes", "hits", "recall").orderBy("dims")
+  }
+
+  def dimTruncationAuditSql: String = {
+    import graft.llm.Similarity.cosineSql
+    val k = LlmQueries.BruteK
+    def topk(name: String, emb: String => String): String = s"""
+    $name AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${cosineSql(emb("p.embedding"), emb("c.embedding"))}
+              DESC, c.vec_id) AS rnk
+        FROM v p JOIN v c ON p.vec_id <> c.vec_id
+        WHERE p.$TruncProbes) z
+      WHERE rnk <= $k)"""
+    val legs = TruncDims.map { d =>
+      topk(s"a$d", e => s"list_slice($e, 1, $d)")
+    }.mkString(",")
+    val rows = TruncDims.map { d =>
+      s"""
+      SELECT CAST($d AS BIGINT) AS dims, np.n AS n_probes,
+        (SELECT CAST(count(*) AS BIGINT) FROM a$d
+         JOIN ex ON a$d.query_id = ex.query_id
+               AND a$d.cand_id = ex.cand_id) AS hits,
+        ${droundSql(
+          s"(SELECT count(*) FROM a$d JOIN ex ON a$d.query_id = ex.query_id " +
+            s"AND a$d.cand_id = ex.cand_id)::DOUBLE / (np.n * $k)", 6)}
+          AS recall
+      FROM np"""
+    }.mkString("\n      UNION ALL")
+    s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    ${topk("ex", identity)},
+    np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ex),
+    $legs
+    $rows
+    ORDER BY dims"""
+  }
+
 }

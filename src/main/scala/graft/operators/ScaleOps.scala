@@ -70,7 +70,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q194_kcore"         -> kcore _,
     "q195_zorder_layout" -> zorderLayout _,
     "q198_zorder_serve"  -> zorderServe _,
-    "q200_zorder_append" -> zorderAppendServe _
+    "q200_zorder_append" -> zorderAppendServe _,
+    "q202_dim_truncation" -> dimTruncationAudit _
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,6 +116,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q194_kcore" -> kcoreSql("lineitem"),
     "q195_zorder_layout" -> zorderLayoutSql("lineitem"),
     "q198_zorder_serve" -> zorderServeSql("lineitem"),
-    "q200_zorder_append" -> zorderAppendServeSql("lineitem")
+    "q200_zorder_append" -> zorderAppendServeSql("lineitem"),
+    "q202_dim_truncation" -> dimTruncationAuditSql
   )
 }

@@ -492,6 +492,34 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("dim-truncation audit: lossless on matryoshka vectors, lossy otherwise") {
+    val sq = spark
+    import sq.implicits._
+    // matryoshka-style: all information in the first 8 dims, zero tail
+    // -> every truncation level keeps the exact ranking, recall == 1
+    def head(i: Int): Seq[Float] = Seq.tabulate(8)(d =>
+      ((i * 7 + d * 3) % 11 + 1).toFloat)
+    val mat = (0 until 30).map(i =>
+      (i.toLong, (head(i) ++ Seq.fill(56)(0f)).toArray))
+      .toDF("vec_id", "embedding")
+    val rMat = ScaleOps.dimTruncationAuditOf(mat).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ScaleOps.TruncDims.forall(d => rMat(d.toLong) == 1.0),
+      s"zero-tail vectors must truncate losslessly: $rMat")
+    // anti-case: a common head, all information in dims 9..16 — the
+    // 8-dim prefix is identical across vectors, so truncated ranking
+    // is pure id-tiebreak and must lose true neighbors
+    val anti = (0 until 30).map { i =>
+      val tail = Seq.tabulate(56)(d => if (d == i % 8) 1f else 0f)
+      (i.toLong, (Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f) ++ tail).toArray)
+    }.toDF("vec_id", "embedding")
+    val rAnti = ScaleOps.dimTruncationAuditOf(anti).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rAnti(8L) < 1.0,
+      s"an uninformative prefix cannot preserve the ranking: $rAnti")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("power-iteration PCA recovers a planted dominant direction") {
     val sq = spark
     import sq.implicits._
