@@ -1397,6 +1397,111 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       ORDER BY label_a, label_b"""
   }
 
+  // ---------------------------------------------------------------- q203
+  /** Truncate-then-RERANK serving — q193's two-stage composition with
+    * q202's prefix slice as the coarse stage: stage 1 ranks the corpus
+    * on only the first [[TruncRerankDims]] dims (no projection, no
+    * codebook — the cheapest coarse scorer there is) and keeps the
+    * top-[[RerankPool]] per probe; stage 2 re-scores ONLY that bounded
+    * pool with full-dimension exact cosine and serves top-k. The
+    * measurement q202 motivates: naive 16-dim truncation retrieves at
+    * 0.10 recall, but as a CANDIDATE GENERATOR ahead of an exact
+    * rerank the same slice becomes serviceable — the audit row prices
+    * exactly how much, with the full-precision scan bounded at
+    * pool/(N−1) like q193. Stage 1 is one corpus scan through the
+    * bounded top-k Aggregator; stage 2 touches O(probes·pool) rows;
+    * the rerank ranking runs in a probe-keyed window over ≤ pool rows
+    * per key. Output: one row — dims, pool, probes, hits, recall@k,
+    * scanned fraction. */
+  val TruncRerankDims = 16
+
+  def truncRerank(spark: SparkSession, dir: String): DataFrame =
+    truncRerankOf(
+      Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"))
+
+  def truncRerankOf(vecs0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = vecs0.sparkSession
+    val k = LlmQueries.BruteK
+    val vecs = vecs0.transform(graft.core.EngineCache.persisted)
+    val n = vecs.count()
+    val exact = graft.llm.Similarity
+      .bruteForceTopK(vecs, expr(TruncProbes), k)
+      .select("query_id", "cand_id")
+      .transform(graft.core.EngineCache.persisted)
+    val nProbes = exact.select("query_id").distinct().count()
+    val tv = vecs.selectExpr("vec_id",
+      s"slice(embedding, 1, $TruncRerankDims) AS embedding")
+    val pool = graft.llm.Similarity
+      .bruteForceTopK(tv, expr(TruncProbes), RerankPool)
+      .select("query_id", "cand_id")
+    val served = pool
+      .join(vecs.selectExpr("vec_id AS cand_id", "embedding AS cv"), "cand_id")
+      .join(broadcast(vecs.filter(expr(TruncProbes))
+        .selectExpr("vec_id AS query_id", "embedding AS qv")), "query_id")
+      .withColumn("cos", expr(graft.llm.Similarity.cosineExpr("qv", "cv")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id")
+    val hits = served.join(exact, Seq("query_id", "cand_id"), "left_semi")
+      .count()
+    import spark.implicits._
+    Seq((TruncRerankDims.toLong, RerankPool.toLong, nProbes, hits,
+      math.floor(hits.toDouble / (nProbes * k) * 1e6 + 0.5) / 1e6,
+      math.floor(RerankPool.toDouble / (n - 1) * 1e6 + 0.5) / 1e6))
+      .toDF("dims", "pool", "n_probes", "hits", "recall", "scanned_frac")
+  }
+
+  def truncRerankSql: String = {
+    import graft.llm.Similarity.cosineSql
+    val k = LlmQueries.BruteK
+    def sliced(e: String) = s"list_slice($e, 1, $TruncRerankDims)"
+    s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    nv (nn) AS (SELECT CAST(count(*) AS BIGINT) FROM v),
+    ex AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${cosineSql("p.embedding", "c.embedding")}
+              DESC, c.vec_id) AS rnk
+        FROM v p JOIN v c ON p.vec_id <> c.vec_id
+        WHERE p.$TruncProbes) z
+      WHERE rnk <= $k),
+    np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ex),
+    pool AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${cosineSql(sliced("p.embedding"),
+              sliced("c.embedding"))} DESC, c.vec_id) AS rnk
+        FROM v p JOIN v c ON p.vec_id <> c.vec_id
+        WHERE p.$TruncProbes) z
+      WHERE rnk <= $RerankPool),
+    served AS (
+      SELECT query_id, cand_id FROM (
+        SELECT pool.query_id, pool.cand_id,
+          row_number() OVER (PARTITION BY pool.query_id
+            ORDER BY ${cosineSql("q.embedding", "c.embedding")}
+              DESC, pool.cand_id) AS rnk
+        FROM pool
+        JOIN v q ON pool.query_id = q.vec_id
+        JOIN v c ON pool.cand_id = c.vec_id) z
+      WHERE rnk <= $k),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS hits
+      FROM served JOIN ex ON served.query_id = ex.query_id
+                         AND served.cand_id = ex.cand_id)
+    SELECT CAST($TruncRerankDims AS BIGINT) AS dims,
+      CAST($RerankPool AS BIGINT) AS pool, np.n AS n_probes, h.hits,
+      ${droundSql(s"h.hits::DOUBLE / (np.n * $k)", 6)} AS recall,
+      ${droundSql(s"CAST($RerankPool AS DOUBLE) / (nv.nn - 1)", 6)}
+        AS scanned_frac
+    FROM np CROSS JOIN h CROSS JOIN nv"""
+  }
+
   // ---------------------------------------------------------------- q202
   /** Dimension-TRUNCATION retrieval audit — q169's score-the-path
     * discipline for the matryoshka question: if retrieval ranked on

@@ -71,7 +71,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q195_zorder_layout" -> zorderLayout _,
     "q198_zorder_serve"  -> zorderServe _,
     "q200_zorder_append" -> zorderAppendServe _,
-    "q202_dim_truncation" -> dimTruncationAudit _
+    "q202_dim_truncation" -> dimTruncationAudit _,
+    "q203_trunc_rerank"  -> truncRerank _
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,6 +118,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q195_zorder_layout" -> zorderLayoutSql("lineitem"),
     "q198_zorder_serve" -> zorderServeSql("lineitem"),
     "q200_zorder_append" -> zorderAppendServeSql("lineitem"),
-    "q202_dim_truncation" -> dimTruncationAuditSql
+    "q202_dim_truncation" -> dimTruncationAuditSql,
+    "q203_trunc_rerank" -> truncRerankSql
   )
 }

@@ -520,6 +520,24 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("truncate-then-rerank dominates naive truncation on the same slice") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val naive = ScaleOps.dimTruncationAuditOf(vecs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rer = ScaleOps.truncRerankOf(vecs).head()
+    assert(rer.getDouble(4) > naive(ScaleOps.TruncRerankDims.toLong),
+      s"the exact rerank must beat serving the coarse ranking directly " +
+        s"(${rer.getDouble(4)} vs ${naive(ScaleOps.TruncRerankDims.toLong)})")
+    assert(rer.getDouble(5) < 0.3,
+      "the full-precision scan stays bounded by pool/(n-1)")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("power-iteration PCA recovers a planted dominant direction") {
     val sq = spark
     import sq.implicits._
