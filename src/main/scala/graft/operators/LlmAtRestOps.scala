@@ -90,6 +90,8 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
         "coalesce(is_seed, 0L) AS is_seed")
       .transform(graft.core.EngineCache.persisted)
     val nSeeds = nodes.filter(col("is_seed") === 1).count()
+    require(nSeeds > 0,
+      "taintPpr: empty seed set — the restart distribution is undefined")
     val a = TaintAlpha
     var r = nodes.selectExpr("node", "deg", "is_seed",
       s"floor(is_seed * 1e12 / CAST($nSeeds AS DOUBLE) + 0.5) / 1e12 AS r")

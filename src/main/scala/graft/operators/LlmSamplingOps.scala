@@ -1005,6 +1005,11 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
       base, "g", "pos", "before", "w", "okey", desc = false,
       col("okey"), col("doc_id"))
     val tot = base.agg(sum(col("w")).as("tot"))
+    // loud precondition rather than a divergent div-by-zero: a corpus
+    // with fewer total tokens than grid points cannot support K draws
+    val totV = Option(tot.head().get(0)).map(_.toString.toLong).getOrElse(0L)
+    require(totV >= PpsK,
+      s"ppsSample: corpus has $totV weighted tokens < K=$PpsK grid points")
     laid.crossJoin(bcast(tot))
       .selectExpr("doc_id", "source", "w", "before", "tot",
         s"least($PpsK, (before + w) div (tot div $PpsK)) - " +
