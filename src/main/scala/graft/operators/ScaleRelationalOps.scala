@@ -1032,11 +1032,16 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * gets the same z whichever batch carries it. */
   def zorderEncodeFrozen(spark: SparkSession, dir: String,
                          rows0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
     val boxes = zorderBaseBoxes(spark, dir)
     def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
-    val (pmn, pmx) = (boxes.map(long(_, 1)).min, boxes.map(long(_, 2)).max)
-    val (smn, smx) = (boxes.map(long(_, 3)).min, boxes.map(long(_, 4)).max)
+    zorderEncodeWithBounds(rows0,
+      boxes.map(long(_, 1)).min, boxes.map(long(_, 2)).max,
+      boxes.map(long(_, 3)).min, boxes.map(long(_, 4)).max)
+  }
+
+  private def zorderEncodeWithBounds(rows0: DataFrame, pmn: Long, pmx: Long,
+                                     smn: Long, smx: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
     rows0
       .withColumn("ps", expr(
         s"least(${(1L << ZBits) - 1}, greatest(0L, " +
@@ -1059,11 +1064,13 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     val (smn, smx) = (baseBoxes.map(long(_, 3)).min,
       baseBoxes.map(long(_, 4)).max)
     // the arriving batch: the only rows ranked, frozen-bounds encode
-    val batch = zorderEncodeFrozen(spark, dir,
+    // (bounds passed through — the manifest was already read above)
+    val batch = zorderEncodeWithBounds(
       Tables.load(spark, dir, "lineitem")
         .filter(s"l_orderkey % 10 = $ZBatchMod")
         .selectExpr("l_partkey AS p", "l_suppkey AS s",
-          "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln"))
+          "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln"),
+      pmn, pmx, smn, smx)
       .transform(graft.core.EngineCache.persisted)
     val nb = batch.count()
     val fresh = DistributedRank.rankOnly(batch, "rk", "z", desc = false,
