@@ -418,6 +418,108 @@ object AnalyticsOps {
     spark.sql(recordLinkageSql("customer"))
   }
 
+  // ---------------------------------------------------------------- q204
+  /** EM parameter estimation for the linkage model — the unsupervised
+    * half of Fellegi–Sunter that q199 stubs with a 0.95 prior: treat
+    * each blocked pair's agreement pattern (a_seg, a_name, a_bal) as
+    * drawn from a two-class mixture (match M / non-match U) with
+    * per-field Bernoulli agreement rates m_f and u_f, and run
+    * [[EmIters]] EM rounds from a weak-prior init. No labels anywhere —
+    * yet on this fixture EM must DISCOVER that the name field agrees on
+    * only ~half of true matches (the planted mangling rate), that
+    * segment and balance agree on essentially all of them, and a match
+    * prevalence λ near the true twin fraction — the estimates a real
+    * deployment would plug back into q199's weights.
+    *
+    * Scale shape: the corpus-sized work is ONE hash agg — blocked
+    * pairs collapse to at most 2³ agreement-pattern rows — and every
+    * EM round is arithmetic over those 8 rows (a chain of tiny CTEs,
+    * trivially cheap at any corpus size). Cross-engine exactness: the
+    * posterior sums are floor-bridged to a 1e-9 grid and accumulated
+    * as DECIMAL(38,0) (8-row float sums still have nondeterministic
+    * order under Spark partitioning), and each round's (m, u, λ)
+    * re-rounds onto the grid, so both engines iterate from
+    * bit-identical state. One dialect-neutral string. */
+  val EmIters = 6
+
+  def linkageEmSql(table: String): String = {
+    def pm(a: String, m: String) =
+      s"(CASE WHEN $a = 1 THEN $m ELSE 1.0 - $m END)"
+    def bsum(e: String) =
+      s"CAST(sum(CAST(floor(($e) * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e9"
+    val iters = (1 to EmIters).map { i =>
+      val p = s"p${i - 1}"
+      s""",
+    w$i AS (
+      SELECT pat.a_seg, pat.a_name, pat.a_bal, pat.n,
+        ($p.lam * ${pm("pat.a_seg", s"$p.ms")} * ${pm("pat.a_name", s"$p.mn")}
+           * ${pm("pat.a_bal", s"$p.mb")}) /
+        ($p.lam * ${pm("pat.a_seg", s"$p.ms")} * ${pm("pat.a_name", s"$p.mn")}
+           * ${pm("pat.a_bal", s"$p.mb")}
+         + (1.0 - $p.lam) * ${pm("pat.a_seg", s"$p.us")}
+           * ${pm("pat.a_name", s"$p.un")} * ${pm("pat.a_bal", s"$p.ub")})
+          AS w
+      FROM pat CROSS JOIN $p),
+    e$i AS (
+      SELECT ${bsum("w * n")} AS sm, ${bsum("(1.0 - w) * n")} AS su,
+        ${bsum("w * n * a_seg")} AS sms, ${bsum("w * n * a_name")} AS smn,
+        ${bsum("w * n * a_bal")} AS smb,
+        ${bsum("(1.0 - w) * n * a_seg")} AS sus,
+        ${bsum("(1.0 - w) * n * a_name")} AS sun,
+        ${bsum("(1.0 - w) * n * a_bal")} AS sub
+      FROM w$i),
+    p$i AS (
+      SELECT ${droundSql("sms / sm", 9)} AS ms,
+        ${droundSql("smn / sm", 9)} AS mn,
+        ${droundSql("smb / sm", 9)} AS mb,
+        ${droundSql("sus / su", 9)} AS us,
+        ${droundSql("sun / su", 9)} AS un,
+        ${droundSql("sub / su", 9)} AS ub,
+        ${droundSql("sm / (sm + su)", 9)} AS lam
+      FROM e$i)"""
+    }.mkString
+    s"""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+        c_name AS name,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM $table),
+    dirty AS (
+      SELECT id AS d_id, blk, seg,
+        CASE WHEN id % 14 = 1
+             THEN substr(name, 1, length(name) - 1) || 'x'
+             ELSE name END AS name,
+        cents
+      FROM clean WHERE id % 7 = 1),
+    pat AS (
+      SELECT CASE WHEN d.seg = c.seg THEN 1 ELSE 0 END AS a_seg,
+        CASE WHEN d.name = c.name THEN 1 ELSE 0 END AS a_name,
+        CASE WHEN d.cents = c.cents THEN 1 ELSE 0 END AS a_bal,
+        CAST(count(1) AS BIGINT) AS n
+      FROM dirty d JOIN clean c ON d.blk = c.blk
+      GROUP BY 1, 2, 3),
+    p0 AS (
+      SELECT 0.9 AS ms, 0.9 AS mn, 0.9 AS mb,
+        0.1 AS us, 0.1 AS un, 0.1 AS ub, 0.01 AS lam)$iters
+    SELECT f.field,
+      ${droundSql(
+        "CASE f.field WHEN 'a_seg' THEN p.ms WHEN 'a_name' THEN p.mn " +
+          "ELSE p.mb END", 6)} AS m_est,
+      ${droundSql(
+        "CASE f.field WHEN 'a_seg' THEN p.us WHEN 'a_name' THEN p.un " +
+          "ELSE p.ub END", 6)} AS u_est,
+      ${droundSql("p.lam", 6)} AS lambda
+    FROM (SELECT 'a_seg' AS field UNION ALL SELECT 'a_name'
+          UNION ALL SELECT 'a_bal') f
+    CROSS JOIN p$EmIters p
+    ORDER BY f.field"""
+  }
+
+  def linkageEm(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(linkageEmSql("customer"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,7 +527,8 @@ object AnalyticsOps {
     "q124_ols_brand"    -> olsByBrand _,
     "q125_bfs_hops"     -> bfsHops _,
     "q126_skew_profile" -> skewProfile _,
-    "q199_record_link"  -> recordLinkage _
+    "q199_record_link"  -> recordLinkage _,
+    "q204_linkage_em"   -> linkageEm _
   )
 
   val oracles: Map[String, String] = Map(
@@ -433,6 +536,7 @@ object AnalyticsOps {
     "q124_ols_brand"    -> olsSql,
     "q125_bfs_hops"     -> bfsSql("lineitem"),
     "q126_skew_profile" -> skewProfileSql("lineitem", "l_partkey"),
-    "q199_record_link"  -> recordLinkageSql("customer")
+    "q199_record_link"  -> recordLinkageSql("customer"),
+    "q204_linkage_em"   -> linkageEmSql("customer")
   )
 }

@@ -91,6 +91,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("linkage EM discovers the planted mangling rate without labels") {
+    val out = graft.operators.AnalyticsOps.linkageEm(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lam = graft.operators.AnalyticsOps.linkageEm(spark, sfDir)
+      .collect().head.getDouble(3)
+    // keys ≡ 1 mod 14 within the ≡ 1 mod 7 dirty set: exactly ~half the
+    // true twins carry a mangled name — EM must recover that rate
+    assert(out("a_name")._1 > 0.3 && out("a_name")._1 < 0.7,
+      s"EM must find the ~0.5 name agreement among matches: $out")
+    assert(out("a_seg")._1 > 0.9 && out("a_bal")._1 > 0.9,
+      s"segment and balance agree on essentially all matches: $out")
+    assert(out("a_name")._2 < 0.05 && out("a_bal")._2 < 0.05,
+      s"near-unique fields rarely agree on random pairs: $out")
+    assert(out("a_seg")._2 > 0.1 && out("a_seg")._2 < 0.4,
+      s"a ~5-value field agrees on ~1/5 of random pairs: $out")
+    // lambda tracks the true match prevalence among blocked pairs
+    val nDirty = graft.core.Tables.load(spark, sfDir, "customer")
+      .filter("c_custkey % 7 = 1").count().toDouble
+    val nPairs = graft.core.Tables.load(spark, sfDir, "customer")
+      .selectExpr("c_nationkey AS blk")
+      .groupBy("blk").count()
+      .selectExpr("sum(count * count) / 7").collect().head.getDouble(0)
+    val trueRate = nDirty / nPairs
+    assert(lam > trueRate / 3 && lam < trueRate * 3,
+      s"lambda $lam must track the true prevalence ~$trueRate")
+  }
+
   test("skew profiler ranks the heavy key first with exact share") {
     // key 7 has 6 of 10 rows across 3 keys: share .6, 1.8x mean
     (Seq.fill(6)(7) ++ Seq(8, 8, 9, 9)).toDF("l_partkey")
