@@ -76,8 +76,11 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
 
   /** The walk over an arbitrary (id_a, id_b) pair frame and seed node
     * frame — the spec entry point. */
-  def taintPprOf(pairs: DataFrame, seeds: DataFrame): DataFrame = {
+  def taintPprOf(pairs: DataFrame, seeds0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // a concatenated blocklist easily repeats a node; a duplicate seed
+    // row would fan out the node join and double-count every walk step
+    val seeds = seeds0.distinct()
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .transform(graft.core.EngineCache.persisted)

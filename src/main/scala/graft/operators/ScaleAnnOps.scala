@@ -1431,7 +1431,8 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .transform(graft.core.EngineCache.persisted)
     val nProbes = exact.select("query_id").distinct().count()
     val tv = vecs.selectExpr("vec_id",
-      s"slice(embedding, 1, $TruncRerankDims) AS embedding")
+        s"slice(embedding, 1, $TruncRerankDims) AS embedding")
+      .filter("exists(embedding, p -> p <> CAST(0 AS FLOAT))") // q202's guard
     val pool = graft.llm.Similarity
       .bruteForceTopK(tv, expr(TruncProbes), RerankPool)
       .select("query_id", "cand_id")
@@ -1471,13 +1472,16 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
         WHERE p.$TruncProbes) z
       WHERE rnk <= $k),
     np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ex),
+    sv AS (
+      SELECT vec_id, ${sliced("embedding")} AS embedding FROM v
+      WHERE len(list_filter(${sliced("embedding")}, x -> x <> 0)) > 0),
     pool AS (
       SELECT query_id, cand_id FROM (
         SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
           row_number() OVER (PARTITION BY p.vec_id
-            ORDER BY ${cosineSql(sliced("p.embedding"),
-              sliced("c.embedding"))} DESC, c.vec_id) AS rnk
-        FROM v p JOIN v c ON p.vec_id <> c.vec_id
+            ORDER BY ${cosineSql("p.embedding", "c.embedding")}
+              DESC, c.vec_id) AS rnk
+        FROM sv p JOIN sv c ON p.vec_id <> c.vec_id
         WHERE p.$TruncProbes) z
       WHERE rnk <= $RerankPool),
     served AS (
@@ -1538,8 +1542,14 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .transform(graft.core.EngineCache.persisted)
     val nProbes = exact.select("query_id").distinct().count()
     val rows = TruncDims.map { d =>
+      // zero-norm guard: an all-zero prefix has no cosine (NaN sorts
+      // ABOVE every double in DESC order — it would float to the top
+      // of every truncated top-k, with different NULL semantics in the
+      // oracle); such rows simply leave the sliced leg, costing the
+      // probe its hits rather than corrupting the ranking
       val tv = vecs.selectExpr("vec_id",
-        s"slice(embedding, 1, $d) AS embedding")
+          s"slice(embedding, 1, $d) AS embedding")
+        .filter("exists(embedding, p -> p <> CAST(0 AS FLOAT))")
       val hits = graft.llm.Similarity
         .bruteForceTopK(tv, expr(TruncProbes), k)
         .select("query_id", "cand_id")
@@ -1555,19 +1565,25 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   def dimTruncationAuditSql: String = {
     import graft.llm.Similarity.cosineSql
     val k = LlmQueries.BruteK
-    def topk(name: String, emb: String => String): String = s"""
+    def topk(name: String, src: String): String = s"""
     $name AS (
       SELECT query_id, cand_id FROM (
         SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
           row_number() OVER (PARTITION BY p.vec_id
-            ORDER BY ${cosineSql(emb("p.embedding"), emb("c.embedding"))}
+            ORDER BY ${cosineSql("p.embedding", "c.embedding")}
               DESC, c.vec_id) AS rnk
-        FROM v p JOIN v c ON p.vec_id <> c.vec_id
+        FROM $src p JOIN $src c ON p.vec_id <> c.vec_id
         WHERE p.$TruncProbes) z
       WHERE rnk <= $k)"""
-    val legs = TruncDims.map { d =>
-      topk(s"a$d", e => s"list_slice($e, 1, $d)")
+    // sv$d: the sliced frame with q202's zero-norm guard mirrored
+    val sliced = TruncDims.map { d =>
+      s"""
+    sv$d AS (
+      SELECT vec_id, list_slice(embedding, 1, $d) AS embedding FROM v
+      WHERE len(list_filter(list_slice(embedding, 1, $d),
+        x -> x <> 0)) > 0)"""
     }.mkString(",")
+    val legs = TruncDims.map(d => topk(s"a$d", s"sv$d")).mkString(",")
     val rows = TruncDims.map { d =>
       s"""
       SELECT CAST($d AS BIGINT) AS dims, np.n AS n_probes,
@@ -1582,8 +1598,9 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     }.mkString("\n      UNION ALL")
     s"""
     WITH v AS (SELECT vec_id, embedding FROM embeddings),
-    ${topk("ex", identity)},
+    ${topk("ex", "v")},
     np AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ex),
+    $sliced,
     $legs
     $rows
     ORDER BY dims"""

@@ -421,14 +421,16 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     // KcorePeels unroll the oracle spells (q125's frontier-empty rule)
     var prev = -1L
     var round = 0
-    while (round < KcorePeels && edges.count() != prev) {
-      prev = edges.count() // cheap: the frame is checkpointed/persisted
+    var cur = edges.count()
+    while (round < KcorePeels && cur != prev) {
+      prev = cur
       val alive = degrees(edges).filter(col("d") >= KcoreK).select("node")
       edges = edges
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint(true)
+      cur = edges.count() // one job per round; the frame is checkpointed
       round += 1
     }
     degrees(edges).select(col("node"), col("d").as("core_degree"))
@@ -786,8 +788,6 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       .selectExpr("l_partkey AS p", "l_suppkey AS s",
         "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln"))
 
-  /** The planner over an arbitrary (p, s, o, ln) frame with unique
-    * (o, ln) — the spec entry point. */
   /** One collected row: (pmn, pmx, smn, smx, n) — the bounds the scaled
     * interleave freezes plus the row count the file split needs, one
     * job instead of three. */
@@ -810,6 +810,8 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       .withColumn("z", expr(zSpark("ps", "ss")))
   }
 
+  /** The planner over an arbitrary (p, s, o, ln) frame with unique
+    * (o, ln) — the spec entry point. */
   def zorderLayoutOf(rows0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = rows0.sparkSession
@@ -873,21 +875,27 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * count from a full layout replay, so the hash match certifies the
     * pruned serve is lossless. Output: one row — files total/touched
     * and the predicate rows' count and exact integer sums. */
-  def zorderRowsAtRest(spark: SparkSession, dir: String): DataFrame = {
-    val table = "zlay_" +
+  /** Shared z-layout publisher: scale, Morton-encode, rank, split into
+    * [[ZFiles]] equal-row files, and persist Hive-partitioned — the ONE
+    * spelling both the full-table layout (q198) and the append base
+    * (q200) publish through. Clusters by file before the partitioned
+    * write: each task holds a couple of file_ids, so the layout lands
+    * as ~one parquet file per "file" instead of tasks × files tiny
+    * splinters. */
+  private def zLayoutTableOnce(spark: SparkSession, dir: String,
+                               prefix: String, rowFilter: String): DataFrame = {
+    val table = prefix +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
     graft.core.Warehouse.tableOnce(spark, table, "file_id") {
       import org.apache.spark.sql.functions._
       val r0 = Tables.load(spark, dir, "lineitem")
+        .filter(rowFilter)
         .selectExpr("l_partkey AS p", "l_suppkey AS s",
           "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
         .transform(graft.core.EngineCache.persisted)
       val (pmn, pmx, smn, smx, n) = zBoundsAndCount(r0)
       val rows = zScaled(r0, pmn, pmx, smn, smx)
         .transform(graft.core.EngineCache.persisted)
-      // cluster by file before the partitioned write: each task holds a
-      // couple of file_ids, so the layout lands as ~one parquet file per
-      // "file" instead of tasks x files tiny splinters
       DistributedRank.rankOnly(rows, "rk", "z", desc = false,
           col("z"), col("o"), col("ln"))
         .withColumn("file_id",
@@ -896,6 +904,22 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
         .repartition(col("file_id"))
     }
   }
+
+  /** Quartile-2 window of an integer dim — the canonical predicate
+    * window (q195's formula), one spelling for every Scala call site. */
+  private def quartileWindow(mn: Long, mx: Long): (Long, Long) =
+    (mn + (mx - mn + 1) * 1 / 4, mn + (mx - mn + 1) * 2 / 4 - 1)
+
+  /** Box-overlap prune: file ids whose [min,max] box intersects the
+    * predicate windows. Boxes are (file_id, p_lo, p_hi, s_lo, s_hi). */
+  private def boxesTouched(boxes: Array[org.apache.spark.sql.Row],
+                           pFrom: Long, pTo: Long,
+                           sFrom: Long, sTo: Long): Array[Int] =
+    boxes.filter(r => r.getLong(1) <= pTo && r.getLong(2) >= pFrom &&
+      r.getLong(3) <= sTo && r.getLong(4) >= sFrom).map(_.getInt(0))
+
+  def zorderRowsAtRest(spark: SparkSession, dir: String): DataFrame =
+    zLayoutTableOnce(spark, dir, "zlay_", "true")
 
   def zorderManifestAtRest(spark: SparkSession, dir: String): DataFrame = {
     val table = "zmanifest_" +
@@ -915,12 +939,9 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     val (pmn, pmx) = (man.map(long(_, 1)).min, man.map(long(_, 2)).max)
     val (smn, smx) = (man.map(long(_, 3)).min, man.map(long(_, 4)).max)
     // the both_mid predicate: quartile-2 window on each dim (q195)
-    val (pFrom, pTo) = (pmn + (pmx - pmn + 1) * 1 / 4,
-      pmn + (pmx - pmn + 1) * 2 / 4 - 1)
-    val (sFrom, sTo) = (smn + (smx - smn + 1) * 1 / 4,
-      smn + (smx - smn + 1) * 2 / 4 - 1)
-    val keep = man.filter(r => long(r, 1) <= pTo && long(r, 2) >= pFrom &&
-      long(r, 3) <= sTo && long(r, 4) >= sFrom).map(_.getInt(0)).sorted
+    val (pFrom, pTo) = quartileWindow(pmn, pmx)
+    val (sFrom, sTo) = quartileWindow(smn, smx)
+    val keep = boxesTouched(man, pFrom, pTo, sFrom, sTo).sorted
     zorderRowsAtRest(spark, dir)
       .filter(col("file_id").isin(keep.map(Integer.valueOf): _*) &&
         col("p").between(pFrom, pTo) && col("s").between(sFrom, sTo))
@@ -992,27 +1013,9 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
   val ZBatchMod = 7     // l_orderkey % 10 = this -> the arriving batch
   val ZAppendFiles = 8  // fresh files per append
 
-  def zorderBaseAtRest(spark: SparkSession, dir: String): DataFrame = {
-    val table = "zbase_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
-    graft.core.Warehouse.tableOnce(spark, table, "file_id") {
-      import org.apache.spark.sql.functions._
-      val r0 = Tables.load(spark, dir, "lineitem")
-        .filter(s"l_orderkey % 10 != $ZBatchMod")
-        .selectExpr("l_partkey AS p", "l_suppkey AS s",
-          "l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln")
-        .transform(graft.core.EngineCache.persisted)
-      val (pmn, pmx, smn, smx, n) = zBoundsAndCount(r0)
-      val rows = zScaled(r0, pmn, pmx, smn, smx)
-        .transform(graft.core.EngineCache.persisted)
-      DistributedRank.rankOnly(rows, "rk", "z", desc = false,
-          col("z"), col("o"), col("ln"))
-        .withColumn("file_id",
-          expr(s"CAST(((rk - 1) * $ZFiles) div $n AS INT)"))
-        .select("p", "s", "o", "ln", "file_id")
-        .repartition(col("file_id")) // one parquet file per layout file
-    }
-  }
+  def zorderBaseAtRest(spark: SparkSession, dir: String): DataFrame =
+    zLayoutTableOnce(spark, dir, "zbase_",
+      s"l_orderkey % 10 != $ZBatchMod")
 
   /** The at-rest base's per-file min/max boxes — the manifest rows a
     * serve or append reads instead of any raw data. */
@@ -1032,15 +1035,26 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * gets the same z whichever batch carries it. */
   def zorderEncodeFrozen(spark: SparkSession, dir: String,
                          rows0: DataFrame): DataFrame = {
+    val b = zorderFrozenBounds(spark, dir)
+    zorderEncodeWithBounds(rows0, b._1, b._2, b._3, b._4)
+  }
+
+  /** The base layout's global box = the frozen normalization bounds,
+    * read once from the manifest. Stream-time callers hoist this
+    * BEFORE the stream starts and close over the four constants —
+    * re-deriving them per micro-batch would re-aggregate the whole
+    * base table every trigger. */
+  def zorderFrozenBounds(spark: SparkSession,
+                         dir: String): (Long, Long, Long, Long) = {
     val boxes = zorderBaseBoxes(spark, dir)
     def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
-    zorderEncodeWithBounds(rows0,
-      boxes.map(long(_, 1)).min, boxes.map(long(_, 2)).max,
+    (boxes.map(long(_, 1)).min, boxes.map(long(_, 2)).max,
       boxes.map(long(_, 3)).min, boxes.map(long(_, 4)).max)
   }
 
-  private def zorderEncodeWithBounds(rows0: DataFrame, pmn: Long, pmx: Long,
-                                     smn: Long, smx: Long): DataFrame = {
+  private[graft] def zorderEncodeWithBounds(rows0: DataFrame,
+                                            pmn: Long, pmx: Long,
+                                            smn: Long, smx: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     rows0
       .withColumn("ps", expr(
@@ -1084,15 +1098,10 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
         min("s").as("s_lo"), max("s").as("s_hi"))
       .collect()
     // the both_mid predicate from the frozen base bounds (q195's window)
-    val (pFrom, pTo) = (pmn + (pmx - pmn + 1) * 1 / 4,
-      pmn + (pmx - pmn + 1) * 2 / 4 - 1)
-    val (sFrom, sTo) = (smn + (smx - smn + 1) * 1 / 4,
-      smn + (smx - smn + 1) * 2 / 4 - 1)
-    def touched(boxes: Array[org.apache.spark.sql.Row]): Array[Int] =
-      boxes.filter(r => long(r, 1) <= pTo && long(r, 2) >= pFrom &&
-        long(r, 3) <= sTo && long(r, 4) >= sFrom).map(_.getInt(0))
-    val keepBase = touched(baseBoxes)
-    val keepFresh = touched(freshBoxes)
+    val (pFrom, pTo) = quartileWindow(pmn, pmx)
+    val (sFrom, sTo) = quartileWindow(smn, smx)
+    val keepBase = boxesTouched(baseBoxes, pFrom, pTo, sFrom, sTo)
+    val keepFresh = boxesTouched(freshBoxes, pFrom, pTo, sFrom, sTo)
     val served = base
       .filter(col("file_id").isin(keepBase.map(Integer.valueOf): _*))
       .unionByName(fresh

@@ -252,12 +252,17 @@ object EventAnalytics {
     * later pass z-orders. */
   def startStreamingZorderAppend(rowStream: DataFrame, dir: String,
                                  layoutPath: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the frozen-artifact read happens ONCE, before the stream starts:
+    // every micro-batch closes over these four constants instead of
+    // re-aggregating the whole base layout per trigger
+    val (pmn, pmx, smn, smx) = graft.operators.ScaleOps
+      .zorderFrozenBounds(rowStream.sparkSession, dir)
     rowStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.operators.ScaleOps
-            .zorderEncodeFrozen(batch.sparkSession, dir, batch)
+            .zorderEncodeWithBounds(batch, pmn, pmx, smn, smx)
             .write.mode("overwrite")
             .parquet(s"$layoutPath/batch_run=$batchId")
         }
@@ -265,6 +270,7 @@ object EventAnalytics {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Streaming WITHIN-document repetition cut — the stream-time twin of
     * q184. The operator is per-document (a doc's cut depends only on

@@ -92,10 +92,10 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("linkage EM discovers the planted mangling rate without labels") {
-    val out = graft.operators.AnalyticsOps.linkageEm(spark, sfDir).collect()
+    val rows = graft.operators.AnalyticsOps.linkageEm(spark, sfDir).collect()
+    val out = rows
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val lam = graft.operators.AnalyticsOps.linkageEm(spark, sfDir)
-      .collect().head.getDouble(3)
+    val lam = rows.head.getDouble(3)
     // keys ≡ 1 mod 14 within the ≡ 1 mod 7 dirty set: exactly ~half the
     // true twins carry a mangled name — EM must recover that rate
     assert(out("a_name")._1 > 0.3 && out("a_name")._1 < 0.7,

@@ -114,16 +114,16 @@ object CmsProperties extends Properties("countmin") {
       CmSketch.joinEstimate(CmSketch.sketchOf(a), CmSketch.sketchOf(b)) >= exact
     }
 
-  property("join estimate is exact when key sets are collision-free") =
+  property("join estimate is tight on small distinct key sets") =
     forAll(Gen.chooseNum(0, 40), Gen.chooseNum(1, 5)) { (nKeys, mult) =>
       // distinct small keys land in distinct CMS slots whp at width 4096;
-      // with no collisions the inner product IS sum(n_a * n_b)
+      // the min-over-rows excess is bounded by one extra colliding pair
+      // per key — a degenerate hash (all keys one slot) blows past this
       val keys = (1L to nKeys.toLong).toList
       val a = keys.flatMap(k => List.fill(mult)(k))
       val est = CmSketch.joinEstimate(CmSketch.sketchOf(a), CmSketch.sketchOf(keys))
-      est == nKeys.toLong * mult ||
-        // a rare in-row collision can only push the estimate up
-        est > nKeys.toLong * mult
+      val exact = nKeys.toLong * mult
+      est >= exact && est <= exact + mult.toLong * mult * nKeys
     }
 }
 
