@@ -52,15 +52,15 @@ object AnalyticsOps {
     * lost nothing. At 100 TB the shape holds: tokenize+order is two
     * hash aggs and one doc-partitioned window; the candidate join is
     * rare-key-bounded; only candidate pairs reach verification. */
-  private def simTail: String = s"""
+  private def simTail(tok: String): String = s"""
     sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS m
-           FROM tok GROUP BY doc_id),
+           FROM $tok GROUP BY doc_id),
     inter AS (
       SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
         CAST(count(1) AS BIGINT) AS i
       FROM cand c
-      JOIN tok ta ON ta.doc_id = c.id_a
-      JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      JOIN $tok ta ON ta.doc_id = c.id_a
+      JOIN $tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
       GROUP BY ta.doc_id, tb.doc_id)
     SELECT i.id_a, i.id_b, i.i AS inter_n,
       sa.m + sb.m - i.i AS union_n,
@@ -71,35 +71,46 @@ object AnalyticsOps {
     WHERE 3 * i.i >= sa.m + sb.m
     ORDER BY i.id_a, i.id_b"""
 
-  /** Spark-side (prefix-filtered) plan; `docFilter` parametrized so the
-    * spec can run it unrestricted on a planted fixture. */
-  def sparkSetSimSql(docFilter: String): String = s"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id,
-          explode(${graft.functions.TextFunctions.wordsExpr("text")}) AS token
-        FROM documents WHERE $docFilter) t
-      WHERE token <> ''),
-    df AS (SELECT token, count(1) AS df FROM tok GROUP BY token),
-    ord AS (
-      SELECT t.doc_id, t.token,
-        row_number() OVER (PARTITION BY t.doc_id
-          ORDER BY d.df, t.token) AS rk,
-        count(1) OVER (PARTITION BY t.doc_id) AS m
-      FROM tok t JOIN df d ON t.token = d.token),
-    pref AS (
-      SELECT doc_id, token FROM ord
-      WHERE rk <= CAST(floor(m / 2.0) + 1 AS BIGINT)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM pref a JOIN pref b
-        ON a.token = b.token AND a.doc_id < b.doc_id),
-    $simTail"""
-
-  def setSimJoin(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
-    spark.sql(sparkSetSimSql(s"doc_id % $SimDocMod = 0"))
+  /** The join over an arbitrary (doc_id, text) frame — the spec entry
+    * point. The tokenized set and the prefix set each feed MULTIPLE
+    * downstream consumers (df counts, the ordering window, both sides
+    * of the candidate self-join, both intersection legs, both size
+    * legs); spelled as one WITH chain Spark inlines each reference into
+    * a fresh tokenize — the explode + regexp scan ran four times. Both
+    * frames persist once behind thread-scoped views instead; every
+    * consumer scans the cache. */
+  def setSimJoinOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tid = Thread.currentThread().getId
+    val (tokV, prefV) = (s"setsim_tok_t$tid", s"setsim_pref_t$tid")
+    val tok = docs.selectExpr("doc_id",
+        s"explode(${graft.functions.TextFunctions.wordsExpr("text")}) AS token")
+      .filter("token <> ''").distinct()
+      .transform(graft.core.EngineCache.persisted)
+    tok.createOrReplaceTempView(tokV)
+    val pref = spark.sql(s"""
+      SELECT doc_id, token FROM (
+        SELECT t.doc_id, t.token,
+          row_number() OVER (PARTITION BY t.doc_id
+            ORDER BY d.df, t.token) AS rk,
+          count(1) OVER (PARTITION BY t.doc_id) AS m
+        FROM $tokV t JOIN (
+          SELECT token, count(1) AS df FROM $tokV GROUP BY token) d
+          ON t.token = d.token) z
+      WHERE rk <= CAST(floor(m / 2.0) + 1 AS BIGINT)""")
+      .transform(graft.core.EngineCache.persisted)
+    pref.createOrReplaceTempView(prefV)
+    spark.sql(s"""
+      WITH cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM $prefV a JOIN $prefV b
+          ON a.token = b.token AND a.doc_id < b.doc_id),
+      ${simTail(tokV)}""")
   }
+
+  def setSimJoin(spark: SparkSession, dir: String): DataFrame =
+    setSimJoinOf(Tables.load(spark, dir, "documents")
+      .filter(s"doc_id % $SimDocMod = 0"))
 
   /** Unblocked all-pairs ground truth: every pair sharing ANY token is
     * a candidate. Tractable only because of the SimDocMod restriction;
@@ -115,7 +126,7 @@ object AnalyticsOps {
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM tok a JOIN tok b
         ON a.token = b.token AND a.doc_id < b.doc_id),
-    $simTail"""
+    ${simTail("tok")}"""
 
   // ---------------------------------------------------------------- q124
   /** Grouped OLS regression — per part brand, regress line-item price

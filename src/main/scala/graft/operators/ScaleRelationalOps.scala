@@ -408,20 +408,99 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
   }
 
   /** The peel loop over an arbitrary (u, v) edge frame — the spec
-    * entry point. Returns (node, core_degree), unordered. */
-  def kcoreOf(e0: DataFrame): DataFrame = {
+    * entry point. Returns (node, core_degree), unordered.
+    *
+    * Adaptive small-graph path (the `connectedComponents` precedent,
+    * `Dedup.scala`): the co-purchase graph is the thresholded OUTPUT of
+    * a support filter, orders of magnitude smaller than the fact table,
+    * and a multi-round distributed fixpoint on a few thousand edges is
+    * pure job-scheduling latency. Below `driverEdgeLimit` edges the
+    * pairs stream (`toLocalIterator`) into primitive arrays and the
+    * SAME round-based simultaneous peel runs index-side — identical
+    * round cap, identical fixpoint exit, so the result is bit-equal to
+    * the distributed loop's by construction (cross-validated in
+    * ScaleOpsSpec with `driverEdgeLimit = 0` forcing the loop). The
+    * distributed peel remains the over-limit path. */
+  def kcoreOf(e0: DataFrame, driverEdgeLimit: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.functions._
+    val spark = e0.sparkSession
     def degrees(edges: DataFrame) =
       edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("d"))
-    var edges = e0.transform(graft.core.EngineCache.persisted)
+    var edges = e0.select(col("u").cast("long"), col("v").cast("long"))
+      .transform(graft.core.EngineCache.persisted)
+    var cur = edges.count()
+    if (cur <= driverEdgeLimit) {
+      val n = cur.toInt
+      val src = new Array[Long](n)
+      val dst = new Array[Long](n)
+      val it = edges.toLocalIterator()
+      var i = 0
+      while (it.hasNext) {
+        val r = it.next(); src(i) = r.getLong(0); dst(i) = r.getLong(1); i += 1
+      }
+      edges.unpersist()
+      // dense relabel: sorted distinct endpoint ids -> [0, m)
+      val all = new Array[Long](2 * n)
+      System.arraycopy(src, 0, all, 0, n)
+      System.arraycopy(dst, 0, all, n, n)
+      java.util.Arrays.sort(all)
+      var m = 0
+      var j = 0
+      while (j < all.length) {
+        if (m == 0 || all(j) != all(m - 1)) { all(m) = all(j); m += 1 }
+        j += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, m)
+      val su = src.map(x => java.util.Arrays.binarySearch(ids, x))
+      val sv = dst.map(x => java.util.Arrays.binarySearch(ids, x))
+      val kept = Array.fill(n)(true)
+      val deg = new Array[Long](m)
+      // the same simultaneous-removal rounds the distributed loop (and
+      // the oracle's unrolled CTE chain) runs, round cap included
+      var prev = -1L
+      var alive = n.toLong
+      var round = 0
+      while (round < KcorePeels && alive != prev) {
+        prev = alive
+        java.util.Arrays.fill(deg, 0L)
+        var e = 0
+        while (e < n) {
+          if (kept(e)) { deg(su(e)) += 1; deg(sv(e)) += 1 }
+          e += 1
+        }
+        alive = 0L
+        e = 0
+        while (e < n) {
+          if (kept(e) &&
+              (deg(su(e)) < KcoreK || deg(sv(e)) < KcoreK)) kept(e) = false
+          if (kept(e)) alive += 1
+          e += 1
+        }
+        round += 1
+      }
+      java.util.Arrays.fill(deg, 0L)
+      var e = 0
+      while (e < n) {
+        if (kept(e)) { deg(su(e)) += 1; deg(sv(e)) += 1 }
+        e += 1
+      }
+      // result frame from broadcast arrays — no driver-side Seq of rows
+      val bIds = spark.sparkContext.broadcast(ids)
+      val bDeg = spark.sparkContext.broadcast(deg)
+      val sq = spark
+      import sq.implicits._
+      return spark.range(0, m.toLong)
+        .map(i => (bIds.value(i.toInt), bDeg.value(i.toInt)))
+        .toDF("node", "core_degree")
+        .filter(col("core_degree") > 0)
+    }
     // early exit at the fixpoint: peeling only removes edges, so an
     // unchanged edge count proves the round was a no-op and every
     // remaining round would be too — the result equals the full
     // KcorePeels unroll the oracle spells (q125's frontier-empty rule)
     var prev = -1L
     var round = 0
-    var cur = edges.count()
     while (round < KcorePeels && cur != prev) {
       prev = cur
       val alive = degrees(edges).filter(col("d") >= KcoreK).select("node")
@@ -819,16 +898,25 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     val (pmn, pmx, smn, smx, n) = zBoundsAndCount(r0)
     val rows = zScaled(r0, pmn, pmx, smn, smx)
       .transform(graft.core.EngineCache.persisted)
-    def fileStats(name: String, primary: String): DataFrame =
-      DistributedRank.rankOnly(rows, "rk", primary, desc = false,
-          col(primary), col("o"), col("ln"))
+    // equal-width buckets from KNOWN bounds: the scaled Morton code is
+    // ~uniform on [0, 2^(2·ZBits)) whenever (p, s) are (the scaling
+    // maps each dim onto its full bit range), and p's exact bounds are
+    // already in hand from the stats job — so neither rank pass pays
+    // DistributedRank's per-call count + sample-collect jobs, and
+    // exactness never depends on the balance anyway (the guard stays
+    // armed against a point mass)
+    def fileStats(name: String, primary: String,
+                  lo: Double, hi: Double): DataFrame =
+      DistributedRank.rankOnlyBounded(rows, "rk", primary, desc = false,
+          lo, hi, col(primary), col("o"), col("ln"))
         .withColumn("file_id", expr(s"((rk - 1) * $ZFiles) div $n"))
         .groupBy("file_id")
         .agg(min("p").as("p_lo"), max("p").as("p_hi"),
           min("s").as("s_lo"), max("s").as("s_hi"))
         .withColumn("layout", lit(name))
-    val stats = fileStats("zorder", "z")
-      .unionByName(fileStats("partkey_sorted", "p"))
+    val stats = fileStats("zorder", "z", 0.0, (1L << (2 * ZBits)) - 1.0)
+      .unionByName(
+        fileStats("partkey_sorted", "p", pmn.toDouble, pmx.toDouble))
     val (pqLo, pqHi) = (pmn + (pmx - pmn + 1) * 1 / 4,
       pmn + (pmx - pmn + 1) * 2 / 4 - 1)
     val (sqLo, sqHi) = (smn + (smx - smn + 1) * 1 / 4,
@@ -896,8 +984,11 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       val (pmn, pmx, smn, smx, n) = zBoundsAndCount(r0)
       val rows = zScaled(r0, pmn, pmx, smn, smx)
         .transform(graft.core.EngineCache.persisted)
-      DistributedRank.rankOnly(rows, "rk", "z", desc = false,
-          col("z"), col("o"), col("ln"))
+      // the scaled Morton code is ~uniform on its full bit range (see
+      // zorderLayoutOf): equal-width buckets from the KNOWN [0, 2^32)
+      // domain skip the per-call count + sample jobs
+      DistributedRank.rankOnlyBounded(rows, "rk", "z", desc = false,
+          0.0, (1L << (2 * ZBits)) - 1.0, col("z"), col("o"), col("ln"))
         .withColumn("file_id",
           expr(s"CAST(((rk - 1) * $ZFiles) div $n AS INT)"))
         .select("p", "s", "o", "ln", "file_id")
@@ -1087,7 +1178,8 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       pmn, pmx, smn, smx)
       .transform(graft.core.EngineCache.persisted)
     val nb = batch.count()
-    val fresh = DistributedRank.rankOnly(batch, "rk", "z", desc = false,
+    val fresh = DistributedRank.rankOnlyBounded(batch, "rk", "z",
+        desc = false, 0.0, (1L << (2 * ZBits)) - 1.0,
         col("z"), col("o"), col("ln"))
       .withColumn("file_id",
         expr(s"CAST($ZFiles + ((rk - 1) * $ZAppendFiles) div $nb AS INT)"))

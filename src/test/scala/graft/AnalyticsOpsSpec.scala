@@ -22,12 +22,12 @@ class AnalyticsOpsSpec extends SparkSpec {
       (25L, "kappa lambda mu"),
       (30L, "kappa lambda nu")
     ).toDF("doc_id", "text").createOrReplaceTempView("documents")
-    // same SQL as the operator but without the doc_id % mod restriction
-    val out = spark.sql(
-      AnalyticsOps.sparkSetSimSql(docFilter = "TRUE"))
+    // the operator's own plan, without the doc_id % mod restriction
+    val out = AnalyticsOps.setSimJoinOf(spark.table("documents"))
       .select("id_a", "id_b", "inter_n", "union_n").as[(Long, Long, Long, Long)]
       .collect().toSet
     assert(out === Set((10L, 15L, 3L, 4L), (25L, 30L, 2L, 4L)))
+    graft.core.EngineCache.releaseAll()
   }
 
   test("OLS recovers a planted exact linear relation") {
