@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsOps, CoreRelational, CorpusOps, LlmQueries, Scalars, ScaleOps, StatsOps, Windows}
+import graft.operators.{AnalyticsOps, CoreRelational, CorpusFilterOps, CorpusOps, LlmQueries, Scalars, ScaleOps, StatsOps, Windows}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreRelational.queries ++ Windows.queries ++ Scalars.queries ++
       LlmQueries.queries ++ Formats.queries ++ CorpusOps.queries ++
-      ScaleOps.queries ++ AnalyticsOps.queries ++ StatsOps.queries
+      ScaleOps.queries ++ AnalyticsOps.queries ++ StatsOps.queries ++
+      CorpusFilterOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, non-SQL ops)
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreRelational.oracles ++ Windows.oracles ++ Scalars.oracles ++
       LlmQueries.oracles ++ Formats.oracles ++ CorpusOps.oracles ++
-      ScaleOps.oracles ++ AnalyticsOps.oracles ++ StatsOps.oracles
+      ScaleOps.oracles ++ AnalyticsOps.oracles ++ StatsOps.oracles ++
+      CorpusFilterOps.oracles
 }

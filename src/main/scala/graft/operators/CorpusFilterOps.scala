@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Determinism._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Round-9 second-half text-pipeline surface: published corpus-filtering
+  * operators a production LLM data pipeline runs ahead of training —
+  * rule-based quality gating (Gopher, Rae et al. 2021, §A1.1) and
+  * importance-resampling selection toward a target domain (DSIR, Xie et
+  * al. 2023). Same contract as every query group: one `queries` entry +
+  * one DuckDB oracle per operator, constants spelled once for both
+  * engines, every fp-critical value decimal-bridged.
+  *
+  * The reference never inspects payloads (value bytes pass straight to
+  * the writer, kafka.clj:58) — this is the selection layer the archived
+  * corpus feeds.
+  */
+object CorpusFilterOps {
+
+  // ---------------------------------------------------------- constants
+  // Gopher-style rule bounds, adapted to the fixture's 10-99-word docs
+  // (the published bounds gate 50-100k-word web pages; the RULE SHAPE is
+  // what the operator implements — each bound is an exact integer
+  // comparison so no fp boundary can drift cross-engine).
+  val GWordLo = 20       // word count lower bound (Gopher: 50)
+  val GWordHi = 80       // word count upper bound (Gopher: 100k)
+  val GMwlLo = 3         // mean word length lower bound (Gopher: 3)
+  val GMwlHi = 10        // mean word length upper bound (Gopher: 10)
+  val GStopMin = 2       // >= 2 stopwords (Gopher's "2 of 8" rule)
+  val GAlphaNum = 4      // >= 4/5 of words contain an alphabetic char
+  val GAlphaDen = 5      //   (Gopher: 80%)
+  val GTopNum = 1        // top token <= 1/10 of all tokens (repetition
+  val GTopDen = 10       //   gate, Gopher §A1.1 duplicate-line analogue)
+
+  val DsirBuckets = 128  // hashed-unigram feature space (DSIR §2.2)
+  val DsirTopK = 50      // selected subset size
+  val DsirTargetLang = "en" // target-domain proxy: English docs
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // --------------------------------------------------------------- q205
+  /** Gopher-style rule-based quality gate: per-doc signal table + one
+    * 0/1 flag per rule + the conjunctive pass bit. Every rule compares
+    * EXACT INTEGERS (cross-multiplied ratios), so the gate is
+    * bit-identical across engines; the reported fp signals are derived
+    * AFTER gating and decimal-bridged for display only.
+    *
+    * Scale: one projection pass for the array-fold signals plus one
+    * (doc_id, token) count for the top-token rule — the only shuffle,
+    * keyed by doc so it rides the natural document partitioning. No
+    * corpus-global state; 100 TB is embarrassingly parallel here.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), words("text").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        expr("size(ws)").as("n"),
+        expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
+        expr(s"size(filter(ws, w -> w IN (${EnglishStopwords.map(s => s"'$s'").mkString(", ")})))")
+          .as("stop_hits"),
+        expr("size(filter(ws, w -> w rlike '[a-zA-Z]'))").as("alpha_cnt"))
+    // top-token count per doc: the one shuffle, keyed (doc_id, token)
+    val top = d.select(col("doc_id"), explode(col("ws")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("top_cnt"))
+    d.join(top, "doc_id")
+      .select(col("doc_id"), col("n").as("n_words"),
+        dround(col("sum_len").cast("double") / col("n"), 4).as("mean_wlen"),
+        col("stop_hits"), col("top_cnt").cast("int").as("top_cnt"),
+        when(col("n").between(GWordLo, GWordHi), 1).otherwise(0).as("r_words"),
+        when(col("sum_len") >= col("n") * GMwlLo &&
+             col("sum_len") <= col("n") * GMwlHi, 1).otherwise(0).as("r_mwl"),
+        when(col("stop_hits") >= GStopMin, 1).otherwise(0).as("r_stop"),
+        when(col("alpha_cnt") * GAlphaDen >= col("n") * GAlphaNum, 1)
+          .otherwise(0).as("r_alpha"),
+        when(col("top_cnt") * GTopDen <= col("n") * GTopNum, 1)
+          .otherwise(0).as("r_top"))
+      .withColumn("pass",
+        (col("r_words") * col("r_mwl") * col("r_stop") * col("r_alpha") * col("r_top"))
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private def gopherRulesSql: String = {
+    val ws = wordsSql("text")
+    val lex = EnglishStopwords.map(s => s"'$s'").mkString(", ")
+    s"""
+    WITH d AS (
+      SELECT doc_id, len(ws) AS n,
+        list_sum(list_transform(ws, x -> length(x)))::BIGINT AS sum_len,
+        len(list_filter(ws, w -> w IN ($lex)))::BIGINT AS stop_hits,
+        len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT AS alpha_cnt
+      FROM (SELECT doc_id, $ws AS ws FROM documents)),
+    top AS (
+      SELECT doc_id, max(c)::BIGINT AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS c FROM (
+          SELECT doc_id, unnest($ws) AS tok FROM documents) GROUP BY doc_id, tok)
+      GROUP BY doc_id)
+    SELECT d.doc_id, d.n::INT AS n_words,
+      ${droundSql("d.sum_len::DOUBLE / d.n", 4)} AS mean_wlen,
+      d.stop_hits::INT AS stop_hits, top.top_cnt::INT AS top_cnt,
+      CASE WHEN d.n BETWEEN $GWordLo AND $GWordHi THEN 1 ELSE 0 END AS r_words,
+      CASE WHEN d.sum_len >= d.n * $GMwlLo AND d.sum_len <= d.n * $GMwlHi
+           THEN 1 ELSE 0 END AS r_mwl,
+      CASE WHEN d.stop_hits >= $GStopMin THEN 1 ELSE 0 END AS r_stop,
+      CASE WHEN d.alpha_cnt * $GAlphaDen >= d.n * $GAlphaNum THEN 1 ELSE 0 END AS r_alpha,
+      CASE WHEN top.top_cnt * $GTopDen <= d.n * $GTopNum THEN 1 ELSE 0 END AS r_top,
+      (CASE WHEN d.n BETWEEN $GWordLo AND $GWordHi THEN 1 ELSE 0 END) *
+      (CASE WHEN d.sum_len >= d.n * $GMwlLo AND d.sum_len <= d.n * $GMwlHi THEN 1 ELSE 0 END) *
+      (CASE WHEN d.stop_hits >= $GStopMin THEN 1 ELSE 0 END) *
+      (CASE WHEN d.alpha_cnt * $GAlphaDen >= d.n * $GAlphaNum THEN 1 ELSE 0 END) *
+      (CASE WHEN top.top_cnt * $GTopDen <= d.n * $GTopNum THEN 1 ELSE 0 END) AS pass
+    FROM d JOIN top USING (doc_id) ORDER BY d.doc_id"""
+  }
+
+  // --------------------------------------------------------------- q206
+  /** DSIR: data selection via importance resampling (Xie et al. 2023).
+    * Hash unigrams into [[DsirBuckets]] buckets; fit Laplace-smoothed
+    * bucket distributions on the target slice (lang = 'en') and the raw
+    * corpus; per-doc importance weight = mean over tokens of
+    * log(p_target/p_raw); select the top-[[DsirTopK]] docs.
+    *
+    * Determinism: each bucket's log-ratio is quantized ONCE to an exact
+    * 1e-8 integer (the repo's ln-bridge discipline); per-doc weights are
+    * integer sums of those, so aggregation order cannot drift. The final
+    * double division (s8/1e8/n) is the same IEEE expression in both
+    * engines; selection ties break on doc_id.
+    *
+    * Scale: two token-bucket aggregations (O(corpus) map-side-combined
+    * into 128 rows each), a broadcast join of the 128-row log-ratio
+    * table against the token stream, and one per-doc sum — no global
+    * sort until the final top-k (TakeOrderedAndProject). The feature
+    * table stays O(buckets) at any corpus size; that is DSIR's point.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(words("text")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (xhash(col("tok")) % B).as("b"))
+      .persist() // read 4x: two bucket counts, two totals, the weight join
+    val tgt = toks.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nT = toks.filter(col("lang") === DsirTargetLang).count()
+    val nR = toks.count()
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr(s"CAST(floor(ln(((CAST(coalesce(ct, 0) + 1 AS DOUBLE)) / ${nT + B}.0D) / " +
+          s"((CAST(cr + 1 AS DOUBLE)) / ${nR + B}.0D)) * 1e8 + 0.5) AS BIGINT)").as("l8"))
+    toks.join(broadcast(lam), "b")
+      .groupBy("doc_id").agg(sum("l8").as("s8"), count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        (col("s8").cast("double") / lit(1e8) / col("n").cast("double")).as("wraw"))
+      .orderBy(col("wraw").desc, col("doc_id"))
+      .limit(DsirTopK)
+      .select(col("doc_id"), dround(col("wraw"), 6).as("dsir_w"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirWeightsSql: String = {
+    val B = DsirBuckets
+    s"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        ${xhashSql("unnest(" + wordsSql("text") + ")")} % $B AS b
+      FROM documents),
+    tgt AS (SELECT b, count(*) AS ct FROM toks WHERE lang = '$DsirTargetLang' GROUP BY b),
+    raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM toks WHERE lang = '$DsirTargetLang') AS nt,
+                   (SELECT count(*) FROM toks) AS nr),
+    lam AS (
+      SELECT r.b,
+        CAST(floor(ln(((coalesce(t.ct, 0) + 1)::DOUBLE / (tot.nt + $B)) /
+          ((r.cr + 1)::DOUBLE / (tot.nr + $B))) * 1e8 + 0.5) AS BIGINT) AS l8
+      FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+    dw AS (
+      SELECT toks.doc_id, sum(lam.l8)::BIGINT AS s8, count(*) AS n
+      FROM toks JOIN lam ON toks.b = lam.b GROUP BY toks.doc_id),
+    sel AS (
+      SELECT doc_id, s8::DOUBLE / 1e8 / n::DOUBLE AS wraw FROM dw
+      ORDER BY wraw DESC, doc_id LIMIT $DsirTopK)
+    SELECT doc_id, ${droundSql("wraw", 6)} AS dsir_w FROM sel ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_gopher_rules" -> gopherRules _,
+    "q206_dsir_select"  -> dsirWeights _)
+
+  val oracles: Map[String, String] = Map(
+    "q205_gopher_rules" -> gopherRulesSql,
+    "q206_dsir_select"  -> dsirWeightsSql)
+}
