@@ -39,6 +39,12 @@ object CorpusFilterOps {
   val DsirTopK = 50      // selected subset size
   val DsirTargetLang = "en" // target-domain proxy: English docs
 
+  val WinK = 20          // winnowing gram length (chars)
+  val WinW = 12          // winnowing window (hashes); detects shared
+                         //   substrings of length >= K+W-1 = 31 chars
+  val WinDfCap = 8       // drop fingerprints in > 8 docs (stop-grams)
+  val WinTau = 3         // report pairs sharing >= 3 fingerprints
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
@@ -187,13 +193,76 @@ object CorpusFilterOps {
     SELECT doc_id, ${droundSql("wraw", 6)} AS dsir_w FROM sel ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------------------- q207
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * algorithm): hash every [[WinK]]-char gram, slide a [[WinW]]-hash
+    * window, keep each window's MINIMUM hash; the distinct minima are the
+    * doc's fingerprints. Guarantee: two docs sharing any substring of
+    * length ≥ K+W−1 share a fingerprint — position-robust local-overlap
+    * detection, unlike the bag-level MinHash/SimHash family (q35/q36).
+    * Pairs sharing ≥ [[WinTau]] fingerprints are reported.
+    *
+    * Scale: gram hashing is embarrassingly parallel; the window min is
+    * per-doc state (one doc's hashes, never a global sort); fingerprints
+    * seen in > [[WinDfCap]] docs are dropped before the pair join (the
+    * q103 stop-term discipline), so the self-join is O(df²) per kept
+    * fingerprint, never O(corpus²). All values are 60-bit ints — the
+    * only corpus-sized shuffle carries (doc_id, fp) longs.
+    */
+  def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs(spark, dir)
+      .filter(length(col("text")) >= WinK)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - ${WinK - 1})")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        xhash(expr(s"substr(text, pos, $WinK)")).as("h"),
+        (length(col("text")) - (WinK - 1)).as("ng"))
+    val wmin = g.withColumn("fp",
+        min("h").over(Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, WinW - 1)))
+      .filter(col("pos") <= col("ng") - (WinW - 1))
+      .select("doc_id", "fp").distinct()
+    val keep = wmin.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinDfCap).select("fp")
+    val kept = wmin.join(keep, "fp")
+    kept.alias("a").join(kept.alias("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinTau)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def winnowingPairsSql: String = s"""
+    WITH g AS (
+      SELECT doc_id, pos,
+        ${xhashSql(s"substr(text, pos, $WinK)")} AS h,
+        length(text) - ${WinK - 1} AS ng
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${WinK - 2})) AS pos
+            FROM documents WHERE length(text) >= $WinK)),
+    wmin AS (
+      SELECT doc_id, pos,
+        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS fp, ng
+      FROM g),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= ng - ${WinW - 1}),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinDfCap)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= $WinTau
+    ORDER BY 1, 2"""
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_gopher_rules" -> gopherRules _,
-    "q206_dsir_select"  -> dsirWeights _)
+    "q206_dsir_select"  -> dsirWeights _,
+    "q207_winnowing"    -> winnowingPairs _)
 
   val oracles: Map[String, String] = Map(
     "q205_gopher_rules" -> gopherRulesSql,
-    "q206_dsir_select"  -> dsirWeightsSql)
+    "q206_dsir_select"  -> dsirWeightsSql,
+    "q207_winnowing"    -> winnowingPairsSql)
 }
