@@ -45,6 +45,9 @@ object CorpusFilterOps {
   val WinDfCap = 8       // drop fingerprints in > 8 docs (stop-grams)
   val WinTau = 3         // report pairs sharing >= 3 fingerprints
 
+  val BackoffAlpha = "0.4" // stupid-backoff discount, spelled once so
+                           //   both engines parse the same fp literal
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
@@ -254,15 +257,113 @@ object CorpusFilterOps {
     WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= $WinTau
     ORDER BY 1, 2"""
 
+  // --------------------------------------------------------------- q208
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): train trigram/bigram/
+    * unigram counts on the hash-split train slice, score each held-out
+    * doc's trigram stream with score(w3|w1w2) = c3/c2 backing off to
+    * α·c2/c1 then α²·(c1+1)/(N+V), α = [[BackoffAlpha]]. The per-doc
+    * mean log-score is the LM-quality gate CCNet-style pipelines filter
+    * on — and unlike Kneser-Ney, stupid backoff needs NO normalization
+    * pass, which is exactly why it was built for distributed corpora.
+    *
+    * Determinism: every ln sees identical IEEE doubles (ratios of exact
+    * ints) and is quantized to a 1e-8 integer before the per-doc sum.
+    *
+    * Scale: n-gram tables come from per-doc ARRAY transforms (no
+    * positional self-join), then map-side-combined counts; scoring is
+    * five shuffle joins keyed by token tuples — the Brants architecture
+    * verbatim. Nothing is ever collected; the only broadcast is the
+    * 1-row (N, V) total.
+    */
+  def backoffLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), words("text").as("ws"),
+      expr(s"${graft.core.Determinism.xhashExpr("concat('split:', CAST(doc_id AS STRING))")} % 10").as("sp"))
+    val tr = d.filter(col("sp") <= 7).persist() // read 4x: uni/big/tri/tot
+    val uni = tr.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = tr.select(explode(col("ws")).as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct("w").as("v"))
+    def grams(src: DataFrame, k: Int): DataFrame = {
+      val fields = (0 until k).map(j => s"element_at(ws, i + $j) AS w${j + 1}").mkString(", ")
+      src.filter(expr(s"size(ws) >= $k")) // fixture docs are all >= 10 words
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size(ws) - ${k - 1}), i -> struct($fields))"))
+            .as("g"))
+        .select(col("doc_id"), col("g.*"))
+    }
+    val big = grams(tr, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tri = grams(tr, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val hstream = grams(d.filter(col("sp") > 7), 3)
+    val scored = hstream
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.withColumnRenamed("c2", "c12"), Seq("w1", "w2"), "left")
+      .join(big.toDF("w2", "w3", "c23"), Seq("w2", "w3"), "left")
+      .join(uni.toDF("w2", "c1w2"), Seq("w2"), "left")
+      .join(uni.toDF("w3", "c1w3"), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr(s"""CAST(floor(ln(CASE
+          WHEN c3 IS NOT NULL THEN CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE)
+          WHEN c23 IS NOT NULL THEN $BackoffAlpha * CAST(c23 AS DOUBLE) / CAST(c1w2 AS DOUBLE)
+          ELSE $BackoffAlpha * $BackoffAlpha * CAST(coalesce(c1w3, 0) + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)
+        END) * 1e8 + 0.5) AS BIGINT)""").as("l8"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tri"), sum("l8").as("s8"))
+      .select(col("doc_id"), col("n_tri"),
+        dround(col("s8").cast("double") / lit(1e8) / col("n_tri"), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private def backoffLmSql: String = {
+    val ws = wordsSql("text")
+    val split = s"${xhashSql("'split:' || doc_id::VARCHAR")} % 10"
+    s"""
+    WITH toks AS (
+      SELECT doc_id, pos, ws[pos] AS w, sp
+      FROM (SELECT doc_id, $ws AS ws, $split AS sp FROM documents),
+           unnest(range(1, len(ws) + 1)) AS t(pos)),
+    tr AS (SELECT doc_id, pos, w FROM toks WHERE sp <= 7),
+    uni AS (SELECT w, count(*) AS c1 FROM tr GROUP BY w),
+    tot AS (SELECT count(*) AS n, (SELECT count(DISTINCT w) FROM tr) AS v FROM tr),
+    big AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c2 FROM tr a
+            JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+    tri AS (SELECT a.w AS w1, b.w AS w2, c.w AS w3, count(*) AS c3 FROM tr a
+            JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 GROUP BY 1, 2, 3),
+    hstream AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      WHERE a.sp > 7),
+    scored AS (
+      SELECT h.doc_id, CAST(floor(ln(CASE
+          WHEN tri.c3 IS NOT NULL THEN tri.c3::DOUBLE / b12.c2::DOUBLE
+          WHEN b23.c2 IS NOT NULL THEN $BackoffAlpha * b23.c2::DOUBLE / u2.c1::DOUBLE
+          ELSE $BackoffAlpha * $BackoffAlpha * (coalesce(u3.c1, 0) + 1)::DOUBLE / (tot.n + tot.v)::DOUBLE
+        END) * 1e8 + 0.5) AS BIGINT) AS l8
+      FROM hstream h
+      LEFT JOIN tri ON h.w1 = tri.w1 AND h.w2 = tri.w2 AND h.w3 = tri.w3
+      LEFT JOIN big b12 ON h.w1 = b12.w1 AND h.w2 = b12.w2
+      LEFT JOIN big b23 ON h.w2 = b23.w1 AND h.w3 = b23.w2
+      LEFT JOIN uni u2 ON h.w2 = u2.w
+      LEFT JOIN uni u3 ON h.w3 = u3.w
+      CROSS JOIN tot)
+    SELECT doc_id, count(*)::INT AS n_tri,
+      ${droundSql("(sum(l8)::BIGINT)::DOUBLE / 1e8 / count(*)", 6)} AS avg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_gopher_rules" -> gopherRules _,
     "q206_dsir_select"  -> dsirWeights _,
-    "q207_winnowing"    -> winnowingPairs _)
+    "q207_winnowing"    -> winnowingPairs _,
+    "q208_backoff_lm"   -> backoffLm _)
 
   val oracles: Map[String, String] = Map(
     "q205_gopher_rules" -> gopherRulesSql,
     "q206_dsir_select"  -> dsirWeightsSql,
-    "q207_winnowing"    -> winnowingPairsSql)
+    "q207_winnowing"    -> winnowingPairsSql,
+    "q208_backoff_lm"   -> backoffLmSql)
 }
