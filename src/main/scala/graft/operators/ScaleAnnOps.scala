@@ -1606,4 +1606,84 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     ORDER BY dims"""
   }
 
+  // ---------------------------------------------------------------- q209
+  /** Simplified-silhouette cluster-quality audit (Rousseeuw 1987; the
+    * centroid-distance simplification of Hruschka et al. 2004): for each
+    * vector, a = distance to its OWN cell centroid, b = min distance to
+    * any OTHER cell centroid, s = (b−a)/max(a,b); report per-cell mean s
+    * and size. This is the health gauge for every cell-partitioned path
+    * the engine serves (IVF cells q40/q52, k-means cells q166, semantic
+    * dedup q92): a cell whose mean s collapses toward 0 is one whose
+    * members sit as close to a neighbor centroid as their own — exactly
+    * where the q169 recall audit finds its losses.
+    *
+    * Determinism: centroids are decimal-bridged means (q84's fold);
+    * distances are sqrt of the codegen'd [[graft.functions.L2Sq]] kernel
+    * quantized to a 1e-6 grid; each s lands on a 1e-8 integer grid
+    * before the per-cell sum, so no fp aggregation order exists.
+    *
+    * Scale: centroids are k tiny rows → broadcast; ONE corpus scan
+    * computes all k distances per vector (per-row state O(k)); the only
+    * shuffles are the centroid aggregation (map-side combined to
+    * k × dims rows) and the k-row final mean. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    silhouetteOf(Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")))
+  }
+
+  /** Core of q209 over any (vec_id, label, embedding) frame. */
+  private[graft] def silhouetteOf(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val v = vecs.transform(graft.core.EngineCache.persisted)
+    val cents = v
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(davg(col("x").cast("double"), 8).as("c"))
+      .groupBy("cell").agg(expr("transform(array_sort(collect_list(struct(dim, c))), " +
+        "s -> CAST(s.c AS FLOAT))").as("cv"))
+    val d = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cell"),
+        expr("CAST(floor(sqrt(CAST(l2_sq(embedding, cv) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")
+          .as("d6"))
+    val ab = d.groupBy("vec_id", "label")
+      .agg(min(when(col("cell") === col("label"), col("d6"))).as("a6"),
+        min(when(col("cell") =!= col("label"), col("d6"))).as("b6"))
+    ab.select(col("label"),
+        expr("CASE WHEN greatest(a6, b6) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(floor((CAST(b6 - a6 AS DOUBLE) / CAST(greatest(a6, b6) AS DOUBLE)) " +
+          "* 1e8 + 0.5) AS BIGINT) END").as("s8"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("int").as("n"), sum("s8").as("t8"))
+      .select(col("label").as("cluster"), col("n"),
+        dround(col("t8").cast("double") / lit(1e8) / col("n"), 6).as("mean_sil"))
+      .orderBy("cluster")
+  }
+
+  private[operators] def silhouetteSql: String = {
+    def sq(i: String) =
+      s"(v.embedding[$i]::DOUBLE - cent.cv[$i]::DOUBLE) * (v.embedding[$i]::DOUBLE - cent.cv[$i]::DOUBLE)"
+    s"""
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+    e AS (SELECT label AS cell, (unnest(range(1, len(embedding) + 1)) - 1)::INT AS dim,
+          unnest(embedding) AS x FROM v),
+    cd AS (SELECT cell, dim, ${avgSql("x::DOUBLE", 8)} AS c FROM e GROUP BY 1, 2),
+    cent AS (SELECT cell, list_transform(list(c ORDER BY dim), y -> y::FLOAT) AS cv
+             FROM cd GROUP BY cell),
+    d AS (SELECT v.vec_id, v.label, cent.cell,
+      CAST(floor(sqrt(list_sum(list_transform(range(1, len(v.embedding) + 1),
+        i -> ${sq("i")}))) * 1e6 + 0.5) AS BIGINT) AS d6
+      FROM v, cent),
+    ab AS (SELECT vec_id, label,
+      min(CASE WHEN cell = label THEN d6 END) AS a6,
+      min(CASE WHEN cell <> label THEN d6 END) AS b6
+      FROM d GROUP BY 1, 2),
+    s AS (SELECT label, CASE WHEN greatest(a6, b6) = 0 THEN 0
+      ELSE CAST(floor(((b6 - a6)::DOUBLE / greatest(a6, b6)::DOUBLE) * 1e8 + 0.5) AS BIGINT)
+      END AS s8 FROM ab)
+    SELECT label AS cluster, count(*)::INT AS n,
+      ${droundSql("sum(s8)::BIGINT::DOUBLE / 1e8 / count(*)", 6)} AS mean_sil
+    FROM s GROUP BY label ORDER BY cluster"""
+  }
+
 }

@@ -72,7 +72,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q198_zorder_serve"  -> zorderServe _,
     "q200_zorder_append" -> zorderAppendServe _,
     "q202_dim_truncation" -> dimTruncationAudit _,
-    "q203_trunc_rerank"  -> truncRerank _
+    "q203_trunc_rerank"  -> truncRerank _,
+    "q209_silhouette"    -> silhouette _
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +120,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q198_zorder_serve" -> zorderServeSql("lineitem"),
     "q200_zorder_append" -> zorderAppendServeSql("lineitem"),
     "q202_dim_truncation" -> dimTruncationAuditSql,
-    "q203_trunc_rerank" -> truncRerankSql
+    "q203_trunc_rerank" -> truncRerankSql,
+    "q209_silhouette" -> silhouetteSql
   )
 }

@@ -545,6 +545,37 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("silhouette: separated clusters score high, shuffled labels collapse") {
+    val sq = spark
+    import sq.implicits._
+    // two tight blobs far apart on axis 0; labels match the blobs
+    def blob(center: Float, i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f)
+      a(0) = center + 0.01f * (i % 5)
+      a(1) = 0.01f * (i % 3)
+      a
+    }
+    val good = (0 until 40).map(i =>
+      (i.toLong, if (i < 20) "a" else "b", blob(if (i < 20) 0f else 10f, i)))
+      .toDF("vec_id", "label", "embedding")
+    val gs = ScaleOps.silhouetteOf(good).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gs.keySet == Set("a", "b"))
+    assert(gs.values.forall(_ > 0.9),
+      s"tight well-separated blobs must score near 1: $gs")
+    // same points, labels assigned independent of geometry: each label's
+    // members straddle both blobs, so own-centroid distance ~ other-centroid
+    // distance and the mean silhouette collapses toward 0
+    val bad = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", blob(if (i < 20) 0f else 10f, i)))
+      .toDF("vec_id", "label", "embedding")
+    val bs = ScaleOps.silhouetteOf(bad).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(bs.values.forall(_ < 0.1),
+      s"geometry-blind labels cannot hold a high silhouette: $bs")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("power-iteration PCA recovers a planted dominant direction") {
     val sq = spark
     import sq.implicits._
