@@ -333,4 +333,97 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
     ORDER BY node_type, node_id"""
   }
 
+  // ---------------------------------------------------------------- q213
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan
+    * et al. 2007) over the q104 co-purchase part graph: every node
+    * starts as its own community, then for [[LpIters]] rounds each
+    * node adopts the most frequent label among its neighbors, ties
+    * broken by the smallest label. The async/randomized variant the
+    * paper runs is not reproducible across engines; the synchronous
+    * sweep with a total tie order is bit-deterministic (pure integer
+    * counts — no fp anywhere), which is what makes it oracle-gateable
+    * AND restart-safe at scale: re-running a round can never produce
+    * a different labeling. Output: each node's community plus the
+    * community's size.
+    *
+    * Scale shape: one round = edge⋈label join (shuffle keyed on the
+    * O(|V|) label side; the persisted edge list reuses its exchange)
+    * + a (node, lab) hash count + a per-node top-1 window whose state
+    * is one node's distinct neighbor labels. Labels are O(|V|) rows
+    * forever; rounds are barriered with persists exactly like q104 —
+    * the unrolled-CTE oracle re-derives the edge list per round,
+    * which is the plan a 100 TB run cannot afford and the reason the
+    * Spark side loops over cached state instead. */
+  val LpIters = 4
+
+  def labelPropSql(table: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ct$i AS (
+      SELECT e.src AS node, l.lab, count(1) AS c
+      FROM e JOIN l${i - 1} l ON e.dst = l.node
+      GROUP BY e.src, l.lab),
+    l$i AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+          row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM ct$i) z
+      WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM $table a JOIN $table b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+    $rounds
+    SELECT node, lab AS community,
+      CAST(count(1) OVER (PARTITION BY lab) AS BIGINT) AS comm_size
+    FROM l$iters
+    ORDER BY node"""
+  }
+
+  /** Spark-side mirror of [[labelPropSql]]: identical arithmetic, but
+    * the edge list persists ONCE and each round barriers on cached
+    * state (q104's discipline) instead of re-deriving the self-join. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    labelPropOf(Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")))
+  }
+
+  /** Core of q213 over any (l_orderkey, l_partkey) basket frame. */
+  private[graft] def labelPropOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e0 = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.core.EngineCache.persisted)
+    var lab = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    val byNode = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("lab"))
+    for (i <- 1 to LpIters) {
+      lab = e.join(lab, e("dst") === lab("node"))
+        .groupBy(e("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+      if (i < LpIters) {
+        lab = lab.transform(graft.core.EngineCache.persisted)
+        lab.count() // q104's per-round materialization barrier
+      }
+    }
+    lab.select(col("node"), col("lab").as("community"),
+        count(lit(1)).over(Window.partitionBy("lab"))
+          .cast("long").as("comm_size"))
+      .orderBy("node")
+  }
+
 }

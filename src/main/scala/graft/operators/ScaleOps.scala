@@ -73,7 +73,10 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q200_zorder_append" -> zorderAppendServe _,
     "q202_dim_truncation" -> dimTruncationAudit _,
     "q203_trunc_rerank"  -> truncRerank _,
-    "q209_silhouette"    -> silhouette _
+    "q209_silhouette"    -> silhouette _,
+    "q210_bitmap_index"  -> bitmapServe _,
+    "q212_column_stats"  -> colStats _,
+    "q213_label_prop"    -> labelProp _
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,6 +124,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q200_zorder_append" -> zorderAppendServeSql("lineitem"),
     "q202_dim_truncation" -> dimTruncationAuditSql,
     "q203_trunc_rerank" -> truncRerankSql,
-    "q209_silhouette" -> silhouetteSql
+    "q209_silhouette" -> silhouetteSql,
+    "q210_bitmap_index" -> bitmapServeSql("lineitem"),
+    "q212_column_stats" -> colStatsOracleSql,
+    "q213_label_prop" -> labelPropSql("lineitem", LpIters)
   )
 }

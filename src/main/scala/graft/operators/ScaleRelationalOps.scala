@@ -1329,4 +1329,162 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     FROM t JOIN m USING (pred)
     ORDER BY layout, pred"""
 
+  // ---------------------------------------------------------------- q210
+  /** At-rest BITMAP INDEX over low-cardinality columns, serving
+    * categorical conjunctions by pure bit arithmetic — the categorical
+    * complement of the z-order layout's range pruning (q198): z-order
+    * answers "which files hold this numeric box", bitmaps answer "how
+    * many rows satisfy returnflag=X AND linestatus=Y" without touching
+    * the base table at all. Classic engine structure (Oracle bitmap
+    * indexes; Roaring in Druid/Pinot/Lucene) in its parquet spelling:
+    * each row gets a stable rid — (l_orderkey·8 + l_linenumber)·32
+    * plus a per-(orderkey, linenumber) occurrence number, because the
+    * fixture carries duplicate line rows; the occurrence window's
+    * groups are a handful of rows at any scale, and the 32-per-group
+    * capacity is GUARDED loudly at build time (an overflow would
+    * silently merge bits — the one corruption a popcount can't see).
+    * For every (column, value) the index stores one BIGINT word per
+    * 64-rid block with a bit per member row (bit_or of shifted ones).
+    * A conjunction is then word-wise AND + popcount, never a base scan.
+    *
+    * Scale: the index holds ≤ one word per (value, occupied block) —
+    * at 100 TB each column's slice is ~rows/64 words × its value count
+    * upper-bounded by rows (each row sets exactly ONE bit per column),
+    * Hive-partitioned by column so a serve prunes to exactly the two
+    * predicate columns; the AND is an equi-join on word_id between two
+    * rows/64-sized slices. Build is one scan + one hash agg (bit_or is
+    * map-side combinable). Exactness: the oracle is the plain GROUP BY
+    * count on the base table, so the hash match proves the rid
+    * mapping is injective and every row's bit lands where it must —
+    * a single collision or dropped row changes a popcount. */
+  private[graft] def bitmapIndexOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val occW = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "l_linestatus")
+    val ridded = li
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))
+      .withColumn("occ", row_number().over(occW))
+      .transform(graft.core.EngineCache.persisted)
+    // capacity guard: build is once-per-table, so the one extra tiny
+    // job is cheap insurance against the silent-merge corruption
+    val maxOcc = ridded.agg(max("occ")).head().getInt(0)
+    require(maxOcc <= 32,
+      s"bitmap rid capacity: $maxOcc duplicate (orderkey, linenumber) " +
+        "rows exceed the 32-per-group rid budget; widen the multiplier")
+    ridded.selectExpr(
+        "(l_orderkey * 8 + CAST(l_linenumber AS BIGINT)) * 32 " +
+          "+ (occ - 1) AS rid",
+        "l_returnflag", "l_linestatus")
+      .selectExpr("rid", "stack(2, 'l_returnflag', l_returnflag, " +
+        "'l_linestatus', l_linestatus) AS (col, val)")
+      .selectExpr("col", "val", "rid div 64 AS word_id",
+        "shiftleft(CAST(1 AS BIGINT), CAST(rid % 64 AS INT)) AS b")
+      .groupBy("col", "val", "word_id")
+      .agg(expr("bit_or(b)").as("w"))
+  }
+
+  /** Conjunction counts served from the index alone: AND the two
+    * columns' word slices, popcount, sum — no base-table access. */
+  private[graft] def bitmapCountsOf(idx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = idx.filter(col("col") === "l_returnflag")
+      .select(col("val").as("rf"), col("word_id"), col("w").as("wa"))
+    val b = idx.filter(col("col") === "l_linestatus")
+      .select(col("val").as("ls"), col("word_id"), col("w").as("wb"))
+    a.join(b, Seq("word_id"))
+      .groupBy("rf", "ls")
+      .agg(sum(expr("CAST(bit_count(wa & wb) AS BIGINT)")).as("n_rows"))
+      .orderBy("rf", "ls")
+  }
+
+  def bitmapServe(spark: SparkSession, dir: String): DataFrame = {
+    val table = "bitmapidx_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val idx = graft.core.Warehouse.tableOnce(spark, table, "col") {
+      bitmapIndexOf(Tables.load(spark, dir, "lineitem"))
+    }
+    bitmapCountsOf(idx)
+  }
+
+  def bitmapServeSql(table: String): String = s"""
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+      CAST(count(1) AS BIGINT) AS n_rows
+    FROM $table GROUP BY 1, 2 ORDER BY rf, ls"""
+
+  // ---------------------------------------------------------------- q212
+  /** ANALYZE-style column profile of lineitem — the statistics pass a
+    * cost-based planner (and q201's sketch-based estimator) feeds on:
+    * per column, exact NDV, null count, typed min/max, and mean string
+    * length, emitted as one row per column. All ~40 aggregates ride in
+    * ONE SELECT over ONE scan: Spark plans the eleven COUNT(DISTINCT)s
+    * as a single Expand (scan once, replicate rows per distinct-group,
+    * partial-aggregate map-side) — the same shape ANALYZE TABLE uses;
+    * at petabyte scale you would swap exact NDV for the engine's HLL
+    * column (q133) and keep every other aggregate unchanged. The
+    * unpivot runs on the ONE aggregated row, so downstream sees 11
+    * rows at any data size; the Spark side persists that row because
+    * the unpivot references it once per column and Spark inlines CTEs.
+    * Timestamp min/max report as epoch millis (dialect-bridged:
+    * unix_millis vs epoch_ms on identical microsecond values);
+    * doubles are parquet-exact values, untouched by aggregation order
+    * (min/max are order-free), so no grid is needed. */
+  private val StatNumCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val StatStrCols = Seq("l_returnflag", "l_linestatus")
+  private val StatTsCols = Seq("l_shipdate")
+
+  private[operators] def colStatsWideSql(table: String,
+                                         ms: String => String): String = {
+    val aggs = (
+      StatNumCols.map(c => s"count(DISTINCT $c) AS ndv_$c, " +
+        s"count($c) AS nn_$c, CAST(min($c) AS DOUBLE) AS mn_$c, " +
+        s"CAST(max($c) AS DOUBLE) AS mx_$c") ++
+      StatStrCols.map(c => s"count(DISTINCT $c) AS ndv_$c, " +
+        s"count($c) AS nn_$c, min($c) AS mns_$c, max($c) AS mxs_$c, " +
+        s"${avgSql(s"length($c)", 6)} AS al_$c") ++
+      StatTsCols.map(c => s"count(DISTINCT $c) AS ndv_$c, " +
+        s"count($c) AS nn_$c, CAST(${ms(s"min($c)")} AS DOUBLE) AS mn_$c, " +
+        s"CAST(${ms(s"max($c)")} AS DOUBLE) AS mx_$c")
+    ).mkString(",\n      ")
+    s"SELECT count(1) AS n, $aggs FROM $table"
+  }
+
+  /** The unpivot half: one branch per column over the 1-row wide frame
+    * `w`. `strT` bridges the NULL-typing dialect gap (STRING/VARCHAR). */
+  private[operators] def colStatsRowsSql(w: String, strT: String): String = (
+    StatNumCols.map(c => s"SELECT '$c' AS col_name, ndv_$c AS ndv, " +
+      s"n - nn_$c AS n_nulls, mn_$c AS min_num, mx_$c AS max_num, " +
+      s"CAST(NULL AS $strT) AS min_str, CAST(NULL AS $strT) AS max_str, " +
+      s"CAST(NULL AS DOUBLE) AS avg_len FROM $w") ++
+    StatStrCols.map(c => s"SELECT '$c', ndv_$c, n - nn_$c, " +
+      s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_$c, mxs_$c, " +
+      s"al_$c FROM $w") ++
+    StatTsCols.map(c => s"SELECT '$c', ndv_$c, n - nn_$c, mn_$c, mx_$c, " +
+      s"CAST(NULL AS $strT), CAST(NULL AS $strT), " +
+      s"CAST(NULL AS DOUBLE) FROM $w")
+  ).mkString("\n      UNION ALL ") + "\n      ORDER BY col_name"
+
+  def colStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    colStatsOn(spark, "lineitem")
+  }
+
+  /** Core of q212 over any registered lineitem-shaped view. */
+  private[graft] def colStatsOn(spark: SparkSession, table: String): DataFrame = {
+    // l_shipdate reads as TIMESTAMP_NTZ (tz-naive parquet); unix_millis
+    // rejects NTZ, so cast first — session tz is pinned UTC, so the cast
+    // is value-preserving and matches DuckDB's naive epoch_ms
+    spark.sql(colStatsWideSql(table,
+        c => s"unix_millis(CAST($c AS TIMESTAMP))"))
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView("graft_colstats_wide")
+    spark.sql(colStatsRowsSql("graft_colstats_wide", "STRING"))
+  }
+
+  def colStatsOracleSql: String =
+    s"""WITH w AS (${colStatsWideSql("lineitem", c => s"epoch_ms($c)")})
+      ${colStatsRowsSql("w", "VARCHAR")}"""
+
 }

@@ -961,6 +961,81 @@ object StatsOps {
       .mkString("", "\n      UNION ALL\n", "\n      ORDER BY join_name")
   }
 
+  // ---------------------------------------------------------------- q211
+  /** One-sided CUSUM changepoint scan (Page 1954) over each event
+    * type's hourly mean-value series: with d_t = v_t − μ (deviation
+    * from the series mean), the classic recursion S_t = max(0,
+    * S_{t−1} + d_t) flags a sustained upward shift when S peaks. The
+    * recursion LOOKS inherently sequential, but the prefix identity
+    * S_t = P_t − min(0, min_{j≤t} P_j) (P = running sum of d) turns it
+    * into two plain running windows — so the whole detector is one
+    * hash agg + two per-series window passes, no recursion, no
+    * per-row driver loop. Reported per type: the series length, the
+    * peak CUSUM value, and the hour it peaks (ties → earliest), i.e.
+    * where the shift has accumulated the most evidence.
+    *
+    * Determinism: hourly means and the series mean ride the decimal
+    * bridge ([[graft.core.Determinism]]); deviations are exact 1e-6
+    * integers from there on, so prefix sums, mins, and the argmax
+    * tiebreak are integer arithmetic in both engines.
+    *
+    * Scale: the raw scan reduces to |types|×|hours| rows before any
+    * window runs; each window sorts ONE series (state = that type's
+    * hours, bounded by the time range, not the corpus); the hourly
+    * frame is persisted Spark-side because the mean agg and the
+    * deviation join both consume it. */
+  private[operators] def cusumTailSql(hourly: String): String = s"""
+    m AS (SELECT event_type, ${avgSql("v", 6)} AS mu FROM $hourly
+          GROUP BY event_type),
+    d AS (
+      SELECT h.event_type, h.hour,
+        CAST(floor((h.v - m.mu) * 1e6 + 0.5) AS BIGINT) AS d6
+      FROM $hourly h JOIN m ON h.event_type = m.event_type),
+    p AS (
+      SELECT event_type, hour,
+        sum(d6) OVER (PARTITION BY event_type ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p6
+      FROM d),
+    s AS (
+      SELECT event_type, hour,
+        p6 - least(CAST(0 AS BIGINT),
+          min(p6) OVER (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s6
+      FROM p),
+    r AS (
+      SELECT event_type, hour, s6,
+        count(1) OVER (PARTITION BY event_type) AS n_hours,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY s6 DESC, hour) AS rn
+      FROM s)
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+      hour AS peak_hour, ${droundSql("CAST(s6 AS DOUBLE) / 1e6", 6)} AS s_max
+    FROM r WHERE rn = 1 ORDER BY event_type"""
+
+  private[operators] def cusumHourlySql(table: String): String = s"""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+      ${avgSql("value", 6)} AS v
+    FROM $table GROUP BY 1, 2"""
+
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    cusumOn(spark, "events")
+  }
+
+  /** Core of q211 over any registered (event_type, ts, value) view. */
+  private[graft] def cusumOn(spark: SparkSession, table: String): DataFrame = {
+    // split at the hourly frame: the mean CTE and the deviation join
+    // both reference it, and Spark inlines CTEs — unsplit, the raw
+    // events scan (the only corpus-sized piece) would run twice
+    spark.sql(cusumHourlySql(table))
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView("graft_cusum_hourly")
+    spark.sql("WITH " + cusumTailSql("graft_cusum_hourly"))
+  }
+
+  def cusumOracleSql: String =
+    s"WITH hourly AS (${cusumHourlySql("events")}),${cusumTailSql("hourly")}"
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -978,7 +1053,8 @@ object StatsOps {
     "q163_quality_classifier" -> qualityClassifier _,
     "q174_quality_calibration" -> qualityCalibration _,
     "q175_classifier_auc" -> classifierAuc _,
-    "q201_join_size_est"  -> joinSizeEst _
+    "q201_join_size_est"  -> joinSizeEst _,
+    "q211_cusum"          -> cusum _
   )
 
   val oracles: Map[String, String] = Map(
@@ -996,6 +1072,7 @@ object StatsOps {
     "q163_quality_classifier" -> qualityClassifierOracleSql,
     "q174_quality_calibration" -> qualityCalibrationOracleSql,
     "q175_classifier_auc" -> classifierAucOracleSql,
-    "q201_join_size_est"  -> joinSizeEstSql
+    "q201_join_size_est"  -> joinSizeEstSql,
+    "q211_cusum"          -> cusumOracleSql
   )
 }

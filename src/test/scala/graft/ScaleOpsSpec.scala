@@ -545,6 +545,87 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("bitmap index: popcount conjunctions equal the base-table counts") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new scala.util.Random(7)
+    // random rows with forced (orderkey, linenumber) duplicates, plus a
+    // 32-deep burst on one key: occ reaches the capacity edge and the
+    // rid lands on bit 63 of its word ((99·8+7)·32+31 ≡ 63 mod 64) — the
+    // sign bit, where a shiftleft/bit_count sign bug would show
+    val rows = (0 until 500).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(7) + 1,
+        Seq("A", "N", "R")(rnd.nextInt(3)), Seq("F", "O")(rnd.nextInt(2)))
+    } ++ Seq.fill(32)((99L, 7, "R", "O"))
+    val li = rows.toDF("l_orderkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val got = ScaleOps.bitmapCountsOf(ScaleOps.bitmapIndexOf(li)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = rows.groupBy(r => (r._3, r._4)).map { case (k, v) =>
+      k -> v.size.toLong }
+    assert(got == exp, s"bitmap counts must equal ground truth: $got vs $exp")
+    // capacity guard: a 33rd duplicate must throw, not merge bits
+    val over = li.union(Seq((99L, 7, "R", "O"))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+    val e = intercept[Exception] {
+      ScaleOps.bitmapCountsOf(ScaleOps.bitmapIndexOf(over)).collect()
+    }
+    assert(e.getMessage.contains("rid budget"), e.getMessage)
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("label propagation: disjoint cliques converge to min-label communities") {
+    val sq = spark
+    import sq.implicits._
+    // two baskets = two 4-cliques with no bridge; synchronous LP with
+    // min-label ties settles each clique on its smallest member by
+    // round 2 and holds (round 1 oscillates the min node — the known
+    // synchronous-LP wobble the extra rounds absorb)
+    val li = (Seq(0L, 1L, 2L, 3L).map(p => (100L, p)) ++
+      Seq(10L, 11L, 12L, 13L).map(p => (200L, p)))
+      .toDF("l_orderkey", "l_partkey")
+    val out = ScaleOps.labelPropOf(li).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(out.length == 8)
+    val comms = out.toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(n => comms(n) == (0L, 4L)),
+      s"clique A must settle on community 0: ${out.toSeq}")
+    assert(Seq(10L, 11L, 12L, 13L).forall(n => comms(n) == (10L, 4L)),
+      s"clique B must settle on community 10: ${out.toSeq}")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("column stats: NDV, null counts, and typed min/max on a frame with nulls") {
+    val sq = spark
+    import sq.implicits._
+    val li = Seq(
+      (1L, 10L, 5L, 1, Some(10.0), 100.0, Some(0.01), Some(0.02), Some("A"), "F", "2024-01-01 00:00:00"),
+      (2L, 10L, 6L, 1, Some(20.0), 200.0, None, Some(0.02), Some("R"), "O", "2024-02-01 00:00:00"),
+      (3L, 11L, 5L, 2, None, 300.0, Some(0.03), None, None, "F", "2024-01-15 00:00:00"),
+      (4L, 12L, 7L, 1, Some(20.0), 100.0, Some(0.01), Some(0.04), Some("N"), "O", "2024-01-01 00:00:00"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "sd")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd")
+    li.createOrReplaceTempView("graft_colstats_test")
+    val out = ScaleOps.colStatsOn(spark, "graft_colstats_test").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("l_quantity").getLong(1) == 2)   // ndv ignores nulls
+    assert(out("l_quantity").getLong(2) == 1)   // one null
+    assert(out("l_quantity").getDouble(3) == 10.0)
+    assert(out("l_quantity").getDouble(4) == 20.0)
+    assert(out("l_returnflag").getLong(1) == 3 &&
+      out("l_returnflag").getLong(2) == 1)
+    assert(out("l_returnflag").getString(5) == "A" &&
+      out("l_returnflag").getString(6) == "R")
+    assert(out("l_returnflag").getDouble(7) == 1.0) // mean length
+    assert(out("l_orderkey").getLong(1) == 4 && out("l_orderkey").getLong(2) == 0)
+    assert(out("l_shipdate").getLong(1) == 3)
+    assert(out("l_shipdate").getDouble(3) == 1704067200000.0, // 2024-01-01 UTC
+      s"epoch-millis min: ${out("l_shipdate")}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("silhouette: separated clusters score high, shuffled labels collapse") {
     val sq = spark
     import sq.implicits._

@@ -10,6 +10,47 @@ import graft.operators.StatsOps
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CUSUM window identity matches the literal recursion, peaks at the shift") {
+    // "shift": mean jumps +4 at hour 30 → CUSUM accumulates to the end;
+    // "flat": constant series → every deviation 0 → S ≡ 0, peak = hour 0
+    val rows = (0 until 60).flatMap { h =>
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-01T00:00:00Z")
+          .plusSeconds(h * 3600L + 120L))
+      Seq(("shift", ts, if (h < 30) 10.0 else 14.0),
+        ("shift", ts, if (h < 30) 10.0 else 14.0), // 2 events/hour: means
+        ("flat", ts, 7.25))
+    }
+    rows.toDF("event_type", "ts", "value")
+      .createOrReplaceTempView("graft_cusum_test")
+    val out = StatsOps.cusumOn(spark, "graft_cusum_test").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // literal recursion on the hourly means, same 1e-6 grid
+    val v = (0 until 60).map(h => if (h < 30) 10.0 else 14.0)
+    val mu = math.floor(v.sum / v.size * 1e6 + 0.5) / 1e6
+    var s = 0L; var sMax = 0L; var argmax = 0
+    v.zipWithIndex.foreach { case (x, h) =>
+      val d = math.floor((x - mu) * 1e6 + 0.5).toLong
+      s = math.max(0L, s + d)
+      if (s > sMax) { sMax = s; argmax = h }
+    }
+    val shift = out("shift")
+    assert(shift.getLong(1) == 60)
+    assert(shift.getDouble(3) == sMax / 1e6.toDouble,
+      s"prefix-identity CUSUM must equal the recursion: $shift vs $sMax")
+    assert(shift.getTimestamp(2).toInstant ==
+      java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .plusSeconds(argmax * 3600L),
+      s"peak hour must be the recursion argmax ($argmax): $shift")
+    assert(argmax == 59, "a sustained shift accumulates to the last hour")
+    val flat = out("flat")
+    assert(flat.getDouble(3) == 0.0 &&
+      flat.getTimestamp(2).toInstant ==
+        java.time.Instant.parse("2024-03-01T00:00:00Z"),
+      s"flat series: zero CUSUM, earliest-hour tiebreak: $flat")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("corr matrix recovers a planted exact linear relation (r = ±1)") {
     // price = 3·qty exactly → r(qty,price) = 1; tax = -disc + 0.5 → r = -1
     Seq(
