@@ -63,8 +63,12 @@ object CorpusFilterOps {
     * keyed by doc so it rides the natural document partitioning. No
     * corpus-global state; 100 TB is embarrassingly parallel here.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(docs(spark, dir))
+
+  /** Core of q205 over any (doc_id, text) frame. */
+  private[graft] def gopherRulesOf(docsF: DataFrame): DataFrame = {
+    val d = docsF
       .select(col("doc_id"), words("text").as("ws"))
       .select(col("doc_id"), col("ws"),
         expr("size(ws)").as("n"),
@@ -145,9 +149,13 @@ object CorpusFilterOps {
     * sort until the final top-k (TakeOrderedAndProject). The feature
     * table stays O(buckets) at any corpus size; that is DSIR's point.
     */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(docs(spark, dir))
+
+  /** Core of q206 over any (doc_id, text, lang) frame. */
+  private[graft] def dsirWeightsOf(docsF: DataFrame): DataFrame = {
     val B = DsirBuckets
-    val toks = docs(spark, dir)
+    val toks = docsF
       .select(col("doc_id"), col("lang"), explode(words("text")).as("tok"))
       .select(col("doc_id"), col("lang"),
         (xhash(col("tok")) % B).as("b"))
@@ -212,9 +220,13 @@ object CorpusFilterOps {
     * fingerprint, never O(corpus²). All values are 60-bit ints — the
     * only corpus-sized shuffle carries (doc_id, fp) longs.
     */
-  def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+  def winnowingPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowingPairsOf(docs(spark, dir))
+
+  /** Core of q207 over any (doc_id, text) frame. */
+  private[graft] def winnowingPairsOf(docsF: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = docs(spark, dir)
+    val g = docsF
       .filter(length(col("text")) >= WinK)
       .select(col("doc_id"),
         explode(expr(s"sequence(1, length(text) - ${WinK - 1})")).as("pos"),
@@ -276,8 +288,12 @@ object CorpusFilterOps {
     * verbatim. Nothing is ever collected; the only broadcast is the
     * 1-row (N, V) total.
     */
-  def backoffLm(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), words("text").as("ws"),
+  def backoffLm(spark: SparkSession, dir: String): DataFrame =
+    backoffLmOf(docs(spark, dir))
+
+  /** Core of q208 over any (doc_id, text) frame. */
+  private[graft] def backoffLmOf(docsF: DataFrame): DataFrame = {
+    val d = docsF.select(col("doc_id"), words("text").as("ws"),
       expr(s"${graft.core.Determinism.xhashExpr("concat('split:', CAST(doc_id AS STRING))")} % 10").as("sp"))
     val tr = d.filter(col("sp") <= 7).persist() // read 4x: uni/big/tri/tot
     val uni = tr.select(explode(col("ws")).as("w"))

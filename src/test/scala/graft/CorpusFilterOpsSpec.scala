@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.CorpusFilterOps
+import org.apache.spark.sql.functions._
+
+/** Round-9 corpus-filtering operators (q205–q208): the oracle gate
+  * proves the sf0.01 results; these specs prove the rule/selection
+  * semantics on hand-built fixtures where each gate, weight ordering,
+  * and backoff branch is planted deliberately. */
+class CorpusFilterOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkWords(n: Int, len: Int, prefix: String): Seq[String] =
+    (0 until n).map(i => (prefix + ('a' + i % 26).toChar.toString * len).take(len))
+
+  test("gopher rules: each gate trips on exactly its planted violation") {
+    // 23 distinct 5-char words + 2 stopwords = the passing shape
+    val okTail = mkWords(23, 5, "w").mkString(" ")
+    val docs = Seq(
+      (1L, s"the of $okTail", "en"), // all rules pass
+      (2L, s"the of ${mkWords(8, 5, "w").mkString(" ")}", "en"), // 10 words
+      (3L, s"the of ${mkWords(23, 2, "x").mkString(" ")}", "en"), // mean len < 3
+      (4L, mkWords(25, 5, "y").mkString(" "), "en"), // no stopwords
+      (5L, s"the of 11111 22222 33333 44444 55555 66666 " +
+        mkWords(17, 5, "z").mkString(" "), "en"), // 6/25 non-alpha
+      (6L, s"the of dup dup dup dup dup " +
+        mkWords(18, 5, "q").mkString(" "), "en")) // top token 5 > 25/10
+      .toDF("doc_id", "text", "lang")
+    val r = CorpusFilterOps.gopherRulesOf(docs).collect()
+      .map(row => row.getLong(0) ->
+        (row.getInt(5), row.getInt(6), row.getInt(7), row.getInt(8),
+          row.getInt(9), row.getInt(10))).toMap
+    assert(r(1L) == (1, 1, 1, 1, 1, 1), s"doc 1 must pass all: ${r(1L)}")
+    assert(r(2L)._1 == 0 && r(2L)._6 == 0, s"word-count gate: ${r(2L)}")
+    assert(r(3L)._2 == 0 && r(3L)._6 == 0, s"mean-word-length gate: ${r(3L)}")
+    assert(r(4L)._3 == 0 && r(4L)._6 == 0, s"stopword gate: ${r(4L)}")
+    assert(r(5L)._4 == 0 && r(5L)._6 == 0, s"alpha-ratio gate: ${r(5L)}")
+    assert(r(6L)._5 == 0 && r(6L)._6 == 0, s"top-token gate: ${r(6L)}")
+    // violations are isolated: every other flag on the failing docs is 1
+    assert(r(2L)._2 == 1 && r(2L)._3 == 1 && r(2L)._4 == 1 && r(2L)._5 == 1)
+    assert(r(6L)._1 == 1 && r(6L)._2 == 1 && r(6L)._3 == 1 && r(6L)._4 == 1)
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("DSIR weights order docs by target-likeness, blind to the lang tag") {
+    // target (en) speaks 'alphatok', the rest speak 'betatok'; an xx doc
+    // written in pure 'alphatok' must score exactly like the en original —
+    // DSIR selects on CONTENT, the lang tag only defines the target fit
+    val docs = Seq(
+      (0L, Seq.fill(20)("alphatok").mkString(" "), "en"),
+      (1L, (Seq.fill(10)("alphatok") ++ Seq.fill(10)("betatok")).mkString(" "), "en"),
+      (2L, Seq.fill(20)("betatok").mkString(" "), "xx"),
+      (3L, Seq.fill(20)("alphatok").mkString(" "), "xx"))
+      .toDF("doc_id", "text", "lang")
+    val w = CorpusFilterOps.dsirWeightsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 4) // top-50 keeps all on a 4-doc corpus
+    assert(w(0L) == w(3L), s"identical token streams must tie: $w")
+    assert(w(0L) > w(1L) && w(1L) > w(2L),
+      s"weights must order by target-likeness: $w")
+    assert(w(2L) < 0, s"an off-target doc must score negative: $w")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("winnowing: a long shared substring pairs docs, disjoint text never does") {
+    // 150 shared chars >> K+W-1 = 31, so A and B must share >= tau
+    // fingerprints; C shares no 20-char gram with anyone
+    val shared = (0 until 30).map(i => f"seg${i}%02d").mkString // 150 chars, varied
+    val a = (10L, "unique-prefix-alpha-0123456789" + shared, "en")
+    val b = (20L, "other-head-zyxwvutsrq-99887766" + shared, "en")
+    val c = (30L, (0 until 40).map(i => f"blk${(i * 7) % 100}%02d").mkString, "en")
+    val pairs = CorpusFilterOps.winnowingPairsOf(
+        Seq(a, b, c).toDF("doc_id", "text", "lang")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((10L, 20L)),
+      s"exactly the sharing pair must surface: ${pairs.toSeq}")
+    assert(pairs.head._3 >= CorpusFilterOps.WinTau)
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("backoff LM: in-domain held-out scores 0, unseen text hits the floor") {
+    val sq = spark
+    import sq.implicits._
+    // replicate the operator's hash split to plant docs on both sides
+    val sp = spark.range(0, 200).selectExpr("id",
+        s"${graft.core.Determinism.xhashExpr("concat('split:', CAST(id AS STRING))")} % 10 AS sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (0L until 200L).filter(sp(_) <= 7).take(20)
+    val heldIds = (0L until 200L).filter(sp(_) > 7).take(2)
+    val sentence = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = (trainIds.map(id => (id, sentence, "en")) ++ Seq(
+      (heldIds(0), sentence, "en"), // every trigram seen: c3/c12 = 1
+      (heldIds(1), (1 to 12).map(i => s"unseen$i").mkString(" "), "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusFilterOps.backoffLmOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out.keySet == heldIds.toSet, s"only held-out docs are scored: $out")
+    assert(out(heldIds(0)) == (10, 0.0),
+      s"all-seen trigrams score ln(1) = 0 exactly: ${out(heldIds(0))}")
+    // all-unseen: every trigram backs off to alpha^2 * 1 / (N + V)
+    val n = 12L * trainIds.size; val v = 12L
+    val l8 = math.floor(math.log(0.4 * 0.4 * 1.0 / (n + v)) * 1e8 + 0.5)
+    // s8 = 10·l8 over n_tri = 10 trigrams → the per-trigram value
+    val want = math.floor(l8 * 10 / 1e8 / 10 * 1e6 + 0.5) / 1e6
+    assert(out(heldIds(1))._1 == 10)
+    assert(out(heldIds(1))._2 == want,
+      s"unseen-floor score must match the closed form: ${out(heldIds(1))._2} vs $want")
+    graft.core.EngineCache.releaseAll()
+  }
+}
