@@ -76,7 +76,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q209_silhouette"    -> silhouette _,
     "q210_bitmap_index"  -> bitmapServe _,
     "q212_column_stats"  -> colStats _,
-    "q213_label_prop"    -> labelProp _
+    "q213_label_prop"    -> labelProp _,
+    "q214_bitmap_append" -> bitmapAppendServe _
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,6 +128,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q209_silhouette" -> silhouetteSql,
     "q210_bitmap_index" -> bitmapServeSql("lineitem"),
     "q212_column_stats" -> colStatsOracleSql,
-    "q213_label_prop" -> labelPropSql("lineitem", LpIters)
+    "q213_label_prop" -> labelPropSql("lineitem", LpIters),
+    "q214_bitmap_append" -> bitmapServeSql("lineitem")
   )
 }

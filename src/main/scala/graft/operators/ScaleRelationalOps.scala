@@ -1413,6 +1413,40 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       CAST(count(1) AS BIGINT) AS n_rows
     FROM $table GROUP BY 1, 2 ORDER BY rf, ls"""
 
+  // ---------------------------------------------------------------- q214
+  /** Incremental bitmap-index APPEND — q210's maintenance half, the
+    * q151/q178/q200 frozen-artifact discipline for the categorical
+    * index: the base (~90% of lineitem) builds and publishes its
+    * bitmaps ONCE; an arriving batch (l_orderkey ≡ [[BitmapBatchRem]]
+    * mod [[BitmapBatchMod]]) is the ONLY data scanned at append time,
+    * encoded with the SAME rid scheme, and merged word-wise by bit_or.
+    * The merge is lossless by construction: the batch splits on
+    * l_orderkey — a prefix of the rid key — so a (orderkey, linenumber)
+    * group never spans base and batch, occurrence numbers cannot
+    * collide, and base/batch bits are disjoint. Serving the merged
+    * index answers conjunctions over the WHOLE table; the oracle
+    * computes those counts from all raw rows, so the hash match proves
+    * append ∘ store lost nothing. At 100 TB the append touches
+    * O(batch) rows + O(batch/64) index words — never the base table. */
+  val BitmapBatchMod = 10
+  val BitmapBatchRem = 7
+
+  def bitmapAppendServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val isBatch = col("l_orderkey") % BitmapBatchMod === BitmapBatchRem
+    val table = "bitmapbase_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val base = graft.core.Warehouse.tableOnce(spark, table, "col") {
+      bitmapIndexOf(Tables.load(spark, dir, "lineitem").filter(!isBatch))
+    }
+    val batch = bitmapIndexOf(
+      Tables.load(spark, dir, "lineitem").filter(isBatch))
+    val cols = Seq("col", "val", "word_id", "w").map(col)
+    val merged = base.select(cols: _*).union(batch.select(cols: _*))
+      .groupBy("col", "val", "word_id").agg(expr("bit_or(w)").as("w"))
+    bitmapCountsOf(merged)
+  }
+
   // ---------------------------------------------------------------- q212
   /** ANALYZE-style column profile of lineitem — the statistics pass a
     * cost-based planner (and q201's sketch-based estimator) feeds on:

@@ -574,6 +574,45 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("bitmap append: split-built merge equals one-shot build, bits disjoint") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { _ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(7) + 1,
+        Seq("A", "N", "R")(rnd.nextInt(3)), Seq("F", "O")(rnd.nextInt(2)))
+    }
+    val li = rows.toDF("l_orderkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    // split on the rid-key prefix, exactly like the operator
+    val base = li.filter(col("l_orderkey") % 10 =!= 7)
+    val batch = li.filter(col("l_orderkey") % 10 === 7)
+    val bi = ScaleOps.bitmapIndexOf(base)
+      .transform(graft.core.EngineCache.persisted)
+    val bb = ScaleOps.bitmapIndexOf(batch)
+      .transform(graft.core.EngineCache.persisted)
+    // base and batch never set the same bit: any shared (col, val, word)
+    // must AND to zero (the disjointness the lossless merge rests on)
+    val clash = bi.alias("a").join(bb.alias("b"),
+        Seq("col", "val", "word_id"))
+      .filter(expr("(a.w & b.w) != 0")).count()
+    assert(clash == 0, "split halves set overlapping bits")
+    val sel = Seq("col", "val", "word_id", "w").map(col)
+    val merged = bi.select(sel: _*).union(bb.select(sel: _*))
+      .groupBy("col", "val", "word_id").agg(expr("bit_or(w)").as("w"))
+    val got = ScaleOps.bitmapCountsOf(merged).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val oneShot = ScaleOps.bitmapCountsOf(ScaleOps.bitmapIndexOf(li))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = rows.groupBy(r => (r._3, r._4)).map { case (k, v) =>
+      k -> v.size.toLong }
+    assert(got == truth && oneShot == truth,
+      s"append-merged and one-shot must both equal ground truth: " +
+        s"$got / $oneShot / $truth")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("label propagation: disjoint cliques converge to min-label communities") {
     val sq = spark
     import sq.implicits._
