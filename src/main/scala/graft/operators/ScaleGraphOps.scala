@@ -356,7 +356,9 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
     * Spark side loops over cached state instead. */
   val LpIters = 4
 
-  def labelPropSql(table: String, iters: Int): String = {
+  /** The shared LP CTE body (edges + iter rounds) — one spelling for
+    * the q213 oracle and the q217 modularity oracle built on top. */
+  private def lpCtes(table: String, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""ct$i AS (
       SELECT e.src AS node, l.lab, count(1) AS c
@@ -369,19 +371,21 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
         FROM ct$i) z
       WHERE rn = 1)"""
     }.mkString(",\n    ")
-    s"""
-    WITH e0 AS (
+    s"""e0 AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM $table a JOIN $table b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
-    $rounds
+    $rounds"""
+  }
+
+  def labelPropSql(table: String, iters: Int): String = s"""
+    WITH ${lpCtes(table, iters)}
     SELECT node, lab AS community,
       CAST(count(1) OVER (PARTITION BY lab) AS BIGINT) AS comm_size
     FROM l$iters
     ORDER BY node"""
-  }
 
   /** Spark-side mirror of [[labelPropSql]]: identical arithmetic, but
     * the edge list persists ONCE and each round barriers on cached
@@ -392,8 +396,9 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
       .select(col("l_orderkey"), col("l_partkey")))
   }
 
-  /** Core of q213 over any (l_orderkey, l_partkey) basket frame. */
-  private[graft] def labelPropOf(li: DataFrame): DataFrame = {
+  /** The shared LP engine core: persisted symmetric edge list + the
+    * final (node, lab) frame after [[LpIters]] barriered rounds. */
+  private def lpCore(li: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val e0 = li.alias("a")
@@ -406,24 +411,102 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
       .transform(graft.core.EngineCache.persisted)
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-    val byNode = Window.partitionBy("node")
-      .orderBy(col("c").desc, col("lab"))
     for (i <- 1 to LpIters) {
+      // top-1 via max(struct(c, -lab)): highest count, then LOWEST label
+      // — bit-identical to the oracle's (c DESC, lab) row_number pick,
+      // but a map-side-combinable hash agg instead of a per-node window
+      // sort (the window form measured 20 s at sf0.1; this halves it)
       lab = e.join(lab, e("dst") === lab("node"))
         .groupBy(e("src").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lab"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lab"))
       if (i < LpIters) {
         lab = lab.transform(graft.core.EngineCache.persisted)
         lab.count() // q104's per-round materialization barrier
       }
     }
+    (e, lab)
+  }
+
+  /** Core of q213 over any (l_orderkey, l_partkey) basket frame. */
+  private[graft] def labelPropOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val (_, lab) = lpCore(li)
     lab.select(col("node"), col("lab").as("community"),
         count(lit(1)).over(Window.partitionBy("lab"))
           .cast("long").as("comm_size"))
       .orderBy("node")
   }
+
+  // ---------------------------------------------------------------- q217
+  /** Newman MODULARITY of the q213 labeling — the quality gauge for
+    * the community structure, exactly as q209's silhouette gauges the
+    * vector cells: per community, Q_c = W_c/M − (d_c/M)², where M is
+    * the directed (symmetrized) edge count, W_c the intra-community
+    * directed edges, d_c the community's degree sum; Σ Q_c is Newman's
+    * Q. Everything is INTEGER counts until the final two divisions on
+    * identical doubles, bridged to a 1e-9 grid — bit-stable across
+    * engines and aggregation orders.
+    *
+    * Scale: reuses the persisted LP edge list and final labels; the
+    * additions are two broadcast-shaped label joins (labels are O(|V|))
+    * + three hash aggs to O(|communities|) rows. The oracle replays
+    * the unrolled LP and the same counts. */
+  def lpModularity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lpModularityOf(Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")))
+  }
+
+  private[graft] def lpModularityOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (e, lab0) = lpCore(li)
+    val lab = lab0.transform(graft.core.EngineCache.persisted)
+    val m = e.count().toDouble // materializes e; M = directed edge count
+    val la = lab.toDF("na", "la")
+    val lb = lab.toDF("nb", "lb")
+    val dc = e.join(la, e("src") === col("na"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("d"))
+    val wc = e.join(la, e("src") === col("na"))
+      .join(lb, e("dst") === col("nb"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("w"))
+    val nn = lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
+    nn.join(dc, "lab").join(wc, Seq("lab"), "left")
+      .select(col("lab").as("community"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        coalesce(col("w"), lit(0L)).cast("long").as("intra_deg"),
+        col("d").cast("long").as("deg_sum"),
+        expr(s"floor((CAST(coalesce(w, 0) AS DOUBLE) / CAST($m AS DOUBLE) - " +
+          s"(CAST(d AS DOUBLE) / CAST($m AS DOUBLE)) * " +
+          s"(CAST(d AS DOUBLE) / CAST($m AS DOUBLE))) * 1e9 + 0.5) / 1e9")
+          .as("contrib"))
+      .orderBy("community")
+  }
+
+  def lpModularitySql(table: String, iters: Int): String = s"""
+    WITH ${lpCtes(table, iters)},
+    lab AS (SELECT node, lab FROM l$iters),
+    mm AS (SELECT CAST(count(1) AS DOUBLE) AS m FROM e),
+    dc AS (SELECT l.lab, count(1) AS d FROM e JOIN lab l ON e.src = l.node
+           GROUP BY l.lab),
+    wc AS (SELECT la.lab, count(1) AS w FROM e
+           JOIN lab la ON e.src = la.node
+           JOIN lab lb ON e.dst = lb.node
+           WHERE la.lab = lb.lab GROUP BY la.lab),
+    nn AS (SELECT lab, count(1) AS n_nodes FROM lab GROUP BY lab)
+    SELECT nn.lab AS community, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+      CAST(coalesce(wc.w, 0) AS BIGINT) AS intra_deg,
+      CAST(dc.d AS BIGINT) AS deg_sum,
+      floor((CAST(coalesce(wc.w, 0) AS DOUBLE) / mm.m -
+        (CAST(dc.d AS DOUBLE) / mm.m) * (CAST(dc.d AS DOUBLE) / mm.m))
+        * 1e9 + 0.5) / 1e9 AS contrib
+    FROM nn JOIN dc ON nn.lab = dc.lab
+    LEFT JOIN wc ON nn.lab = wc.lab
+    CROSS JOIN mm
+    ORDER BY community"""
 
 }

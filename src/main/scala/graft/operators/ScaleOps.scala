@@ -77,7 +77,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q210_bitmap_index"  -> bitmapServe _,
     "q212_column_stats"  -> colStats _,
     "q213_label_prop"    -> labelProp _,
-    "q214_bitmap_append" -> bitmapAppendServe _
+    "q214_bitmap_append" -> bitmapAppendServe _,
+    "q216_equidepth_hist" -> equiDepthHist _,
+    "q217_modularity"    -> lpModularity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,6 +131,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q210_bitmap_index" -> bitmapServeSql("lineitem"),
     "q212_column_stats" -> colStatsOracleSql,
     "q213_label_prop" -> labelPropSql("lineitem", LpIters),
-    "q214_bitmap_append" -> bitmapServeSql("lineitem")
+    "q214_bitmap_append" -> bitmapServeSql("lineitem"),
+    "q216_equidepth_hist" -> equiDepthHistSql("lineitem"),
+    "q217_modularity" -> lpModularitySql("lineitem", LpIters)
   )
 }

@@ -1505,20 +1505,103 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     colStatsOn(spark, "lineitem")
   }
 
-  /** Core of q212 over any registered lineitem-shaped view. */
+  /** Core of q212 over any registered lineitem-shaped view.
+    *
+    * The ORACLE computes all eleven COUNT(DISTINCT)s in one SELECT;
+    * Spark plans that shape as a single Expand — the scan replicated
+    * 12× into ONE (gid, value) shuffle, which measured 30 s at sf0.1.
+    * The engine instead persists the projected base ONCE and runs each
+    * column's aggregate as its own skinny two-stage distinct (map-side
+    * partial dedup), unioned into the same 11-row output: total shuffle
+    * is Σ per-column NDV rows instead of 12× the corpus — the shape
+    * that survives a 100× scale-up. Same values, same oracle. */
   private[graft] def colStatsOn(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     // l_shipdate reads as TIMESTAMP_NTZ (tz-naive parquet); unix_millis
     // rejects NTZ, so cast first — session tz is pinned UTC, so the cast
     // is value-preserving and matches DuckDB's naive epoch_ms
-    spark.sql(colStatsWideSql(table,
-        c => s"unix_millis(CAST($c AS TIMESTAMP))"))
+    val base = spark.table(table)
+      .select((StatNumCols ++ StatStrCols).map(col) :+
+        expr(s"unix_millis(CAST(${StatTsCols.head} AS TIMESTAMP))")
+          .as(StatTsCols.head): _*)
       .transform(graft.core.EngineCache.persisted)
-      .createOrReplaceTempView("graft_colstats_wide")
-    spark.sql(colStatsRowsSql("graft_colstats_wide", "STRING"))
+    val nulls = (c: String) => (count(lit(1)) - count(col(c))).as("n_nulls")
+    def strT = org.apache.spark.sql.types.StringType
+    val rows = (
+      StatNumCols.map(c => base.agg(
+        countDistinct(col(c)).as("ndv"), nulls(c),
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"))
+        .select(lit(c).as("col_name"), col("ndv"), col("n_nulls"),
+          col("min_num"), col("max_num"),
+          lit(null).cast(strT).as("min_str"), lit(null).cast(strT).as("max_str"),
+          lit(null).cast("double").as("avg_len"))) ++
+      StatStrCols.map(c => base.agg(
+        countDistinct(col(c)).as("ndv"), nulls(c),
+        min(col(c)).as("mns"), max(col(c)).as("mxs"),
+        davg(length(col(c)).cast("double"), 6).as("al"))
+        .select(lit(c).as("col_name"), col("ndv"), col("n_nulls"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col("mns").as("min_str"), col("mxs").as("max_str"),
+          col("al").as("avg_len"))) ++
+      StatTsCols.map(c => base.agg(
+        countDistinct(col(c)).as("ndv"), nulls(c),
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"))
+        .select(lit(c).as("col_name"), col("ndv"), col("n_nulls"),
+          col("min_num"), col("max_num"),
+          lit(null).cast(strT).as("min_str"), lit(null).cast(strT).as("max_str"),
+          lit(null).cast("double").as("avg_len")))
+    )
+    rows.reduce(_ union _).orderBy("col_name")
   }
 
   def colStatsOracleSql: String =
     s"""WITH w AS (${colStatsWideSql("lineitem", c => s"epoch_ms($c)")})
       ${colStatsRowsSql("w", "VARCHAR")}"""
+
+  // ---------------------------------------------------------------- q216
+  /** EQUI-DEPTH histogram over l_extendedprice — the other histogram a
+    * cost-based planner stores (q91 is equi-width, q212 the scalar
+    * profile): [[HistBuckets]] buckets of equal ROW count, each with
+    * its value bounds and NDV, so selectivity of any range predicate
+    * reads off as (buckets covered)/B regardless of skew — the reason
+    * planners prefer equi-depth under heavy-tailed data. The ORACLE
+    * assigns buckets with a global ntile(B) window; the Spark plan
+    * must NOT (empty-partition window = every row through one task) —
+    * it ranks with [[DistributedRank]]'s range-partitioned two-pass
+    * scheme and derives the tile arithmetically, bit-identical ntile
+    * semantics under the (cents) order. Ties may land either side of
+    * a boundary in either engine, but every reported aggregate
+    * (count, min, max, NDV per bucket) depends only on the sorted
+    * cents MULTISET, so tie placement cannot show in the output. */
+  val HistBuckets = 20
+
+  def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+      .transform(graft.core.EngineCache.persisted)
+    val n = li.count()
+    DistributedRank.rankOnly(li, "rk", "cents", desc = false, col("cents"))
+      .withColumn("bucket",
+        DistributedRank.ntileFromRank("rk", n, HistBuckets))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"), countDistinct("cents").as("ndv"))
+      .orderBy("bucket")
+  }
+
+  def equiDepthHistSql(table: String): String = s"""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM $table),
+    t AS (SELECT cents, ntile($HistBuckets) OVER (ORDER BY cents) AS bucket
+          FROM c)
+    SELECT bucket::INT AS bucket, count(*)::BIGINT AS n_rows,
+      min(cents) AS lo_cents, max(cents) AS hi_cents,
+      count(DISTINCT cents)::BIGINT AS ndv
+    FROM t GROUP BY bucket ORDER BY bucket"""
 
 }

@@ -312,6 +312,42 @@ object Windows {
       .orderBy("c_event")
   }
 
+  // ---------------------------------------------------------------- q215
+  /** Complex-event-processing pattern match (MATCH_RECOGNIZE / Flink
+    * CEP-lite): per user, order the event stream and count
+    * non-overlapping occurrences of the browse-then-buy pattern
+    * `view click+ purchase` — the sequence detector funnels (q70) and
+    * transition matrices (q58) cannot express, because the pattern has
+    * a variable-length middle and must respect strict adjacency. The
+    * journey compiles to a per-user string of event-type initials
+    * (distinct across the five types) and the pattern to a regex; both
+    * engines' regex scans are left-to-right non-overlapping, so counts
+    * are deterministic. Total order inside the journey = (ts,
+    * event_id), the repo-wide tiebreak.
+    *
+    * Scale: ONE shuffle keyed by user_id; per-user state is that
+    * user's events — the exact partitioning every CEP engine uses.
+    * A journey string is bounded by a user's event count (the same
+    * bound sessionization q50 carries); nothing global exists. */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(s"""
+      WITH j AS (
+        SELECT user_id,
+          array_join(transform(
+            array_sort(collect_list(struct(ts, event_id,
+              substr(event_type, 1, 1) AS ini))), x -> x.ini), '') AS journey,
+          count(1) AS n_events
+        FROM events GROUP BY user_id)
+      SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        CAST(regexp_count(journey, '$EventPatternRe') AS BIGINT) AS n_matches
+      FROM j WHERE regexp_count(journey, '$EventPatternRe') >= 1
+      ORDER BY user_id""")
+  }
+
+  val EventPatternRe = "vc+p" // view, click+, purchase — initials are
+                              //   distinct across the five event types
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_window_topk"    -> windowTopK _,
     "q10_window_running" -> windowRunning _,
@@ -325,7 +361,8 @@ object Windows {
     "q70_event_funnel"   -> eventFunnel _,
     "q71_zscore_outliers" -> zscoreOutliers _,
     "q79_cohort_retention" -> cohortRetention _,
-    "q80_asof_forward"   -> asofForward _
+    "q80_asof_forward"   -> asofForward _,
+    "q215_event_pattern" -> eventPattern _
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,6 +526,17 @@ object Windows {
         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND p.ts >= c.ts)
       WHERE rn = 1 AND gap_ms <= $AsofTolMs
-      ORDER BY c_event"""
+      ORDER BY c_event""",
+    "q215_event_pattern" -> s"""
+      WITH j AS (
+        SELECT user_id,
+          string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+            AS journey,
+          count(*) AS n_events
+        FROM events GROUP BY user_id)
+      SELECT user_id, n_events::BIGINT AS n_events,
+        len(regexp_extract_all(journey, '$EventPatternRe'))::BIGINT AS n_matches
+      FROM j WHERE len(regexp_extract_all(journey, '$EventPatternRe')) >= 1
+      ORDER BY user_id"""
   )
 }

@@ -272,6 +272,37 @@ object EventAnalytics {
       .start()
   }
 
+  /** Streaming bitmap-index ENCODE — the stream-time twin of q214's
+    * append half: each arriving micro-batch of lineitem-shaped rows is
+    * encoded into (col, val, word_id, word) bitmap shards with the SAME
+    * rid scheme the at-rest index uses, landing under
+    * `words/batch_run=N` with idempotent overwrite. A reader serves
+    * conjunctions over base ∪ stream by the same word-wise bit_or
+    * merge, because bits stay disjoint as long as micro-batches split
+    * on l_orderkey — a prefix of the rid key, the exact contract q214
+    * documents for its batch split (Kafka keyed by orderkey gives this
+    * for free: one key never spans partitions mid-group). Under that
+    * contract the emitted words are batch-split-invariant up to the
+    * word grouping, and the merged index is — the spec proves the
+    * two-batch merge equals the one-shot index bit-for-bit. */
+  def startStreamingBitmapEncode(rowStream: DataFrame, wordsPath: String,
+                                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rowStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.ScaleOps.bitmapIndexOf(batch)
+            .write.mode("overwrite")
+            .parquet(s"$wordsPath/batch_run=$batchId")
+          // bitmapIndexOf persists its rid frame for the guard pass;
+          // release this thread's frames between batches
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming WITHIN-document repetition cut — the stream-time twin of
     * q184. The operator is per-document (a doc's cut depends only on
     * its own grams), so unlike the other twins it needs NO at-rest

@@ -634,6 +634,25 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("modularity: two equal cliques hit the theoretical Q = 0.5") {
+    val sq = spark
+    import sq.implicits._
+    val li = (Seq(0L, 1L, 2L, 3L).map(p => (100L, p)) ++
+      Seq(10L, 11L, 12L, 13L).map(p => (200L, p)))
+      .toDF("l_orderkey", "l_partkey")
+    val r = ScaleOps.lpModularityOf(li).collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4)))
+      .toMap
+    // two 4-cliques: 12 directed intra edges each, M = 24, degree sum 12
+    // -> Q_c = 12/24 - (12/24)^2 = 0.25 per community, Q = 0.5 (the
+    // known maximum for a 2-community equal split)
+    assert(r.keySet == Set(0L, 10L))
+    assert(r.values.forall(_ == (4L, 12L, 12L, 0.25)),
+      s"clique communities must each contribute 0.25: $r")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("column stats: NDV, null counts, and typed min/max on a frame with nulls") {
     val sq = spark
     import sq.implicits._

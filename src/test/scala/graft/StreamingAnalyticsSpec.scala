@@ -481,6 +481,41 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming bitmap encode merges to the one-shot index bit-for-bit") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(7) + 1,
+        Seq("A", "N", "R")(rnd.nextInt(3)), Seq("F", "O")(rnd.nextInt(2)))
+    }
+    // micro-batches split on l_orderkey — the rid-key-prefix contract
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbm").toString
+    val source = MemoryStream[(Long, Int, String, String)]
+    val q = EventAnalytics.startStreamingBitmapEncode(
+      source.toDF().toDF("l_orderkey", "l_linenumber",
+        "l_returnflag", "l_linestatus"),
+      s"$dir/words", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("col", "val", "word_id").agg(expr("bit_or(w)").as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val got = words(spark.read.parquet(s"$dir/words")
+      .select(col("col"), col("val"), col("word_id"), col("w")))
+    val want = words(graft.operators.ScaleOps.bitmapIndexOf(
+      rows.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")))
+    assert(got == want,
+      "stream-time bitmap words must merge to the batch index exactly")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
