@@ -531,10 +531,15 @@ object CorpusOps {
 
   /** The q90 oracle's CTE chain through the ranked BM25 list (`sparse`),
     * shared verbatim with the q150 fusion oracle. */
-  private def bm25RankedOracleCtes: String = s"""
+  private def bm25RankedOracleCtes: String = bm25RankedOracleCtesOn("documents")
+
+  /** The q90/q164 oracle CTE chain over an arbitrary docs relation —
+    * parameterized so q218's delete oracle can replay the same scoring
+    * over the tombstone-filtered corpus. */
+  private def bm25RankedOracleCtesOn(docsRel: String): String = s"""
       qt(query_id, term) AS (VALUES $bm25ValuesSql),
       uni AS (
-        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
+        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM $docsRel),
       hits AS (SELECT u.doc_id, u.term, qt.query_id
                FROM uni u JOIN qt ON u.term = qt.term),
       tf AS (SELECT query_id, doc_id, term, count(*) AS tf
@@ -542,10 +547,10 @@ object CorpusOps {
       df AS (SELECT term, count(DISTINCT doc_id) AS df
              FROM hits GROUP BY term),
       dl AS (SELECT doc_id, ${tokenCountSql("text")}::BIGINT AS dl
-             FROM documents),
+             FROM $docsRel),
       st AS (SELECT count(*) AS n_docs,
                CAST(sum(${tokenCountSql("text")}::BIGINT) AS BIGINT) AS sum_dl
-             FROM documents),
+             FROM $docsRel),
       contrib AS (
         SELECT query_id, tf.doc_id, $bm25ContribSql AS c6
         FROM (SELECT query_id, doc_id, term, tf::DOUBLE AS tfd FROM tf) tf
@@ -735,6 +740,42 @@ object CorpusOps {
       bp.select("term", "doc_id", "tf", "shard")
         .union(bm25PostingsOf(batch)),
       bd.select("doc_id", "dl").union(bm25DoclenOf(batch)))
+  }
+
+  // ---------------------------------------------------------------- q218
+  /** Targeted DELETE from the at-rest BM25 index (the takedown /
+    * right-to-be-forgotten pass) — the third lifecycle op the index
+    * family needed after serve (q164) and append (q178): a tombstone
+    * set of doc ids (doc_id ≡ [[Bm25DelRem]] mod [[Bm25DelMod]], ~6%
+    * of the corpus) is removed WITHOUT rebuilding anything. Deletion
+    * semantics for BM25 are subtle because df, |D| and avgdl all
+    * shift when docs leave; the serve path already recomputes df from
+    * the query-pruned posting slice and the corpus stats from doclen,
+    * so deletion is exactly two broadcast anti-joins: doclen minus
+    * tombstones (fixes |D|, avgdl, dl) and the pruned posting slice
+    * minus tombstones (fixes tf rows and therefore df). The ORACLE
+    * replays full BM25 over the tombstone-filtered corpus, so the
+    * hash match proves delete ∘ store ≡ rebuild-from-scratch.
+    *
+    * Scale: the tombstone set broadcasts (takedown lists are small);
+    * the posting anti-join rides the ALREADY shard+term-pruned slice
+    * (Catalyst pushes those filters below the anti-join), so serve
+    * cost is unchanged and nothing ever rescans or rewrites the
+    * stored index — the tombstone pattern every segment-based engine
+    * (Lucene, Druid) uses, with physical purge deferred to the next
+    * q75-style compaction. */
+  val Bm25DelMod = 17
+  val Bm25DelRem = 3
+
+  def bm25IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, doclen) = bm25IndexTables(spark, dir)
+    // a real takedown list is arbitrary ids: model it as a broadcast
+    // anti-join against a tombstone FRAME, not a pushable predicate
+    val tomb = doclen.select(col("doc_id"))
+      .filter(col("doc_id") % Bm25DelMod === Bm25DelRem)
+    bm25ServeFrom(spark,
+      postings.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      doclen.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
   }
 
   // ---------------------------------------------------------------- q177
@@ -1288,6 +1329,7 @@ object CorpusOps {
     "q177_phrase_search"  -> phraseSearch _,
     "q180_near_search"    -> nearSearch _,
     "q178_bm25_index_append" -> bm25IndexAppend _,
+    "q218_bm25_index_delete" -> bm25IndexDelete _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
     "q96_robust_stats"    -> robustStats _,
@@ -1384,6 +1426,14 @@ object CorpusOps {
     // the full-corpus BM25 answer bit for bit
     "q178_bm25_index_append" -> s"""
       WITH $bm25RankedOracleCtes
+      SELECT query_id, rk, doc_id, score FROM sparse
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk""",
+    // the tombstoned serve must equal a full rebuild on the filtered corpus
+    "q218_bm25_index_delete" -> s"""
+      WITH live AS (SELECT * FROM documents
+                    WHERE NOT (doc_id % $Bm25DelMod = $Bm25DelRem)),
+      ${bm25RankedOracleCtesOn("live")}
       SELECT query_id, rk, doc_id, score FROM sparse
       WHERE rk <= $Bm25TopK
       ORDER BY query_id, rk""",

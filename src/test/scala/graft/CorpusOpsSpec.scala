@@ -181,6 +181,27 @@ class CorpusOpsSpec extends SparkSpec {
       s"in-distribution text must score lowest: $out")
   }
 
+  test("bm25 delete: tombstoned docs vanish and every surviving score re-flows") {
+    import graft.operators.CorpusOps
+    val corpus = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(corpus.exists(_ % CorpusOps.Bm25DelMod == CorpusOps.Bm25DelRem),
+      "fixture must contain at least one tombstoned doc")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val before = CorpusOps.bm25IndexServe(spark, sfDir).collect().map(key).toSet
+    val after = CorpusOps.bm25IndexDelete(spark, sfDir).collect().map(key).toSet
+    assert(after.nonEmpty)
+    assert(after.forall(_._3 % CorpusOps.Bm25DelMod != CorpusOps.Bm25DelRem),
+      "a tombstoned doc leaked into the post-delete ranking")
+    // |D| and avgdl shrink with the corpus, so EVERY surviving score
+    // must shift — identical result sets would mean the tombstones
+    // never reached the statistics
+    assert(before != after,
+      "deletion must be observable in the served ranking")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("retrieval nDCG exposes tf-vs-coverage disagreement, 1.0 on agreement") {
     val sq = spark
     import sq.implicits._
