@@ -975,9 +975,14 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * membership is one broadcast-sized (vec_id, cell) frame joined on
     * both sides of the ADC. Dialect-neutral tail over the per-engine
     * PQ base. */
-  private[operators] def pqIvfAdcTail: String = s""",
+  private[operators] def pqIvfAdcTail: String = pqIvfAdcTailWhere("")
+
+  /** [[pqIvfAdcTail]] with an extra candidate-side predicate — the
+    * q219 delete oracle filters tombstoned vec_ids out of the codes
+    * before ranking, everything else identical. */
+  private[operators] def pqIvfAdcTailWhere(candExtra: String): String = s""",
     cells AS (SELECT vec_id, label AS cell FROM embeddings),
-    codes AS (SELECT vec_id, m, cid AS code FROM r WHERE rn = 1),
+    codes AS (SELECT vec_id, m, cid AS code FROM r WHERE rn = 1 $candExtra),
     dtab AS (
       SELECT vec_id AS probe_id, m, cid, d6
       FROM d WHERE vec_id % $PqProbeMod = 0),
@@ -1041,6 +1046,56 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     spark.sql(s"""
       WITH ${pqFlatBase(spark, dir)},
       codes AS (SELECT vec_id, m, code, cell FROM $codesView),
+      dtab AS (
+        SELECT vec_id AS probe_id, m, cid, d6
+        FROM d WHERE vec_id % $PqProbeMod = 0),
+      pcell AS (SELECT vec_id, label AS cell FROM embeddings),
+      adc AS (
+        SELECT t.probe_id, c.vec_id, c.cell, CAST(sum(t.d6) AS BIGINT) AS ad6
+        FROM codes c
+        JOIN dtab t ON c.m = t.m AND c.code = t.cid
+        JOIN pcell cp ON t.probe_id = cp.vec_id AND cp.cell = c.cell
+        GROUP BY t.probe_id, c.vec_id, c.cell),
+      ranked AS (
+        SELECT probe_id, vec_id, cell, ad6,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY ad6, vec_id) AS INT) AS rk
+        FROM adc)
+      SELECT probe_id, rk, vec_id, CAST(cell AS INT) AS cell,
+        CAST(ad6 AS DOUBLE) / 1e6 AS adist
+      FROM ranked WHERE rk <= $PqTopK
+      ORDER BY probe_id, rk""")
+  }
+
+  // ---------------------------------------------------------------- q219
+  /** Targeted DELETE from the at-rest IVF-PQ index — q218's tombstone
+    * discipline applied to the ANN family, completing ITS lifecycle
+    * after serve (q146) and append (q151): vec_id ≡ [[AnnDelRem]] mod
+    * [[AnnDelMod]] are removed from the CANDIDATE side by a broadcast
+    * anti-join on the code table; probes still query (a takedown
+    * removes an indexed vector, not the queries against the index).
+    * Unlike BM25, ANN deletion shifts NO corpus statistics — codes and
+    * centroids are frozen artifacts — so the anti-join is the entire
+    * operation; rankings re-flow only where a tombstone vacated a
+    * top-k slot. The oracle replays the live PQ pipeline with the
+    * same candidate filter, so the hash match proves tombstoned serve
+    * ≡ recompute-minus-deleted. Physical purge is, as in q218, a
+    * compaction-time rewrite of the affected `cell=N` partitions. */
+  val AnnDelMod = 13
+  val AnnDelRem = 5
+
+  def ivfPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val codesView = atRestCodesView(spark, dir)
+    val tombView = s"graft_ann_tomb_t${Thread.currentThread().getId}"
+    spark.sql(s"""SELECT vec_id FROM embeddings
+      WHERE vec_id % $AnnDelMod = $AnnDelRem""").createOrReplaceTempView(tombView)
+    spark.sql(s"""
+      WITH ${pqFlatBase(spark, dir)},
+      codes AS (
+        SELECT /*+ BROADCAST(t) */ c.vec_id, c.m, c.code, c.cell
+        FROM $codesView c LEFT ANTI JOIN $tombView t ON c.vec_id = t.vec_id),
       dtab AS (
         SELECT vec_id AS probe_id, m, cid, d6
         FROM d WHERE vec_id % $PqProbeMod = 0),

@@ -79,7 +79,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q213_label_prop"    -> labelProp _,
     "q214_bitmap_append" -> bitmapAppendServe _,
     "q216_equidepth_hist" -> equiDepthHist _,
-    "q217_modularity"    -> lpModularity _
+    "q217_modularity"    -> lpModularity _,
+    "q219_ivfpq_delete"  -> ivfPqDelete _
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,6 +134,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q213_label_prop" -> labelPropSql("lineitem", LpIters),
     "q214_bitmap_append" -> bitmapServeSql("lineitem"),
     "q216_equidepth_hist" -> equiDepthHistSql("lineitem"),
-    "q217_modularity" -> lpModularitySql("lineitem", LpIters)
+    "q217_modularity" -> lpModularitySql("lineitem", LpIters),
+    "q219_ivfpq_delete" -> (s"WITH $pqBaseOracle " +
+      pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)"))
   )
 }
