@@ -463,6 +463,48 @@ class PlanSpec extends SparkSpec {
         s"(rawScans=$rawScans, batch-filtered=$batchScans):\n$p")
   }
 
+  test("bitmap serve answers conjunctions from the at-rest words alone") {
+    graft.operators.ScaleOps.bitmapServe(spark, sfDir).collect() // build once
+    val p = plan(graft.operators.ScaleOps.bitmapServe(spark, sfDir))
+    assert(p.contains("bitmapidx_"),
+      s"serve must scan the published bitmap words:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"a bitmap conjunction must never rescan the base table:\n$p")
+    // the col= predicate is a partition filter on the Hive col= layout
+    assert(p.contains("PartitionFilters: ["),
+      s"the predicate columns must prune at the partition level:\n$p")
+  }
+
+  test("bitmap append reads the at-rest base; only the batch is rescanned") {
+    val p = plan(graft.operators.ScaleOps.bitmapAppendServe(spark, sfDir))
+    assert(p.contains("bitmapbase_"),
+      s"append must read the published base bitmaps:\n$p")
+    val rawScans = "lineitem.parquet".r.findAllIn(p).size
+    val batchScans =
+      ("% " + graft.operators.ScaleOps.BitmapBatchMod + "\\) = " +
+        graft.operators.ScaleOps.BitmapBatchRem).r.findAllIn(p).size
+    assert(rawScans > 0 && batchScans >= rawScans,
+      s"every raw scan must be the arriving batch " +
+        s"(rawScans=$rawScans, batch-filtered=$batchScans):\n$p")
+  }
+
+  test("BM25 delete keeps shard pruning through the tombstone anti-join") {
+    graft.operators.CorpusOps.bm25IndexTables(spark, sfDir)
+    val p = plan(graft.operators.CorpusOps.bm25IndexDelete(spark, sfDir))
+    assert(p.contains("bm25_postings"),
+      s"delete-serve must scan the persisted postings:\n$p")
+    assert(p.contains("PartitionFilters: [shard"),
+      s"shard pruning must push below the anti-join:\n$p")
+    assert(!p.contains("split(") && !p.contains("documents.parquet"),
+      s"deletion must never re-tokenize or rescan the corpus:\n$p")
+  }
+
+  test("IVF-PQ delete keeps serving from the at-rest codes under the anti-join") {
+    val p = plan(graft.operators.ScaleOps.ivfPqDelete(spark, sfDir))
+    assert(p.contains("ivfpq_codes_"),
+      s"delete-serve must scan the published code table:\n$p")
+  }
+
   test("iterative trainers scan a persisted frame, not the corpus per pass") {
     // q163 (3 GD iterations) and q170 (3 power iterations): the per-pass
     // input must be an InMemoryTableScan of the persisted feature /
