@@ -1741,4 +1741,112 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     FROM s GROUP BY label ORDER BY cluster"""
   }
 
+  // ---------------------------------------------------------------- q220
+  /** Margin-based MUTUAL-kNN pair mining (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER bitext-mining criterion): split the embedding table
+    * into two sides (even/odd vec_id, standing in for two languages or
+    * two snapshots), score candidates by cosine, and keep pairs that
+    * are (a) in each other's top-[[MineK]] lists — mutuality kills the
+    * hub vectors that dominate raw-cosine mining — and (b) above the
+    * RATIO margin cos(x,y) / mean(top-k cos of x, top-k cos of y) ≥
+    * [[MineTau]], which normalizes away each vector's own similarity
+    * scale. Alignment-pair mining is the retrieval family's missing
+    * SYMMETRIC op: q39/q146 rank candidates for one probe; this emits
+    * the globally consistent pair set two corpora agree on.
+    *
+    * Blocking: candidates must share a cell (`label` — the IVF
+    * quantizer stands in), exactly CCMatrix's FAISS-bucketed
+    * architecture, so the score join is an equi-join on the cell key —
+    * never a cartesian — and per-cell work is |X_c|·|Y_c|. The scored
+    * frame is the one quadratic-within-cell intermediate; it persists
+    * because BOTH direction's top-k aggregations consume it, and each
+    * aggregation is the bounded [[graft.functions.VectorAggregates]]
+    * top-k (map-side k-bounded — the exchange carries O(n·k), the
+    * window form would shuffle every scored row).
+    *
+    * Determinism: c6 = floor(cos·1e6 + 0.5) as BIGINT the moment it
+    * leaves fp; top-k sums and counts are exact ints; the margin's one
+    * division runs on identical doubles in both engines and lands on a
+    * 1e-6 grid. Ties everywhere break on the partner id. */
+  val MineK = 4
+  val MineTau = "1.03" // margin threshold, spelled once for both engines
+
+  def marginMine(spark: SparkSession, dir: String): DataFrame =
+    marginMineOf(Tables.load(spark, dir, "embeddings"))
+
+  /** Core of q220 over any (vec_id, label, embedding) frame. */
+  private[graft] def marginMineOf(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val e = vecs.select(col("vec_id"), col("label"), col("embedding"))
+    val xs = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("label"), col("embedding").as("xv"))
+    val ys = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("label"), col("embedding").as("yv"))
+    val scored = xs.join(ys, "label")
+      .select(col("xid"), col("yid"),
+        expr("CAST(floor(cosine_sim(xv, yv) * 1e6 + 0.5) AS BIGINT)").as("c6"))
+      .transform(graft.core.EngineCache.persisted)
+    def side(idCol: String, otherCol: String) = scored
+      .groupBy(col(idCol))
+      .agg(graft.functions.VectorAggregates
+        .topKOf(MineK, col("c6").cast("double"), col(otherCol)).as("top"))
+      .select(col(idCol), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col(idCol), col("s.cand_id").as(otherCol),
+        col("s.cos").cast("long").as("c6"),
+        (col("i") + 1).as("rk"))
+    val tx = side("xid", "yid").transform(graft.core.EngineCache.persisted)
+    val ty = side("yid", "xid").transform(graft.core.EngineCache.persisted)
+    val ax = tx.groupBy("xid").agg(sum("c6").as("sx6"), count(lit(1)).as("kx"))
+    val ay = ty.groupBy("yid").agg(sum("c6").as("sy6"), count(lit(1)).as("ky"))
+    tx.select(col("xid"), col("yid"), col("c6"))
+      .join(ty.select(col("xid"), col("yid")), Seq("xid", "yid"))
+      .join(ax, "xid").join(ay, "yid")
+      .select(col("xid"), col("yid"),
+        expr("CAST(c6 AS DOUBLE) / 1e6").as("cos"),
+        expr("floor((CAST(c6 * (kx + ky) AS DOUBLE) / " +
+          "CAST(sx6 + sy6 AS DOUBLE)) * 1e6 + 0.5) / 1e6").as("margin"))
+      .filter(expr(s"margin >= $MineTau"))
+      .orderBy("xid", "yid")
+  }
+
+  private[operators] def marginMineSql: String = {
+    // cosineSql's kernel with the half-up bridge kept in INTEGER form —
+    // re-multiplying the /1e6 double by 1e6 would re-enter fp at the
+    // exact grid boundary the bridge exists to avoid
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), " +
+        s"i -> ($x)[i]::DOUBLE * ($y)[i]::DOUBLE))"
+    def nrm(x: String) =
+      s"sqrt(list_sum(list_transform($x, p -> p::DOUBLE * p::DOUBLE)))"
+    val c6 = s"CAST(floor((${dot("x.embedding", "y.embedding")} / " +
+      s"(${nrm("x.embedding")} * ${nrm("y.embedding")})) * 1e6 + 0.5) AS BIGINT)"
+    s"""
+    WITH xs AS (SELECT vec_id, label, embedding FROM embeddings
+                WHERE vec_id % 2 = 0),
+    ys AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE vec_id % 2 = 1),
+    c AS (SELECT x.vec_id AS xid, y.vec_id AS yid, $c6 AS c6
+          FROM xs x JOIN ys y ON x.label = y.label),
+    rx AS (SELECT xid, yid, c6, row_number() OVER (PARTITION BY xid
+             ORDER BY c6 DESC, yid) AS rk FROM c),
+    ry AS (SELECT xid, yid, c6, row_number() OVER (PARTITION BY yid
+             ORDER BY c6 DESC, xid) AS rk FROM c),
+    ax AS (SELECT xid, sum(c6)::BIGINT AS sx6, count(*) AS kx FROM rx
+           WHERE rk <= $MineK GROUP BY xid),
+    ay AS (SELECT yid, sum(c6)::BIGINT AS sy6, count(*) AS ky FROM ry
+           WHERE rk <= $MineK GROUP BY yid),
+    mutual AS (
+      SELECT rx.xid, rx.yid, rx.c6
+      FROM rx JOIN ry ON rx.xid = ry.xid AND rx.yid = ry.yid
+      WHERE rx.rk <= $MineK AND ry.rk <= $MineK),
+    m AS (
+      SELECT mu.xid, mu.yid, CAST(mu.c6 AS DOUBLE) / 1e6 AS cos,
+        floor((CAST(mu.c6 * (ax.kx + ay.ky) AS DOUBLE) /
+          CAST(ax.sx6 + ay.sy6 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS margin
+      FROM mutual mu JOIN ax ON mu.xid = ax.xid JOIN ay ON mu.yid = ay.yid)
+    SELECT xid, yid, cos, margin FROM m
+    WHERE margin >= $MineTau ORDER BY xid, yid"""
+  }
+
 }

@@ -80,7 +80,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q214_bitmap_append" -> bitmapAppendServe _,
     "q216_equidepth_hist" -> equiDepthHist _,
     "q217_modularity"    -> lpModularity _,
-    "q219_ivfpq_delete"  -> ivfPqDelete _
+    "q219_ivfpq_delete"  -> ivfPqDelete _,
+    "q220_margin_mine"   -> marginMine _
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +137,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q216_equidepth_hist" -> equiDepthHistSql("lineitem"),
     "q217_modularity" -> lpModularitySql("lineitem", LpIters),
     "q219_ivfpq_delete" -> (s"WITH $pqBaseOracle " +
-      pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)"))
+      pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)")),
+    "q220_margin_mine" -> marginMineSql
   )
 }

@@ -634,6 +634,26 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("margin mining keeps the planted twin pairs, drops cross-pairs") {
+    val sq = spark
+    import sq.implicits._
+    // one cell; x0~y1 and x2~y3 are planted twins, y5 is a middling
+    // distractor close to both xs
+    val e = Seq(
+      (0L, 0, Array(1f, 0f, 0f, 0f)), (1L, 0, Array(0.99f, 0.14f, 0f, 0f)),
+      (2L, 0, Array(0f, 1f, 0f, 0f)), (3L, 0, Array(0.14f, 0.99f, 0f, 0f)),
+      (5L, 0, Array(0.7f, 0.7f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = ScaleOps.marginMineOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.contains((0L, 1L)) && out.contains((2L, 3L)),
+      s"planted twins must be mined: $out")
+    assert(out((0L, 1L)) > 1.3 && out((2L, 3L)) > 1.3)
+    assert(!out.contains((0L, 3L)) && !out.contains((2L, 1L)),
+      s"cross-pairs sit far below the margin: $out")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("modularity: two equal cliques hit the theoretical Q = 0.5") {
     val sq = spark
     import sq.implicits._
