@@ -81,7 +81,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q216_equidepth_hist" -> equiDepthHist _,
     "q217_modularity"    -> lpModularity _,
     "q219_ivfpq_delete"  -> ivfPqDelete _,
-    "q220_margin_mine"   -> marginMine _
+    "q220_margin_mine"   -> marginMine _,
+    "q221_profile_drift" -> profileDrift _
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,6 +139,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q217_modularity" -> lpModularitySql("lineitem", LpIters),
     "q219_ivfpq_delete" -> (s"WITH $pqBaseOracle " +
       pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)")),
-    "q220_margin_mine" -> marginMineSql
+    "q220_margin_mine" -> marginMineSql,
+    "q221_profile_drift" -> profileDriftSql
   )
 }

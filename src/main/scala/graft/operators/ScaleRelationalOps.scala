@@ -1525,6 +1525,14 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
         expr(s"unix_millis(CAST(${StatTsCols.head} AS TIMESTAMP))")
           .as(StatTsCols.head): _*)
       .transform(graft.core.EngineCache.persisted)
+    colStatsOf(base)
+  }
+
+  /** [[colStatsOn]] over an already-projected base frame (numeric +
+    * string columns raw, the timestamp column pre-bridged to epoch
+    * millis under its own name). */
+  private[graft] def colStatsOf(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     val nulls = (c: String) => (count(lit(1)) - count(col(c))).as("n_nulls")
     def strT = org.apache.spark.sql.types.StringType
     val rows = (
@@ -1603,5 +1611,77 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       min(cents) AS lo_cents, max(cents) AS hi_cents,
       count(DISTINCT cents)::BIGINT AS ndv
     FROM t GROUP BY bucket ORDER BY bucket"""
+
+  // ---------------------------------------------------------------- q221
+  /** Snapshot PROFILE-DRIFT audit — the data-contract check
+    * (Great-Expectations-shaped) that q212's profile exists to feed:
+    * profile two versions of the table and flag, per column, null
+    * regressions, range widenings, and NDV changes — the three
+    * contract breaches that silently poison downstream models. The
+    * "next" snapshot derives deterministically from the base (q86's
+    * discipline: tax nulled on one key slice, quantity doubled on
+    * another) so both engines audit the identical pair. Runs as two
+    * q212 profiles (each ONE scan + skinny distincts) + an 11-row
+    * join; at any scale the audit output stays O(columns). */
+  val DriftMod = 10
+  val DriftTaxRem = 7  // l_tax -> NULL on this slice (null regression)
+  val DriftQtyRem = 3  // l_quantity doubled on this slice (range widening)
+
+  private[operators] def driftNextSql(table: String): String = s"""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      CASE WHEN l_orderkey % $DriftMod = $DriftQtyRem
+           THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
+      l_extendedprice, l_discount,
+      CASE WHEN l_orderkey % $DriftMod = $DriftTaxRem
+           THEN CAST(NULL AS DOUBLE) ELSE l_tax END AS l_tax,
+      l_returnflag, l_linestatus, l_shipdate
+    FROM $table"""
+
+  private def colStatsProjected(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select((StatNumCols ++ StatStrCols).map(col) :+
+      expr(s"unix_millis(CAST(${StatTsCols.head} AS TIMESTAMP))")
+        .as(StatTsCols.head): _*)
+  }
+
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    def prof(df: DataFrame) = colStatsOf(
+      colStatsProjected(df).transform(graft.core.EngineCache.persisted))
+    val a = prof(spark.table("lineitem"))
+      .select(col("col_name"), col("ndv").as("a_ndv"),
+        col("n_nulls").as("a_nulls"), col("min_num").as("a_min"),
+        col("max_num").as("a_max"))
+    val b = prof(spark.sql(driftNextSql("lineitem")))
+      .select(col("col_name"), col("ndv").as("b_ndv"),
+        col("n_nulls").as("b_nulls"), col("min_num").as("b_min"),
+        col("max_num").as("b_max"))
+    a.join(b, "col_name")
+      .select(col("col_name"), col("a_ndv"), col("b_ndv"),
+        col("a_nulls"), col("b_nulls"),
+        (col("b_nulls") > col("a_nulls")).as("null_regressed"),
+        coalesce(col("b_min") < col("a_min") || col("b_max") > col("a_max"),
+          lit(false)).as("range_widened"),
+        (col("b_ndv") =!= col("a_ndv")).as("ndv_changed"))
+      .orderBy("col_name")
+  }
+
+  def profileDriftSql: String = {
+    def wide(rel: String) = colStatsWideSql(rel, c => s"epoch_ms($c)")
+    s"""
+    WITH nxt AS (${driftNextSql("lineitem")}),
+    wa AS (${wide("lineitem")}),
+    wb AS (${wide("nxt")}),
+    pa AS (${colStatsRowsSql("wa", "VARCHAR")}),
+    pb AS (${colStatsRowsSql("wb", "VARCHAR")})
+    SELECT pa.col_name, pa.ndv AS a_ndv, pb.ndv AS b_ndv,
+      pa.n_nulls AS a_nulls, pb.n_nulls AS b_nulls,
+      (pb.n_nulls > pa.n_nulls) AS null_regressed,
+      coalesce(pb.min_num < pa.min_num OR pb.max_num > pa.max_num, false)
+        AS range_widened,
+      (pb.ndv <> pa.ndv) AS ndv_changed
+    FROM pa JOIN pb USING (col_name) ORDER BY pa.col_name"""
+  }
 
 }

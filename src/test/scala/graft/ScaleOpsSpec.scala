@@ -634,6 +634,20 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("profile drift flags exactly the planted contract breaches") {
+    val out = ScaleOps.profileDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getBoolean(5), r.getBoolean(6))).toMap // (null_regressed, range_widened)
+    assert(out("l_tax") == (true, false),
+      s"the nulled tax slice must flag a null regression: $out")
+    assert(out("l_quantity") == (false, true),
+      s"the doubled quantity slice must flag a range widening: $out")
+    val untouched = out.keySet -- Set("l_tax", "l_quantity")
+    assert(untouched.forall(c => out(c) == (false, false)),
+      s"untouched columns must stay clean: $out")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("margin mining keeps the planted twin pairs, drops cross-pairs") {
     val sq = spark
     import sq.implicits._
