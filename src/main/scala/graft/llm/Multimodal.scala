@@ -170,6 +170,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** FRAME SAMPLING over real decoded pixels — the video verb of the
+    * multimodal family spelled on the fixture's stills: each decoded
+    * image's pixel ROWS stand in for a clip's frames, a fixed stride
+    * samples every `stride`-th frame, and each sampled frame emits its
+    * mean luma — the decode → frame-sample → per-frame-feature
+    * pipeline shape (same `mapPartitions` + per-partition codec init
+    * as [[decodeImages]]; a real video codec drops into the same loop
+    * with rows→frames). Luma rides the exact integer band sums and
+    * divides ONCE (299·sr+587·sg+114·sb as int64 → one double divide),
+    * so per-frame values are a pure arithmetic function of the decoded
+    * samples — oracle-replayable without a codec, exactly like q140.
+    * Undecodable bytes emit no frames (their absence is the signal;
+    * q140 carries the decode_ok row-level flag). */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_mean", FloatType, nullable = false)))
+
+  def frameSamples(spark: SparkSession, media: DataFrame,
+                   stride: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val img = readImage(r.getAs[Array[Byte]](1))
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth
+          val raster = img.getRaster
+          val buf = new Array[Int](w)
+          def rowSum(y: Int, b: Int): Long = {
+            raster.getSamples(0, y, w, 1, b, buf)
+            var s = 0L; var i = 0
+            while (i < w) { s += buf(i); i += 1 }
+            s
+          }
+          (0 until img.getHeight by stride).iterator.map { y =>
+            val (sr, sg, sb) =
+              if (raster.getNumBands <= 2) {
+                val s = rowSum(y, 0); (s, s, s) // gray: luma IS the sample
+              } else (rowSum(y, 0), rowSum(y, 1), rowSum(y, 2))
+            val mean = (299L * sr + 587L * sg + 114L * sb).toDouble /
+              (1000L * w * 255L)
+            Row(id, y, mean.toFloat)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** 63-bit average perceptual hash (aHash) over REAL decoded pixels —
     * the image-space fingerprint that survives re-encodes and small
     * edits where a byte hash breaks: decode, nearest-neighbor-sample an

@@ -673,6 +673,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q138_bpe_tokens"     -> bpeTokens _,
     "q139_source_report"  -> sourceReport _,
     "q140_media_decode"   -> mediaDecode _,
+    "q223_frame_sample"   -> frameSample _,
     "q141_bloom_persist"  -> bloomPersist _,
     "q142_leakage_split"  -> leakageSplit _,
     "q143_source_contam"  -> sourceContamination _,
@@ -768,6 +769,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q138_bpe_tokens" -> bpeTokensSql,
     "q139_source_report" -> sourceReportSql,
     "q140_media_decode" -> mediaDecodeSql,
+    "q223_frame_sample" -> frameSampleSql,
     "q141_bloom_persist" -> bloomPersistSql,
     "q142_leakage_split" -> leakageSplitSql,
     "q143_source_contam" -> sourceContaminationSql,

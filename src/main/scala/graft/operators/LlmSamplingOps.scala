@@ -964,6 +964,41 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
           " AS FLOAT) AS DOUBLE)", 6)} AS mean_luma
     FROM embeddings ORDER BY vec_id"""
 
+  // ---------------------------------------------------------------- q223
+  /** Frame sampling + per-frame features over real decoded media — the
+    * VIDEO verb of the multimodal family (decode → stride-sample
+    * frames → per-frame feature rows), spelled on the fixture's stills
+    * with pixel rows standing in for frames ([[Multimodal.frameSamples]];
+    * a real video codec drops into the same mapPartitions loop). Every
+    * [[FrameStride]]-th frame emits its mean luma from exact integer
+    * band sums with ONE double divide, so the oracle replays the
+    * pipeline as pure arithmetic over the embedding slices — no codec,
+    * the q140/q155 discipline. The explode shape (media × sampled
+    * frames) is the schema contract a frame-level dedup or captioning
+    * stage consumes downstream. */
+  val FrameStride = 2
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamples(spark, renderMedia(spark, dir), FrameStride)
+      .select(col("media_id").as("vec_id"), col("frame_idx"),
+        dround(col("frame_mean").cast("double"), 6).as("frame_mean"))
+      .orderBy("vec_id", "frame_idx")
+
+  def frameSampleSql: String = {
+    val clamp = "LEAST(255, GREATEST(0, CAST(floor(CAST(x AS DOUBLE) " +
+      "* 127.0 + 128.0 + 0.5) AS BIGINT)))"
+    s"""
+    WITH f AS (SELECT unnest([0, 2, 4, 6])::INT AS frame_idx),
+    m AS (
+      SELECT e.vec_id, f.frame_idx,
+        CAST(CAST(CAST(list_sum(list_transform(
+          e.embedding[f.frame_idx * 8 + 1 : f.frame_idx * 8 + 8],
+          x -> $clamp)) AS DOUBLE) / 2040.0 AS FLOAT) AS DOUBLE) AS fm
+      FROM embeddings e CROSS JOIN f)
+    SELECT vec_id, frame_idx, ${droundSql("fm", 6)} AS frame_mean
+    FROM m ORDER BY vec_id, frame_idx"""
+  }
+
   // ---------------------------------------------------------------- q196
   /** Systematic probability-proportional-to-size (PPS) corpus sampling
     * — "draw exactly K documents with inclusion probability ∝ token

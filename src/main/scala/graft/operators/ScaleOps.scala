@@ -82,7 +82,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q217_modularity"    -> lpModularity _,
     "q219_ivfpq_delete"  -> ivfPqDelete _,
     "q220_margin_mine"   -> marginMine _,
-    "q221_profile_drift" -> profileDrift _
+    "q221_profile_drift" -> profileDrift _,
+    "q222_k_anonymity"   -> kAnonymity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,6 +141,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q219_ivfpq_delete" -> (s"WITH $pqBaseOracle " +
       pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)")),
     "q220_margin_mine" -> marginMineSql,
-    "q221_profile_drift" -> profileDriftSql
+    "q221_profile_drift" -> profileDriftSql,
+    "q222_k_anonymity" -> kAnonymitySql("customer")
   )
 }

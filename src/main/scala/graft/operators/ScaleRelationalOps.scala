@@ -1612,6 +1612,39 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       count(DISTINCT cents)::BIGINT AS ndv
     FROM t GROUP BY bucket ORDER BY bucket"""
 
+  // ---------------------------------------------------------------- q222
+  /** k-ANONYMITY audit (Sweeney 2002) — the privacy-engineering
+    * complement of q83's PII redaction: rows whose QUASI-IDENTIFIER
+    * tuple (nation, market segment, account-balance band) lands in an
+    * equivalence class smaller than [[KAnonK]] are re-identifiable by
+    * linkage, redacted direct identifiers or not. The audit emits
+    * every violating class with its size — the worklist a
+    * generalization / suppression pass consumes. One hash agg on the
+    * quasi-identifier tuple; output is O(violating classes) at any
+    * scale. Banding is a fixed-width floor on the SAME stored double
+    * in both engines, so class membership cannot drift cross-engine.
+    * Dialect-neutral: one string is both the Spark plan and the
+    * oracle. */
+  val KAnonK = 5
+
+  def kAnonymitySql(table: String): String = s"""
+    WITH q AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      FROM $table),
+    cls AS (
+      SELECT nation, segment, bal_band, count(1) AS class_size
+      FROM q GROUP BY nation, segment, bal_band)
+    SELECT nation, segment, bal_band,
+      CAST(class_size AS BIGINT) AS class_size
+    FROM cls WHERE class_size < $KAnonK
+    ORDER BY nation, segment, bal_band"""
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(kAnonymitySql("customer"))
+  }
+
   // ---------------------------------------------------------------- q221
   /** Snapshot PROFILE-DRIFT audit — the data-contract check
     * (Great-Expectations-shaped) that q212's profile exists to feed:
