@@ -83,7 +83,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q219_ivfpq_delete"  -> ivfPqDelete _,
     "q220_margin_mine"   -> marginMine _,
     "q221_profile_drift" -> profileDrift _,
-    "q222_k_anonymity"   -> kAnonymity _
+    "q222_k_anonymity"   -> kAnonymity _,
+    "q224_profile_refresh" -> profileRefresh _
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +143,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
       pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)")),
     "q220_margin_mine" -> marginMineSql,
     "q221_profile_drift" -> profileDriftSql,
-    "q222_k_anonymity" -> kAnonymitySql("customer")
+    "q222_k_anonymity" -> kAnonymitySql("customer"),
+    "q224_profile_refresh" -> profileRefreshSql("lineitem")
   )
 }

@@ -1612,6 +1612,104 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       count(DISTINCT cents)::BIGINT AS ndv
     FROM t GROUP BY bucket ORDER BY bucket"""
 
+  // ---------------------------------------------------------------- q224
+  /** MERGEABLE profile refresh — the maintenance half q212's scaladoc
+    * promises ("at petabyte scale exact NDV swaps for the HLL column"):
+    * the base table's per-column profile — row count, null count, typed
+    * min/max, and an HLL sketch of the values — publishes ONCE to the
+    * warehouse; an arriving batch (l_orderkey ≡ [[ProfBatchRem]] mod
+    * [[ProfBatchMod]]) is the ONLY data profiled at refresh time, and
+    * the current profile is a pure MERGE: counts add, min/max fold,
+    * sketches hll_merge — O(columns) arithmetic, no base rescan ever.
+    * The oracle computes every mergeable statistic from the FULL raw
+    * table, so the hash match PROVES the merge is exact for n / nulls /
+    * min / max; NDV ships as the q133 contract (exact count for the
+    * hash + a within-5% boolean on the merged-sketch estimate — HLL
+    * p=12 holds ~1.6% error). Numeric + timestamp columns (timestamps
+    * bridge to epoch millis); string NDV maintenance is the identical
+    * sketch column, q135's lifecycle. */
+  val ProfBatchMod = 10
+  val ProfBatchRem = 1
+
+  private def profCols: Seq[String] = StatNumCols :+ StatTsCols.head
+
+  /** Project to the profiled columns, timestamp pre-bridged. */
+  private def profProjected(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(StatNumCols.map(col) :+
+      expr(s"unix_millis(CAST(${StatTsCols.head} AS TIMESTAMP))")
+        .as(StatTsCols.head): _*)
+  }
+
+  /** One profile row per column over a projected frame: (col_name, n,
+    * n_nulls, min_num, max_num, sk). Values sketch via the 60-bit hash
+    * of their canonical string — engine-internal only, so cross-engine
+    * string formatting never matters. */
+  private def profileRowsOf(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.HllSketch.register(df.sparkSession)
+    val base = df.transform(graft.core.EngineCache.persisted)
+    val n = base.count()
+    profCols.map { c =>
+      base.filter(col(c).isNotNull).agg(
+        count(lit(1)).as("nn"),
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"),
+        expr("hll_build(" +
+          graft.core.Determinism.xhashExpr(s"CAST($c AS STRING)") + ")")
+          .as("sk"))
+        .select(lit(c).as("col_name"), lit(n).as("n"),
+          (lit(n) - col("nn")).as("n_nulls"),
+          col("min_num"), col("max_num"), col("sk"))
+    }.reduce(_ union _)
+  }
+
+  def profileRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.HllSketch.register(spark)
+    val isBatch = col("l_orderkey") % ProfBatchMod === ProfBatchRem
+    val li = Tables.load(spark, dir, "lineitem")
+    val table = "colprof_base_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val baseProf = graft.core.Warehouse.tableOnce(spark, table) {
+      profileRowsOf(profProjected(li.filter(!isBatch)))
+    }
+    val batchProf = profileRowsOf(profProjected(li.filter(isBatch)))
+    val cols = Seq("col_name", "n", "n_nulls", "min_num", "max_num", "sk")
+    val merged = baseProf.select(cols.map(col): _*)
+      .union(batchProf.select(cols.map(col): _*))
+      .groupBy("col_name")
+      .agg(sum("n").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        min("min_num").as("min_num"), max("max_num").as("max_num"),
+        expr("hll_merge_est(sk)").as("ndv_est"))
+    // gate-only exact pass: the oracle needs exact NDV to hash against;
+    // production serves ndv_est and never runs this scan
+    val exact = profProjected(li).transform(graft.core.EngineCache.persisted)
+    val ndv = profCols.map(c =>
+      exact.agg(countDistinct(col(c)).as("ndv_exact"))
+        .select(lit(c).as("col_name"), col("ndv_exact")))
+      .reduce(_ union _)
+    merged.join(ndv, "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_num"), col("max_num"), col("ndv_exact"),
+        (abs(col("ndv_est") - col("ndv_exact")) <=
+          col("ndv_exact") * 0.05).as("within_5pct"))
+      .orderBy("col_name")
+  }
+
+  def profileRefreshSql(table: String): String = {
+    def branch(c: String, mn: String, mx: String, v: String) = s"""
+      SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+        (count(*) - count($v))::BIGINT AS n_nulls,
+        CAST($mn AS DOUBLE) AS min_num, CAST($mx AS DOUBLE) AS max_num,
+        count(DISTINCT $v)::BIGINT AS ndv_exact, TRUE AS within_5pct
+      FROM $table"""
+    (StatNumCols.map(c => branch(c, s"min($c)", s"max($c)", c)) :+
+      branch(StatTsCols.head, s"epoch_ms(min(${StatTsCols.head}))",
+        s"epoch_ms(max(${StatTsCols.head}))", StatTsCols.head))
+      .mkString("", "\n      UNION ALL ", "\n      ORDER BY col_name")
+  }
+
   // ---------------------------------------------------------------- q222
   /** k-ANONYMITY audit (Sweeney 2002) — the privacy-engineering
     * complement of q83's PII redaction: rows whose QUASI-IDENTIFIER
