@@ -1664,6 +1664,11 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     }.reduce(_ union _)
   }
 
+  /** q224's per-batch profile over a raw lineitem-shaped frame — the
+    * streaming twin's entry point. */
+  private[graft] def profileRowsOfProjected(li: DataFrame): DataFrame =
+    profileRowsOf(profProjected(li))
+
   def profileRefresh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.HllSketch.register(spark)

@@ -272,6 +272,33 @@ object EventAnalytics {
       .start()
   }
 
+  /** Streaming PROFILE maintenance — the stream-time twin of q224's
+    * refresh: each arriving micro-batch of lineitem-shaped rows is
+    * profiled on its own (per-column counts, typed min/max, HLL value
+    * sketch) and the per-batch profile rows land under
+    * `prof/batch_run=N` with idempotent overwrite. The CURRENT profile
+    * at any moment is the same pure merge q224 serves — counts add,
+    * min/max fold, sketches hll_merge — over however many batch_run
+    * partitions exist; because every statistic is a commutative,
+    * associative monoid (FunctionsSpec property-tests the sketch laws),
+    * the merged profile is batch-split-invariant, which the spec proves
+    * against the one-shot profile. */
+  def startStreamingProfileRefresh(rowStream: DataFrame, profPath: String,
+                                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rowStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.ScaleOps.profileRowsOfProjected(batch)
+            .write.mode("overwrite")
+            .parquet(s"$profPath/batch_run=$batchId")
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming bitmap-index ENCODE — the stream-time twin of q214's
     * append half: each arriving micro-batch of lineitem-shaped rows is
     * encoded into (col, val, word_id, word) bitmap shards with the SAME

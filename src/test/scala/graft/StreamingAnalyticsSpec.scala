@@ -481,6 +481,52 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming profile refresh merges to the one-shot profile") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.HllSketch.register(spark)
+    val rnd = new scala.util.Random(31)
+    val t0 = java.time.Instant.parse("2024-05-01T00:00:00Z")
+    val rows = (0 until 240).map { i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(10).toLong,
+        rnd.nextInt(7) + 1, (rnd.nextInt(50) + 1).toDouble,
+        rnd.nextInt(90000) / 100.0, rnd.nextInt(11) / 100.0,
+        rnd.nextInt(9) / 100.0,
+        java.sql.Timestamp.from(t0.plusSeconds(rnd.nextInt(500000).toLong)))
+    }
+    val names = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val (h1, h2) = rows.splitAt(97) // merge is split-invariant: any cut
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprof").toString
+    val source = MemoryStream[(Long, Long, Long, Int, Double, Double,
+      Double, Double, java.sql.Timestamp)]
+    val q = EventAnalytics.startStreamingProfileRefresh(
+      source.toDF().toDF(names: _*), s"$dir/prof", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    val got = spark.read.parquet(s"$dir/prof")
+      .groupBy("col_name")
+      .agg(expr("sum(n)").as("n"), expr("sum(n_nulls)").as("nn"),
+        expr("min(min_num)").as("mn"), expr("max(max_num)").as("mx"),
+        expr("CAST(hll_merge_est(sk) AS DOUBLE)").as("est"))
+      .collect().map(key).toMap
+    val want = graft.operators.ScaleOps
+      .profileRowsOfProjected(rows.toDF(names: _*))
+      .select(col("col_name"), col("n"), col("n_nulls"),
+        col("min_num"), col("max_num"),
+        expr("CAST(hll_est(sk) AS DOUBLE)").as("est"))
+      .collect().map(key).toMap
+    assert(got == want,
+      s"stream-merged profile must equal the one-shot profile:\n$got\n$want")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming bitmap encode merges to the one-shot index bit-for-bit") {
     val sq = spark
     import sq.implicits._
