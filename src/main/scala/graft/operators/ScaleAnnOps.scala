@@ -1025,10 +1025,17 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * per fixture dir through the partitioned warehouse and registered
     * under a thread-scoped view — q146 serves from it and q193's
     * retrieve stage scans it. */
-  private[operators] def atRestCodesView(spark: SparkSession, dir: String): String = {
-    val table = "ivfpq_codes_" +
+  private[operators] def atRestCodesView(spark: SparkSession, dir: String): String =
+    atRestCodesView(spark, dir, "ivfpq_codes_")
+
+  /** The at-rest code table under a caller-chosen name prefix — q225's
+    * purge MUTATES its table (new version + gc), so it must not share
+    * the q146/q193 table other queries serve from concurrently. */
+  private[operators] def atRestCodesView(spark: SparkSession, dir: String,
+                                         prefix: String): String = {
+    val table = prefix +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
-    val codesView = s"graft_ivfpq_codes_t${Thread.currentThread().getId}"
+    val codesView = s"graft_${prefix}t${Thread.currentThread().getId}"
     graft.core.Warehouse.tableOnce(spark, table, "cell") {
       spark.sql(s"""WITH ${pqFlatBase(spark, dir)}
         SELECT r.vec_id, r.m, r.cid AS code, e.label AS cell
@@ -1096,6 +1103,68 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       codes AS (
         SELECT /*+ BROADCAST(t) */ c.vec_id, c.m, c.code, c.cell
         FROM $codesView c LEFT ANTI JOIN $tombView t ON c.vec_id = t.vec_id),
+      dtab AS (
+        SELECT vec_id AS probe_id, m, cid, d6
+        FROM d WHERE vec_id % $PqProbeMod = 0),
+      pcell AS (SELECT vec_id, label AS cell FROM embeddings),
+      adc AS (
+        SELECT t.probe_id, c.vec_id, c.cell, CAST(sum(t.d6) AS BIGINT) AS ad6
+        FROM codes c
+        JOIN dtab t ON c.m = t.m AND c.code = t.cid
+        JOIN pcell cp ON t.probe_id = cp.vec_id AND cp.cell = c.cell
+        GROUP BY t.probe_id, c.vec_id, c.cell),
+      ranked AS (
+        SELECT probe_id, vec_id, cell, ad6,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY ad6, vec_id) AS INT) AS rk
+        FROM adc)
+      SELECT probe_id, rk, vec_id, CAST(cell AS INT) AS cell,
+        CAST(ad6 AS DOUBLE) / 1e6 AS adist
+      FROM ranked WHERE rk <= $PqTopK
+      ORDER BY probe_id, rk""")
+  }
+
+  // ---------------------------------------------------------------- q225
+  /** Physical PURGE of tombstoned vectors — the compaction q219's
+    * scaladoc defers to, completing the index lifecycle: build →
+    * serve (q146) → append (q151) → tombstone (q219) → PURGE. The
+    * purge reads the current published code table, anti-joins the
+    * tombstones, PUBLISHES the rewrite as the next crash-safe version
+    * of the same warehouse table ([[graft.core.Warehouse.publish]]:
+    * readers see old-complete or new-complete, never a partial tree),
+    * and retires the superseded version via [[graft.core.Warehouse.gc]].
+    * Serving then needs NO anti-join — the tombstones are physically
+    * gone — and the ORACLE IS q219's: a hash match proves
+    * purge ∘ publish ≡ tombstone-view ≡ recompute-minus-deleted. The
+    * purge runs against its OWN table (not the q146/q193 serving
+    * table): compaction of a live index is a publish-then-flip, and
+    * concurrent queries of this harness hold the old table, exactly
+    * the versioned-reader contract the Warehouse scaladoc spells. Cost:
+    * one scan + rewrite of the code table (bytes ≈ PqM per vector),
+    * never the embedding corpus. */
+  def ivfPqPurge(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val prefix = "ivfpq_purge_"
+    val codesView = atRestCodesView(spark, dir, prefix)
+    val table = prefix +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    // purge exactly once per JVM (tableOnce built v=1; the rewrite is
+    // v=2): later calls serve the already-purged published version
+    if (graft.core.Warehouse.publishedVersion(spark, table).contains(1L)) {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val tomb = spark.sql(s"""SELECT vec_id FROM embeddings
+        WHERE vec_id % $AnnDelMod = $AnnDelRem""")
+      val purged = graft.core.Warehouse.readTable(spark, table)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      graft.core.Warehouse.publish(purged, table, Seq("cell"))
+      graft.core.Warehouse.gc(spark, table) // retire the pre-purge tree
+    }
+    graft.core.Warehouse.readTable(spark, table)
+      .createOrReplaceTempView(codesView)
+    spark.sql(s"""
+      WITH ${pqFlatBase(spark, dir)},
+      codes AS (SELECT vec_id, m, code, cell FROM $codesView),
       dtab AS (
         SELECT vec_id AS probe_id, m, cid, d6
         FROM d WHERE vec_id % $PqProbeMod = 0),

@@ -84,7 +84,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q220_margin_mine"   -> marginMine _,
     "q221_profile_drift" -> profileDrift _,
     "q222_k_anonymity"   -> kAnonymity _,
-    "q224_profile_refresh" -> profileRefresh _
+    "q224_profile_refresh" -> profileRefresh _,
+    "q225_index_purge"   -> ivfPqPurge _
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,6 +145,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q220_margin_mine" -> marginMineSql,
     "q221_profile_drift" -> profileDriftSql,
     "q222_k_anonymity" -> kAnonymitySql("customer"),
-    "q224_profile_refresh" -> profileRefreshSql("lineitem")
+    "q224_profile_refresh" -> profileRefreshSql("lineitem"),
+    // the physically-purged serve must equal the tombstone-view serve
+    "q225_index_purge" -> (s"WITH $pqBaseOracle " +
+      pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)"))
   )
 }

@@ -634,6 +634,26 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("index purge publishes a new version, retires the old, serves no tombstones") {
+    val served = ScaleOps.ivfPqPurge(spark, sfDir).collect()
+    assert(served.nonEmpty)
+    assert(served.forall(_.getLong(2) % ScaleOps.AnnDelMod != ScaleOps.AnnDelRem),
+      "a purged vector surfaced in the served ranking")
+    val table = "ivfpq_purge_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    assert(graft.core.Warehouse.publishedVersion(spark, table).contains(2L),
+      "the purge must publish as version 2 of the code table")
+    // the pre-purge tree is gone: a time-travel read of v=1 must fail
+    intercept[Exception] {
+      graft.core.Warehouse.readTableAsOf(spark, table, 1L).collect()
+    }
+    // idempotence: a second call serves the same rows without re-purging
+    val again = ScaleOps.ivfPqPurge(spark, sfDir).collect()
+    assert(again.map(_.toString).toSeq == served.map(_.toString).toSeq)
+    assert(graft.core.Warehouse.publishedVersion(spark, table).contains(2L))
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("profile drift flags exactly the planted contract breaches") {
     val out = ScaleOps.profileDrift(spark, sfDir).collect()
       .map(r => r.getString(0) ->
