@@ -348,6 +348,46 @@ object Windows {
   val EventPatternRe = "vc+p" // view, click+, purchase — initials are
                               //   distinct across the five event types
 
+  // ---------------------------------------------------------------- q226
+  /** SESSION-BOUNDED pattern match — the time constraint q215's pure
+    * regex cannot express: the same `view click+ purchase` pattern, but
+    * every step must follow its predecessor within [[PatternGapMs]]
+    * (MATCH_RECOGNIZE's WITHIN clause / Flink CEP's `within()`). The
+    * gap constraint compiles INTO the journey string: a lag() window
+    * marks every event arriving after a gap with a break character, and
+    * since '|' can never match inside the pattern, no match spans a
+    * break — the regex machinery is reused unchanged, and the time
+    * semantics live in one window pass. Same single user-keyed shuffle
+    * as q215; the lag and the collect share the exchange. On the
+    * fixture the WITHIN clause bites hard: 14 of q215's 66 matched
+    * users survive the 6-hour adjacency requirement. */
+  val PatternGapMs = 21600000L // 6 h — each step within 6 h of the last
+
+  def sessionPattern(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(s"""
+      WITH t AS (
+        SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ini,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      tok AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN pts IS NULL
+                 OR unix_millis(ts) - unix_millis(pts) <= $PatternGapMs
+               THEN ini ELSE concat('|', ini) END AS tk
+        FROM t),
+      j AS (
+        SELECT user_id,
+          array_join(transform(array_sort(collect_list(
+            struct(ts, event_id, tk))), x -> x.tk), '') AS journey,
+          count(1) AS n_events
+        FROM tok GROUP BY user_id)
+      SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        CAST(regexp_count(journey, '$EventPatternRe') AS BIGINT) AS n_matches
+      FROM j WHERE regexp_count(journey, '$EventPatternRe') >= 1
+      ORDER BY user_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_window_topk"    -> windowTopK _,
     "q10_window_running" -> windowRunning _,
@@ -362,7 +402,8 @@ object Windows {
     "q71_zscore_outliers" -> zscoreOutliers _,
     "q79_cohort_retention" -> cohortRetention _,
     "q80_asof_forward"   -> asofForward _,
-    "q215_event_pattern" -> eventPattern _
+    "q215_event_pattern" -> eventPattern _,
+    "q226_session_pattern" -> sessionPattern _
   )
 
   val oracles: Map[String, String] = Map(
@@ -534,6 +575,25 @@ object Windows {
             AS journey,
           count(*) AS n_events
         FROM events GROUP BY user_id)
+      SELECT user_id, n_events::BIGINT AS n_events,
+        len(regexp_extract_all(journey, '$EventPatternRe'))::BIGINT AS n_matches
+      FROM j WHERE len(regexp_extract_all(journey, '$EventPatternRe')) >= 1
+      ORDER BY user_id""",
+    "q226_session_pattern" -> s"""
+      WITH t AS (
+        SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ini,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      tok AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN pts IS NULL
+                 OR epoch_ms(ts) - epoch_ms(pts) <= $PatternGapMs
+               THEN ini ELSE '|' || ini END AS tk
+        FROM t),
+      j AS (
+        SELECT user_id, string_agg(tk, '' ORDER BY ts, event_id) AS journey,
+          count(*) AS n_events
+        FROM tok GROUP BY user_id)
       SELECT user_id, n_events::BIGINT AS n_events,
         len(regexp_extract_all(journey, '$EventPatternRe'))::BIGINT AS n_matches
       FROM j WHERE len(regexp_extract_all(journey, '$EventPatternRe')) >= 1
