@@ -407,7 +407,11 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+    // pre-hash the edge list by the per-round join key: every iteration
+    // joins on e.dst, so the cached frame carries the exchange ONCE and
+    // each round shuffles only the O(|V|) label side
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .transform(graft.core.EngineCache.persisted)
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
