@@ -1036,6 +1036,23 @@ object StatsOps {
   def cusumOracleSql: String =
     s"WITH hourly AS (${cusumHourlySql("events")}),${cusumTailSql("hourly")}"
 
+  /** Read-side monitor over the streaming twin's at-rest hourly
+    * partials: re-combine the exact decimal sums/counts (additive, so
+    * any batch split — mid-hour included — lands on the same totals),
+    * rebuild the 1e-6-grid hourly means with davg's exact spelling,
+    * and run the same prefix-identity tail as q211. */
+  private[graft] def cusumFromShards(spark: SparkSession,
+                                     hourlyPath: String): DataFrame = {
+    spark.read.parquet(hourlyPath)
+      .groupBy("event_type", "hour")
+      .agg(org.apache.spark.sql.functions.sum("vsum").as("s"),
+        org.apache.spark.sql.functions.sum("vn").as("n"))
+      .selectExpr("event_type", "hour",
+        "floor((CAST(s AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS v")
+      .createOrReplaceTempView("graft_cusum_shards")
+    spark.sql("WITH " + cusumTailSql("graft_cusum_shards"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

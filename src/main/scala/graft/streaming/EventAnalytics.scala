@@ -272,6 +272,41 @@ object EventAnalytics {
       .start()
   }
 
+  /** Streaming CUSUM monitoring — the stream-time twin of q211's
+    * changepoint scan, built on the idempotent-increment discipline:
+    * the stream lands ONLY per-batch hourly PARTIALS (exact decimal
+    * value sums + counts per (event_type, hour)) under
+    * `hourly/batch_run=N`; the monitor value is then a pure READ-SIDE
+    * query ([[graft.operators.StatsOps.cusumFromShards]]) that
+    * re-combines partials exactly and runs the q211 prefix identity.
+    * Because the landed rows are additive partials, the monitor is
+    * batch-split-invariant even when a micro-batch cuts an hour in
+    * half, and a foreachBatch RETRY simply overwrites its own
+    * batch_run directory — no stateful fold exists to double-apply,
+    * which is why the state is at rest instead of in
+    * mapGroupsWithState. Spec proves mid-hour splits reproduce the
+    * batch detector exactly. */
+  def startStreamingCusumHourly(eventStream: DataFrame, hourlyPath: String,
+                                checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          batch.groupBy(col("event_type"),
+              date_trunc("hour", col("ts")).as("hour"))
+            .agg(sum(col("value")
+              .cast(org.apache.spark.sql.types.DataTypes
+                .createDecimalType(30, 8))).as("vsum"),
+              count(lit(1)).as("vn"))
+            .write.mode("overwrite")
+            .parquet(s"$hourlyPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming PROFILE maintenance — the stream-time twin of q224's
     * refresh: each arriving micro-batch of lineitem-shaped rows is
     * profiled on its own (per-column counts, typed min/max, HLL value

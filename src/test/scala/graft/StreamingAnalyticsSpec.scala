@@ -481,6 +481,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming CUSUM shards reproduce the batch detector, mid-hour split included") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    // two types: "shift" jumps +5 at hour 24; "flat" stays constant;
+    // three events per hour so a mid-hour batch cut leaves partials
+    val rows = (0 until 48).flatMap { h =>
+      (0 until 3).map { j =>
+        val ts = java.sql.Timestamp.from(t0.plusSeconds(h * 3600L + j * 900L))
+        Seq(("shift", ts, (if (h < 24) 10.0 else 15.0) + j * 0.25),
+          ("flat", ts, 8.5 + j * 0.25))
+      }.flatten
+    }
+    // cut INSIDE hour 24: partials for the same hour land in two batches
+    val cut = rows.indexWhere { case (_, ts, _) =>
+      ts.toInstant == t0.plusSeconds(24 * 3600L + 900L) }
+    val (h1, h2) = rows.splitAt(cut)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scusum").toString
+    val source = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = EventAnalytics.startStreamingCusumHourly(
+      source.toDF().toDF("event_type", "ts", "value"),
+      s"$dir/hourly", s"$dir/ckpt")
+    source.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      (r.getLong(1), r.getTimestamp(2).toInstant, r.getDouble(3))
+    val got = graft.operators.StatsOps
+      .cusumFromShards(spark, s"$dir/hourly").collect().map(key).toMap
+    rows.toDF("event_type", "ts", "value")
+      .createOrReplaceTempView("graft_cusum_stream_test")
+    val want = graft.operators.StatsOps
+      .cusumOn(spark, "graft_cusum_stream_test").collect().map(key).toMap
+    assert(got == want,
+      s"stream-landed monitor must equal the batch detector:\n$got\n$want")
+    assert(got("shift")._3 > 0 && got("flat")._3 == 0.0)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming profile refresh merges to the one-shot profile") {
     val sq = spark
     import sq.implicits._
