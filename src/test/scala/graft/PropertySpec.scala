@@ -466,4 +466,28 @@ object EngineProperties extends Properties("engine") {
         Seq.fill(if (t <= r) q + 1 else q)(t)).take(n)
       tiles == expected
     }
+
+  // q211's window rewrite rests on this identity: the sequential CUSUM
+  // recursion S_t = max(0, S_{t-1} + d_t) equals P_t − min(0, min_{j≤t} P_j)
+  // over prefix sums P — pure math, swept over arbitrary integer series
+  property("CUSUM prefix identity equals the sequential recursion") =
+    forAll(Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))) { ds =>
+      var s = 0L
+      val rec = ds.map { d => s = math.max(0L, s + d); s }
+      var p = 0L; var mn = 0L
+      val win = ds.map { d => p += d; mn = math.min(mn, p); p - math.min(0L, mn) }
+      rec == win
+    }
+
+  // q213's hash-agg top-1 rests on this: max of (count, −label) picks the
+  // same (count DESC, label ASC) winner as the oracle's row_number sort
+  property("max(struct(c, -lab)) picks the (c DESC, lab ASC) head") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 50L), Gen.chooseNum(0L, 100L)))) { cl =>
+      // distinct labels: counts come from a GROUP BY so labels are unique
+      val rows = cl.toMap.toList.map { case (lab, c) => (c, lab) }
+      val viaSort = rows.sortBy { case (c, lab) => (-c, lab) }.head._2
+      val viaMax = rows.map { case (c, lab) => (c, -lab) }.max
+      -viaMax._2 == viaSort
+    }
 }
