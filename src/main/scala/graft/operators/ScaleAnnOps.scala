@@ -1918,4 +1918,159 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     WHERE margin >= $MineTau ORDER BY xid, yid"""
   }
 
+  // ---------------------------------------------------------------- q227
+  /** MMR diversity re-ranking (Carbonell & Goldstein 1998 — maximal
+    * marginal relevance): the serving verb pure similarity ranking
+    * lacks — a top-k of near-duplicates wastes its slots, so each pick
+    * maximizes λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s): relevance
+    * traded against redundancy with what is already shown. Greedy over
+    * a BOUNDED pool (the q193 rerank discipline: [[MmrPool]] exact-
+    * cosine candidates per probe from the bounded top-k aggregator),
+    * with pool-internal pairwise sims computed once — per-probe work is
+    * Pool² ints, corpus size never enters after the pool is cut. The
+    * greedy is [[MmrK]] unrolled rounds over O(probes × Pool) frames;
+    * λ = 0.7 is spelled as the integer pair 7/3 on the 1e-6 cosine
+    * grid (score10 = 7·rel6 − 3·maxsim6), so every pick is exact
+    * integer arithmetic with cand_id ties — bit-identical in both
+    * engines. Pick 1 is the plain relevance argmax (no redundancy term
+    * exists yet); its mmr column is NULL by definition. */
+  val MmrPool = 20
+  val MmrK = 5
+  val MmrProbeWhere = "vec_id < 10"
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    mmrRerankOf(Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+  }
+
+  /** Core of q227 over any (vec_id, embedding) frame. */
+  private[graft] def mmrRerankOf(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Similarity
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val v = vecs.transform(graft.core.EngineCache.persisted)
+    val pool = Similarity.bruteForceTopK(v, expr(MmrProbeWhere), MmrPool)
+      .select(col("query_id"), col("cand_id"),
+        expr("CAST(round(cos * 1e6) AS BIGINT)").as("rel6"))
+      .transform(graft.core.EngineCache.persisted)
+    val pv = v.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val withVec = pool.join(pv, "cand_id")
+      .select(col("query_id"), col("cand_id"), col("rel6"), col("cv"))
+      .transform(graft.core.EngineCache.persisted)
+    val sims = withVec.alias("a")
+      .join(withVec.alias("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("ca"), col("b.cand_id").as("cb"),
+        expr("CAST(round(" +
+          Similarity.cosineExpr("a.cv", "b.cv") + " * 1e6) AS BIGINT)")
+          .as("sim6"))
+      .transform(graft.core.EngineCache.persisted)
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score10").desc, col("cand_id"))
+    // pick 1: pure relevance argmax — identical order to the pool's rnk=1
+    var selected = pool
+      .withColumn("score10", col("rel6") * 10)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rel6").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel6"),
+        lit(1).as("pick"), lit(null).cast("long").as("mmr10"))
+    for (i <- 2 to MmrK) {
+      val rest = pool.join(selected.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val ms = sims.join(
+          selected.select(col("query_id"), col("cand_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("cand_id"))
+        .agg(max("sim6").as("ms6"))
+      val next = rest.join(ms, Seq("query_id", "cand_id"))
+        .withColumn("score10", col("rel6") * 7 - col("ms6") * 3)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number()
+          .over(byScore))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel6"),
+          lit(i).as("pick"), col("score10").as("mmr10"))
+      selected = selected.union(next)
+        .transform(graft.core.EngineCache.persisted)
+    }
+    selected.select(col("query_id"), col("pick"), col("cand_id"),
+        expr("CAST(rel6 AS DOUBLE) / 1e6").as("rel"),
+        expr("CAST(mmr10 AS DOUBLE) / 1e7").as("mmr"))
+      .orderBy("query_id", "pick")
+  }
+
+  private[operators] def mmrRerankSql: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), " +
+        s"i -> ($x)[i]::DOUBLE * ($y)[i]::DOUBLE))"
+    def nrm(x: String) =
+      s"sqrt(list_sum(list_transform($x, p -> p::DOUBLE * p::DOUBLE)))"
+    def cos6(x: String, y: String) =
+      s"CAST(round((floor((${dot(x, y)} / (${nrm(x)} * ${nrm(y)})) " +
+        s"* 1e6 + 0.5) / 1e6) * 1e6) AS BIGINT)"
+    val rounds = (2 to MmrK).map { i =>
+      s"""ms$i AS (
+      SELECT s.query_id, s.ca AS cand_id, max(s.sim6) AS ms6
+      FROM sims s JOIN sel${i - 1} p
+        ON s.query_id = p.query_id AND s.cb = p.cand_id
+      GROUP BY s.query_id, s.ca),
+    pick$i AS (
+      SELECT query_id, cand_id, rel6, $i AS pick,
+        (rel6 * 7 - ms6 * 3) AS mmr10
+      FROM (
+        SELECT r.query_id, r.cand_id, r.rel6, m.ms6,
+          row_number() OVER (PARTITION BY r.query_id
+            ORDER BY (r.rel6 * 7 - m.ms6 * 3) DESC, r.cand_id) AS rn
+        FROM pool r
+        JOIN ms$i m ON r.query_id = m.query_id AND r.cand_id = m.cand_id
+        LEFT JOIN sel${i - 1} d
+          ON r.query_id = d.query_id AND r.cand_id = d.cand_id
+        WHERE d.cand_id IS NULL) z
+      WHERE rn = 1),
+    sel$i AS (SELECT query_id, cand_id FROM sel${i - 1}
+              UNION ALL SELECT query_id, cand_id FROM pick$i)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT vec_id AS query_id, embedding AS qv FROM v
+          WHERE $MmrProbeWhere),
+    scored AS (
+      SELECT query_id, vec_id AS cand_id,
+        ${cos6("qv", "embedding")} AS rel6
+      FROM p JOIN v ON query_id <> vec_id),
+    pool AS (
+      SELECT query_id, cand_id, rel6 FROM (
+        SELECT query_id, cand_id, rel6,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY rel6 DESC, cand_id) AS rnk
+        FROM scored) z WHERE rnk <= $MmrPool),
+    sims AS (
+      SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+        ${cos6("va.embedding", "vb.embedding")} AS sim6
+      FROM pool a
+      JOIN pool b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      JOIN v va ON a.cand_id = va.vec_id
+      JOIN v vb ON b.cand_id = vb.vec_id),
+    pick1 AS (
+      SELECT query_id, cand_id, rel6, 1 AS pick,
+        CAST(NULL AS BIGINT) AS mmr10
+      FROM (
+        SELECT query_id, cand_id, rel6,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY rel6 DESC, cand_id) AS rn
+        FROM pool) z WHERE rn = 1),
+    sel1 AS (SELECT query_id, cand_id FROM pick1),
+    $rounds
+    SELECT query_id, pick, cand_id,
+      CAST(rel6 AS DOUBLE) / 1e6 AS rel,
+      CAST(mmr10 AS DOUBLE) / 1e7 AS mmr
+    FROM (${(1 to MmrK).map(i => s"SELECT * FROM pick$i")
+      .mkString(" UNION ALL ")}) u
+    ORDER BY query_id, pick"""
+  }
+
 }

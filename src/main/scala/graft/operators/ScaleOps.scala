@@ -85,7 +85,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q221_profile_drift" -> profileDrift _,
     "q222_k_anonymity"   -> kAnonymity _,
     "q224_profile_refresh" -> profileRefresh _,
-    "q225_index_purge"   -> ivfPqPurge _
+    "q225_index_purge"   -> ivfPqPurge _,
+    "q227_mmr_rerank"    -> mmrRerank _
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +149,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q224_profile_refresh" -> profileRefreshSql("lineitem"),
     // the physically-purged serve must equal the tombstone-view serve
     "q225_index_purge" -> (s"WITH $pqBaseOracle " +
-      pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)"))
+      pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)")),
+    "q227_mmr_rerank" -> mmrRerankSql
   )
 }

@@ -634,6 +634,31 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("MMR demotes the redundant twin below the diverse candidate") {
+    val sq = spark
+    import sq.implicits._
+    // probe 0; candidates 10 and 11 are exactly parallel (11 = 10/2, so
+    // sim = 1) and tie on relevance with 12, which points the other way
+    // around the probe axis (same rel, sim to 10 ~ 0.62); 13 is junk.
+    // Pure relevance order is 10, 11, 12 (id ties); MMR must pick the
+    // DIVERSE 12 second and push the twin 11 to third.
+    val v = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (10L, Array(0.9f, 0.436f, 0f, 0f)),
+      (11L, Array(0.45f, 0.218f, 0f, 0f)),
+      (12L, Array(0.9f, -0.436f, 0f, 0f)),
+      (13L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val picks = ScaleOps.mmrRerankOf(v).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(picks(1) == 10L, s"pick 1 is the relevance argmax: $picks")
+    assert(picks(2) == 12L,
+      s"the diverse candidate must beat the redundant twin: $picks")
+    assert(picks(3) == 11L && picks(4) == 13L, s"$picks")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("index purge publishes a new version, retires the old, serves no tombstones") {
     val served = ScaleOps.ivfPqPurge(spark, sfDir).collect()
     assert(served.nonEmpty)
