@@ -18,9 +18,11 @@ import scala.collection.mutable.ArrayBuffer
   *   1. per-query watchdog — each query runs in a worker thread under its
   *      own job group; past SPARK_GRAFT_QUERY_TIMEOUT (default 60 s) the
   *      group is cancelled and the query records -1 + "Timeout";
-  *   2. global deadline — past SPARK_GRAFT_BENCH_DEADLINE (default 300 s
-  *      of query-loop time) remaining queries are skipped, recorded as
-  *      -1 + "DeadlineSkip" (never a fake timing);
+  *   2. global deadline — past SPARK_GRAFT_BENCH_DEADLINE (default 600 s
+  *      of query-loop time: the 227-query suite measures 363-406 s on
+  *      this host, and a noisy pass must not DeadlineSkip the newest
+  *      queries, which run last) remaining queries are skipped,
+  *      recorded as -1 + "DeadlineSkip" (never a fake timing);
   *   3. shutdown hook — if the process is SIGTERMed anyway, the JSON
   *      summary line for everything measured so far is still printed.
   *
@@ -45,7 +47,7 @@ object Bench {
     // Overshooting the harness's own wall clock stays non-fatal — the
     // cumulative per-query emission keeps everything measured so far.
     val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "480").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "600").toLong
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")

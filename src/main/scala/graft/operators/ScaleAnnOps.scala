@@ -1944,11 +1944,24 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .select(col("vec_id"), col("embedding")))
   }
 
-  /** Core of q227 over any (vec_id, embedding) frame. */
+  /** Core of q227 over any (vec_id, embedding) frame.
+    *
+    * The pool and its pairwise sims compute DISTRIBUTED (that is where
+    * corpus size lives); the greedy itself runs on the DRIVER over the
+    * collected O(probes × Pool²) integers — bounded by construction,
+    * independent of corpus size, and exactly where production rerankers
+    * run it (per-query, in memory). The distributed spelling was
+    * measured first: [[MmrK]] unrolled rounds of joins + windows over
+    * sub-kilobyte frames cost 9-14 s of pure planning/scheduling at ANY
+    * scale factor — the per-round job overhead IS the cost, the q181
+    * lesson in miniature — while the collected greedy is milliseconds.
+    * Every pick is exact integer arithmetic ((7·rel6 − 3·sim6) with
+    * cand_id ties), identical to the oracle's unrolled-CTE rounds. */
   private[graft] def mmrRerankOf(vecs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.llm.Similarity
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val spark = vecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val v = vecs.transform(graft.core.EngineCache.persisted)
     val pool = Similarity.bruteForceTopK(v, expr(MmrProbeWhere), MmrPool)
       .select(col("query_id"), col("cand_id"),
@@ -1958,48 +1971,47 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     val withVec = pool.join(pv, "cand_id")
       .select(col("query_id"), col("cand_id"), col("rel6"), col("cv"))
       .transform(graft.core.EngineCache.persisted)
-    val sims = withVec.alias("a")
+    // O(probes × Pool) relevance rows + O(probes × Pool²) sim ints —
+    // the bounded per-query working set every reranker holds in memory
+    val rel = withVec.select("query_id", "cand_id", "rel6").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val simRows = withVec.alias("a")
       .join(withVec.alias("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.cand_id") =!= col("b.cand_id"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.cand_id").as("ca"), col("b.cand_id").as("cb"),
+      .select(col("a.query_id"), col("a.cand_id"), col("b.cand_id"),
         expr("CAST(round(" +
-          Similarity.cosineExpr("a.cv", "b.cv") + " * 1e6) AS BIGINT)")
-          .as("sim6"))
-      .transform(graft.core.EngineCache.persisted)
-    val byScore = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("score10").desc, col("cand_id"))
-    // pick 1: pure relevance argmax — identical order to the pool's rnk=1
-    var selected = pool
-      .withColumn("score10", col("rel6") * 10)
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("rel6").desc, col("cand_id"))))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("cand_id"), col("rel6"),
-        lit(1).as("pick"), lit(null).cast("long").as("mmr10"))
-    for (i <- 2 to MmrK) {
-      val rest = pool.join(selected.select("query_id", "cand_id"),
-        Seq("query_id", "cand_id"), "left_anti")
-      val ms = sims.join(
-          selected.select(col("query_id"), col("cand_id").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca").as("cand_id"))
-        .agg(max("sim6").as("ms6"))
-      val next = rest.join(ms, Seq("query_id", "cand_id"))
-        .withColumn("score10", col("rel6") * 7 - col("ms6") * 3)
-        .withColumn("rn", org.apache.spark.sql.functions.row_number()
-          .over(byScore))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_id"), col("rel6"),
-          lit(i).as("pick"), col("score10").as("mmr10"))
-      selected = selected.union(next)
-        .transform(graft.core.EngineCache.persisted)
+          Similarity.cosineExpr("a.cv", "b.cv") + " * 1e6) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val out = rel.keys.map(_._1).toSeq.distinct.sorted.flatMap { q =>
+      val cands = rel.keys.filter(_._1 == q).map(_._2).toSeq.sorted
+      var picked = Vector.empty[(Long, Option[Long])] // (cand, mmr10)
+      while (picked.size < MmrK && picked.size < cands.size) {
+        val rest = cands.filterNot(c => picked.exists(_._1 == c))
+        if (picked.isEmpty) {
+          // pick 1: pure relevance argmax, cand_id ties ascending
+          val c = rest.maxBy(c => (rel((q, c)), -c))
+          picked :+= (c, None)
+        } else {
+          val best = rest.maxBy { c =>
+            val ms = picked.map(p => simRows((q, c, p._1))).max
+            (7L * rel((q, c)) - 3L * ms, -c)
+          }
+          val ms = picked.map(p => simRows((q, best, p._1))).max
+          picked :+= (best, Some(7L * rel((q, best)) - 3L * ms))
+        }
+      }
+      picked.zipWithIndex.map { case ((c, mmr10), i) =>
+        (q, i + 1, c, rel((q, c)).toDouble / 1e6,
+          mmr10.map(_.toDouble / 1e7))
+      }
     }
-    selected.select(col("query_id"), col("pick"), col("cand_id"),
-        expr("CAST(rel6 AS DOUBLE) / 1e6").as("rel"),
-        expr("CAST(mmr10 AS DOUBLE) / 1e7").as("mmr"))
+    import spark.implicits._
+    out.toDF("query_id", "pick", "cand_id", "rel", "mmr")
+      .select(col("query_id"), col("pick"), col("cand_id"), col("rel"),
+        col("mmr").cast("double").as("mmr"))
       .orderBy("query_id", "pick")
   }
 
