@@ -1012,7 +1012,7 @@ object StatsOps {
       hour AS peak_hour, ${droundSql("CAST(s6 AS DOUBLE) / 1e6", 6)} AS s_max
     FROM r WHERE rn = 1 ORDER BY event_type"""
 
-  private[operators] def cusumHourlySql(table: String): String = s"""
+  private[graft] def cusumHourlySql(table: String): String = s"""
     SELECT event_type, date_trunc('hour', ts) AS hour,
       ${avgSql("value", 6)} AS v
     FROM $table GROUP BY 1, 2"""
@@ -1053,6 +1053,64 @@ object StatsOps {
     spark.sql("WITH " + cusumTailSql("graft_cusum_shards"))
   }
 
+  // ---------------------------------------------------------------- q228
+  /** Hourly point-anomaly flags — the POINT complement of q211's CUSUM
+    * level-shift detector: per event type, an hour is anomalous when
+    * its mean deviates from the series MEDIAN by more than 3 MADs (the
+    * robust z-score monitors use where mean/stddev would let the
+    * anomalies poison their own baseline). Median and MAD ride q96's
+    * histogram-fed percentile (the hourly frame is |types|×|hours|, so
+    * the weighted percentile sees bounded rows); the 3-MAD compare and
+    * the reported robust z both run on 2e6-scaled INTEGERS rounded
+    * once from the medians, so an interpolation ulp between engines
+    * can never flip a flag or a grid boundary. One events scan, two
+    * tiny percentile aggs, O(anomalies) output. */
+  private[graft] def anomalyTailSql(
+      hourly: String, medCte: String, madCte: String): String = s"""
+    med AS ($medCte),
+    mad AS ($madCte),
+    sc AS (
+      SELECT h.event_type, h.hour, h.v,
+        CAST(round(h.v * 2e6) AS BIGINT) AS v2,
+        CAST(round(m.med * 2e6) AS BIGINT) AS m2,
+        CAST(round(d.mad * 2e6) AS BIGINT) AS d2
+      FROM $hourly h
+      JOIN med m ON h.event_type = m.event_type
+      JOIN mad d ON h.event_type = d.event_type)
+    SELECT event_type, hour, v AS hourly_mean,
+      ${droundSql("CAST(v2 - m2 AS DOUBLE) / CAST(d2 AS DOUBLE)", 4)}
+        AS robust_z
+    FROM sc WHERE abs(v2 - m2) > 3 * d2
+    ORDER BY event_type, hour"""
+
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(cusumHourlySql("events"))
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView("graft_anom_hourly")
+    // the engine quantiles the WEIGHTED (event_type, v) histogram —
+    // q96's percentile(v, p, freq) form; the oracle quantiles the raw
+    // hourly rows (DuckDB's quantile_cont is unweighted, and over the
+    // deduped histogram it would mis-weight repeated grid values)
+    spark.sql("WITH hist AS (SELECT event_type, v, count(1) AS cnt " +
+      "FROM graft_anom_hourly GROUP BY event_type, v),\n" +
+      anomalyTailSql("graft_anom_hourly",
+        "SELECT event_type, percentile(v, 0.5, cnt) AS med " +
+          "FROM hist GROUP BY event_type",
+        "SELECT h.event_type, percentile(abs(h.v - m.med), 0.5, h.cnt) " +
+          "AS mad FROM hist h JOIN med m ON h.event_type = m.event_type " +
+          "GROUP BY h.event_type"))
+  }
+
+  def hourlyAnomalyOracleSql: String =
+    s"""WITH hourly AS (${cusumHourlySql("events")}),
+    ${anomalyTailSql("hourly",
+      "SELECT event_type, quantile_cont(v, 0.5) AS med FROM hourly " +
+        "GROUP BY event_type",
+      "SELECT h.event_type, quantile_cont(abs(h.v - m.med), 0.5) AS mad " +
+        "FROM hourly h JOIN med m ON h.event_type = m.event_type " +
+        "GROUP BY h.event_type")}"""
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1071,7 +1129,8 @@ object StatsOps {
     "q174_quality_calibration" -> qualityCalibration _,
     "q175_classifier_auc" -> classifierAuc _,
     "q201_join_size_est"  -> joinSizeEst _,
-    "q211_cusum"          -> cusum _
+    "q211_cusum"          -> cusum _,
+    "q228_hourly_anomaly" -> hourlyAnomaly _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1090,6 +1149,7 @@ object StatsOps {
     "q174_quality_calibration" -> qualityCalibrationOracleSql,
     "q175_classifier_auc" -> classifierAucOracleSql,
     "q201_join_size_est"  -> joinSizeEstSql,
-    "q211_cusum"          -> cusumOracleSql
+    "q211_cusum"          -> cusumOracleSql,
+    "q228_hourly_anomaly" -> hourlyAnomalyOracleSql
   )
 }

@@ -51,6 +51,37 @@ class StatsOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("hourly anomaly flags exactly the planted spikes, never the baseline") {
+    val t0 = java.time.Instant.parse("2024-07-01T00:00:00Z")
+    // 40 hours of gently-varying baseline with two planted spikes; the
+    // variation keeps MAD > 0 (an all-constant series has MAD 0 and the
+    // 3-MAD rule degenerates)
+    val rows = (0 until 40).map { h =>
+      val v = if (h == 7 || h == 31) 100.0 else 10.0 + (h % 3) * 0.1
+      ("spiky", java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), v)
+    }
+    rows.toDF("event_type", "ts", "value")
+      .createOrReplaceTempView("graft_anom_test")
+    spark.sql(StatsOps.cusumHourlySql("graft_anom_test"))
+      .createOrReplaceTempView("graft_anom_hourly")
+    val out = spark.sql(
+      "WITH hist AS (SELECT event_type, v, count(1) AS cnt " +
+        "FROM graft_anom_hourly GROUP BY event_type, v),\n" +
+        StatsOps.anomalyTailSql("graft_anom_hourly",
+          "SELECT event_type, percentile(v, 0.5, cnt) AS med " +
+            "FROM hist GROUP BY event_type",
+          "SELECT h.event_type, percentile(abs(h.v - m.med), 0.5, h.cnt) " +
+            "AS mad FROM hist h JOIN med m ON h.event_type = m.event_type " +
+            "GROUP BY h.event_type")).collect()
+    val hours = out.map(r =>
+      java.time.Duration.between(t0, r.getTimestamp(1).toInstant).toHours)
+    assert(hours.toSet == Set(7L, 31L),
+      s"exactly the planted spikes must flag: ${hours.toSeq}")
+    assert(out.forall(_.getDouble(3) > 3.0),
+      "a flagged hour's robust z must exceed the 3-MAD bar")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("corr matrix recovers a planted exact linear relation (r = ±1)") {
     // price = 3·qty exactly → r(qty,price) = 1; tax = -disc + 0.5 → r = -1
     Seq(
