@@ -223,8 +223,9 @@ object CorpusFilterOps {
   def winnowingPairs(spark: SparkSession, dir: String): DataFrame =
     winnowingPairsOf(docs(spark, dir))
 
-  /** Core of q207 over any (doc_id, text) frame. */
-  private[graft] def winnowingPairsOf(docsF: DataFrame): DataFrame = {
+  /** Fingerprint stage of q207 factored for the at-rest increment
+    * (q229): gram-hash, window-min, distinct (doc_id, fp). */
+  private[graft] def winnowFps(docsF: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = docsF
       .filter(length(col("text")) >= WinK)
@@ -234,11 +235,16 @@ object CorpusFilterOps {
       .select(col("doc_id"), col("pos"),
         xhash(expr(s"substr(text, pos, $WinK)")).as("h"),
         (length(col("text")) - (WinK - 1)).as("ng"))
-    val wmin = g.withColumn("fp",
+    g.withColumn("fp",
         min("h").over(Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(0, WinW - 1)))
       .filter(col("pos") <= col("ng") - (WinW - 1))
       .select("doc_id", "fp").distinct()
+  }
+
+  /** Core of q207 over any (doc_id, text) frame. */
+  private[graft] def winnowingPairsOf(docsF: DataFrame): DataFrame = {
+    val wmin = winnowFps(docsF)
     val keep = wmin.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinDfCap).select("fp")
     val kept = wmin.join(keep, "fp")
@@ -267,6 +273,65 @@ object CorpusFilterOps {
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
     FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
     WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= $WinTau
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------------------- q229
+  /** Incremental winnowing against FINGERPRINTS at rest — q145's
+    * daily-batch discipline for the q207 signal, closing the one dedup
+    * family that still lacked at-rest state (LSH has q144/q145, spans
+    * q171, grams q189): the corpus (source ≠ BatchSource) is
+    * represented only by its persisted (doc_id, fp) fingerprint table
+    * (warehouse shard=N on the fingerprint hash); the arriving batch
+    * is the ONLY text gram-hashed and window-minimized. Candidate
+    * pairs are batch-vs-stored fingerprint matches under the SAME
+    * df-cap as q207 — the cap counts stored ∪ batch occurrences, so a
+    * fingerprint that becomes a stop-gram only once the batch lands is
+    * correctly dropped. The oracle replays BOTH sides from raw text,
+    * so the hash match proves the at-rest fingerprint table lost
+    * nothing. O(batch) gram work per increment, never a corpus
+    * re-shingle. */
+  def winnowIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val table = "winnow_fps_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val stored = graft.core.Warehouse.tableOnce(spark, table, "shard") {
+      winnowFps(d.filter(col("source") =!= LlmQueries.BatchSource))
+        .withColumn("shard", expr("CAST(pmod(fp, 8) AS INT)"))
+    }.select(col("doc_id").as("corpus_id"), col("fp"))
+    val batch = winnowFps(d.filter(col("source") === LlmQueries.BatchSource))
+      .select(col("doc_id").as("batch_id"), col("fp"))
+      .transform(graft.core.EngineCache.persisted)
+    val keep = stored.select("fp").union(batch.select("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinDfCap).select("fp")
+    batch.join(keep, "fp").join(stored, "fp")
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinTau)
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  private def winnowIncrementSql: String = s"""
+    WITH g AS (
+      SELECT doc_id, (source = '${LlmQueries.BatchSource}') AS is_batch, pos,
+        ${xhashSql(s"substr(text, pos, $WinK)")} AS h,
+        length(text) - ${WinK - 1} AS ng
+      FROM (SELECT doc_id, source, text,
+              unnest(range(1, length(text) - ${WinK - 2})) AS pos
+            FROM documents WHERE length(text) >= $WinK)),
+    wmin AS (
+      SELECT doc_id, is_batch, pos,
+        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS fp,
+        ng
+      FROM g),
+    fps AS (SELECT DISTINCT doc_id, is_batch, fp FROM wmin
+            WHERE pos <= ng - ${WinW - 1}),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinDfCap)
+    SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+      count(*)::BIGINT AS n_shared
+    FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+    WHERE a.is_batch AND NOT b.is_batch
+    GROUP BY 1, 2 HAVING count(*) >= $WinTau
     ORDER BY 1, 2"""
 
   // --------------------------------------------------------------- q208
@@ -375,11 +440,13 @@ object CorpusFilterOps {
     "q205_gopher_rules" -> gopherRules _,
     "q206_dsir_select"  -> dsirWeights _,
     "q207_winnowing"    -> winnowingPairs _,
+    "q229_winnow_increment" -> winnowIncrement _,
     "q208_backoff_lm"   -> backoffLm _)
 
   val oracles: Map[String, String] = Map(
     "q205_gopher_rules" -> gopherRulesSql,
     "q206_dsir_select"  -> dsirWeightsSql,
     "q207_winnowing"    -> winnowingPairsSql,
+    "q229_winnow_increment" -> winnowIncrementSql,
     "q208_backoff_lm"   -> backoffLmSql)
 }
