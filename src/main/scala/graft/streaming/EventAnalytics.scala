@@ -272,6 +272,29 @@ object EventAnalytics {
       .start()
   }
 
+  /** Streaming winnowing-fingerprint maintenance — the stream-time twin
+    * of q229's increment: each arriving micro-batch of documents is
+    * gram-hashed and window-minimized ON ITS OWN (fingerprints are
+    * per-document pure, so the emitted rows are batch-split-invariant
+    * by construction) and lands under `fps/batch_run=N` with idempotent
+    * overwrite; a reader unions base ∪ batch_run partitions exactly as
+    * q229 serves. The spec proves two micro-batches merge to the
+    * one-shot fingerprint set row-for-row. */
+  def startStreamingWinnowFps(docStream: DataFrame, fpsPath: String,
+                              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.CorpusFilterOps.winnowFps(batch)
+            .write.mode("overwrite")
+            .parquet(s"$fpsPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming CUSUM monitoring — the stream-time twin of q211's
     * changepoint scan, built on the idempotent-increment discipline:
     * the stream lands ONLY per-batch hourly PARTIALS (exact decimal

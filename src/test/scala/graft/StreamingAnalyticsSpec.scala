@@ -481,6 +481,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming winnowing fingerprints merge to the one-shot set row-for-row") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val shared = (0 until 30).map(i => f"seg${i}%02d").mkString
+    val docs = Seq(
+      (1L, "first-head-aaaaaaaaaaaaaaaaaaaa" + shared),
+      (2L, "other-head-bbbbbbbbbbbbbbbbbbbb" + shared),
+      (3L, (0 until 40).map(i => f"blk${(i * 7) % 100}%02d").mkString))
+    val dir = java.nio.file.Files.createTempDirectory("graft-swin").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingWinnowFps(
+      source.toDF().toDF("doc_id", "text"), s"$dir/fps", s"$dir/ckpt")
+    source.addData(docs.take(2): _*); q.processAllAvailable()
+    source.addData(docs.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$dir/fps").select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.CorpusFilterOps
+      .winnowFps(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      "stream-landed fingerprints must equal the one-shot set")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming CUSUM shards reproduce the batch detector, mid-hour split included") {
     val sq = spark
     import sq.implicits._
