@@ -86,7 +86,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q222_k_anonymity"   -> kAnonymity _,
     "q224_profile_refresh" -> profileRefresh _,
     "q225_index_purge"   -> ivfPqPurge _,
-    "q227_mmr_rerank"    -> mmrRerank _
+    "q227_mmr_rerank"    -> mmrRerank _,
+    "q230_cuped"         -> cuped _
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,6 +151,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // the physically-purged serve must equal the tombstone-view serve
     "q225_index_purge" -> (s"WITH $pqBaseOracle " +
       pqIvfAdcTailWhere(s"AND NOT (vec_id % $AnnDelMod = $AnnDelRem)")),
-    "q227_mmr_rerank" -> mmrRerankSql
+    "q227_mmr_rerank" -> mmrRerankSql,
+    "q230_cuped" -> cupedSql(
+      graft.core.Determinism.xhashSql("'ab:' || user_id::VARCHAR"),
+      c => s"epoch_ms($c)")
   )
 }

@@ -593,6 +593,82 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(abTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
   }
 
+  // ---------------------------------------------------------------- q230
+  /** CUPED variance-reduced experiment analysis (Deng et al. 2013 —
+    * "Improving the Sensitivity of Online Controlled Experiments") —
+    * the depth move on q116's Welch readout every mature
+    * experimentation platform runs: each user's PRE-period spend is
+    * the control covariate, θ = cov(x, y)/var(x) fits pooled across
+    * arms, and the adjusted metric y′ = y − θ(x − x̄) keeps the same
+    * mean but sheds the variance the pre-period already explains —
+    * the experiment reads smaller effects at the same traffic.
+    * Everything reduces to exact integer power sums per arm
+    * (Sx, Sy, Sxx, Sxy, Syy as decimal-widened cents products — the
+    * q116/q127 overflow rule) in ONE conditional-agg pass over the
+    * per-user frame; θ, the adjusted means, and the variance-reduction
+    * ratio are closed forms evaluated once on identical doubles in
+    * both engines. Periods split at the observed time-range midpoint
+    * (integer floor, identical cross-engine); arms are q116's hash
+    * assignment. Output: one row per arm — the whole CUPED readout. */
+  def cupedSql(hashArm: String, ms: String => String): String = s"""
+    WITH e AS (
+      SELECT user_id, ${ms("ts")} AS ms,
+        CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS cents
+      FROM events),
+    mid AS (
+      SELECT CAST(floor((CAST(min(ms) AS DOUBLE) + max(ms)) / 2.0) AS BIGINT)
+        AS m FROM e),
+    u AS (
+      SELECT user_id,
+        CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(sum(CASE WHEN ms <  mid.m THEN cents ELSE 0 END) AS BIGINT) AS x,
+        CAST(sum(CASE WHEN ms >= mid.m THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM e CROSS JOIN mid GROUP BY 1, 2),
+    a AS (
+      SELECT arm, CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+        CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM u GROUP BY arm),
+    g AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        CAST(sum(sx) AS DOUBLE) AS gsx, CAST(sum(sy) AS DOUBLE) AS gsy,
+        CAST(sum(sxx) AS DOUBLE) AS gsxx, CAST(sum(sxy) AS DOUBLE) AS gsxy
+      FROM a),
+    th AS (
+      SELECT (nn * gsxy - gsx * gsy) / (nn * gsxx - gsx * gsx) AS theta,
+        gsx / nn AS xbar
+      FROM g),
+    r AS (
+      SELECT a.arm, a.n,
+        CAST(a.sy AS DOUBLE) / a.n AS my,
+        (CAST(a.sy AS DOUBLE) - th.theta *
+          (CAST(a.sx AS DOUBLE) - a.n * th.xbar)) / a.n AS myadj,
+        CAST(a.syy AS DOUBLE) / a.n -
+          (CAST(a.sy AS DOUBLE) / a.n) * (CAST(a.sy AS DOUBLE) / a.n)
+          AS vy,
+        (CAST(a.syy AS DOUBLE)
+          - 2.0 * th.theta * (CAST(a.sxy AS DOUBLE)
+              - th.xbar * CAST(a.sy AS DOUBLE))
+          + th.theta * th.theta * (CAST(a.sxx AS DOUBLE)
+              - 2.0 * th.xbar * CAST(a.sx AS DOUBLE)
+              + a.n * th.xbar * th.xbar)) / a.n AS ey2
+      FROM a CROSS JOIN th)
+    SELECT arm, n AS n_users,
+      ${droundSql("my / 100.0", 6)} AS mean_post,
+      ${droundSql("myadj / 100.0", 6)} AS mean_cuped,
+      ${droundSql("1.0 - (ey2 - myadj * myadj) / vy", 6)} AS var_reduction
+    FROM r ORDER BY arm"""
+
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(cupedSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))"),
+      c => s"unix_millis($c)"))
+  }
+
   // ---------------------------------------------------------------- q117
   /** RFM customer segmentation: recency (days since last order),
     * frequency (order count), monetary (lifetime cents) per customer
