@@ -159,7 +159,8 @@ object CorpusFilterOps {
       .select(col("doc_id"), col("lang"), explode(words("text")).as("tok"))
       .select(col("doc_id"), col("lang"),
         (xhash(col("tok")) % B).as("b"))
-      .persist() // read 4x: two bucket counts, two totals, the weight join
+      .transform(graft.core.EngineCache.persisted(_)) // read 4x: two
+      // bucket counts, two totals, the weight join
     val tgt = toks.filter(col("lang") === DsirTargetLang)
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
@@ -360,7 +361,8 @@ object CorpusFilterOps {
   private[graft] def backoffLmOf(docsF: DataFrame): DataFrame = {
     val d = docsF.select(col("doc_id"), words("text").as("ws"),
       expr(s"${graft.core.Determinism.xhashExpr("concat('split:', CAST(doc_id AS STRING))")} % 10").as("sp"))
-    val tr = d.filter(col("sp") <= 7).persist() // read 4x: uni/big/tri/tot
+    val tr = graft.core.EngineCache.persisted(
+      d.filter(col("sp") <= 7)) // read 4x: uni/big/tri/tot
     val uni = tr.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val tot = tr.select(explode(col("ws")).as("w"))

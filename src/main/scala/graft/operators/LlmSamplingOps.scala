@@ -778,12 +778,19 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     * bands, so `mean_luma` is a pure double-arithmetic function of the
     * embedding that DuckDB replicates bit-for-bit: pixel v_i =
     * clamp(floor(e_i*127+128+0.5), 0, 255), mean = Σv / (64·255). */
+  /** Render side of the media fixture: every rendered image is
+    * [[ImgSide]]×[[ImgSide]] gray, and q223's oracle derives its frame
+    * list and row-slice width from the SAME constant, so a dimension
+    * change can never leave the oracle silently stale. */
+  private[operators] val ImgSide = 8
+
   /** Render each embedding row as a REAL 8×8 gray PNG via raw raster
     * writes (q140's lossless contract) — the shared media fixture for
     * the codec queries (q140 decode, q155 perceptual hash). */
   private[operators] def renderMedia(spark: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(Multimodal.mediaSchema)
+    val side = ImgSide // local copy: the closure must not drag the object
     embs(spark, dir).select(col("vec_id"), col("embedding"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -791,15 +798,15 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
           val id = r.getLong(0)
           val e = r.getSeq[Float](1)
           val img = new java.awt.image.BufferedImage(
-            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            side, side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           val ras = img.getRaster
           var i = 0
-          while (i < 64) {
+          while (i < side * side) {
             val v = if (i < e.length)
               math.max(0, math.min(255,
                 math.floor(e(i).toDouble * 127.0 + 128.0 + 0.5).toInt))
             else 0
-            ras.setSample(i % 8, i / 8, 0, v)
+            ras.setSample(i % side, i / side, 0, v)
             i += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
@@ -987,13 +994,18 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
   def frameSampleSql: String = {
     val clamp = "LEAST(255, GREATEST(0, CAST(floor(CAST(x AS DOUBLE) " +
       "* 127.0 + 128.0 + 0.5) AS BIGINT)))"
+    // frame list, slice width, and luma divisor all DERIVE from
+    // FrameStride and the shared render shape [[ImgSide]]: changing
+    // either constant updates engine and oracle together
+    val frames = (0 until ImgSide by FrameStride).mkString(", ")
+    val s = ImgSide
     s"""
-    WITH f AS (SELECT unnest([0, 2, 4, 6])::INT AS frame_idx),
+    WITH f AS (SELECT unnest([$frames])::INT AS frame_idx),
     m AS (
       SELECT e.vec_id, f.frame_idx,
         CAST(CAST(CAST(list_sum(list_transform(
-          e.embedding[f.frame_idx * 8 + 1 : f.frame_idx * 8 + 8],
-          x -> $clamp)) AS DOUBLE) / 2040.0 AS FLOAT) AS DOUBLE) AS fm
+          e.embedding[f.frame_idx * $s + 1 : f.frame_idx * $s + $s],
+          x -> $clamp)) AS DOUBLE) / ${s * 255}.0 AS FLOAT) AS DOUBLE) AS fm
       FROM embeddings e CROSS JOIN f)
     SELECT vec_id, frame_idx, ${droundSql("fm", 6)} AS frame_mean
     FROM m ORDER BY vec_id, frame_idx"""

@@ -1149,9 +1149,15 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     val codesView = atRestCodesView(spark, dir, prefix)
     val table = prefix +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
-    // purge exactly once per JVM (tableOnce built v=1; the rewrite is
-    // v=2): later calls serve the already-purged published version
-    if (graft.core.Warehouse.publishedVersion(spark, table).contains(1L)) {
+    // purge iff the CURRENT published table still carries tombstoned
+    // codes — version-number gates break under a persistent
+    // graft.warehouse.dir (a fresh JVM's tableOnce republishes the
+    // unpurged table as v=N+1); presence-testing the live table is
+    // idempotent under any version history and costs one scan of the
+    // tiny code table (bytes ≈ PqM per vector, never the corpus)
+    val hasTombstoned = !graft.core.Warehouse.readTable(spark, table)
+      .filter(s"vec_id % $AnnDelMod = $AnnDelRem").isEmpty
+    if (hasTombstoned) {
       import org.apache.spark.sql.functions.{broadcast, col}
       val tomb = spark.sql(s"""SELECT vec_id FROM embeddings
         WHERE vec_id % $AnnDelMod = $AnnDelRem""")

@@ -1063,8 +1063,13 @@ object StatsOps {
     * the weighted percentile sees bounded rows); the 3-MAD compare and
     * the reported robust z both run on 2e6-scaled INTEGERS rounded
     * once from the medians, so an interpolation ulp between engines
-    * can never flip a flag or a grid boundary. One events scan, two
-    * tiny percentile aggs, O(anomalies) output. */
+    * can never flip a flag or a grid boundary. A degenerate MAD=0
+    * series (≥ half the hours exactly at the median) still FLAGS every
+    * deviating hour — |v−med| > 0 is the correct reading of "more than
+    * 3 × nothing" — but reports NULL robust z in both spellings, so
+    * the engines' differing x/0 semantics (NULL vs ±inf) can never
+    * split the hash gate. One events scan, two tiny percentile aggs,
+    * O(anomalies) output. */
   private[graft] def anomalyTailSql(
       hourly: String, medCte: String, madCte: String): String = s"""
     med AS ($medCte),
@@ -1078,8 +1083,9 @@ object StatsOps {
       JOIN med m ON h.event_type = m.event_type
       JOIN mad d ON h.event_type = d.event_type)
     SELECT event_type, hour, v AS hourly_mean,
-      ${droundSql("CAST(v2 - m2 AS DOUBLE) / CAST(d2 AS DOUBLE)", 4)}
-        AS robust_z
+      CASE WHEN d2 = 0 THEN CAST(NULL AS DOUBLE) ELSE
+        ${droundSql("CAST(v2 - m2 AS DOUBLE) / CAST(d2 AS DOUBLE)", 4)}
+      END AS robust_z
     FROM sc WHERE abs(v2 - m2) > 3 * d2
     ORDER BY event_type, hour"""
 
