@@ -77,6 +77,21 @@ object Bench {
     // rides the round commit.
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // Previous round's per-query timings, read BEFORE this run's first
+    // emit overwrites the sidecar: the drift re-measure pass compares
+    // against these to catch "3x slower than last round" outliers that
+    // the slowest-5 median pass misses (a 6 s reading in a 2 s query is
+    // not top-5 in a suite whose heavies run 8-10 s, but it IS the
+    // shape that masked-as-noise regressions take). Regex, not a JSON
+    // lib: the file is this process's own single-line output format.
+    val priorTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(detailPath)), "UTF-8")
+        "\"(q[0-9]+[^\"]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
+      } catch { case _: Throwable => Map.empty }
     // Locale-pinned number formatting: on a comma-decimal-locale JVM the
     // default-locale f"" / String.format would print 1,23 and make the
     // bench line unparseable JSON — the whole round's numbers lost.
@@ -250,7 +265,24 @@ object Bench {
         alwaysMedian.exists(r._1.startsWith) &&
         !slowest.exists(_._1 == r._1)).toList
     }
-    (slowest ++ watched).foreach { case (name, first, _) =>
+    // Drift set: any query reading > 3x its previous-round time (and
+    // > 1 s absolute — 0.2 s -> 0.7 s is pure scheduler noise) gets the
+    // same median treatment, worst drift first so the deadline cuts the
+    // mildest cases. Round 9 shipped a contiguous q77-q86 cluster
+    // reading 4-8 s in-suite vs ~1.4 s soak medians; a 3x-vs-prior
+    // trigger catches exactly that shape before it can mask a real
+    // regression.
+    val covered = (slowest ++ watched).map(_._1).toSet
+    val drifted = results.synchronized {
+      results.filter { r =>
+        r._3.isEmpty && !covered(r._1) && r._2 > 1.0 &&
+          priorTimes.get(r._1).exists(p => r._2 > 3 * p)
+      }.sortBy(r => -(r._2 / priorTimes(r._1))).toList
+    }
+    if (drifted.nonEmpty) System.err.println("[bench] drift re-measure: " +
+      drifted.map(r => f"${short(r._1)} ${priorTimes(r._1)}%.1f->${r._2}%.1f")
+        .mkString(", "))
+    (slowest ++ watched ++ drifted).foreach { case (name, first, _) =>
       val fn = SparkEntry.queries(name)
       val samples = scala.collection.mutable.ArrayBuffer(first)
       var tries = 0

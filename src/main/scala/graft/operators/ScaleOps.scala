@@ -87,7 +87,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q224_profile_refresh" -> profileRefresh _,
     "q225_index_purge"   -> ivfPqPurge _,
     "q227_mmr_rerank"    -> mmrRerank _,
-    "q230_cuped"         -> cuped _
+    "q230_cuped"         -> cuped _,
+    "q231_bitmap_delete" -> bitmapDeleteServe _
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +155,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q227_mmr_rerank" -> mmrRerankSql,
     "q230_cuped" -> cupedSql(
       graft.core.Determinism.xhashSql("'ab:' || user_id::VARCHAR"),
-      c => s"epoch_ms($c)")
+      c => s"epoch_ms($c)"),
+    // the tombstoned serve must equal the plain count over the
+    // tombstone-filtered base rows: delete ∘ store ≡ rebuild
+    "q231_bitmap_delete" -> bitmapDeleteServeSql("lineitem")
   )
 }

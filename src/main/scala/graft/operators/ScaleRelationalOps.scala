@@ -1433,7 +1433,17 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * count on the base table, so the hash match proves the rid
     * mapping is injective and every row's bit lands where it must —
     * a single collision or dropped row changes a popcount. */
-  private[graft] def bitmapIndexOf(li: DataFrame): DataFrame = {
+  /** The stable-rid encode shared by the index build (q210), the
+    * append (q214), and the DELETE's tombstone bitmap (q231): because
+    * the occurrence window partitions on (l_orderkey, l_linenumber)
+    * and every maintenance split (batch append, tombstone) selects on
+    * l_orderkey — a PREFIX of the rid key — a group is always wholly
+    * inside one side, so ridding a SUBSET of the table assigns the
+    * same rid SET to each surviving group as ridding the whole table
+    * did, and a tombstone built from only the deleted rows' slice
+    * (O(deletes), never a base scan) clears exactly the bits the full
+    * build set. */
+  private[graft] def bitmapRidded(li: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val occW = Window.partitionBy("l_orderkey", "l_linenumber")
@@ -1444,15 +1454,31 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       .withColumn("occ", row_number().over(occW))
       .transform(graft.core.EngineCache.persisted)
     // capacity guard: build is once-per-table, so the one extra tiny
-    // job is cheap insurance against the silent-merge corruption
-    val maxOcc = ridded.agg(max("occ")).head().getInt(0)
+    // job is cheap insurance against the silent-merge corruption. BOTH
+    // multipliers are guarded — occ against its 32-slot budget AND
+    // l_linenumber against its 8-slot budget: a non-TPC-H frame with
+    // l_linenumber >= 8 would alias rids across orderkeys just as
+    // silently as an occ overflow would
+    val caps = ridded
+      .agg(max("occ").as("mo"), max("l_linenumber").as("ml")).head()
+    val maxOcc = Option(caps.getAs[Number](0)).fold(0)(_.intValue())
+    val maxLn = Option(caps.getAs[Number](1)).fold(0)(_.intValue())
     require(maxOcc <= 32,
       s"bitmap rid capacity: $maxOcc duplicate (orderkey, linenumber) " +
         "rows exceed the 32-per-group rid budget; widen the multiplier")
+    require(maxLn <= 7,
+      s"bitmap rid capacity: l_linenumber $maxLn exceeds the 8-slot " +
+        "budget of the (orderkey * 8 + linenumber) key; widen the " +
+        "multiplier")
     ridded.selectExpr(
-        "(l_orderkey * 8 + CAST(l_linenumber AS BIGINT)) * 32 " +
-          "+ (occ - 1) AS rid",
-        "l_returnflag", "l_linestatus")
+      "(l_orderkey * 8 + CAST(l_linenumber AS BIGINT)) * 32 " +
+        "+ (occ - 1) AS rid",
+      "l_returnflag", "l_linestatus")
+  }
+
+  private[graft] def bitmapIndexOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    bitmapRidded(li)
       .selectExpr("rid", "stack(2, 'l_returnflag', l_returnflag, " +
         "'l_linestatus', l_linestatus) AS (col, val)")
       .selectExpr("col", "val", "rid div 64 AS word_id",
@@ -1522,6 +1548,80 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       .groupBy("col", "val", "word_id").agg(expr("bit_or(w)").as("w"))
     bitmapCountsOf(merged)
   }
+
+  // ---------------------------------------------------------------- q231
+  /** Bitmap-index DELETE — the q218/q219 tombstone discipline for the
+    * categorical index, completing its lifecycle (build q210 → append
+    * q214 → DELETE): once bits are packed, an anti-join at encode time
+    * is impossible, so deletion is a TOMBSTONE BITMAP — one word per
+    * 64-rid block covering only the deleted rows — AND-NOT'd into
+    * every conjunction at serve. The tombstone is column-INDEPENDENT
+    * (a deleted rid leaves every (column, value) slice at once), so
+    * one bitmap retracts the row from all columns, and it is built
+    * from ONLY the deleted rows' slice: the delete predicate selects
+    * on l_orderkey, a prefix of the rid key, so [[bitmapRidded]] over
+    * the tombstoned slice reproduces exactly the rids the full build
+    * assigned (scaladoc there) — build cost O(deletes), never a base
+    * rescan. The tombstone persists as its own at-rest warehouse
+    * artifact beside the immutable index, the same pattern Druid
+    * segments and Lucene live-docs bitsets use. Serve stays pure bit
+    * arithmetic: popcount(wa AND wb AND NOT tomb) — one extra
+    * broadcast-sized join on word_id, no base-table access. The
+    * ORACLE is the plain GROUP BY count over the tombstone-FILTERED
+    * base rows, so the hash match proves delete ∘ store ≡ rebuild;
+    * ScaleOpsSpec additionally pins that equality on a planted frame
+    * with duplicate (orderkey, linenumber) groups. */
+  val BitmapDelMod = 10
+  val BitmapDelRem = 4
+
+  /** The tombstone bitmap of `deleted` rows (already ridded-compatible
+    * lineitem columns): (word_id, tw) with a set bit per deleted rid. */
+  private[graft] def bitmapTombstoneOf(deleted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    bitmapRidded(deleted)
+      .selectExpr("rid div 64 AS word_id",
+        "shiftleft(CAST(1 AS BIGINT), CAST(rid % 64 AS INT)) AS b")
+      .groupBy("word_id").agg(expr("bit_or(b)").as("tw"))
+  }
+
+  /** Conjunction counts with the tombstone AND-NOT'd in: words with no
+    * deletions pass through untouched (coalesce 0), fully-deleted
+    * words popcount to zero and vanish from the sums. */
+  private[graft] def bitmapCountsDeleted(idx: DataFrame,
+                                         tomb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = idx.filter(col("col") === "l_returnflag")
+      .select(col("val").as("rf"), col("word_id"), col("w").as("wa"))
+    val b = idx.filter(col("col") === "l_linestatus")
+      .select(col("val").as("ls"), col("word_id"), col("w").as("wb"))
+    a.join(b, Seq("word_id"))
+      .join(broadcast(tomb), Seq("word_id"), "left")
+      .groupBy("rf", "ls")
+      .agg(sum(expr(
+        "CAST(bit_count(wa & wb & ~coalesce(tw, 0L)) AS BIGINT)"))
+        .as("n_rows"))
+      .filter(col("n_rows") > 0)
+      .orderBy("rf", "ls")
+  }
+
+  def bitmapDeleteServe(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    // the SAME immutable index q210 serves from — deletion never
+    // rewrites it, exactly the point of the tombstone design
+    val idx = graft.core.Warehouse.tableOnce(spark, s"bitmapidx_$suffix",
+      "col") { bitmapIndexOf(Tables.load(spark, dir, "lineitem")) }
+    val tomb = graft.core.Warehouse.tableOnce(spark, s"bitmaptomb_$suffix") {
+      bitmapTombstoneOf(Tables.load(spark, dir, "lineitem")
+        .filter(s"l_orderkey % $BitmapDelMod = $BitmapDelRem"))
+    }
+    bitmapCountsDeleted(idx, tomb)
+  }
+
+  def bitmapDeleteServeSql(table: String): String = s"""
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+      CAST(count(1) AS BIGINT) AS n_rows
+    FROM $table WHERE NOT (l_orderkey % $BitmapDelMod = $BitmapDelRem)
+    GROUP BY 1, 2 ORDER BY rf, ls"""
 
   // ---------------------------------------------------------------- q212
   /** ANALYZE-style column profile of lineitem — the statistics pass a

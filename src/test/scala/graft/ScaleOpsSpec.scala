@@ -613,6 +613,46 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("bitmap delete: tombstone AND-NOT serve equals a rebuild without the rows") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new scala.util.Random(13)
+    // duplicate (orderkey, linenumber) groups on BOTH sides of the
+    // delete predicate: the tombstone must clear every occ slot of a
+    // deleted group and none of a surviving one
+    val rows = (0 until 450).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(7) + 1,
+        Seq("A", "N", "R")(rnd.nextInt(3)), Seq("F", "O")(rnd.nextInt(2)))
+    } ++ Seq.fill(5)((24L, 3, "R", "O")) ++ Seq.fill(5)((17L, 2, "A", "F"))
+    val li = rows.toDF("l_orderkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val del = col("l_orderkey") % ScaleOps.BitmapDelMod ===
+      ScaleOps.BitmapDelRem
+    val idx = ScaleOps.bitmapIndexOf(li)
+      .transform(graft.core.EngineCache.persisted)
+    // tombstone built from ONLY the deleted slice (the O(deletes) path
+    // the operator uses) — its rids must match the full build's
+    val tomb = ScaleOps.bitmapTombstoneOf(li.filter(del))
+    val served = ScaleOps.bitmapCountsDeleted(idx, tomb).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rebuilt = ScaleOps.bitmapCountsOf(
+        ScaleOps.bitmapIndexOf(li.filter(!del))).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = rows.filter(r => r._1 % ScaleOps.BitmapDelMod !=
+        ScaleOps.BitmapDelRem)
+      .groupBy(r => (r._3, r._4)).map { case (k, v) => k -> v.size.toLong }
+    assert(served == truth && rebuilt == truth,
+      s"delete ∘ store must equal rebuild: $served / $rebuilt / $truth")
+    // the index itself is untouched: serving WITHOUT the tombstone
+    // still returns the pre-delete counts (immutability, not mutation)
+    val pre = ScaleOps.bitmapCountsOf(idx).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val all = rows.groupBy(r => (r._3, r._4))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(pre == all, "tombstone serve must not mutate the index")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("label propagation: disjoint cliques converge to min-label communities") {
     val sq = spark
     import sq.implicits._
