@@ -88,7 +88,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q225_index_purge"   -> ivfPqPurge _,
     "q227_mmr_rerank"    -> mmrRerank _,
     "q230_cuped"         -> cuped _,
-    "q231_bitmap_delete" -> bitmapDeleteServe _
+    "q231_bitmap_delete" -> bitmapDeleteServe _,
+    "q232_zorder_purge"  -> zorderPurgeServe _
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +159,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
       c => s"epoch_ms($c)"),
     // the tombstoned serve must equal the plain count over the
     // tombstone-filtered base rows: delete ∘ store ≡ rebuild
-    "q231_bitmap_delete" -> bitmapDeleteServeSql("lineitem")
+    "q231_bitmap_delete" -> bitmapDeleteServeSql("lineitem"),
+    // the physically-purged layout serve must equal a replay of the
+    // original layout minus the tombstoned rows, boxes recomputed
+    "q232_zorder_purge" -> zorderPurgeServeSql("lineitem")
   )
 }

@@ -1341,6 +1341,143 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       CROSS JOIN bb
     WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
 
+  // ---------------------------------------------------------------- q232
+  /** Z-order DELETE + PURGE — the q225 compaction discipline for the
+    * layout family, completing its lifecycle (plan q195 → serve q198 →
+    * append q200 → PURGE): tombstoned rows (l_orderkey ≡ [[ZDelRem]]
+    * mod 10) are physically rewritten out of ONLY the file_id
+    * partitions that contain them — untouched partitions pass through
+    * as an at-rest scan with no filter, recompute, or re-rank — and
+    * the result publishes as the next crash-safe version of the SAME
+    * warehouse table ([[graft.core.Warehouse.publish]] + [[graft.core.Warehouse.gc]]:
+    * readers hold old-complete or new-complete, never a partial tree).
+    * The manifest follows the same locality rule: rewritten files'
+    * min/max boxes are recomputed from a PARTITION-PRUNED scan of just
+    * those files; untouched files keep their stored boxes verbatim —
+    * the affected-files-only stats maintenance every lakehouse
+    * DELETE runs. (On an object store the untouched partitions'
+    * "copy" is manifest re-pointing at the old immutable keys; the
+    * local-FS whole-version write is that primitive's POSIX spelling,
+    * exactly as the Warehouse scaladoc frames it.) File ids stay
+    * FROZEN from the original build — a purge never re-ranks the
+    * survivors — so serving is unchanged q198 machinery: driver-side
+    * manifest prune, partition-pruned scan, NO tombstone anti-join
+    * anywhere at serve time, because the deleted rows are physically
+    * gone. The purge is gated on tombstone PRESENCE in the published
+    * table (never a version number — q225's lesson), making it
+    * idempotent under re-runs and persistent warehouse roots. The
+    * ORACLE replays the ORIGINAL full-table layout, deletes the
+    * tombstoned rows, recomputes per-file boxes and the predicate
+    * window from the survivors, and serves the same counts — the hash
+    * match proves purge ∘ publish ≡ tombstone-view, boxes shrunk
+    * correctly, and no survivor was lost or moved. */
+  val ZDelRem = 3 // l_orderkey % 10 = this -> tombstoned rows
+
+  def zorderPurgeServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val rowsTable = s"zpurge_$suffix"
+    val manTable = s"zpurgeman_$suffix"
+    def boxesOf(df: DataFrame): DataFrame = df.groupBy("file_id")
+      .agg(min("p").as("p_lo"), max("p").as("p_hi"),
+        min("s").as("s_lo"), max("s").as("s_hi"))
+    // v1: the full-table layout + its manifest, built once at rest
+    // (own table name — the purge mutates it, so it must not share
+    // q198's serving table, the q225 isolation rule)
+    val rows0 = zLayoutTableOnce(spark, dir, "zpurge_", "true")
+    graft.core.Warehouse.tableOnce(spark, manTable)(boxesOf(rows0))
+    val pred = s"o % 10 = $ZDelRem"
+    val cur = graft.core.Warehouse.readTable(spark, rowsTable)
+    if (!cur.filter(pred).isEmpty) {
+      // affected files from one projection of the layout (at 100 TB a
+      // deletion feed would name its keys and the manifest's key
+      // ranges would prune this scan; the collect is <= ZFiles ints)
+      val aff = cur.filter(pred).select("file_id").distinct()
+        .collect().map(_.getInt(0)).sorted.map(Integer.valueOf)
+      val untouched = cur.filter(!col("file_id").isin(aff: _*))
+      val rewritten = cur.filter(col("file_id").isin(aff: _*))
+        .filter(s"NOT ($pred)")
+      graft.core.Warehouse.publish(untouched.unionByName(rewritten),
+        rowsTable, Seq("file_id"))
+      graft.core.Warehouse.gc(spark, rowsTable) // retire pre-purge tree
+      // manifest maintenance: recompute boxes ONLY for rewritten
+      // files (partition-pruned scan of the new version); untouched
+      // files keep their stored boxes verbatim
+      val oldMan = graft.core.Warehouse.readTable(spark, manTable)
+      val freshBoxes = boxesOf(
+        graft.core.Warehouse.readTable(spark, rowsTable)
+          .filter(col("file_id").isin(aff: _*)))
+      graft.core.Warehouse.publish(
+        oldMan.filter(!col("file_id").isin(aff: _*))
+          .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+          .unionByName(freshBoxes), manTable)
+      graft.core.Warehouse.gc(spark, manTable)
+    }
+    // q198's serve, window derived from the POST-purge manifest
+    val man = graft.core.Warehouse.readTable(spark, manTable)
+      .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+      .collect().sortBy(_.getInt(0))
+    def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
+    val (pmn, pmx) = (man.map(long(_, 1)).min, man.map(long(_, 2)).max)
+    val (smn, smx) = (man.map(long(_, 3)).min, man.map(long(_, 4)).max)
+    val (pFrom, pTo) = quartileWindow(pmn, pmx)
+    val (sFrom, sTo) = quartileWindow(smn, smx)
+    val keep = boxesTouched(man, pFrom, pTo, sFrom, sTo).sorted
+    graft.core.Warehouse.readTable(spark, rowsTable)
+      .filter(col("file_id").isin(keep.map(Integer.valueOf): _*) &&
+        col("p").between(pFrom, pTo) && col("s").between(sFrom, sTo))
+      .agg(count(lit(1)).as("n_rows"), sum("p").as("sum_p"),
+        sum("s").as("sum_s"))
+      .select(lit(ZFiles).cast("long").as("files_total"),
+        lit(keep.length.toLong).as("files_touched"),
+        col("n_rows"), col("sum_p").cast("long").as("sum_p"),
+        col("sum_s").cast("long").as("sum_s"))
+  }
+
+  def zorderPurgeServeSql(table: String): String = s"""
+    WITH raw AS (
+      SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,
+        CAST(l_linenumber AS BIGINT) AS ln
+      FROM $table),
+    bb AS (
+      SELECT min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx
+      FROM raw),
+    scaled AS (
+      SELECT p, s, o, ln,
+        ((p - pmn) * ${1L << ZBits}) // (pmx - pmn + 1) AS ps,
+        ((s - smn) * ${1L << ZBits}) // (smx - smn + 1) AS ss
+      FROM raw CROSS JOIN bb),
+    r0 AS (
+      SELECT p, s, o, ln, ${zDuck("ps", "ss")} AS z FROM scaled),
+    nn AS (SELECT count(*) AS n FROM r0),
+    fz AS (
+      SELECT ((row_number() OVER (ORDER BY z, o, ln) - 1) * $ZFiles) // nn.n
+          AS file_id, p, s, o
+      FROM r0 CROSS JOIN nn),
+    kept AS (SELECT * FROM fz WHERE NOT (o % 10 = $ZDelRem)),
+    boxes AS (
+      SELECT file_id, min(p) AS p_lo, max(p) AS p_hi,
+        min(s) AS s_lo, max(s) AS s_hi
+      FROM kept GROUP BY file_id),
+    bb2 AS (
+      SELECT min(p_lo) AS pmn2, max(p_hi) AS pmx2,
+        min(s_lo) AS smn2, max(s_hi) AS smx2,
+        min(p_lo) + ((max(p_hi) - min(p_lo) + 1) * 1) // 4 AS p_from,
+        min(p_lo) + ((max(p_hi) - min(p_lo) + 1) * 2) // 4 - 1 AS p_to,
+        min(s_lo) + ((max(s_hi) - min(s_lo) + 1) * 1) // 4 AS s_from,
+        min(s_lo) + ((max(s_hi) - min(s_lo) + 1) * 2) // 4 - 1 AS s_to
+      FROM boxes),
+    keep AS (
+      SELECT file_id FROM boxes CROSS JOIN bb2
+      WHERE p_lo <= p_to AND p_hi >= p_from
+        AND s_lo <= s_to AND s_hi >= s_from)
+    SELECT CAST($ZFiles AS BIGINT) AS files_total,
+      (SELECT CAST(count(*) AS BIGINT) FROM keep) AS files_touched,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(p) AS BIGINT) AS sum_p, CAST(sum(s) AS BIGINT) AS sum_s
+    FROM kept CROSS JOIN bb2
+    WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
+
   def zorderLayoutSql(table: String): String = s"""
     WITH raw AS (
       SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,

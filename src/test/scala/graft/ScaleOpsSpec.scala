@@ -653,6 +653,39 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("zorder purge: tombstones leave the published layout, boxes shrink, idempotent") {
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val (rowsTable, manTable) = (s"zpurge_$suffix", s"zpurgeman_$suffix")
+    val out1 = ScaleOps.zorderPurgeServe(spark, sfDir).collect().toSeq
+    // the published layout physically contains NO tombstoned rows —
+    // serving needs no anti-join because there is nothing to hide
+    val purged = W.readTable(spark, rowsTable)
+    assert(purged.filter(s"o % 10 = ${ScaleOps.ZDelRem}").isEmpty,
+      "tombstoned rows must be physically gone from the published table")
+    // every manifest box is exactly the recompute over the published
+    // rows: affected files shrank, untouched files carried over intact
+    val man = W.readTable(spark, manTable)
+      .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rebuilt = purged.groupBy("file_id")
+      .agg(min("p").as("p_lo"), max("p").as("p_hi"),
+        min("s").as("s_lo"), max("s").as("s_hi"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(man == rebuilt,
+      "manifest boxes must equal a recompute over the published rows")
+    // idempotence: a second call finds no tombstones, publishes
+    // nothing, and serves the same row
+    val vBefore = W.publishedVersion(spark, rowsTable)
+    val out2 = ScaleOps.zorderPurgeServe(spark, sfDir).collect().toSeq
+    assert(W.publishedVersion(spark, rowsTable) == vBefore,
+      "a tombstone-free table must not be republished")
+    assert(out1 == out2, "purge must be idempotent in its served output")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("label propagation: disjoint cliques converge to min-label communities") {
     val sq = spark
     import sq.implicits._
