@@ -686,6 +686,63 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("cuped: planted covariate recovers theta, preserves the grand mean, prices variance") {
+    val sq = spark
+    import sq.implicits._
+    // arm by user parity (hashArm = "user_id"), one pre event at ts=0
+    // and one post at ts=1e6 (midpoint 5e5 splits them); values in
+    // dollars so the cents encode round-trips exactly
+    def run(rows: Seq[(Long, Long, String, Double)]): Map[String, (Long, Double, Double, Double)] = {
+      rows.toDF("user_id", "ts", "event_type", "value")
+        .createOrReplaceTempView("events")
+      spark.sql(ScaleOps.cupedSql("user_id", c => c)).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toMap
+    }
+    // --- perfectly-correlated plant: y = 3x + 500 cents, theta = 3 ---
+    val xs = (0 until 40).map(u => 100L + 37L * u)
+    val corr = (0 until 40).flatMap { u =>
+      val x = xs(u); val y = 3 * x + 500
+      Seq((u.toLong, 0L, "purchase", x / 100.0),
+        (u.toLong, 1000000L, "purchase", y / 100.0))
+    }
+    val got = run(corr)
+    // theta recovery pinned through mean_cuped = ybar - theta(xbar - xpool)
+    val xpool = xs.sum.toDouble / xs.size
+    Seq("A" -> 0, "B" -> 1).foreach { case (arm, par) =>
+      val ux = xs.zipWithIndex.filter(_._2 % 2 == par).map(_._1)
+      val ybar = ux.map(x => 3 * x + 500).sum.toDouble / ux.size
+      val expAdj = (ybar - 3.0 * (ux.sum.toDouble / ux.size - xpool)) / 100.0
+      val (n, my, myadj, vr) = got(arm)
+      assert(n == 20L)
+      assert(math.abs(my - ybar / 100.0) < 1e-6, s"$arm mean_post")
+      assert(math.abs(myadj - expAdj) < 1e-6,
+        s"$arm mean_cuped must reflect theta=3: $myadj vs $expAdj")
+      assert(math.abs(vr - 1.0) < 1e-6,
+        s"perfect covariate must price var_reduction = 1, got $vr")
+    }
+    // grand-mean preservation: n-weighted mean_cuped pools to mean_post
+    val pooledAdj = got.values.map(v => v._1 * v._3).sum
+    val pooledPost = got.values.map(v => v._1 * v._2).sum
+    assert(math.abs(pooledAdj - pooledPost) < 1e-4,
+      "CUPED must preserve the pooled grand mean")
+    // --- independent plant: sample cov(x, y) = 0 exactly, theta = 0 ---
+    val indep = (0 until 40).flatMap { u =>
+      val x = if ((u / 2) % 2 == 0) 100L else 300L
+      val y = if ((u / 4) % 2 == 0) 1000L else 2000L
+      Seq((u.toLong, 0L, "purchase", x / 100.0),
+        (u.toLong, 1000000L, "purchase", y / 100.0))
+    }
+    val got2 = run(indep)
+    got2.foreach { case (arm, (_, my, myadj, vr)) =>
+      assert(math.abs(myadj - my) < 1e-6,
+        s"$arm: independent covariate must leave the mean untouched")
+      assert(math.abs(vr) < 1e-6,
+        s"$arm: independent covariate must price var_reduction = 0, got $vr")
+    }
+    spark.catalog.dropTempView("events")
+  }
+
   test("label propagation: disjoint cliques converge to min-label communities") {
     val sq = spark
     import sq.implicits._
