@@ -517,4 +517,66 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(pca).size >= 3,
       s"q170's iterations must each hit the persisted centered frame:\n$pca")
   }
+
+  test("plan sweep: no declared query ships a lazy shape") {
+    // The hand-picked assertions above pin specific designs; this sweep
+    // is the regression net over EVERY SparkEntry query: a future query
+    // must not plan (a) a global window over unbounded input — a
+    // one-task sort of the corpus, (b) a CartesianProduct — both sides
+    // unkeyed and unbroadcast, or (c) a single-partition shuffle whose
+    // input is not already reduced by an aggregate/limit. Global
+    // windows and single-partition exchanges OVER AGGREGATED frames
+    // are legitimate (hourly series, histogram tails, final readouts):
+    // the sweep checks the subtree below each suspect node for an
+    // Aggregate/Limit, which is exactly what bounds the rows reaching
+    // it at any corpus size.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
+      Aggregate, GlobalLimit, LocalLimit, LogicalPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate => a: Any
+      case l: GlobalLimit => l: Any
+      case l: LocalLimit => l: Any
+    }.isDefined
+    // Audited exceptions, each with the reason the "unbounded" input is
+    // in fact tiny. q114: the phase-2 global window consumes the union
+    // of 32 per-bucket LOCAL skylines — window-filtered, not
+    // aggregated, so the Aggregate probe can't see the reduction, but
+    // the frontier union is a few hundred rows at any corpus size
+    // (scaladoc at ScaleRelationalOps.skylinePhase).
+    val allowGlobalWindow = Set("q114_skyline")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val qe = fn(spark, sfDir).queryExecution
+        val badWin = if (allowGlobalWindow(name)) Nil else
+          qe.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (badWin.nonEmpty)
+          failures += s"$name: ${badWin.size} global window(s) over unbounded input"
+        val phys = qe.sparkPlan
+        if (phys.toString.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct"
+        val badSingle = phys.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition &&
+              e.child.collectFirst {
+                case c if c.getClass.getSimpleName.contains("Aggregate") ||
+                  c.getClass.getSimpleName.contains("Limit") ||
+                  c.getClass.getSimpleName.contains("TakeOrdered") => c
+              }.isEmpty => e
+        }
+        if (badSingle.nonEmpty)
+          failures += s"$name: ${badSingle.size} single-partition " +
+            "exchange(s) over non-aggregated input"
+      } catch { case e: Throwable =>
+        failures += s"$name: plan build threw " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"
+      } finally graft.core.EngineCache.releaseOwned()
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries plan lazy shapes:\n" + failures.mkString("\n"))
+  }
 }
