@@ -2028,6 +2028,44 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       .mkString("", "\n      UNION ALL ", "\n      ORDER BY col_name")
   }
 
+  /** DELETE semantics of the mergeable profile — the honest contract
+    * the append-only merge above cannot give. Counts are a group:
+    * subtracting the tombstoned slice's (n, n_nulls) retracts them
+    * EXACTLY. min / max / HLL are monotone semilattice summaries —
+    * they only ever widen — so no arithmetic on the stored profile can
+    * retract a deleted extremum or a deleted value's sketch
+    * contribution. After a delete the stored min/max are therefore
+    * BOUNDS (a true min ≥ stored min, a true max ≤ stored max) and the
+    * NDV estimate an over-count, and this helper says so per column
+    * instead of pretending: `min_stale` / `max_stale` flag columns
+    * where a tombstoned row ATTAINED the stored extremum (conservative
+    * — a surviving tie may keep the bound exact, but the profile alone
+    * cannot certify that), `ndv_stale` flags any deletion at all. A
+    * serve layer either carries these flags (and treats flagged stats
+    * as bounds) or routes flagged columns through the recompute path —
+    * [[profileRowsOfProjected]] over the tombstone-filtered base,
+    * scanning ONLY flagged columns' partitions at 100 TB. The
+    * staleness probe itself needs just the tombstoned slice's profile:
+    * O(deletes) work, the q231 locality rule. ScaleOpsSpec pins all
+    * three behaviors on a planted frame. */
+  private[graft] def profileAfterDelete(prof: DataFrame,
+                                        tombProf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = tombProf.groupBy("col_name")
+      .agg(sum("n").as("tn"), sum("n_nulls").as("tnulls"),
+        min("min_num").as("tmin"), max("max_num").as("tmax"))
+    prof.join(broadcast(t), Seq("col_name"), "left")
+      .select(col("col_name"),
+        (col("n") - coalesce(col("tn"), lit(0L))).as("n_rows"),
+        (col("n_nulls") - coalesce(col("tnulls"), lit(0L))).as("n_nulls"),
+        col("min_num"), col("max_num"),
+        (coalesce(col("tmin"), lit(Double.MaxValue)) <= col("min_num"))
+          .as("min_stale"),
+        (coalesce(col("tmax"), lit(Double.MinValue)) >= col("max_num"))
+          .as("max_stale"),
+        (coalesce(col("tn"), lit(0L)) > 0).as("ndv_stale"))
+  }
+
   // ---------------------------------------------------------------- q222
   /** k-ANONYMITY audit (Sweeney 2002) — the privacy-engineering
     * complement of q83's PII redaction: rows whose QUASI-IDENTIFIER

@@ -743,6 +743,58 @@ class ScaleOpsSpec extends SparkSpec {
     spark.catalog.dropTempView("events")
   }
 
+  test("profile delete semantics: counts retract, extremes are bounds, flags honest") {
+    val sq = spark
+    import sq.implicits._
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // rows 0-2 are tombstoned (l_orderkey % 10 = 5). l_partkey's unique
+    // global min (7) lives ONLY on a tombstoned row — truly stale after
+    // the delete; l_suppkey's extremes live on survivors — certified.
+    val rows = (0 until 12).map { i =>
+      val okey = if (i < 3) 5L + 10 * i else 1L + i
+      val part = if (i == 0) 7L else 100L + i
+      val supp = if (i < 3) 105L else 100L + i // tombstoned rows interior
+      (okey, part, supp, i % 7 + 1, 10.0 + i, 1000.0 + i, 0.01 * (i % 5),
+        0.02, ts)
+    }
+    val df = rows.toDF("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_shipdate")
+    val pred = col("l_orderkey") % 10 === 5
+    def keyed(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val full = keyed(ScaleOps.profileRowsOfProjected(df))
+    val after = ScaleOps.profileAfterDelete(
+        ScaleOps.profileRowsOfProjected(df),
+        ScaleOps.profileRowsOfProjected(df.filter(pred))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val recomp = keyed(ScaleOps.profileRowsOfProjected(df.filter(!pred)))
+    for ((c, r) <- after) {
+      // counts are a group: subtraction retracts them exactly
+      assert(r.getLong(1) == recomp(c).getLong(1), s"$c n_rows")
+      assert(r.getLong(2) == recomp(c).getLong(2), s"$c n_nulls")
+      // min/max never retract: stored values unchanged, and they bound
+      // the true (recomputed) extremes from the correct side
+      assert(r.getDouble(3) == full(c).getDouble(3), s"$c min unchanged")
+      assert(r.getDouble(4) == full(c).getDouble(4), s"$c max unchanged")
+      assert(recomp(c).getDouble(3) >= r.getDouble(3), s"$c min bound")
+      assert(recomp(c).getDouble(4) <= r.getDouble(4), s"$c max bound")
+      // any deletion invalidates the sketch's NDV certificate
+      assert(r.getBoolean(7), s"$c ndv_stale must flag any delete")
+    }
+    // the flag fires exactly where a tombstoned row attained the bound:
+    // l_partkey's min is truly stale (recompute moves it), l_suppkey's
+    // extremes are certified fresh and the recompute proves them exact
+    assert(after("l_partkey").getBoolean(5), "l_partkey min_stale")
+    assert(recomp("l_partkey").getDouble(3) > after("l_partkey").getDouble(3),
+      "the stale min is a strict lower bound after the delete")
+    assert(!after("l_suppkey").getBoolean(5) &&
+      !after("l_suppkey").getBoolean(6), "l_suppkey certified fresh")
+    assert(recomp("l_suppkey").getDouble(3) ==
+      after("l_suppkey").getDouble(3), "certified min is exact")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("label propagation: disjoint cliques converge to min-label communities") {
     val sq = spark
     import sq.implicits._
