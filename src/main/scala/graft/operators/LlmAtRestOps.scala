@@ -40,6 +40,41 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
   def lshPairTable(spark: SparkSession, dir: String): DataFrame =
     lshPairsAtRest(spark, dir).orderBy("id_a", "id_b")
 
+  // ---------------------------------------------------------------- q233
+  /** Near-dup pair-table DELETE — the tombstone verb for the at-rest
+    * dedup state, completing the q144 family's lifecycle the way q218
+    * (BM25), q219/q225 (ANN), q231 (bitmap), and q232 (layout) close
+    * theirs: removing documents invalidates every stored pair touching
+    * them, so the serve anti-joins the tombstone set against BOTH
+    * endpoints of the immutable pair table. Unlike the profile's
+    * monotone sketches (q224), this retraction is EXACT, and the
+    * oracle PROVES it by replaying the whole signature/banding/Jaccard
+    * pipeline on the tombstone-filtered corpus: banding is per-doc and
+    * the bucket membership of survivors is untouched by a removal, and
+    * the banded join carries NO df cap whose thresholds could re-admit
+    * candidates, so rebuild candidates = stored candidates minus
+    * tombstone-touching pairs, and per-pair Jaccard is pairwise pure —
+    * delete ∘ store ≡ rebuild to the hash. Cost: two anti-joins
+    * against an O(deletes) broadcast on the O(near-dups) pair table —
+    * the corpus is never re-shingled (a tombstone set too big to
+    * broadcast degrades to two shuffled anti-joins on the pair table,
+    * still never the corpus). */
+  val DedupDelMod = 10
+  val DedupDelRem = 6
+
+  def lshPairDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = docs(spark, dir)
+      .filter(s"doc_id % $DedupDelMod = $DedupDelRem")
+      .select(col("doc_id"))
+    lshPairsAtRest(spark, dir)
+      .join(broadcast(tomb.withColumnRenamed("doc_id", "id_a")),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(tomb.withColumnRenamed("doc_id", "id_b")),
+        Seq("id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- q197
   /** Personalized-PageRank taint propagation over the near-dup graph —
     * blocklist (or allowlist) EXPANSION as a query: given a seed set of

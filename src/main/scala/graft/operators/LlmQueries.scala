@@ -678,6 +678,8 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q142_leakage_split"  -> leakageSplit _,
     "q143_source_contam"  -> sourceContamination _,
     "q144_lsh_pair_table" -> lshPairTable _,
+    "q233_pair_delete"    -> lshPairDelete _,
+    "q234_gramset_delete" -> gramSetDelete _,
     "q145_incremental_dedup" -> incrementalDedup _,
     "q147_ann_filtered"   -> annFiltered _,
     "q148_pad_batching"   -> padBatching _,
@@ -778,6 +780,16 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q144_lsh_pair_table" -> Dedup.minhashLshPairsSql(
       "documents", "doc_id", "text",
       WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+    // q233's tombstone anti-join must equal a full pipeline replay on
+    // the tombstone-filtered corpus: delete ∘ store ≡ rebuild exactly
+    "q233_pair_delete" -> Dedup.minhashLshPairsSql(
+      "(SELECT * FROM documents WHERE NOT " +
+        s"(doc_id % $DedupDelMod = $DedupDelRem)) live",
+      "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+    // q234's refcount subtraction must equal a distinct-gram rebuild
+    // on the tombstone-filtered corpus (exact checksummed rollup)
+    "q234_gramset_delete" -> gramSetDeleteSql,
     "q145_incremental_dedup" -> Dedup.incrementalLshPairsSql(
       "documents", "doc_id", "text", s"source = '$BatchSource'",
       WordShingleN, MinhashK, MinhashBands, MinhashTau),

@@ -262,6 +262,71 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
       $subdupIslandTail""")
   }
 
+  // ---------------------------------------------------------------- q234
+  /** REFCOUNTED gram-set DELETE — the tombstone verb for the span-dedup
+    * state, and the structural fix the honest-delete audit (q224)
+    * prescribes: q171's at-rest artifact is a DISTINCT gram set, and a
+    * distinct set cannot retract a member when a document dies because
+    * it forgot who else holds the gram. The deletable spelling stores
+    * (ghash, df) with df = count(DISTINCT doc) — the Lucene-posting /
+    * counting-Bloom move — so a delete is pure refcount arithmetic:
+    * tokenize ONLY the tombstoned docs (O(deletes), the q231/q233
+    * locality rule), count their distinct doc-gram incidences per
+    * hash, subtract, and drop rows reaching zero. Grams shared with
+    * survivors stay; grams exclusive to the dead docs leave — exactly
+    * the set a rebuild on the filtered corpus produces, and the ORACLE
+    * proves it by replaying that rebuild. Output is the maintained
+    * set's per-shard summary (count, total df, bit_xor of hashes — an
+    * order-free exact checksum), O(shards) rows at any corpus size;
+    * the same tombstone cohort as q233 (doc_id ≡ [[DedupDelRem]]
+    * mod 10), so the two deletes describe ONE corpus deletion event
+    * hitting two at-rest artifacts. */
+  def gramSetDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = "gramdf_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    def docGrams(d: DataFrame): DataFrame = {
+      val (_, g) = subdupGramsView(d)
+      d.sparkSession.table(g).select(col("doc_id"), col("ghash")).distinct()
+    }
+    val base = graft.core.Warehouse.tableOnce(spark, table, "shard") {
+      docGrams(docs(spark, dir))
+        .groupBy("ghash").agg(count(lit(1)).as("df"))
+        .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
+    }
+    val pred = s"doc_id % ${DedupDelMod} = ${DedupDelRem}"
+    val dec = docGrams(docs(spark, dir).filter(pred))
+      .groupBy("ghash").agg(count(lit(1)).as("dec"))
+    base.join(dec, Seq("ghash"), "left")
+      .select(col("ghash"), col("shard"),
+        (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_grams"), sum("df").as("doc_incidences"),
+        expr("bit_xor(ghash)").as("hash_xor"))
+      .orderBy("shard")
+  }
+
+  def gramSetDeleteSql: String = s"""
+      WITH d AS (
+        SELECT doc_id, ${wordsSql("text")} AS w FROM documents
+        WHERE NOT (doc_id % ${DedupDelMod} = ${DedupDelRem})),
+      e AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - ${SubdupK - 2}))::INT AS pos
+        FROM d),
+      g AS (
+        SELECT DISTINCT doc_id,
+          ${xhashSql(s"array_to_string(w[pos:pos+${SubdupK - 1}], ' ')")}
+            AS ghash
+        FROM e),
+      gd AS (
+        SELECT ghash, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM g GROUP BY ghash)
+      SELECT (((ghash % 8) + 8) % 8)::INT AS shard,
+        CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(df) AS BIGINT) AS doc_incidences,
+        CAST(bit_xor(ghash) AS BIGINT) AS hash_xor
+      FROM gd GROUP BY 1 ORDER BY shard"""
+
   def spanIncrementSql: String = s"""
       WITH bd AS (SELECT doc_id, ${wordsSql("text")} AS w
                   FROM documents WHERE source = '$BatchSource'),

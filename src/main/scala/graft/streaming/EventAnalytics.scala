@@ -388,6 +388,35 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming DELETE feed for the bitmap index — the stream-time twin
+    * of q231's tombstone build: deleted rows arrive in micro-batches,
+    * each batch's tombstone words land under `batch_run=N` with
+    * idempotent overwrite, and a serve merges every run's words by
+    * bit_or before the AND-NOT — bit_or is a commutative-associative
+    * monoid, so the merged bitmap is batch-split-invariant. Same
+    * contract as the encode twin: batches must split on l_orderkey (a
+    * PREFIX of the rid key), so an occurrence group never spans two
+    * batches and per-batch occ numbering cannot alias two different
+    * rows onto one rid. The index itself is never touched — deletes at
+    * stream time are pure tombstone appends, the Druid/Lucene
+    * soft-delete shape. */
+  def startStreamingTombstones(rowStream: DataFrame, tombPath: String,
+                               checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rowStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.ScaleOps.bitmapTombstoneOf(batch)
+            .write.mode("overwrite")
+            .parquet(s"$tombPath/batch_run=$batchId")
+          // bitmapRidded persists for the capacity guard; release
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming WITHIN-document repetition cut — the stream-time twin of
     * q184. The operator is per-document (a doc's cut depends only on
     * its own grams), so unlike the other twins it needs NO at-rest

@@ -26,6 +26,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) === 1.0)
   }
 
+  test("pair-table delete: endpoint anti-join equals a rebuild on the filtered corpus") {
+    // three near-dup families; ids 6 and 16 are tombstoned
+    // (doc_id % 10 = 6), hitting one pair on each side and leaving one
+    // family untouched
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      6L -> "alpha beta gamma delta epsilon zeta",   // tombstoned twin of 1
+      11L -> "one two three four five six seven",
+      12L -> "one two three four five six seven",     // surviving family
+      16L -> "red orange yellow green blue indigo",
+      17L -> "red orange yellow green blue indigo")   // 16 tombstoned
+    import org.apache.spark.sql.functions._
+    val all = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 8, 4, 0.5)
+    val tomb = d.filter(col("doc_id") % 10 === 6).select("doc_id")
+    val served = all
+      .join(broadcast(tomb.withColumnRenamed("doc_id", "id_a")),
+        Seq("id_a"), "left_anti")
+      .join(broadcast(tomb.withColumnRenamed("doc_id", "id_b")),
+        Seq("id_b"), "left_anti")
+      .select("id_a", "id_b") // keyed joins reorder; pin the projection
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.minhashLshPairs(
+        d.filter(col("doc_id") % 10 =!= 6), "doc_id", "text", 3, 8, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == rebuilt && served == Set((11L, 12L)),
+      s"delete ∘ store must equal rebuild: $served vs $rebuilt")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("incremental dedup from at-rest signatures equals a from-scratch run") {
     val corpus = docsOf(
       1L -> "alpha beta gamma delta epsilon zeta",

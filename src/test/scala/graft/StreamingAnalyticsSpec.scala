@@ -628,6 +628,54 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming tombstones merge to the one-shot delete bitmap and serve") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 300).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(7) + 1,
+        Seq("A", "N", "R")(rnd.nextInt(3)), Seq("F", "O")(rnd.nextInt(2)))
+    }
+    val li = rows.toDF("l_orderkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    // the delete cohort, arriving in two micro-batches split on
+    // l_orderkey — the rid-key-prefix contract the twin documents
+    val del = rows.filter(_._1 % 5 == 2)
+    val (d1, d2) = del.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stb").toString
+    val source = MemoryStream[(Long, Int, String, String)]
+    val q = EventAnalytics.startStreamingTombstones(
+      source.toDF().toDF("l_orderkey", "l_linenumber",
+        "l_returnflag", "l_linestatus"),
+      s"$dir/tomb", s"$dir/ckpt")
+    source.addData(d1.toIndexedSeq: _*); q.processAllAvailable()
+    source.addData(d2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    // merged stream-time tombstone == the one-shot tombstone bitmap
+    val merged = spark.read.parquet(s"$dir/tomb")
+      .groupBy("word_id").agg(expr("bit_or(tw)").as("tw"))
+    val want = graft.operators.ScaleOps.bitmapTombstoneOf(
+        del.toDF("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_linestatus"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      "stream-merged tombstone words must equal the one-shot bitmap")
+    // and serving with the merged tombstone equals a rebuild without
+    // the deleted rows — the q231 contract end-to-end at stream time
+    val served = graft.operators.ScaleOps.bitmapCountsDeleted(
+        graft.operators.ScaleOps.bitmapIndexOf(li), merged)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val truth = rows.filter(_._1 % 5 != 2).groupBy(r => (r._3, r._4))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(served == truth,
+      s"stream-time delete must serve rebuild-equal counts: $served vs $truth")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
