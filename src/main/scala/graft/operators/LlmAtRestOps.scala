@@ -311,6 +311,67 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     Dedup.connectedComponents(lshPairsAtRest(spark, dir))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q235
+  /** Component-label maintenance under DELETE with BOUNDED recompute —
+    * the hard delete case in the dedup family, because deletion can
+    * SPLIT a component (remove a bridge doc and its cluster falls
+    * apart), which no per-row arithmetic can express. The honest
+    * maintenance mirrors q232's affected-file rewrite: the at-rest
+    * label table (built once over the q144 pair table) identifies the
+    * AFFECTED components — those holding ≥1 tombstoned doc; untouched
+    * components' labels pass through VERBATIM with zero graph work;
+    * only the affected components' surviving members have their
+    * induced subgraph re-run through connected components. Correct by
+    * the component closure property: edges never cross components, so
+    * a full rebuild decomposes into per-component rebuilds, and
+    * removing docs only ever splits — never merges — so untouched
+    * components are exactly preserved. Min-id labels are canonical per
+    * component, so recomputed sub-components get rebuild-identical
+    * labels, and a surviving doc whose every edge died leaves the
+    * table (it is no longer near-duplicated — the rebuild semantics).
+    * The ORACLE is q51's recursive-CTE closure over the
+    * tombstone-filtered pipeline replay: the hash match proves
+    * maintain ≡ rebuild including the splits. Cost: one O(labels)
+    * anti/semi join pair + CC on the affected subgraph only — at
+    * 100 TB a deletion event touches a vanishing fraction of
+    * components, and that fraction prices the whole pass (the
+    * broadcast of the affected-doc set degrades to a shuffled semi
+    * join when a mass deletion makes it large). Same tombstone cohort
+    * as q233/q234: one deletion event, three at-rest artifacts. */
+  def componentDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = "cc_labels_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val labels = graft.core.Warehouse.tableOnce(spark, table) {
+      Dedup.connectedComponents(lshPairsAtRest(spark, dir))
+    }
+    val tomb = docs(spark, dir)
+      .filter(s"doc_id % $DedupDelMod = $DedupDelRem").select("doc_id")
+    componentDeleteOf(labels, lshPairsAtRest(spark, dir), tomb)
+      .orderBy("doc_id")
+  }
+
+  /** The maintenance core over arbitrary (labels, pairs, tombstones) —
+    * the spec entry point. */
+  private[graft] def componentDeleteOf(labels: DataFrame, pairs: DataFrame,
+                                       tomb: DataFrame): DataFrame = {
+    val tombL = broadcast(tomb.select(col("doc_id")))
+    val affected = labels.join(tombL, Seq("doc_id"), "left_semi")
+      .select("component").distinct()
+    val untouched = labels
+      .join(broadcast(affected), Seq("component"), "left_anti")
+      .select("doc_id", "component")
+    val survivors = labels
+      .join(broadcast(affected), Seq("component"), "left_semi")
+      .join(tombL, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val subPairs = pairs
+      .join(broadcast(survivors.withColumnRenamed("doc_id", "id_a")),
+        Seq("id_a"), "left_semi")
+      .join(broadcast(survivors.withColumnRenamed("doc_id", "id_b")),
+        Seq("id_b"), "left_semi")
+    untouched.unionByName(Dedup.connectedComponents(subPairs))
+  }
+
   /** Same clusters via alternating large-star/small-star contraction —
     * the high-diameter scale path (chains/link-farms where label
     * propagation needs O(diameter) rounds). Same oracle as q51: both

@@ -680,6 +680,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q144_lsh_pair_table" -> lshPairTable _,
     "q233_pair_delete"    -> lshPairDelete _,
     "q234_gramset_delete" -> gramSetDelete _,
+    "q235_component_delete" -> componentDelete _,
     "q145_incremental_dedup" -> incrementalDedup _,
     "q147_ann_filtered"   -> annFiltered _,
     "q148_pad_batching"   -> padBatching _,
@@ -901,6 +902,15 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
       SrpBits, SrpBands, SrpTopK, EmbDims),
     "q51_dedup_components" -> Dedup.componentsSql(
       Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+      "doc_id"),
+    // q235's bounded-recompute maintenance must equal the closure over
+    // the tombstone-filtered pipeline replay — splits included
+    "q235_component_delete" -> Dedup.componentsSql(
+      Dedup.minhashLshPairsSql(
+        "(SELECT * FROM documents WHERE NOT " +
+          s"(doc_id % $DedupDelMod = $DedupDelRem)) live",
+        "doc_id", "text",
         WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
       "doc_id"),
     // identical result to q51 by design — two algorithms, one contract

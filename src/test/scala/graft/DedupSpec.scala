@@ -55,6 +55,35 @@ class DedupSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("component delete: bounded recompute handles splits and equals a rebuild") {
+    val sq = spark
+    import sq.implicits._
+    import org.apache.spark.sql.functions.col
+    // component {10,16,11,12} chained through bridge 16 (tombstoned:
+    // % 10 = 6): deleting it splits the chain — 10 loses every edge and
+    // leaves the table, {11,12} survives as its own component. {1,6,2}
+    // chained through tombstoned 6 dissolves entirely. {20,21} is
+    // untouched and must pass through verbatim.
+    val pairs = Seq((10L, 16L), (16L, 11L), (11L, 12L),
+      (1L, 6L), (6L, 2L), (20L, 21L))
+      .toDF("id_a", "id_b").withColumn("jaccard", org.apache.spark.sql
+        .functions.lit(1.0))
+    val labels = Dedup.connectedComponents(pairs)
+      .transform(graft.core.EngineCache.persisted)
+    val tomb = Seq(6L, 16L).toDF("doc_id")
+    val maintained = graft.operators.LlmQueries
+      .componentDeleteOf(labels, pairs, tomb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = Dedup.connectedComponents(
+        pairs.filter(!col("id_a").isin(6L, 16L) &&
+          !col("id_b").isin(6L, 16L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L)
+    assert(maintained == want && rebuilt == want,
+      s"maintain must equal rebuild incl. the split: $maintained / $rebuilt")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("incremental dedup from at-rest signatures equals a from-scratch run") {
     val corpus = docsOf(
       1L -> "alpha beta gamma delta epsilon zeta",
