@@ -229,8 +229,15 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   private[operators] def pqBaseOracle: String =
     pqBaseOracleP(PqM, PqSub, PqK, PqRounds)
 
+  /** `encSrc` splits the codebook's TRAINING source (always the
+    * original `embeddings` — the frozen-codebook contract) from the
+    * relation whose rows get ENCODED by the final assignment: q236's
+    * update oracle encodes an updated corpus against the unchanged
+    * codebook, exactly what the engine's memoized-codebook path does.
+    * The default leaves every existing oracle byte-compatible. */
   private[operators] def pqBaseOracleP(m: Int, sub: Int, k: Int,
-                            rounds: Int): String = {
+                            rounds: Int,
+                            encSrc: String = "embeddings"): String = {
     def l2d6(v: String, c: String) =
       s"""CAST(floor(list_sum(list_transform(range(1, ${sub + 1}),
           i -> (($v)[i]::DOUBLE - ($c)[i]::DOUBLE) *
@@ -270,9 +277,12 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       SELECT cid, m, embedding[m * $sub + 1 : m * $sub + $sub] AS c
       FROM seeds CROSS JOIN ms)$lloyd,
     csub AS (SELECT cid, m, c FROM c$rounds),
+    sub_e AS (
+      SELECT vec_id, m, embedding[m * $sub + 1 : m * $sub + $sub] AS v
+      FROM $encSrc CROSS JOIN ms),
     d AS (
       SELECT s.vec_id, s.m, c.cid, ${l2d6("s.v", "c.c")} AS d6
-      FROM sub s JOIN csub c ON s.m = c.m),
+      FROM sub_e s JOIN csub c ON s.m = c.m),
     r AS (
       SELECT vec_id, m, cid, d6,
         row_number() OVER (PARTITION BY vec_id, m ORDER BY d6, cid) AS rn
@@ -1342,6 +1352,69 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       codes AS (SELECT vec_id, m, code, cell FROM $baseView
                 UNION ALL SELECT vec_id, m, code, cell FROM $batchView),
       dtab AS (SELECT vec_id AS probe_id, m, cid, d6 FROM d),
+      pcell AS (SELECT vec_id, label AS cell FROM embeddings),
+      adc AS (
+        SELECT t.probe_id, c.vec_id, c.cell, CAST(sum(t.d6) AS BIGINT) AS ad6
+        FROM codes c
+        JOIN dtab t ON c.m = t.m AND c.code = t.cid
+        JOIN pcell cp ON t.probe_id = cp.vec_id AND cp.cell = c.cell
+        GROUP BY t.probe_id, c.vec_id, c.cell),
+      ranked AS (
+        SELECT probe_id, vec_id, cell, ad6,
+          CAST(row_number() OVER (PARTITION BY probe_id
+            ORDER BY ad6, vec_id) AS INT) AS rk
+        FROM adc)
+      SELECT probe_id, rk, vec_id, CAST(cell AS INT) AS cell,
+        CAST(ad6 AS DOUBLE) / 1e6 AS adist
+      FROM ranked WHERE rk <= $PqTopK
+      ORDER BY probe_id, rk""")
+  }
+
+  // ---------------------------------------------------------------- q236
+  /** IVF-PQ vector UPDATE (upsert) — the composed lifecycle verb the
+    * delete (q219) and append (q151) halves exist for: a cohort of
+    * vectors (vec_id ≡ [[AnnUpdRem]] mod [[AnnUpdMod]]) is REPLACED —
+    * here by a deterministic sign flip, the stand-in for a re-embedded
+    * document — and the index must serve the new values without
+    * touching anything else. Update = anti-join the cohort's stored
+    * codes out of the immutable at-rest base (q219's move) ∪ re-encode
+    * ONLY the cohort's new vectors with the FROZEN memoized codebook
+    * (q151's move): O(updates) encode work, the codebook never shifts,
+    * base codes never rewrite — a compaction (q225) folds the overlay
+    * in later. Probes (vec_id ≡ 0 mod [[PqProbeMod]]) are disjoint
+    * from the cohort by construction, so query vectors are unchanged
+    * and every ranking shift the serve shows comes from the updated
+    * CANDIDATES — the takedown-and-replace shape of a re-embedding
+    * pipeline. The ORACLE re-runs the full pipeline with the updated
+    * corpus encoded against the ORIGINAL corpus's codebook
+    * ([[pqBaseOracleP]]'s encSrc split), so the hash match proves
+    * update ∘ store ≡ rebuild-with-new-values under the frozen
+    * codebook. */
+  val AnnUpdMod = 10
+  val AnnUpdRem = 9 // disjoint from probes (0 mod 100) and q151's batch
+
+  def ivfPqUpdate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val codesView = atRestCodesView(spark, dir, "ivfpq_updbase_")
+    val pred = s"vec_id % $AnnUpdMod = $AnnUpdRem"
+    val tid = Thread.currentThread().getId
+    val updView = s"graft_ivfpq_upd_t$tid"
+    spark.sql(s"""SELECT vec_id, transform(embedding, x -> -x) AS embedding
+      FROM embeddings WHERE $pred""").createOrReplaceTempView(updView)
+    val freshView = s"graft_ivfpq_updfresh_t$tid"
+    spark.sql(s"""WITH ${pqFlatBaseOver(spark, dir, updView, "true")}
+      SELECT r.vec_id, r.m, r.cid AS code, e.label AS cell
+      FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1""")
+      .createOrReplaceTempView(freshView)
+    spark.sql(s"""
+      WITH ${pqFlatBase(spark, dir)},
+      codes AS (
+        SELECT vec_id, m, code, cell FROM $codesView WHERE NOT ($pred)
+        UNION ALL SELECT vec_id, m, code, cell FROM $freshView),
+      dtab AS (
+        SELECT vec_id AS probe_id, m, cid, d6
+        FROM d WHERE vec_id % $PqProbeMod = 0),
       pcell AS (SELECT vec_id, label AS cell FROM embeddings),
       adc AS (
         SELECT t.probe_id, c.vec_id, c.cell, CAST(sum(t.d6) AS BIGINT) AS ad6

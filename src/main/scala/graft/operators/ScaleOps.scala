@@ -89,7 +89,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q227_mmr_rerank"    -> mmrRerank _,
     "q230_cuped"         -> cuped _,
     "q231_bitmap_delete" -> bitmapDeleteServe _,
-    "q232_zorder_purge"  -> zorderPurgeServe _
+    "q232_zorder_purge"  -> zorderPurgeServe _,
+    "q236_ann_update"    -> ivfPqUpdate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +163,17 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q231_bitmap_delete" -> bitmapDeleteServeSql("lineitem"),
     // the physically-purged layout serve must equal a replay of the
     // original layout minus the tombstoned rows, boxes recomputed
-    "q232_zorder_purge" -> zorderPurgeServeSql("lineitem")
+    "q232_zorder_purge" -> zorderPurgeServeSql("lineitem"),
+    // update ∘ store ≡ rebuild-with-new-values under the frozen
+    // codebook: the oracle trains on the original corpus and encodes
+    // the updated one (pqBaseOracleP's encSrc split)
+    "q236_ann_update" -> (s"""WITH emb_upd AS (
+      SELECT vec_id, label,
+        CASE WHEN vec_id % $AnnUpdMod = $AnnUpdRem
+             THEN list_transform(embedding, x -> -x)
+             ELSE embedding END AS embedding
+      FROM embeddings),
+    ${pqBaseOracleP(PqM, PqSub, PqK, PqRounds, encSrc = "emb_upd")}
+    $pqIvfAdcTail""")
   )
 }
