@@ -281,21 +281,27 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     * the same tombstone cohort as q233 (doc_id ≡ [[DedupDelRem]]
     * mod 10), so the two deletes describe ONE corpus deletion event
     * hitting two at-rest artifacts. */
-  def gramSetDelete(spark: SparkSession, dir: String): DataFrame = {
-    val table = "gramdf_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
-    def docGrams(d: DataFrame): DataFrame = {
-      val (_, g) = subdupGramsView(d)
-      d.sparkSession.table(g).select(col("doc_id"), col("ghash")).distinct()
-    }
-    val base = graft.core.Warehouse.tableOnce(spark, table, "shard") {
-      docGrams(docs(spark, dir))
-        .groupBy("ghash").agg(count(lit(1)).as("df"))
-        .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
-    }
-    val pred = s"doc_id % ${DedupDelMod} = ${DedupDelRem}"
-    val dec = docGrams(docs(spark, dir).filter(pred))
+  /** Distinct (doc_id, ghash) incidences of a docs frame — the unit of
+    * the refcount arithmetic, shared by the batch delete (q234) and its
+    * stream-time twin. */
+  private[graft] def distinctDocGramsOf(d: DataFrame): DataFrame = {
+    val (_, g) = subdupGramsView(d)
+    d.sparkSession.table(g).select(col("doc_id"), col("ghash")).distinct()
+  }
+
+  /** The per-cohort refcount decrements — (ghash, dec) counted over the
+    * tombstoned docs' distinct grams. Additive: decrements from any
+    * batch split of the cohort sum to the one-shot decrement, which is
+    * what makes the streaming twin batch-split-invariant. */
+  private[graft] def gramDecrementsOf(tombDocs: DataFrame): DataFrame =
+    distinctDocGramsOf(tombDocs)
       .groupBy("ghash").agg(count(lit(1)).as("dec"))
+
+  /** The maintained-set rollup after subtracting `dec` from the stored
+    * (ghash, df, shard) table: zero-df rows drop, survivors summarize
+    * per shard with an exact order-free checksum. */
+  private[graft] def gramSetAfterDelete(base: DataFrame,
+                                        dec: DataFrame): DataFrame =
     base.join(dec, Seq("ghash"), "left")
       .select(col("ghash"), col("shard"),
         (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
@@ -304,6 +310,18 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
       .agg(count(lit(1)).as("n_grams"), sum("df").as("doc_incidences"),
         expr("bit_xor(ghash)").as("hash_xor"))
       .orderBy("shard")
+
+  def gramSetDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = "gramdf_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val base = graft.core.Warehouse.tableOnce(spark, table, "shard") {
+      distinctDocGramsOf(docs(spark, dir))
+        .groupBy("ghash").agg(count(lit(1)).as("df"))
+        .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
+    }
+    val pred = s"doc_id % ${DedupDelMod} = ${DedupDelRem}"
+    gramSetAfterDelete(base,
+      gramDecrementsOf(docs(spark, dir).filter(pred)))
   }
 
   def gramSetDeleteSql: String = s"""

@@ -417,6 +417,34 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming DELETE feed for the refcounted gram set — the
+    * stream-time twin of q234's decrement build: tombstoned documents
+    * arrive in micro-batches, each batch's (ghash, dec) refcount
+    * decrements land under `batch_run=N` with idempotent overwrite,
+    * and a serve sums every run's decrements before subtracting from
+    * the stored (ghash, df) table — counts are an additive monoid, and
+    * a document is an atomic row, so the merged decrement is
+    * batch-split-invariant with no cross-batch contract to honor (the
+    * easier cousin of the bitmap twin's rid-prefix rule). The gram
+    * table itself is never touched at stream time — deletes are pure
+    * decrement appends, folded in by compaction. */
+  def startStreamingGramDeletes(docStream: DataFrame, decPath: String,
+                                checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.LlmQueries.gramDecrementsOf(batch)
+            .write.mode("overwrite")
+            .parquet(s"$decPath/batch_run=$batchId")
+          // the gram view persists for the distinct pass; release
+          graft.core.EngineCache.releaseOwned()
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming WITHIN-document repetition cut — the stream-time twin of
     * q184. The operator is per-document (a doc's cut depends only on
     * its own grams), so unlike the other twins it needs NO at-rest

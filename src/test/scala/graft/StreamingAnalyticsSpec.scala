@@ -676,6 +676,59 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming gram decrements merge to the one-shot delete and serve rebuild-equal") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.{col, expr, count, lit, sum}
+    // 9-word docs = two overlapping 8-grams each; doc 3 shares its text
+    // with tombstoned doc 6 (its grams must SURVIVE the delete), doc 6's
+    // second gram window and doc 16's text are exclusive (must leave)
+    val mk = (s: String) => s
+    val corpus = Seq(
+      3L -> "a b c d e f g h i",
+      6L -> "a b c d e f g h i",
+      16L -> "q r s t u v w x y",
+      20L -> "k l m n o p q1 r1 s1").map { case (i, t) => (i, mk(t)) }
+    val docsDf = corpus.toDF("doc_id", "text")
+    val L = graft.operators.LlmQueries
+    val base = L.distinctDocGramsOf(docsDf)
+      .groupBy("ghash").agg(count(lit(1)).as("df"))
+      .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
+      .transform(graft.core.EngineCache.persisted)
+    // tombstoned docs (6, 16) arrive in two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-sgd").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingGramDeletes(
+      source.toDF().toDF("doc_id", "text"), s"$dir/dec", s"$dir/ckpt")
+    source.addData(corpus.filter(_._1 == 6L).toIndexedSeq: _*)
+    q.processAllAvailable()
+    source.addData(corpus.filter(_._1 == 16L).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val mergedDec = spark.read.parquet(s"$dir/dec")
+      .groupBy("ghash").agg(sum("dec").as("dec"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val served = key(L.gramSetAfterDelete(base, mergedDec))
+    // one-shot decrement and a rebuild on the filtered corpus agree
+    val oneShot = key(L.gramSetAfterDelete(base,
+      L.gramDecrementsOf(docsDf.filter(col("doc_id").isin(6L, 16L)))))
+    val rebuilt = key(L.distinctDocGramsOf(
+        docsDf.filter(!col("doc_id").isin(6L, 16L)))
+      .groupBy("ghash").agg(count(lit(1)).as("df"))
+      .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_grams"), sum("df").as("doc_incidences"),
+        expr("bit_xor(ghash)").as("hash_xor"))
+      .orderBy("shard"))
+    assert(served == oneShot && served == rebuilt,
+      s"stream-merged decrements must serve rebuild-equal rollups:\n" +
+        s"$served\n$oneShot\n$rebuilt")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
