@@ -243,9 +243,13 @@ object CorpusFilterOps {
       .select("doc_id", "fp").distinct()
   }
 
-  /** Core of q207 over any (doc_id, text) frame. */
-  private[graft] def winnowingPairsOf(docsF: DataFrame): DataFrame = {
-    val wmin = winnowFps(docsF)
+  /** Pair serve over any (doc_id, fp) fingerprint frame: recompute the
+    * df-cap on THIS frame, self-join the kept fingerprints, report
+    * pairs sharing ≥ [[WinTau]]. Shared by q207 (fresh fingerprints),
+    * and q237 (the at-rest table after a tombstone anti-join) — the cap
+    * is a property of the population being served, so it must be
+    * re-derived per serve, never stored. */
+  private[graft] def winnowPairsFromFps(wmin: DataFrame): DataFrame = {
     val keep = wmin.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinDfCap).select("fp")
     val kept = wmin.join(keep, "fp")
@@ -256,6 +260,10 @@ object CorpusFilterOps {
       .filter(col("n_shared") >= WinTau)
       .orderBy("id_a", "id_b")
   }
+
+  /** Core of q207 over any (doc_id, text) frame. */
+  private[graft] def winnowingPairsOf(docsF: DataFrame): DataFrame =
+    winnowPairsFromFps(winnowFps(docsF))
 
   private def winnowingPairsSql: String = s"""
     WITH g AS (
@@ -291,14 +299,24 @@ object CorpusFilterOps {
     * so the hash match proves the at-rest fingerprint table lost
     * nothing. O(batch) gram work per increment, never a corpus
     * re-shingle. */
-  def winnowIncrement(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  /** The corpus fingerprint table AT REST (warehouse shard on the
+    * fingerprint hash) — built once from the non-batch corpus, then
+    * served by the increment (q229) and the delete (q237). */
+  private[graft] def winnowFpsAtRest(spark: SparkSession,
+                                     dir: String): DataFrame = {
     val table = "winnow_fps_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
-    val stored = graft.core.Warehouse.tableOnce(spark, table, "shard") {
-      winnowFps(d.filter(col("source") =!= LlmQueries.BatchSource))
+    graft.core.Warehouse.tableOnce(spark, table, "shard") {
+      winnowFps(docs(spark, dir)
+          .filter(col("source") =!= LlmQueries.BatchSource))
         .withColumn("shard", expr("CAST(pmod(fp, 8) AS INT)"))
-    }.select(col("doc_id").as("corpus_id"), col("fp"))
+    }.select("doc_id", "fp")
+  }
+
+  def winnowIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val stored = winnowFpsAtRest(spark, dir)
+      .select(col("doc_id").as("corpus_id"), col("fp"))
     val batch = winnowFps(d.filter(col("source") === LlmQueries.BatchSource))
       .select(col("doc_id").as("batch_id"), col("fp"))
       .transform(graft.core.EngineCache.persisted)
@@ -333,6 +351,56 @@ object CorpusFilterOps {
     FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
     WHERE a.is_batch AND NOT b.is_batch
     GROUP BY 1, 2 HAVING count(*) >= $WinTau
+    ORDER BY 1, 2"""
+
+  // --------------------------------------------------------------- q237
+  /** Winnowing fingerprint DELETE — the tombstone verb closing the
+    * winnowing family's lifecycle (build q207, at-rest increment q229,
+    * delete here), the way q233 closes the LSH pair table's. The two
+    * deletes are structurally different because the stored artifacts
+    * are: q144 stores PAIRS, so a delete must anti-join both endpoints;
+    * the winnowing table stores per-doc (doc_id, fp) incidences, so a
+    * takedown is ONE doc-keyed anti-join against an O(deletes)
+    * broadcast — and the serve re-derives the [[WinDfCap]] stop-gram
+    * cap over the SURVIVING population, which a stored-pair design
+    * cannot do: deleting docs lowers fingerprint df, so a fingerprint
+    * that was a stop-gram only because of the deleted docs is
+    * correctly RE-ADMITTED and can surface pairs the pre-delete serve
+    * suppressed (spec plants exactly this). Same tombstone cohort as
+    * q233/q234 (doc_id ≡ [[LlmQueries.DedupDelRem]] mod [[LlmQueries.DedupDelMod]]) — one
+    * corpus deletion event, every at-rest artifact honoring it. The
+    * oracle replays fingerprints from the tombstone-filtered raw text,
+    * so the hash match proves delete ∘ store ≡ rebuild. The corpus is
+    * never re-shingled: gram hashing happened once at build. */
+  def winnowDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = docs(spark, dir)
+      .filter(s"doc_id % ${LlmQueries.DedupDelMod} = ${LlmQueries.DedupDelRem}")
+      .select(col("doc_id"))
+    winnowPairsFromFps(
+      winnowFpsAtRest(spark, dir)
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+  }
+
+  private def winnowDeleteSql: String = s"""
+    WITH g AS (
+      SELECT doc_id, pos,
+        ${xhashSql(s"substr(text, pos, $WinK)")} AS h,
+        length(text) - ${WinK - 1} AS ng
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${WinK - 2})) AS pos
+            FROM documents
+            WHERE length(text) >= $WinK
+              AND source <> '${LlmQueries.BatchSource}'
+              AND NOT (doc_id % ${LlmQueries.DedupDelMod} = ${LlmQueries.DedupDelRem}))),
+    wmin AS (
+      SELECT doc_id, pos,
+        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS fp, ng
+      FROM g),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= ng - ${WinW - 1}),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinDfCap)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= $WinTau
     ORDER BY 1, 2"""
 
   // --------------------------------------------------------------- q208
@@ -443,6 +511,7 @@ object CorpusFilterOps {
     "q206_dsir_select"  -> dsirWeights _,
     "q207_winnowing"    -> winnowingPairs _,
     "q229_winnow_increment" -> winnowIncrement _,
+    "q237_winnow_delete" -> winnowDelete _,
     "q208_backoff_lm"   -> backoffLm _)
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +519,6 @@ object CorpusFilterOps {
     "q206_dsir_select"  -> dsirWeightsSql,
     "q207_winnowing"    -> winnowingPairsSql,
     "q229_winnow_increment" -> winnowIncrementSql,
+    "q237_winnow_delete" -> winnowDeleteSql,
     "q208_backoff_lm"   -> backoffLmSql)
 }

@@ -78,6 +78,43 @@ class CorpusFilterOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("winnow delete: tombstones drop pairs, re-derived df-cap re-admits stop-grams") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val sq = spark
+    import sq.implicits._
+    // group S: 10 docs share block X -> its fps have df = 10 > WinDfCap
+    // = 8, so the PRE-delete serve suppresses them all as stop-grams.
+    // Deleting 3 drops df to 7 <= 8: the fingerprints are RE-ADMITTED
+    // and the surviving 7 docs pair up — pairs that exist only because
+    // the cap is re-derived on the surviving population at serve time.
+    val blockX = (0 until 30).map(i => f"xxs${i}%02d").mkString // 150 chars
+    val blockY = (0 until 30).map(i => f"yyt${i}%02d").mkString
+    val groupS = (1L to 10L).map(i => (i, f"pfx${i}%02d-abcdefghijklmnopqrstuv" + blockX))
+    val pairUv = Seq((11L, "uhead-0123456789-qwertyuiopas" + blockY),
+                     (12L, "vhead-9876543210-poiuytrewqsa" + blockY))
+    val lone = Seq((13L, (0 until 40).map(i => f"zw${(i * 13) % 100}%02d").mkString))
+    val docsDf = (groupS ++ pairUv ++ lone).toDF("doc_id", "text")
+    val fps = CorpusFilterOps.winnowFps(docsDf)
+      .transform(graft.core.EngineCache.persisted)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = keys(CorpusFilterOps.winnowPairsFromFps(fps))
+    assert(before == Set((11L, 12L)),
+      s"pre-delete: only the Y pair surfaces (X is a stop-gram): $before")
+    val tomb = Seq(8L, 9L, 10L, 12L).toDF("doc_id")
+    val after = keys(CorpusFilterOps.winnowPairsFromFps(
+      fps.join(broadcast(tomb), Seq("doc_id"), "left_anti")))
+    val survivors = (1L to 7L)
+    val expected = (for (a <- survivors; b <- survivors if a < b) yield (a, b)).toSet
+    assert(after == expected,
+      s"post-delete: (11,12) gone, X re-admitted pairs all 7 survivors: $after")
+    // delete o store == rebuild on the filtered corpus
+    val rebuilt = keys(CorpusFilterOps.winnowingPairsOf(
+      docsDf.filter(!col("doc_id").isin(8L, 9L, 10L, 12L))))
+    assert(after == rebuilt, s"anti-join must equal rebuild: $after vs $rebuilt")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("backoff LM: in-domain held-out scores 0, unseen text hits the floor") {
     val sq = spark
     import sq.implicits._
