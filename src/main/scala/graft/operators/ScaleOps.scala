@@ -90,6 +90,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q230_cuped"         -> cuped _,
     "q231_bitmap_delete" -> bitmapDeleteServe _,
     "q232_zorder_purge"  -> zorderPurgeServe _,
+    "q238_bitmap_purge"  -> bitmapPurgeServe _,
     "q236_ann_update"    -> ivfPqUpdate _
   )
 
@@ -164,6 +165,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // the physically-purged layout serve must equal a replay of the
     // original layout minus the tombstoned rows, boxes recomputed
     "q232_zorder_purge" -> zorderPurgeServeSql("lineitem"),
+    // the physically-purged bitmap serve must equal the tombstone-view
+    // serve (q231's oracle): purge ∘ publish ≡ tombstone ≡ rebuild
+    "q238_bitmap_purge" -> bitmapDeleteServeSql("lineitem"),
     // update ∘ store ≡ rebuild-with-new-values under the frozen
     // codebook: the oracle trains on the original corpus and encodes
     // the updated one (pqBaseOracleP's encSrc split)

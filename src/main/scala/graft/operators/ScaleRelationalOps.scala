@@ -1760,6 +1760,70 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     FROM $table WHERE NOT (l_orderkey % $BitmapDelMod = $BitmapDelRem)
     GROUP BY 1, 2 ORDER BY rf, ls"""
 
+  // ---------------------------------------------------------------- q238
+  /** Physical PURGE of the bitmap index — the compaction q231's
+    * tombstone defers to, completing the categorical index's lifecycle
+    * exactly as q225 completes ANN's and q232 the z-order layout's:
+    * build (q210) → append (q214) → tombstone (q231) → PURGE. The
+    * purge folds the tombstone bitmap into the stored words ONCE —
+    * `w AND NOT tw` via a broadcast left join on word_id, words that
+    * zero out are dropped — and PUBLISHES the rewrite as the next
+    * crash-safe version of the same warehouse table
+    * ([[graft.core.Warehouse.publish]]: readers see old-complete or
+    * new-complete, never a torn index), retiring the superseded
+    * version via [[graft.core.Warehouse.gc]]. Serving then needs NO
+    * tombstone join — the bits are physically gone — and the ORACLE IS
+    * q231's (the plain GROUP BY over tombstone-filtered base rows), so
+    * the hash match proves purge ∘ publish ≡ tombstone view ≡ rebuild.
+    * The purge gate presence-tests the LIVE table for tombstoned bits
+    * (any stored word intersecting the tombstone) rather than trusting
+    * a version number — idempotent under any version history,
+    * including a persistent warehouse root where a fresh JVM's
+    * tableOnce republishes the unpurged index. Cost: the gate and the
+    * fold each scan only the index (≤ rows/64 words per column) and
+    * broadcast the O(deletes/64)-word tombstone; the rewrite is the
+    * index's own bytes. The base table is NEVER rescanned — the
+    * tombstone builds from the deleted rows' slice alone
+    * ([[bitmapRidded]]'s prefix-split guarantee). Runs against its OWN
+    * table, not q210/q231's serving tables: compaction of a live index
+    * is a publish-then-flip, per the Warehouse versioned-reader
+    * contract. */
+  /** The tombstone folded into the stored words: affected words AND-NOT,
+    * zeroed words drop — the purge's whole arithmetic, shared with the
+    * planted-frame spec. Idempotent: re-folding the same tombstone is a
+    * no-op because the cleared bits are already zero. */
+  private[graft] def bitmapPurgedOf(idx: DataFrame,
+                                    tomb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    idx.join(broadcast(tomb), Seq("word_id"), "left")
+      .select(col("col"), col("val"), col("word_id"),
+        expr("w & ~coalesce(tw, 0L)").as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
+  def bitmapPurgeServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val table = s"bitmappurge_$suffix"
+    graft.core.Warehouse.tableOnce(spark, table, "col") {
+      bitmapIndexOf(Tables.load(spark, dir, "lineitem"))
+    }
+    // O(deletes) slice → O(deletes/64) words; read twice (gate + fold)
+    val tomb = graft.core.EngineCache.persisted(
+      bitmapTombstoneOf(Tables.load(spark, dir, "lineitem")
+        .filter(s"l_orderkey % $BitmapDelMod = $BitmapDelRem")))
+    val cur = graft.core.Warehouse.readTable(spark, table)
+    val dirty = !cur.join(broadcast(tomb), Seq("word_id"))
+      .filter(expr("(w & tw) != 0")).isEmpty
+    if (dirty) {
+      graft.core.Warehouse.publish(bitmapPurgedOf(cur, tomb), table,
+        Seq("col"))
+      graft.core.Warehouse.gc(spark, table) // retire the pre-purge tree
+    }
+    bitmapCountsOf(graft.core.Warehouse.readTable(spark, table))
+      .filter(col("n_rows") > 0)
+  }
+
   // ---------------------------------------------------------------- q212
   /** ANALYZE-style column profile of lineitem — the statistics pass a
     * cost-based planner (and q201's sketch-based estimator) feeds on:

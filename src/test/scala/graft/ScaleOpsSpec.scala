@@ -653,6 +653,50 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("bitmap purge: folded words equal rebuild, zeroed words drop, fold idempotent") {
+    val sq = spark
+    import sq.implicits._
+    val rnd = new scala.util.Random(17)
+    // one orderkey group sits ALONE in its word and is wholly deleted:
+    // its words must vanish from the purged index, not linger as zeros
+    val rows = (0 until 450).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(7) + 1,
+        Seq("A", "N", "R")(rnd.nextInt(3)), Seq("F", "O")(rnd.nextInt(2)))
+    } ++ Seq.fill(4)((ScaleOps.BitmapDelRem.toLong + 1000L, 5, "R", "F"))
+    val li = rows.toDF("l_orderkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val del = col("l_orderkey") % ScaleOps.BitmapDelMod ===
+      ScaleOps.BitmapDelRem
+    val idx = ScaleOps.bitmapIndexOf(li)
+      .transform(graft.core.EngineCache.persisted)
+    val tomb = ScaleOps.bitmapTombstoneOf(li.filter(del))
+      .transform(graft.core.EngineCache.persisted)
+    val purged = ScaleOps.bitmapPurgedOf(idx, tomb)
+      .transform(graft.core.EngineCache.persisted)
+    def counts(i: org.apache.spark.sql.DataFrame) =
+      ScaleOps.bitmapCountsOf(i).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap.filter(_._2 > 0)
+    val rebuilt = counts(ScaleOps.bitmapIndexOf(li.filter(!del)))
+    assert(counts(purged) == rebuilt,
+      s"purge must equal rebuild: ${counts(purged)} vs $rebuilt")
+    // no tombstoned bit survives the fold, and no zeroed word lingers
+    assert(purged.join(tomb, Seq("word_id"))
+      .filter(expr("(w & tw) != 0")).isEmpty, "tombstoned bits survived")
+    assert(purged.filter(col("w") === 0L).isEmpty, "zeroed words lingered")
+    // the lone fully-deleted group's words are gone entirely
+    val loneWords = ScaleOps.bitmapTombstoneOf(
+        li.filter(col("l_orderkey") === ScaleOps.BitmapDelRem + 1000L))
+      .select("word_id")
+    assert(purged.join(loneWords, Seq("word_id")).isEmpty,
+      "a wholly-deleted group's words must leave the index")
+    // idempotence: folding the same tombstone again changes nothing
+    val again = ScaleOps.bitmapPurgedOf(purged, tomb)
+    assert(counts(again) == rebuilt && again.count() == purged.count(),
+      "re-folding the tombstone must be a no-op")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("zorder purge: tombstones leave the published layout, boxes shrink, idempotent") {
     val W = graft.core.Warehouse
     val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
