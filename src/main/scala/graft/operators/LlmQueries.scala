@@ -407,6 +407,80 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
       TRUE AS no_false_negative
     FROM b ORDER BY b.doc_id"""
 
+  // ---------------------------------------------------------------- q239
+  /** COUNTING-bloom DELETE ([[graft.functions.CountingBloom]], Fan et
+    * al. 2000) — the honest delete the q141 bloom cannot have: bit-OR
+    * never clears, so a takedown against a plain bloom at rest forces
+    * a rebuild. The counting filter is a LINEAR sketch of the inserted
+    * key multiset — one insertion PER DOCUMENT (q234's refcount
+    * discipline, sketched): per-shard counting blooms of the corpus
+    * bag-fingerprints persist at rest; a takedown cohort (doc_id ≡
+    * [[CBloomDelRem]] mod [[CBloomDelMod]]) is re-fingerprinted from
+    * ONLY the deleted rows' slice, cbloom_built, and SUBTRACTED from
+    * the merged filter — O(deletes) work, never a corpus re-read, and
+    * by linearity byte-identical to a rebuild on the surviving corpus
+    * (the property spec pins byte equality). A fingerprint shared by
+    * deleted AND surviving docs keeps its surviving +1s, so no false
+    * negatives survive the delete, structurally. The serve probes the
+    * arriving batch against the subtracted filter and reports each
+    * batch doc's exact-dup flag plus its LIVE partner count; the
+    * cohort is chosen so the delete visibly flips a flag at fixture
+    * scale (doc 20's only partner leaves). Oracle: the exact
+    * EXISTS/count over the tombstone-filtered corpus — the bloom side
+    * is gated by the no-false-negative invariant, as in q141. */
+  val CBloomDelMod = 10
+  val CBloomDelRem = 3
+
+  def cbloomDelete(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CountingBloom.register(spark)
+    val d = docs(spark, dir)
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val stored = graft.core.Warehouse.tableOnce(spark,
+      s"cbloom_fp_shards_$suffix", "shard") {
+      d.filter(col("source") =!= BatchSource)
+        .select(col("doc_id"), bagFingerprint("text").as("fp"))
+        .withColumn("shard", (col("fp") % 8).cast("int"))
+        .groupBy("shard").agg(expr("cbloom_build(fp)").as("sk"))
+    }
+    val merged = stored.agg(expr("cbloom_merge(sk)").as("msk"))
+    val tombPred = col("source") =!= BatchSource &&
+      col("doc_id") % CBloomDelMod === CBloomDelRem
+    val delSk = d.filter(tombPred)
+      .select(bagFingerprint("text").as("fp"))
+      .agg(expr("cbloom_build(fp)").as("dsk"))
+    val live = merged.crossJoin(delSk)
+      .select(expr("cbloom_diff(msk, dsk)").as("lsk"))
+    val liveFp = d.filter(col("source") =!= BatchSource && !tombPred)
+      .select(bagFingerprint("text").as("cfp"))
+    d.filter(col("source") === BatchSource)
+      .select(col("doc_id"), bagFingerprint("text").as("fp"))
+      .join(broadcast(liveFp), col("fp") === col("cfp"), "left")
+      .groupBy("doc_id", "fp")
+      .agg(count(col("cfp")).as("n_live_partners"))
+      .crossJoin(broadcast(live))
+      .select(col("doc_id"),
+        (col("n_live_partners") > 0).as("exact_dup"),
+        col("n_live_partners"),
+        (col("n_live_partners") === 0 || expr("cbloom_contains(lsk, fp)"))
+          .as("no_false_negative"))
+      .orderBy("doc_id")
+  }
+
+  def cbloomDeleteSql: String = s"""
+    WITH b AS (
+      SELECT doc_id, ${bagFingerprintSql("text")} AS fp
+      FROM documents WHERE source = '$BatchSource'),
+    c AS (
+      SELECT ${bagFingerprintSql("text")} AS fp
+      FROM documents
+      WHERE source <> '$BatchSource'
+        AND NOT (doc_id % $CBloomDelMod = $CBloomDelRem))
+    SELECT b.doc_id,
+      EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp) AS exact_dup,
+      (SELECT count(*) FROM c WHERE c.fp = b.fp)::BIGINT AS n_live_partners,
+      TRUE AS no_false_negative
+    FROM b ORDER BY b.doc_id"""
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * DecontamN-word shingle with a held-out eval source — the standard
     * "did training data leak the benchmark" check. The eval side's
@@ -675,6 +749,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q140_media_decode"   -> mediaDecode _,
     "q223_frame_sample"   -> frameSample _,
     "q141_bloom_persist"  -> bloomPersist _,
+    "q239_cbloom_delete"  -> cbloomDelete _,
     "q142_leakage_split"  -> leakageSplit _,
     "q143_source_contam"  -> sourceContamination _,
     "q144_lsh_pair_table" -> lshPairTable _,
@@ -774,6 +849,10 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q140_media_decode" -> mediaDecodeSql,
     "q223_frame_sample" -> frameSampleSql,
     "q141_bloom_persist" -> bloomPersistSql,
+    // delete = linear-sketch subtraction; exactness rides the exact
+    // EXISTS/count over the tombstone-filtered corpus, the bloom side
+    // is gated by the structural no-false-negative invariant
+    "q239_cbloom_delete" -> cbloomDeleteSql,
     "q142_leakage_split" -> leakageSplitSql,
     "q143_source_contam" -> sourceContaminationSql,
     // q144 persists exactly the q35 pair set; the oracle replays the

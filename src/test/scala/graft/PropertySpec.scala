@@ -151,6 +151,50 @@ object BloomProperties extends Properties("bloom") {
     }
 }
 
+object CountingBloomProperties extends Properties("cbloom") {
+  import graft.functions.CountingBloom
+
+  private val genKeys: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  property("linearity: build(all) - build(deleted) is BYTE-equal to build(rest)") =
+    forAll(genKeys, genKeys) { (rest, deleted) =>
+      // multisets: `rest` and `deleted` may share key VALUES — a shared
+      // value's surviving insertions must survive the subtraction
+      val all = CountingBloom.sketchOf(rest ++ deleted)
+      val live = CountingBloom.diffSketches(all, CountingBloom.sketchOf(deleted))
+      java.util.Arrays.equals(live, CountingBloom.sketchOf(rest))
+    }
+
+  property("no false negatives after delete: surviving keys still probe true") =
+    forAll(genKeys, genKeys) { (rest, deleted) =>
+      val live = CountingBloom.diffSketches(
+        CountingBloom.sketchOf(rest ++ deleted),
+        CountingBloom.sketchOf(deleted))
+      rest.forall(CountingBloom.contains(live, _))
+    }
+
+  property("merge equals multiset-union build and commutes (NOT idempotent)") =
+    forAll(genKeys, genKeys) { (a, b) =>
+      val sa = CountingBloom.sketchOf(a)
+      val sb = CountingBloom.sketchOf(b)
+      val m = CountingBloom.mergeSketches(sa, sb)
+      java.util.Arrays.equals(m, CountingBloom.sketchOf(a ++ b)) &&
+        java.util.Arrays.equals(m, CountingBloom.mergeSketches(sb, sa)) &&
+        (a.isEmpty == java.util.Arrays.equals(
+          CountingBloom.mergeSketches(sa, sa), sa))
+    }
+
+  property("underflow refuses: deleting a never-inserted key throws") =
+    forAll(genKeys) { keys =>
+      val base = CountingBloom.sketchOf(keys)
+      // a key outside the inserted multiset: bump any inserted key by 1
+      val foreign = keys.foldLeft(1L)((m, k) => math.max(m, k % 1000000 + 1))
+      scala.util.Try(CountingBloom.diffSketches(base,
+        CountingBloom.sketchOf(List(foreign) ++ keys))).isFailure
+    }
+}
+
 object EngineProperties extends Properties("engine") {
 
   // each sample runs real (local) Spark jobs — keep the count modest
