@@ -912,4 +912,146 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
       ORDER BY rank"""
   }
 
+  // ---------------------------------------------------------------- q240
+  /** WordPiece tokenization (Wu et al. 2016, §4.1 of the GNMT paper;
+    * the BERT tokenizer's greedy longest-match-first algorithm) — the
+    * second tokenizer family member beside BPE (q173/q182/q183), and a
+    * genuinely different algorithm: BPE REPLAYS a learned merge
+    * history; WordPiece segments each word by repeatedly taking the
+    * LONGEST vocabulary piece that prefixes the remainder, with
+    * word-initial and continuation ('##'-style) pieces as distinct
+    * vocabularies, falling back to a single [UNK] token when no piece
+    * matches. Vocabulary here: every single character seen in the
+    * train split plus the top-[[WpTopN]] multi-char substrings per
+    * kind by (count DESC, piece) — deterministic integer ranking both
+    * engines replay exactly.
+    *
+    * The greedy walk is a FUNCTION of (word, vocab), so it runs on the
+    * DISTINCT-WORD table (Sennrich's vocabulary compression, the same
+    * move the BPE trainer makes): a non-recursive jump table finds the
+    * longest match per (word, position) — explode positions × piece
+    * lengths ≤ [[WpMaxPiece]], equi-join the broadcast vocab, max per
+    * position — and a recursive CTE follows the jumps (bounded by word
+    * length; Spark executes recursion as iterative union
+    * materialization, the right tool for this vocab-sized walk —
+    * corpus rows never enter it). Each walk row carries a running
+    * multiset checksum Σ xhash(piece:kind) mod [[WpCkMod]], so the
+    * per-doc rollup pins the EXACT segmentation, not just counts; an
+    * UNK word contributes one [UNK] piece. The apply side is one
+    * (word → stats) broadcast join over the corpus — tokenizing 100 TB
+    * is a join, not a per-token loop. Both dialects render from ONE
+    * template, so engine and oracle cannot drift structurally. */
+  val WpMaxPiece = 4
+  val WpTopN = 10
+  val WpCkMod = 1000000007L
+
+  /** The whole q240 pipeline in dialect `d` over `table`. */
+  private def wordpieceSqlFor(d: SqlDialect,
+                              table: String = "documents"): String = {
+    import d._
+    val kind = (pos: String) => s"CASE WHEN $pos = 1 THEN 'i' ELSE 'c' END"
+    s"""
+    WITH RECURSIVE words0 AS (
+      SELECT doc_id, ${ex(wordsOf("text"))} AS w, $trainSplit AS sp
+      FROM $table),
+    wcnt AS (SELECT w, count(*) AS c FROM words0 WHERE sp <= 7 GROUP BY w),
+    cand AS (
+      SELECT ${kind("pos")} AS kind, substr(w, pos, l) AS piece,
+        sum(c) AS cnt
+      FROM (SELECT w, c, pos, ${ex(seq("1", WpMaxPiece.toString))} AS l
+            FROM (SELECT w, c, ${ex(seq("1", "length(w)"))} AS pos
+                  FROM wcnt) zp) zl
+      WHERE pos + l - 1 <= length(w)
+      GROUP BY 1, 2),
+    vocab AS (
+      SELECT kind, piece FROM cand WHERE length(piece) = 1
+      UNION ALL
+      SELECT kind, piece FROM (
+        SELECT kind, piece, row_number() OVER (PARTITION BY kind
+          ORDER BY cnt DESC, piece) AS rk
+        FROM cand WHERE length(piece) >= 2) zr WHERE rk <= $WpTopN),
+    dwords AS (SELECT DISTINCT w FROM words0),
+    jump AS (
+      SELECT w, pos, max(l) AS step FROM (
+        SELECT zw.w, zw.pos, zw.l, ${kind("zw.pos")} AS kind,
+          substr(zw.w, zw.pos, zw.l) AS piece
+        FROM (SELECT w, pos, ${ex(seq("1", WpMaxPiece.toString))} AS l
+              FROM (SELECT w, ${ex(seq("1", "length(w)"))} AS pos
+                    FROM dwords) dp) zw
+        WHERE zw.pos + zw.l - 1 <= length(zw.w)) cj
+      JOIN vocab v ON cj.kind = v.kind AND cj.piece = v.piece
+      GROUP BY w, pos),
+    r(w, pos, idx, ck) AS (
+      SELECT w, 1, 0, ${bigint("0")} FROM dwords
+      UNION ALL
+      SELECT r.w, r.pos + j.step, r.idx + 1,
+        r.ck + ${xh(s"substr(r.w, r.pos, j.step) || ':' || ${kind("r.pos")}")}
+          % $WpCkMod
+      FROM r JOIN jump j ON j.w = r.w AND j.pos = r.pos
+      WHERE r.pos <= length(r.w)),
+    fin AS (
+      SELECT w, max(pos) AS end_pos, max(idx) AS n_p,
+        max_by(ck, pos) AS ck, max(length(w)) AS wl
+      FROM r GROUP BY w),
+    wordseg AS (
+      SELECT w,
+        CASE WHEN end_pos = wl + 1 THEN n_p ELSE 1 END AS n_pieces_w,
+        CASE WHEN end_pos = wl + 1 THEN 0 ELSE 1 END AS unk_w,
+        CASE WHEN end_pos = wl + 1 THEN ck
+             ELSE ${xh("'[UNK]:i'")} % $WpCkMod END AS ck_w
+      FROM fin)
+    SELECT doc_id, ${bigint("count(*)")} AS n_words,
+      ${bigint("sum(n_pieces_w)")} AS n_pieces,
+      ${bigint("sum(unk_w)")} AS n_unk, ${bigint("sum(ck_w)")} AS ck
+    FROM words0 JOIN wordseg ON words0.w = wordseg.w
+    GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  def wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(wordpieceSqlFor(SqlDialect.spark))
+  }
+
+  /** q240 over an arbitrary (doc_id, text) frame — the spec entry. */
+  private[graft] def wordpieceOf(docsF: DataFrame): DataFrame = {
+    val spark = docsF.sparkSession
+    val v = s"graft_wp_docs_t${Thread.currentThread().getId}"
+    docsF.createOrReplaceTempView(v)
+    spark.sql(wordpieceSqlFor(SqlDialect.spark, v))
+  }
+
+  def wordpieceSql: String = wordpieceSqlFor(SqlDialect.duck)
+
+}
+
+/** The handful of spellings that differ between Spark SQL and DuckDB,
+  * factored so dialect-twin queries render from one template. */
+private[operators] final case class SqlDialect(
+    ex: String => String,             // explode/unnest a generator
+    seq: (String, String) => String,  // inclusive int range generator
+    xh: String => String,             // the cross-engine 60-bit hash
+    bigint: String => String,         // cast to 64-bit int
+    wordsOf: String => String,        // whitespace word split
+    trainSplit: String)               // the q208 doc_id hash split
+
+private[operators] object SqlDialect {
+  import graft.core.Determinism
+  import graft.functions.TextFunctions
+
+  val spark: SqlDialect = SqlDialect(
+    ex = e => s"explode($e)",
+    seq = (lo, hi) => s"sequence($lo, $hi)",
+    xh = Determinism.xhashExpr,
+    bigint = e => s"CAST($e AS BIGINT)",
+    wordsOf = TextFunctions.wordsExpr,
+    trainSplit =
+      s"${Determinism.xhashExpr("concat('split:', CAST(doc_id AS STRING))")} % 10")
+
+  val duck: SqlDialect = SqlDialect(
+    ex = e => s"unnest($e)",
+    seq = (lo, hi) => s"range($lo, ($hi) + 1)",
+    xh = Determinism.xhashSql,
+    bigint = e => s"($e)::BIGINT",
+    wordsOf = TextFunctions.wordsSql,
+    trainSplit = s"${Determinism.xhashSql("'split:' || doc_id::VARCHAR")} % 10")
 }

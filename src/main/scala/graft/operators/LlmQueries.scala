@@ -776,6 +776,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q173_bpe_merges"     -> bpeMerges _,
     "q182_bpe_train"      -> bpeTrain _,
     "q183_bpe_tokenize"   -> bpeTokenize _,
+    "q240_wordpiece"      -> wordpiece _,
     "q184_intradoc_dedup" -> intradocDedup _,
     "q185_epoch_shuffle"  -> epochShuffle _,
     "q186_skipgram_negs"  -> skipgramNegatives _,
@@ -941,6 +942,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q173_bpe_merges" -> bpeMergesSql,
     "q182_bpe_train" -> bpeTrainSql,
     "q183_bpe_tokenize" -> bpeTokenizeSql,
+    // engine and oracle render from ONE dialect-parameterized template;
+    // the per-doc checksum pins the exact greedy segmentation
+    "q240_wordpiece" -> wordpieceSql,
     "q184_intradoc_dedup" -> intradocDedupSql,
     "q185_epoch_shuffle" -> epochShuffleSql,
     "q186_skipgram_negs" -> skipgramNegativesSql,

@@ -129,6 +129,37 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 1L), (4L, 0L, 0L, 0L)))
   }
 
+  test("wordpiece: greedy longest-match, continuation vocab, and the UNK fallback") {
+    val L = graft.operators.LlmQueries
+    // replicate the operator's doc_id hash split to land one doc in
+    // train (vocab source) and one held-out (segmentation only)
+    val xh = graft.core.Determinism.xhashExpr _
+    val sp = spark.range(0, 50)
+      .selectExpr("id", s"${xh("concat('split:', CAST(id AS STRING))")} % 10 AS sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = (0L until 50L).find(sp(_) <= 7).get
+    val heldId = (0L until 50L).find(sp(_) > 7).get
+    // train vocab from {abab ×3, ab ×1}: i = {a} ∪ {ab, aba, abab},
+    // c = {a, b} ∪ {ab, ba, bab} — all multi-char pieces fit WpTopN
+    val out = L.wordpieceOf(docsOf(
+        trainId -> "abab abab abab ab",
+        heldId -> "abab ababab ba")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def h(s: String): Long = spark.sql(
+      s"SELECT ${xh(s"'$s'")} % ${L.WpCkMod}").head().getLong(0)
+    // held-out: "abab" → [abab:i]; "ababab" → GREEDY takes abab (4)
+    // then ##ab — not aba+bab; "ba" → no 'b' in the INITIAL vocab
+    // (no train word starts with b) → one [UNK] piece
+    assert(out(heldId) == (3L, 4L, 1L,
+      2 * h("abab:i") + h("ab:c") + h("[UNK]:i")),
+      s"held-out segmentation drifted: ${out(heldId)}")
+    // train doc: three 1-piece abab + 1-piece ab, zero UNK
+    assert(out(trainId) == (4L, 4L, 0L, 3 * h("abab:i") + h("ab:i")),
+      s"train segmentation drifted: ${out(trainId)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("frozen-vocab BPE serving matches training and folds OOV pieces exactly") {
     // frozen artifacts from the Sennrich spec corpus: merges
     // (a,a)->aa, (aa,aa)->aaaa, (a,b)->ab, then the corpus runs dry
