@@ -778,6 +778,65 @@ object CorpusOps {
       doclen.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
   }
 
+  // ---------------------------------------------------------------- q241
+  /** In-place document UPDATE against the at-rest BM25 index — the
+    * q236 (ANN update) composed-lifecycle verb for text retrieval,
+    * completing the family: build (q164) → append (q178) → delete
+    * (q218) → UPDATE. A revised cohort (doc_id ≡ [[Bm25UpdRem]] mod
+    * [[Bm25UpdMod]]) re-publishes each doc as its FIRST HALF plus a
+    * brand-new marker token — a revision that exercises every way an
+    * edit moves BM25's statistics at once: dl shrinks (avgdl shifts
+    * corpus-wide), tf of dropped words falls, df falls where a word
+    * lived only in the dropped half, and an unseen term enters the
+    * index. The verb is delete ∘ insert under one serve: stored
+    * postings/doclen anti-join the cohort (the q218 move), fresh rows
+    * tokenize from ONLY the revised docs (the q178 move), and the q164
+    * serve runs over the composition — O(updates) text work, the base
+    * index never rescanned or rewritten, the segment-engine update
+    * path (Lucene's delete-then-add) in its Spark spelling. The
+    * ORACLE replays full BM25 over the corpus with the cohort's text
+    * substituted, so the hash match proves update ∘ store ≡
+    * rebuild-with-revisions. */
+  val Bm25UpdMod = 9
+  val Bm25UpdRem = 2
+
+  /** The revision: first ⌈n/2⌉ words + a marker term, spelled once per
+    * dialect (slice semantics verified identical for start=1). */
+  private def revisedTextSpark: String =
+    s"concat(array_join(slice(${wordsExpr("text")}, 1, " +
+      s"CAST(ceil(size(${wordsExpr("text")}) / 2.0) AS INT)), ' '), " +
+      "' revisedtok')"
+  private def revisedTextDuck: String =
+    s"array_to_string(list_slice(${wordsSql("text")}, 1, " +
+      s"ceil(len(${wordsSql("text")}) / 2.0)::INT), ' ') || ' revisedtok'"
+
+  def bm25IndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, doclen) = bm25IndexTables(spark, dir)
+    val upd = docs(spark, dir)
+      .filter(col("doc_id") % Bm25UpdMod === Bm25UpdRem)
+    val revised = upd.select(col("doc_id"),
+      expr(revisedTextSpark).as("text"))
+    val tomb = upd.select(col("doc_id"))
+    bm25ServeFrom(spark,
+      postings.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .select("term", "doc_id", "tf", "shard")
+        .union(bm25PostingsOf(revised)),
+      doclen.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .select("doc_id", "dl")
+        .union(bm25DoclenOf(revised)))
+  }
+
+  private[operators] def bm25IndexUpdateOracleSql: String = s"""
+      WITH upd AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % $Bm25UpdMod = $Bm25UpdRem
+               THEN $revisedTextDuck ELSE text END AS text
+        FROM documents),
+      ${bm25RankedOracleCtesOn("upd")}
+      SELECT query_id, rk, doc_id, score FROM sparse
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk"""
+
   // ---------------------------------------------------------------- q177
   /** Exact PHRASE search over a positional inverted index at rest —
     * the capability tf-only retrieval (q90/q164) cannot express: the
@@ -1330,6 +1389,7 @@ object CorpusOps {
     "q180_near_search"    -> nearSearch _,
     "q178_bm25_index_append" -> bm25IndexAppend _,
     "q218_bm25_index_delete" -> bm25IndexDelete _,
+    "q241_bm25_index_update" -> bm25IndexUpdate _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
     "q96_robust_stats"    -> robustStats _,
@@ -1437,6 +1497,9 @@ object CorpusOps {
       SELECT query_id, rk, doc_id, score FROM sparse
       WHERE rk <= $Bm25TopK
       ORDER BY query_id, rk""",
+    // update o store == rebuild-with-revisions: the oracle substitutes
+    // the cohort's revised text and replays full BM25
+    "q241_bm25_index_update" -> bm25IndexUpdateOracleSql,
     "q93_kl_drift" -> s"""
       WITH uni AS (
         SELECT source, unnest(${wordsSql("text")}) AS t FROM documents),

@@ -499,6 +499,26 @@ class PlanSpec extends SparkSpec {
       s"deletion must never re-tokenize or rescan the corpus:\n$p")
   }
 
+  test("BM25 update tokenizes only the revised cohort; stored postings stay pruned") {
+    graft.operators.CorpusOps.bm25IndexTables(spark, sfDir)
+    val p = plan(graft.operators.CorpusOps.bm25IndexUpdate(spark, sfDir))
+    assert(p.contains("bm25_postings"),
+      s"update-serve must scan the persisted postings:\n$p")
+    assert(p.contains("PartitionFilters: [shard"),
+      s"shard pruning must survive the anti-join + union:\n$p")
+    // the ONLY corpus scan is the revised slice: every raw-text read
+    // must carry the cohort filter, so base text is never re-tokenized
+    val rawScans = p.split("\n").filter(l =>
+      l.contains("documents") && l.contains("parquet") && l.contains("Scan"))
+    assert(p.split("Scan parquet").drop(1)
+      .filter(_.contains("documents"))
+      .forall(s => s.contains(s"% ${graft.operators.CorpusOps.Bm25UpdMod})") ||
+        s.contains(s"% ${graft.operators.CorpusOps.Bm25UpdMod} ")),
+      s"every corpus scan must be cohort-filtered (O(updates) text):\n$p")
+    assert(rawScans.isEmpty || p.contains("PushedFilters"),
+      s"cohort filter must push into the scan:\n$p")
+  }
+
   test("IVF-PQ delete keeps serving from the at-rest codes under the anti-join") {
     val p = plan(graft.operators.ScaleOps.ivfPqDelete(spark, sfDir))
     assert(p.contains("ivfpq_codes_"),
