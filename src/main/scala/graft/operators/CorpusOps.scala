@@ -778,6 +778,61 @@ object CorpusOps {
       doclen.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
   }
 
+  // ---------------------------------------------------------------- q242
+  /** Physical PURGE of tombstoned docs from the BM25 index — the
+    * compaction q218's scaladoc defers to, giving text retrieval the
+    * same complete lifecycle ANN (q225) and the bitmap index (q238)
+    * have: the purge anti-joins the tombstone cohort out of the stored
+    * postings AND doclen tables ONCE, publishes both rewrites as the
+    * next crash-safe Warehouse versions ([[graft.core.Warehouse
+    * .publish]] + [[graft.core.Warehouse.gc]]), and serves with NO
+    * anti-join — the rows are physically gone, so every future query
+    * stops paying the tombstone join forever (the Lucene segment-merge
+    * moment). Gates on tombstone PRESENCE in the live doclen table
+    * (never a version number — idempotent under persistent warehouse
+    * roots, the q225 advisor discipline). Runs against its OWN tables,
+    * not q164/q218's serving tables, per the Warehouse versioned-reader
+    * contract. The ORACLE IS q218's (full BM25 replay on the
+    * tombstone-filtered corpus), so the hash match proves
+    * purge ∘ publish ≡ tombstone view ≡ rebuild. Cost: one scan +
+    * rewrite of the index's own bytes (~1% of corpus); text is never
+    * re-tokenized. The cohort purges as a pushable predicate; an
+    * arbitrary takedown LIST would broadcast-anti-join instead, as
+    * q218 models. Atomicity note, stated honestly: the index is TWO
+    * tables and each publish is atomic per table, so a writer killed
+    * between the two leaves a jointly-stale pair — but the gate tests
+    * BOTH tables for tombstones, so the partial pair stays dirty and
+    * the next purge completes it (idempotent convergence); joint
+    * cross-table atomicity is a catalog-transaction concern
+    * (Delta/Iceberg commit), out of scope for a file warehouse. */
+  def bm25IndexPurge(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("documents")
+    val pt = wtable(dir, "bm25_postings_purge")
+    val dt = wtable(dir, "bm25_doclen_purge")
+    val postings0 = graft.core.Warehouse.tableOnce(spark, pt, "shard") {
+      bm25PostingsOf(docs(spark, dir))
+    }
+    graft.core.Warehouse.tableOnce(spark, dt) {
+      bm25DoclenOf(docs(spark, dir))
+    }
+    val isTomb = col("doc_id") % Bm25DelMod === Bm25DelRem
+    val dirty = !graft.core.Warehouse.readTable(spark, dt)
+      .filter(isTomb).isEmpty ||
+      !graft.core.Warehouse.readTable(spark, pt).filter(isTomb).isEmpty
+    if (dirty) {
+      graft.core.Warehouse.publish(
+        postings0.filter(!isTomb)
+          .select("term", "doc_id", "tf", "shard"), pt, Seq("shard"))
+      graft.core.Warehouse.publish(
+        graft.core.Warehouse.readTable(spark, dt).filter(!isTomb), dt)
+      graft.core.Warehouse.gc(spark, pt)
+      graft.core.Warehouse.gc(spark, dt)
+    }
+    bm25ServeFrom(spark,
+      graft.core.Warehouse.readTable(spark, pt),
+      graft.core.Warehouse.readTable(spark, dt))
+  }
+
   // ---------------------------------------------------------------- q241
   /** In-place document UPDATE against the at-rest BM25 index — the
     * q236 (ANN update) composed-lifecycle verb for text retrieval,
@@ -1390,6 +1445,7 @@ object CorpusOps {
     "q178_bm25_index_append" -> bm25IndexAppend _,
     "q218_bm25_index_delete" -> bm25IndexDelete _,
     "q241_bm25_index_update" -> bm25IndexUpdate _,
+    "q242_bm25_index_purge"  -> bm25IndexPurge _,
     "q94_rank_funcs"      -> rankFuncs _,
     "q95_interval_join"   -> intervalMonthJoin _,
     "q96_robust_stats"    -> robustStats _,
@@ -1500,6 +1556,15 @@ object CorpusOps {
     // update o store == rebuild-with-revisions: the oracle substitutes
     // the cohort's revised text and replays full BM25
     "q241_bm25_index_update" -> bm25IndexUpdateOracleSql,
+    // the physically-purged serve must equal the tombstone-view serve:
+    // q218's oracle verbatim -- purge o publish == tombstone == rebuild
+    "q242_bm25_index_purge" -> s"""
+      WITH live AS (SELECT * FROM documents
+                    WHERE NOT (doc_id % $Bm25DelMod = $Bm25DelRem)),
+      ${bm25RankedOracleCtesOn("live")}
+      SELECT query_id, rk, doc_id, score FROM sparse
+      WHERE rk <= $Bm25TopK
+      ORDER BY query_id, rk""",
     "q93_kl_drift" -> s"""
       WITH uni AS (
         SELECT source, unnest(${wordsSql("text")}) AS t FROM documents),

@@ -129,6 +129,35 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 2L, 1L), (4L, 0L, 0L, 0L)))
   }
 
+  test("BM25 purge: idempotent, and a torn two-table publish converges next run") {
+    val C = graft.operators.CorpusOps
+    val W = graft.core.Warehouse
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val first = key(C.bm25IndexPurge(spark, sfDir))
+    val dt = "bm25_doclen_purge_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val pt = "bm25_postings_purge_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val (vP, vD) = (W.publishedVersion(spark, pt).get,
+      W.publishedVersion(spark, dt).get)
+    // second run: nothing tombstoned remains -> no publish, same answer
+    assert(key(C.bm25IndexPurge(spark, sfDir)) == first, "purge not a fixpoint")
+    assert(W.publishedVersion(spark, pt).get == vP &&
+      W.publishedVersion(spark, dt).get == vD,
+      "a clean purge must not publish new versions")
+    // simulate a writer killed between the two publishes: doclen reverts
+    // to the UNPURGED table (tombstones back) while postings stay purged
+    W.publish(C.bm25DoclenOf(
+      graft.core.Tables.load(spark, sfDir, "documents")), dt)
+    assert(key(C.bm25IndexPurge(spark, sfDir)) == first,
+      "the torn pair must converge to the purged answer on the next run")
+    assert(W.readTable(spark, dt)
+      .filter(s"doc_id % ${C.Bm25DelMod} = ${C.Bm25DelRem}").isEmpty,
+      "convergence must re-purge the stale table")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("wordpiece: greedy longest-match, continuation vocab, and the UNK fallback") {
     val L = graft.operators.LlmQueries
     // replicate the operator's doc_id hash split to land one doc in
