@@ -372,6 +372,87 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     untouched.unionByName(Dedup.connectedComponents(subPairs))
   }
 
+  // ---------------------------------------------------------------- q243
+  /** Component-label maintenance under APPEND — q235's other half, and
+    * the EASY direction by the same closure argument that makes delete
+    * hard: inserting edges only ever MERGES components, never splits,
+    * so the whole update is expressible on the CONDENSED graph. The
+    * at-rest label table (built once over the BASE corpus's pairs)
+    * stands in for the base graph: each new pair's endpoints map to
+    * their current component label (an unlabeled endpoint — a base
+    * singleton or a new batch doc — maps to itself), self-loops drop
+    * (a pair landing inside one component is a no-op), and connected
+    * components runs over the O(new edges) label graph alone. Min-id
+    * labels stay canonical through the merge: base labels are already
+    * their components' min ids, so the min over merged label-nodes IS
+    * the rebuild's min doc id. Untouched components pass through
+    * verbatim (coalesce, zero graph work); endpoints gaining their
+    * first edge enter the table. New pairs cost O(batch): the batch is
+    * the only text signed — batch-vs-corpus candidates come from the
+    * q145 at-rest signature table, within-batch pairs from banding the
+    * batch against itself, and banded candidates decompose exactly
+    * over the base/batch split, so maintained edges = rebuild edges.
+    * The ORACLE is q51's full-corpus closure VERBATIM: same answer,
+    * different execution — the hash match proves maintain ≡ rebuild
+    * while the base corpus is never re-shingled and the base graph
+    * never re-walked. */
+  def componentAppend(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val base = d.filter(col("source") =!= BatchSource)
+    val batch = d.filter(col("source") === BatchSource)
+    val labels = graft.core.Warehouse.tableOnce(spark,
+      s"cc_base_labels_$suffix") {
+      Dedup.connectedComponents(Dedup.minhashLshPairs(base, "doc_id",
+        "text", WordShingleN, MinhashK, MinhashBands, MinhashTau))
+    }
+    // the SAME at-rest signature table q145 serves increments from
+    val corpusSig = graft.core.Warehouse.tableOnce(spark,
+      s"lsh_sig_$suffix", "shard") {
+      Dedup.signatureFrame(base, "doc_id", "text", WordShingleN, MinhashK)
+        .withColumn("shard", (col("id") % 8).cast("int"))
+    }.select("id", "hs", "sig")
+    val batchSig = Dedup.signatureFrame(batch, "doc_id", "text",
+      WordShingleN, MinhashK)
+    val cross = Dedup.incrementalLshPairs(corpusSig, batchSig,
+      MinhashK, MinhashBands, MinhashTau)
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    val within = Dedup.minhashLshPairs(batch, "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau)
+      .select(col("id_a"), col("id_b"))
+    componentAppendOf(labels, cross.unionByName(within))
+      .orderBy("doc_id")
+  }
+
+  /** The merge core over arbitrary (labels, new pairs) — the spec
+    * entry point. */
+  private[graft] def componentAppendOf(labels: DataFrame,
+                                       newPairs: DataFrame): DataFrame = {
+    val np = graft.core.EngineCache.persisted(
+      newPairs.select(col("id_a"), col("id_b")))
+    val ends = np.select(col("id_a").as("doc_id"))
+      .unionByName(np.select(col("id_b").as("doc_id"))).distinct()
+    // O(new endpoints) label rows out of the big table, then broadcast
+    val endLabels = labels.join(broadcast(ends), Seq("doc_id"), "left_semi")
+    val e = np
+      .join(broadcast(endLabels.toDF("id_a", "la")), Seq("id_a"), "left")
+      .join(broadcast(endLabels.toDF("id_b", "lb")), Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("id_a"),
+        coalesce(col("lb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val touched = Dedup.connectedComponents(e).toDF("node", "newc")
+    val rebased = labels
+      .join(broadcast(touched.toDF("component", "newc")),
+        Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newc"), col("component")).as("component"))
+    val fresh = touched
+      .join(labels.select(col("component").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("newc").as("component"))
+    rebased.unionByName(fresh)
+  }
+
   /** Same clusters via alternating large-star/small-star contraction —
     * the high-diameter scale path (chains/link-farms where label
     * propagation needs O(diameter) rounds). Same oracle as q51: both

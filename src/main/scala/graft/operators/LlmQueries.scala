@@ -756,6 +756,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q233_pair_delete"    -> lshPairDelete _,
     "q234_gramset_delete" -> gramSetDelete _,
     "q235_component_delete" -> componentDelete _,
+    "q243_component_append" -> componentAppend _,
     "q145_incremental_dedup" -> incrementalDedup _,
     "q147_ann_filtered"   -> annFiltered _,
     "q148_pad_batching"   -> padBatching _,
@@ -984,6 +985,12 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q54_embed_srp_topk" -> Similarity.srpTopPairsSql("embeddings",
       SrpBits, SrpBands, SrpTopK, EmbDims),
     "q51_dedup_components" -> Dedup.componentsSql(
+      Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
+      "doc_id"),
+    // q243's condensed-graph merge maintenance must equal q51's
+    // full-corpus closure verbatim: maintain o store == rebuild
+    "q243_component_append" -> Dedup.componentsSql(
       Dedup.minhashLshPairsSql("documents", "doc_id", "text",
         WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
       "doc_id"),

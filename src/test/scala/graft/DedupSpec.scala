@@ -84,6 +84,36 @@ class DedupSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("component append: condensed-graph merge equals a rebuild, labels canonical") {
+    val sq = spark
+    import sq.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // base graph: components {1,2} and {5,7}, plus singleton-by-absence
+    // docs 30 and 40 (no base edges -> not in the label table)
+    val basePairs = Seq((1L, 2L), (5L, 7L))
+      .toDF("id_a", "id_b").withColumn("jaccard", lit(1.0))
+    val labels = Dedup.connectedComponents(basePairs)
+      .transform(graft.core.EngineCache.persisted)
+    // new pairs: 100 bridges BOTH base components (merge via batch doc);
+    // (30,40) creates a brand-new component; (1,2) lands inside one
+    // component (self-loop after condensing -> no-op)
+    val newPairs = Seq((100L, 2L), (100L, 7L), (30L, 40L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val maintained = graft.operators.LlmQueries
+      .componentAppendOf(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = Dedup.connectedComponents(
+        basePairs.select("id_a", "id_b").unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merged component's canonical label = global min id (1), the new
+    // pair's component labels by its own min (30)
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 1L, 100L -> 1L,
+      30L -> 30L, 40L -> 30L)
+    assert(maintained == want && rebuilt == want,
+      s"append-maintain must equal rebuild: $maintained / $rebuilt")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("incremental dedup from at-rest signatures equals a from-scratch run") {
     val corpus = docsOf(
       1L -> "alpha beta gamma delta epsilon zeta",
