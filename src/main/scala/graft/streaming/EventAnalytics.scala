@@ -445,6 +445,37 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming DELETE feed for the counting-bloom filter — the
+    * stream-time twin of q239's subtraction: tombstoned documents
+    * arrive in micro-batches, each batch cbloom_builds its own
+    * decrement SKETCH under `batch_run=N` with idempotent overwrite,
+    * and a serve cbloom_merges every run's sketch before ONE
+    * cbloom_diff from the stored filter. The counting bloom is a
+    * LINEAR map of the inserted multiset, so batch-split-invariance
+    * here is BYTE equality of the subtracted filter, not merely
+    * equal query answers (the spec pins the bytes) — the strongest
+    * invariance any twin in this file can claim. The stored filter is
+    * never touched at stream time; decrements fold in at serve or by
+    * compaction. */
+  def startStreamingCbloomDeletes(docStream: DataFrame, decPath: String,
+                                  checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.CountingBloom.register(batch.sparkSession)
+          batch.select(graft.functions.TextFunctions
+              .bagFingerprint("text").as("fp"))
+            .agg(org.apache.spark.sql.functions.expr("cbloom_build(fp)")
+              .as("dsk"))
+            .write.mode("overwrite")
+            .parquet(s"$decPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming WITHIN-document repetition cut — the stream-time twin of
     * q184. The operator is per-document (a doc's cut depends only on
     * its own grams), so unlike the other twins it needs NO at-rest

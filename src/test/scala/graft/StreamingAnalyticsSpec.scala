@@ -729,6 +729,50 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming cbloom decrements merge to a BYTE-equal subtracted filter") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.expr
+    val CB = graft.functions.CountingBloom
+    CB.register(spark)
+    val corpus = Seq(
+      (3L, "alpha beta gamma"), (6L, "delta epsilon zeta"),
+      (16L, "eta theta iota"), (20L, "kappa lambda mu"))
+    def fps(rows: Seq[(Long, String)]) = rows.map { case (_, t) =>
+      spark.sql(s"SELECT ${graft.core.Determinism.xhashExpr(
+        s"array_join(array_sort(array_distinct(split(trim('$t'), '\\\\s+'))), ' ')")}")
+        .head().getLong(0)
+    }
+    val baseSk = CB.sketchOf(fps(corpus))
+    // tombstoned docs (6, 16) arrive split across two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-scb").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingCbloomDeletes(
+      source.toDF().toDF("doc_id", "text"), s"$dir/dec", s"$dir/ckpt")
+    source.addData(corpus.filter(_._1 == 6L).toIndexedSeq: _*)
+    q.processAllAvailable()
+    source.addData(corpus.filter(_._1 == 16L).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val mergedDec = spark.read.parquet(s"$dir/dec")
+      .agg(expr("cbloom_merge(dsk)")).head().getAs[Array[Byte]](0)
+    val served = CB.diffSketches(baseSk, mergedDec)
+    // linearity: stream-merged diff is BYTE-identical to the one-shot
+    // diff AND to a rebuild on the surviving corpus
+    val oneShot = CB.diffSketches(baseSk,
+      CB.sketchOf(fps(corpus.filter(r => r._1 == 6L || r._1 == 16L))))
+    val rebuilt = CB.sketchOf(fps(corpus.filterNot(r =>
+      r._1 == 6L || r._1 == 16L)))
+    assert(java.util.Arrays.equals(served, oneShot) &&
+      java.util.Arrays.equals(served, rebuilt),
+      "stream-merged decrement sketch must be byte-equal to one-shot and rebuild")
+    // and the membership answers follow: survivors in, tombstones out
+    val live = fps(corpus.filterNot(r => r._1 == 6L || r._1 == 16L))
+    assert(live.forall(CB.contains(served, _)), "survivor lost")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
