@@ -783,6 +783,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q186_skipgram_negs"  -> skipgramNegatives _,
     "q188_script_profile" -> scriptProfile _,
     "q196_pps_sample"     -> ppsSample _,
+    "q244_cluster_sample" -> clusterBalancedSample _,
     "q197_taint_ppr"      -> taintPpr _,
     "q189_gram_novelty"   -> gramNovelty _,
     "q190_corpus_funnel"  -> corpusFunnel _,
@@ -951,6 +952,8 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q186_skipgram_negs" -> skipgramNegativesSql,
     "q188_script_profile" -> scriptProfileSql,
     "q196_pps_sample" -> ppsSampleSql,
+    // clustering AND draw replayed: the gate covers the composition
+    "q244_cluster_sample" -> clusterBalancedSampleSql,
     "q197_taint_ppr" -> taintPprSql,
     "q189_gram_novelty" -> gramNoveltySql,
     "q190_corpus_funnel" -> corpusFunnelSql,

@@ -1176,4 +1176,56 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     FROM drawn WHERE n_copies >= 1
     ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q244
+  /** CLUSTER-BALANCED sampling — the embedding-space complement of the
+    * metadata-keyed samplers (q49 stratifies by source, q55 by quota,
+    * q196 by token mass): k-means cells (q84's Lloyd machinery, same
+    * K/rounds) define the strata, and a fixed per-cell quota of
+    * [[CbsPerCell]] vectors is drawn by deterministic hash rank — the
+    * prototype-based diversity selection of Sorscher et al. 2022
+    * ("Beyond neural scaling laws": cluster, then sample evenly across
+    * clusters) that flattens cluster-size skew: a dominant mode
+    * contributes the same quota as a rare one, which is the point —
+    * uniform sampling would spend the budget on the head mode. RNG-free
+    * and replayable from ids alone (the q196 discipline): within-cell
+    * order is xhash('cbs:' || vec_id) with a vec_id tiebreak. Output
+    * carries each cell's population so the skew being flattened is
+    * visible in the row. Scale: the clustering is q84's
+    * broadcast-centroid scan (the corpus never shuffles); the draw is
+    * one CELL-KEYED window — never a global order — and the result is
+    * O(K·quota). The oracle replays clustering AND draw, so the hash
+    * match covers the composition. */
+  val CbsPerCell = 5
+
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = graft.llm.Similarity
+      .kmeansLloyd(embs(spark, dir), KmK, KmRounds)
+      .select(col("vec_id"), col("cell"))
+    val w = Window.partitionBy("cell").orderBy(col("hr"), col("vec_id"))
+    asg.withColumn("hr",
+        expr(xhashExpr("concat('cbs:', CAST(vec_id AS STRING))")))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .withColumn("n_cell",
+        count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("rk") <= CbsPerCell)
+      .select(col("cell").cast("long").as("cell"), col("n_cell"),
+        col("vec_id"), col("rk"))
+      .orderBy("cell", "rk")
+  }
+
+  def clusterBalancedSampleSql: String = s"""
+    WITH asg AS (
+      SELECT vec_id, cell FROM (
+        ${graft.llm.Similarity.kmeansLloydSql("embeddings", KmK, KmRounds)}) z),
+    r AS (
+      SELECT vec_id, cell,
+        row_number() OVER (PARTITION BY cell
+          ORDER BY ${xhashSql("'cbs:' || vec_id::VARCHAR")}, vec_id) AS rk,
+        count(*) OVER (PARTITION BY cell) AS n_cell
+      FROM asg)
+    SELECT cell::BIGINT AS cell, n_cell::BIGINT AS n_cell, vec_id, rk::INT AS rk
+    FROM r WHERE rk <= $CbsPerCell
+    ORDER BY cell, rk"""
+
 }
