@@ -1026,16 +1026,17 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
   val WpTopN = 10
   val WpCkMod = 1000000007L
 
-  /** The whole q240 pipeline in dialect `d` over `table`. */
-  private def wordpieceSqlFor(d: SqlDialect,
-                              table: String = "documents"): String = {
+  private def wpKind(pos: String): String =
+    s"CASE WHEN $pos = 1 THEN 'i' ELSE 'c' END"
+
+  /** The vocab-derivation CTE chain (wcnt → cand → vocab) over
+    * `wordsRel` — any relation with a `w` column, one row per word
+    * OCCURRENCE. Shared by q240 (train-split words of the same table)
+    * and q246 (the frozen base corpus's words). */
+  private def wpVocabCtes(d: SqlDialect, wordsRel: String): String = {
     import d._
-    val kind = (pos: String) => s"CASE WHEN $pos = 1 THEN 'i' ELSE 'c' END"
-    s"""
-    WITH RECURSIVE words0 AS (
-      SELECT doc_id, ${ex(wordsOf("text"))} AS w, $trainSplit AS sp
-      FROM $table),
-    wcnt AS (SELECT w, count(*) AS c FROM words0 WHERE sp <= 7 GROUP BY w),
+    val kind = wpKind _
+    s"""wcnt AS (SELECT w, count(*) AS c FROM $wordsRel GROUP BY w),
     cand AS (
       SELECT ${kind("pos")} AS kind, substr(w, pos, l) AS piece,
         sum(c) AS cnt
@@ -1050,8 +1051,17 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
       SELECT kind, piece FROM (
         SELECT kind, piece, row_number() OVER (PARTITION BY kind
           ORDER BY cnt DESC, piece) AS rk
-        FROM cand WHERE length(piece) >= 2) zr WHERE rk <= $WpTopN),
-    dwords AS (SELECT DISTINCT w FROM words0),
+        FROM cand WHERE length(piece) >= 2) zr WHERE rk <= $WpTopN)"""
+  }
+
+  /** The apply-side CTE chain + final rollup: jump table, recursive
+    * walk, per-word stats, per-doc rollup. Expects `words0` (apply-side
+    * (doc_id, w) occurrences) and `vocab` (kind, piece) CTEs already
+    * defined. Shared by q240 and q246's frozen serve. */
+  private def wpApplyTail(d: SqlDialect): String = {
+    import d._
+    val kind = wpKind _
+    s"""dwords AS (SELECT DISTINCT w FROM words0),
     jump AS (
       SELECT w, pos, max(l) AS step FROM (
         SELECT zw.w, zw.pos, zw.l, ${kind("zw.pos")} AS kind,
@@ -1088,6 +1098,19 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** The whole q240 pipeline in dialect `d` over `table`: vocab from
+    * the table's own train split, apply over the whole table. */
+  private def wordpieceSqlFor(d: SqlDialect,
+                              table: String = "documents"): String = {
+    import d._
+    s"""
+    WITH RECURSIVE words0 AS (
+      SELECT doc_id, ${ex(wordsOf("text"))} AS w, $trainSplit AS sp
+      FROM $table),
+    ${wpVocabCtes(d, "(SELECT w FROM words0 WHERE sp <= 7) tw")},
+    ${wpApplyTail(d)}"""
+  }
+
   def wordpiece(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir).createOrReplaceTempView("documents")
     spark.sql(wordpieceSqlFor(SqlDialect.spark))
@@ -1102,6 +1125,91 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
   }
 
   def wordpieceSql: String = wordpieceSqlFor(SqlDialect.duck)
+
+  // ---------------------------------------------------------------- q246
+  /** FROZEN-vocab WordPiece serving from a vocabulary AT REST — the
+    * q151/q178 frozen-artifact discipline for the q240 tokenizer,
+    * giving WordPiece the same lifecycle BPE has (train q182 → apply
+    * q183 → frozen serve + stream twin): the (kind, piece) vocabulary
+    * derives ONCE from the BASE corpus (source ≠ BatchSource) and
+    * publishes to the warehouse Hive-partitioned by kind; an arriving
+    * batch is then the ONLY text word-split — its distinct words build
+    * the jump table against the stored vocab (a broadcast-sized scan)
+    * and walk the same recursive greedy. A tokenizer that cannot drift
+    * mid-ingest is the operational point; out-of-vocabulary words —
+    * inevitable at the ingest edge — hit the [UNK] protocol exactly as
+    * training-side segmentation would. The ORACLE re-derives the vocab
+    * from base raw text and segments the batch raw text, so the hash
+    * match proves the at-rest vocabulary table lost nothing. The
+    * STREAM twin [[graft.streaming.EventAnalytics.startStreamingWordpiece]]
+    * runs this serve per micro-batch: segmentation is per-document
+    * under a frozen vocab, so outputs are batch-split-invariant by
+    * construction. */
+  def wordpieceVocabAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    // unpartitioned on purpose: two kind values buy no pruning, and a
+    // kind-partitioned scan under the recursive-CTE join trips dynamic
+    // partition pruning into an unresolved-operator planner error
+    graft.core.Warehouse.tableOnce(spark, s"wp_vocab_$suffix") {
+      wordpieceVocabOf(docs(spark, dir)
+        .filter(col("source") =!= BatchSource))
+    }
+  }
+
+  /** The (kind, piece) vocab frame for an arbitrary (doc_id, text)
+    * base corpus. */
+  private[graft] def wordpieceVocabOf(baseDocs: DataFrame): DataFrame = {
+    val spark = baseDocs.sparkSession
+    val v = s"graft_wpv_base_t${Thread.currentThread().getId}"
+    baseDocs.createOrReplaceTempView(v)
+    val d = SqlDialect.spark
+    spark.sql(s"""
+      WITH ${wpVocabCtes(d,
+        s"(SELECT ${d.ex(d.wordsOf("text"))} AS w FROM $v) bw")}
+      SELECT kind, piece FROM vocab""")
+  }
+
+  /** Frozen serve over an arbitrary batch frame + stored vocab frame —
+    * shared by q246, its stream twin, and the spec. Safe under
+    * foreachBatch: the batch arrives on a CLONED session whose temp
+    * catalog cannot see views registered on the original, so a vocab
+    * from another session is transported by a bounded collect (the
+    * vocab is broadcast-sized by construction — chars + 2·WpTopN). */
+  private[graft] def wordpieceFrozenOf(batch: DataFrame,
+                                       vocab: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val tid = Thread.currentThread().getId
+    val bv = s"graft_wpf_batch_t$tid"
+    val vv = s"graft_wpf_vocab_t$tid"
+    batch.createOrReplaceTempView(bv)
+    val vloc =
+      if (vocab.sparkSession eq spark) vocab
+      else spark.createDataFrame(
+        java.util.Arrays.asList(vocab.collect(): _*), vocab.schema)
+    vloc.createOrReplaceTempView(vv)
+    val d = SqlDialect.spark
+    spark.sql(s"""
+      WITH RECURSIVE words0 AS (
+        SELECT doc_id, ${d.ex(d.wordsOf("text"))} AS w FROM $bv),
+      vocab AS (SELECT kind, piece FROM $vv),
+      ${wpApplyTail(d)}""")
+  }
+
+  def wordpieceFrozen(spark: SparkSession, dir: String): DataFrame =
+    wordpieceFrozenOf(
+      docs(spark, dir).filter(col("source") === BatchSource),
+      wordpieceVocabAtRest(spark, dir))
+
+  def wordpieceFrozenSql: String = {
+    val d = SqlDialect.duck
+    s"""
+    WITH RECURSIVE words0 AS (
+      SELECT doc_id, ${d.ex(d.wordsOf("text"))} AS w
+      FROM documents WHERE source = '$BatchSource'),
+    ${wpVocabCtes(d, s"""(SELECT ${d.ex(d.wordsOf("text"))} AS w
+        FROM documents WHERE source <> '$BatchSource') bw""")},
+    ${wpApplyTail(d)}"""
+  }
 
 }
 

@@ -778,6 +778,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q182_bpe_train"      -> bpeTrain _,
     "q183_bpe_tokenize"   -> bpeTokenize _,
     "q240_wordpiece"      -> wordpiece _,
+    "q246_wordpiece_frozen" -> wordpieceFrozen _,
     "q184_intradoc_dedup" -> intradocDedup _,
     "q185_epoch_shuffle"  -> epochShuffle _,
     "q186_skipgram_negs"  -> skipgramNegatives _,
@@ -947,6 +948,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     // engine and oracle render from ONE dialect-parameterized template;
     // the per-doc checksum pins the exact greedy segmentation
     "q240_wordpiece" -> wordpieceSql,
+    // frozen serve: the oracle re-derives the vocab from base raw text
+    // and segments the batch, proving the at-rest vocab lost nothing
+    "q246_wordpiece_frozen" -> wordpieceFrozenSql,
     "q184_intradoc_dedup" -> intradocDedupSql,
     "q185_epoch_shuffle" -> epochShuffleSql,
     "q186_skipgram_negs" -> skipgramNegativesSql,

@@ -569,6 +569,32 @@ object EventAnalytics {
       .start()
   }
 
+  /** Streaming WordPiece tokenization with a FROZEN vocabulary — the
+    * q246 serve at the ingest edge, mirroring the BPE twin above: the
+    * (kind, piece) vocab derives ONCE from the base corpus before the
+    * stream starts; each arriving micro-batch segments against it
+    * alone (greedy longest-match, [UNK] for OOV words) and lands its
+    * per-doc piece accounting under `batch_run=N` with idempotent
+    * overwrite. Segmentation is per-document under a frozen vocab, so
+    * the output is batch-split-invariant by construction. */
+  def startStreamingWordpiece(docStream: DataFrame, baseDocs: DataFrame,
+                              outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val vocab = graft.core.EngineCache.persisted(
+      graft.operators.LlmQueries.wordpieceVocabOf(baseDocs))
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.LlmQueries.wordpieceFrozenOf(batch, vocab)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Streaming BM25 index maintenance — the stream-time twin of q178:
     * each arriving micro-batch of (doc_id, text) rows is tokenized
     * alone and its postings (term, doc_id, tf, shard) land under

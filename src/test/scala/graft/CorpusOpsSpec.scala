@@ -189,6 +189,30 @@ class CorpusOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("frozen-vocab wordpiece serves batches against the base vocab, OOV hits UNK") {
+    val L = graft.operators.LlmQueries
+    val xh = graft.core.Determinism.xhashExpr _
+    // base vocab from {abab ×3, ab ×1} (as in the q240 spec, but frozen
+    // from a separate corpus): i = {a, ab, aba, abab}, c = {a, b, ab,
+    // ba, bab}
+    val base = docsOf(1L -> "abab abab abab ab")
+    val vocab = L.wordpieceVocabOf(base)
+      .transform(graft.core.EngineCache.persisted)
+    // the batch was never seen at vocab time: "ababab" segments
+    // greedily [abab, ##ab], "ba" has no initial piece -> [UNK],
+    // "abab" is one piece
+    val out = L.wordpieceFrozenOf(
+        docsOf(50L -> "abab ababab ba"), vocab).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def h(s: String): Long = spark.sql(
+      s"SELECT ${xh(s"'$s'")} % ${L.WpCkMod}").head().getLong(0)
+    assert(out(50L) == (3L, 4L, 1L,
+      2 * h("abab:i") + h("ab:c") + h("[UNK]:i")),
+      s"frozen segmentation drifted: ${out(50L)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("frozen-vocab BPE serving matches training and folds OOV pieces exactly") {
     // frozen artifacts from the Sennrich spec corpus: merges
     // (a,a)->aa, (aa,aa)->aaaa, (a,b)->ab, then the corpus runs dry
