@@ -64,6 +64,28 @@ object CmSketch {
     toBytes(ca)
   }
 
+  /** Counter-wise subtraction — the DELETE, by the same linearity that
+    * makes [[CountingBloom.diffSketches]] exact: the CMS is a linear
+    * map of the inserted key multiset, so build(all) − build(deleted)
+    * is BYTE-identical to build(all − deleted), and every guarantee
+    * (est ≥ true, est ≤ true + 2N/width with the SHRUNKEN post-delete
+    * N) holds on the subtracted sketch as if it had been built fresh.
+    * Throws on underflow — subtracting keys never inserted is
+    * corruption, not a delete (the CountingBloom guard, verbatim). */
+  def diffSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ca = fromBytes(a)
+    val cb = fromBytes(b)
+    var i = 0
+    while (i < ca.length) {
+      ca(i) -= cb(i)
+      require(ca(i) >= 0L,
+        s"cms_diff underflow at counter $i: the subtracted sketch " +
+          "contains insertions the base never made")
+      i += 1
+    }
+    toBytes(ca)
+  }
+
   /** Point estimate: min over the Depth row counters for the key. */
   def estimate(sk: Array[Byte], key: Long): Long = {
     val c = fromBytes(sk)
@@ -153,6 +175,8 @@ object CmSketch {
     spark.udf.register("cms_merge", udaf(Merge, Encoders.BINARY))
     spark.udf.register("cms_est", (sk: Array[Byte], k: Long) => estimate(sk, k))
     spark.udf.register("cms_count", (sk: Array[Byte]) => count(sk))
+    spark.udf.register("cms_diff",
+      (a: Array[Byte], b: Array[Byte]) => diffSketches(a, b))
     spark.udf.register("cms_join_est",
       (a: Array[Byte], b: Array[Byte]) => joinEstimate(a, b))
   }

@@ -599,6 +599,71 @@ object StatsOps {
     FROM lineitem GROUP BY l_partkey
     ORDER BY exact DESC, k LIMIT $CmsTopK"""
 
+  // ---------------------------------------------------------------- q247
+  /** CMS DELETE by linear-sketch subtraction — the q239 counting-bloom
+    * discipline for the FREQUENCY sketch, closing the sketch-at-rest
+    * family's delete story: count-min counters are a LINEAR map of the
+    * inserted key multiset, so a deletion cohort (the SAME lineitem
+    * event the bitmap family honors: l_orderkey ≡ [[ScaleOps.BitmapDelRem]]
+    * mod [[ScaleOps.BitmapDelMod]]) is retracted by building an
+    * O(deletes) decrement sketch from ONLY the tombstoned rows' slice
+    * and `cms_diff`-ing it from the merged at-rest shards —
+    * BYTE-identical to a rebuild on the survivors (ScalaCheck-pinned),
+    * with every CMS guarantee (est ≥ true; est ≤ true + 2N/width at
+    * the SHRUNKEN post-delete N) holding on the subtracted sketch as
+    * if built fresh, and a loud underflow guard refusing to subtract
+    * never-inserted keys. Contrast the monotone sketches (q224's
+    * min/max/HLL profile): retraction there is impossible and honestly
+    * flagged; the linear family (counting bloom, CMS) retracts
+    * exactly — knowing WHICH sketches can delete is the design
+    * knowledge this pair of queries encodes. The oracle is q137's
+    * top-k over the tombstone-filtered rows with the invariant booleans
+    * spelled TRUE — the hash match proves the post-delete estimates
+    * bracket the post-delete exact counts. */
+  def cmsDelete(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CmSketch.register(spark)
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val tid = Thread.currentThread().getId
+    val v = s"graft_cmsdel_t$tid"
+    graft.core.Warehouse.tableOnce(spark, s"cms_del_shards_$suffix",
+      "shard") {
+      spark.sql("""
+        SELECT CAST(l_orderkey % 8 AS INT) AS shard,
+          cms_build(l_partkey) AS sk
+        FROM lineitem GROUP BY CAST(l_orderkey % 8 AS INT)""")
+    }.createOrReplaceTempView(v)
+    val tomb = s"l_orderkey % ${ScaleOps.BitmapDelMod} = ${ScaleOps.BitmapDelRem}"
+    spark.sql(s"""
+      WITH m AS (SELECT cms_merge(sk) AS msk FROM $v),
+      d AS (SELECT cms_build(l_partkey) AS dsk FROM lineitem
+            WHERE $tomb),
+      live AS (SELECT cms_diff(m.msk, d.dsk) AS lsk
+               FROM m CROSS JOIN d),
+      ln AS (SELECT CAST(count(1) AS BIGINT) AS n FROM lineitem
+             WHERE NOT ($tomb)),
+      top AS (
+        SELECT l_partkey AS k, CAST(count(1) AS BIGINT) AS exact
+        FROM lineitem WHERE NOT ($tomb)
+        GROUP BY l_partkey ORDER BY exact DESC, k LIMIT $CmsTopK)
+      SELECT t.k, t.exact,
+        (cms_count(live.lsk) = ln.n) AS stream_len_exact,
+        (cms_est(live.lsk, t.k) >= t.exact) AS lower_ok,
+        (cms_est(live.lsk, t.k) <= t.exact +
+          CAST(ceil(2.0 * ln.n / ${graft.functions.CmSketch.Width}) AS BIGINT))
+          AS upper_ok
+      FROM top t CROSS JOIN live CROSS JOIN ln
+      ORDER BY t.exact DESC, t.k""")
+  }
+
+  def cmsDeleteSql: String = s"""
+    SELECT l_partkey AS k, CAST(count(1) AS BIGINT) AS exact,
+      TRUE AS stream_len_exact, TRUE AS lower_ok, TRUE AS upper_ok
+    FROM lineitem
+    WHERE NOT (l_orderkey % ${ScaleOps.BitmapDelMod} = ${ScaleOps.BitmapDelRem})
+    GROUP BY l_partkey
+    ORDER BY exact DESC, k LIMIT $CmsTopK"""
+
   // ---------------------------------------------------------------- q134
   /** Recency-decayed revenue per customer (half-life = 1 day, zero past
     * $DecayCapDays): the freshness-weighted spend feature every churn /
@@ -1131,6 +1196,7 @@ object StatsOps {
     "q135_hll_persist"    -> hllPersist _,
     "q136_quantile_sketch" -> ddqPersist _,
     "q137_heavy_hitters"  -> cmsPersist _,
+    "q247_cms_delete"     -> cmsDelete _,
     "q163_quality_classifier" -> qualityClassifier _,
     "q174_quality_calibration" -> qualityCalibration _,
     "q175_classifier_auc" -> classifierAuc _,
@@ -1151,6 +1217,9 @@ object StatsOps {
     "q135_hll_persist"    -> hllPersistSql,
     "q136_quantile_sketch" -> ddqPersistSql,
     "q137_heavy_hitters"  -> cmsPersistSql,
+    // delete = linear-sketch subtraction; post-delete estimates must
+    // bracket the tombstone-filtered exact counts
+    "q247_cms_delete"     -> cmsDeleteSql,
     "q163_quality_classifier" -> qualityClassifierOracleSql,
     "q174_quality_calibration" -> qualityCalibrationOracleSql,
     "q175_classifier_auc" -> classifierAucOracleSql,

@@ -125,6 +125,29 @@ object CmsProperties extends Properties("countmin") {
       val exact = nKeys.toLong * mult
       est >= exact && est <= exact + mult.toLong * mult * nKeys
     }
+
+  property("linearity: build(all) - build(deleted) is BYTE-equal to build(rest)") =
+    forAll(genKeys, genKeys) { (rest, deleted) =>
+      val live = CmSketch.diffSketches(
+        CmSketch.sketchOf(rest ++ deleted), CmSketch.sketchOf(deleted))
+      java.util.Arrays.equals(live, CmSketch.sketchOf(rest))
+    }
+
+  property("post-delete estimates still never undercount the survivors") =
+    forAll(genKeys, genKeys) { (rest, deleted) =>
+      val live = CmSketch.diffSketches(
+        CmSketch.sketchOf(rest ++ deleted), CmSketch.sketchOf(deleted))
+      val exact = rest.groupBy(identity).view.mapValues(_.size.toLong)
+      CmSketch.count(live) == rest.length &&
+        exact.forall { case (k, n) => CmSketch.estimate(live, k) >= n }
+    }
+
+  property("underflow refuses: deleting a never-inserted key throws") =
+    forAll(genKeys) { keys =>
+      val foreign = 424242L +: keys // one extra insertion of any key
+      scala.util.Try(CmSketch.diffSketches(
+        CmSketch.sketchOf(keys), CmSketch.sketchOf(foreign))).isFailure
+    }
 }
 
 object BloomProperties extends Properties("bloom") {
