@@ -1197,18 +1197,22 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     * match covers the composition. */
   val CbsPerCell = 5
 
-  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val asg = graft.llm.Similarity
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    clusterQuotaOf(graft.llm.Similarity
       .kmeansLloyd(embs(spark, dir), KmK, KmRounds)
-      .select(col("vec_id"), col("cell"))
+      .select(col("vec_id"), col("cell")), CbsPerCell)
+
+  /** The quota draw over an arbitrary (vec_id, cell) assignment — the
+    * spec entry point. */
+  private[graft] def clusterQuotaOf(asg: DataFrame, quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cell").orderBy(col("hr"), col("vec_id"))
     asg.withColumn("hr",
         expr(xhashExpr("concat('cbs:', CAST(vec_id AS STRING))")))
       .withColumn("rk", row_number().over(w).cast("int"))
       .withColumn("n_cell",
         count(lit(1)).over(Window.partitionBy("cell")))
-      .filter(col("rk") <= CbsPerCell)
+      .filter(col("rk") <= quota)
       .select(col("cell").cast("long").as("cell"), col("n_cell"),
         col("vec_id"), col("rk"))
       .orderBy("cell", "rk")

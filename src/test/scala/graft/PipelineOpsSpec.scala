@@ -9,6 +9,37 @@ import org.apache.spark.sql.functions._
   * chunk coverage, dedup-survivor structure). */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("cluster quota: skew flattened, hash order deterministic, small cells whole") {
+    val sq = spark
+    import sq.implicits._
+    // assignment with a dominant cell (40 members), a mid cell (7, just
+    // over the quota of 5), and a tiny cell (3 — under the quota, so it
+    // contributes ALL its members)
+    val asg = ((1L to 40L).map(i => (i, 0L)) ++
+      (100L to 106L).map(i => (i, 1L)) ++
+      (200L to 202L).map(i => (i, 2L))).toDF("vec_id", "cell")
+    val out = LlmQueries.clusterQuotaOf(asg, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byCell = out.groupBy(_._1)
+    // skew flattened: the 40-member cell contributes exactly the quota,
+    // the 3-member cell all of itself
+    assert(byCell(0L).length == 5 && byCell(1L).length == 5 &&
+      byCell(2L).length == 3, s"quota drift: ${byCell.view.mapValues(_.length).toMap}")
+    assert(out.forall(r => r._2 == Map(0L -> 40L, 1L -> 7L, 2L -> 3L)(r._1)),
+      "population column must carry the true cell size")
+    // deterministic: the draw is a pure function of ids — re-running
+    // and re-partitioning give the identical sample
+    val again = LlmQueries.clusterQuotaOf(asg.repartition(7), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.sortBy(r => (r._1, r._4)).toSeq == again.sortBy(r => (r._1, r._4)).toSeq,
+      "quota draw must be partition-invariant")
+    // hash order, not id order: the dominant cell's sample is NOT just
+    // the 5 lowest ids (that would be a biased head slice)
+    assert(byCell(0L).map(_._3).toSet != (1L to 5L).toSet,
+      "sample must follow hash rank, not id order")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("PPS sample: exactly K draws, giant docs certain, partition-invariant") {
     val sq = spark
     import sq.implicits._
