@@ -83,6 +83,26 @@ object DdSketch {
 
   def count(sk: Array[Byte]): Long = fromBytes(sk).sum
 
+  /** Bucket-wise subtraction — the DELETE, by the same linearity as
+    * [[CmSketch.diffSketches]] and [[CountingBloom.diffSketches]]:
+    * bucket counts are a linear map of the inserted value multiset, so
+    * build(all) − build(deleted) is BYTE-identical to build(all −
+    * deleted) and the α relative-error guarantee holds on the
+    * subtracted sketch as if built fresh. Throws on underflow. */
+  def diffSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ca = fromBytes(a)
+    val cb = fromBytes(b)
+    var i = 0
+    while (i < MaxBuckets) {
+      ca(i) -= cb(i)
+      require(ca(i) >= 0L,
+        s"ddq_diff underflow at bucket $i: the subtracted sketch " +
+          "contains insertions the base never made")
+      i += 1
+    }
+    toBytes(ca)
+  }
+
   /** q-quantile estimate: walk buckets to rank ⌊q·(n−1)⌋ (the paper's
     * x_q), return the midpoint. Null contract: empty sketch → NaN. */
   def quantile(sk: Array[Byte], q: Double): Double = {
@@ -145,5 +165,7 @@ object DdSketch {
     spark.udf.register("ddq_merge", udaf(Merge, Encoders.BINARY))
     spark.udf.register("ddq_quantile", (sk: Array[Byte], q: Double) => quantile(sk, q))
     spark.udf.register("ddq_count", (sk: Array[Byte]) => count(sk))
+    spark.udf.register("ddq_diff",
+      (a: Array[Byte], b: Array[Byte]) => diffSketches(a, b))
   }
 }

@@ -664,6 +664,77 @@ object StatsOps {
     GROUP BY l_partkey
     ORDER BY exact DESC, k LIMIT $CmsTopK"""
 
+  // ---------------------------------------------------------------- q248
+  /** DDSketch DELETE by linear subtraction — the third member of the
+    * linear-sketch delete trio (counting bloom q239 for membership,
+    * CMS q247 for frequencies, quantiles here), and the one that
+    * completes the design taxonomy the q224 profile opened: LINEAR
+    * sketches (plain counters per slot/bucket) retract exactly by
+    * subtraction; MONOTONE sketches (HLL register-max, min/max bounds)
+    * cannot retract at all and must flag staleness or rebuild. The
+    * SAME orders deletion event the lineitem artifacts honor
+    * (o_orderkey ≡ [[ScaleOps.BitmapDelRem]] mod
+    * [[ScaleOps.BitmapDelMod]] — one takedown, every store) builds a
+    * per-group decrement sketch from ONLY the tombstoned rows and
+    * `ddq_diff`s it from the merged at-rest shards; groups the cohort
+    * never touched subtract nothing and pass through. Post-delete
+    * quantile estimates carry the α relative-error guarantee as if
+    * built fresh (byte-identical by linearity, ScalaCheck-pinned),
+    * gated q136-style against exact percentiles over the
+    * tombstone-filtered rows. */
+  def ddqDelete(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DdSketch.register(spark)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val tid = Thread.currentThread().getId
+    val v = s"graft_ddqdel_t$tid"
+    graft.core.Warehouse.tableOnce(spark, s"ddq_del_shards_$suffix",
+      "shard") {
+      spark.sql(s"""
+        SELECT o_orderpriority AS grp, CAST(o_custkey % 8 AS INT) AS shard,
+          ddq_build(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sk
+        FROM orders GROUP BY o_orderpriority, CAST(o_custkey % 8 AS INT)""")
+    }.createOrReplaceTempView(v)
+    val tomb = s"o_orderkey % ${ScaleOps.BitmapDelMod} = ${ScaleOps.BitmapDelRem}"
+    spark.sql(s"""
+      WITH m AS (SELECT grp, ddq_merge(sk) AS msk FROM $v GROUP BY grp),
+      d AS (
+        SELECT o_orderpriority AS grp,
+          ddq_build(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS dsk
+        FROM orders WHERE $tomb GROUP BY o_orderpriority),
+      live AS (
+        SELECT m.grp,
+          CASE WHEN d.dsk IS NULL THEN m.msk
+               ELSE ddq_diff(m.msk, d.dsk) END AS lsk
+        FROM m LEFT JOIN d ON m.grp = d.grp),
+      est AS (
+        SELECT grp, ddq_quantile(lsk, 0.5D) AS e50,
+          ddq_quantile(lsk, 0.99D) AS e99, ddq_count(lsk) AS sk_n
+        FROM live),
+      b AS (
+        SELECT o_orderpriority AS grp,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE NOT ($tomb)),
+      ex AS (
+        SELECT grp, CAST(count(1) AS BIGINT) AS n,
+          percentile(cents, 0.5D) AS x50, percentile(cents, 0.99D) AS x99
+        FROM b GROUP BY grp)
+      SELECT est.grp, ex.n,
+        (est.sk_n = ex.n) AS count_exact,
+        (abs(est.e50 - ex.x50) <= 0.03 * ex.x50) AS p50_within_3pct,
+        (abs(est.e99 - ex.x99) <= 0.03 * ex.x99) AS p99_within_3pct
+      FROM est JOIN ex ON est.grp = ex.grp
+      ORDER BY est.grp""")
+  }
+
+  def ddqDeleteSql: String = s"""
+    SELECT o_orderpriority AS grp, CAST(count(1) AS BIGINT) AS n,
+      TRUE AS count_exact, TRUE AS p50_within_3pct, TRUE AS p99_within_3pct
+    FROM orders
+    WHERE NOT (o_orderkey % ${ScaleOps.BitmapDelMod} = ${ScaleOps.BitmapDelRem})
+    GROUP BY o_orderpriority
+    ORDER BY grp"""
+
   // ---------------------------------------------------------------- q134
   /** Recency-decayed revenue per customer (half-life = 1 day, zero past
     * $DecayCapDays): the freshness-weighted spend feature every churn /
@@ -1197,6 +1268,7 @@ object StatsOps {
     "q136_quantile_sketch" -> ddqPersist _,
     "q137_heavy_hitters"  -> cmsPersist _,
     "q247_cms_delete"     -> cmsDelete _,
+    "q248_ddq_delete"     -> ddqDelete _,
     "q163_quality_classifier" -> qualityClassifier _,
     "q174_quality_calibration" -> qualityCalibration _,
     "q175_classifier_auc" -> classifierAuc _,
@@ -1220,6 +1292,9 @@ object StatsOps {
     // delete = linear-sketch subtraction; post-delete estimates must
     // bracket the tombstone-filtered exact counts
     "q247_cms_delete"     -> cmsDeleteSql,
+    // same discipline for quantiles: post-delete estimates stay within
+    // alpha of the tombstone-filtered exact percentiles
+    "q248_ddq_delete"     -> ddqDeleteSql,
     "q163_quality_classifier" -> qualityClassifierOracleSql,
     "q174_quality_calibration" -> qualityCalibrationOracleSql,
     "q175_classifier_auc" -> classifierAucOracleSql,

@@ -82,6 +82,29 @@ object DdqProperties extends Properties("ddsketch") {
         val exact = sorted(math.floor(q * (a.length - 1)).toInt).toDouble
         math.abs(DdSketch.quantile(sk, q) - exact) <= DdSketch.Alpha * exact + 1e-9
     }
+
+  property("linearity: build(all) - build(deleted) is BYTE-equal to build(rest)") =
+    forAll(genPos, genPos) { (rest, deleted) =>
+      val live = DdSketch.diffSketches(
+        DdSketch.sketchOf(rest ++ deleted), DdSketch.sketchOf(deleted))
+      java.util.Arrays.equals(live, DdSketch.sketchOf(rest))
+    }
+
+  property("post-delete quantiles keep the alpha guarantee on the survivors") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 100000000L)), genPos,
+      Gen.choose(0.0, 1.0)) { (rest, deleted, q) =>
+      val live = DdSketch.diffSketches(
+        DdSketch.sketchOf(rest ++ deleted), DdSketch.sketchOf(deleted))
+      val sorted = rest.sorted
+      val exact = sorted(math.floor(q * (rest.length - 1)).toInt).toDouble
+      math.abs(DdSketch.quantile(live, q) - exact) <= DdSketch.Alpha * exact + 1e-9
+    }
+
+  property("underflow refuses: deleting a never-inserted value throws") =
+    forAll(genPos) { vs =>
+      scala.util.Try(DdSketch.diffSketches(
+        DdSketch.sketchOf(vs), DdSketch.sketchOf(7L +: vs))).isFailure
+    }
 }
 
 object CmsProperties extends Properties("countmin") {
