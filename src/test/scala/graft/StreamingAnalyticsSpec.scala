@@ -812,6 +812,106 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(sessions.count() > 0)
   }
 
+  test("composed streaming takedown serves every store rebuild-equal, restart included") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, sum}
+    import graft.operators.LlmQueries
+    import graft.streaming.TakedownPipeline
+    val CB = graft.functions.CountingBloom
+    CB.register(spark)
+    // corpus: doc 3 shares its text with tombstoned 6 (grams + pair die
+    // with 6, 3's gram incidences survive); 16 is tombstoned with
+    // exclusive grams; 21/22 are a surviving near-dup pair; 20 is lone
+    val corpus = Seq(
+      3L -> "a b c d e f g h i",
+      6L -> "a b c d e f g h i",
+      16L -> "q r s t u v w x y",
+      20L -> "k l m n o p q1 r1 s1",
+      21L -> "m1 m2 m3 m4 m5 m6 m7 m8 m9",
+      22L -> "m1 m2 m3 m4 m5 m6 m7 m8 m9")
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val tombRows = corpus.filter(r => r._1 == 6L || r._1 == 16L)
+    // the at-rest stores the takedown must honor
+    val basePairs = graft.llm.Dedup.minhashLshPairs(corpusDf, "doc_id",
+        "text", LlmQueries.WordShingleN, LlmQueries.MinhashK,
+        LlmQueries.MinhashBands, LlmQueries.MinhashTau)
+      .transform(graft.core.EngineCache.persisted)
+    val baseGrams = LlmQueries.distinctDocGramsOf(corpusDf)
+      .groupBy("ghash").agg(count(lit(1)).as("df"))
+      .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
+      .transform(graft.core.EngineCache.persisted)
+    def fpOf(t: String): Long = spark.sql(
+      s"SELECT ${graft.core.Determinism.xhashExpr(
+        s"array_join(array_sort(array_distinct(split(trim('$t'), '\\\\s+'))), ' ')")}")
+      .head().getLong(0)
+    val baseSk = CB.sketchOf(corpus.map(r => fpOf(r._2)))
+    // stream the takedown: batch 0, crash, restart (batch 0 replays),
+    // batch 1 — idempotent overwrite must replace, not duplicate
+    val dir = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    def runOnce(feed: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)] => Unit): Unit = {
+      val source = MemoryStream[(Long, String)]
+      val q = TakedownPipeline.start(
+        source.toDF().toDF("doc_id", "text"), dir, s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce { s => s.addData(tombRows.take(1).toIndexedSeq: _*) }
+    runOnce { s =>
+      s.addData(tombRows.take(1).toIndexedSeq: _*)
+      s.addData(tombRows.drop(1).toIndexedSeq: _*)
+    }
+    // 1. the id feed drives the pair-table anti-join == rebuild
+    val ids = spark.read.parquet(s"$dir/ids").select("doc_id").distinct()
+    assert(ids.collect().map(_.getLong(0)).toSet == Set(6L, 16L))
+    val servedPairs = basePairs
+      .join(broadcast(ids.toDF("id_a")), Seq("id_a"), "left_anti")
+      .join(broadcast(ids.toDF("id_b")), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuiltPairs = graft.llm.Dedup.minhashLshPairs(
+        corpusDf.filter(!col("doc_id").isin(6L, 16L)), "doc_id", "text",
+        LlmQueries.WordShingleN, LlmQueries.MinhashK,
+        LlmQueries.MinhashBands, LlmQueries.MinhashTau)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedPairs == rebuiltPairs && servedPairs == Set((21L, 22L)),
+      s"pair store must lose (3,6) and keep (21,22): $servedPairs")
+    // 2. merged gram decrements fold into a rebuild-equal gram set
+    val mergedDec = spark.read.parquet(s"$dir/gramdec")
+      .groupBy("ghash").agg(sum("dec").as("dec"))
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val servedGrams = rollup(LlmQueries.gramSetAfterDelete(baseGrams, mergedDec))
+    val rebuiltGrams = rollup(
+      LlmQueries.distinctDocGramsOf(corpusDf.filter(!col("doc_id").isin(6L, 16L)))
+        .groupBy("ghash").agg(count(lit(1)).as("df"))
+        .withColumn("shard", expr("CAST(pmod(ghash, 8) AS INT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_grams"), sum("df").as("doc_incidences"),
+          expr("bit_xor(ghash)").as("hash_xor"))
+        .orderBy("shard"))
+    assert(servedGrams == rebuiltGrams,
+      s"gram store must fold rebuild-equal: $servedGrams vs $rebuiltGrams")
+    // 3. merged counting-bloom decrements subtract byte-exactly
+    val mergedSk = spark.read.parquet(s"$dir/cbloomdec")
+      .agg(expr("cbloom_merge(dsk)")).head().getAs[Array[Byte]](0)
+    val rebuiltSk = CB.sketchOf(
+      corpus.filterNot(r => r._1 == 6L || r._1 == 16L).map(r => fpOf(r._2)))
+    assert(java.util.Arrays.equals(CB.diffSketches(baseSk, mergedSk), rebuiltSk),
+      "cbloom store must subtract byte-equal to a rebuild")
+    // 4. the audit trail accounts for exactly the cohort, once
+    val rep = spark.read.parquet(s"$dir/report")
+      .agg(sum("n_docs"), sum("gram_incidences")).head()
+    assert(rep.getLong(0) == 2L, s"report must count the cohort once: $rep")
+    assert(rep.getLong(1) == mergedDec.agg(sum("dec")).head().getLong(0))
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("composed streaming ingest DAG equals the batch chain, restart included") {
     val sq = spark
     import sq.implicits._
