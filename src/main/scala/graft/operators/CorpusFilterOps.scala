@@ -426,7 +426,18 @@ object CorpusFilterOps {
     backoffLmOf(docs(spark, dir))
 
   /** Core of q208 over any (doc_id, text) frame. */
-  private[graft] def backoffLmOf(docsF: DataFrame): DataFrame = {
+  private[graft] def backoffLmOf(docsF: DataFrame): DataFrame =
+    backoffScoredOf(docsF)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tri"), sum("l8").as("s8"))
+      .select(col("doc_id"), col("n_tri"),
+        dround(col("s8").cast("double") / lit(1e8) / col("n_tri"), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+
+  /** The per-trigram scored frame (doc_id, l8) of the held-out slice —
+    * q208's engine shared with q249's min-k% rollup. */
+  private[graft] def backoffScoredOf(docsF: DataFrame): DataFrame = {
     val d = docsF.select(col("doc_id"), words("text").as("ws"),
       expr(s"${graft.core.Determinism.xhashExpr("concat('split:', CAST(doc_id AS STRING))")} % 10").as("sp"))
     val tr = graft.core.EngineCache.persisted(
@@ -458,18 +469,15 @@ object CorpusFilterOps {
           WHEN c23 IS NOT NULL THEN $BackoffAlpha * CAST(c23 AS DOUBLE) / CAST(c1w2 AS DOUBLE)
           ELSE $BackoffAlpha * $BackoffAlpha * CAST(coalesce(c1w3, 0) + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)
         END) * 1e8 + 0.5) AS BIGINT)""").as("l8"))
-    scored.groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_tri"), sum("l8").as("s8"))
-      .select(col("doc_id"), col("n_tri"),
-        dround(col("s8").cast("double") / lit(1e8) / col("n_tri"), 6).as("avg_logp"))
-      .orderBy("doc_id")
+    scored
   }
 
-  private def backoffLmSql: String = {
+  /** q208's oracle CTE chain up through the per-trigram `scored`
+    * frame — shared with q249's min-k% oracle. */
+  private def backoffScoredCtes: String = {
     val ws = wordsSql("text")
     val split = s"${xhashSql("'split:' || doc_id::VARCHAR")} % 10"
-    s"""
-    WITH toks AS (
+    s"""toks AS (
       SELECT doc_id, pos, ws[pos] AS w, sp
       FROM (SELECT doc_id, $ws AS ws, $split AS sp FROM documents),
            unnest(range(1, len(ws) + 1)) AS t(pos)),
@@ -498,11 +506,79 @@ object CorpusFilterOps {
       LEFT JOIN big b23 ON h.w2 = b23.w1 AND h.w3 = b23.w2
       LEFT JOIN uni u2 ON h.w2 = u2.w
       LEFT JOIN uni u3 ON h.w3 = u3.w
-      CROSS JOIN tot)
+      CROSS JOIN tot)"""
+  }
+
+  private def backoffLmSql: String = s"""
+    WITH $backoffScoredCtes
     SELECT doc_id, count(*)::INT AS n_tri,
       ${droundSql("(sum(l8)::BIGINT)::DOUBLE / 1e8 / count(*)", 6)} AS avg_logp
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- q249
+  /** Min-k% prob memorization flag (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models") over the q208
+    * trigram LM — the membership-inference / contamination signal a
+    * training pipeline runs AFTER the n-gram decontamination passes
+    * (q63/q143 catch verbatim overlap; this catches text the MODEL
+    * side finds suspiciously unsurprising even at its WORST tokens):
+    * per held-out doc, the mean log-score of its k% LOWEST-scoring
+    * trigrams. A document whose bottom-k% is still high-probability is
+    * memorized/templated; genuinely novel text has a long low tail.
+    * Spelled on the stupid-backoff trigram LM, which makes the scores
+    * exact integers on the 1e-8 grid — and the bottom-m SUM is
+    * deterministic even under score ties (any m smallest values by
+    * value have the same multiset sum), so the row_number tiebreak
+    * never leaks into the output. m = max(1, ⌊k·n_tri/100⌋). One
+    * doc-keyed window over the scored frame q208 already computes —
+    * the rollup reuses [[backoffScoredOf]] verbatim, so the two
+    * signals can never disagree about the LM. */
+  val MinkPct = 20
+
+  def minkProb(spark: SparkSession, dir: String): DataFrame =
+    minkProbOf(docs(spark, dir))
+
+  /** Core of q249 over any (doc_id, text) frame — the spec entry. */
+  private[graft] def minkProbOf(docsF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("l8")
+    val scored = backoffScoredOf(docsF)
+      .transform(graft.core.EngineCache.persisted) // ranked + counted
+    val m = scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tri"))
+      .withColumn("m", greatest(lit(1),
+        // floor() in BOTH dialects: Spark CAST(double AS INT) truncates
+        // but DuckDB ::INT rounds — the bare cast would split the gate
+        expr(s"CAST(floor(n_tri * $MinkPct / 100) AS INT)")))
+    scored.withColumn("rn", row_number().over(w))
+      .join(m, "doc_id")
+      .filter(col("rn") <= col("m"))
+      .groupBy("doc_id")
+      .agg(first("n_tri").as("n_tri"), first("m").as("k_used"),
+        sum("l8").as("s8"))
+      .select(col("doc_id"), col("n_tri"), col("k_used"),
+        dround(col("s8").cast("double") / lit(1e8) / col("k_used"), 6)
+          .as("mink_avg_logp"))
+      .orderBy("doc_id")
   }
+
+  private def minkProbSql: String = s"""
+    WITH $backoffScoredCtes,
+    m AS (
+      SELECT doc_id, count(*)::INT AS n_tri,
+        greatest(1, floor(count(*) * $MinkPct / 100)::INT) AS m
+      FROM scored GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, l8,
+        row_number() OVER (PARTITION BY doc_id ORDER BY l8) AS rn
+      FROM scored)
+    SELECT r.doc_id, m.n_tri, m.m AS k_used,
+      ${droundSql("(sum(r.l8)::BIGINT)::DOUBLE / 1e8 / m.m", 6)}
+        AS mink_avg_logp
+    FROM ranked r JOIN m ON r.doc_id = m.doc_id
+    WHERE r.rn <= m.m
+    GROUP BY r.doc_id, m.n_tri, m.m
+    ORDER BY r.doc_id"""
 
   // ------------------------------------------------------------ wiring
 
@@ -512,7 +588,8 @@ object CorpusFilterOps {
     "q207_winnowing"    -> winnowingPairs _,
     "q229_winnow_increment" -> winnowIncrement _,
     "q237_winnow_delete" -> winnowDelete _,
-    "q208_backoff_lm"   -> backoffLm _)
+    "q208_backoff_lm"   -> backoffLm _,
+    "q249_mink_prob"    -> minkProb _)
 
   val oracles: Map[String, String] = Map(
     "q205_gopher_rules" -> gopherRulesSql,
@@ -520,5 +597,8 @@ object CorpusFilterOps {
     "q207_winnowing"    -> winnowingPairsSql,
     "q229_winnow_increment" -> winnowIncrementSql,
     "q237_winnow_delete" -> winnowDeleteSql,
-    "q208_backoff_lm"   -> backoffLmSql)
+    "q208_backoff_lm"   -> backoffLmSql,
+    // bottom-m sums are tie-proof (equal multiset sums), so the
+    // row_number tiebreak never leaks into the hash gate
+    "q249_mink_prob"    -> minkProbSql)
 }

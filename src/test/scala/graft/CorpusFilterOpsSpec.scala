@@ -115,6 +115,43 @@ class CorpusFilterOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("min-k% prob: memorized text floors at 0, the tail picks the unseen half") {
+    val sq = spark
+    import sq.implicits._
+    val C = CorpusFilterOps
+    val sp = spark.range(0, 200).selectExpr("id",
+        s"${graft.core.Determinism.xhashExpr("concat('split:', CAST(id AS STRING))")} % 10 AS sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (0L until 200L).filter(sp(_) <= 7).take(20)
+    val heldIds = (0L until 200L).filter(sp(_) > 7).take(3)
+    val sentence = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = (trainIds.map(id => (id, sentence)) ++ Seq(
+      heldIds(0) -> sentence, // fully memorized
+      heldIds(1) -> (1 to 12).map(i => s"u$i").mkString(" "), // fully novel
+      // half memorized, half novel: min-k% must score the NOVEL tail
+      heldIds(2) -> (sentence + " " + (1 to 12).map(i => s"x$i").mkString(" "))))
+      .map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val mink = C.minkProbOf(docs)
+    val out = mink.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    // memorized: every trigram seen, all scores ln(1)=0 -> mink = 0
+    assert(out(heldIds(0))._3 == 0.0, s"memorized doc must floor at 0: $out")
+    // novel: every trigram at the backoff floor -> mink equals q208's avg
+    val avg = C.backoffLmOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out(heldIds(1))._3 - avg(heldIds(1))) < 1e-9,
+      "an all-unseen doc's bottom tail IS its average")
+    // mixed: the bottom 20% is drawn from the novel half, so mink is
+    // strictly below the doc's overall average
+    assert(out(heldIds(2))._3 < avg(heldIds(2)),
+      s"min-k% must pick the unseen tail: ${out(heldIds(2))._3} vs ${avg(heldIds(2))}")
+    // k accounting: m = max(1, floor(0.2 * n_tri))
+    assert(out.forall { case (_, (n, m, _)) =>
+      m == math.max(1, n * C.MinkPct / 100) })
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("backoff LM: in-domain held-out scores 0, unseen text hits the floor") {
     val sq = spark
     import sq.implicits._
