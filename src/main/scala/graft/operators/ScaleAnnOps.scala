@@ -350,6 +350,177 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     spark.sql(attributionSql("unix_millis(ts)"))
   }
 
+  // ---------------------------------------------------------------- q250
+  /** Markov removal-effect attribution (Anderl et al. 2014's
+    * data-driven multi-touch model) — the causal-flavored complement
+    * of q106's last-touch rule: user journeys (events up to the FIRST
+    * purchase, ordered by (ts, event_id)) define a first-order Markov
+    * chain over channel states with START/CONV/NULL absorbers;
+    * P(conversion from START) comes from [[MarkovIters]] fixed rounds
+    * of value iteration; the REMOVAL EFFECT of channel c re-runs the
+    * iteration on the chain with c's outgoing rows dropped and edges
+    * INTO c redirected to NULL (row totals preserved — the standard
+    * removal semantics) and reports 1 − p_removed/p_full — "how much
+    * conversion disappears if this channel vanishes", the number
+    * last-touch structurally cannot produce (it over-credits closers).
+    *
+    * Exactness: transition probabilities are ratios of exact counts,
+    * and every iteration step is PURE INTEGER arithmetic on a 1e-12
+    * grid — term = (2·c·p_dst + total) div (2·total), i.e.
+    * round(c·p_dst/total) — so both engines iterate bit-identical
+    * BIGINTs and the final doubles are the same IEEE values. The
+    * channel vocabulary is a declared constant (the q164 literal-query
+    * discipline) GUARDED loudly against the data: an undeclared
+    * channel would silently miss its removal row.
+    *
+    * Scale: the corpus-sized work is ONE window pass per user
+    * partition + one hash agg to O(channels²) transition rows; the
+    * iteration runs driver-side over that collected handful (≤ ~36
+    * rows — the BPE-winner bounded-collect pattern), 5 variants ×
+    * 12 rounds of arithmetic on a few integers. */
+  val MarkovChannels = Seq("click", "error", "signup", "view")
+  val MarkovIters = 12
+  val MarkovGrid = 1000000000000L
+
+  /** The journey → transition CTE chain (through `trans0`), shared by
+    * the engine's count query and the oracle. */
+  private def markovTransCtes(epochMs: String): String = s"""fp AS (
+      SELECT user_id, min(($epochMs) * 100000 + event_id) AS pk
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS (
+      SELECT e.user_id, e.event_type,
+        ($epochMs) * 100000 + e.event_id AS ok,
+        fp.pk IS NOT NULL AS conv
+      FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.pk IS NULL OR ($epochMs) * 100000 + e.event_id < fp.pk)),
+    seq AS (
+      SELECT user_id, event_type AS s, conv,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ok) AS nxt,
+        row_number() OVER (PARTITION BY user_id ORDER BY ok) AS rn
+      FROM j),
+    allu AS (
+      SELECT u.user_id, fp.pk IS NOT NULL AS conv, f.s AS first_s
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN fp ON u.user_id = fp.user_id
+      LEFT JOIN (SELECT user_id, s FROM seq WHERE rn = 1) f
+        ON u.user_id = f.user_id),
+    trans0 AS (
+      SELECT 'START' AS src,
+        CASE WHEN first_s IS NOT NULL THEN first_s
+             WHEN conv THEN 'CONV' ELSE 'NULL' END AS dst
+      FROM allu
+      UNION ALL
+      SELECT s AS src,
+        coalesce(nxt, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END) AS dst
+      FROM seq)"""
+
+  /** Driver-side integer value iteration over collected (src, dst, c)
+    * rows; `removed` applies the removal rewrite first. Returns the
+    * 1e-12-grid P(CONV | START). */
+  private[graft] def markovPConv(tc: Seq[(String, String, Long)],
+                          removed: Option[String]): Long = {
+    val t = removed.fold(tc) { r =>
+      tc.filter(_._1 != r)
+        .map { case (s, d, c) => (s, if (d == r) "NULL" else d, c) }
+        .groupBy(x => (x._1, x._2)).toSeq
+        .map { case ((s, d), xs) => (s, d, xs.map(_._3).sum) }
+    }
+    val totals = t.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val transient = t.map(_._1).distinct
+    var p = transient.map(_ -> 0L).toMap
+    for (_ <- 1 to MarkovIters)
+      p = transient.map { s =>
+        val tot = totals(s)
+        s -> t.filter(_._1 == s).map { case (_, d, c) =>
+          val pd = d match {
+            case "CONV" => MarkovGrid
+            case "NULL" => 0L
+            case x      => p.getOrElse(x, 0L)
+          }
+          (2L * c * pd + tot) / (2L * tot)
+        }.sum
+      }.toMap
+    p("START")
+  }
+
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    val tc = spark.sql(s"""
+        WITH ${markovTransCtes("unix_millis(ts)")}
+        SELECT src, dst, CAST(count(1) AS BIGINT) AS c
+        FROM trans0 GROUP BY src, dst""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // loud vocabulary guard: an undeclared channel would silently miss
+    // its removal row (the bitmap rid-guard discipline)
+    val observed = (tc.map(_._1) ++ tc.map(_._2)).distinct
+      .filterNot(Set("START", "CONV", "NULL"))
+    require(observed.forall(MarkovChannels.contains),
+      s"undeclared channels ${observed.filterNot(MarkovChannels.contains)}" +
+        s" — extend MarkovChannels or the removal sweep is incomplete")
+    val pf = markovPConv(tc, None)
+    def d6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // grid → 6dp probability: floor(p_grid/1e6 + 0.5)/1e6, the oracle's
+    // exact spelling on the identical BIGINT
+    def prob6(g: Long): Double = math.floor(g.toDouble / 1e6 + 0.5) / 1e6
+    val rows = MarkovChannels.map { ch =>
+      val pr = markovPConv(tc, Some(ch))
+      (ch, prob6(pf), prob6(pr), d6(1.0 - pr.toDouble / pf.toDouble))
+    }
+    spark.createDataFrame(rows)
+      .toDF("channel", "p_conv", "p_conv_removed", "removal_effect")
+      .orderBy("channel")
+  }
+
+  /** The q250 oracle: identical transition build + the SAME integer
+    * iteration unrolled as chained CTEs per removal variant. */
+  private[operators] def markovAttributionSql: String = {
+    def chain(tag: String, removed: Option[String]): (String, String) = {
+      val head = removed.fold(
+        s"""t_$tag AS (SELECT src, dst, c FROM tc),
+        tt_$tag AS (SELECT src, CAST(sum(c) AS BIGINT) AS total FROM tc GROUP BY src)""") { r =>
+        s"""t_$tag AS (
+          SELECT src, CASE WHEN dst = '$r' THEN 'NULL' ELSE dst END AS dst,
+            CAST(sum(c) AS BIGINT) AS c
+          FROM tc WHERE src <> '$r' GROUP BY 1, 2),
+        tt_$tag AS (SELECT src, CAST(sum(c) AS BIGINT) AS total
+          FROM t_$tag GROUP BY src)"""
+      }
+      val iters = (1 to MarkovIters).map { k =>
+        val pd = if (k == 1) "0" else "coalesce(p.p, 0)"
+        val join = if (k == 1) ""
+          else s"LEFT JOIN p_${tag}_${k - 1} p ON t.dst = p.src"
+        s"""p_${tag}_$k AS (
+          SELECT t.src,
+            CAST(sum((2 * t.c * (CASE WHEN t.dst = 'CONV' THEN $MarkovGrid
+                 WHEN t.dst = 'NULL' THEN 0 ELSE $pd END) + tt.total)
+                // (2 * tt.total)) AS BIGINT) AS p
+          FROM t_$tag t JOIN tt_$tag tt ON t.src = tt.src $join
+          GROUP BY t.src)"""
+      }
+      ((head +: iters).mkString(",\n"), s"p_${tag}_$MarkovIters")
+    }
+    val (fullCtes, fullFinal) = chain("full", None)
+    val variants = MarkovChannels.map(ch => ch -> chain(s"r_$ch", Some(ch)))
+    val sel = MarkovChannels.map { ch =>
+      val fin = variants.find(_._1 == ch).get._2._2
+      s"""SELECT '$ch' AS channel,
+        (SELECT p FROM $fullFinal WHERE src = 'START') AS pf,
+        (SELECT p FROM $fin WHERE src = 'START') AS pr"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${markovTransCtes("epoch_ms(ts)")},
+    tc AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+      FROM trans0 GROUP BY src, dst),
+    ${(fullCtes +: variants.map(_._2._1)).mkString(",\n")}
+    SELECT channel,
+      floor(pf::DOUBLE / 1e6 + 0.5) / 1e6 AS p_conv,
+      floor(pr::DOUBLE / 1e6 + 0.5) / 1e6 AS p_conv_removed,
+      floor((1.0 - pr::DOUBLE / pf::DOUBLE) * 1e6 + 0.5) / 1e6
+        AS removal_effect
+    FROM ($sel) u ORDER BY channel"""
+  }
+
   // ---------------------------------------------------------------- q107
   /** PQ ADC (asymmetric distance computation) top-k search — the query
     * side of IVF-PQ: probes keep their exact subvectors; the corpus is

@@ -92,6 +92,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q232_zorder_purge"  -> zorderPurgeServe _,
     "q238_bitmap_purge"  -> bitmapPurgeServe _,
     "q245_zorder_update" -> zorderUpdateServe _,
+    "q250_markov_attribution" -> markovAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
   )
 
@@ -173,6 +174,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // original layout, applies the same coordinate revision
     // post-assignment, and serves from the grown boxes
     "q245_zorder_update" -> zorderUpdateServeSql("lineitem"),
+    // both engines iterate bit-identical 1e-12-grid integers: the
+    // oracle unrolls the same integer value iteration as chained CTEs
+    "q250_markov_attribution" -> markovAttributionSql,
     // update ∘ store ≡ rebuild-with-new-values under the frozen
     // codebook: the oracle trains on the original corpus and encodes
     // the updated one (pqBaseOracleP's encSrc split)

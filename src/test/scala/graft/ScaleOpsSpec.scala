@@ -653,6 +653,34 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("markov removal effect: exact on hand-built chains, removal redirects to NULL") {
+    val S = ScaleOps
+    val G = S.MarkovGrid
+    // deterministic funnel START->A->CONV: p = 1 exactly
+    assert(S.markovPConv(Seq(("START", "A", 1L), ("A", "CONV", 1L)), None) == G)
+    // and removing its only channel kills every conversion
+    assert(S.markovPConv(Seq(("START", "A", 1L), ("A", "CONV", 1L)),
+      Some("A")) == 0L)
+    // split traffic: A converts, B never does -> p = 1/2; removing B
+    // changes nothing (its mass already went to NULL), removing A
+    // zeroes it
+    val tc = Seq(("START", "A", 2L), ("START", "B", 2L),
+      ("A", "CONV", 2L), ("B", "NULL", 2L))
+    assert(S.markovPConv(tc, None) == G / 2)
+    assert(S.markovPConv(tc, Some("B")) == G / 2)
+    assert(S.markovPConv(tc, Some("A")) == 0L)
+    // a 3-hop path needs 3 of the 12 iterations to propagate: exact 1
+    assert(S.markovPConv(Seq(("START", "A", 1L), ("A", "B", 1L),
+      ("B", "CONV", 1L)), None) == G)
+    // a lossy loop A->B, B->{A, CONV}: true p = 1 but value iteration
+    // truncates at MarkovIters = 12 — each return costs 2 hops, so the
+    // estimate is EXACTLY 1 - 2^-5 (five completed returns), from below
+    val loop = Seq(("START", "A", 2L), ("A", "B", 2L),
+      ("B", "A", 1L), ("B", "CONV", 1L))
+    assert(S.markovPConv(loop, None) == G - G / 32,
+      s"12 rounds of a half-returning loop converge to 1 - 2^-5 exactly")
+  }
+
   test("zorder update: file membership frozen, coordinates moved, idempotent") {
     import org.apache.spark.sql.functions.col
     val S = ScaleOps
