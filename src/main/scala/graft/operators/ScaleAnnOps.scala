@@ -521,6 +521,122 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     FROM ($sel) u ORDER BY channel"""
   }
 
+  // ---------------------------------------------------------------- q251
+  /** Shapley-value attribution (Zhao et al. 2018, "Shapley Value
+    * Methods for Attribution Modeling in Online Advertising") — the
+    * other standard data-driven model beside q250's Markov chain, and
+    * a genuinely different axiomatization: the Markov model asks "how
+    * much conversion disappears if the channel vanishes from the
+    * GRAPH"; Shapley asks "what is the channel's average marginal
+    * contribution over every COALITION order". Worth function
+    * v(S) = conversions from users whose touched-channel set ⊆ S
+    * (monotone by construction); φ_c = Σ_{S ∌ c} |S|!(n−1−|S|)!/n! ·
+    * (v(S∪c) − v(S)). With the declared 4-channel vocabulary every
+    * weight is a multiple of 1/24, so φ·24 is an EXACT INTEGER — both
+    * engines compute identical BIGINTs and only the final display
+    * division is floating point. Efficiency (Σφ = v(all) − v(∅)) is
+    * spec-pinned, and the share column normalizes by exactly that
+    * difference. Scale: the corpus-sized work is one per-user hash agg
+    * (channel bitmask OR + conversion flag) down to ≤ 2^n mask rows;
+    * the 16-coalition sweep runs driver-side on that collected
+    * handful, the q250 bounded-collect pattern. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    val n = MarkovChannels.length
+    val bitCase = MarkovChannels.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1 << i}" }
+      .mkString("CASE event_type ", " ", " ELSE 0 END")
+    val mrows = spark.sql(s"""
+      WITH ${markovTransCtes("unix_millis(ts)")},
+      um AS (
+        SELECT user_id, CAST(bit_or($bitCase) AS INT) AS mask
+        FROM j GROUP BY user_id),
+      au AS (
+        SELECT u.user_id, coalesce(um.mask, 0) AS mask,
+          fp.pk IS NOT NULL AS conv
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN um ON u.user_id = um.user_id
+        LEFT JOIN fp ON u.user_id = fp.user_id)
+      SELECT mask, CAST(count(1) AS BIGINT) AS n_conv
+      FROM au WHERE conv GROUP BY mask""").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(mrows.keys.forall(m => m >= 0 && m < (1 << n)),
+      s"touched-set mask outside the declared channel space: " +
+        s"${mrows.keys.filter(m => m < 0 || m >= (1 << n))} — extend " +
+        "MarkovChannels or the coalition sweep is incomplete")
+    val phi24 = shapleyPhi24(mrows)
+    val sumPhi = phi24.map(_._2).sum // = 24·(v(all) − v(∅)), efficiency
+    def d6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = phi24.map { case (c, p) =>
+      (c, d6(p.toDouble / 24.0),
+        if (sumPhi == 0) 0.0 else d6(p.toDouble / sumPhi.toDouble))
+    }
+    spark.createDataFrame(rows)
+      .toDF("channel", "shapley_conv", "share")
+      .orderBy("channel")
+  }
+
+  /** Exact 24·φ per channel from (touched-mask → conversions) — the
+    * spec entry point for the coalition arithmetic. */
+  private[graft] def shapleyPhi24(mrows: Map[Int, Long]): Seq[(String, Long)] = {
+    val n = MarkovChannels.length
+    def v(s: Int): Long =
+      mrows.collect { case (m, c) if (m & ~s) == 0 => c }.sum
+    val fact = Array(1, 1, 2, 6, 24)
+    def w24(k: Int): Long = (fact(k) * fact(n - 1 - k)).toLong // ×24/n!
+    MarkovChannels.zipWithIndex.map { case (c, i) =>
+      val b = 1 << i
+      c -> (0 until (1 << n)).filter(s => (s & b) == 0)
+        .map(s => w24(java.lang.Integer.bitCount(s)) * (v(s | b) - v(s)))
+        .sum
+    }
+  }
+
+  private[operators] def shapleyAttributionSql: String = {
+    val n = MarkovChannels.length
+    val bitCase = MarkovChannels.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1 << i}" }
+      .mkString("CASE event_type ", " ", " ELSE 0 END")
+    val chanVals = MarkovChannels.zipWithIndex
+      .map { case (c, i) => s"('$c', ${1 << i})" }.mkString(", ")
+    s"""
+    WITH ${markovTransCtes("epoch_ms(ts)")},
+    um AS (
+      SELECT user_id, CAST(bit_or($bitCase) AS INT) AS mask
+      FROM j GROUP BY user_id),
+    au AS (
+      SELECT u.user_id, coalesce(um.mask, 0) AS mask,
+        fp.pk IS NOT NULL AS conv
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN um ON u.user_id = um.user_id
+      LEFT JOIN fp ON u.user_id = fp.user_id),
+    cm AS (SELECT mask, count(*)::BIGINT AS n_conv
+           FROM au WHERE conv GROUP BY mask),
+    coal AS (SELECT unnest(range(0, ${1 << n})) AS s),
+    v AS (
+      SELECT coal.s, coalesce(sum(cm.n_conv), 0)::BIGINT AS v
+      FROM coal LEFT JOIN cm ON (cm.mask & ~coal.s) = 0
+      GROUP BY coal.s),
+    ch(channel, b) AS (VALUES $chanVals),
+    -- weights ×24: |S|!·(n−1−|S|)! for n = $n
+    w(k, w24) AS (VALUES (0, 6), (1, 2), (2, 2), (3, 6)),
+    phi AS (
+      SELECT ch.channel,
+        CAST(sum(w.w24 * (vb.v - vs.v)) AS BIGINT) AS phi24
+      FROM ch JOIN coal ON (coal.s & ch.b) = 0
+      JOIN w ON w.k = bit_count(coal.s::BIGINT)
+      JOIN v vs ON vs.s = coal.s
+      JOIN v vb ON vb.s = (coal.s | ch.b)
+      GROUP BY ch.channel),
+    tot AS (SELECT CAST(sum(phi24) AS BIGINT) AS sp FROM phi)
+    SELECT channel,
+      floor(phi24::DOUBLE / 24.0 * 1e6 + 0.5) / 1e6 AS shapley_conv,
+      CASE WHEN tot.sp = 0 THEN 0.0
+           ELSE floor(phi24::DOUBLE / tot.sp::DOUBLE * 1e6 + 0.5) / 1e6
+      END AS share
+    FROM phi CROSS JOIN tot ORDER BY channel"""
+  }
+
   // ---------------------------------------------------------------- q107
   /** PQ ADC (asymmetric distance computation) top-k search — the query
     * side of IVF-PQ: probes keep their exact subvectors; the corpus is

@@ -93,6 +93,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q238_bitmap_purge"  -> bitmapPurgeServe _,
     "q245_zorder_update" -> zorderUpdateServe _,
     "q250_markov_attribution" -> markovAttribution _,
+    "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
   )
 
@@ -177,6 +178,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,
+    // phi*24 is an exact integer in both engines; only display divides
+    "q251_shapley_attribution" -> shapleyAttributionSql,
     // update ∘ store ≡ rebuild-with-new-values under the frozen
     // codebook: the oracle trains on the original corpus and encodes
     // the updated one (pqBaseOracleP's encSrc split)

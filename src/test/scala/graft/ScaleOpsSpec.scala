@@ -681,6 +681,29 @@ class ScaleOpsSpec extends SparkSpec {
       s"12 rounds of a half-returning loop converge to 1 - 2^-5 exactly")
   }
 
+  test("shapley attribution: dummy gets zero, symmetry splits, efficiency holds") {
+    val S = ScaleOps
+    // channel bit order: click=1, error=2, signup=4, view=8
+    // 6 conversions touched {click} only, 6 touched {error} only:
+    // click and error are SYMMETRIC (equal phi); signup/view are DUMMY
+    // players (phi = 0); efficiency: sum phi24 = 24*(v(all) - v(empty))
+    val m1 = Map(1 -> 6L, 2 -> 6L)
+    val p1 = S.shapleyPhi24(m1).toMap
+    assert(p1("click") == p1("error") && p1("click") == 6L * 24,
+      s"symmetric solo converters must split equally: $p1")
+    assert(p1("signup") == 0L && p1("view") == 0L,
+      s"untouched channels are dummy players: $p1")
+    assert(p1.values.sum == 24L * 12, "efficiency: sum phi = v(all) - v(empty)")
+    // a conversion needing BOTH click and error splits 50/50 between
+    // them (joint mask 3); baseline conversions (mask 0) shift nothing
+    val p2 = S.shapleyPhi24(Map(3 -> 10L, 0 -> 5L)).toMap
+    assert(p2("click") == p2("error") && p2("click") == 10L * 12,
+      s"a two-channel conversion splits its credit: $p2")
+    assert(p2.values.sum == 24L * 10,
+      "mask-0 conversions sit in v(empty) and carry no credit")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("zorder update: file membership frozen, coordinates moved, idempotent") {
     import org.apache.spark.sql.functions.col
     val S = ScaleOps
