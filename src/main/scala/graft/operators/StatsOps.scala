@@ -735,6 +735,137 @@ object StatsOps {
     GROUP BY o_orderpriority
     ORDER BY grp"""
 
+  // ---------------------------------------------------------------- q252
+  /** Nelson–Aalen cumulative-hazard churn curve — survival analysis
+    * over the event stream, the retention readout product teams read
+    * as "how fast do users die": each user enters at their first
+    * event's day and exits at their last; an exit more than
+    * [[ChurnHorizonHours]] before the observation end is a CHURN event,
+    * later exits are right-CENSORED (the user may still be alive — the
+    * distinction naive churn rates ignore and survival estimators
+    * exist for). The Nelson–Aalen estimator Ĥ(t) = Σ_{s ≤ t} d_s/n_s
+    * is chosen over Kaplan–Meier deliberately: every term is a ratio
+    * of EXACT INTEGERS (churns over at-risk count), bridged once to a
+    * 1e-9 grid and summed as BIGINTs — no product, no ln, no exp, so
+    * both engines agree bit-for-bit where KM's running product would
+    * need the whole ln-bridge machinery for the same information
+    * (H = −ln S). Left-truncated risk sets come from two cumulative
+    * counts (entries ≤ s minus exits < s), never a user×bucket join.
+    * Buckets are HOURS: the fixture's users are active to within ~a
+    * day of the window end, so an hour axis is what exposes a curve —
+    * a production run would pick days/weeks the same way.
+    *
+    * Scale: the corpus-sized work is ONE per-user hash agg; everything
+    * after runs on O(distinct days) rows, so the ordered cumulative
+    * sums are windows over the TIME-BUCKET aggregate, not the corpus —
+    * at 100 TB the day axis is still a few thousand rows. */
+  val ChurnHorizonHours = 18L
+
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalenOf(Tables.load(spark, dir, "events"))
+
+  /** Core of q252 over any (user_id, ts) frame — the spec entry. */
+  private[graft] def nelsonAalenOf(events: DataFrame): DataFrame = {
+    val tid = Thread.currentThread().getId
+    val v = s"graft_na_events_t$tid"
+    events.createOrReplaceTempView(v)
+    events.sparkSession.sql(s"""
+      WITH b AS (
+        SELECT user_id,
+          CAST(min(unix_millis(ts)) AS BIGINT) AS t0,
+          CAST(max(unix_millis(ts)) AS BIGINT) AS t1
+        FROM $v GROUP BY user_id),
+      g AS (SELECT CAST(min(t0) AS BIGINT) AS gmin,
+                   CAST(max(t1) AS BIGINT) AS gmax FROM b),
+      u AS (
+        SELECT (b.t0 - g.gmin) div 3600000 AS entry_day,
+          (b.t1 - g.gmin) div 3600000 AS exit_day,
+          (b.t1 <= g.gmax - $ChurnHorizonHours * 3600000) AS churned
+        FROM b CROSS JOIN g),
+      days AS (
+        SELECT exit_day AS day FROM u UNION SELECT entry_day FROM u),
+      ent AS (SELECT entry_day AS day, CAST(count(1) AS BIGINT) AS n_in
+              FROM u GROUP BY entry_day),
+      ext AS (SELECT exit_day AS day, CAST(count(1) AS BIGINT) AS n_out,
+                CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                  AS d
+              FROM u GROUP BY exit_day),
+      grid AS (
+        SELECT days.day, coalesce(ent.n_in, 0) AS n_in,
+          coalesce(ext.n_out, 0) AS n_out, coalesce(ext.d, 0) AS d
+        FROM days LEFT JOIN ent ON days.day = ent.day
+        LEFT JOIN ext ON days.day = ext.day),
+      risk AS (
+        SELECT day, d,
+          sum(n_in) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - coalesce(sum(n_out) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+        FROM grid),
+      haz AS (
+        SELECT day, n_risk, d,
+          CAST(floor(1e9 * CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+            + 0.5) AS BIGINT) AS h9
+        FROM risk),
+      cum AS (
+        SELECT day, n_risk, d,
+          sum(h9) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c9
+        FROM haz)
+      SELECT CAST(day AS INT) AS hour, n_risk, d,
+        floor(CAST(c9 AS DOUBLE) / 1e3 + 0.5) / 1e6 AS cum_hazard
+      FROM cum WHERE d > 0
+      ORDER BY day""")
+  }
+
+  def nelsonAalenSql: String = s"""
+    WITH b AS (
+      SELECT user_id,
+        CAST(min(epoch_ms(ts)) AS BIGINT) AS t0,
+        CAST(max(epoch_ms(ts)) AS BIGINT) AS t1
+      FROM events GROUP BY user_id),
+    g AS (SELECT CAST(min(t0) AS BIGINT) AS gmin,
+                 CAST(max(t1) AS BIGINT) AS gmax FROM b),
+    u AS (
+      SELECT (b.t0 - g.gmin) // 3600000 AS entry_day,
+        (b.t1 - g.gmin) // 3600000 AS exit_day,
+        (b.t1 <= g.gmax - $ChurnHorizonHours * 3600000) AS churned
+      FROM b CROSS JOIN g),
+    days AS (
+      SELECT exit_day AS day FROM u UNION SELECT entry_day FROM u),
+    ent AS (SELECT entry_day AS day, count(*)::BIGINT AS n_in
+            FROM u GROUP BY entry_day),
+    ext AS (SELECT exit_day AS day, count(*)::BIGINT AS n_out,
+              CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM u GROUP BY exit_day),
+    grid AS (
+      SELECT days.day, coalesce(ent.n_in, 0) AS n_in,
+        coalesce(ext.n_out, 0) AS n_out, coalesce(ext.d, 0) AS d
+      FROM days LEFT JOIN ent ON days.day = ent.day
+      LEFT JOIN ext ON days.day = ext.day),
+    risk AS (
+      SELECT day, d,
+        sum(n_in) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - coalesce(sum(n_out) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS n_risk
+      FROM grid),
+    haz AS (
+      SELECT day, n_risk, d,
+        CAST(floor(1e9 * d::DOUBLE / n_risk::DOUBLE + 0.5) AS BIGINT) AS h9
+      FROM risk),
+    cum AS (
+      SELECT day, n_risk, d,
+        sum(h9) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c9
+      FROM haz)
+    SELECT day::INT AS hour, n_risk::BIGINT AS n_risk, d::BIGINT AS d,
+      floor(c9::DOUBLE / 1e3 + 0.5) / 1e6 AS cum_hazard
+    FROM cum WHERE d > 0
+    ORDER BY day"""
+
   // ---------------------------------------------------------------- q134
   /** Recency-decayed revenue per customer (half-life = 1 day, zero past
     * $DecayCapDays): the freshness-weighted spend feature every churn /
@@ -1269,6 +1400,7 @@ object StatsOps {
     "q137_heavy_hitters"  -> cmsPersist _,
     "q247_cms_delete"     -> cmsDelete _,
     "q248_ddq_delete"     -> ddqDelete _,
+    "q252_nelson_aalen"   -> nelsonAalen _,
     "q163_quality_classifier" -> qualityClassifier _,
     "q174_quality_calibration" -> qualityCalibration _,
     "q175_classifier_auc" -> classifierAuc _,
@@ -1295,6 +1427,8 @@ object StatsOps {
     // same discipline for quantiles: post-delete estimates stay within
     // alpha of the tombstone-filtered exact percentiles
     "q248_ddq_delete"     -> ddqDeleteSql,
+    // no product, no ln: every hazard term is a 1e-9-grid integer
+    "q252_nelson_aalen"   -> nelsonAalenSql,
     "q163_quality_classifier" -> qualityClassifierOracleSql,
     "q174_quality_calibration" -> qualityCalibrationOracleSql,
     "q175_classifier_auc" -> classifierAucOracleSql,

@@ -8,6 +8,29 @@ import graft.operators.StatsOps
   * fixtures (planted exact correlations, overlap chains, duplicate
   * groups with ties, known-cardinality sketches). */
 class StatsOpsSpec extends SparkSpec {
+
+  test("nelson-aalen: censoring honored, risk sets left-truncated, hazards exact") {
+    val sq = spark
+    import sq.implicits._
+    // observation window hour 0..20 (horizon 18 -> churn iff exit <= 2):
+    // A churns hour 1; B churns hour 2; C exits hour 15 (past the
+    // horizon: CENSORED); D enters hour 2 (LEFT-TRUNCATED: absent from
+    // the hour-1 risk set) and churns at once; E survives to hour 20
+    // (censored, pins the window end)
+    def ts(hour: Long) = new java.sql.Timestamp(hour * 3600000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (2L, ts(0)), (2L, ts(2)),
+      (3L, ts(0)), (3L, ts(15)), (4L, ts(2)),
+      (5L, ts(0)), (5L, ts(20))).toDF("user_id", "ts")
+    val out = graft.operators.StatsOps.nelsonAalenOf(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // hour 1: 4 at risk (D not yet entered), A churns -> h = 0.25
+    // hour 2: entries 5 minus A exited -> 4 at risk, B and D churn
+    //   -> +0.5; censor-only exits (15, 20) contribute NO hazard rows
+    assert(out.toSeq == Seq((1, 4L, 1L, 0.25), (2, 4L, 2L, 0.75)),
+      s"hazard curve drifted: ${out.toSeq}")
+    graft.core.EngineCache.releaseAll()
+  }
   import spark.implicits._
 
   test("CUSUM window identity matches the literal recursion, peaks at the shift") {
