@@ -519,6 +519,24 @@ class PlanSpec extends SparkSpec {
       s"cohort filter must push into the scan:\n$p")
   }
 
+  test("wordpiece frozen serve reads the at-rest vocab; only batch text splits") {
+    // the recursive loop body prints opaquely in the physical string
+    // and logical Relations elide file paths, so the evidence is
+    // structural: the vocab arrives as a bare 2-column parquet
+    // Relation [kind, piece] — a serve-time DERIVATION would instead
+    // plan the candidate aggregate + its row_number rank window
+    val p = graft.operators.LlmQueries.wordpieceFrozen(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Relation [kind"),
+      s"frozen serve must scan the published (kind, piece) table:\n$p")
+    assert(!p.contains("row_number"),
+      s"a rank window means the vocab was re-derived at serve time:\n$p")
+    // the only corpus text read is the batch slice
+    assert(p.contains(s"source") &&
+      p.contains(graft.operators.LlmQueries.BatchSource),
+      s"the batch filter must appear in the serve plan:\n$p")
+  }
+
   test("IVF-PQ delete keeps serving from the at-rest codes under the anti-join") {
     val p = plan(graft.operators.ScaleOps.ivfPqDelete(spark, sfDir))
     assert(p.contains("ivfpq_codes_"),
