@@ -18,11 +18,12 @@ import scala.collection.mutable.ArrayBuffer
   *   1. per-query watchdog — each query runs in a worker thread under its
   *      own job group; past SPARK_GRAFT_QUERY_TIMEOUT (default 60 s) the
   *      group is cancelled and the query records -1 + "Timeout";
-  *   2. global deadline — past SPARK_GRAFT_BENCH_DEADLINE (default 600 s
-  *      of query-loop time: the 227-query suite measures 363-406 s on
-  *      this host, and a noisy pass must not DeadlineSkip the newest
-  *      queries, which run last) remaining queries are skipped,
-  *      recorded as -1 + "DeadlineSkip" (never a fake timing);
+  *   2. global deadline — SPARK_GRAFT_BENCH_DEADLINE, defaulting to
+  *      max(600, 3.5 × |queries|) seconds so it SCALES with the suite
+  *      (a fixed 600 s DeadlineSkipped the newest 35/252 queries on a
+  *      slower host); the main loop gets ~80% of it and the re-measure
+  *      passes keep the reserved ~20%, so medians always run. Skipped
+  *      queries record -1 + "DeadlineSkip" (never a fake timing);
   *   3. shutdown hook — if the process is SIGTERMed anyway, the JSON
   *      summary line for everything measured so far is still printed.
   *
@@ -42,12 +43,6 @@ object Bench {
     // recorded error, while still bounding a genuinely wedged query.
     val perQueryTimeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "90").toLong
-    // 480 s: a healthy 157-query loop runs ~180-330 s depending on host;
-    // the margin absorbs a ~2x-slower driver box without DeadlineSkips.
-    // Overshooting the harness's own wall clock stays non-fatal — the
-    // cumulative per-query emission keeps everything measured so far.
-    val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "600").toLong
     val spark = graft.core.GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -213,10 +208,16 @@ object Bench {
       System.gc()
       err
     }
-    // JVM + parquet-footer warmup on the flagship query (excluded from timing)
-    // generous budget: warmup isn't timed, and killing it just moves the
-    // cold-start cost (parquet footers, codegen, first shuffle) into q01
+    // JVM + parquet-footer warmup (excluded from timing), generous budget:
+    // warmup isn't timed, and killing it just moves the cold-start cost
+    // into the first timed queries. Three probes, not one: the flagship
+    // agg touches parquet footers + the first shuffle, the join and the
+    // window each force their own codegen/exchange paths — round 10's
+    // driver box charged those first-use costs to q26/q29 (20.4/16.3 s
+    // vs 1.8/2.0 s builder) because warmup only ever exercised the agg.
     run("warmup", SparkEntry.queries("q01_agg_summary"), timeoutSec = 120)
+    run("warmup_join", SparkEntry.queries("q03_join_revenue"), timeoutSec = 60)
+    run("warmup_window", SparkEntry.queries("q09_window_topk"), timeoutSec = 60)
     // dev loop: SPARK_GRAFT_QUERIES=q46,q51 benches only matching prefixes.
     // Numeric order (q01..q122), not lexicographic — if the deadline hits,
     // the skipped suffix is the newest queries, never the core suite
@@ -227,11 +228,29 @@ object Bench {
       n.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case d => d.toInt }
     val selected = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qnum(n), n) }
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // Global deadline, SCALED WITH SUITE SIZE: a fixed 600 s default fit
+    // the 227-query suite but silently DeadlineSkipped the newest 35 of
+    // 252 on a ~30%-slower host (round 10: loop hit 600 s at q217, and
+    // the median/drift re-measure passes — the whole defense against
+    // this host's contiguous noise clusters — got zero budget). The
+    // suite runs ~1.5-1.9 s/query healthy; 3.5 s/query (≈ 900 s at 252)
+    // absorbs a 2x-slower box with margin. Overshooting the harness's
+    // own wall clock stays non-fatal — the cumulative per-query emission
+    // keeps everything measured so far.
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE").map(_.toLong)
+      .getOrElse(math.max(600L, math.ceil(3.5 * selected.size).toLong))
+    // Budget split: the main loop may consume at most ~80% of the
+    // deadline; the remaining ~20% is RESERVED for the re-measure passes
+    // below, so they always run even when the loop runs long. (Round 10:
+    // loop exhausted the whole budget, re-measure fired zero times, and
+    // a q89-q112 noise cluster shipped un-medianed.)
+    val loopDeadlineSec = deadlineSec * 8 / 10
     val loopStart = System.nanoTime()
     selected.foreach { case (name, fn) =>
-      val pastDeadline = (System.nanoTime() - loopStart) / 1e9 > deadlineSec
+      val pastDeadline = (System.nanoTime() - loopStart) / 1e9 > loopDeadlineSec
       if (pastDeadline) {
-        System.err.println(s"[bench] $name SKIPPED: past ${deadlineSec}s deadline")
+        System.err.println(
+          s"[bench] $name SKIPPED: past ${loopDeadlineSec}s loop deadline")
         results.synchronized { results += ((name, -1.0, Some("DeadlineSkip"))) }
       } else {
         val t0 = System.nanoTime()
@@ -257,8 +276,12 @@ object Bench {
     // get a median regardless of rank (round 8's q73/q63 apparent 3-4x
     // regressions were this host's noise band — a single sample cannot
     // distinguish that from a real regression, a median can).
+    // q63/q73: round-8 drift suspects. q26/q29/q104: round-10 driver-host
+    // outliers (20.4 s / 16.3 s / 43.4 s vs 1.8 / 2.0 / 7.6 s on the
+    // builder box) — q26/q29 are the first heavy queries after warmup and
+    // absorb residual cold-start; q104 sits in the host's noise band.
     val alwaysMedian = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_MEDIAN_ALWAYS", "q63,q73")
+      .getOrElse("SPARK_GRAFT_BENCH_MEDIAN_ALWAYS", "q26,q29,q63,q73,q104")
       .split(",").filter(_.nonEmpty).toSet
     val watched = results.synchronized {
       results.filter(r => r._3.isEmpty &&

@@ -441,7 +441,10 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
           (2L * c * pd + tot) / (2L * tot)
         }.sum
       }.toMap
-    p("START")
+    // an empty events table yields no transitions at all — START is
+    // absent from the transient set and P(conv | START) is honestly 0,
+    // not a NoSuchElementException
+    p.getOrElse("START", 0L)
   }
 
   def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
@@ -459,6 +462,12 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       s"undeclared channels ${observed.filterNot(MarkovChannels.contains)}" +
         s" — extend MarkovChannels or the removal sweep is incomplete")
     val pf = markovPConv(tc, None)
+    // zero conversions ⇒ pf = 0 and every removal effect is 0/0: fail
+    // loudly (the vocabulary-guard discipline) instead of emitting NaN
+    // rows that poison downstream budget decisions
+    require(pf > 0,
+      "no conversions reach START (p_conv = 0) — removal effects are " +
+        "undefined; attribution needs at least one converting journey")
     def d6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     // grid → 6dp probability: floor(p_grid/1e6 + 0.5)/1e6, the oracle's
     // exact spelling on the identical BIGINT
@@ -546,6 +555,17 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     val bitCase = MarkovChannels.zipWithIndex
       .map { case (c, i) => s"WHEN '$c' THEN ${1 << i}" }
       .mkString("CASE event_type ", " ", " ELSE 0 END")
+    // loud vocabulary guard on the RAW journey event types (q250's
+    // discipline): the bitCase below maps any undeclared channel to 0
+    // BEFORE bit_or, so a post-CASE mask check can never fire — an
+    // undeclared channel would silently vanish from Shapley credit
+    val rogue = spark.sql(s"""
+      WITH ${markovTransCtes("unix_millis(ts)")}
+      SELECT DISTINCT event_type FROM j""").collect().map(_.getString(0))
+      .filterNot(MarkovChannels.contains)
+    require(rogue.isEmpty,
+      s"undeclared channels ${rogue.toSeq} — extend MarkovChannels or " +
+        "the coalition sweep is incomplete")
     val mrows = spark.sql(s"""
       WITH ${markovTransCtes("unix_millis(ts)")},
       um AS (

@@ -1502,9 +1502,13 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * scan while untouched boxes carry over verbatim. The new
     * coordinate p' = o % [[ZUpdSpan]] + 1 is a pure function of the
     * row's immutable key — so the update is IDEMPOTENT without any
-    * version bookkeeping, and the gate is a presence test (any cohort
-    * row whose p differs from its target), robust under re-runs and
-    * persistent warehouse roots. The ORACLE replays the original
+    * version bookkeeping, and EACH table gates on its own staleness:
+    * rows on a presence test (any cohort row whose p differs from its
+    * target), the manifest on a coverage test (any row outside its
+    * file's stored box) — so a crash between the two publishes
+    * converges on the next run instead of stranding a manifest that
+    * prunes moved rows away. Robust under re-runs and persistent
+    * warehouse roots. The ORACLE replays the original
     * layout, applies the same update post-assignment, recomputes
     * per-file boxes and the window from the updated table, and serves
     * the same counts — update ∘ store ≡ rebuild-with-revisions,
@@ -1534,13 +1538,27 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       graft.core.Warehouse.publish(untouched.unionByName(rewritten),
         rowsTable, Seq("file_id"))
       graft.core.Warehouse.gc(spark, rowsTable)
-      val oldMan = graft.core.Warehouse.readTable(spark, manTable)
-      val freshBoxes = boxesOf(
-        graft.core.Warehouse.readTable(spark, rowsTable)
-          .filter(col("file_id").isin(aff: _*)))
+    }
+    // Manifest maintenance gates on the MANIFEST'S OWN staleness — any
+    // row outside its file's stored box — never on the rows gate above:
+    // a crash between the rows publish and the manifest publish leaves
+    // zero stale rows but uncovered moved coordinates, and a rows-only
+    // gate would then skip manifest repair forever, letting pruning
+    // silently drop the moved rows (q242's both-tables dirty-test
+    // discipline). On the normal path the moved rows ARE outside their
+    // old boxes, so this one probe drives both cases to convergence.
+    val rowsNow = graft.core.Warehouse.readTable(spark, rowsTable)
+    val manCur = graft.core.Warehouse.readTable(spark, manTable)
+      .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+    val dirty = rowsNow.join(broadcast(manCur), Seq("file_id"))
+      .filter(col("p") < col("p_lo") || col("p") > col("p_hi") ||
+        col("s") < col("s_lo") || col("s") > col("s_hi"))
+      .select("file_id").distinct()
+      .collect().map(_.getInt(0)).sorted.map(Integer.valueOf)
+    if (dirty.nonEmpty) {
+      val freshBoxes = boxesOf(rowsNow.filter(col("file_id").isin(dirty: _*)))
       graft.core.Warehouse.publish(
-        oldMan.filter(!col("file_id").isin(aff: _*))
-          .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+        manCur.filter(!col("file_id").isin(dirty: _*))
           .unionByName(freshBoxes), manTable)
       graft.core.Warehouse.gc(spark, manTable)
     }

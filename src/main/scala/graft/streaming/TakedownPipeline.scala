@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   *   - `cbloomdec/batch_run=N` — the counting-bloom decrement SKETCH
   *     for the q239 membership filter (a linear sketch, so merged
   *     decrements subtract byte-exactly);
+  *   - `cmsdec/batch_run=N`    — the count-min decrement sketch over
+  *     the batch's TOKEN OCCURRENCES for the corpus token-frequency
+  *     store (the q247 linear-subtraction discipline: CMS counters
+  *     are a linear map of the inserted multiset, so the merged
+  *     decrements `cms_diff` out byte-exactly);
+  *   - `ddqdec/batch_run=N`    — the DDSketch decrement over the
+  *     batch docs' text lengths for the corpus length-quantile store
+  *     (q248's discipline — same linearity, same byte-exact
+  *     subtraction);
   *   - `report/batch_run=N`    — the per-batch erasure accounting row
   *     (doc and gram-incidence counts, exact integers) an audit trail
   *     requires.
@@ -29,11 +38,13 @@ import org.apache.spark.sql.functions._
   * sum, counter sum), and a document is an atomic row, so the pipeline
   * is batch-split-invariant by construction; idempotent batch_run
   * overwrite makes a checkpoint-replayed batch replace its own
-  * partitions — exactly-once across all four sinks with a single
+  * partitions — exactly-once across all six sinks with a single
   * checkpoint directory. StreamingAnalyticsSpec proves a two-batch run
   * (with a mid-run restart replay) serves every store rebuild-equal:
   * the pair table by anti-join, the gram set by decrement fold, the
-  * counting bloom by byte-equal subtraction.
+  * counting bloom / CMS / DDSketch by byte-equal linear subtraction,
+  * and the component-label table by q235's bounded recompute driven
+  * off the `ids` artifact — one feed, every store.
   *
   * What deliberately is NOT here: stores whose delete is impossible
   * (monotone sketches — q224's profile flags staleness instead) and
@@ -46,7 +57,8 @@ object TakedownPipeline {
 
   /** The per-batch delete artifacts. */
   case class Artifacts(ids: DataFrame, gramDec: DataFrame,
-                       cbloomDec: DataFrame, report: DataFrame)
+                       cbloomDec: DataFrame, cmsDec: DataFrame,
+                       ddqDec: DataFrame, report: DataFrame)
 
   /** Derive every artifact from one batch of tombstoned (doc_id, text)
     * rows. The SAME function serves the streaming writer and the
@@ -54,20 +66,33 @@ object TakedownPipeline {
     * sites of this code. */
   def artifactsOf(batch: DataFrame): Artifacts = {
     graft.functions.CountingBloom.register(batch.sparkSession)
+    graft.functions.CmSketch.register(batch.sparkSession)
+    graft.functions.DdSketch.register(batch.sparkSession)
     val ids = batch.select(col("doc_id"))
     val gramDec = graft.operators.LlmQueries.gramDecrementsOf(batch)
       .transform(graft.core.EngineCache.persisted) // read twice: land + report
     val cbloomDec = batch
       .select(graft.functions.TextFunctions.bagFingerprint("text").as("fp"))
       .agg(expr("cbloom_build(fp)").as("dsk"))
+    // every token OCCURRENCE (not the distinct set — CMS counts the
+    // multiset), hashed exactly as the corpus-side store hashes it
+    val cmsDec = batch
+      .select(explode(expr(
+        graft.functions.TextFunctions.wordsExpr("text"))).as("tok"))
+      .select(expr(graft.core.Determinism.xhashExpr("tok")).as("tfp"))
+      .agg(expr("cms_build(tfp)").as("dsk"))
+    // one length value per tombstoned doc for the length-quantile store
+    val ddqDec = batch
+      .select(expr("CAST(length(text) AS BIGINT)").as("len"))
+      .agg(expr("ddq_build(len)").as("dsk"))
     val report = batch.agg(count(lit(1)).as("n_docs"))
       .crossJoin(gramDec.agg(
         count(lit(1)).as("n_grams_touched"),
         coalesce(sum(col("dec")), lit(0L)).as("gram_incidences")))
-    Artifacts(ids, gramDec, cbloomDec, report)
+    Artifacts(ids, gramDec, cbloomDec, cmsDec, ddqDec, report)
   }
 
-  /** Start the composed takedown: one stream, one checkpoint, four
+  /** Start the composed takedown: one stream, one checkpoint, six
     * batch_run-partitioned sinks. */
   def start(docStream: DataFrame, outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -81,6 +106,8 @@ object TakedownPipeline {
           land(a.ids, "ids")
           land(a.gramDec, "gramdec")
           land(a.cbloomDec, "cbloomdec")
+          land(a.cmsDec, "cmsdec")
+          land(a.ddqDec, "ddqdec")
           land(a.report, "report")
           graft.core.EngineCache.releaseOwned()
         }

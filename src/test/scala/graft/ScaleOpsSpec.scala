@@ -704,6 +704,48 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("attribution guards: rogue channels and zero conversions fail loudly") {
+    val sq = spark
+    import sq.implicits._
+    val S = ScaleOps
+    // the guards' failure modes only trip at runtime, so both are
+    // exercised against planted fixtures: an UNDECLARED channel must
+    // refuse (not silently drop from credit — the Shapley bitCase maps
+    // unknowns to 0 before bit_or, so the guard must read the RAW
+    // journey vocabulary), and a zero-conversion corpus must refuse
+    // (not emit NaN removal effects)
+    def evDir(rows: Seq[(Long, Long, String, java.sql.Timestamp)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rogueDir = evDir(Seq(
+      (1L, 1L, "click", ts(1)),
+      (1L, 2L, "smoke_signal", ts(2)),   // not in MarkovChannels
+      (1L, 3L, "purchase", ts(3))))
+    val e1 = intercept[IllegalArgumentException](
+      S.markovAttribution(spark, rogueDir))
+    assert(e1.getMessage.contains("undeclared channels") &&
+      e1.getMessage.contains("smoke_signal"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      S.shapleyAttribution(spark, rogueDir))
+    assert(e2.getMessage.contains("undeclared channels") &&
+      e2.getMessage.contains("smoke_signal"), e2.getMessage)
+    // journeys that never convert: P(conv | START) = 0, removal effects
+    // are 0/0 — the operator refuses instead of emitting NaN rows
+    val noConvDir = evDir(Seq(
+      (1L, 1L, "click", ts(1)), (2L, 2L, "view", ts(2))))
+    val e3 = intercept[IllegalArgumentException](
+      S.markovAttribution(spark, noConvDir))
+    assert(e3.getMessage.contains("no conversions"), e3.getMessage)
+    // and the value iteration itself is total: an empty transition set
+    // (empty events table) reads as 0, never NoSuchElementException
+    assert(S.markovPConv(Nil, None) == 0L)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("zorder update: file membership frozen, coordinates moved, idempotent") {
     import org.apache.spark.sql.functions.col
     val S = ScaleOps
@@ -741,6 +783,26 @@ class ScaleOpsSpec extends SparkSpec {
         org.apache.spark.sql.functions.max("p")).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(manBox == trueBox, "manifest p-boxes must match the rows at rest")
+    // CRASH WINDOW between the two publishes: rows already updated, the
+    // manifest still pre-move (simulated by publishing boxes that no
+    // longer cover the rows — p_hi clamped to p_lo). The rows gate is
+    // clean, so only the manifest's OWN staleness probe (any row
+    // outside its stored box) can trigger repair; without it pruning
+    // would silently drop the uncovered rows forever.
+    val served = S.zorderUpdateServe(spark, sfDir).collect().toSeq
+    val manNow = W.readTable(spark, s"zupdman_$suffix")
+      .select("file_id", "p_lo", "p_hi", "s_lo", "s_hi")
+    W.publish(manNow.withColumn("p_hi", col("p_lo")), s"zupdman_$suffix")
+    W.gc(spark, s"zupdman_$suffix")
+    val servedAfterRepair = S.zorderUpdateServe(spark, sfDir).collect().toSeq
+    val repaired = W.readTable(spark, s"zupdman_$suffix").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(repaired == trueBox,
+      "manifest must converge back to true min/max boxes after the crash")
+    assert(servedAfterRepair == served,
+      "a post-crash serve must return the pre-crash answer, not a pruned one")
+    assert(W.publishedVersion(spark, s"zupd_$suffix").get == vR,
+      "manifest repair must not republish the rows table")
     graft.core.EngineCache.releaseAll()
   }
 

@@ -816,7 +816,7 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val sq = spark
     import sq.implicits._
     implicit val ctx = sq.sqlContext
-    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, sum}
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, expr, lit, sum}
     import graft.operators.LlmQueries
     import graft.streaming.TakedownPipeline
     val CB = graft.functions.CountingBloom
@@ -909,6 +909,50 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .agg(sum("n_docs"), sum("gram_incidences")).head()
     assert(rep.getLong(0) == 2L, s"report must count the cohort once: $rep")
     assert(rep.getLong(1) == mergedDec.agg(sum("dec")).head().getLong(0))
+    // 5. merged CMS decrements (token occurrences) and DDSketch
+    // decrements (text lengths) subtract byte-exactly — every LINEAR
+    // sketch store services off the one feed (the q247/q248 verbs'
+    // decrement sketches now arrive composed, not batch-side)
+    graft.functions.CmSketch.register(spark)
+    graft.functions.DdSketch.register(spark)
+    val survivors = corpusDf.filter(!col("doc_id").isin(6L, 16L))
+    def cmsOf(df: org.apache.spark.sql.DataFrame): Array[Byte] = df
+      .select(explode(expr(
+        graft.functions.TextFunctions.wordsExpr("text"))).as("tok"))
+      .select(expr(graft.core.Determinism.xhashExpr("tok")).as("tfp"))
+      .agg(expr("cms_build(tfp)")).head().getAs[Array[Byte]](0)
+    def ddqOf(df: org.apache.spark.sql.DataFrame): Array[Byte] = df
+      .select(expr("CAST(length(text) AS BIGINT)").as("len"))
+      .agg(expr("ddq_build(len)")).head().getAs[Array[Byte]](0)
+    val cmsDecMerged = spark.read.parquet(s"$dir/cmsdec")
+      .agg(expr("cms_merge(dsk)")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(
+      graft.functions.CmSketch.diffSketches(cmsOf(corpusDf), cmsDecMerged),
+      cmsOf(survivors)),
+      "cms token-frequency store must subtract byte-equal to a rebuild")
+    val ddqDecMerged = spark.read.parquet(s"$dir/ddqdec")
+      .agg(expr("ddq_merge(dsk)")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(
+      graft.functions.DdSketch.diffSketches(ddqOf(corpusDf), ddqDecMerged),
+      ddqOf(survivors)),
+      "ddsketch length-quantile store must subtract byte-equal to a rebuild")
+    // 6. the ids feed drives q235's component-label maintenance
+    // end-to-end == rebuild: deleting bridge-less 6 dissolves {3,6}
+    // (3 leaves the table — no surviving edge), {21,22} passes through
+    // verbatim — the one store whose delete needs graph context,
+    // composed off the same feed
+    val baseLabels = graft.llm.Dedup.connectedComponents(basePairs)
+      .transform(graft.core.EngineCache.persisted)
+    val servedLabels = LlmQueries.componentDeleteOf(baseLabels, basePairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuiltLabels = graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.minhashLshPairs(survivors, "doc_id", "text",
+          LlmQueries.WordShingleN, LlmQueries.MinhashK,
+          LlmQueries.MinhashBands, LlmQueries.MinhashTau))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedLabels == rebuiltLabels &&
+      servedLabels == Map(21L -> 21L, 22L -> 21L),
+      s"label store must split {3,6} away and keep {21,22}: $servedLabels")
     graft.core.EngineCache.releaseAll()
   }
 
