@@ -785,6 +785,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q188_script_profile" -> scriptProfile _,
     "q196_pps_sample"     -> ppsSample _,
     "q244_cluster_sample" -> clusterBalancedSample _,
+    "q253_semdedup"       -> semDedup _,
     "q197_taint_ppr"      -> taintPpr _,
     "q189_gram_novelty"   -> gramNovelty _,
     "q190_corpus_funnel"  -> corpusFunnel _,
@@ -958,6 +959,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q196_pps_sample" -> ppsSampleSql,
     // clustering AND draw replayed: the gate covers the composition
     "q244_cluster_sample" -> clusterBalancedSampleSql,
+    // clustering, τ-graph, AND closure replayed: the hash covers the
+    // full SemDeDup composition including the keep-the-outlier draw
+    "q253_semdedup" -> semDedupSql,
     "q197_taint_ppr" -> taintPprSql,
     "q189_gram_novelty" -> gramNoveltySql,
     "q190_corpus_funnel" -> corpusFunnelSql,

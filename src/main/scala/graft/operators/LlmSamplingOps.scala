@@ -1232,4 +1232,91 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     FROM r WHERE rk <= $CbsPerCell
     ORDER BY cell, rk"""
 
+  // ---------------------------------------------------------------- q253
+  /** SemDeDup — SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): the dedup family's embedding-space member, and a
+    * genuinely different notion of "duplicate" from the lexical family
+    * (MinHash q35, SimHash q36, grams q37) — paraphrases and
+    * re-renderings that share no tokens but say the same thing.
+    * Mechanics are the paper's: k-means clusters the corpus (q84's
+    * Lloyd, same K/rounds/seeding), pairwise cosine runs ONLY within a
+    * cell, pairs ≥ [[SemTau]] form duplicate groups (connected
+    * components over the τ-graph — cell-local by construction, since
+    * edges never cross cells), and each group KEEPS exactly its
+    * lowest-centroid-similarity member (the paper's keep-the-outlier
+    * choice: prototypical members are the redundant ones; ties break
+    * to the lower vec_id), dropping the rest. Output: every duplicate-
+    * group member with its cell, group label, 6dp centroid cosine, and
+    * kept flag.
+    *
+    * Scale: the quadratic term is PER-CELL — the corpus-sized work is
+    * Lloyd's broadcast-centroid scans plus one equi-join on cell
+    * (shuffle-partitioned by cell, AQE-splittable on a skewed cell; at
+    * 100 TB you raise K so cell populations stay bounded, exactly how
+    * the paper runs web-scale). The τ-graph and its components are
+    * O(duplicates), not O(corpus), and the keeper draw is one window
+    * over group members. The ORACLE replays clustering, τ-graph, and
+    * the recursive-CTE closure verbatim — the hash match covers the
+    * whole composition, q244-style. */
+  val SemTau = 0.40
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOf(embs(spark, dir), KmK, KmRounds, SemTau)
+
+  /** The full pipeline over an arbitrary (vec_id, embedding) corpus —
+    * the spec entry point. */
+  private[graft] def semDedupOf(vecs: DataFrame, k: Int, rounds: Int,
+                                tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = graft.llm.Similarity
+    val asg = S.kmeansLloyd(vecs, k, rounds) // (vec_id, cell, cos) 6dp
+      .transform(graft.core.EngineCache.persisted)
+    val withVec = asg.select(col("vec_id"), col("cell"), col("cos"))
+      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+      .transform(graft.core.EngineCache.persisted)
+    val pairs = withVec.select(col("vec_id").as("id_a"), col("cell"),
+        col("embedding").as("ea"))
+      .join(withVec.select(col("vec_id").as("id_b"), col("cell"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        expr(s"${S.cosineExpr("ea", "eb")} >= $tau"))
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.llm.Dedup.connectedComponents(pairs)
+      .toDF("vec_id", "grp")
+    val w = Window.partitionBy("grp").orderBy(col("cent_cos"), col("vec_id"))
+    comp.join(withVec.select(col("vec_id"), col("cell"),
+        col("cos").as("cent_cos")), "vec_id")
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("grp"), col("cent_cos"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  def semDedupSql: String = s"""
+    WITH RECURSIVE wv AS (
+      SELECT z.vec_id, z.cell, z.cos, e.embedding
+      FROM (${graft.llm.Similarity.kmeansLloydSql("embeddings", KmK, KmRounds)}) z
+      JOIN embeddings e ON z.vec_id = e.vec_id),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM wv a JOIN wv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ${graft.llm.Similarity.cosineSql("a.embedding", "b.embedding")}
+        >= $SemTau),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+    comp AS (SELECT id AS vec_id, min(label) AS grp FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.vec_id, w.cell, c.grp, w.cos AS cent_cos,
+        row_number() OVER (PARTITION BY c.grp
+          ORDER BY w.cos, c.vec_id) AS rn
+      FROM comp c JOIN wv w ON c.vec_id = w.vec_id)
+    SELECT vec_id, cell::BIGINT AS cell, grp, cent_cos, (rn = 1) AS kept
+    FROM ranked ORDER BY vec_id"""
+
 }

@@ -40,6 +40,46 @@ class PipelineOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("semdedup: τ-groups match brute force, one outlier kept per group, partition-invariant") {
+    val sq = spark
+    import sq.implicits._
+    // two geometrically unambiguous cells (e1-family, e2-family; ids 0/1
+    // are the Lloyd seeds): {0,10,11} chain pairwise above τ=0.99 in
+    // cell 0, {1,20} in cell 1; 12 and 21 sit in their cells but below
+    // τ against everything — they must not appear in the output at all
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      10L -> Array(1f, 0.01f, 0f, 0f),
+      11L -> Array(1f, 0.02f, 0f, 0f),
+      12L -> Array(0.7f, 0f, 0.7f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f),
+      20L -> Array(0f, 1f, 0.01f, 0f),
+      21L -> Array(0f, 0.6f, 0.8f, 0f)).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LlmQueries.semDedupOf(df, 2, 2, 0.99).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4)))
+    val out = run(vecs)
+    // group structure = the brute-force τ-closure: min-id labels
+    assert(out.map(r => r._1 -> r._3).toMap ==
+      Map(0L -> 0L, 10L -> 0L, 11L -> 0L, 1L -> 1L, 20L -> 1L),
+      s"τ-groups must match the planted closure: ${out.toSeq}")
+    // exactly one keeper per group, and it is the group's LOWEST
+    // centroid-similarity member (ties to the lower vec_id) — the
+    // SemDeDup keep-the-outlier rule, checked against the output's own
+    // cent_cos column
+    out.groupBy(_._3).foreach { case (grp, members) =>
+      val kept = members.filter(_._5)
+      assert(kept.length == 1, s"grp $grp keeps ${kept.length} members")
+      assert(kept.head._1 == members.minBy(m => (m._4, m._1))._1,
+        s"grp $grp must keep its centroid outlier: ${members.toSeq}")
+    }
+    // pure function of the data: re-partitioning changes nothing
+    assert(run(vecs.repartition(5)).sortBy(_._1).toSeq ==
+      out.sortBy(_._1).toSeq, "semdedup must be partition-invariant")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("PPS sample: exactly K draws, giant docs certain, partition-invariant") {
     val sq = spark
     import sq.implicits._
