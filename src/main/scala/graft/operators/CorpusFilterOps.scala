@@ -580,6 +580,65 @@ object CorpusFilterOps {
     GROUP BY r.doc_id, m.n_tri, m.m
     ORDER BY r.doc_id"""
 
+  // --------------------------------------------------------------- q254
+  /** CCNet perplexity buckets (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data") — the
+    * selection readout the q208 LM exists to feed: per LANGUAGE, the
+    * held-out docs split into head / middle / tail terciles by LM
+    * score (CCNet's exact recipe: a KenLM perplexity per doc, bucketed
+    * per language, head = lowest perplexity = cleanest; training then
+    * samples bucket-weighted). Spelled on the stupid-backoff trigram
+    * LM so every per-doc score is the 6dp-exact avg_logp q208 already
+    * serves (higher avg_logp = lower perplexity), and the tercile is
+    * ntile(3) ordered (avg_logp DESC, doc_id) — a pure RANK, no float
+    * boundary comparison to drift cross-engine, deterministic under
+    * ties by the id tiebreak.
+    *
+    * Scale: the LM scoring is q208's five keyed joins; the bucket pass
+    * runs over the per-doc AGGREGATE frame — O(docs) rows of
+    * (id, lang, score) longs/doubles, never text — and the window is
+    * lang-partitioned (a distributed sort per language of 16-byte
+    * rows; CCNet itself buckets per language for exactly this
+    * sharding). Nothing collects; the rollup reuses
+    * [[backoffScoredOf]] verbatim, so the gate and q208 can never
+    * disagree about the LM. */
+  val PplBuckets = 3
+
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame =
+    pplBucketsOf(docs(spark, dir))
+
+  /** Core of q254 over any (doc_id, text, lang) frame — the spec
+    * entry point. */
+  private[graft] def pplBucketsOf(docsF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    backoffLmOf(docsF)
+      .join(docsF.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("nt", ntile(PplBuckets).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tri"), col("avg_logp"),
+        expr("CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+          "ELSE 'tail' END").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private def pplBucketsSql: String = s"""
+    WITH $backoffScoredCtes,
+    lm AS (
+      SELECT doc_id, count(*)::INT AS n_tri,
+        ${droundSql("(sum(l8)::BIGINT)::DOUBLE / 1e8 / count(*)", 6)}
+          AS avg_logp
+      FROM scored GROUP BY doc_id),
+    t AS (
+      SELECT lm.doc_id, d.lang, lm.n_tri, lm.avg_logp,
+        ntile($PplBuckets) OVER (PARTITION BY d.lang
+          ORDER BY lm.avg_logp DESC, lm.doc_id) AS nt
+      FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+    SELECT doc_id, lang, n_tri, avg_logp,
+      CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        ELSE 'tail' END AS bucket
+    FROM t ORDER BY doc_id"""
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -589,7 +648,8 @@ object CorpusFilterOps {
     "q229_winnow_increment" -> winnowIncrement _,
     "q237_winnow_delete" -> winnowDelete _,
     "q208_backoff_lm"   -> backoffLm _,
-    "q249_mink_prob"    -> minkProb _)
+    "q249_mink_prob"    -> minkProb _,
+    "q254_ppl_buckets"  -> pplBuckets _)
 
   val oracles: Map[String, String] = Map(
     "q205_gopher_rules" -> gopherRulesSql,
@@ -600,5 +660,7 @@ object CorpusFilterOps {
     "q208_backoff_lm"   -> backoffLmSql,
     // bottom-m sums are tie-proof (equal multiset sums), so the
     // row_number tiebreak never leaks into the hash gate
-    "q249_mink_prob"    -> minkProbSql)
+    "q249_mink_prob"    -> minkProbSql,
+    // LM + per-lang tercile replayed: the hash covers the composition
+    "q254_ppl_buckets"  -> pplBucketsSql)
 }

@@ -152,6 +152,54 @@ class CorpusFilterOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("ppl buckets: per-lang terciles follow LM score, rank-pure, partition-invariant") {
+    val sq = spark
+    import sq.implicits._
+    val C = CorpusFilterOps
+    // replicate the operator's hash split; per language plant three
+    // held-out docs of graded quality: fully memorized (avg_logp 0 →
+    // head), half novel (→ middle), fully novel (LM floor → tail)
+    val sp = spark.range(0, 400).selectExpr("id",
+        s"${graft.core.Determinism.xhashExpr("concat('split:', CAST(id AS STRING))")} % 10 AS sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (0L until 400L).filter(sp(_) <= 7).take(20)
+    val heldIds = (0L until 400L).filter(sp(_) > 7).take(6)
+    val sentence = (1 to 12).map(i => s"tok$i").mkString(" ")
+    def novel(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val docs = (trainIds.map(id => (id, sentence, "en")) ++ Seq(
+      (heldIds(0), sentence, "en"),
+      (heldIds(1), sentence + " " + novel("x"), "en"),
+      (heldIds(2), novel("u"), "en"),
+      (heldIds(3), sentence, "de"),
+      (heldIds(4), sentence + " " + novel("y"), "de"),
+      (heldIds(5), novel("v"), "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = C.pplBucketsOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3), r.getString(4)))
+      .toMap
+    // only held-out docs are bucketed, three per language
+    assert(out.keySet == heldIds.toSet, s"held-out only: $out")
+    // each language's tercile follows its LM scores: memorized → head,
+    // mixed → middle, novel → tail — per-lang independently
+    assert(out(heldIds(0))._3 == "head" && out(heldIds(1))._3 == "middle" &&
+      out(heldIds(2))._3 == "tail", s"en terciles: $out")
+    assert(out(heldIds(3))._3 == "head" && out(heldIds(4))._3 == "middle" &&
+      out(heldIds(5))._3 == "tail", s"de terciles: $out")
+    // the bucket is a pure rank of avg_logp: head score >= middle >= tail
+    Seq("en", "de").foreach { l =>
+      val s = out.values.filter(_._1 == l).toSeq
+      val by = s.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(by("head").min >= by("middle").max &&
+        by("middle").min >= by("tail").max, s"$l rank order: $s")
+    }
+    // pure function of the data: re-partitioning changes nothing
+    val again = C.pplBucketsOf(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3), r.getString(4)))
+      .toMap
+    assert(again == out, "ppl buckets must be partition-invariant")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("backoff LM: in-domain held-out scores 0, unseen text hits the floor") {
     val sq = spark
     import sq.implicits._
