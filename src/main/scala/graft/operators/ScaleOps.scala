@@ -92,6 +92,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q232_zorder_purge"  -> zorderPurgeServe _,
     "q238_bitmap_purge"  -> bitmapPurgeServe _,
     "q245_zorder_update" -> zorderUpdateServe _,
+    "q255_bloom_skip"    -> bloomSkipServe _,
+    "q256_bloom_skip_append" -> bloomSkipAppendServe _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -175,6 +177,11 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // original layout, applies the same coordinate revision
     // post-assignment, and serves from the grown boxes
     "q245_zorder_update" -> zorderUpdateServeSql("lineitem"),
+    // the oracle replays the file assignment and exact aggregates; the
+    // hash equality is the no-false-negative proof, the booleans the
+    // pruning evidence (bloom bits themselves are not SQL-replayable)
+    "q255_bloom_skip" -> bloomSkipServeSql("lineitem"),
+    "q256_bloom_skip_append" -> bloomSkipAppendServeSql("lineitem"),
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

@@ -1628,6 +1628,252 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     FROM upd CROSS JOIN bb2
     WHERE p BETWEEN p_from AND p_to AND s BETWEEN s_from AND s_to"""
 
+  // ---------------------------------------------------------------- q255
+  /** Bloom file-SKIPPING index — the layout family's MONOTONE member,
+    * completing the physical-design taxonomy the sketch family already
+    * teaches: z-order boxes (q195) prune RANGE predicates on the
+    * clustering dims, the bitmap (q210) answers categorical
+    * conjunctions, and per-file Bloom filters prune POINT lookups on a
+    * column the sort does NOT help (here l_partkey under an
+    * l_orderkey-clustered layout — the Delta/Iceberg bloom-column
+    * use case verbatim). Build: rows range-cluster on l_orderkey into
+    * [[BfFiles]] equal-count files ([[DistributedRank]], never a
+    * global window) and each file persists one [[graft.functions
+    * .BloomSketch]] over its l_partkey set — O(files) manifest rows of
+    * fixed 16 KiB filters. Serve: [[BfProbes]] deterministic probe
+    * keys (the manifest's own p-bounds split on thirds — existing AND
+    * likely-absent keys both probed) test every file's filter
+    * driver-side (the layout family's O(files) manifest collect), the
+    * scan touches ONLY bloom-positive partitions (PartitionFilters),
+    * and exact per-key aggregates come off the pruned scan.
+    *
+    * The ORACLE cannot replay filter bits in SQL — and does not need
+    * to: it replays the FILE ASSIGNMENT and computes the exact
+    * per-key aggregates and true file counts; the hash match then
+    * PROVES no false negative (a skipped file holding the key would
+    * shrink n_rows/sum_cents), while `bloom_no_miss` (touched ⊇ true
+    * files) and `pruned` (touched < total) are emitted as engine-side
+    * booleans the oracle spells TRUE — the q239/q247 invariant-boolean
+    * discipline. DELETE is deliberately absent: a bit-OR filter cannot
+    * retract (the q141-vs-q239 lesson) — a takedown either tolerates
+    * stale-positive files (correctness unaffected: the scan
+    * re-filters; only pruning degrades) or rebuilds the affected
+    * files' filters, exactly the honesty the q224 profile flags.
+    * Scale: ranking is the corpus-sized pass; the manifest is O(files)
+    * and every serve reads it, never raw data; probes cost
+    * O(files·K) driver-side bit tests. */
+  val BfFiles = 64
+  val BfAppendFiles = 8
+
+  private[graft] def bloomLayoutTableOnce(spark: SparkSession, dir: String,
+                                          prefix: String,
+                                          rowFilter: String): DataFrame = {
+    val table = prefix +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table, "file_id") {
+      import org.apache.spark.sql.functions._
+      val r0 = Tables.load(spark, dir, "lineitem")
+        .filter(rowFilter)
+        .selectExpr("l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln",
+          "l_partkey AS p",
+          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
+        .transform(graft.core.EngineCache.persisted)
+      val b = r0.agg(min("o"), max("o"), count(lit(1))).head()
+      val (omn, omx, n) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      // ties beyond (o, ln, p, cents) are fully interchangeable rows, so
+      // every file's multiset — all the serve reads — is deterministic
+      DistributedRank.rankOnlyBounded(r0, "rk", "o", desc = false,
+          omn.toDouble, omx.toDouble,
+          col("o"), col("ln"), col("p"), col("cents"))
+        .withColumn("file_id",
+          expr(s"CAST(((rk - 1) * $BfFiles) div $n AS INT)"))
+        .select("o", "ln", "p", "cents", "file_id")
+        .repartition(col("file_id"))
+    }
+  }
+
+  /** Per-file Bloom manifest over the at-rest layout: one filter + the
+    * file's p-bounds per file_id. */
+  private[graft] def bloomManifestTableOnce(spark: SparkSession,
+                                            dir: String, prefix: String,
+                                            rows: DataFrame): DataFrame = {
+    val table = prefix +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, table) {
+      import org.apache.spark.sql.functions._
+      graft.functions.BloomSketch.register(spark)
+      rows.groupBy("file_id").agg(expr("bloom_build(p)").as("sk"),
+        min("p").as("p_lo"), max("p").as("p_hi"))
+    }
+  }
+
+  /** The probe keys: the manifest's global p-bounds split on thirds —
+    * pure integer arithmetic both engines replay. */
+  private def bloomProbeKeys(pmn: Long, pmx: Long): Seq[Long] =
+    (0L to 3L).map(i => pmn + (pmx - pmn) * i / 3)
+
+  /** Bloom-positive (key, file_id) candidates + per-key aggregates off
+    * the pruned scan — the serve core shared by q255 and q256, and the
+    * spec entry point. */
+  private[graft] def bloomServeOf(spark: SparkSession, keys: Seq[Long],
+                           man: DataFrame, rows: DataFrame,
+                           filesTotal: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.BloomSketch.register(spark)
+    val sq = spark
+    import sq.implicits._
+    val cand = man.select(col("file_id"), col("sk"))
+      .crossJoin(broadcast(keys.toDF("k")))
+      .filter(expr("bloom_contains(sk, k)"))
+      .select(col("k"), col("file_id"))
+      .collect() // O(files · K) — the layout family's manifest collect
+    val touched = cand.groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getInt(1)) }
+    val unionFiles = cand.map(_.getInt(1)).distinct.sorted
+    val candDf = cand.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .toDF("k", "file_id")
+    val matched = rows
+      .filter(col("file_id").isin(unionFiles.map(Integer.valueOf): _*))
+      .join(broadcast(candDf), Seq("file_id"))
+      .filter(col("p") === col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+        countDistinct("file_id").as("files_with_key"))
+    val keyDf = keys.map(k => (k, touched.getOrElse(k, Array.empty[Int])
+      .length.toLong)).toDF("k", "ft")
+    keyDf.join(matched, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"),
+        coalesce(col("files_with_key"), lit(0L)).as("files_with_key"),
+        lit(filesTotal.toLong).as("files_total"),
+        (col("ft") >= coalesce(col("files_with_key"), lit(0L)))
+          .as("bloom_no_miss"),
+        (col("ft") < filesTotal).as("pruned"))
+      .orderBy("k")
+  }
+
+  def bloomSkipServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = bloomLayoutTableOnce(spark, dir, "bflay_", "true")
+    val man = bloomManifestTableOnce(spark, dir, "bfman_", rows)
+    val b = man.agg(min("p_lo"), max("p_hi")).head()
+    bloomServeOf(spark, bloomProbeKeys(b.getLong(0), b.getLong(1)),
+      man, rows, BfFiles)
+  }
+
+  def bloomSkipServeSql(table: String): String = s"""
+    WITH raw AS (
+      SELECT l_orderkey AS o, CAST(l_linenumber AS BIGINT) AS ln,
+        l_partkey AS p,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM $table),
+    nn AS (SELECT count(*) AS n FROM raw),
+    fz AS (
+      SELECT ((row_number() OVER (ORDER BY o, ln, p, cents) - 1)
+          * $BfFiles) // nn.n AS file_id, p, cents
+      FROM raw CROSS JOIN nn),
+    bb AS (SELECT min(p) AS pmn, max(p) AS pmx FROM raw),
+    keys AS (
+      SELECT (pmn + ((pmx - pmn) * i) // 3)::BIGINT AS k
+      FROM bb, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    m AS (
+      SELECT keys.k, count(fz.p)::BIGINT AS n_rows,
+        coalesce(sum(fz.cents), 0)::BIGINT AS sum_cents,
+        count(DISTINCT fz.file_id)::BIGINT AS files_with_key
+      FROM keys LEFT JOIN fz ON fz.p = keys.k GROUP BY keys.k)
+    SELECT k, n_rows, sum_cents, files_with_key,
+      CAST($BfFiles AS BIGINT) AS files_total,
+      TRUE AS bloom_no_miss, TRUE AS pruned
+    FROM m ORDER BY k"""
+
+  // ---------------------------------------------------------------- q256
+  /** Bloom-skipping APPEND — the monotone verb the filter is BUILT
+    * for, and the reason it earns its place next to the deletable
+    * counting bloom: new files bring their own filters, the manifest
+    * grows by union, and NO existing filter is ever touched (bit-OR
+    * is append's friend exactly as it is delete's enemy). The base
+    * corpus (l_orderkey ≢ [[ZBatchMod]] mod 10 — the SAME arrival
+    * event the z-order append q200 honors) lays out and persists
+    * once; the arriving batch is the ONLY data ranked (among itself,
+    * into [[BfAppendFiles]] fresh file ids past the base's range) and
+    * the only text... the only rows bloom-hashed. Probe keys stay
+    * FROZEN on the base manifest's bounds (q200's frozen-bounds
+    * discipline), the serve spans base ∪ fresh under one candidate
+    * pass, and the oracle replays both layouts over all raw rows —
+    * the hash match proves the append lost nothing. Append cost:
+    * O(batch log batch); the base is never re-ranked or re-hashed. */
+  def bloomSkipAppendServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = bloomLayoutTableOnce(spark, dir, "bfbase_",
+      s"l_orderkey % 10 != $ZBatchMod")
+    val baseMan = bloomManifestTableOnce(spark, dir, "bfbaseman_", base)
+    graft.functions.BloomSketch.register(spark)
+    val batch = Tables.load(spark, dir, "lineitem")
+      .filter(s"l_orderkey % 10 = $ZBatchMod")
+      .selectExpr("l_orderkey AS o", "CAST(l_linenumber AS BIGINT) AS ln",
+        "l_partkey AS p",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
+      .transform(graft.core.EngineCache.persisted)
+    val bb = batch.agg(min("o"), max("o"), count(lit(1))).head()
+    val (omn, omx, nb) = (bb.getLong(0), bb.getLong(1), bb.getLong(2))
+    val fresh = DistributedRank.rankOnlyBounded(batch, "rk", "o",
+        desc = false, omn.toDouble, omx.toDouble,
+        col("o"), col("ln"), col("p"), col("cents"))
+      .withColumn("file_id",
+        expr(s"CAST($BfFiles + ((rk - 1) * $BfAppendFiles) div $nb AS INT)"))
+      .select("o", "ln", "p", "cents", "file_id")
+      .transform(graft.core.EngineCache.persisted)
+    val freshMan = fresh.groupBy("file_id")
+      .agg(expr("bloom_build(p)").as("sk"),
+        min("p").as("p_lo"), max("p").as("p_hi"))
+    // probe keys FROZEN on the base manifest — arrivals never move them
+    val b = baseMan.agg(min("p_lo"), max("p_hi")).head()
+    val keys = bloomProbeKeys(b.getLong(0), b.getLong(1))
+    bloomServeOf(spark, keys,
+      baseMan.select("file_id", "sk")
+        .unionByName(freshMan.select("file_id", "sk")),
+      base.select("p", "cents", "file_id")
+        .unionByName(fresh.select("p", "cents", "file_id")),
+      BfFiles + BfAppendFiles)
+  }
+
+  def bloomSkipAppendServeSql(table: String): String = s"""
+    WITH rawb AS (
+      SELECT l_orderkey AS o, CAST(l_linenumber AS BIGINT) AS ln,
+        l_partkey AS p,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM $table WHERE l_orderkey % 10 != $ZBatchMod),
+    rawf AS (
+      SELECT l_orderkey AS o, CAST(l_linenumber AS BIGINT) AS ln,
+        l_partkey AS p,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM $table WHERE l_orderkey % 10 = $ZBatchMod),
+    nb AS (SELECT count(*) AS n FROM rawb),
+    nf AS (SELECT count(*) AS n FROM rawf),
+    fzb AS (
+      SELECT ((row_number() OVER (ORDER BY o, ln, p, cents) - 1)
+          * $BfFiles) // nb.n AS file_id, p, cents
+      FROM rawb CROSS JOIN nb),
+    fzf AS (
+      SELECT $BfFiles + ((row_number() OVER (ORDER BY o, ln, p, cents) - 1)
+          * $BfAppendFiles) // nf.n AS file_id, p, cents
+      FROM rawf CROSS JOIN nf),
+    fz AS (SELECT * FROM fzb UNION ALL SELECT * FROM fzf),
+    bb AS (SELECT min(p) AS pmn, max(p) AS pmx FROM rawb),
+    keys AS (
+      SELECT (pmn + ((pmx - pmn) * i) // 3)::BIGINT AS k
+      FROM bb, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    m AS (
+      SELECT keys.k, count(fz.p)::BIGINT AS n_rows,
+        coalesce(sum(fz.cents), 0)::BIGINT AS sum_cents,
+        count(DISTINCT fz.file_id)::BIGINT AS files_with_key
+      FROM keys LEFT JOIN fz ON fz.p = keys.k GROUP BY keys.k)
+    SELECT k, n_rows, sum_cents, files_with_key,
+      CAST(${BfFiles + BfAppendFiles} AS BIGINT) AS files_total,
+      TRUE AS bloom_no_miss, TRUE AS pruned
+    FROM m ORDER BY k"""
+
   def zorderLayoutSql(table: String): String = s"""
     WITH raw AS (
       SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,

@@ -463,6 +463,34 @@ class PlanSpec extends SparkSpec {
         s"(rawScans=$rawScans, batch-filtered=$batchScans):\n$p")
   }
 
+  test("bloom-skip serve scans only bloom-positive at-rest partitions") {
+    graft.operators.ScaleOps.bloomLayoutTableOnce(spark, sfDir, "bflay_", "true")
+    val p = plan(graft.operators.ScaleOps.bloomSkipServe(spark, sfDir))
+    assert(p.contains("bflay_"),
+      s"serve must scan the persisted bloom layout:\n$p")
+    assert(p.contains("PartitionFilters: [file_id"),
+      s"bloom-positive files must prune at the partition level:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"serve must not rescan the raw table:\n$p")
+  }
+
+  test("bloom-skip append serves from the stored base plus the batch alone") {
+    graft.operators.ScaleOps.bloomLayoutTableOnce(spark, sfDir, "bfbase_",
+      s"l_orderkey % 10 != ${graft.operators.ScaleOps.ZBatchMod}")
+    val p = plan(graft.operators.ScaleOps.bloomSkipAppendServe(spark, sfDir))
+    assert(p.contains("bfbase_"),
+      s"append serve must scan the at-rest base layout:\n$p")
+    assert(p.contains("PartitionFilters: [file_id"),
+      s"base files must prune at the partition level:\n$p")
+    val rawScans = "lineitem.parquet".r.findAllIn(p).size
+    val batchScans =
+      ("DataFilters: \\[[^\\]]*% 10\\) = " +
+        graft.operators.ScaleOps.ZBatchMod).r.findAllIn(p).size
+    assert(rawScans > 0 && batchScans >= rawScans,
+      s"base rows must come from the layout, not a raw re-scan " +
+        s"(rawScans=$rawScans, batch-filtered=$batchScans):\n$p")
+  }
+
   test("bitmap serve answers conjunctions from the at-rest words alone") {
     graft.operators.ScaleOps.bitmapServe(spark, sfDir).collect() // build once
     val p = plan(graft.operators.ScaleOps.bitmapServe(spark, sfDir))

@@ -806,6 +806,59 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("bloom skip: exact aggregates off positive files, absent keys prune to zero") {
+    val sq = spark
+    import sq.implicits._
+    import org.apache.spark.sql.functions.{col, expr, min, max}
+    graft.functions.BloomSketch.register(spark)
+    // three files with disjoint p sets; probes: a present key (p=2, one
+    // file), a key present in TWO files (p=7), and an absent key (99)
+    val rows = Seq(
+      (0, 1L, 10L), (0, 2L, 20L), (0, 7L, 30L),
+      (1, 3L, 40L), (1, 7L, 50L), (1, 7L, 60L),
+      (2, 4L, 70L), (2, 5L, 80L)).toDF("file_id", "p", "cents")
+    val man = rows.groupBy("file_id").agg(expr("bloom_build(p)").as("sk"),
+      min("p").as("p_lo"), max("p").as("p_hi"))
+    val out = graft.operators.ScaleOps
+      .bloomServeOf(spark, Seq(2L, 7L, 99L), man, rows, 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(out(2L) == (1L, 20L, 1L, 3L, true, true),
+      s"single-file key must aggregate exactly and prune: ${out(2L)}")
+    assert(out(7L) == (3L, 140L, 2L, 3L, true, true),
+      s"two-file key must touch both holders: ${out(7L)}")
+    // the absent key: zero rows, zero holders, and the filters (no
+    // false positive at this density) prune every file
+    assert(out(99L)._1 == 0L && out(99L)._3 == 0L && out(99L)._5 &&
+      out(99L)._6, s"absent key must serve empty and pruned: ${out(99L)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("bloom skip append: base manifest frozen, fresh files carry the arrivals") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val served = S.bloomSkipAppendServe(spark, sfDir).collect()
+    val (vBase, vMan) = (W.publishedVersion(spark, s"bfbase_$suffix").get,
+      W.publishedVersion(spark, s"bfbaseman_$suffix").get)
+    // a second serve re-ranks only the batch: the at-rest base rows and
+    // base manifest must not republish (the frozen-artifact discipline)
+    val again = S.bloomSkipAppendServe(spark, sfDir).collect()
+    assert(W.publishedVersion(spark, s"bfbase_$suffix").get == vBase &&
+      W.publishedVersion(spark, s"bfbaseman_$suffix").get == vMan,
+      "append serve must never republish the base layout or manifest")
+    assert(served.toSeq == again.toSeq, "append serve must be deterministic")
+    // arrivals are visible: the appended serve counts at least as many
+    // rows per key as the base-only layout serves for the same keys
+    val baseRows = W.readTable(spark, s"bfbase_$suffix")
+    assert(served.map(_.getLong(1)).sum >=
+      baseRows.filter(col("p").isin(served.map(_.getLong(0)): _*)).count(),
+      "appended serve must cover the base rows for the probed keys")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("bitmap purge: folded words equal rebuild, zeroed words drop, fold idempotent") {
     val sq = spark
     import sq.implicits._
