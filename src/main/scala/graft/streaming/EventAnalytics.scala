@@ -388,6 +388,42 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming Bloom-shard encode — the stream-time twin of the q255
+    * membership manifest, keyed by a ROW-PURE shard (l_orderkey mod 8)
+    * rather than rank-assigned file ids: rank is a batch-relative
+    * notion, but a shard function gives a row the same home whichever
+    * micro-batch carries it, so the merged filters are
+    * batch-split-invariant BY CONSTRUCTION. Each micro-batch lands one
+    * filter per shard under `batch_run=N` with idempotent overwrite; a
+    * serve `bloom_merge`s every run's shard filters. Bit-OR is
+    * commutative, associative, AND idempotent — a double-merged
+    * replayed batch changes nothing, so unlike the counting family
+    * (q239's merge-once discipline) this sink needs no exactly-once
+    * care beyond the overwrite itself. The price is the same monotone
+    * trade the q255 scaladoc records: stream-time deletes are
+    * impossible; a takedown rebuilds affected shards or tolerates
+    * stale positives. */
+  def startStreamingBloomShards(rowStream: DataFrame, path: String,
+                                checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rowStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.BloomSketch.register(batch.sparkSession)
+          batch
+            .selectExpr("CAST(l_orderkey % 8 AS INT) AS shard",
+              "l_partkey AS p")
+            .groupBy("shard")
+            .agg(org.apache.spark.sql.functions.expr("bloom_build(p)")
+              .as("sk"))
+            .write.mode("overwrite")
+            .parquet(s"$path/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming DELETE feed for the bitmap index — the stream-time twin
     * of q231's tombstone build: deleted rows arrive in micro-batches,
     * each batch's tombstone words land under `batch_run=N` with

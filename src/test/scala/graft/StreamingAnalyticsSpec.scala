@@ -628,6 +628,51 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming bloom shards merge to the one-shot filters, replay harmless") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.expr
+    graft.functions.BloomSketch.register(spark)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(2000).toLong) }
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbf").toString
+    // batch 0, crash, restart (batch 0 REPLAYS), batch 1: bit-OR is
+    // idempotent, so even a double-landed batch must change nothing
+    def runOnce(feed: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)] => Unit): Unit = {
+      val source = MemoryStream[(Long, Long)]
+      val q = EventAnalytics.startStreamingBloomShards(
+        source.toDF().toDF("l_orderkey", "l_partkey"),
+        s"$dir/blooms", s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce { s => s.addData(h1.toIndexedSeq: _*) }
+    runOnce { s =>
+      s.addData(h1.toIndexedSeq: _*)
+      s.addData(h2.toIndexedSeq: _*)
+    }
+    val got = spark.read.parquet(s"$dir/blooms")
+      .groupBy("shard").agg(expr("bloom_merge(sk)").as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val want = rows.groupBy(r => (r._1 % 8).toInt)
+      .map { case (sh, rs) =>
+        sh -> graft.functions.BloomSketch.sketchOf(rs.map(_._2)) }
+    assert(got.keySet == want.keySet, s"shards: ${got.keySet}")
+    want.foreach { case (sh, sk) =>
+      assert(java.util.Arrays.equals(got(sh), sk),
+        s"shard $sh stream-merged filter must equal the one-shot build") }
+    // and the merged filters carry the no-false-negative contract
+    rows.foreach { case (o, p) =>
+      assert(graft.functions.BloomSketch.contains(got((o % 8).toInt), p),
+        s"inserted key $p must probe true in shard ${o % 8}") }
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming tombstones merge to the one-shot delete bitmap and serve") {
     val sq = spark
     import sq.implicits._
