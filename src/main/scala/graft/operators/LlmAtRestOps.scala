@@ -1211,6 +1211,379 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     ${wpApplyTail(d)}"""
   }
 
+  // ---------------------------------------------------------------- q257
+  /** Unigram-LM tokenizer (Kudo 2018, "Subword Regularization:
+    * Improving Neural Network Translation Models with Multiple Subword
+    * Candidates") — the THIRD tokenizer family beside BPE (q182,
+    * bottom-up merge replay) and WordPiece (q240, greedy longest
+    * match), and the only probability-optimal one: each word segments
+    * into the VITERBI-best piece sequence under a unigram piece
+    * distribution, trained by EM. Spelled exactly: the seed vocabulary
+    * is every train-split substring of length ≤ [[UgMaxPiece]] (all
+    * single chars kept unconditionally — segmentability floor) with
+    * the top [[UgTopN]] multi-char pieces by (count DESC, piece); one
+    * hard-EM round re-estimates piece probabilities from the
+    * Viterbi-path counts of the train words (Viterbi/hard EM — the
+    * standard distributed approximation of Kudo's expected-count
+    * E-step, +1 char-floor smoothing so unused singles survive), and
+    * the final Viterbi under the re-estimated distribution segments
+    * every word of the table.
+    *
+    * Determinism is INTEGER end to end: log-probs quantize to a 1e-6
+    * grid (the q208 LM move), and every DP edge cost is
+    * l6·2^34 + pert where pert = xhash(piece@pos) mod 2^30 — the 2^34
+    * scale strictly dominates the ≤ 12·2^30 worst-case perturbation
+    * sum, so true score order is NEVER flipped while exact ties break
+    * identically in both engines. The Viterbi itself runs WITHOUT
+    * recursion or backpointer walks: forward best-prefix and backward
+    * best-suffix tables unroll to [[UgMaxWord]] levels (words longer
+    * than that hit the [UNK] protocol, as do words with train-unseen
+    * characters), and a piece occurrence is ON the optimal path iff
+    * fwd(pos) + cost + bwd(suffix) equals the word's total — the
+    * fwd⋈bwd on-path marking that makes path extraction one join.
+    * Per-word output carries a Σ xhash(piece) mod [[UgCkMod]] multiset
+    * checksum, q240's exact-segmentation pin.
+    *
+    * Scale: everything past the word count runs on the DISTINCT-WORD
+    * table (Sennrich's vocabulary compression — the same move BPE and
+    * WordPiece make), pieces broadcast, and the apply side is one
+    * (word → stats) join over the corpus: tokenizing 100 TB is a join.
+    * The engine fuses the whole bounded DP into ONE native Catalyst
+    * expression per word ([[graft.functions.UnigramViterbi]], codegen'd
+    * via a static kernel call, the piece table riding along as an
+    * O(alphabet + topN) constant); the ORACLE unrolls the identical
+    * integer arithmetic as chained CTEs, so the hash match covers seed
+    * stats, the EM round, tie breaks, and every segmentation. */
+  val UgMaxPiece = 4
+  val UgTopN = 12
+  val UgMaxWord = 12
+  val UgCkMod = 1000000007L
+  val UgCostScale = 17179869184L // 2^34: dominates any perturbation sum
+  val UgPertMod = 1073741824L    // 2^30 deterministic tie-break space
+
+  def unigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramLmOf(docs(spark, dir))
+
+  /** q257 over an arbitrary (doc_id, text) frame — the spec entry. */
+  private[graft] def unigramLmOf(docsF: DataFrame): DataFrame = {
+    def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
+    def xh(e: String) = graft.core.Determinism.xhashExpr(e)
+    val words0 = P(docsF.select(col("doc_id"),
+      explode(expr(graft.functions.TextFunctions.wordsExpr("text"))).as("w"),
+      expr(s"${xh("concat('split:', CAST(doc_id AS STRING))")} % 10").as("sp")))
+    val tw = words0.filter(col("sp") <= 7)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    ugRollup(words0.select("doc_id", "w"),
+      ugCollectProbs(ugTrainedProbs(tw)))
+  }
+
+  /** Quantized log-prob table (piece, l6) of a piece-count frame
+    * (piece, cnt) — the 1e-6 integer grid both engines share. */
+  private def ugProbsOf(cnts: DataFrame): DataFrame = {
+    val t = cnts.agg(sum("cnt").as("t"))
+    cnts.crossJoin(broadcast(t))
+      .select(col("piece"), expr(
+        "CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6" +
+          " + 0.5) AS BIGINT)").as("l6"))
+  }
+
+  /** The piece tables are O(alphabet + UgTopN) rows BY CONSTRUCTION
+    * (every train single char + the top-N multi-char pieces), so
+    * collecting one into the kernel is the wordpieceFrozenOf
+    * bounded-relation contract, not a corpus collect — and it makes
+    * every serve cross-session safe (foreachBatch's cloned sessions). */
+  private[graft] def ugCollectProbs(p: DataFrame): Map[String, Long] =
+    p.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Trained unigram piece distribution (piece, l6) from train word
+    * counts (w, c): seed vocab (all singles + top-N multi-char by
+    * count) → seed probs → one hard-EM Viterbi round re-estimating
+    * counts from the train words' optimal paths (+1 char floor). */
+  private[graft] def ugTrainedProbs(tw0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
+    val tw = P(tw0)
+    val cand = P(tw
+      .select(col("w"), col("c"),
+        explode(expr("sequence(1, length(w))")).as("pos"))
+      .select(col("w"), col("c"), col("pos"),
+        explode(expr(s"sequence(1, $UgMaxPiece)")).as("l"))
+      .filter(expr("pos + l - 1 <= length(w)"))
+      .select(expr("substr(w, pos, l)").as("piece"), col("c"))
+      .groupBy("piece").agg(sum("c").as("cnt")))
+    // cand is already an O(vocab) aggregate, so the ranking window is
+    // bounded — the wpVocabCtes discipline
+    val vocab0 = cand.filter(length(col("piece")) === 1)
+      .unionByName(cand.filter(length(col("piece")) >= 2)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("piece"))))
+        .filter(col("rk") <= UgTopN).drop("rk"))
+    val p0 = P(ugProbsOf(vocab0))
+    val (on1, _) = viterbiOnPath(P(tw.select("w")), ugCollectProbs(p0))
+    // hard-EM count re-estimation over the train words' Viterbi paths,
+    // weighted by word occurrence; +1 char floor keeps singles alive
+    val cnt1 = p0.join(
+        on1.join(tw, "w").groupBy("piece").agg(sum("c").as("vc")),
+        Seq("piece"), "left")
+      .select(col("piece"),
+        (coalesce(col("vc"), lit(0L)) +
+          when(length(col("piece")) === 1, 1L).otherwise(0L)).as("cnt"))
+      .filter(col("cnt") > 0)
+    ugProbsOf(cnt1)
+  }
+
+  /** Per-doc segmentation rollup of a (doc_id, w) word stream under a
+    * trained piece map: Viterbi each distinct word, checksum + count
+    * the on-path pieces, [UNK] for unreachable words, roll to docs. */
+  private[graft] def ugRollup(words: DataFrame,
+                              probs: Map[String, Long]): DataFrame = {
+    def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
+    def xh(e: String) = graft.core.Determinism.xhashExpr(e)
+    val w0 = P(words)
+    val dw = P(w0.select("w").distinct())
+    val (on2, tot2) = viterbiOnPath(dw, probs)
+    val seg = on2.groupBy("w").agg(count(lit(1)).as("n_p"),
+      sum(expr(s"pmod(${xh("piece")}, $UgCkMod)")).as("ckp"))
+    val wordseg = dw
+      .join(tot2.select(col("w"), lit(true).as("ok")), Seq("w"), "left")
+      .join(seg, Seq("w"), "left")
+      .select(col("w"),
+        when(col("ok"), coalesce(col("n_p"), lit(0L))).otherwise(1L)
+          .as("n_pieces_w"),
+        when(col("ok"), 0L).otherwise(1L).as("unk_w"),
+        when(col("ok"), coalesce(col("ckp"), lit(0L)))
+          .otherwise(expr(s"pmod(${xh("'[UNK]'")}, $UgCkMod)")).as("ck_w"))
+    w0.join(wordseg, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces_w").as("n_pieces"),
+        sum("unk_w").as("n_unk"), sum("ck_w").as("ck"))
+      .orderBy("doc_id")
+  }
+
+  /** Tie-free integer Viterbi over distinct words under a piece→l6
+    * table: one [[graft.functions.UnigramViterbi]] kernel call per
+    * word (the whole bounded DP fused into a native expression — see
+    * the kernel's scaladoc for why the unrolled-DataFrame forms lost
+    * to their own plan cost), exploded to on-path (pos, l, piece)
+    * cells. Returns (on-path edges, reachable words — NULL kernel
+    * output is the [UNK] protocol). */
+  private def viterbiOnPath(dw0: DataFrame,
+                            probs: Map[String, Long]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val vit = ColumnBridge.column(graft.functions.UnigramViterbi(
+      ColumnBridge.expression(col("w")), probs,
+      UgMaxWord, UgMaxPiece, UgCostScale, UgPertMod))
+    val base = graft.core.EngineCache.persisted(
+      dw0.select(col("w"), vit.as("vit")))
+    val tot = base.filter(col("vit").isNotNull).select(col("w"))
+    val onpath = base.filter(col("vit").isNotNull)
+      .select(col("w"), explode(col("vit")).as("e"))
+      .select(col("w"), col("e.pos").as("pos"), col("e.l").as("l"),
+        col("e.piece").as("piece"))
+    (onpath, tot)
+  }
+
+  /** One Viterbi DP pass (round r over dw$r joined with probs table
+    * `p`) as chained CTEs in the DuckDB dialect. Every CTE
+    * MATERIALIZED: the DP levels are referenced up to UgMaxPiece times
+    * each, and inlining re-expands the whole chain (and re-opens the
+    * parquet) exponentially — materialization keeps the oracle's cost
+    * the same O(levels) the engine pays. */
+  private def ugDpCtes(r: Int, p: String): String = {
+    def xh(e: String) = graft.core.Determinism.xhashSql(e)
+    def pm(e: String, m: Long) = s"((($e) % $m) + $m) % $m"
+    val W = UgMaxWord
+    locally {
+      val edge = s"""e$r AS MATERIALIZED (
+        SELECT z.w, z.wl, z.pos, z.l, substr(z.w, z.pos, z.l) AS piece,
+          p.l6 * $UgCostScale +
+            ${pm(xh(s"substr(z.w, z.pos, z.l) || '@' || z.pos::VARCHAR"),
+              UgPertMod)} AS cost
+        FROM (
+          SELECT w, wl, pos, l FROM
+            (SELECT w, wl, unnest(range(1, wl + 1)) AS pos FROM dw$r) zp,
+            (SELECT unnest(range(1, ${UgMaxPiece + 1})) AS l) zl
+          WHERE pos + l - 1 <= wl) z
+        JOIN $p p ON substr(z.w, z.pos, z.l) = p.piece)"""
+      val fs = (s"f${r}_1 AS MATERIALIZED (SELECT w, 0::BIGINT AS s FROM dw$r)") +:
+        (2 to W + 1).map { k =>
+          val branches = (1 to math.min(UgMaxPiece, k - 1)).map { l =>
+            s"""SELECT f.w, f.s + e.cost AS s
+              FROM f${r}_${k - l} f JOIN e$r e
+              ON e.w = f.w AND e.pos = ${k - l} AND e.l = $l"""
+          }.mkString(" UNION ALL ")
+          s"f${r}_$k AS MATERIALIZED (SELECT w, max(s) AS s FROM ($branches) u GROUP BY w)"
+        }
+      val gs = (s"g${r}_0 AS MATERIALIZED (SELECT w, 0::BIGINT AS s FROM dw$r)") +:
+        (1 to W).map { j =>
+          val branches = (1 to math.min(UgMaxPiece, j)).map { l =>
+            s"""SELECT g.w, g.s + e.cost AS s
+              FROM g${r}_${j - l} g JOIN e$r e
+              ON e.w = g.w AND e.pos = e.wl - $j + 1 AND e.l = $l"""
+          }.mkString(" UNION ALL ")
+          s"g${r}_$j AS MATERIALIZED (SELECT w, max(s) AS s FROM ($branches) u GROUP BY w)"
+        }
+      val fr = s"fr$r AS MATERIALIZED (" + (1 to W + 1).map(k =>
+        s"SELECT w, $k AS k, s FROM f${r}_$k").mkString(" UNION ALL ") + ")"
+      val br = s"br$r AS MATERIALIZED (" + (0 to W).map(j =>
+        s"SELECT w, $j AS j, s FROM g${r}_$j").mkString(" UNION ALL ") + ")"
+      val tot = s"""tot$r AS MATERIALIZED (
+        SELECT f.w, f.s AS ts FROM fr$r f
+        JOIN dw$r d ON f.w = d.w AND f.k = d.wl + 1)"""
+      val on = s"""on$r AS MATERIALIZED (
+        SELECT e.w, e.pos, e.l, e.piece FROM e$r e
+        JOIN fr$r f ON f.w = e.w AND f.k = e.pos
+        JOIN br$r b ON b.w = e.w AND b.j = e.wl - e.pos - e.l + 1
+        JOIN tot$r t ON t.w = e.w
+        WHERE f.s + e.cost + b.s = t.ts)"""
+      (Seq(edge) ++ fs ++ gs ++ Seq(fr, br, tot, on)).mkString(",\n")
+    }
+  }
+
+  private def ugProbsSql(name: String, cnts: String): String = s"""
+      t_$name AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS t FROM $cnts),
+      $name AS MATERIALIZED (
+        SELECT piece, CAST(floor(ln(cnt::DOUBLE / t::DOUBLE) * 1e6 + 0.5)
+          AS BIGINT) AS l6
+        FROM $cnts CROSS JOIN t_$name)"""
+
+  /** Train-side oracle chain — seed stats, seed probs, the hard-EM
+    * round, re-estimated p1 — over a caller-supplied word-count
+    * select (the q257/q258 difference is only WHICH words train). */
+  private def ugTrainSql(twSql: String): String = s"""
+    tw AS MATERIALIZED ($twSql),
+    cand AS MATERIALIZED (
+      SELECT substr(w, pos, l) AS piece, sum(c)::BIGINT AS cnt
+      FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS pos FROM tw) zp,
+           (SELECT unnest(range(1, ${UgMaxPiece + 1})) AS l) zl
+      WHERE pos + l - 1 <= length(w)
+      GROUP BY 1),
+    vocab0 AS MATERIALIZED (
+      SELECT piece, cnt FROM cand WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM cand WHERE length(piece) >= 2) zr WHERE rk <= $UgTopN),
+    ${ugProbsSql("p0", "vocab0")},
+    dw1 AS MATERIALIZED (SELECT w, length(w) AS wl FROM tw),
+    ${ugDpCtes(1, "p0")},
+    cnt1 AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT p.piece,
+          (coalesce(v.vc, 0) +
+            CASE WHEN length(p.piece) = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt
+        FROM p0 p LEFT JOIN (
+          SELECT piece, sum(c)::BIGINT AS vc
+          FROM on1 JOIN tw USING (w) GROUP BY piece) v
+        ON p.piece = v.piece) z
+      WHERE cnt > 0),
+    ${ugProbsSql("p1", "cnt1")}"""
+
+  /** Apply-side oracle chain + final per-doc rollup over the `words0`
+    * (doc_id, w) CTE, segmenting under the trained `p1`. */
+  private def ugApplySql: String = {
+    def xh(e: String) = graft.core.Determinism.xhashSql(e)
+    def pm(e: String, m: Long) = s"((($e) % $m) + $m) % $m"
+    s"""
+    dw2 AS MATERIALIZED (SELECT DISTINCT w, length(w) AS wl FROM words0),
+    ${ugDpCtes(2, "p1")},
+    seg AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS n_p,
+        sum(${pm(xh("piece"), UgCkMod)})::BIGINT AS ckp
+      FROM on2 GROUP BY w),
+    wordseg AS (
+      SELECT d.w,
+        CASE WHEN t.w IS NOT NULL THEN coalesce(s.n_p, 0)
+          ELSE 1 END AS n_pieces_w,
+        CASE WHEN t.w IS NOT NULL THEN 0 ELSE 1 END AS unk_w,
+        CASE WHEN t.w IS NOT NULL THEN coalesce(s.ckp, 0)
+          ELSE ${pm(xh("'[UNK]'"), UgCkMod)} END AS ck_w
+      FROM dw2 d
+      LEFT JOIN tot2 t ON d.w = t.w
+      LEFT JOIN seg s ON d.w = s.w)
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+      sum(n_pieces_w)::BIGINT AS n_pieces, sum(unk_w)::BIGINT AS n_unk,
+      sum(ck_w)::BIGINT AS ck
+    FROM words0 JOIN wordseg ON words0.w = wordseg.w
+    GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** The q257 oracle: identical integer pipeline with the DP unrolled
+    * as chained CTEs in the DuckDB dialect. */
+  private[operators] def unigramLmSql: String = s"""
+    WITH words0 AS MATERIALIZED (
+      SELECT doc_id,
+        unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+        ${graft.core.Determinism.xhashSql("'split:' || doc_id::VARCHAR")} % 10
+          AS sp
+      FROM documents),
+    ${ugTrainSql(
+      "SELECT w, count(*)::BIGINT AS c FROM words0 WHERE sp <= 7 GROUP BY w")},
+    $ugApplySql"""
+
+  // ---------------------------------------------------------------- q258
+  /** FROZEN unigram-LM serving from the trained piece distribution AT
+    * REST — the q246 frozen-artifact discipline for the q257
+    * tokenizer, giving the unigram family the same lifecycle BPE
+    * (train q182 → apply q183 → frozen serve) and WordPiece (q240 →
+    * q246) carry: the (piece, l6) distribution trains ONCE on the BASE
+    * corpus (source ≠ [[BatchSource]], no further split — the base IS
+    * the train set) through the full seed → hard-EM pipeline and
+    * publishes to the warehouse; an arriving batch is then the ONLY
+    * text word-split, its distinct words Viterbi-segmented by the
+    * [[graft.functions.UnigramViterbi]] kernel against the stored
+    * table. l6 is BIGINT so the at-rest round trip is bit-exact — no
+    * float reconstitution risk. A tokenizer that cannot drift
+    * mid-ingest is the operational point; OOV words hit the same two
+    * [UNK] protocols as training-side segmentation. The ORACLE
+    * re-derives the distribution from base raw text and segments the
+    * batch raw text, so the hash match proves the at-rest table lost
+    * nothing. Cross-session safe by construction: the serve transports
+    * the piece table as a bounded collect (O(alphabet + UgTopN) rows),
+    * the wordpieceFrozenOf contract. */
+  def unigramPiecesAtRest(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    graft.core.Warehouse.tableOnce(spark, s"ug_pieces_$suffix") {
+      unigramPiecesOf(docs(spark, dir)
+        .filter(col("source") =!= BatchSource))
+    }
+  }
+
+  /** The trained (piece, l6) frame for an arbitrary (doc_id, text)
+    * base corpus — all of it trains, no held-out split. */
+  private[graft] def unigramPiecesOf(baseDocs: DataFrame): DataFrame =
+    ugTrainedProbs(baseDocs
+      .select(explode(expr(
+        graft.functions.TextFunctions.wordsExpr("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+
+  /** Frozen serve over an arbitrary batch frame + stored piece frame —
+    * shared by q258 and the spec. */
+  private[graft] def unigramFrozenOf(batch: DataFrame,
+                                     pieces: DataFrame): DataFrame =
+    ugRollup(batch.select(col("doc_id"),
+        explode(expr(
+          graft.functions.TextFunctions.wordsExpr("text"))).as("w")),
+      ugCollectProbs(pieces))
+
+  def unigramFrozen(spark: SparkSession, dir: String): DataFrame =
+    unigramFrozenOf(
+      docs(spark, dir).filter(col("source") === BatchSource),
+      unigramPiecesAtRest(spark, dir))
+
+  /** The q258 oracle: train on base raw text, segment batch raw text —
+    * the same shared CTE chains as q257 with only the word sources
+    * swapped. */
+  private[operators] def unigramFrozenSql: String = s"""
+    WITH words0t AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE source <> '$BatchSource'),
+    words0 AS MATERIALIZED (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE source = '$BatchSource'),
+    ${ugTrainSql("SELECT w, count(*)::BIGINT AS c FROM words0t GROUP BY w")},
+    $ugApplySql"""
+
 }
 
 /** The handful of spellings that differ between Spark SQL and DuckDB,

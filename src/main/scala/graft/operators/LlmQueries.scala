@@ -779,6 +779,8 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q183_bpe_tokenize"   -> bpeTokenize _,
     "q240_wordpiece"      -> wordpiece _,
     "q246_wordpiece_frozen" -> wordpieceFrozen _,
+    "q257_unigram_lm"     -> unigramLm _,
+    "q258_unigram_frozen" -> unigramFrozen _,
     "q184_intradoc_dedup" -> intradocDedup _,
     "q185_epoch_shuffle"  -> epochShuffle _,
     "q186_skipgram_negs"  -> skipgramNegatives _,
@@ -952,6 +954,13 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     // frozen serve: the oracle re-derives the vocab from base raw text
     // and segments the batch, proving the at-rest vocab lost nothing
     "q246_wordpiece_frozen" -> wordpieceFrozenSql,
+    // seed stats, the hard-EM round, tie-free Viterbi, and every
+    // segmentation checksum replayed as unrolled integer CTEs
+    "q257_unigram_lm" -> unigramLmSql,
+    // frozen serve: the oracle re-trains the distribution from base
+    // raw text and segments the batch, proving the at-rest (piece, l6)
+    // table lost nothing
+    "q258_unigram_frozen" -> unigramFrozenSql,
     "q184_intradoc_dedup" -> intradocDedupSql,
     "q185_epoch_shuffle" -> epochShuffleSql,
     "q186_skipgram_negs" -> skipgramNegativesSql,

@@ -213,6 +213,63 @@ class CorpusOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("unigram LM: Viterbi segmentation, hard-EM piece dropping, both UNK protocols") {
+    val L = graft.operators.LlmQueries
+    val xh = graft.core.Determinism.xhashExpr _
+    // land one doc in the train split (sp <= 7) and one held out,
+    // replicating the operator's doc_id hash split
+    val sp = spark.range(0, 50)
+      .selectExpr("id", s"${xh("concat('split:', CAST(id AS STRING))")} % 10 AS sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = (0L until 50L).find(sp(_) <= 7).get
+    val heldId = (0L until 50L).find(sp(_) > 7).get
+    // train = {aaaa ×3}: seed counts a:12, aa:9, aaa:6, aaaa:3 (total
+    // 30) — the SEED Viterbi of "aaaa" picks the single piece
+    // (ln 0.1 > 2·ln 0.3 > ln 0.2 + ln 0.4 > 4·ln 0.4), so hard-EM
+    // re-counts {aaaa: 3} + the char floor {a: 1} and DROPS aa/aaa
+    // (cnt 0). Round 2 must segment "aa" as a+a — only a survived —
+    // proving the EM round actually reshaped the distribution.
+    val out = L.unigramLmOf(docsOf(
+        trainId -> "aaaa aaaa aaaa",
+        // held out: 1 piece, 2 pieces, unseen char → [UNK],
+        // 13 chars > UgMaxWord → [UNK]
+        heldId -> "aaaa aa b aaaaaaaaaaaaa")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def h(s: String): Long = spark.sql(
+      s"SELECT pmod(${xh(s"'$s'")}, ${L.UgCkMod})").head().getLong(0)
+    assert(out(trainId) == (3L, 3L, 0L, 3 * h("aaaa")),
+      s"train segmentation drifted: ${out(trainId)}")
+    assert(out(heldId) == (4L, 5L, 2L,
+      h("aaaa") + 2 * h("a") + 2 * h("[UNK]")),
+      s"held-out segmentation drifted: ${out(heldId)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("frozen unigram serve segments batches against the at-rest distribution") {
+    val L = graft.operators.LlmQueries
+    val xh = graft.core.Determinism.xhashExpr _
+    // base {aaaa ×3} trains with NO split; hard-EM keeps {aaaa, a}
+    // and drops aa/aaa (the q257 spec's argument) — assert the stored
+    // distribution is exactly that before serving
+    val pieces = L.unigramPiecesOf(docsOf(1L -> "aaaa aaaa aaaa"))
+      .transform(graft.core.EngineCache.persisted)
+    assert(pieces.collect().map(_.getString(0)).toSet == Set("a", "aaaa"),
+      "hard-EM must keep exactly the on-path pieces + char floor")
+    // the batch was never seen at train time: 1 piece, a+a (aa was
+    // dropped), unseen char → [UNK], 13 chars > UgMaxWord → [UNK]
+    val out = L.unigramFrozenOf(
+        docsOf(50L -> "aaaa aa b aaaaaaaaaaaaa"), pieces).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def h(s: String): Long = spark.sql(
+      s"SELECT pmod(${xh(s"'$s'")}, ${L.UgCkMod})").head().getLong(0)
+    assert(out(50L) == (4L, 5L, 2L,
+      h("aaaa") + 2 * h("a") + 2 * h("[UNK]")),
+      s"frozen segmentation drifted: ${out(50L)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("frozen-vocab BPE serving matches training and folds OOV pieces exactly") {
     // frozen artifacts from the Sennrich spec corpus: merges
     // (a,a)->aa, (aa,aa)->aaaa, (a,b)->ab, then the corpus runs dry
