@@ -631,6 +631,34 @@ object EventAnalytics {
       .start()
   }
 
+  /** Streaming frozen-unigram segmentation — the stream-time twin of
+    * q258 and the third tokenizer stream beside WordPiece's: the
+    * (piece, l6) distribution trains once on the base corpus, each
+    * arriving micro-batch is the only text word-split and segments
+    * through the [[graft.functions.UnigramViterbi]] kernel —
+    * per-document pure under a frozen distribution, so outputs are
+    * batch-split-invariant by construction — landing under
+    * `batch_run=N` with idempotent overwrite. Safe under foreachBatch
+    * with zero temp views: the kernel transports the bounded piece
+    * table as a plan constant. */
+  def startStreamingUnigram(docStream: DataFrame, baseDocs: DataFrame,
+                            outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pieces = graft.core.EngineCache.persisted(
+      graft.operators.LlmQueries.unigramPiecesOf(baseDocs))
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.LlmQueries.unigramFrozenOf(batch, pieces)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Streaming BM25 index maintenance — the stream-time twin of q178:
     * each arriving micro-batch of (doc_id, text) rows is tokenized
     * alone and its postings (term, doc_id, tf, shard) land under

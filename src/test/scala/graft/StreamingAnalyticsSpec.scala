@@ -846,6 +846,37 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming unigram: micro-batch splits serve exactly the one-shot frozen rows") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val L = graft.operators.LlmQueries
+    // base {aaaa ×3}: the trained distribution is {aaaa, a} (the q258
+    // spec's hard-EM dropping argument); batches exercise both [UNK]
+    // protocols and the dropped-piece re-segmentation
+    val base = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val batchRows = Seq((50L, "aaaa aa b"), (51L, "aa aaaaaaaaaaaaa aaaa"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sug").toString
+    val source = MemoryStream[(Long, String)]
+    val q = EventAnalytics.startStreamingUnigram(
+      source.toDF().toDF("doc_id", "text"), base, s"$dir/out", s"$dir/ckpt")
+    source.addData(batchRows.take(1).toIndexedSeq: _*)
+    q.processAllAvailable()
+    source.addData(batchRows.drop(1).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_words", "n_pieces", "n_unk", "ck").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val streamed = key(spark.read.parquet(s"$dir/out"))
+    val oneShot = key(L.unigramFrozenOf(
+      batchRows.toDF("doc_id", "text"), L.unigramPiecesOf(base)))
+    assert(streamed == oneShot,
+      s"stream-split serve must equal one-shot: $streamed vs $oneShot")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("session_window groups batch events by inactivity gap") {
     // session_window works identically over batch data — cheap shape check
     val df = graft.core.Tables.load(spark, sfDir, "events")
