@@ -94,6 +94,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q245_zorder_update" -> zorderUpdateServe _,
     "q255_bloom_skip"    -> bloomSkipServe _,
     "q256_bloom_skip_append" -> bloomSkipAppendServe _,
+    "q259_bloom_skip_purge" -> bloomSkipPurgeServe _,
+    "q260_l_diversity"   -> lDiversity _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -182,6 +184,10 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // pruning evidence (bloom bits themselves are not SQL-replayable)
     "q255_bloom_skip" -> bloomSkipServeSql("lineitem"),
     "q256_bloom_skip_append" -> bloomSkipAppendServeSql("lineitem"),
+    // purge: the oracle replays the v1 assignment over all raw rows,
+    // filters the tombstone o-range, and serves the FROZEN keys
+    "q259_bloom_skip_purge" -> bloomSkipPurgeServeSql("lineitem"),
+    "q260_l_diversity" -> lDiversitySql("customer"),
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

@@ -1874,6 +1874,158 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       TRUE AS bloom_no_miss, TRUE AS pruned
     FROM m ORDER BY k"""
 
+  // ---------------------------------------------------------------- q259
+  /** Bloom-skipping PURGE — the honest delete for the MONOTONE filter,
+    * completing the q255/q256 lifecycle the only way a bit-OR sketch
+    * can support it (the q141-vs-q239 lesson: bits cannot retract, so
+    * the delete is physical rewrite + filter REBUILD, never
+    * subtraction): tombstoned rows — an o-PREFIX range, o ≤ omn +
+    * (omx − omn)/[[BfDelDiv]], the "purge an account range" takedown a
+    * key-clustered layout serves best — rewrite out of ONLY the
+    * file_id partitions containing them (wholly-deleted files DROP,
+    * the q238 zero-word discipline), published as the next crash-safe
+    * Warehouse version + gc; filters rebuild from a partition-pruned
+    * scan of just the rewritten files, untouched files keep their
+    * stored filters verbatim — exact by construction because an
+    * untouched file contains no tombstone. Probe keys stay FROZEN on
+    * the raw table's p-bounds (deletion never moves the serving
+    * protocol), and `files_total` reports the LIVE manifest size so a
+    * wholly-dropped file is visible in the output.
+    *
+    * Torn-publish convergence (the q242/zorderUpdate two-artifact
+    * gate): the row gate presence-tests tombstones in the live table;
+    * a crash between the rows publish and the manifest publish leaves
+    * rows clean but the manifest carrying dropped files — detected by
+    * a STRUCTURAL probe (manifest file ids vs the live partition
+    * listing, O(files), no data scan) that triggers manifest-only
+    * maintenance: orphan manifest rows drop, and any file whose stored
+    * p-bounds disagree with a recomputed probe gets its filter
+    * rebuilt. Interior-only staleness a bounds probe cannot see is the
+    * documented stale-POSITIVE tolerance — the scan re-filters, so
+    * aggregates, `files_with_key`, and both invariant booleans stay
+    * exact; only pruning degrades until the next purge. The ORACLE
+    * replays the original assignment over all raw rows, filters the
+    * tombstone range, and serves the frozen keys against the
+    * survivors — the hash match proves purge ∘ publish ≡ rebuild,
+    * dropped files and all. */
+  val BfDelDiv = 8
+
+  def bloomSkipPurgeServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val rowsTable = s"bfpurge_$suffix"
+    val manTable = s"bfpurgeman_$suffix"
+    val rows0 = bloomLayoutTableOnce(spark, dir, "bfpurge_", "true")
+    bloomManifestTableOnce(spark, dir, "bfpurgeman_", rows0)
+    // frozen probe keys + the tombstone range, both off raw bounds —
+    // pure integer arithmetic the oracle replays verbatim
+    val rawB = Tables.load(spark, dir, "lineitem")
+      .agg(min("l_partkey"), max("l_partkey"),
+        min("l_orderkey"), max("l_orderkey")).head()
+    val keys = bloomProbeKeys(rawB.getLong(0), rawB.getLong(1))
+    val othr = rawB.getLong(2) + (rawB.getLong(3) - rawB.getLong(2)) / BfDelDiv
+    bloomPurgeConverge(spark, rowsTable, manTable, s"o <= $othr")
+    val man = graft.core.Warehouse.readTable(spark, manTable)
+    bloomServeOf(spark, keys, man,
+      graft.core.Warehouse.readTable(spark, rowsTable),
+      man.count().toInt)
+  }
+
+  /** The purge + convergence core over a published (rows, manifest)
+    * pair — shared by q259 and the torn-publish spec. */
+  private[graft] def bloomPurgeConverge(spark: SparkSession,
+                                        rowsTable: String, manTable: String,
+                                        pred: String): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.functions.BloomSketch.register(spark)
+    def filtersOf(df: DataFrame): DataFrame = df.groupBy("file_id")
+      .agg(expr("bloom_build(p)").as("sk"),
+        min("p").as("p_lo"), max("p").as("p_hi"))
+    val cur = graft.core.Warehouse.readTable(spark, rowsTable)
+    if (!cur.filter(pred).isEmpty) {
+      // affected files from one projection (a 100 TB deletion feed
+      // names keys; the collect is <= BfFiles ints)
+      val aff = cur.filter(pred).select("file_id").distinct()
+        .collect().map(_.getInt(0)).sorted.map(Integer.valueOf)
+      val untouched = cur.filter(!col("file_id").isin(aff: _*))
+      val rewritten = cur.filter(col("file_id").isin(aff: _*))
+        .filter(s"NOT ($pred)")
+      graft.core.Warehouse.publish(untouched.unionByName(rewritten),
+        rowsTable, Seq("file_id"))
+      graft.core.Warehouse.gc(spark, rowsTable)
+      // filter maintenance: rebuild ONLY affected files' filters from a
+      // partition-pruned scan; wholly-deleted files simply produce no
+      // row and fall out of the manifest
+      val oldMan = graft.core.Warehouse.readTable(spark, manTable)
+      graft.core.Warehouse.publish(
+        oldMan.filter(!col("file_id").isin(aff: _*))
+          .select("file_id", "sk", "p_lo", "p_hi")
+          .unionByName(filtersOf(
+            graft.core.Warehouse.readTable(spark, rowsTable)
+              .filter(col("file_id").isin(aff: _*)))), manTable)
+      graft.core.Warehouse.gc(spark, manTable)
+    }
+    // structural convergence: manifest ids must equal the live
+    // partition listing (O(files) directory read, no data scan); on
+    // mismatch, drop orphans and rebuild any file whose stored bounds
+    // disagree with a recomputed probe
+    val liveIds = Option(new java.io.File(
+        graft.core.Warehouse.publishedPath(spark, rowsTable)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("file_id="))
+      .map(_.getName.drop("file_id=".length).toInt).toSet
+    val man0 = graft.core.Warehouse.readTable(spark, manTable)
+    val manIds = man0.select("file_id").collect().map(_.getInt(0)).toSet
+    if (manIds != liveIds) {
+      val live = graft.core.Warehouse.readTable(spark, rowsTable)
+      val bounds = live.groupBy("file_id")
+        .agg(min("p").as("blo"), max("p").as("bhi"))
+      val stale = man0.join(bounds, Seq("file_id"), "inner")
+        .filter(col("p_lo") =!= col("blo") || col("p_hi") =!= col("bhi"))
+        .select("file_id").collect().map(_.getInt(0)).toSet ++
+        (liveIds -- manIds)
+      val staleJ = stale.toSeq.sorted.map(Integer.valueOf)
+      graft.core.Warehouse.publish(
+        man0.filter(col("file_id").isin(manIds.intersect(liveIds)
+            .toSeq.sorted.map(Integer.valueOf): _*))
+          .filter(!col("file_id").isin(staleJ: _*))
+          .select("file_id", "sk", "p_lo", "p_hi")
+          .unionByName(filtersOf(
+            live.filter(col("file_id").isin(staleJ: _*)))), manTable)
+      graft.core.Warehouse.gc(spark, manTable)
+    }
+  }
+
+  def bloomSkipPurgeServeSql(table: String): String = s"""
+    WITH raw AS (
+      SELECT l_orderkey AS o, CAST(l_linenumber AS BIGINT) AS ln,
+        l_partkey AS p,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM $table),
+    nn AS (SELECT count(*) AS n FROM raw),
+    ob AS (SELECT min(o) AS omn, max(o) AS omx FROM raw),
+    fz AS (
+      SELECT o, ((row_number() OVER (ORDER BY o, ln, p, cents) - 1)
+          * $BfFiles) // nn.n AS file_id, p, cents
+      FROM raw CROSS JOIN nn),
+    surv AS (
+      SELECT fz.* FROM fz CROSS JOIN ob
+      WHERE o > omn + (omx - omn) // $BfDelDiv),
+    ft AS (SELECT count(DISTINCT file_id) AS n FROM surv),
+    bb AS (SELECT min(p) AS pmn, max(p) AS pmx FROM raw),
+    keys AS (
+      SELECT (pmn + ((pmx - pmn) * i) // 3)::BIGINT AS k
+      FROM bb, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    m AS (
+      SELECT keys.k, count(surv.p)::BIGINT AS n_rows,
+        coalesce(sum(surv.cents), 0)::BIGINT AS sum_cents,
+        count(DISTINCT surv.file_id)::BIGINT AS files_with_key
+      FROM keys LEFT JOIN surv ON surv.p = keys.k GROUP BY keys.k)
+    SELECT k, n_rows, sum_cents, files_with_key,
+      ft.n::BIGINT AS files_total,
+      TRUE AS bloom_no_miss, TRUE AS pruned
+    FROM m CROSS JOIN ft ORDER BY k"""
+
   def zorderLayoutSql(table: String): String = s"""
     WITH raw AS (
       SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS o,
@@ -2557,6 +2709,47 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
   def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
     spark.sql(kAnonymitySql("customer"))
+  }
+
+  // ---------------------------------------------------------------- q260
+  /** l-DIVERSITY audit (Machanavajjhala et al. 2007) — the attack
+    * q222's k-anonymity cannot see: a class of k ≥ [[KAnonK]] rows is
+    * still fully disclosed if every row shares one SENSITIVE value
+    * (the homogeneity attack — the linker learns the secret without
+    * re-identifying anyone). Quasi-identifiers here are (nation,
+    * account-balance band) and the sensitive attribute is the market
+    * segment: every class whose sensitive support is below [[LDivL]]
+    * distinct values is emitted with its size, its distinct-sensitive
+    * count, and its modal sensitive frequency — `max_freq` is the
+    * exact-integer input a (c, l)-recursive-diversity check consumes
+    * next, kept a count (not a ratio) so no float crosses the engine
+    * boundary. Two hash aggs (class × sensitive, then class); output
+    * O(violating classes) at any scale. Dialect-neutral: one string is
+    * both the Spark plan and the oracle. */
+  val LDivL = 3
+
+  def lDiversitySql(table: String): String = s"""
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        c_mktsegment AS segment
+      FROM $table),
+    sv AS (
+      SELECT nation, bal_band, segment, count(1) AS cnt
+      FROM q GROUP BY nation, bal_band, segment),
+    cls AS (
+      SELECT nation, bal_band,
+        CAST(sum(cnt) AS BIGINT) AS class_size,
+        CAST(count(1) AS BIGINT) AS n_sensitive,
+        CAST(max(cnt) AS BIGINT) AS max_freq
+      FROM sv GROUP BY nation, bal_band)
+    SELECT nation, bal_band, class_size, n_sensitive, max_freq
+    FROM cls WHERE n_sensitive < $LDivL
+    ORDER BY nation, bal_band"""
+
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(lDiversitySql("customer"))
   }
 
   // ---------------------------------------------------------------- q221

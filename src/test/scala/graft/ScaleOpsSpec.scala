@@ -859,6 +859,87 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("bloom skip purge: tombstones gone, manifest bijective, torn manifest converges") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val (rowsT, manT) = (s"bfpurge_$suffix", s"bfpurgeman_$suffix")
+    val served = S.bloomSkipPurgeServe(spark, sfDir).collect()
+    val b = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+        org.apache.spark.sql.functions.max("l_orderkey")).head()
+    val othr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / S.BfDelDiv
+    assert(W.readTable(spark, rowsT).filter(s"o <= $othr").isEmpty,
+      "tombstoned rows must be physically gone after the purge")
+    def liveIds() = Option(new java.io.File(
+        W.publishedPath(spark, rowsT)).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("file_id="))
+      .map(_.getName.drop(8).toInt).toSet
+    def manIds() = W.readTable(spark, manT)
+      .select("file_id").collect().map(_.getInt(0)).toSet
+    assert(manIds() == liveIds() && manIds().size < S.BfFiles,
+      "manifest must map exactly the surviving partitions, files dropped")
+    // idempotence: a clean re-serve republishes nothing and answers the same
+    val (vR, vM) = (W.publishedVersion(spark, rowsT).get,
+      W.publishedVersion(spark, manT).get)
+    assert(S.bloomSkipPurgeServe(spark, sfDir).collect().toSeq ==
+      served.toSeq, "purge serve must be idempotent")
+    assert(W.publishedVersion(spark, rowsT).get == vR &&
+      W.publishedVersion(spark, manT).get == vM,
+      "a clean re-serve must not republish either artifact")
+    // torn publish: rows landed, manifest did not — simulate with an
+    // orphan manifest row + one live file's bounds corrupted
+    val goodMan = W.readTable(spark, manT)
+    val victim = manIds().min
+    W.publish(goodMan
+      .unionByName(goodMan.limit(1).select(lit(999).as("file_id"),
+        col("sk"), col("p_lo"), col("p_hi")))
+      .withColumn("p_lo", org.apache.spark.sql.functions
+        .when(col("file_id") === victim, lit(-1L)).otherwise(col("p_lo"))),
+      manT)
+    S.bloomPurgeConverge(spark, rowsT, manT, s"o <= $othr")
+    assert(manIds() == liveIds(), "orphan manifest rows must drop")
+    val trueLo = W.readTable(spark, rowsT)
+      .filter(col("file_id") === victim)
+      .agg(org.apache.spark.sql.functions.min("p")).head().getLong(0)
+    assert(W.readTable(spark, manT).filter(col("file_id") === victim)
+      .head().getAs[Long]("p_lo") == trueLo,
+      "a bounds-diverged file must rebuild its filter + bounds")
+    assert(W.publishedVersion(spark, rowsT).get == vR,
+      "manifest convergence must not republish the rows table")
+    assert(S.bloomSkipPurgeServe(spark, sfDir).collect().toSeq ==
+      served.toSeq, "a post-crash serve must return the pre-crash answer")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("l-diversity flags the homogeneity attack k-anonymity passes") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // class (1, band 0): 5 rows, ONE segment — k-anonymous at k=5 yet
+    // fully disclosed; class (1, band 1): 3 rows, 2 segments; class
+    // (2, band 0): 3 rows, 3 segments — diverse, must not be emitted
+    val rows = Seq.fill(5)((1L, 100.0, "X")) ++
+      Seq((1L, 1100.0, "X"), (1L, 1200.0, "X"), (1L, 1300.0, "Y")) ++
+      Seq((2L, 100.0, "X"), (2L, 200.0, "Y"), (2L, 300.0, "Z"))
+    rows.toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView("ldiv_t")
+    val ld = spark.sql(S.lDiversitySql("ldiv_t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ld == Map((1L, 0L) -> (5L, 1L, 5L), (1L, 1L) -> (3L, 2L, 2L)),
+      s"l-diversity violations drifted: $ld")
+    // the wedge: the homogeneous 5-row class passes the k-anonymity
+    // audit (class_size >= KAnonK) — only l-diversity sees the leak
+    val ka = spark.sql(S.kAnonymitySql(
+        "(SELECT c_nationkey, c_mktsegment, c_acctbal FROM ldiv_t) kt"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(!ka.contains((1L, 0L)),
+      "the homogeneous class must be invisible to k-anonymity")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("bitmap purge: folded words equal rebuild, zeroed words drop, fold idempotent") {
     val sq = spark
     import sq.implicits._
