@@ -565,6 +565,22 @@ class PlanSpec extends SparkSpec {
       s"the batch filter must appear in the serve plan:\n$p")
   }
 
+  test("unigram frozen serve plans the kernel over batch text only") {
+    // the piece table is consumed as a bounded collect into the kernel
+    // constant, so the serve plan must contain the fused expression and
+    // NO training machinery: no rank window (vocab re-derivation) and
+    // no unfiltered corpus scan — the only text read is the batch slice
+    val p = graft.operators.LlmQueries.unigramFrozen(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("unigram_viterbi"),
+      s"frozen serve must segment through the fused kernel:\n$p")
+    assert(!p.contains("row_number"),
+      s"a rank window means the distribution was re-derived at serve:\n$p")
+    assert(p.contains("source") &&
+      p.contains(graft.operators.LlmQueries.BatchSource),
+      s"the batch filter must appear in the serve plan:\n$p")
+  }
+
   test("IVF-PQ delete keeps serving from the at-rest codes under the anti-join") {
     val p = plan(graft.operators.ScaleOps.ivfPqDelete(spark, sfDir))
     assert(p.contains("ivfpq_codes_"),

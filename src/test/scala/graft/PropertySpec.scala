@@ -581,3 +581,78 @@ object EngineProperties extends Properties("engine") {
       -viaMax._2 == viaSort
     }
 }
+
+/** The q257/q258 Viterbi kernel against EXHAUSTIVE search: for every
+  * generated (word, piece table), the fused DP's on-path cell set must
+  * equal the union of cells over ALL maximum-cost segmentations found
+  * by brute-force enumeration, and return null exactly when no full
+  * segmentation exists (or the word breaches the length protocol) —
+  * the law the fixture specs sample and this sweep closes. Pure JVM:
+  * words ≤ 14 chars over a 3-letter alphabet keep the enumeration
+  * ≤ tetranacci(12) ≈ 1.5k paths per sample. */
+object UnigramViterbiProperties extends Properties("unigram_viterbi") {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val W = graft.operators.LlmQueries.UgMaxWord
+  private val P = graft.operators.LlmQueries.UgMaxPiece
+  private val Scale = graft.operators.LlmQueries.UgCostScale
+  private val Pm = graft.operators.LlmQueries.UgPertMod
+
+  private def cellCost(piece: String, pos: Int, l6: Long): Long =
+    l6 * Scale + math.floorMod(graft.functions.HashKernels.md5i64(
+      UTF8String.fromString(s"$piece@$pos")), Pm)
+
+  /** (best total, cells on any optimal path), or None if unsegmentable
+    * under the kernel's protocols. */
+  private def brute(w: String,
+                    probs: Map[String, Long]): Option[Set[(Int, Int)]] = {
+    if (w.isEmpty || w.length > W) return None
+    def segs(pos: Int): List[List[(Int, Int)]] =
+      if (pos > w.length) List(Nil)
+      else (1 to math.min(P, w.length - pos + 1)).toList.flatMap { l =>
+        if (probs.contains(w.substring(pos - 1, pos - 1 + l)))
+          segs(pos + l).map((pos, l) :: _)
+        else Nil
+      }
+    val all = segs(1)
+    if (all.isEmpty) None
+    else {
+      val scored = all.map { s =>
+        s.map { case (pos, l) =>
+          val piece = w.substring(pos - 1, pos - 1 + l)
+          cellCost(piece, pos, probs(piece))
+        }.sum -> s
+      }
+      val best = scored.map(_._1).max
+      Some(scored.filter(_._1 == best).flatMap(_._2).toSet)
+    }
+  }
+
+  private val genWord: Gen[String] = Gen.chooseNum(0, 14)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  private val genProbs: Gen[Map[String, Long]] = for {
+    singles <- Gen.someOf(Seq("a", "b", "c"))
+    multis <- Gen.listOfN(6, Gen.chooseNum(2, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    pieces = (singles ++ multis).distinct.toList
+    l6s <- Gen.listOfN(pieces.size, Gen.chooseNum(-20000000L, -1L))
+  } yield pieces.zip(l6s).toMap
+
+  property("on-path cells equal the union over all exhaustive optima") =
+    forAll(genWord, genProbs) { (w, probs) =>
+      val table = new java.util.HashMap[UTF8String, java.lang.Long]()
+      probs.foreach { case (k, v) => table.put(UTF8String.fromString(k), v) }
+      val res = graft.functions.UnigramViterbiKernel.run(
+        UTF8String.fromString(w), table, W, P, Scale, Pm)
+      (brute(w, probs), Option(res)) match {
+        case (None, r) => r.isEmpty
+        case (Some(cells), Some(arr)) =>
+          val got = (0 until arr.numElements()).map { i =>
+            val r = arr.getStruct(i, 3)
+            (r.getInt(0), r.getInt(1))
+          }.toSet
+          got == cells
+        case _ => false
+      }
+    }
+}
