@@ -531,6 +531,50 @@ object AnalyticsOps {
     spark.sql(linkageEmSql("customer"))
   }
 
+  // ---------------------------------------------------------------- q263
+  /** LEAVE-ONE-OUT target encoding (Micci-Barreca 2001) — the standard
+    * high-cardinality categorical feature a tabular training pipeline
+    * derives before any model sees the data, with the leak the naive
+    * version has REMOVED: each row's encoding averages its category's
+    * target EXCLUDING the row itself ((Σ − y)/(n − 1)), so the feature
+    * never contains the row's own label; singleton categories fall
+    * back to the global prior, and the SMOOTHED variant
+    * ((Σ − y + m·prior·1)/(n − 1 + m), m = [[TeM]]) shrinks small
+    * categories toward the prior — the variance/leak trade-off both
+    * columns expose side by side. Arithmetic: the target is exact
+    * cents; sums/counts are BIGINT hash aggs; encodings land on the
+    * 1e-6 grid via floor over IEEE doubles built from exact integers —
+    * both engines perform the identical exactly-rounded op sequence,
+    * no libm in sight. Two hash aggs (category, global) + one
+    * broadcast join back: at 100 TB the per-category frame is
+    * O(categories) and the encode pass is map-side. Dialect-neutral:
+    * one string is both the Spark plan and the oracle. */
+  val TeM = 10
+
+  def targetEncodeSql(table: String): String = s"""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey AS cat,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM $table),
+    gl AS (
+      SELECT CAST(sum(y) AS BIGINT) AS gs, count(1) AS gn FROM t),
+    cg AS (
+      SELECT cat, CAST(sum(y) AS BIGINT) AS cs, count(1) AS cn
+      FROM t GROUP BY cat)
+    SELECT o_orderkey, t.cat AS cat, CAST(cn AS BIGINT) AS n_cat,
+      CASE WHEN cn > 1
+        THEN CAST(floor((cs - y) * 1000000.0 / (cn - 1)) AS BIGINT)
+        ELSE CAST(floor(gs * 1000000.0 / gn) AS BIGINT) END AS loo6,
+      CAST(floor(((cs - y) * 1.0 + $TeM * (gs * 1.0 / gn)) * 1000000.0
+        / (cn - 1 + $TeM)) AS BIGINT) AS smooth6
+    FROM t JOIN cg ON t.cat = cg.cat CROSS JOIN gl
+    ORDER BY o_orderkey"""
+
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(targetEncodeSql("orders"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -539,7 +583,8 @@ object AnalyticsOps {
     "q125_bfs_hops"     -> bfsHops _,
     "q126_skew_profile" -> skewProfile _,
     "q199_record_link"  -> recordLinkage _,
-    "q204_linkage_em"   -> linkageEm _
+    "q204_linkage_em"   -> linkageEm _,
+    "q263_target_encode" -> targetEncode _
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +593,7 @@ object AnalyticsOps {
     "q125_bfs_hops"     -> bfsSql("lineitem"),
     "q126_skew_profile" -> skewProfileSql("lineitem", "l_partkey"),
     "q199_record_link"  -> recordLinkageSql("customer"),
-    "q204_linkage_em"   -> linkageEmSql("customer")
+    "q204_linkage_em"   -> linkageEmSql("customer"),
+    "q263_target_encode" -> targetEncodeSql("orders")
   )
 }

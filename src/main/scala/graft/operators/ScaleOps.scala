@@ -96,6 +96,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q256_bloom_skip_append" -> bloomSkipAppendServe _,
     "q259_bloom_skip_purge" -> bloomSkipPurgeServe _,
     "q260_l_diversity"   -> lDiversity _,
+    "q261_nsw_search"    -> nswSearch _,
+    "q262_nsw_recall"    -> nswRecall _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -188,6 +190,11 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // filters the tombstone o-range, and serves the FROZEN keys
     "q259_bloom_skip_purge" -> bloomSkipPurgeServeSql("lineitem"),
     "q260_l_diversity" -> lDiversitySql("customer"),
+    // graph-refined ANN: the oracle replays adjacency, entries, and
+    // the unrolled three-hop beam walk; q262 scores it against the
+    // exact brute-force truth set
+    "q261_nsw_search" -> nswSearchSql("embeddings"),
+    "q262_nsw_recall" -> nswRecallSql("embeddings"),
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

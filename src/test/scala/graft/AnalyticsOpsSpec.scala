@@ -10,6 +10,25 @@ import graft.operators.AnalyticsOps
 class AnalyticsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("target encoding: LOO excludes the row, singletons fall to the prior, smoothing shrinks") {
+    val A = graft.operators.AnalyticsOps
+    // cat 1: y = 100, 200, 300 cents; cat 2 singleton: y = 1000.
+    // prior = 1600/4 = 400 exactly, so every expectation is integral
+    // except the smoothed mid rows, which pin the floor.
+    Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0), (4L, 2L, 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("te_t")
+    val out = spark.sql(A.targetEncodeSql("te_t")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == (3L, 250000000L, 375000000L), s"row 1: ${out(1L)}")
+    assert(out(2L) == (3L, 200000000L, 366666666L), s"row 2: ${out(2L)}")
+    assert(out(3L) == (3L, 150000000L, 358333333L), s"row 3: ${out(3L)}")
+    // the singleton: LOO undefined -> global prior; smoothing is pure
+    // prior at weight m/(0 + m)
+    assert(out(4L) == (1L, 400000000L, 400000000L), s"singleton: ${out(4L)}")
+  }
+
   test("set-sim join finds exactly the pairs at / above the Jaccard threshold") {
     // doc 10 ∩ doc 15: 3 of union 4 (J=3/4 ≥ 1/2 — kept);
     // doc 20 vs doc 10: 1 of union 5 (J=1/5 — dropped);

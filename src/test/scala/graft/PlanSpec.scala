@@ -587,6 +587,15 @@ class PlanSpec extends SparkSpec {
       s"delete-serve must scan the published code table:\n$p")
   }
 
+  test("nsw search walks the at-rest graph, never re-banding the corpus") {
+    val p = graft.operators.ScaleOps.nswSearch(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("nswgraph_") || p.contains("Relation [src"),
+      s"the walk must read the published adjacency:\n$p")
+    assert(!p.contains("srp_sig"),
+      s"a serve-time signature means the graph was re-derived:\n$p")
+  }
+
   test("iterative trainers scan a persisted frame, not the corpus per pass") {
     // q163 (3 GD iterations) and q170 (3 power iterations): the per-pass
     // input must be an InMemoryTableScan of the persisted feature /

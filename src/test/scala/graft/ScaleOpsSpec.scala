@@ -913,6 +913,33 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("nsw walk: refinement surfaces neighbors-of-neighbors, unreachable nodes stay unvisited") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // q's ONLY edge is a (cos .707107); b (cos .993884) is reachable
+    // only THROUGH a — the walk must out-rank the direct edge with the
+    // neighbor-of-neighbor, which is precisely what beam refinement
+    // buys over the LSH shortlist. c has no inbound path: never visited.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val graph = Seq((0L, 1L), (1L, 2L), (2L, 1L), (3L, 0L))
+      .toDF("src", "dst")
+    val out = S.nswSearchOf(vecs, graph, "vec_id = 0").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    def g(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (bx, by) = (0.9f.toDouble, 0.1f.toDouble)
+    val cosB = g((1.0 * bx + 0.0 * by) /
+      (math.sqrt(1.0) * math.sqrt(bx * bx + by * by)))
+    val cosA = g((1.0 + 0.0) / (math.sqrt(1.0) * math.sqrt(2.0)))
+    assert(out == Seq((1, 2L, cosB), (2, 1L, cosA)),
+      s"walk ranking drifted: $out")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("l-diversity flags the homogeneity attack k-anonymity passes") {
     val sq = spark
     import sq.implicits._
