@@ -2666,6 +2666,116 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------- q264
+  /** NSW graph APPEND — the q243/q256 maintenance discipline for the
+    * q261 adjacency, with the strongest proof shape available:
+    * maintain ∘ store ≡ REBUILD, verbatim. The base corpus (the q200
+    * arrival event: vec_id ≢ [[NswBatchMod]] mod 10) signs, bands,
+    * and edge-selects ONCE, publishing its (vec_id, sig) signature
+    * table and its adjacency; an arriving batch is the ONLY data
+    * signed (64-dim dot products), its band keys join against band
+    * keys DERIVED from the stored signatures by shift arithmetic —
+    * the base is never re-signed. Edge selection is a deterministic
+    * top-[[NswG]] over band candidates, so the only base nodes whose
+    * adjacency can change are those sharing ≥ 1 band bucket with a
+    * batch node — the AFFECTED set; their rows (plus the batch's)
+    * recompute against the full candidate sets while every other
+    * stored row passes through verbatim. Because candidate sets of
+    * unaffected nodes are untouched by construction, the merged
+    * adjacency EQUALS the full-corpus rebuild — and the oracle says
+    * exactly that: it is q261's rebuild-walk replay, so the hash
+    * match proves append ∘ store ≡ rebuild through the walk's
+    * four-hop dynamics, not just row counts. Append cost: signing is
+    * O(batch); candidate generation rides the SAME halved skeleton as
+    * the rebuild (id_a < id_b, id-only dedup before the 64-float
+    * payload joins) over stored ∪ batch signatures, then a broadcast
+    * semi-join restricts the top-[[NswG]] window to affected ∪ batch
+    * srcs — so the verb's worst case (dense buckets, every base node
+    * affected) degrades to rebuild cost, never past it, and sparse
+    * arrivals pay only their shared buckets. The spec additionally
+    * pins adjacency-level equality with the rebuild and version
+    * stability of both stored artifacts. */
+  val NswBatchMod = 3
+
+  private def srpBandKeys(sigCol: String): Seq[String] = {
+    val rows = LlmQueries.SrpBits / LlmQueries.SrpBands
+    val mask = (1L << rows) - 1
+    (0 until LlmQueries.SrpBands).map { b =>
+      s"concat('p$b:', CAST(shiftright($sigCol, ${b * rows}) & $mask AS STRING))"
+    }
+  }
+
+  /** (vec_id, sig) for an arbitrary embedding frame. */
+  private def nswSigsOf(vectors: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors.selectExpr("vec_id",
+      s"srp_sig(embedding, ${LlmQueries.SrpBits}) AS sig")
+  }
+
+  /** The append core over (all vectors, stored base sigs, stored base
+    * adjacency, batch predicate) — returns the maintained adjacency;
+    * shared by q264 and the spec. */
+  private[graft] def nswGraphAppendOf(vectors: DataFrame, baseSigs: DataFrame,
+                                      baseAdj: DataFrame,
+                                      batchPred: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
+    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.selectExpr("vec_id", s"explode(array($bandKeysStr)) AS bk")
+    val batchSigs = P(nswSigsOf(vectors.filter(batchPred)))
+    // affected base nodes: share >= 1 bucket with a batch arrival
+    val affected = P(banded(baseSigs)
+      .join(banded(batchSigs).select("bk").distinct(), "bk")
+      .select("vec_id").distinct())
+    val srcs = P(affected.unionByName(batchSigs.select("vec_id")).distinct())
+    // candidate pairs through the SAME halved skeleton the rebuild uses
+    // (lshCandidatePairs: id_a < id_b, dedup on ids before the 64-float
+    // payload joins) — but over STORED base signatures ∪ batch
+    // signatures, so the base corpus is never re-signed
+    val sigP = P(baseSigs.unionByName(batchSigs)
+      .select(col("vec_id").as("id"), col("sig"))
+      .join(vectors.select(col("vec_id").as("id"), col("embedding")), "id"))
+    val pairs = graft.llm.Dedup.joinBackPayload(
+        graft.llm.Dedup.lshCandidatePairs(sigP, bandKeysStr),
+        sigP, "embedding")
+      .withColumn("cos",
+        expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val fresh = directed
+      .join(broadcast(srcs.select(col("vec_id").as("src"))),
+        Seq("src"), "left_semi")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rk") <= NswG)
+      .select("src", "dst", "cos")
+    // untouched stored rows pass through verbatim — the at-rest scan
+    baseAdj.join(affected.select(col("vec_id").as("src")),
+        Seq("src"), "left_anti")
+      .select("src", "dst", "cos")
+      .unionByName(fresh)
+  }
+
+  def nswAppendServe(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val baseV = vecs.filter(s"vec_id % 10 != $NswBatchMod")
+    val baseSigs = graft.core.Warehouse.tableOnce(spark, s"nswsig_$suffix") {
+      nswSigsOf(baseV)
+    }
+    val baseAdj = graft.core.Warehouse.tableOnce(spark, s"nswbase_$suffix") {
+      nswGraphOf(baseV)
+    }
+    nswSearchOf(vecs,
+      nswGraphAppendOf(vecs, baseSigs, baseAdj,
+        s"vec_id % 10 = $NswBatchMod"),
+      NswProbeWhere)
+  }
+
   def nswRecallSql(table: String): String = s"""
     WITH v AS (SELECT vec_id, embedding FROM $table),
     $nswWalkCtes,

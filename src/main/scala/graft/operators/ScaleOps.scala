@@ -98,6 +98,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q260_l_diversity"   -> lDiversity _,
     "q261_nsw_search"    -> nswSearch _,
     "q262_nsw_recall"    -> nswRecall _,
+    "q264_nsw_append"    -> nswAppendServe _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -195,6 +196,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // exact brute-force truth set
     "q261_nsw_search" -> nswSearchSql("embeddings"),
     "q262_nsw_recall" -> nswRecallSql("embeddings"),
+    // append's oracle IS the rebuild walk: maintain ∘ store ≡ rebuild,
+    // proven through the four-hop dynamics by the hash match
+    "q264_nsw_append" -> nswSearchSql("embeddings"),
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

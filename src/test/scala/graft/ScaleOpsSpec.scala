@@ -940,6 +940,38 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("nsw append: maintained adjacency equals the rebuild, stored artifacts stay frozen") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val served = S.nswAppendServe(spark, sfDir).collect()
+    val (vS, vA) = (W.publishedVersion(spark, s"nswsig_$suffix").get,
+      W.publishedVersion(spark, s"nswbase_$suffix").get)
+    assert(S.nswAppendServe(spark, sfDir).collect().toSeq == served.toSeq,
+      "append serve must be deterministic")
+    assert(W.publishedVersion(spark, s"nswsig_$suffix").get == vS &&
+      W.publishedVersion(spark, s"nswbase_$suffix").get == vA,
+      "a re-serve must never republish the base signatures or adjacency")
+    // the proof the oracle makes through the walk, made structural:
+    // maintained adjacency == full-corpus rebuild, row for row
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val merged = key(S.nswGraphAppendOf(vecs,
+      W.readTable(spark, s"nswsig_$suffix"),
+      W.readTable(spark, s"nswbase_$suffix"),
+      s"vec_id % 10 = ${S.NswBatchMod}"))
+    val rebuilt = key(S.nswGraphOf(vecs))
+    assert(merged == rebuilt,
+      s"maintain must equal rebuild: ${merged.size} vs ${rebuilt.size} edges, " +
+        s"diff ${(merged diff rebuilt).take(3)} / ${(rebuilt diff merged).take(3)}")
+    // arrivals are reachable: batch nodes appear as sources
+    assert(merged.exists(_._1 % 10 == S.NswBatchMod),
+      "batch arrivals must enter the adjacency")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("l-diversity flags the homogeneity attack k-anonymity passes") {
     val sq = spark
     import sq.implicits._
