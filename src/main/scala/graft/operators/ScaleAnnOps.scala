@@ -2636,11 +2636,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       WHERE rnk <= $NswK)"""
   }
 
-  def nswSearchSql(table: String): String = s"""
-    WITH v AS (SELECT vec_id, embedding FROM $table),
-    $nswWalkCtes
-    SELECT query_id, rnk, cand_id, cos FROM walked
-    ORDER BY query_id, rnk"""
+  def nswSearchSql(table: String): String = nswSearchSqlWhere(table, "1=1")
 
   // ---------------------------------------------------------------- q262
   /** The graph walk's HONESTY leg (the q169 discipline for q261):
@@ -2775,6 +2771,107 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
         s"vec_id % 10 = $NswBatchMod"),
       NswProbeWhere)
   }
+
+  // ---------------------------------------------------------------- q265
+  /** NSW graph DELETE — the tombstone verb that completes the q261
+    * family's lifecycle (build q261 → append q264 → delete), with the
+    * same rebuild-equality proof shape as the append: the at-rest
+    * artifacts are the FULL-corpus adjacency q261 already published
+    * plus a full-corpus signature table, a tombstone cohort
+    * (vec_id ≡ [[NswDelRem]] mod [[NswDelMod]] — the re-embedding /
+    * takedown event) leaves, and the maintained adjacency must equal
+    * `nswGraphOf(survivors)` verbatim. The repair is BOUNDED by the
+    * structure of the index: deletion only REMOVES candidates, so a
+    * surviving node's top-[[NswG]] can change only if one of its
+    * stored out-edges points at a dead node — the AFFECTED set, read
+    * off the stored adjacency by a broadcast semi-join on the
+    * O(deleted) tombstone list, never by re-banding. Affected rows
+    * (only) recompute their top-G over survivor candidates through
+    * the SAME halved LSH skeleton as the rebuild — stored signatures,
+    * nothing re-signed — while every other surviving row passes
+    * through verbatim and dead srcs drop by anti-join. The ORACLE is
+    * q261's rebuild-walk replay over the tombstone-filtered corpus,
+    * so the hash match proves delete ∘ store ≡ rebuild through the
+    * walk's four-hop dynamics; the spec additionally pins
+    * adjacency-level set equality with the survivor rebuild, serve
+    * determinism, version stability of both stored artifacts, and
+    * that no tombstoned id survives as src, dst, or served
+    * candidate. Physical purge of the dropped rows rides the q225
+    * compaction discipline (the adjacency is a plain keyed table —
+    * the anti-join IS the purge plan). */
+  val NswDelMod = 10
+  val NswDelRem = 9 // disjoint from the probe set (vec_id < 8)
+
+  /** The delete core over (stored full-corpus sigs, stored full-corpus
+    * adjacency, full vectors frame, tombstone predicate) — returns the
+    * maintained survivor adjacency; shared by q265 and the spec. */
+  private[graft] def nswGraphDeleteOf(baseSigs: DataFrame, baseAdj: DataFrame,
+                                      vectors: DataFrame,
+                                      delPred: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
+    val tombs = P(baseSigs.filter(delPred).select("vec_id"))
+    // affected survivors: a stored out-edge points at a dead node —
+    // O(deleted)-keyed semi-join on the at-rest adjacency, no re-banding
+    val affected = P(baseAdj
+      .join(broadcast(tombs.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("src").as("vec_id")).distinct()
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti"))
+    // survivor candidate regen rides the SAME halved skeleton as the
+    // rebuild, over STORED signatures (nothing re-signed); worst case
+    // (every node affected) degrades to rebuild cost, never past it
+    val survSigs = baseSigs.join(broadcast(tombs), Seq("vec_id"), "left_anti")
+    val sigP = P(survSigs
+      .select(col("vec_id").as("id"), col("sig"))
+      .join(vectors.select(col("vec_id").as("id"), col("embedding")), "id"))
+    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+    val pairs = graft.llm.Dedup.joinBackPayload(
+        graft.llm.Dedup.lshCandidatePairs(sigP, bandKeysStr),
+        sigP, "embedding")
+      .withColumn("cos",
+        expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val fresh = directed
+      .join(broadcast(affected.select(col("vec_id").as("src"))),
+        Seq("src"), "left_semi")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rk") <= NswG)
+      .select("src", "dst", "cos")
+    // unaffected survivors pass through verbatim (by construction none
+    // of their stored dsts died); dead srcs leave by anti-join
+    baseAdj
+      .join(broadcast(tombs.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(affected.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .select("src", "dst", "cos")
+      .unionByName(fresh)
+  }
+
+  def nswDeleteServe(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val fullSigs = graft.core.Warehouse.tableOnce(spark, s"nswfsig_$suffix") {
+      nswSigsOf(vecs)
+    }
+    val fullAdj = nswGraphAtRest(spark, dir) // the SAME artifact q261 serves
+    val pred = s"vec_id % $NswDelMod = $NswDelRem"
+    nswSearchOf(vecs.filter(s"NOT ($pred)"),
+      nswGraphDeleteOf(fullSigs, fullAdj, vecs, pred),
+      NswProbeWhere)
+  }
+
+  def nswSearchSqlWhere(table: String, where: String): String = s"""
+    WITH v AS (SELECT vec_id, embedding FROM $table WHERE $where),
+    $nswWalkCtes
+    SELECT query_id, rnk, cand_id, cos FROM walked
+    ORDER BY query_id, rnk"""
 
   def nswRecallSql(table: String): String = s"""
     WITH v AS (SELECT vec_id, embedding FROM $table),

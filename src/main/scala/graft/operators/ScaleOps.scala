@@ -96,9 +96,11 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q256_bloom_skip_append" -> bloomSkipAppendServe _,
     "q259_bloom_skip_purge" -> bloomSkipPurgeServe _,
     "q260_l_diversity"   -> lDiversity _,
+    "q266_t_closeness"   -> tCloseness _,
     "q261_nsw_search"    -> nswSearch _,
     "q262_nsw_recall"    -> nswRecall _,
     "q264_nsw_append"    -> nswAppendServe _,
+    "q265_nsw_delete"    -> nswDeleteServe _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -191,6 +193,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // filters the tombstone o-range, and serves the FROZEN keys
     "q259_bloom_skip_purge" -> bloomSkipPurgeServeSql("lineitem"),
     "q260_l_diversity" -> lDiversitySql("customer"),
+    "q266_t_closeness" -> tClosenessSql("customer"),
     // graph-refined ANN: the oracle replays adjacency, entries, and
     // the unrolled three-hop beam walk; q262 scores it against the
     // exact brute-force truth set
@@ -199,6 +202,10 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // append's oracle IS the rebuild walk: maintain ∘ store ≡ rebuild,
     // proven through the four-hop dynamics by the hash match
     "q264_nsw_append" -> nswSearchSql("embeddings"),
+    // delete's oracle is the rebuild walk over the tombstone-filtered
+    // corpus: delete ∘ store ≡ rebuild, proven through the walk
+    "q265_nsw_delete" -> nswSearchSqlWhere("embeddings",
+      s"NOT (vec_id % $NswDelMod = $NswDelRem)"),
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

@@ -2752,6 +2752,66 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(lDiversitySql("customer"))
   }
 
+  // ---------------------------------------------------------------- q266
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the attack
+    * q260's l-diversity cannot see: a class can carry l distinct
+    * sensitive values yet still leak if its DISTRIBUTION over them
+    * diverges from the table's (the skewness attack — 49 AUTOMOBILE +
+    * 1 each of four others is 5-diverse and still tells the linker
+    * "almost certainly AUTOMOBILE"). Closeness here is total variation
+    * distance — the standard EMD instantiation for a categorical
+    * sensitive attribute — between the class's sensitive distribution
+    * and the global one, and the audit emits every class with
+    * TVD > [[TCloseNum]]/[[TCloseDen]]. Exact integers end to end: TVD
+    * = Σ|cnt_gs·N − glob_s·size_g| / (2·N·size_g), so the predicate is
+    * `den·Σ|…| > 2·num·N·size_g` and the emitted numerator/denominator
+    * pair is the exact rational a suppression pass consumes — no float
+    * ever crosses the engine boundary. Absent sensitive values
+    * contribute |0 − glob_s·size_g| via the classes × domain cross
+    * join, which is O(classes·|domain|) — tiny at any scale. Three
+    * hash aggs + one broadcast-sized join; output O(violating
+    * classes). Dialect-neutral: one string is both the Spark plan and
+    * the oracle. */
+  val TCloseNum = 1
+  val TCloseDen = 5 // t = 0.2
+
+  def tClosenessSql(table: String): String = s"""
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        c_mktsegment AS segment
+      FROM $table),
+    sv AS (
+      SELECT nation, bal_band, segment, count(1) AS cnt
+      FROM q GROUP BY nation, bal_band, segment),
+    cls AS (
+      SELECT nation, bal_band, CAST(sum(cnt) AS BIGINT) AS class_size
+      FROM sv GROUP BY nation, bal_band),
+    gdist AS (
+      SELECT segment, CAST(count(1) AS BIGINT) AS gcnt FROM q
+      GROUP BY segment),
+    tot AS (SELECT CAST(count(1) AS BIGINT) AS n FROM q),
+    dist AS (
+      SELECT c.nation, c.bal_band, c.class_size,
+        CAST(sum(abs(coalesce(s.cnt, 0) * t.n - g.gcnt * c.class_size))
+          AS BIGINT) AS tvd_num,
+        CAST(2 * max(t.n) * max(c.class_size) AS BIGINT) AS tvd_den
+      FROM cls c
+      CROSS JOIN gdist g
+      CROSS JOIN tot t
+      LEFT JOIN sv s ON s.nation = c.nation AND s.bal_band = c.bal_band
+        AND s.segment = g.segment
+      GROUP BY c.nation, c.bal_band, c.class_size)
+    SELECT nation, bal_band, class_size, tvd_num, tvd_den
+    FROM dist
+    WHERE tvd_num * $TCloseDen > tvd_den * $TCloseNum
+    ORDER BY nation, bal_band"""
+
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(tClosenessSql("customer"))
+  }
+
   // ---------------------------------------------------------------- q221
   /** Snapshot PROFILE-DRIFT audit — the data-contract check
     * (Great-Expectations-shaped) that q212's profile exists to feed:

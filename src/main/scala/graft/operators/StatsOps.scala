@@ -485,6 +485,100 @@ object StatsOps {
     FROM events
     ORDER BY grp"""
 
+  // ---------------------------------------------------------------- q267
+  /** SET-EXPRESSION cardinality from KMV/theta sketches at rest
+    * ([[graft.functions.KmvSketch]]) — the audience-overlap question
+    * the HLL family (q133/q135) structurally cannot answer: HLL
+    * registers destroy sample identity, so |A ∩ B| only falls out of
+    * inclusion–exclusion, whose error scales with |A ∪ B| rather than
+    * the (possibly tiny) intersection. One pass builds a per-event-type
+    * KMV sketch of distinct users; every DISTINCT / INTERSECT / DIFF /
+    * UNION answer then evaluates on the retained hash samples below the
+    * common θ — O(types²·K) work on KB-sized columns, never a rescan,
+    * which is the whole point at 100 TB (the sketch column persists
+    * beside each shard; q135's lifecycle argument). The oracle gates
+    * EXACT counts for every expression (hash-compared) plus within-5%
+    * booleans; at this SF the sketches hold every value (150 < K), so
+    * the booleans are exactly true by construction — estimate-mode
+    * error (σ ≈ 1/√(K−2)) and the θ-scaling estimators are pinned by
+    * seeded large-domain tests in FunctionsSpec, the q136/q137
+    * discipline. Exact legs are one hash agg each over the distinct
+    * (type, user) projection; |A \ B| = |A| − |A ∩ B| keeps the
+    * difference leg O(pairs). */
+  def kmvSetExpr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KmvSketch.register(spark)
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(s"""
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      sk AS (
+        SELECT event_type AS grp, kmv_build(user_id) AS sk,
+          CAST(count(1) AS BIGINT) AS n FROM tu GROUP BY event_type),
+      ex_pair AS (
+        SELECT a.event_type AS grp_a, b.event_type AS grp_b,
+          CAST(count(1) AS BIGINT) AS n_inter
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type),
+      dist AS (
+        SELECT 'distinct' AS op, grp AS grp_a, grp AS grp_b, n AS n_exact,
+          (abs(kmv_est(sk) - n) <= 0.05 * n) AS within_5pct
+        FROM sk),
+      inter AS (
+        SELECT 'intersect' AS op, e.grp_a, e.grp_b, e.n_inter AS n_exact,
+          (abs(kmv_intersect_est(a.sk, b.sk) - e.n_inter)
+            <= 0.05 * greatest(e.n_inter, 1)) AS within_5pct
+        FROM ex_pair e
+        JOIN sk a ON a.grp = e.grp_a JOIN sk b ON b.grp = e.grp_b),
+      diffd AS (
+        SELECT 'diff' AS op, e.grp_a, e.grp_b,
+          a.n - e.n_inter AS n_exact,
+          (abs(kmv_diff_est(a.sk, b.sk) - (a.n - e.n_inter))
+            <= 0.05 * greatest(a.n - e.n_inter, 1)) AS within_5pct
+        FROM ex_pair e
+        JOIN sk a ON a.grp = e.grp_a JOIN sk b ON b.grp = e.grp_b),
+      uni AS (
+        SELECT '__union__' AS op, '__all__' AS grp_a, '__all__' AS grp_b,
+          (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+            AS n_exact,
+          (abs(kmv_merge_est(sk) -
+            (SELECT count(DISTINCT user_id) FROM events))
+            <= 0.05 * (SELECT count(DISTINCT user_id) FROM events))
+            AS within_5pct
+        FROM sk),
+      u AS (
+        SELECT * FROM dist UNION ALL SELECT * FROM inter
+        UNION ALL SELECT * FROM diffd UNION ALL SELECT * FROM uni)
+      SELECT op, grp_a, grp_b, n_exact, within_5pct FROM u
+      ORDER BY op, grp_a, grp_b""")
+  }
+
+  def kmvSetExprSql: String = s"""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    n1 AS (
+      SELECT event_type AS grp, CAST(count(1) AS BIGINT) AS n
+      FROM tu GROUP BY event_type),
+    ex_pair AS (
+      SELECT a.event_type AS grp_a, b.event_type AS grp_b,
+        CAST(count(1) AS BIGINT) AS n_inter
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type),
+    u AS (
+      SELECT 'distinct' AS op, grp AS grp_a, grp AS grp_b, n AS n_exact
+      FROM n1
+      UNION ALL
+      SELECT 'intersect' AS op, grp_a, grp_b, n_inter AS n_exact
+      FROM ex_pair
+      UNION ALL
+      SELECT 'diff' AS op, e.grp_a, e.grp_b, a.n - e.n_inter AS n_exact
+      FROM ex_pair e JOIN n1 a ON a.grp = e.grp_a
+      UNION ALL
+      SELECT '__union__' AS op, '__all__' AS grp_a, '__all__' AS grp_b,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events)
+    SELECT op, grp_a, grp_b, n_exact, TRUE AS within_5pct FROM u
+    ORDER BY op, grp_a, grp_b"""
+
   // ---------------------------------------------------------------- q136
   /** Mergeable QUANTILE sketches at rest ([[graft.functions.DdSketch]]) —
     * the quantile twin of q135's HLL lifecycle: per-(priority, shard)
@@ -1399,6 +1493,7 @@ object StatsOps {
     "q136_quantile_sketch" -> ddqPersist _,
     "q137_heavy_hitters"  -> cmsPersist _,
     "q247_cms_delete"     -> cmsDelete _,
+    "q267_kmv_set_expr"   -> kmvSetExpr _,
     "q248_ddq_delete"     -> ddqDelete _,
     "q252_nelson_aalen"   -> nelsonAalen _,
     "q163_quality_classifier" -> qualityClassifier _,
@@ -1424,6 +1519,9 @@ object StatsOps {
     // delete = linear-sketch subtraction; post-delete estimates must
     // bracket the tombstone-filtered exact counts
     "q247_cms_delete"     -> cmsDeleteSql,
+    // exact counts for every set expression hash-compared; the KMV
+    // estimates ride the within-5% booleans (exact mode at this SF)
+    "q267_kmv_set_expr"   -> kmvSetExprSql,
     // same discipline for quantiles: post-delete estimates stay within
     // alpha of the tombstone-filtered exact percentiles
     "q248_ddq_delete"     -> ddqDeleteSql,

@@ -54,6 +54,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("kmv aggregator bytes equal the driver build whatever the partitioning") {
+    graft.functions.KmvSketch.register(spark)
+    val sq = spark; import sq.implicits._
+    val vals = (0L until 3000L).map(v => v * 17L % 997L) // dups + 997 distinct
+    def viaSql(parts: Int): Array[Byte] =
+      vals.toDF("v").repartition(parts)
+        .agg(expr("kmv_build(v)")).head.getAs[Array[Byte]](0)
+    val direct = graft.functions.KmvSketch.sketchOf(vals)
+    assert(java.util.Arrays.equals(viaSql(1), direct) &&
+      java.util.Arrays.equals(viaSql(7), direct),
+      "the canonical byte form must be partitioning-invariant")
+    // the at-rest lifecycle: shard sketches merge to the direct build
+    val shards = vals.zipWithIndex.map { case (v, i) => (v, i % 5) }
+      .toDF("v", "shard")
+      .groupBy("shard").agg(expr("kmv_build(v)").as("sk"))
+    val merged = shards.agg(expr("kmv_merge(sk)")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "shard-merge must be byte-identical to the direct build")
+    assert(shards.agg(expr("kmv_merge_est(sk)")).head.getDouble(0) == 997.0,
+      "exact mode must count the 997 distinct values exactly")
+  }
+
   test("cosine_sim returns null on null input, not a crash or a zero") {
     graft.functions.GraftFunctions.register(spark)
     val sq = spark; import sq.implicits._

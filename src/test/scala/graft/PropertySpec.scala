@@ -49,6 +49,75 @@ object HllProperties extends Properties("hll") {
     }
 }
 
+object KmvProperties extends Properties("kmv") {
+  import graft.functions.KmvSketch
+
+  private val genLongs: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  property("merge equals union build byte-for-byte; commutative; associative; idempotent") =
+    forAll(genLongs, genLongs, genLongs) { (a, b, c) =>
+      val (sa, sb, sc) =
+        (KmvSketch.sketchOf(a), KmvSketch.sketchOf(b), KmvSketch.sketchOf(c))
+      val ab = KmvSketch.mergeSketches(sa, sb)
+      java.util.Arrays.equals(ab, KmvSketch.sketchOf(a ++ b)) &&
+        java.util.Arrays.equals(ab, KmvSketch.mergeSketches(sb, sa)) &&
+        java.util.Arrays.equals(
+          KmvSketch.mergeSketches(ab, sc),
+          KmvSketch.mergeSketches(sa, KmvSketch.mergeSketches(sb, sc))) &&
+        java.util.Arrays.equals(KmvSketch.mergeSketches(sa, sa), sa)
+    }
+
+  property("build is duplicate- and order-insensitive") =
+    forAll(genLongs, Gen.long) { (a, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(a)
+      java.util.Arrays.equals(
+        KmvSketch.sketchOf(a), KmvSketch.sketchOf(shuffled ++ a))
+    }
+
+  property("exact mode: every estimator is exact below K distinct values") =
+    forAll(Gen.listOf(Gen.chooseNum(-500L, 500L)),
+      Gen.listOf(Gen.chooseNum(-500L, 500L))) { (a, b) =>
+      // |domain| = 1001 < K: sketches hold every hashed value
+      val (sa, sb) = (KmvSketch.sketchOf(a), KmvSketch.sketchOf(b))
+      val (da, db) = (a.toSet, b.toSet)
+      KmvSketch.estimate(sa) == da.size.toDouble &&
+        KmvSketch.intersectEst(sa, sb) == (da intersect db).size.toDouble &&
+        KmvSketch.diffEst(sa, sb) == (da diff db).size.toDouble &&
+        KmvSketch.estimate(KmvSketch.mergeSketches(sa, sb)) ==
+          (da union db).size.toDouble
+    }
+
+  property("exact mode: intersect + diff partition the left cardinality") =
+    forAll(Gen.listOf(Gen.chooseNum(-500L, 500L)),
+      Gen.listOf(Gen.chooseNum(-500L, 500L))) { (a, b) =>
+      val (sa, sb) = (KmvSketch.sketchOf(a), KmvSketch.sketchOf(b))
+      KmvSketch.intersectEst(sa, sb) + KmvSketch.diffEst(sa, sb) ==
+        KmvSketch.estimate(sa)
+    }
+
+  // estimate mode on a planted large domain — deterministic given the
+  // splitmix64 family, so these are fixed numbers, not flaky samples:
+  // A = [0, 20000), B = [10000, 30000), true |A∩B| = 10000
+  private val bigA = KmvSketch.sketchOf(0L until 20000L)
+  private val bigB = KmvSketch.sketchOf(10000L until 30000L)
+
+  property("estimate mode: cardinality within 10% on a 20k-element domain") = {
+    val est = KmvSketch.estimate(bigA)
+    org.scalacheck.Prop(math.abs(est - 20000.0) <= 2000.0) :| s"est=$est"
+  }
+
+  property("estimate mode: union / intersection / difference within 15%") = {
+    val u = KmvSketch.estimate(KmvSketch.mergeSketches(bigA, bigB))
+    val i = KmvSketch.intersectEst(bigA, bigB)
+    val d = KmvSketch.diffEst(bigA, bigB)
+    org.scalacheck.Prop(
+      math.abs(u - 30000.0) <= 4500.0 &&
+        math.abs(i - 10000.0) <= 1500.0 &&
+        math.abs(d - 10000.0) <= 1500.0) :| s"u=$u i=$i d=$d"
+  }
+}
+
 object DdqProperties extends Properties("ddsketch") {
   import graft.functions.DdSketch
 

@@ -972,6 +972,78 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("nsw delete: maintained adjacency equals the survivor rebuild, tombstones leave every role") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val served = S.nswDeleteServe(spark, sfDir).collect()
+    val (vS, vA) = (W.publishedVersion(spark, s"nswfsig_$suffix").get,
+      W.publishedVersion(spark, s"nswgraph_$suffix").get)
+    assert(S.nswDeleteServe(spark, sfDir).collect().toSeq == served.toSeq,
+      "delete serve must be deterministic")
+    assert(W.publishedVersion(spark, s"nswfsig_$suffix").get == vS &&
+      W.publishedVersion(spark, s"nswgraph_$suffix").get == vA,
+      "a re-serve must never republish the signatures or adjacency")
+    // the proof the oracle makes through the walk, made structural:
+    // maintained adjacency == rebuild over survivors, row for row
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val pred = s"vec_id % ${S.NswDelMod} = ${S.NswDelRem}"
+    val maintained = key(S.nswGraphDeleteOf(
+      W.readTable(spark, s"nswfsig_$suffix"),
+      W.readTable(spark, s"nswgraph_$suffix"), vecs, pred))
+    val rebuilt = key(S.nswGraphOf(vecs.filter(s"NOT ($pred)")))
+    assert(maintained == rebuilt,
+      s"delete must equal survivor rebuild: ${maintained.size} vs " +
+        s"${rebuilt.size} edges, diff ${(maintained diff rebuilt).take(3)} " +
+        s"/ ${(rebuilt diff maintained).take(3)}")
+    // no tombstoned id survives in any role
+    assert(!maintained.exists(e => e._1 % S.NswDelMod == S.NswDelRem ||
+      e._2 % S.NswDelMod == S.NswDelRem),
+      "tombstoned ids must leave the adjacency as src and dst")
+    assert(!served.exists(_.getLong(2) % S.NswDelMod == S.NswDelRem),
+      "tombstoned ids must never be served as candidates")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("t-closeness flags the skewness attack l-diversity passes") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // class A (nation 1): 8X/1Y/1Z — 3-diverse yet skewed vs global;
+    // class C (nation 3): 52X/29Y/29Z — dominates the table, so its own
+    // distribution ~matches the global and must pass; class D (nation
+    // 4): 5X/5Y/0Z — exercises the absent-sensitive-value leg (the
+    // missing Z contributes |0 - glob_Z*size| to the numerator).
+    // Global: X=65 Y=35 Z=30, N=130. Hand-integral TVD numerators over
+    // den = 2*130*size: A = 390+220+170 = 780/2600 = 0.30 > 0.2 flag;
+    // D = 0+300+300 = 600/2600 ~ 0.23 > 0.2 flag; C = 390+80+470 =
+    // 940/28600 ~ 0.03 pass.
+    val rows =
+      Seq.fill(8)((1L, "X")) ++ Seq((1L, "Y"), (1L, "Z")) ++
+      Seq.fill(52)((3L, "X")) ++ Seq.fill(29)((3L, "Y")) ++
+        Seq.fill(29)((3L, "Z")) ++
+      Seq.fill(5)((4L, "X")) ++ Seq.fill(5)((4L, "Y"))
+    rows.map { case (n, s) => (n, 100.0, s) }
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+      .createOrReplaceTempView("tclose_t")
+    val tc = spark.sql(S.tClosenessSql("tclose_t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(tc == Map((1L, 0L) -> (10L, 780L, 2600L),
+        (4L, 0L) -> (10L, 600L, 2600L)),
+      s"t-closeness violations drifted: $tc")
+    // the wedge: the skewed class A is 3-diverse, so l-diversity at
+    // l=3 passes it — only t-closeness sees the distribution leak
+    val ld = spark.sql(S.lDiversitySql("tclose_t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!ld.contains((1L, 0L)),
+      "the skewed-but-diverse class must be invisible to l-diversity")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("l-diversity flags the homogeneity attack k-anonymity passes") {
     val sq = spark
     import sq.implicits._
