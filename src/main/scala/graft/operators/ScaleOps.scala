@@ -97,6 +97,8 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q259_bloom_skip_purge" -> bloomSkipPurgeServe _,
     "q260_l_diversity"   -> lDiversity _,
     "q266_t_closeness"   -> tCloseness _,
+    "q268_benford"       -> benford _,
+    "q269_ivm_join_view" -> ivmViewServe _,
     "q261_nsw_search"    -> nswSearch _,
     "q262_nsw_recall"    -> nswRecall _,
     "q264_nsw_append"    -> nswAppendServe _,
@@ -194,6 +196,10 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q259_bloom_skip_purge" -> bloomSkipPurgeServeSql("lineitem"),
     "q260_l_diversity" -> lDiversitySql("customer"),
     "q266_t_closeness" -> tClosenessSql("customer"),
+    "q268_benford" -> benfordSql("orders"),
+    // the oracle is the full join over the revision-applied orders:
+    // maintain ∘ store ≡ rebuild-with-new-values for the join view
+    "q269_ivm_join_view" -> ivmViewServeSql("orders", "customer"),
     // graph-refined ANN: the oracle replays adjacency, entries, and
     // the unrolled three-hop beam walk; q262 scores it against the
     // exact brute-force truth set

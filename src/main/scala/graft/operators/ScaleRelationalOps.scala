@@ -2812,6 +2812,136 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(tClosenessSql("customer"))
   }
 
+  // ---------------------------------------------------------------- q268
+  /** BENFORD first-digit audit (Benford 1938; Nigrini 1996's fraud
+    * screen) — the data-quality family's distributional check on
+    * AMOUNTS, complementing q221's schema-level drift: naturally
+    * occurring multiplicative quantities put digit d first with
+    * probability log10(1+1/d), and a group whose invoices stray far
+    * from that curve is where fabricated, capped, or unit-mangled
+    * values hide. Per (order-priority group, leading digit of the
+    * exact cents amount): the exact observed count, the expected count
+    * on a 1e-6 grid, and the χ² contribution on the same grid — the
+    * statistic is the per-group column sum, q120's discipline. The
+    * Benford probabilities enter as 1e-9-scaled INTEGER literals
+    * (log10 is libm — never computed at query time), digit extraction
+    * is integer-string arithmetic, and every grid value derives from
+    * identical exactly-rounded IEEE ops on identical integers in both
+    * engines (q263's argument), so the hash gate holds bit-for-bit.
+    * Zero-count digits surface through the groups × 1..9 cross join.
+    * One hash agg over one scan; output is O(groups · 9) at any
+    * scale. Dialect-neutral: one string is plan and oracle. On this
+    * fixture the audit honestly reports NON-conformance — TPC-H
+    * totalprice is range-uniform, not multiplicative, and the spec
+    * pins that a planted geometric series passes while a planted
+    * uniform block fails. */
+  def benfordSql(table: String): String = {
+    val ben = Seq(301029996L, 176091259L, 124938737L, 96910013L,
+      79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+      .zipWithIndex
+      .map { case (p, i) =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS digit, $p AS p9" }
+      .mkString(" UNION ALL ")
+    s"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM $table),
+    d AS (
+      SELECT grp,
+        CAST(substr(CAST(cents AS STRING), 1, 1) AS BIGINT) AS digit
+      FROM b WHERE cents > 0),
+    oc AS (
+      SELECT grp, digit, CAST(count(1) AS BIGINT) AS n
+      FROM d GROUP BY grp, digit),
+    tot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tn FROM oc GROUP BY grp),
+    ben AS ($ben),
+    grid AS (
+      SELECT t.grp, e.digit, t.tn, e.p9,
+        CAST(coalesce(o.n, 0) AS BIGINT) AS n_obs
+      FROM tot t
+      CROSS JOIN ben e
+      LEFT JOIN oc o ON o.grp = t.grp AND o.digit = e.digit)
+    SELECT grp, digit, n_obs,
+      CAST(floor(CAST(tn AS DOUBLE) * p9 / 1e9 * 1e6 + 0.5) AS BIGINT)
+        AS exp6,
+      CAST(floor(
+        (CAST(n_obs AS DOUBLE) * 1e9 - CAST(tn AS DOUBLE) * p9)
+        * (CAST(n_obs AS DOUBLE) * 1e9 - CAST(tn AS DOUBLE) * p9)
+        / (CAST(tn AS DOUBLE) * p9 * 1e9) * 1e6 + 0.5) AS BIGINT)
+        AS chi2c6
+    FROM grid ORDER BY grp, digit"""
+  }
+
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(benfordSql("orders"))
+  }
+
+  // ---------------------------------------------------------------- q269
+  /** Incremental MATERIALIZED-VIEW maintenance for a JOIN view — the
+    * delta rule every warehouse's denormalization layer lives on
+    * (ΔV = ΔR ⋈ S for a one-side change; Blakeley et al. 1986, the
+    * DBSP/differential-dataflow insertion rule): the denormalized
+    * orders ⋈ customer view publishes ONCE to the warehouse, and when
+    * a cohort of orders is REVISED (o_orderkey ≡ [[IvmRem]] mod
+    * [[IvmMod]], totalprice doubled — the q236/q245 upsert event for
+    * the relational family), the serve anti-joins the cohort's stale
+    * view rows out of the immutable base and joins ONLY the revised
+    * batch against the broadcast dimension — O(batch) join work, the
+    * fact table never rescans, the view never rewrites (compaction
+    * folds the overlay later, q225's discipline). The ORACLE computes
+    * the full join over the revision-applied orders table, so the
+    * hash match proves maintain ∘ store ≡ rebuild-with-new-values.
+    * The spec additionally pins version stability of the stored view,
+    * pass-through equality for unrevised rows, the doubled cents on
+    * the cohort, and that the serve plan reads the published view
+    * relation rather than re-deriving it. At 100 TB the base view is
+    * the big artifact; maintenance touches O(changed orders) ⋈ a
+    * broadcast dimension — the whole point of IVM. */
+  val IvmMod = 10
+  val IvmRem = 6
+
+  /** The join-view body over an arbitrary orders frame — shared by the
+    * base publish, the delta leg, and the spec. `centsExpr` lets the
+    * delta leg apply the revision (doubled cents) in one place. */
+  private def ivmViewOf(orders: DataFrame, cust: DataFrame,
+                        centsExpr: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    orders.selectExpr("o_orderkey", "o_custkey",
+        s"CAST($centsExpr AS BIGINT) AS cents")
+      .join(broadcast(cust.selectExpr("c_custkey AS o_custkey",
+        "c_mktsegment AS segment",
+        "CAST(c_nationkey AS BIGINT) AS nation")), "o_custkey")
+      .select("o_orderkey", "cents", "segment", "nation")
+  }
+
+  private val IvmCents = "floor(o_totalprice * 100 + 0.5)"
+
+  def ivmViewServe(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val base = graft.core.Warehouse.tableOnce(spark, s"ivmview_$suffix") {
+      ivmViewOf(orders, cust, IvmCents)
+    }
+    val cohort = s"o_orderkey % $IvmMod = $IvmRem"
+    val delta = ivmViewOf(orders.filter(cohort), cust, s"($IvmCents) * 2")
+    base.filter(s"NOT (o_orderkey % $IvmMod = $IvmRem)")
+      .unionByName(delta)
+      .orderBy("o_orderkey")
+  }
+
+  def ivmViewServeSql(orders: String, customer: String): String = s"""
+    SELECT o.o_orderkey,
+      CAST(CASE WHEN o.o_orderkey % $IvmMod = $IvmRem
+           THEN floor(o.o_totalprice * 100 + 0.5) * 2
+           ELSE floor(o.o_totalprice * 100 + 0.5) END AS BIGINT) AS cents,
+      c.c_mktsegment AS segment,
+      CAST(c.c_nationkey AS BIGINT) AS nation
+    FROM $orders o JOIN $customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey"""
+
   // ---------------------------------------------------------------- q221
   /** Snapshot PROFILE-DRIFT audit — the data-contract check
     * (Great-Expectations-shaped) that q212's profile exists to feed:

@@ -424,6 +424,41 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming KMV-shard encode — the stream-time twin of q267's
+    * set-expression sketches: events arrive in micro-batches, each
+    * batch lands one KMV user sketch per (event_type, shard) under
+    * `batch_run=N` with idempotent overwrite, and a serve `kmv_merge`s
+    * every run's sketches per type before answering any set
+    * expression. The KMV merge is set union capped at the K smallest
+    * hashes in canonical sorted-byte form — commutative, associative,
+    * AND idempotent — so the merged sketch is batch-split-invariant by
+    * construction and a replayed (double-landed) batch changes nothing;
+    * like the Bloom family and unlike the counting sketches (q239's
+    * merge-once discipline), no exactly-once care is needed beyond the
+    * overwrite. The same monotone trade applies: a min-sketch cannot
+    * retract, so stream-time deletes rebuild affected shards or
+    * tolerate stale members — stated, not papered over. */
+  def startStreamingKmvShards(eventStream: DataFrame, path: String,
+                              checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.KmvSketch.register(batch.sparkSession)
+          batch
+            .selectExpr("event_type",
+              "CAST(user_id % 8 AS INT) AS shard", "user_id")
+            .groupBy("event_type", "shard")
+            .agg(org.apache.spark.sql.functions.expr("kmv_build(user_id)")
+              .as("sk"))
+            .write.mode("overwrite")
+            .parquet(s"$path/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming DELETE feed for the bitmap index — the stream-time twin
     * of q231's tombstone build: deleted rows arrive in micro-batches,
     * each batch's tombstone words land under `batch_run=N` with

@@ -1008,6 +1008,78 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("ivm join view: upsert maintenance equals rebuild, base stays frozen") {
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val served = S.ivmViewServe(spark, sfDir).collect()
+    val v0 = W.publishedVersion(spark, s"ivmview_$suffix").get
+    assert(S.ivmViewServe(spark, sfDir).collect().toSeq == served.toSeq,
+      "maintained serve must be deterministic")
+    assert(W.publishedVersion(spark, s"ivmview_$suffix").get == v0,
+      "a re-serve must never republish the base view")
+    // the cohort carries the revision; everything else passes through
+    // verbatim from the stored base view
+    val base = W.readTable(spark, s"ivmview_$suffix").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    served.foreach { r =>
+      val (k, c) = (r.getLong(0), r.getLong(1))
+      val (bc, bs, bn) = base(k)
+      if (k % S.IvmMod == S.IvmRem)
+        assert(c == bc * 2, s"cohort row $k must carry doubled cents")
+      else assert(c == bc, s"unrevised row $k must pass through verbatim")
+      assert(r.getString(2) == bs && r.getLong(3) == bn,
+        s"dimension attributes must be stable for $k")
+    }
+    // the serve plan reads the published view, never re-joining the
+    // full fact table (only the cohort's delta join remains)
+    val p = S.ivmViewServe(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("ivmview_") ||
+      "Relation \\[o_orderkey#\\d+L,cents#".r.findFirstIn(p).isDefined,
+      s"serve must scan the published view relation:\n$p")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("benford audit: geometric data conforms, uniform data fails, zero digits surface") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // G: 1.00 * 2^k cents, k = 0..29 — a multiplicative series whose
+    // first digits equidistribute per Benford; U: 90 five-digit values
+    // with a flat first-digit spread — the fabricated-uniform shape the
+    // audit exists to flag; H: three hand values pinning extraction,
+    // zero-digit rows, and the exact grid formula
+    val g = (0 until 30).map(k => ("G", (100L * (1L << k)).toDouble / 100.0))
+    val u = for (d <- 1 to 9; i <- 0 until 10)
+      yield ("U", (d * 10000 + i * 137).toDouble / 100.0)
+    val h = Seq(("H", 1.00), ("H", 2.50), ("H", 30.00))
+    (g ++ u ++ h).toDF("o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("benford_t")
+    val rows = spark.sql(S.benfordSql("benford_t")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 27, s"3 groups x 9 digits expected, got ${rows.size}")
+    // H: digits 1/2/3 observed once each; 4..9 present with zero counts
+    (1 to 3).foreach(d => assert(rows(("H", d.toLong))._1 == 1L))
+    (4 to 9).foreach(d => assert(rows(("H", d.toLong))._1 == 0L))
+    // the exact grid formula on the hand case (same IEEE ops in Scala)
+    val p1 = 301029996.0
+    val exp6 = math.floor(3.0 * p1 / 1e9 * 1e6 + 0.5).toLong
+    val diff = 1.0 * 1e9 - 3.0 * p1
+    val chi6 = math.floor(diff * diff / (3.0 * p1 * 1e9) * 1e6 + 0.5).toLong
+    assert(rows(("H", 1L)) == ((1L, exp6, chi6)),
+      s"hand grid drifted: ${rows(("H", 1L))} vs ($exp6, $chi6)")
+    // conformance ordering: the geometric series' chi-square is a small
+    // fraction of the planted-uniform block's
+    def chi2(grp: String) =
+      rows.collect { case ((g0, _), (_, _, c)) if g0 == grp => c }.sum
+    assert(chi2("G") * 3 < chi2("U"),
+      s"benford must separate: G=${chi2("G")} U=${chi2("U")}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("t-closeness flags the skewness attack l-diversity passes") {
     val sq = spark
     import sq.implicits._

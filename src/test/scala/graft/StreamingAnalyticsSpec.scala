@@ -673,6 +673,56 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming kmv shards merge to the one-shot sketches, replay harmless") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.expr
+    graft.functions.KmvSketch.register(spark)
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 400).map { _ =>
+      (Seq("click", "view")(rnd.nextInt(2)), rnd.nextInt(120).toLong) }
+    val (h1, h2) = rows.partition(_._2 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-skv").toString
+    // batch 0, crash, restart (batch 0 REPLAYS), batch 1: the KMV merge
+    // is idempotent set union, so a double-landed batch changes nothing
+    def runOnce(feed: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)] => Unit): Unit = {
+      val source = MemoryStream[(String, Long)]
+      val q = EventAnalytics.startStreamingKmvShards(
+        source.toDF().toDF("event_type", "user_id"),
+        s"$dir/kmv", s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce { s => s.addData(h1.toIndexedSeq: _*) }
+    runOnce { s =>
+      s.addData(h1.toIndexedSeq: _*)
+      s.addData(h2.toIndexedSeq: _*)
+    }
+    val got = spark.read.parquet(s"$dir/kmv")
+      .groupBy("event_type").agg(expr("kmv_merge(sk)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val want = rows.groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> graft.functions.KmvSketch.sketchOf(rs.map(_._2)) }
+    assert(got.keySet == want.keySet, s"types: ${got.keySet}")
+    want.foreach { case (t, sk) =>
+      assert(java.util.Arrays.equals(got(t), sk),
+        s"type $t stream-merged sketch must equal the one-shot build") }
+    // the merged sketches answer the set expressions exactly (exact
+    // mode at this cardinality) — the q267 serve off stream-time shards
+    val (cs, vs) = (rows.filter(_._1 == "click").map(_._2).toSet,
+      rows.filter(_._1 == "view").map(_._2).toSet)
+    assert(graft.functions.KmvSketch.intersectEst(
+      got("click"), got("view")) == (cs intersect vs).size.toDouble &&
+      graft.functions.KmvSketch.diffEst(
+        got("click"), got("view")) == (cs diff vs).size.toDouble,
+      "set expressions over stream-merged sketches must be exact here")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming tombstones merge to the one-shot delete bitmap and serve") {
     val sq = spark
     import sq.implicits._
