@@ -99,6 +99,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q266_t_closeness"   -> tCloseness _,
     "q268_benford"       -> benford _,
     "q269_ivm_join_view" -> ivmViewServe _,
+    "q270_ivm_agg_view"  -> ivmAggServe _,
     "q261_nsw_search"    -> nswSearch _,
     "q262_nsw_recall"    -> nswRecall _,
     "q264_nsw_append"    -> nswAppendServe _,
@@ -200,6 +201,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // the oracle is the full join over the revision-applied orders:
     // maintain ∘ store ≡ rebuild-with-new-values for the join view
     "q269_ivm_join_view" -> ivmViewServeSql("orders", "customer"),
+    // signed summary deltas fold into the stored rollup: COUNT/SUM form
+    // an abelian group, so the oracle is the full rebuilt aggregate
+    "q270_ivm_agg_view" -> ivmAggServeSql("orders"),
     // graph-refined ANN: the oracle replays adjacency, entries, and
     // the unrolled three-hop beam walk; q262 scores it against the
     // exact brute-force truth set

@@ -2942,6 +2942,63 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     FROM $orders o JOIN $customer c ON o.o_custkey = c.c_custkey
     ORDER BY o.o_orderkey"""
 
+  // ---------------------------------------------------------------- q270
+  /** Incremental maintenance of an AGGREGATE view — q269's delta rule
+    * for the summary-table half of a warehouse's view layer (Mumick et
+    * al. 1997's summary-delta method): the per-priority (n_orders,
+    * revenue-cents) rollup publishes ONCE, and the same revised-orders
+    * cohort is serviced by aggregating ONLY the cohort twice — its NEW
+    * contribution positively and its OLD contribution negatively — and
+    * folding the three signed partial sets (stored ∪ +new ∪ −old)
+    * through one O(groups) re-aggregation. COUNT and SUM form an
+    * abelian GROUP (they retract exactly — the q247/q248 linearity
+    * argument at the relational level; min/max would not, the q224
+    * staleness lesson), so maintain ∘ store ≡ rebuild-with-new-values
+    * holds algebraically and the ORACLE says it verbatim: the full
+    * aggregate over revision-applied orders. Maintenance cost is two
+    * O(batch) scans of the cohort + arithmetic over O(groups) rows;
+    * the fact table never rescans, the stored summary never rewrites.
+    * Spec pins version stability, count invariance (the cohort revises
+    * in place), revenue growth by exactly the cohort's original cents
+    * (doubling adds one original share), and maintained ≡ live
+    * rebuild. */
+  private def ivmAggOf(orders: DataFrame, centsExpr: String,
+                       sign: Int): DataFrame =
+    orders.selectExpr("o_orderpriority AS grp",
+        s"CAST($centsExpr AS BIGINT) AS cents")
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.expr(
+          s"CAST(count(1) * $sign AS BIGINT)").as("n_orders"),
+        org.apache.spark.sql.functions.expr(
+          s"CAST(sum(cents) * $sign AS BIGINT)").as("rev_cents"))
+
+  def ivmAggServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val orders = Tables.load(spark, dir, "orders")
+    val base = graft.core.Warehouse.tableOnce(spark, s"ivmagg_$suffix") {
+      ivmAggOf(orders, IvmCents, 1)
+    }
+    val cohort = orders.filter(s"o_orderkey % $IvmMod = $IvmRem")
+    base
+      .unionByName(ivmAggOf(cohort, s"($IvmCents) * 2", 1)) // + new
+      .unionByName(ivmAggOf(cohort, IvmCents, -1))          // − old
+      .groupBy("grp")
+      .agg(fsum(col("n_orders")).as("n_orders"),
+        fsum(col("rev_cents")).as("rev_cents"))
+      .orderBy("grp")
+  }
+
+  def ivmAggServeSql(orders: String): String = s"""
+    SELECT o_orderpriority AS grp,
+      CAST(count(1) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(CASE WHEN o_orderkey % $IvmMod = $IvmRem
+           THEN floor(o_totalprice * 100 + 0.5) * 2
+           ELSE floor(o_totalprice * 100 + 0.5) END AS BIGINT))
+        AS BIGINT) AS rev_cents
+    FROM $orders GROUP BY o_orderpriority
+    ORDER BY grp"""
+
   // ---------------------------------------------------------------- q221
   /** Snapshot PROFILE-DRIFT audit — the data-contract check
     * (Great-Expectations-shaped) that q212's profile exists to feed:

@@ -1042,6 +1042,38 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("ivm aggregate view: signed deltas fold to the rebuild, counts invariant") {
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val served = S.ivmAggServe(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v0 = W.publishedVersion(spark, s"ivmagg_$suffix").get
+    assert(S.ivmAggServe(spark, sfDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      == served, "maintained serve must be deterministic")
+    assert(W.publishedVersion(spark, s"ivmagg_$suffix").get == v0,
+      "a re-serve must never republish the stored summary")
+    val base = W.readTable(spark, s"ivmagg_$suffix").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the cohort revises IN PLACE: counts invariant; revenue grows by
+    // exactly the cohort's original cents (doubling adds one share)
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+    val cohortCents = orders
+      .filter(s"o_orderkey % ${S.IvmMod} = ${S.IvmRem}")
+      .selectExpr("o_orderpriority AS grp",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c")
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.sum("c").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    served.foreach { case (g, (n, rev)) =>
+      assert(n == base(g)._1, s"count must be invariant for $g")
+      assert(rev == base(g)._2 + cohortCents.getOrElse(g, 0L),
+        s"revenue must grow by the cohort's original cents for $g")
+    }
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("benford audit: geometric data conforms, uniform data fails, zero digits surface") {
     val sq = spark
     import sq.implicits._
