@@ -1205,6 +1205,63 @@ object StatsOps {
         FROM b)
       ${calibrationAggSql("d")}"""
 
+  // ---------------------------------------------------------------- q271
+  /** ISOTONIC calibration of the q163 classifier — pool-adjacent-
+    * violators (Ayer et al. 1955; Zadrozny & Elkan 2002's calibration
+    * use) over the q174 reliability deciles: the monotone-regression
+    * fit Platt scaling can't give you without a parametric form, and
+    * the standard production calibrator. PAV is sequential, but over
+    * BINS it has the exact closed MINIMAX form fit_k = max_{i≤k}
+    * min_{j≥k} (Σ_{i..j} pos / Σ_{i..j} n), so the whole fit is three
+    * joins over the O(deciles²) segment grid — ≤ 550 rows whatever the
+    * corpus size, after the same one corpus pass q174 prices. Segment
+    * means land on a 1e-9 grid from identical exactly-rounded IEEE
+    * division on exact integers (q263's argument), so min/max ordering
+    * cannot drift cross-engine; the fitted rate ships as the exact
+    * grid integer. The oracle replays the full q163→q174 chain and
+    * the same minimax tail. Spec pins the classic pooling example by
+    * hand (violating middle bins pool to their weighted mean),
+    * monotonicity, and total-mass preservation. */
+  private[graft] def isotonicTailSql(rel: String): String = s"""
+    c AS (SELECT decile, n, n_pos FROM $rel),
+    pre AS (
+      SELECT a.decile, CAST(sum(b.n) AS BIGINT) AS cn,
+        CAST(sum(b.n_pos) AS BIGINT) AS cp
+      FROM c a JOIN c b ON b.decile <= a.decile GROUP BY a.decile),
+    seg AS (
+      SELECT i.decile AS i, j.decile AS j,
+        CAST(floor(CAST(j.cp - coalesce(ip.cp, 0) AS DOUBLE)
+          / CAST(j.cn - coalesce(ip.cn, 0) AS DOUBLE) * 1e9 + 0.5)
+          AS BIGINT) AS m9
+      FROM pre j
+      JOIN c i ON i.decile <= j.decile
+      LEFT JOIN pre ip ON ip.decile = i.decile - 1),
+    mins AS (
+      SELECT s.i, k.decile AS k, min(s.m9) AS mn
+      FROM seg s JOIN c k ON s.j >= k.decile AND s.i <= k.decile
+      GROUP BY s.i, k.decile),
+    fit AS (SELECT k AS decile, CAST(max(mn) AS BIGINT) AS iso9
+            FROM mins GROUP BY k)
+    SELECT c.decile, c.n, c.n_pos,
+      ${droundSql("CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE)", 6)}
+        AS raw_rate,
+      f.iso9
+    FROM c JOIN fit f ON f.decile = c.decile
+    ORDER BY c.decile"""
+
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_iso_t${Thread.currentThread().getId}"
+    qualityCalibration(spark, dir).select("decile", "n", "n_pos")
+      .createOrReplaceTempView(v)
+    spark.sql("WITH " + isotonicTailSql(v))
+  }
+
+  def isotonicCalibrationOracleSql: String = {
+    val cal = qualityCalibrationOracleSql
+    s"""WITH calib AS ($cal),
+    ${isotonicTailSql("calib")}"""
+  }
+
   // ---------------------------------------------------------------- q175
   /** Exact AUC for the q163 classifier — the Mann-Whitney rank-sum
     * form with full tie handling, computed from the SCORE HISTOGRAM:
@@ -1498,6 +1555,7 @@ object StatsOps {
     "q252_nelson_aalen"   -> nelsonAalen _,
     "q163_quality_classifier" -> qualityClassifier _,
     "q174_quality_calibration" -> qualityCalibration _,
+    "q271_isotonic_calibration" -> isotonicCalibration _,
     "q175_classifier_auc" -> classifierAuc _,
     "q201_join_size_est"  -> joinSizeEst _,
     "q211_cusum"          -> cusum _,
@@ -1529,6 +1587,9 @@ object StatsOps {
     "q252_nelson_aalen"   -> nelsonAalenSql,
     "q163_quality_classifier" -> qualityClassifierOracleSql,
     "q174_quality_calibration" -> qualityCalibrationOracleSql,
+    // the oracle replays the q163->q174 chain and the same exact
+    // minimax PAV tail over the decile bins
+    "q271_isotonic_calibration" -> isotonicCalibrationOracleSql,
     "q175_classifier_auc" -> classifierAucOracleSql,
     "q201_join_size_est"  -> joinSizeEstSql,
     "q211_cusum"          -> cusumOracleSql,

@@ -342,6 +342,41 @@ class StatsOpsSpec extends SparkSpec {
     assert(rf.getDouble(2) === 0.5, s"all-tied scores must give 0.5: $rf")
   }
 
+  test("isotonic PAV tail: violators pool to weighted means, monotone, mass-preserving") {
+    val sq = spark
+    import sq.implicits._
+    // equal-weight bins with rates 0.1, 0.5, 0.3, 0.7: PAV pools the
+    // violating middle pair to (50+30)/200 = 0.4 -> [0.1, 0.4, 0.4, 0.7]
+    Seq((1, 100L, 10L), (2, 100L, 50L), (3, 100L, 30L), (4, 100L, 70L))
+      .toDF("decile", "n", "n_pos").createOrReplaceTempView("iso_t")
+    val got = spark.sql("WITH " + StatsOps.isotonicTailSql("iso_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(4))).toMap
+    assert(got == Map(1 -> 100000000L, 2 -> 400000000L,
+        3 -> 400000000L, 4 -> 700000000L),
+      s"PAV pooling drifted: $got")
+    // a longer violation run pools across three bins: rates
+    // 0.8, 0.6, 0.2, 0.4 -> [0.8 pooled? no: 0.8 > rest] ->
+    // fit = [0.5, 0.5, 0.5, 0.5]? hand: minimax gives the full pool
+    // (0.8+0.6+0.2+0.4)/4 = 0.5 for every k on this totally-decreasing
+    // sequence — the all-violators edge
+    Seq((1, 100L, 80L), (2, 100L, 60L), (3, 100L, 20L), (4, 100L, 40L))
+      .toDF("decile", "n", "n_pos").createOrReplaceTempView("iso_t2")
+    val g2 = spark.sql("WITH " + StatsOps.isotonicTailSql("iso_t2"))
+      .collect().map(r => (r.getInt(0), r.getLong(4))).toMap
+    assert(g2.values.toSet == Set(500000000L),
+      s"a fully-decreasing sequence must pool to one level: $g2")
+    // monotone + mass-preserving on the real fixture chain
+    val rows = StatsOps.isotonicCalibration(spark, sfDir).collect()
+    val iso = rows.map(_.getLong(4))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"isotonic fit must be non-decreasing: ${iso.toSeq}")
+    val mass = rows.map(r => r.getLong(1) * r.getLong(4)).sum / 1e9
+    val pos = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(mass - pos) < rows.length + 1.0,
+      s"PAV must preserve total positives: $mass vs $pos")
+    graft.core.EngineCache.releaseAll()
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
