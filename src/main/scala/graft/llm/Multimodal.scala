@@ -334,4 +334,144 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------- audio
+  /** REAL audio container round-trip — the audio verb of the multimodal
+    * family, same honesty contract as the image path: the fixture has
+    * no audio corpus, so a deterministic PCM16 waveform is synthesized
+    * per document BY PURE INTEGER ARITHMETIC (sample k of doc d is
+    * ((d·31 + k·17) mod 4096) − 2048, n = 256 + d mod 256 samples),
+    * encoded into a GENUINE RIFF/WAVE container (the bytes parse with
+    * the JDK's `javax.sound.sampled.AudioSystem` — spec-proven, so the
+    * container is real WAV, not a private format), and the feature
+    * stage DECODES THOSE BYTES BACK with a chunk-walking parser that
+    * validates magics, PCM format, mono, 16-bit — the decode →
+    * feature-extract stage a training pipeline bolts on, with corrupt
+    * bytes surviving as `decode_ok = false` rows exactly like q140.
+    * Features are exact integers of the decoded samples (peak |s|,
+    * Σ|s|, sign-change count — the silence/clipping/activity triage a
+    * 100 TB audio corpus runs before any model sees it), so the ORACLE
+    * replays the arithmetic waveform definition without any codec —
+    * the q140/q223 derived-oracle discipline. One mapPartitions pass
+    * each way; per-row cost is O(samples), no shuffle anywhere. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("zero_cross", LongType, nullable = false)))
+
+  val AudioRate = 16000
+
+  /** The deterministic per-document waveform (shared with the oracle's
+    * SQL spelling — pure integer arithmetic, no RNG, no libm). */
+  def synthSamples(id: Long): Array[Short] = {
+    val n = (256 + (id % 256)).toInt
+    Array.tabulate(n)(k => (((id * 31 + k.toLong * 17) % 4096) - 2048).toShort)
+  }
+
+  /** Mono PCM16 little-endian RIFF/WAVE writer. */
+  def wavEncode(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Chunk-walking WAV parser: validates RIFF/WAVE magics, walks chunks
+    * to `fmt ` (requires PCM / mono / 16-bit) and `data`, returns
+    * (sampleRate, samples). None for anything malformed — corrupt
+    * containers are data, not task failures. */
+  def wavDecode(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      buf.getInt // riff size
+      if (tag() != "WAVE") return None
+      var rate = -1
+      var samples: Array[Short] = null
+      while (buf.remaining() >= 8 && (rate < 0 || samples == null)) {
+        val t = tag()
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        t match {
+          case "fmt " =>
+            val fmt = buf.getShort; val ch = buf.getShort
+            rate = buf.getInt
+            buf.getInt; buf.getShort // byte rate, block align
+            val bits = buf.getShort
+            if (fmt != 1 || ch != 1 || bits != 16) return None
+            buf.position(buf.position() + len - 16)
+          case "data" =>
+            samples = Array.fill(len / 2)(buf.getShort)
+          case _ =>
+            buf.position(buf.position() + len + (len & 1))
+        }
+      }
+      if (rate > 0 && samples != null) Some((rate, samples)) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** The synthetic audio corpus as a media table: one real WAV blob per
+    * document, with a deterministic corrupt cohort (media_id ≡ 0 mod
+    * [[AudioCorruptMod]] gets its container truncated mid-header) so
+    * the decode_ok path is exercised honestly. */
+  val AudioCorruptMod = 50
+
+  def audioTable(ids: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    ids.select(col("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val wav = wavEncode(synthSamples(id), AudioRate)
+        val content =
+          if (id % AudioCorruptMod == 0) java.util.Arrays.copyOf(wav, 20)
+          else wav
+        Row(id, content, "audio/wav", content.length)
+      }
+    }(enc)
+  }
+
+  /** Decode → integer feature extraction (the audio analog of
+    * [[decodeImages]]): peak amplitude, total absolute amplitude, and
+    * the sign-change count (s_k ≥ 0 differing from s_{k−1} ≥ 0) — all
+    * exact integers of the decoded samples. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioFeatureSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        wavDecode(r.getAs[Array[Byte]](1)) match {
+          case None => Row(id, false, 0, 0, 0L, 0L, 0L)
+          case Some((rate, s)) =>
+            var peak = 0L; var sabs = 0L; var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val a = math.abs(s(i).toLong)
+              if (a > peak) peak = a
+              sabs += a
+              if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+              i += 1
+            }
+            Row(id, true, rate, s.length, peak, sabs, zc)
+        }
+      }
+    }(enc)
+  }
 }

@@ -748,6 +748,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q139_source_report"  -> sourceReport _,
     "q140_media_decode"   -> mediaDecode _,
     "q223_frame_sample"   -> frameSample _,
+    "q272_audio_decode"   -> audioDecode _,
     "q141_bloom_persist"  -> bloomPersist _,
     "q239_cbloom_delete"  -> cbloomDelete _,
     "q142_leakage_split"  -> leakageSplit _,
@@ -855,6 +856,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q139_source_report" -> sourceReportSql,
     "q140_media_decode" -> mediaDecodeSql,
     "q223_frame_sample" -> frameSampleSql,
+    // the WAV round-trip is lossless (spec-proven vs the JDK reader),
+    // so the oracle replays the integer waveform with no codec
+    "q272_audio_decode" -> audioDecodeSql,
     "q141_bloom_persist" -> bloomPersistSql,
     // delete = linear-sketch subtraction; exactness rides the exact
     // EXISTS/count over the tombstone-filtered corpus, the bloom side

@@ -1094,6 +1094,63 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     FROM m ORDER BY vec_id, frame_idx"""
   }
 
+  // ---------------------------------------------------------------- q272
+  /** AUDIO decode + waveform triage — the audio verb of the multimodal
+    * family, completing image (q140) / video-frame (q223) / audio: a
+    * GENUINE RIFF/WAVE PCM16 container is synthesized per document from
+    * a deterministic integer waveform ([[Multimodal.synthSamples]] —
+    * the fixture has no audio corpus, so arithmetic stands in for
+    * recordings exactly as utf-8 bytes stand in for image payloads
+    * elsewhere), a cohort (media_id ≡ 0 mod
+    * [[Multimodal.AudioCorruptMod]]) ships TRUNCATED mid-header, and
+    * the feature stage decodes the bytes back through a chunk-walking
+    * WAV parser — magics, PCM/mono/16-bit validation, corrupt bytes
+    * flowing through as decode_ok = false rows, never task failures.
+    * Features are exact integers of the decoded samples: peak |s|
+    * (clipping), Σ|s| (silence), sign-change count (activity) — the
+    * triage columns an audio corpus runs before any model sees it.
+    * Because the container round-trip is lossless and spec-proven
+    * against the JDK's own `AudioSystem` reader, the ORACLE replays
+    * the waveform definition as pure arithmetic — no codec, the
+    * q140/q223 derived-oracle discipline. One mapPartitions pass each
+    * way, O(samples) per row, no shuffle. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Multimodal.audioFeatures(Multimodal.audioTable(
+        graft.core.Tables.load(spark, dir, "documents")
+          .select(col("doc_id").as("media_id"))))
+      .orderBy("media_id")
+  }
+
+  def audioDecodeSql: String = {
+    val m = Multimodal.AudioCorruptMod
+    s"""
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    k AS (SELECT media_id, CAST(256 + media_id % 256 AS BIGINT) AS n
+          FROM ids),
+    s AS (SELECT media_id, n, unnest(range(0, n))::BIGINT AS i FROM k),
+    v AS (
+      SELECT media_id, n, i,
+        ((media_id * 31 + i * 17) % 4096) - 2048 AS s0,
+        CASE WHEN i > 0
+             THEN ((media_id * 31 + (i - 1) * 17) % 4096) - 2048 END AS sp
+      FROM s)
+    SELECT media_id,
+      (media_id % $m <> 0) AS decode_ok,
+      CAST(CASE WHEN media_id % $m = 0 THEN 0
+           ELSE ${Multimodal.AudioRate} END AS INTEGER) AS sample_rate,
+      CAST(CASE WHEN media_id % $m = 0 THEN 0 ELSE max(n) END AS INTEGER)
+        AS n_samples,
+      CAST(CASE WHEN media_id % $m = 0 THEN 0 ELSE max(abs(s0)) END
+        AS BIGINT) AS peak_abs,
+      CAST(CASE WHEN media_id % $m = 0 THEN 0 ELSE sum(abs(s0)) END
+        AS BIGINT) AS sum_abs,
+      CAST(CASE WHEN media_id % $m = 0 THEN 0
+           ELSE sum(CASE WHEN i > 0 AND ((s0 >= 0) <> (sp >= 0))
+                    THEN 1 ELSE 0 END) END AS BIGINT) AS zero_cross
+    FROM v GROUP BY media_id ORDER BY media_id"""
+  }
+
   // ---------------------------------------------------------------- q196
   /** Systematic probability-proportional-to-size (PPS) corpus sampling
     * — "draw exactly K documents with inclusion probability ∝ token

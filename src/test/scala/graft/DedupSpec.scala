@@ -402,6 +402,62 @@ class DedupSpec extends SparkSpec {
     assert(f.forall(_ === expect), s"raw-sample identity broken: $f")
   }
 
+  test("audio wav round-trip is a real container: JDK AudioSystem reads it back") {
+    val M = graft.llm.Multimodal
+    // the honesty leg: the synthesized container must parse with the
+    // JDK's own reader and hand back the identical PCM16 samples —
+    // proving the bytes are genuine WAV, not a private format
+    val samples = M.synthSamples(42L)
+    val wav = M.wavEncode(samples, M.AudioRate)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate.toInt == M.AudioRate &&
+      fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+      s"container format drifted: $fmt")
+    val raw = ais.readAllBytes()
+    val got = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val arr = new Array[Short](got.remaining()); got.get(arr)
+    assert(arr.toSeq == samples.toSeq,
+      "AudioSystem must hand back the identical PCM16 samples")
+    // and our own parser round-trips byte-exactly
+    val dec = M.wavDecode(wav)
+    assert(dec.exists { case (r, s) =>
+      r == M.AudioRate && s.toSeq == samples.toSeq },
+      "wavDecode must invert wavEncode")
+  }
+
+  test("audio features: exact integers of the samples, corrupt cohort flagged") {
+    val sq = spark
+    import sq.implicits._
+    val M = graft.llm.Multimodal
+    // id 50 is the corrupt cohort (50 % AudioCorruptMod == 0): the
+    // truncated container must surface as decode_ok=false zeros
+    val media = M.audioTable(Seq(3L, 50L).toDF("media_id"))
+    val out = M.audioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = out(3L)
+    val s = M.synthSamples(3L)
+    val peak = s.map(v => math.abs(v.toLong)).max
+    val sabs = s.map(v => math.abs(v.toLong)).sum
+    val zc = s.toSeq.sliding(2).count {
+      case Seq(a, b) => (a >= 0) != (b >= 0); case _ => false }
+    assert(ok.getBoolean(1) && ok.getInt(2) == M.AudioRate &&
+      ok.getInt(3) == s.length && ok.getLong(4) == peak &&
+      ok.getLong(5) == sabs && ok.getLong(6) == zc.toLong,
+      s"features drifted for id 3: $ok vs ($peak, $sabs, $zc)")
+    val bad = out(50L)
+    assert(!bad.getBoolean(1) && bad.getInt(3) == 0 && bad.getLong(5) == 0L,
+      s"the truncated container must flag, not fail: $bad")
+    // malformed variants: wrong magic, stereo, and 8-bit all refuse
+    val wav = M.wavEncode(M.synthSamples(1L), M.AudioRate)
+    val wrongMagic = wav.clone(); wrongMagic(0) = 'X'.toByte
+    assert(M.wavDecode(wrongMagic).isEmpty, "bad magic must refuse")
+    val stereo = wav.clone(); stereo(22) = 2 // channels field
+    assert(M.wavDecode(stereo).isEmpty, "stereo must refuse (mono parser)")
+  }
+
   test("multimodal decode over the binaryFile source end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("media-real").toFile
     java.nio.file.Files.write(new java.io.File(dir, "g.png").toPath,
