@@ -183,6 +183,60 @@ object AnalyticsOps {
     spark.sql(olsSql)
   }
 
+  // ---------------------------------------------------------------- q273
+  /** THEIL–SEN robust trend (Theil 1950; Sen 1968) — the estimator
+    * q124's OLS is not: the median of all pairwise slopes has a 29.3%
+    * breakdown point, so one corrupted month (a backfill error, a
+    * currency mix-up) cannot drag the trend the way it provably drags
+    * least squares (the spec plants exactly that and watches OLS bend
+    * while Theil–Sen holds). Quadratic in points, so it runs on the
+    * BOUNDED seasonal frame — per order-priority monthly revenue, ≤12
+    * points → ≤66 pairs per group — after one q122-shaped hash agg;
+    * the pair join, ranking window, and median pick all operate on
+    * O(groups · 66) aggregated rows, plan-sweep-compliant at any
+    * corpus size. Slopes land on a 1e-9 grid via exactly-rounded
+    * integer division (q263's argument) with (month_i, month_j) tie
+    * keys, and the median of the gridded slopes ships DOUBLED
+    * (`ts_slope2_9` = lower + upper median) so the even-count case
+    * stays an exact BIGINT — no float ever crosses the engine
+    * boundary. Dialect-neutral: one string is plan and oracle. */
+  def theilSenSql(table: String): String = s"""
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+        CAST(month(o_orderdate) AS BIGINT) AS x,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM $table),
+    pts AS (
+      SELECT grp, x, CAST(sum(cents) AS BIGINT) AS y
+      FROM o GROUP BY grp, x),
+    pairs AS (
+      SELECT a.grp, a.x AS xi, b.x AS xj,
+        CAST(floor(CAST(b.y - a.y AS DOUBLE)
+          / CAST(b.x - a.x AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS s9
+      FROM pts a JOIN pts b ON a.grp = b.grp AND a.x < b.x),
+    ranked AS (
+      SELECT grp, s9,
+        row_number() OVER (PARTITION BY grp ORDER BY s9, xi, xj) AS rn,
+        count(1) OVER (PARTITION BY grp) AS np
+      FROM pairs),
+    med AS (
+      SELECT grp, CAST(max(np) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN 2 * rn = np OR 2 * rn = np + 1
+               THEN s9 ELSE 0 END)
+          + sum(CASE WHEN 2 * rn = np + 2 OR 2 * rn = np + 1
+               THEN s9 ELSE 0 END) AS BIGINT) AS ts_slope2_9
+      FROM ranked GROUP BY grp),
+    nm AS (SELECT grp, CAST(count(1) AS BIGINT) AS n_months
+           FROM pts GROUP BY grp)
+    SELECT m.grp, nm.n_months, m.n_pairs, m.ts_slope2_9
+    FROM med m JOIN nm ON nm.grp = m.grp
+    ORDER BY m.grp"""
+
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(theilSenSql("orders"))
+  }
+
   // ---------------------------------------------------------------- q125
   /** BFS hop distance from a seed set over the part co-purchase graph,
     * level-synchronous: each round is one frontier⋈edges join + one
@@ -580,6 +634,7 @@ object AnalyticsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_setsim_join"  -> setSimJoin _,
     "q124_ols_brand"    -> olsByBrand _,
+    "q273_theil_sen"    -> theilSen _,
     "q125_bfs_hops"     -> bfsHops _,
     "q126_skew_profile" -> skewProfile _,
     "q199_record_link"  -> recordLinkage _,
@@ -590,6 +645,7 @@ object AnalyticsOps {
   val oracles: Map[String, String] = Map(
     "q123_setsim_join"  -> setSimJoinSql,
     "q124_ols_brand"    -> olsSql,
+    "q273_theil_sen"    -> theilSenSql("orders"),
     "q125_bfs_hops"     -> bfsSql("lineitem"),
     "q126_skew_profile" -> skewProfileSql("lineitem", "l_partkey"),
     "q199_record_link"  -> recordLinkageSql("customer"),

@@ -55,6 +55,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q114_skyline"       -> skyline _,
     "q115_triangles"     -> triangles _,
     "q116_ab_test"       -> abTest _,
+    "q274_ks_test"       -> ksTest _,
     "q117_rfm"           -> rfm _,
     "q118_event_paths"   -> eventPaths _,
     "q119_ivfpq_search"  -> ivfPqSearch _,
@@ -130,6 +131,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q114_skyline" -> skylineOracleSql,
     "q115_triangles" -> trianglesSql("lineitem"),
     "q116_ab_test" -> abTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
+    // exact-integer ECDF distance: the (num, den) rational and the
+    // argmax value hash-compare with no float anywhere
+    "q274_ks_test" -> ksTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
     "q118_event_paths" -> eventPathsSql,
     "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail",

@@ -593,6 +593,57 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(abTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
   }
 
+  // ---------------------------------------------------------------- q274
+  /** Kolmogorov–Smirnov two-sample test between the q116 arms — the
+    * DISTRIBUTIONAL complement of the Welch readout: a treatment that
+    * shifts the shape of purchase values (fatter tail, bimodality)
+    * while leaving the mean alone is invisible to q116 and exactly
+    * what KS exists to catch (and vice versa for q93's binned KL: KS
+    * needs no binning choice and no smoothing). D = max_v |ECDF_A(v) −
+    * ECDF_B(v)| computes EXACTLY: per distinct cents value one hash
+    * agg emits per-arm counts, two running sums over the value
+    * HISTOGRAM (an aggregated frame — q128/q175's sweep-compliant
+    * window shape, |distinct values| rows regardless of corpus size)
+    * give the cumulative counts, and the statistic is the exact
+    * integer max |ca·n_b − cb·n_a| with denominator n_a·n_b — the
+    * (num, den) rational plus the argmax value (smallest cents
+    * achieving it) ship as BIGINTs, no float anywhere. At a value
+    * grain too fine for the histogram the cents pre-round IS the
+    * binning, stated rather than hidden. */
+  def ksTestSql(hashArm: String): String = s"""
+    WITH p AS (
+      SELECT CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    h AS (
+      SELECT cents,
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS db
+      FROM p GROUP BY cents),
+    tot AS (
+      SELECT CAST(sum(da) AS BIGINT) AS na, CAST(sum(db) AS BIGINT) AS nb
+      FROM h),
+    c AS (
+      SELECT cents,
+        CAST(sum(da) OVER (ORDER BY cents) AS BIGINT) AS ca,
+        CAST(sum(db) OVER (ORDER BY cents) AS BIGINT) AS cb
+      FROM h),
+    d AS (
+      SELECT c.cents, abs(c.ca * t.nb - c.cb * t.na) AS num,
+        t.na, t.nb
+      FROM c CROSS JOIN tot t),
+    mx AS (SELECT CAST(max(num) AS BIGINT) AS ks_num FROM d)
+    SELECT d.na AS n_a, d.nb AS n_b, m.ks_num,
+      CAST(d.na * d.nb AS BIGINT) AS ks_den,
+      CAST(min(d.cents) AS BIGINT) AS arg_cents
+    FROM d JOIN mx m ON d.num = m.ks_num
+    GROUP BY d.na, d.nb, m.ks_num"""
+
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(ksTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
+  }
+
   // ---------------------------------------------------------------- q230
   /** CUPED variance-reduced experiment analysis (Deng et al. 2013 —
     * "Improving the Sensitivity of Online Controlled Experiments") —

@@ -137,6 +137,41 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"lambda $lam must track the true prevalence ~$trueRate")
   }
 
+  test("theil-sen holds the planted slope where OLS provably bends") {
+    val sq = spark
+    import sq.implicits._
+    // group L: y = 1000 + 7x cents per month x = 1..11, month 12 a 1e7
+    // outlier. 55 of 66 pair slopes are exactly 7 -> both medians sit in
+    // the 7-block; OLS over the same points is dragged far off
+    val lRows = (1 to 11).map(m => ("L", m, 1000L + 7L * m)) :+
+      (("L", 12, 10000000L))
+    // group O: 3 months -> odd pair count, median is the middle slope
+    val oRows = Seq(("O", 1, 0L), ("O", 2, 300L), ("O", 4, 600L))
+    (lRows ++ oRows).map { case (g, m, cents) =>
+      (g, java.sql.Date.valueOf(f"1995-$m%02d-15"), cents.toDouble / 100.0)
+    }.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      .createOrReplaceTempView("ts_t")
+    val got = spark.sql(AnalyticsOps.theilSenSql("ts_t")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("L") == ((12L, 66L, 14000000000L)),
+      s"theil-sen must hold slope 7 under the outlier: ${got("L")}")
+    // O: slopes 300, 200, 150 -> sorted 150/200/300, median 200 doubled
+    assert(got("O") == ((3L, 3L, 400000000000L)),
+      s"odd-count median drifted: ${got("O")}")
+    // the wedge: OLS on L's points is dragged by the outlier
+    val xs = (1 to 12).map(_.toDouble)
+    val ys = lRows.map(_._3.toDouble)
+    val n = 12.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(ols - 7.0) > 100000.0,
+      s"the outlier must provably bend OLS for the wedge to mean anything: $ols")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("skew profiler ranks the heavy key first with exact share") {
     // key 7 has 6 of 10 rows across 3 keys: share .6, 1.8x mean
     (Seq.fill(6)(7) ++ Seq(8, 8, 9, 9)).toDF("l_partkey")

@@ -1042,6 +1042,32 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("ks two-sample: exact ECDF distance with the earliest argmax") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // arm A (even users): values 1,2,3,4; arm B (odd): 3,4,5,6.
+    // cumulative |ca*nb - cb*na| over the merged grid: 4,8,8,8,4,0 ->
+    // KS = 8/16 = 0.5, first achieved at cents 200
+    val rows = Seq((0L, 1.0), (2L, 2.0), (4L, 3.0), (6L, 4.0),
+      (1L, 3.0), (3L, 4.0), (5L, 5.0), (7L, 6.0))
+    rows.map { case (u, v) => (u, "purchase", v) }
+      .toDF("user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val r = spark.sql(S.ksTestSql("user_id")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) == ((4L, 4L, 8L, 16L, 200L)),
+      s"KS statistic drifted: $r")
+    // identical distributions -> D = 0 exactly, argmax the smallest value
+    (0L to 7L).map(u => (u, "purchase", (u / 2 + 1).toDouble))
+      .toDF("user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val z = spark.sql(S.ksTestSql("user_id")).collect().head
+    assert(z.getLong(2) == 0L && z.getLong(4) == 100L,
+      s"identical arms must score exactly zero: $z")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("ivm aggregate view: signed deltas fold to the rebuild, counts invariant") {
     val S = graft.operators.ScaleOps
     val W = graft.core.Warehouse
