@@ -194,10 +194,15 @@ object AnalyticsOps {
     * points → ≤66 pairs per group — after one q122-shaped hash agg;
     * the pair join, ranking window, and median pick all operate on
     * O(groups · 66) aggregated rows, plan-sweep-compliant at any
-    * corpus size. Slopes land on a 1e-9 grid via exactly-rounded
-    * integer division (q263's argument) with (month_i, month_j) tie
-    * keys, and the median of the gridded slopes ships DOUBLED
-    * (`ts_slope2_9` = lower + upper median) so the even-count case
+    * corpus size. The trended quantity is the monthly MEAN order value
+    * (a 1e-2-grid integer: centi-cents) — deliberately SCALE-FREE, so
+    * the 1e-6 slope grid can never overflow int64 however large the
+    * corpus grows, where a monthly SUM would blow the grid at ~100×
+    * (measured: the first spelling threw SparkArithmeticException at
+    * the 10× soak — this is the fix, not a preference). Slopes land on
+    * the grid via exactly-rounded integer division (q263's argument)
+    * with (month_i, month_j) tie keys, and the median ships DOUBLED
+    * (`ts_slope2_6` = lower + upper median) so the even-count case
     * stays an exact BIGINT — no float ever crosses the engine
     * boundary. Dialect-neutral: one string is plan and oracle. */
   def theilSenSql(table: String): String = s"""
@@ -207,28 +212,30 @@ object AnalyticsOps {
         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM $table),
     pts AS (
-      SELECT grp, x, CAST(sum(cents) AS BIGINT) AS y
+      SELECT grp, x,
+        CAST(floor(CAST(sum(cents) AS DOUBLE)
+          / CAST(count(1) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS y
       FROM o GROUP BY grp, x),
     pairs AS (
       SELECT a.grp, a.x AS xi, b.x AS xj,
         CAST(floor(CAST(b.y - a.y AS DOUBLE)
-          / CAST(b.x - a.x AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS s9
+          / CAST(b.x - a.x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS s6
       FROM pts a JOIN pts b ON a.grp = b.grp AND a.x < b.x),
     ranked AS (
-      SELECT grp, s9,
-        row_number() OVER (PARTITION BY grp ORDER BY s9, xi, xj) AS rn,
+      SELECT grp, s6,
+        row_number() OVER (PARTITION BY grp ORDER BY s6, xi, xj) AS rn,
         count(1) OVER (PARTITION BY grp) AS np
       FROM pairs),
     med AS (
       SELECT grp, CAST(max(np) AS BIGINT) AS n_pairs,
         CAST(sum(CASE WHEN 2 * rn = np OR 2 * rn = np + 1
-               THEN s9 ELSE 0 END)
+               THEN s6 ELSE 0 END)
           + sum(CASE WHEN 2 * rn = np + 2 OR 2 * rn = np + 1
-               THEN s9 ELSE 0 END) AS BIGINT) AS ts_slope2_9
+               THEN s6 ELSE 0 END) AS BIGINT) AS ts_slope2_6
       FROM ranked GROUP BY grp),
     nm AS (SELECT grp, CAST(count(1) AS BIGINT) AS n_months
            FROM pts GROUP BY grp)
-    SELECT m.grp, nm.n_months, m.n_pairs, m.ts_slope2_9
+    SELECT m.grp, nm.n_months, m.n_pairs, m.ts_slope2_6
     FROM med m JOIN nm ON nm.grp = m.grp
     ORDER BY m.grp"""
 

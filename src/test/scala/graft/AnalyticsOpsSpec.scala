@@ -154,10 +154,13 @@ class AnalyticsOpsSpec extends SparkSpec {
     val got = spark.sql(AnalyticsOps.theilSenSql("ts_t")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    assert(got("L") == ((12L, 66L, 14000000000L)),
+    // one order per month -> monthly mean == the order, y in centi-cents
+    // = (1000+7m)*100, clean slope 700/month -> s6 = 7e8, doubled 1.4e9
+    assert(got("L") == ((12L, 66L, 1400000000L)),
       s"theil-sen must hold slope 7 under the outlier: ${got("L")}")
-    // O: slopes 300, 200, 150 -> sorted 150/200/300, median 200 doubled
-    assert(got("O") == ((3L, 3L, 400000000000L)),
+    // O: y = 0/30000/60000 at x = 1/2/4 -> slopes 30000/20000/15000,
+    // median 20000 on the 1e6 grid doubled
+    assert(got("O") == ((3L, 3L, 40000000000L)),
       s"odd-count median drifted: ${got("O")}")
     // the wedge: OLS on L's points is dragged by the outlier
     val xs = (1 to 12).map(_.toDouble)
