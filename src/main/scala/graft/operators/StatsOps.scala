@@ -1251,7 +1251,16 @@ object StatsOps {
 
   def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
     val v = s"graft_iso_t${Thread.currentThread().getId}"
-    qualityCalibration(spark, dir).select("decile", "n", "n_pos")
+    // O(deciles) collect — the q181/q227 materialization barrier: the
+    // PAV tail's pairwise inequality joins run over a LocalRelation
+    // whose known tiny size broadcasts, where the lazily-chained decile
+    // view carries corpus-sized stats and plans a CartesianProduct
+    // (the plan sweep rejects that shape, and rightly: this is a
+    // 10-row problem by construction)
+    val deciles = qualityCalibration(spark, dir)
+      .select("decile", "n", "n_pos")
+    spark.createDataFrame(
+        java.util.Arrays.asList(deciles.collect(): _*), deciles.schema)
       .createOrReplaceTempView(v)
     spark.sql("WITH " + isotonicTailSql(v))
   }
