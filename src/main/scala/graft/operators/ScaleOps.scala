@@ -56,6 +56,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q115_triangles"     -> triangles _,
     "q116_ab_test"       -> abTest _,
     "q274_ks_test"       -> ksTest _,
+    "q275_qte"           -> qte _,
     "q117_rfm"           -> rfm _,
     "q118_event_paths"   -> eventPaths _,
     "q119_ivfpq_search"  -> ivfPqSearch _,
@@ -134,6 +135,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // exact-integer ECDF distance: the (num, den) rational and the
     // argmax value hash-compare with no float anywhere
     "q274_ks_test" -> ksTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
+    // per-arm quantiles gridded BEFORE differencing; interpolation
+    // equality is q46's proven percentile <-> quantile_cont bridge
+    "q275_qte" -> qteOracleSql(xhashSql("'ab:' || user_id::VARCHAR")),
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
     "q118_event_paths" -> eventPathsSql,
     "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail",

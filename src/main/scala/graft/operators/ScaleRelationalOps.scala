@@ -644,6 +644,67 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(ksTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
   }
 
+  // ---------------------------------------------------------------- q275
+  /** Quantile treatment effects between the q116 arms — the readout
+    * that says WHERE in the distribution a treatment acts: a mean
+    * lift concentrated in the top decile and a uniform shift read
+    * identically to q116's Welch z and differently to everyone who
+    * pays the bill; QTE(τ) = Q_A(τ) − Q_B(τ) for τ = 0.1..0.9 makes
+    * the shape of the effect a first-class column (Doksum 1974's
+    * quantile shift function at fixed grid points). Per-arm quantiles
+    * ride the q46/q96 HISTOGRAM-FED exact percentile — the sort-agg
+    * sees |arm × distinct cents| rows, never the corpus — with the
+    * cross-engine interpolation equality q46 already proves
+    * (Spark `percentile(v, τ, freq)` ≡ DuckDB `quantile_cont`, type-7
+    * on exact integers). Every output lands as a 1e-6-grid BIGINT and
+    * the effect is the exact DIFFERENCE OF GRID INTEGERS — quantiles
+    * are gridded BEFORE subtracting, so sub-grid ulp wiggle between
+    * the engines' interpolations can never compound into the
+    * difference. O(9) output rows at any scale. */
+  private def qteGrid(e: String): String =
+    s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"
+
+  private def qteTailSql(qExprs: Int => String): String = {
+    val u = (1 to 9).map(t =>
+      s"SELECT arm, $t AS tau10, ${qteGrid(qExprs(t))} AS qv6 FROM q")
+      .mkString(" UNION ALL ")
+    s"""u AS ($u),
+    a AS (SELECT tau10, qv6 AS qa6 FROM u WHERE arm = 'A'),
+    b AS (SELECT tau10, qv6 AS qb6 FROM u WHERE arm = 'B')
+    SELECT CAST(a.tau10 AS BIGINT) AS tau10, a.qa6, b.qb6,
+      CAST(a.qa6 - b.qb6 AS BIGINT) AS qte6
+    FROM a JOIN b ON a.tau10 = b.tau10
+    ORDER BY tau10"""
+  }
+
+  def qteSparkSql(hashArm: String): String = s"""
+    WITH p AS (
+      SELECT CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    h AS (SELECT arm, cents, count(1) AS freq FROM p GROUP BY arm, cents),
+    q AS (SELECT arm,
+      ${(1 to 9).map(t =>
+        s"percentile(cents, 0.$t, freq) AS p$t").mkString(", ")}
+      FROM h GROUP BY arm),
+    ${qteTailSql(t => s"p$t")}"""
+
+  def qteOracleSql(hashArm: String): String = s"""
+    WITH p AS (
+      SELECT CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    q AS (SELECT arm,
+      ${(1 to 9).map(t =>
+        s"quantile_cont(cents, 0.$t) AS p$t").mkString(", ")}
+      FROM p GROUP BY arm),
+    ${qteTailSql(t => s"p$t")}"""
+
+  def qte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(qteSparkSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
+  }
+
   // ---------------------------------------------------------------- q230
   /** CUPED variance-reduced experiment analysis (Deng et al. 2013 —
     * "Improving the Sensitivity of Online Controlled Experiments") —

@@ -1042,6 +1042,31 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("qte recovers a planted uniform shift at every quantile") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // arm A (even users): 1..10 dollars; arm B (odd): 2..11 — a pure
+    // +100-cent location shift, so QTE(tau) = -100 cents at every tau
+    // (type-7 interpolation shifts with the data)
+    val rows = (0 until 10).flatMap { i =>
+      Seq((2L * i, "purchase", (i + 1).toDouble),
+        (2L * i + 1, "purchase", (i + 2).toDouble))
+    }
+    rows.toDF("user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(S.qteSparkSql("user_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == 9 && got.values.forall(_._3 == -100000000L),
+      s"a location shift must give a flat QTE: $got")
+    // spot-check the type-7 interpolation: tau=0.1 on 100..1000 is
+    // 100 + 0.9*100 = 190; tau=0.5 is 550
+    assert(got(1L)._1 == 190000000L && got(5L)._1 == 550000000L,
+      s"type-7 quantiles drifted: ${got(1L)} / ${got(5L)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("ks two-sample: exact ECDF distance with the earliest argmax") {
     val sq = spark
     import sq.implicits._
