@@ -57,6 +57,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q116_ab_test"       -> abTest _,
     "q274_ks_test"       -> ksTest _,
     "q275_qte"           -> qte _,
+    "q276_encoding_advisor" -> encodingAdvisor _,
     "q117_rfm"           -> rfm _,
     "q118_event_paths"   -> eventPaths _,
     "q119_ivfpq_search"  -> ivfPqSearch _,
@@ -138,6 +139,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // per-arm quantiles gridded BEFORE differencing; interpolation
     // equality is q46's proven percentile <-> quantile_cont bridge
     "q275_qte" -> qteOracleSql(xhashSql("'ab:' || user_id::VARCHAR")),
+    // run counts under the identical (l_orderkey, l_linenumber) total
+    // order: the oracle's lag window replays the rank-adjacency join
+    "q276_encoding_advisor" -> encodingAdvisorSql("lineitem"),
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
     "q118_event_paths" -> eventPathsSql,
     "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail",

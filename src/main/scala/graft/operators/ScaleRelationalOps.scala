@@ -705,6 +705,106 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(qteSparkSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
   }
 
+  // ---------------------------------------------------------------- q276
+  /** Column ENCODING advisor — the physical-design decision the layout
+    * family hasn't priced yet: z-order/bloom/bitmap choose how rows
+    * LAND, this chooses how a column's BYTES land (the call a Parquet
+    * writer makes per page): PLAIN (8·Σlen bits), DICTIONARY
+    * (8·Σ distinct len + n·⌈log₂ ndv⌉) or dictionary-coded RLE
+    * (runs·(⌈log₂ ndv⌉ + 32)) — stated-assumption estimators on EXACT
+    * integers, with run counts measured under the table's REAL
+    * clustered order ((l_orderkey, l_linenumber)), which is what makes
+    * RLE an honest option rather than a best-case fantasy. The rank
+    * comes from `DistributedRank`'s bucketed two-pass scheme — never a
+    * global window — and adjacency is an equi-self-join on the dense
+    * rank (rk = rk−1), so the whole audit is one ranked scan + one
+    * keyed join + O(1) aggregates at any scale; ⌈log₂⌉ is a generated
+    * integer CASE ladder, libm-free (the q268 discipline). The oracle
+    * replays runs with a lag window over the same total order. Output:
+    * one row per advised column with the three costs and the argmin
+    * recommendation (tie order plain < dict < rle — the simpler
+    * encoding wins ties). */
+  private def ceilLog2Sql(e: String): String =
+    (1 to 40).reverse.foldLeft("40") { (acc, b) =>
+      s"CASE WHEN $e <= ${1L << b} THEN $b ELSE $acc END"
+    } // ndv >= 1 -> at least 1 bit
+
+  private def encodingTailSql(r: String, withRuns: (String, String)): String = {
+    val (runsRf, runsLs) = withRuns
+    def colRow(name: String, c: String, runs: String) = s"""
+      SELECT '$name' AS col_name, st.n,
+        d$c.ndv, $runs AS rle_runs,
+        CAST(8 * st.len_$c AS BIGINT) AS plain_bits,
+        CAST(8 * d$c.dlen + st.n * ${ceilLog2Sql(s"d$c.ndv")} AS BIGINT)
+          AS dict_bits,
+        CAST($runs * (${ceilLog2Sql(s"d$c.ndv")} + 32) AS BIGINT)
+          AS rle_bits
+      FROM st CROSS JOIN d$c CROSS JOIN ch"""
+    s"""st AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+        CAST(sum(length(rf)) AS BIGINT) AS len_rf,
+        CAST(sum(length(ls)) AS BIGINT) AS len_ls
+      FROM $r),
+    drf AS (
+      SELECT CAST(count(1) AS BIGINT) AS ndv,
+        CAST(sum(length(rf)) AS BIGINT) AS dlen
+      FROM (SELECT DISTINCT rf FROM $r) z),
+    dls AS (
+      SELECT CAST(count(1) AS BIGINT) AS ndv,
+        CAST(sum(length(ls)) AS BIGINT) AS dlen
+      FROM (SELECT DISTINCT ls FROM $r) z),
+    u AS (${colRow("l_returnflag", "rf", runsRf)}
+      UNION ALL ${colRow("l_linestatus", "ls", runsLs)})
+    SELECT col_name, n, ndv, rle_runs, plain_bits, dict_bits, rle_bits,
+      CASE WHEN plain_bits <= dict_bits AND plain_bits <= rle_bits
+           THEN 'plain'
+           WHEN dict_bits <= rle_bits THEN 'dict'
+           ELSE 'rle' END AS best
+    FROM u ORDER BY col_name"""
+  }
+
+  def encodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+    val ranked = graft.core.EngineCache.persisted(
+      DistributedRank.rankOnly(li, "rk", "l_orderkey", desc = false,
+        col("l_orderkey"), col("l_linenumber"))
+        .select("rk", "rf", "ls"))
+    val v = s"graft_enc_t${Thread.currentThread().getId}"
+    ranked.createOrReplaceTempView(v)
+    spark.sql(s"""
+      WITH adj AS (
+        SELECT a.rf, a.ls, b.rf AS prf, b.ls AS pls
+        FROM $v a LEFT JOIN $v b ON b.rk = a.rk - 1),
+      ch AS (
+        SELECT CAST(sum(CASE WHEN prf IS NOT NULL AND rf <> prf
+                 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_rf,
+          CAST(sum(CASE WHEN pls IS NOT NULL AND ls <> pls
+                 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_ls
+        FROM adj),
+      ${encodingTailSql(v, ("ch.runs_rf", "ch.runs_ls"))}""")
+  }
+
+  def encodingAdvisorSql(table: String): String = s"""
+    WITH r AS (
+      SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rk,
+        l_returnflag AS rf, l_linestatus AS ls
+      FROM $table),
+    lagd AS (
+      SELECT rf, ls,
+        lag(rf) OVER (ORDER BY rk) AS prf,
+        lag(ls) OVER (ORDER BY rk) AS pls
+      FROM r),
+    ch AS (
+      SELECT CAST(sum(CASE WHEN prf IS NOT NULL AND rf <> prf
+               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_rf,
+        CAST(sum(CASE WHEN pls IS NOT NULL AND ls <> pls
+               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_ls
+      FROM lagd),
+    ${encodingTailSql("r", ("ch.runs_rf", "ch.runs_ls"))}"""
+
   // ---------------------------------------------------------------- q230
   /** CUPED variance-reduced experiment analysis (Deng et al. 2013 —
     * "Improving the Sensitivity of Online Controlled Experiments") —

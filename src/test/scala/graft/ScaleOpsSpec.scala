@@ -1042,6 +1042,44 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("encoding advisor: exact bit costs, run counts under the clustered order") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // 40 rows: returnflag alternates A/B (40 runs -> dict wins),
+    // linestatus is constant (1 run -> RLE wins). All hand-exact:
+    // rf: plain 8*40=320, dict 8*2+40*1=56, rle 40*(1+32)=1320
+    // ls: plain 320, dict 8*1+40*1=48, rle 1*33=33
+    val rows = (1 to 40).map(i =>
+      (i.toLong, 1, if (i % 2 == 0) "A" else "B", "O"))
+    rows.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      .createOrReplaceTempView("enc_t")
+    // drive the Spark side through the same planted view by swapping
+    // the table the loader would read: use the oracle SQL on the view
+    // for the hand numbers, then the engine path on the fixture below
+    val got = spark.sql(S.encodingAdvisorSql("enc_t")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    assert(got("l_returnflag") == ((40L, 2L, 40L, 320L, 56L, 1320L, "dict")),
+      s"returnflag costs drifted: ${got("l_returnflag")}")
+    assert(got("l_linestatus") == ((40L, 1L, 1L, 320L, 48L, 33L, "rle")),
+      s"linestatus costs drifted: ${got("l_linestatus")}")
+    // the engine path (DistributedRank + adjacency join) must agree
+    // with the oracle's lag-window spelling on the real fixture
+    val eng = S.encodingAdvisor(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSet
+    graft.core.Tables.load(spark, sfDir, "lineitem")
+      .createOrReplaceTempView("enc_li")
+    val ora = spark.sql(S.encodingAdvisorSql("enc_li")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSet
+    assert(eng == ora,
+      s"rank-adjacency runs must equal the window spelling: $eng vs $ora")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("qte recovers a planted uniform shift at every quantile") {
     val sq = spark
     import sq.implicits._

@@ -673,6 +673,50 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("streaming view deltas fold to the one-shot rebuild across inserts, revisions, deletes") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // base summary: two groups
+    val base = Seq(("P1", 3L, 1000L), ("P2", 2L, 500L))
+      .toDF("grp", "n_orders", "rev_cents")
+    // CDC feed: (key, grp, old, new) — an insert (null old), a revision,
+    // a delete (null new), split across two micro-batches with a
+    // restart REPLAY of batch 0 in between (overwrite must absorb it)
+    val b0 = Seq[(Long, String, Option[Long], Option[Long])](
+      (10L, "P1", None, Some(700L)),        // insert
+      (11L, "P1", Some(400L), Some(900L)))  // revision
+    val b1 = Seq[(Long, String, Option[Long], Option[Long])](
+      (12L, "P2", Some(200L), None),        // delete
+      (13L, "P3", None, Some(50L)))         // insert into a NEW group
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+    def runOnce(feed: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[Long], Option[Long])] => Unit)
+        : Unit = {
+      val source = MemoryStream[(Long, String, Option[Long], Option[Long])]
+      val q = EventAnalytics.startStreamingViewDeltas(
+        source.toDF().toDF("key", "grp", "old_cents", "new_cents"),
+        s"$dir/deltas", s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce { s => s.addData(b0.toIndexedSeq: _*) }
+    runOnce { s =>
+      s.addData(b0.toIndexedSeq: _*) // the replay
+      s.addData(b1.toIndexedSeq: _*)
+    }
+    val got = EventAnalytics.summaryFromDeltas(base, s"$dir/deltas")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // one-shot: P1 gains the insert (+1, +700) and the revision (+500);
+    // P2 loses the delete (-1, -200); P3 is born (+1, +50)
+    assert(got == Map("P1" -> (4L, 2200L), "P2" -> (1L, 300L),
+        "P3" -> (1L, 50L)),
+      s"folded deltas must equal the one-shot rebuild: $got")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("streaming kmv shards merge to the one-shot sketches, replay harmless") {
     val sq = spark
     import sq.implicits._
