@@ -241,6 +241,107 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
     r.select(col("node"), dround(col("r"), 9).as("pagerank")).orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q277
+  /** PERSONALIZED PageRank over the same co-purchase graph — the
+    * related-items serving variant of q104 (Haveliwala 2002; the
+    * Pinterest/Twitter recommendation shape): the teleport mass lands
+    * ONLY on a seed set (parts ≡ 0 mod [[PprSeedMod]] — a user's cart
+    * standing in), so scores measure proximity TO THE SEEDS rather
+    * than global centrality, and the top of the ranking is the
+    * recommendation list. Same scale shape as q104 — the edge list
+    * partitions once and every iteration is one edge⋈rank join + one
+    * hash agg — and the same exactness: per-edge contributions bridge
+    * to a 1e-12 grid as DECIMAL before the order-nondeterministic sum,
+    * every iteration re-rounds onto the grid, so both engines iterate
+    * bit-identical state. An empty seed set fails LOUDLY (the q250
+    * vocabulary-guard lesson) rather than dividing into NaN. Oracle:
+    * the same iteration unrolled as chained CTEs, dialect-neutral. */
+  val PprSeedMod = 20
+
+  def pprSql(table: String, iters: Int): String = {
+    val d = PrDamping
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+      SELECT e.dst AS node,
+        CAST(floor($p.r / CAST($p.deg AS DOUBLE) * 1e12 + 0.5)
+          AS DECIMAL(38,0)) AS c
+      FROM e JOIN $p ON e.src = $p.node),
+    s$i AS (SELECT node, sum(c) AS sc FROM c$i GROUP BY node),
+    r$i AS (
+      SELECT dg.node, dg.deg, dg.in_s,
+        floor((((1.0 - $d) * dg.in_s / ns.ns) +
+               $d * (CAST(coalesce(s$i.sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5)
+          / 1e12 AS r
+      FROM deg dg CROSS JOIN ns
+      LEFT JOIN s$i ON dg.node = s$i.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM $table a JOIN $table b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (
+      SELECT src AS node, count(1) AS deg,
+        CASE WHEN src % $PprSeedMod = 0 THEN 1 ELSE 0 END AS in_s
+      FROM e GROUP BY src),
+    ns AS (SELECT CAST(sum(in_s) AS DOUBLE) AS ns FROM deg),
+    r0 AS (
+      SELECT node, deg, in_s,
+        floor(in_s * 1e12 / ns.ns + 0.5) / 1e12 AS r
+      FROM deg CROSS JOIN ns),
+    $iterCtes
+    SELECT node, ${droundSql("r", 9)} AS ppr
+    FROM r$iters
+    ORDER BY node"""
+  }
+
+  /** Spark-side PPR: q104's persisted-edge iteration with the seeded
+    * teleport; the loud empty-seed guard runs before any iteration. */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.core.EngineCache.persisted)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("in_s",
+        when(col("node") % PprSeedMod === 0, 1).otherwise(0))
+      .transform(graft.core.EngineCache.persisted)
+    val ns = deg.agg(sum("in_s")).head.getLong(0)
+    require(ns > 0,
+      s"personalized PageRank needs a non-empty seed set " +
+        s"(no node ≡ 0 mod $PprSeedMod in the graph)")
+    val d = PrDamping
+    var r = deg.select(col("node"), col("deg"), col("in_s"),
+      expr(s"floor(in_s * 1e12 / CAST($ns AS DOUBLE) + 0.5) / 1e12").as("r"))
+    for (i <- 1 to PrIters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst").as("node"),
+          expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
+            "AS DECIMAL(38,0))").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      r = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("in_s"),
+          expr(s"floor((((1.0 - $d) * in_s / CAST($ns AS DOUBLE)) + " +
+            s"$d * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5) " +
+            "/ 1e12").as("r"))
+      if (i < PrIters) {
+        r = r.transform(graft.core.EngineCache.persisted)
+        r.count()
+      }
+    }
+    r.select(col("node"), dround(col("r"), 9).as("ppr")).orderBy("node")
+  }
+
   // ---------------------------------------------------------------- q149
   /** HITS hubs & authorities over the bipartite customer→part purchase
     * graph (edges = distinct (o_custkey, l_partkey) via orders⋈lineitem)

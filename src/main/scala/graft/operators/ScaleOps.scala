@@ -39,6 +39,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q102_scd2"          -> scd2 _,
     "q103_sparse_cosine" -> sparseCosine _,
     "q104_pagerank"      -> pageRank _,
+    "q277_ppr"           -> ppr _,
     "q105_pq_encode"     -> pqEncode _,
     "q106_attribution"   -> attribution _,
     "q107_pq_adc_topk"   -> pqAdcSearch _,
@@ -117,6 +118,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q103_sparse_cosine" -> sparseCosineSql(
       s"SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents"),
     "q104_pagerank" -> pageRankSql("lineitem", PrIters),
+    // the seeded teleport iterated on the same 1e-12 grid; the oracle
+    // unrolls the identical integer iteration as chained CTEs
+    "q277_ppr" -> pprSql("lineitem", PrIters),
     "q105_pq_encode" -> pqOracleSql,
     "q106_attribution" -> attributionSql("epoch_ms(ts)"),
     "q107_pq_adc_topk" -> s"WITH $pqBaseOracle $pqAdcTail",

@@ -137,6 +137,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(ranks.sum - 1.0) < 1e-9 * ranks.length + 1e-6)
   }
 
+  test("personalized pagerank concentrates mass on the seed; empty seeds fail loudly") {
+    val sq = spark
+    import sq.implicits._
+    // co-purchase star: seed 20 at the center (20 % PprSeedMod == 0),
+    // leaves 1/2/3. Hand iteration at d=0.85, 3 rounds: center 0.258,
+    // each leaf 0.247 — center above leaves, leaves exactly symmetric,
+    // and the teleport-to-seed term is what keeps the center on top
+    // (global PageRank would not distinguish a seed)
+    Seq((1L, 20L), (1L, 1L), (2L, 20L), (2L, 2L), (3L, 20L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet("/tmp/graft_ppr_t/lineitem.parquet")
+    val r = graft.operators.ScaleOps.ppr(spark, "/tmp/graft_ppr_t")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(20L) > r(1L) && r(1L) > 0.0,
+      s"the seed must hold the most mass: $r")
+    assert(r(1L) == r(2L) && r(2L) == r(3L),
+      s"symmetric leaves must score identically: $r")
+    assert(math.abs(r(20L) - 0.258) < 1e-3 &&
+      math.abs(r(1L) - 0.2472) < 1e-3,
+      s"hand-iterated star values drifted: $r")
+    // no part divisible by 20 -> the guard must throw, not NaN
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet("/tmp/graft_ppr_e/lineitem.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ScaleOps.ppr(spark, "/tmp/graft_ppr_e").collect()
+    }
+    assert(e.getMessage.contains("seed set"),
+      s"empty seeds must fail loudly: ${e.getMessage}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("pq encode: every (vec, subspace) coded once; Lloyd beats the seed codebook") {
     val r = ScaleOps.pqEncode(spark, sfDir).collect()
     val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
