@@ -59,6 +59,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q274_ks_test"       -> ksTest _,
     "q275_qte"           -> qte _,
     "q276_encoding_advisor" -> encodingAdvisor _,
+    "q278_heaps_growth"  -> heapsGrowth _,
     "q117_rfm"           -> rfm _,
     "q118_event_paths"   -> eventPaths _,
     "q119_ivfpq_search"  -> ivfPqSearch _,
@@ -146,6 +147,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // run counts under the identical (l_orderkey, l_linenumber) total
     // order: the oracle's lag window replays the rank-adjacency join
     "q276_encoding_advisor" -> encodingAdvisorSql("lineitem"),
+    // first-occurrence positions under the identical (doc_id, pos)
+    // total order; the checkpoint set derives arithmetically from n
+    "q278_heaps_growth" -> heapsGrowthSql("documents"),
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
     "q118_event_paths" -> eventPathsSql,
     "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail",

@@ -787,6 +787,71 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       ${encodingTailSql(v, ("ch.runs_rf", "ch.runs_ls"))}""")
   }
 
+  // ---------------------------------------------------------------- q278
+  /** HEAPS-LAW vocabulary growth curve (Heaps 1978) — the corpus-health
+    * readout that sizes tokenizer vocabularies and predicts dedup
+    * yield before any training run: distinct-word count as a function
+    * of tokens consumed, sampled at geometric checkpoints (powers of
+    * two up to the corpus, plus the corpus itself). Exact integers end
+    * to end — NO log-log fit at query time (the slope is the reader's
+    * division; libm never runs): each token gets its global position
+    * under the (doc_id, word-position) total order via
+    * `DistributedRank`'s bucketed two-pass scheme (never a global
+    * window), each WORD keeps its FIRST position (one hash agg), and
+    * vocab(c) = |{words : first_pos ≤ c}| — an O(vocab × ~20
+    * checkpoints) inequality join against a broadcast LocalRelation
+    * checkpoint list (BroadcastNestedLoopJoin, not a cartesian; the
+    * q271 lesson applied proactively). The oracle replays the total
+    * order with a row_number window and derives the same checkpoint
+    * set arithmetically. The curve flattening (vocab per token
+    * falling) IS Heaps' law surfacing in the fixture. */
+  def heapsGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tok = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id",
+        s"posexplode(${graft.functions.TextFunctions.wordsExpr("text")})" +
+          " AS (pos, word)")
+      .selectExpr("doc_id", "CAST(pos + 1 AS BIGINT) AS pos", "word")
+    val ranked = graft.core.EngineCache.persisted(
+      DistributedRank.rankOnly(tok.select("doc_id", "pos", "word"),
+        "rk", "doc_id", desc = false, col("doc_id"), col("pos")))
+    val n = ranked.count()
+    val fp = ranked.groupBy("word").agg(min("rk").as("fp"))
+    val cks = ((1 to 40).map(1L << _).filter(_ <= n) :+ n).distinct.sorted
+    val sq = spark
+    import sq.implicits._
+    val ckDf = cks.toDF("n_tokens")
+    broadcast(ckDf).join(fp, col("fp") <= col("n_tokens"))
+      .groupBy("n_tokens")
+      .agg(count(lit(1)).as("vocab"))
+      .select(col("n_tokens"), col("vocab").cast("long").as("vocab"))
+      .orderBy("n_tokens")
+  }
+
+  def heapsGrowthSql(table: String): String = s"""
+    WITH w0 AS (
+      SELECT doc_id, ${graft.functions.TextFunctions.wordsSql("text")} AS w
+      FROM $table),
+    tok AS (
+      SELECT doc_id, pos, w[pos] AS word FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1))::BIGINT AS pos
+        FROM w0) z),
+    rkd AS (
+      SELECT word,
+        row_number() OVER (ORDER BY doc_id, pos) AS rk
+      FROM tok),
+    fp AS (SELECT word, min(rk) AS fp FROM rkd GROUP BY word),
+    nt AS (SELECT CAST(count(1) AS BIGINT) AS n FROM tok),
+    cks AS (
+      SELECT DISTINCT c AS n_tokens FROM (
+        SELECT (CAST(1 AS BIGINT) << k) AS c
+        FROM (SELECT unnest(range(1, 41))::INT AS k) kk
+        CROSS JOIN nt WHERE (CAST(1 AS BIGINT) << k) <= nt.n
+        UNION ALL SELECT n FROM nt) u)
+    SELECT c.n_tokens, CAST(count(1) AS BIGINT) AS vocab
+    FROM cks c JOIN fp ON fp.fp <= c.n_tokens
+    GROUP BY c.n_tokens ORDER BY c.n_tokens"""
+
   def encodingAdvisorSql(table: String): String = s"""
     WITH r AS (
       SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rk,

@@ -1074,6 +1074,30 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("heaps growth: exact first-occurrence curve at geometric checkpoints") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // tokens in (doc_id, pos) order: a b a c | b d -> first positions
+    // a=1 b=2 c=4 d=6; N=6; checkpoints {2, 4} (powers <= 6) + {6} —
+    // driven through the ENGINE path on a planted directory (the
+    // oracle spelling is DuckDB-dialect; the driver's gate compares it)
+    Seq((1L, "a b a c"), (2L, "b d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_heaps_t/documents.parquet")
+    val got = S.heapsGrowth(spark, "/tmp/graft_heaps_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 4L -> 3L, 6L -> 4L),
+      s"hand curve drifted: $got")
+    // Heaps' law on the fixture: vocab per token falls as the corpus
+    // grows (sub-linear growth), strictly from the second checkpoint
+    val eng = S.heapsGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ratios = eng.map { case (c, v) => v.toDouble / c }
+    assert(ratios.zip(ratios.tail).drop(1).forall { case (a, b) => b <= a },
+      s"vocabulary growth must flatten: $eng")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("encoding advisor: exact bit costs, run counts under the clustered order") {
     val sq = spark
     import sq.implicits._
