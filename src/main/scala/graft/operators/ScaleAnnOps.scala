@@ -2867,11 +2867,122 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       NswProbeWhere)
   }
 
-  def nswSearchSqlWhere(table: String, where: String): String = s"""
-    WITH v AS (SELECT vec_id, embedding FROM $table WHERE $where),
+  def nswSearchSqlWhere(table: String, where: String): String =
+    nswSearchSqlV(s"SELECT vec_id, embedding FROM $table WHERE $where")
+
+  /** The rebuild-walk oracle over an arbitrary `v` SELECT body — the
+    * general form q261/q264/q265/q279 all instantiate. */
+  def nswSearchSqlV(vSelect: String): String = s"""
+    WITH v AS ($vSelect),
     $nswWalkCtes
     SELECT query_id, rnk, cand_id, cos FROM walked
     ORDER BY query_id, rnk"""
+
+  // ---------------------------------------------------------------- q279
+  /** NSW graph UPDATE — the composed upsert verb that completes the
+    * family's lifecycle (build q261 → append q264 → delete q265 →
+    * UPDATE): a cohort of vectors is RE-EMBEDDED (vec_id ≡
+    * [[NswUpdRem]] mod [[NswUpdMod]], deterministic sign flip — q236's
+    * event for the graph family), and the maintained adjacency FUSES
+    * the delete and append triggers into ONE bounded repair over the
+    * SAME at-rest artifacts q261 published ([[nswGraphUpdateOf]]):
+    * affected = survivors whose stored edge points at a cohort id
+    * (q265's trigger) ∪ survivors sharing a band bucket with a
+    * re-embedded arrival (q264's trigger), recomputed in a single
+    * candidate-skeleton pass — only the cohort's new vectors sign, the
+    * stored artifacts never rewrite, and worst case degrades to ONE
+    * rebuild cost, never past it (the naive delete∘append chaining
+    * measurably paid the skeleton twice). The
+    * ORACLE is the rebuild walk over the sign-flipped corpus
+    * ([[nswSearchSqlV]]), so the hash match proves
+    * update ∘ store ≡ rebuild-with-new-values through the walk's
+    * four-hop dynamics; the spec pins adjacency set-equality with the
+    * updated-corpus rebuild, serve determinism, and version stability
+    * of both stored artifacts. */
+  val NswUpdMod = 10
+  val NswUpdRem = 5
+
+  /** The FUSED update core: one candidate-skeleton pass instead of the
+    * naive delete-then-append chaining. The affected set is the UNION
+    * of both halves' — survivors whose stored edge points at a cohort
+    * id (the delete trigger) and survivors sharing a band bucket with
+    * a re-embedded arrival (the append trigger) — and the top-G
+    * recompute runs ONCE over survivor sigs ∪ the cohort's new sigs.
+    * Measured: the chained form paid the LSH skeleton twice and blew
+    * the 60 s per-query watchdog at the 10× dense-bucket soak (~2×
+    * rebuild); the fused form is bounded by ONE rebuild, like the
+    * single verbs. Equality: an unaffected survivor lost no top-G
+    * member (not delete-affected) and gained no band-mate (not
+    * append-affected), so its stored row IS the rebuild's. */
+  private[graft] def nswGraphUpdateOf(updated: DataFrame, baseSigs: DataFrame,
+                                      baseAdj: DataFrame,
+                                      pred: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
+    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.selectExpr("vec_id", s"explode(array($bandKeysStr)) AS bk")
+    val tombs = P(baseSigs.filter(pred).select("vec_id"))
+    val survSigs = P(baseSigs.filter(s"NOT ($pred)"))
+    val batchSigs = P(nswSigsOf(updated.filter(pred)))
+    // delete trigger: a stored out-edge points at a cohort id
+    val affDel = baseAdj
+      .join(broadcast(tombs.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("src").as("vec_id"))
+    // append trigger: shares >= 1 band bucket with a re-embedded arrival
+    val affApp = banded(survSigs)
+      .join(banded(batchSigs).select("bk").distinct(), "bk")
+      .select("vec_id")
+    val affected = P(affDel.unionByName(affApp).distinct()
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti"))
+    val srcs = P(affected.unionByName(batchSigs.select("vec_id")).distinct())
+    // ONE candidate pass over survivor ∪ new-batch signatures, with the
+    // cohort's NEW embeddings on the payload side
+    val sigP = P(survSigs.unionByName(batchSigs)
+      .select(col("vec_id").as("id"), col("sig"))
+      .join(updated.select(col("vec_id").as("id"), col("embedding")), "id"))
+    val pairs = graft.llm.Dedup.joinBackPayload(
+        graft.llm.Dedup.lshCandidatePairs(sigP, bandKeysStr),
+        sigP, "embedding")
+      .withColumn("cos",
+        expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val fresh = directed
+      .join(broadcast(srcs.select(col("vec_id").as("src"))),
+        Seq("src"), "left_semi")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rk") <= NswG)
+      .select("src", "dst", "cos")
+    baseAdj
+      .join(broadcast(tombs.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(affected.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .select("src", "dst", "cos")
+      .unionByName(fresh)
+  }
+
+  def nswUpdateServe(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val pred = s"vec_id % $NswUpdMod = $NswUpdRem"
+    val updated = vecs.selectExpr("vec_id",
+      s"CASE WHEN $pred THEN transform(embedding, x -> -x) " +
+        "ELSE embedding END AS embedding")
+    val fullSigs = graft.core.Warehouse.tableOnce(spark, s"nswfsig_$suffix") {
+      nswSigsOf(vecs)
+    }
+    val fullAdj = nswGraphAtRest(spark, dir) // the SAME artifact q261 serves
+    nswSearchOf(updated,
+      nswGraphUpdateOf(updated, fullSigs, fullAdj, pred),
+      NswProbeWhere)
+  }
 
   def nswRecallSql(table: String): String = s"""
     WITH v AS (SELECT vec_id, embedding FROM $table),

@@ -109,6 +109,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q262_nsw_recall"    -> nswRecall _,
     "q264_nsw_append"    -> nswAppendServe _,
     "q265_nsw_delete"    -> nswDeleteServe _,
+    "q279_nsw_update"    -> nswUpdateServe _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -236,6 +237,13 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // corpus: delete ∘ store ≡ rebuild, proven through the walk
     "q265_nsw_delete" -> nswSearchSqlWhere("embeddings",
       s"NOT (vec_id % $NswDelMod = $NswDelRem)"),
+    // update's oracle is the rebuild walk over the sign-flipped corpus:
+    // update ∘ store ≡ rebuild-with-new-values through the walk
+    "q279_nsw_update" -> nswSearchSqlV(s"""SELECT vec_id,
+      CASE WHEN vec_id % $NswUpdMod = $NswUpdRem
+           THEN list_transform(embedding, x -> -x)
+           ELSE embedding END AS embedding
+      FROM embeddings"""),
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

@@ -1257,6 +1257,38 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("nsw update: delete-then-append composition equals the updated-corpus rebuild") {
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    val served = S.nswUpdateServe(spark, sfDir).collect()
+    val (vS, vA) = (W.publishedVersion(spark, s"nswfsig_$suffix").get,
+      W.publishedVersion(spark, s"nswgraph_$suffix").get)
+    assert(S.nswUpdateServe(spark, sfDir).collect().toSeq == served.toSeq,
+      "update serve must be deterministic")
+    assert(W.publishedVersion(spark, s"nswfsig_$suffix").get == vS &&
+      W.publishedVersion(spark, s"nswgraph_$suffix").get == vA,
+      "a re-serve must never republish the signatures or adjacency")
+    // structural proof: composed maintenance == rebuild over the
+    // sign-flipped corpus, row for row
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val pred = s"vec_id % ${S.NswUpdMod} = ${S.NswUpdRem}"
+    val updated = vecs.selectExpr("vec_id",
+      s"CASE WHEN $pred THEN transform(embedding, x -> -x) " +
+        "ELSE embedding END AS embedding")
+    val maintained = key(S.nswGraphUpdateOf(updated,
+      W.readTable(spark, s"nswfsig_$suffix"),
+      W.readTable(spark, s"nswgraph_$suffix"), pred))
+    val rebuilt = key(S.nswGraphOf(updated))
+    assert(maintained == rebuilt,
+      s"update must equal rebuild-with-new-values: ${maintained.size} vs " +
+        s"${rebuilt.size} edges, diff ${(maintained diff rebuilt).take(3)} " +
+        s"/ ${(rebuilt diff maintained).take(3)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("t-closeness flags the skewness attack l-diversity passes") {
     val sq = spark
     import sq.implicits._
