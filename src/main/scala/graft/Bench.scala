@@ -70,7 +70,7 @@ object Bench {
     // is where the complete numbers live regardless of truncation. The
     // driver runs sbt from the repo root, so the file lands in-tree and
     // rides the round commit.
-    val detailPath =
+    val fullDetailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     // Previous round's per-query timings, read BEFORE this run's first
     // emit overwrites the sidecar: the drift re-measure pass compares
@@ -79,14 +79,29 @@ object Bench {
     // not top-5 in a suite whose heavies run 8-10 s, but it IS the
     // shape that masked-as-noise regressions take). Regex, not a JSON
     // lib: the file is this process's own single-line output format.
+    val priorTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fullDetailPath)), "UTF-8")
+      catch { case _: Throwable => "" }
     val priorTimes: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(detailPath)), "UTF-8")
-        "\"(q[0-9]+[^\"]*)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
-      } catch { case _: Throwable => Map.empty }
+      "\"(q[0-9]+[^\"]*)\":(-?[0-9.]+)".r.findAllMatchIn(priorTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 0).toMap
+    // Every prior entry including -1 failures — a partial run is one
+    // that covers FEWER queries than the sidecar knows about.
+    val priorQueryCount: Int =
+      "\"(q[0-9]+[^\"]*)\":(-?[0-9.]+)".r.findAllMatchIn(priorTxt).size
+    val priorSf: Option[String] =
+      "\"sf\":([0-9.]+)".r.findFirstMatchIn(priorTxt).map(_.group(1))
+    // Sidecar overwrite guard (round-11 lesson): a SPARK_GRAFT_QUERIES-
+    // filtered dev run or an off-sf soak run must never REPLACE the
+    // full-suite priors — one 1-query sf1 soak record committed over the
+    // 278-query sidecar starved the next round's drift re-measure of
+    // priors for every other query, and a 5-13x warmup cluster shipped
+    // un-medianed. Decided after `selected` is known (below) via this
+    // var: restricted or off-sf runs write their detail to a side path
+    // and the full-suite sidecar survives untouched.
+    @volatile var detailPath = fullDetailPath + ".partial"
     // Locale-pinned number formatting: on a comma-decimal-locale JVM the
     // default-locale f"" / String.format would print 1,23 and make the
     // bench line unparseable JSON — the whole round's numbers lost.
@@ -210,14 +225,35 @@ object Bench {
     }
     // JVM + parquet-footer warmup (excluded from timing), generous budget:
     // warmup isn't timed, and killing it just moves the cold-start cost
-    // into the first timed queries. Three probes, not one: the flagship
-    // agg touches parquet footers + the first shuffle, the join and the
-    // window each force their own codegen/exchange paths — round 10's
-    // driver box charged those first-use costs to q26/q29 (20.4/16.3 s
-    // vs 1.8/2.0 s builder) because warmup only ever exercised the agg.
+    // into the first timed queries. Three probes on the BENCH fixture
+    // (footers + first shuffle + the agg/join/window codegen paths) —
+    // round 10's driver box charged those first-use costs to q26/q29
+    // (20.4/16.3 s vs 1.8/2.0 s builder) because warmup only ever
+    // exercised the agg.
     run("warmup", SparkEntry.queries("q01_agg_summary"), timeoutSec = 120)
     run("warmup_join", SparkEntry.queries("q03_join_revenue"), timeoutSec = 60)
     run("warmup_window", SparkEntry.queries("q09_window_topk"), timeoutSec = 60)
+    // ...and the remaining head-of-suite plan SHAPES on the TINY sibling
+    // fixture (codegen + exchange setup are data-size-independent; the
+    // point is to compile them, not to scan data): round 11's driver
+    // artifact still charged first-use union/distinct, full-outer-join
+    // and rollup codegen to q06-q32 (q13 set-ops read 10.7 s vs 0.8 s
+    // builder-side — pure cold start at the suite head).
+    locally {
+      val warmDir = {
+        val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+        val c = if (p == null) null else p.resolve("sf0.001")
+        if (c != null && java.nio.file.Files.isDirectory(c)) c.toString
+        else sfDir
+      }
+      def warmShape(tag: String, q: String): Unit =
+        SparkEntry.queries.get(q).foreach { fn =>
+          run(tag, (s, _) => fn(s, warmDir), timeoutSec = 60)
+        }
+      warmShape("warmup_setops", "q13_set_ops")
+      warmShape("warmup_fullouter", "q07_join_full_outer")
+      warmShape("warmup_rollup", "q16_rollup")
+    }
     // dev loop: SPARK_GRAFT_QUERIES=q46,q51 benches only matching prefixes.
     // Numeric order (q01..q122), not lexicographic — if the deadline hits,
     // the skipped suffix is the newest queries, never the core suite
@@ -228,6 +264,17 @@ object Bench {
       n.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case d => d.toInt }
     val selected = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qnum(n), n) }
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // Overwrite-guard decision (see detailPath above): only a run that
+    // covers at least as many queries as the existing sidecar AND runs
+    // at the same sf may claim the full-suite sidecar path; everything
+    // else (dev-filtered runs, off-sf soaks) writes beside it.
+    val fullRun = selected.size >= priorQueryCount &&
+      priorSf.forall(_ == sfNum)
+    if (fullRun) detailPath = fullDetailPath
+    else System.err.println(s"[bench] restricted run (${selected.size} of " +
+      s"$priorQueryCount prior queries, sf=$sfNum vs prior " +
+      s"${priorSf.getOrElse("?")}) — detail goes to $detailPath; " +
+      s"$fullDetailPath preserved")
     // Global deadline, SCALED WITH SUITE SIZE: a fixed 600 s default fit
     // the 227-query suite but silently DeadlineSkipped the newest 35 of
     // 252 on a ~30%-slower host (round 10: loop hit 600 s at q217, and

@@ -105,9 +105,22 @@ object KmvSketch {
 
   /** θ of a sketch: 1 in exact mode (fewer than K values kept — the
     * sketch is the whole hashed set), else the K-th smallest hash's
-    * unit position. */
-  private def theta(vs: Array[Long]): Double =
-    if (vs.length < K) 1.0 else unit(vs(K - 1))
+    * unit position. Guarded loud: unit() of the K-th retained hash is
+    * exactly 0.0 iff its top 53 bits are all zero (~2⁻⁴³ per sketch),
+    * and dividing by that θ would ship a silent Infinity estimate —
+    * the codebase's discipline is a loud require over a quiet NaN/Inf
+    * (the q277 empty-seed precedent). */
+  private def theta(vs: Array[Long]): Double = {
+    if (vs.length < K) 1.0
+    else {
+      val t = unit(vs(K - 1))
+      require(t > 0.0,
+        s"KMV theta collapsed to 0 (K-th retained hash ${vs(K - 1)} has " +
+          "zero top-53 bits) — estimate would be Infinity; rebuild with " +
+          "a different hash seed")
+      t
+    }
+  }
 
   /** Cardinality: exact count below K; (K−1)/θ past it (the K-th value
     * is the threshold, not a sample — the unbiased KMV estimator). */

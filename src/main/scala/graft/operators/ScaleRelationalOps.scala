@@ -609,7 +609,13 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * (num, den) rational plus the argmax value (smallest cents
     * achieving it) ship as BIGINTs, no float anywhere. At a value
     * grain too fine for the histogram the cents pre-round IS the
-    * binning, stated rather than hidden. */
+    * binning, stated rather than hidden. CARDINALITY BOUND, stated
+    * honestly: the products are bounded by n_a·n_b, which exceeds
+    * int64 once both arms pass ~3·10⁹ purchases (n_a·n_b > 2⁶³) —
+    * past that this spelling THROWS under ANSI (loud, the Theil–Sen
+    * precedent) rather than silently wrapping; the escape is the
+    * DECIMAL(38,0) widening q277's contribution sums use, at ~2×
+    * the agg width, not needed below billions of rows PER ARM. */
   def ksTestSql(hashArm: String): String = s"""
     WITH p AS (
       SELECT CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
@@ -3048,7 +3054,11 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     * join, which is O(classes·|domain|) — tiny at any scale. Three
     * hash aggs + one broadcast-sized join; output O(violating
     * classes). Dialect-neutral: one string is both the Spark plan and
-    * the oracle. */
+    * the oracle. CARDINALITY BOUND (q274's honesty note): the
+    * cnt·N and gcnt·class_size products are bounded by N², which
+    * exceeds int64 once the table passes ~3·10⁹ rows — past that
+    * this spelling THROWS under ANSI rather than silently wrapping;
+    * the DECIMAL(38,0) widening q277 uses is the escape. */
   val TCloseNum = 1
   val TCloseDen = 5 // t = 0.2
 
