@@ -192,6 +192,34 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[lshCandidatePairs]] restricted to pairs TOUCHING `keep` (a
+    * 1-column id frame): candidates generate FROM THE KEEP SIDE — one
+    * banded keep-row joined against the full banded frame per shared
+    * bucket — so the join's output is O(Σ over keep's bucket rows of
+    * that bucket's population), never the corpus-wide Σ|bucket|²
+    * skeleton. For every keep member the emitted partner set is its
+    * complete band-mate set (all its buckets are present on the keep
+    * side), so a consumer selecting per-keep-node top-G sees candidate
+    * sets identical to the full skeleton's; pairs canonicalize as
+    * (least, greatest) + dedup, so payload/cosine work downstream
+    * stays one row per unordered pair, bounded by the rebuild's. This
+    * is the maintenance verbs' cost story made real: a fixed-size
+    * batch against a 100 TB corpus pays its own buckets' populations,
+    * and the dense worst case (keep = everyone) degrades to the
+    * rebuild's pair set — 2× its pre-dedup join rows, identical
+    * post-dedup cosine count — never past it. */
+  private[graft] def lshCandidatePairsTouching(sig: DataFrame,
+      bandKeysExpr: String, keep: DataFrame): DataFrame = {
+    val banded = sig.selectExpr("id", s"explode(array($bandKeysExpr)) AS bk")
+    val k = banded.join(keep.toDF("id"), Seq("id"), "left_semi")
+      .select(col("id").as("id_k"), col("bk"))
+    val o = banded.select(col("id").as("id_o"), col("bk").as("bk_o"))
+    k.join(o, col("bk") === col("bk_o") && col("id_k") =!= col("id_o"))
+      .select(least(col("id_k"), col("id_o")).as("id_a"),
+        greatest(col("id_k"), col("id_o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Join `payloadCol` back onto candidate pairs as <payload>_a/_b from
     * the (persisted) signature frame. */
   private[graft] def joinBackPayload(cand: DataFrame, sig: DataFrame,

@@ -2708,6 +2708,35 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       s"srp_sig(embedding, ${LlmQueries.SrpBits}) AS sig")
   }
 
+  /** Band-mate trigger: the base nodes sharing ≥ 1 band bucket with a
+    * batch arrival — the ONLY base nodes whose deterministic top-G can
+    * change when the batch joins the candidate pool (edge selection
+    * reads band candidates; a node gaining no band-mate gains no
+    * candidate). Exposed so the spec can pin the maintenance verbs'
+    * affected set against an independently spelled bound. */
+  private[graft] def nswAppendAffectedOf(baseSigs: DataFrame,
+                                         batchSigs: DataFrame): DataFrame = {
+    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.selectExpr("vec_id", s"explode(array($bandKeysStr)) AS bk")
+    banded(baseSigs)
+      .join(banded(batchSigs).select("bk").distinct(), "bk")
+      .select("vec_id").distinct()
+  }
+
+  /** Edge-to-tombstone trigger: the survivors with a stored out-edge
+    * into the cohort — the ONLY survivors whose top-G can change when
+    * the cohort leaves (deletion only removes candidates; a node that
+    * lost no stored edge lost no top-G member). Read off the at-rest
+    * adjacency by an O(deleted)-keyed semi-join, never by re-banding. */
+  private[graft] def nswDeleteAffectedOf(baseAdj: DataFrame,
+                                         tombs: DataFrame): DataFrame =
+    baseAdj
+      .join(broadcast(tombs.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("src").as("vec_id")).distinct()
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+
   /** The append core over (all vectors, stored base sigs, stored base
     * adjacency, batch predicate) — returns the maintained adjacency;
     * shared by q264 and the spec. */
@@ -2717,23 +2746,24 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
     val bandKeysStr = srpBandKeys("sig").mkString(", ")
-    def banded(sigs: DataFrame): DataFrame =
-      sigs.selectExpr("vec_id", s"explode(array($bandKeysStr)) AS bk")
     val batchSigs = P(nswSigsOf(vectors.filter(batchPred)))
     // affected base nodes: share >= 1 bucket with a batch arrival
-    val affected = P(banded(baseSigs)
-      .join(banded(batchSigs).select("bk").distinct(), "bk")
-      .select("vec_id").distinct())
+    val affected = P(nswAppendAffectedOf(baseSigs, batchSigs))
     val srcs = P(affected.unionByName(batchSigs.select("vec_id")).distinct())
-    // candidate pairs through the SAME halved skeleton the rebuild uses
-    // (lshCandidatePairs: id_a < id_b, dedup on ids before the 64-float
-    // payload joins) — but over STORED base signatures ∪ batch
-    // signatures, so the base corpus is never re-signed
+    // candidate pairs through the SAME halved skeleton shape the
+    // rebuild uses (id_a < id_b, dedup on ids before the 64-float
+    // payload joins) — over STORED base signatures ∪ batch signatures
+    // (the base corpus is never re-signed) and RESTRICTED to the band
+    // buckets the affected ∪ batch set touches: a fixed-size batch in
+    // a sparse-bucket corpus pays O(its buckets' populations), not the
+    // corpus-wide skeleton; dense buckets degrade to rebuild cost,
+    // never past it
     val sigP = P(baseSigs.unionByName(batchSigs)
       .select(col("vec_id").as("id"), col("sig"))
       .join(vectors.select(col("vec_id").as("id"), col("embedding")), "id"))
     val pairs = graft.llm.Dedup.joinBackPayload(
-        graft.llm.Dedup.lshCandidatePairs(sigP, bandKeysStr),
+        graft.llm.Dedup.lshCandidatePairsTouching(sigP, bandKeysStr,
+          srcs.select("vec_id")),
         sigP, "embedding")
       .withColumn("cos",
         expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
@@ -2813,21 +2843,21 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     val tombs = P(baseSigs.filter(delPred).select("vec_id"))
     // affected survivors: a stored out-edge points at a dead node —
     // O(deleted)-keyed semi-join on the at-rest adjacency, no re-banding
-    val affected = P(baseAdj
-      .join(broadcast(tombs.select(col("vec_id").as("dst"))),
-        Seq("dst"), "left_semi")
-      .select(col("src").as("vec_id")).distinct()
-      .join(broadcast(tombs), Seq("vec_id"), "left_anti"))
-    // survivor candidate regen rides the SAME halved skeleton as the
-    // rebuild, over STORED signatures (nothing re-signed); worst case
-    // (every node affected) degrades to rebuild cost, never past it
+    val affected = P(nswDeleteAffectedOf(baseAdj, tombs))
+    // survivor candidate regen rides the SAME halved skeleton shape as
+    // the rebuild, over STORED signatures (nothing re-signed) and
+    // RESTRICTED to the band buckets the affected set touches — a
+    // sparse takedown pays O(the affected nodes' bucket populations),
+    // and the dense worst case (every survivor affected) degrades to
+    // rebuild cost, never past it
     val survSigs = baseSigs.join(broadcast(tombs), Seq("vec_id"), "left_anti")
     val sigP = P(survSigs
       .select(col("vec_id").as("id"), col("sig"))
       .join(vectors.select(col("vec_id").as("id"), col("embedding")), "id"))
     val bandKeysStr = srpBandKeys("sig").mkString(", ")
     val pairs = graft.llm.Dedup.joinBackPayload(
-        graft.llm.Dedup.lshCandidatePairs(sigP, bandKeysStr),
+        graft.llm.Dedup.lshCandidatePairsTouching(sigP, bandKeysStr,
+          affected.select("vec_id")),
         sigP, "embedding")
       .withColumn("cos",
         expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
@@ -2920,30 +2950,27 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
     val bandKeysStr = srpBandKeys("sig").mkString(", ")
-    def banded(sigs: DataFrame): DataFrame =
-      sigs.selectExpr("vec_id", s"explode(array($bandKeysStr)) AS bk")
     val tombs = P(baseSigs.filter(pred).select("vec_id"))
     val survSigs = P(baseSigs.filter(s"NOT ($pred)"))
     val batchSigs = P(nswSigsOf(updated.filter(pred)))
-    // delete trigger: a stored out-edge points at a cohort id
-    val affDel = baseAdj
-      .join(broadcast(tombs.select(col("vec_id").as("dst"))),
-        Seq("dst"), "left_semi")
-      .select(col("src").as("vec_id"))
-    // append trigger: shares >= 1 band bucket with a re-embedded arrival
-    val affApp = banded(survSigs)
-      .join(banded(batchSigs).select("bk").distinct(), "bk")
-      .select("vec_id")
-    val affected = P(affDel.unionByName(affApp).distinct()
-      .join(broadcast(tombs), Seq("vec_id"), "left_anti"))
+    // the two triggers, spelled as the single verbs spell them
+    // ([[nswDeleteAffectedOf]] already excludes the cohort; the append
+    // trigger runs over survivor signatures, which cannot contain it)
+    val affected = P(nswDeleteAffectedOf(baseAdj, tombs)
+      .unionByName(nswAppendAffectedOf(survSigs, batchSigs))
+      .distinct())
     val srcs = P(affected.unionByName(batchSigs.select("vec_id")).distinct())
     // ONE candidate pass over survivor ∪ new-batch signatures, with the
-    // cohort's NEW embeddings on the payload side
+    // cohort's NEW embeddings on the payload side — restricted to the
+    // band buckets the affected ∪ cohort set touches (the q264/q265
+    // cost story: sparse cohorts pay their buckets, dense buckets
+    // degrade to ONE rebuild, never past it)
     val sigP = P(survSigs.unionByName(batchSigs)
       .select(col("vec_id").as("id"), col("sig"))
       .join(updated.select(col("vec_id").as("id"), col("embedding")), "id"))
     val pairs = graft.llm.Dedup.joinBackPayload(
-        graft.llm.Dedup.lshCandidatePairs(sigP, bandKeysStr),
+        graft.llm.Dedup.lshCandidatePairsTouching(sigP, bandKeysStr,
+          srcs.select("vec_id")),
         sigP, "embedding")
       .withColumn("cos",
         expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
