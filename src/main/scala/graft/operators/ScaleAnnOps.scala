@@ -1510,6 +1510,19 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       ORDER BY probe_id, rk""")
   }
 
+  /** Purge an at-rest PQ code table by an EXPLICIT tombstone id feed —
+    * q225's anti-join purge keyed by the composed takedown's `ids/`
+    * artifact instead of a batch-side predicate (the one-feed story
+    * reaching the quantization family). Codes are per-vector pure
+    * under the frozen codebook, so the purged table must equal the
+    * survivor re-encode verbatim — the rebuild-equality gate
+    * StreamingAnalyticsSpec pins, restart-replay included; feed ids
+    * absent from the store no-op through the anti-join. Cost: one
+    * scan of the code table (bytes ≈ [[PqM]] per vector), never the
+    * embedding corpus. */
+  def pqCodesPurgeByIds(codes: DataFrame, tombIds: DataFrame): DataFrame =
+    codes.join(broadcast(tombIds.toDF("vec_id")), Seq("vec_id"), "left_anti")
+
   // ---------------------------------------------------------------- q193
   /** Two-stage retrieve-then-rerank ANN serving — the composition that
     * closes the recall gap q169's audit prices: production indexes
@@ -2742,11 +2755,25 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * shared by q264 and the spec. */
   private[graft] def nswGraphAppendOf(vectors: DataFrame, baseSigs: DataFrame,
                                       baseAdj: DataFrame,
-                                      batchPred: String): DataFrame = {
+                                      batchPred: String): DataFrame =
+    nswGraphAppendBySigs(vectors, baseSigs, baseAdj,
+      nswSigsOf(vectors.filter(batchPred)))
+
+  /** The same append core over PRE-SIGNED batch signatures — the shape
+    * the stream-time twin drives: signatures are per-row pure, so the
+    * micro-batch sink lands them split-invariantly
+    * ([[graft.streaming.EventAnalytics.startStreamingNswSigAppend]])
+    * and the serve side folds base ∪ landed signatures through this
+    * one bounded repair; StreamingAnalyticsSpec proves the streamed
+    * path's adjacency equals the batch verb's, restart included. */
+  private[graft] def nswGraphAppendBySigs(vectors: DataFrame,
+                                          baseSigs: DataFrame,
+                                          baseAdj: DataFrame,
+                                          batchSigsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
     val bandKeysStr = srpBandKeys("sig").mkString(", ")
-    val batchSigs = P(nswSigsOf(vectors.filter(batchPred)))
+    val batchSigs = P(batchSigsIn.select("vec_id", "sig"))
     // affected base nodes: share >= 1 bucket with a batch arrival
     val affected = P(nswAppendAffectedOf(baseSigs, batchSigs))
     val srcs = P(affected.unionByName(batchSigs.select("vec_id")).distinct())
@@ -2837,10 +2864,24 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * maintained survivor adjacency; shared by q265 and the spec. */
   private[graft] def nswGraphDeleteOf(baseSigs: DataFrame, baseAdj: DataFrame,
                                       vectors: DataFrame,
-                                      delPred: String): DataFrame = {
+                                      delPred: String): DataFrame =
+    nswGraphDeleteByIds(baseSigs, baseAdj, vectors,
+      baseSigs.filter(delPred).select("vec_id"))
+
+  /** The same delete core keyed by an EXPLICIT tombstone id frame —
+    * the shape the composed takedown feed drives: the
+    * [[graft.streaming.TakedownPipeline]] `ids/` artifact (doc keys
+    * doubling as vector keys in a doc-embedding store) anti-joins and
+    * repairs exactly as the predicate spelling does; ids absent from
+    * the store no-op through every join. StreamingAnalyticsSpec proves
+    * the feed-driven store serves rebuild-equal, restart included. */
+  private[graft] def nswGraphDeleteByIds(baseSigs: DataFrame,
+                                         baseAdj: DataFrame,
+                                         vectors: DataFrame,
+                                         tombIds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
-    val tombs = P(baseSigs.filter(delPred).select("vec_id"))
+    val tombs = P(tombIds.toDF("vec_id"))
     // affected survivors: a stored out-edge points at a dead node —
     // O(deleted)-keyed semi-join on the at-rest adjacency, no re-banding
     val affected = P(nswDeleteAffectedOf(baseAdj, tombs))

@@ -238,6 +238,41 @@ object EventAnalytics {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming NSW graph-index maintenance — the stream-time twin of
+    * q264's batch append, completing the at-rest maintenance verbs'
+    * streaming coverage (sketch columns, IVF-PQ codes, KMV shards and
+    * the IVM views already have twins): each arriving micro-batch of
+    * (vec_id, embedding) rows is SRP-SIGNED on its own (signatures are
+    * per-row pure, so the landed rows are batch-split-invariant by
+    * construction) and lands under `sigs/batch_run=N` with idempotent
+    * overwrite — exactly-once under foreachBatch replay. Landing
+    * SIGNATURES, not adjacency, is the honest stream/batch split: edge
+    * repair needs the affected set's corpus context, and a per-trigger
+    * adjacency rewrite would make batch N's artifact depend on batches
+    * 0..N−1 (not replay-idempotent) — the same reasoning that lands
+    * frozen-codebook codes, not a re-clustered index, in
+    * [[startStreamingIndexAppend]]. The serve side folds base ∪ landed
+    * signatures through the ONE bounded repair the batch verb runs
+    * (`nswGraphAppendBySigs`), so streamed appends produce an
+    * adjacency equal to the batch verb's — the spec's equality,
+    * restart included. */
+  def startStreamingNswSigAppend(vecStream: DataFrame, sigsPath: String,
+                                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.GraftFunctions.register(batch.sparkSession)
+          batch.selectExpr("vec_id",
+            s"srp_sig(embedding, ${graft.operators.LlmQueries.SrpBits}) AS sig")
+            .write.mode("overwrite")
+            .parquet(s"$sigsPath/batch_run=$batchId")
+        }
+        () // Unit, not DataFrameWriter — keep the VoidFunction2 overload
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming z-order append — the stream-time twin of q200's encode
     * half under the frozen-artifact discipline (q151's codebook,
     * q178's postings): the base layout's normalization bounds freeze

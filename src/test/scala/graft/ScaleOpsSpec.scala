@@ -1289,6 +1289,85 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("nsw update: affected set is pinned by the trigger union, unaffected rows pass through verbatim") {
+    // The O(batch + affected) claim, made structural: the verbs'
+    // affected sets must EQUAL the two declared triggers — spelled here
+    // INDEPENDENTLY, driver-side over the collected artifacts (plain
+    // Scala shift arithmetic, no engine code) — and every maintained
+    // row outside affected ∪ cohort must be the stored row, verbatim.
+    val S = graft.operators.ScaleOps
+    val W = graft.core.Warehouse
+    val Q = graft.operators.LlmQueries
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9._-]", "_").dropWhile(_ == '_')
+    S.nswUpdateServe(spark, sfDir).collect() // publish the artifacts
+    val baseSigs = W.readTable(spark, s"nswfsig_$suffix")
+      .transform(graft.core.EngineCache.persisted)
+    val baseAdj = W.readTable(spark, s"nswgraph_$suffix")
+      .transform(graft.core.EngineCache.persisted)
+    // a SPARSE cohort, deliberately not q279's 10%-of-corpus one: at
+    // this fixture's bucket geometry (640 band buckets) a 50-node
+    // cohort touches every bucket and the pass-through leg would
+    // verify nothing — the takedown/re-embed event whose bound this
+    // test pins is the sparse one
+    val pred = "vec_id IN (42, 137)"
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val updated = vecs.selectExpr("vec_id",
+      s"CASE WHEN $pred THEN transform(embedding, x -> -x) " +
+        "ELSE embedding END AS embedding")
+    graft.functions.GraftFunctions.register(spark)
+    val newBatchSigs = updated.filter(pred)
+      .selectExpr("vec_id", s"srp_sig(embedding, ${Q.SrpBits}) AS sig")
+      .transform(graft.core.EngineCache.persisted)
+    // ---- independent trigger spelling, driver-side ----
+    val storedSig = baseSigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cohort = Set(42L, 137L)
+    val survivors = storedSig.keySet -- cohort
+    val adjRows = baseAdj.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // trigger 1: a stored out-edge points into the cohort
+    val edgeTrig = adjRows.collect {
+      case (src, dst, _) if cohort(dst) && !cohort(src) => src
+    }.toSet
+    // trigger 2: shares >= 1 band bucket with a re-embedded arrival
+    val rowsPerBand = Q.SrpBits / Q.SrpBands
+    val mask = (1L << rowsPerBand) - 1
+    def bands(sig: Long): Set[(Int, Long)] =
+      (0 until Q.SrpBands).map(b => (b, (sig >>> (b * rowsPerBand)) & mask)).toSet
+    val batchBands = newBatchSigs.collect()
+      .flatMap(r => bands(r.getLong(1))).toSet
+    val bandTrig = survivors.filter(id =>
+      bands(storedSig(id)).exists(batchBands))
+    // ---- the engine's affected sets equal the triggers, exactly ----
+    val sq = spark; import sq.implicits._
+    val tombsDf = cohort.toSeq.sorted.toDF("vec_id")
+    val affDel = S.nswDeleteAffectedOf(baseAdj, tombsDf)
+      .collect().map(_.getLong(0)).toSet
+    val affApp = S.nswAppendAffectedOf(baseSigs.filter(s"NOT ($pred)"),
+      newBatchSigs).collect().map(_.getLong(0)).toSet
+    assert(affDel == edgeTrig,
+      s"delete trigger drifted: ${affDel diff edgeTrig} / ${edgeTrig diff affDel}")
+    assert(affApp == bandTrig,
+      s"append trigger drifted: ${affApp diff bandTrig} / ${bandTrig diff affApp}")
+    // the union must not be the whole survivor set on this fixture —
+    // otherwise pass-through verifies nothing
+    val affected = edgeTrig ++ bandTrig
+    assert(affected.size < survivors.size,
+      s"fixture degenerated: all ${survivors.size} survivors affected")
+    // ---- pass-through: rows outside affected ∪ cohort are verbatim ----
+    val maintained = S.nswGraphUpdateOf(updated, baseSigs, baseAdj, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val untouched = (id: Long) => !affected(id) && !cohort(id)
+    assert(maintained.filter(e => untouched(e._1)).toSet ==
+      adjRows.filter(e => untouched(e._1)).toSet,
+      "unaffected survivors must carry their stored rows verbatim")
+    // ...and every row that DID change belongs to affected ∪ cohort
+    val changed = maintained.toSet diff adjRows.toSet
+    assert(changed.forall(e => affected(e._1) || cohort(e._1)),
+      s"a row changed outside the affected set: ${changed.filterNot(
+        e => affected(e._1) || cohort(e._1)).take(3)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("t-closeness flags the skewness attack l-diversity passes") {
     val sq = spark
     import sq.implicits._

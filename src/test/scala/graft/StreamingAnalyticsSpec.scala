@@ -1438,4 +1438,132 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("takedown ids feed drives the vector stores: NSW graph and PQ codes serve rebuild-equal, restart included") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.streaming.TakedownPipeline
+    val S = graft.operators.ScaleOps
+    graft.functions.GraftFunctions.register(spark)
+    // a doc-embedding store: vector key IS the document key, so the
+    // one deletion feed that already drives the text stores carries
+    // the vector tombstones too — VERDICT r11 task 4's missing edge
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .transform(graft.core.EngineCache.persisted)
+    val baseSigs = vecs.selectExpr("vec_id",
+      s"srp_sig(embedding, ${graft.operators.LlmQueries.SrpBits}) AS sig")
+      .transform(graft.core.EngineCache.persisted)
+    val baseAdj = S.nswGraphOf(vecs)
+      .transform(graft.core.EngineCache.persisted)
+    val baseCodes = S.encodeWithFrozenCodebook(spark, sfDir, vecs)
+      .transform(graft.core.EngineCache.persisted)
+    // the takedown cohort arrives as tombstoned documents (batch 0,
+    // crash, restart replaying batch 0, batch 1) — id 999999 has no
+    // stored vector and must no-op through every store
+    val tombDocs = Seq(42L -> "took down doc 42", 137L -> "took down doc 137",
+      260L -> "took down doc 260", 999999L -> "no vector for this doc")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtd").toString
+    def runOnce(feed: MemoryStream[(Long, String)] => Unit): Unit = {
+      val source = MemoryStream[(Long, String)]
+      val q = TakedownPipeline.start(
+        source.toDF().toDF("doc_id", "text"), dir, s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce { s => s.addData(tombDocs.take(2).toIndexedSeq: _*) }
+    runOnce { s =>
+      s.addData(tombDocs.take(2).toIndexedSeq: _*)
+      s.addData(tombDocs.drop(2).toIndexedSeq: _*)
+    }
+    val ids = spark.read.parquet(s"$dir/ids").select("doc_id").distinct()
+      .withColumnRenamed("doc_id", "vec_id")
+      .transform(graft.core.EngineCache.persisted)
+    assert(ids.collect().map(_.getLong(0)).toSet ==
+      Set(42L, 137L, 260L, 999999L), "replayed batch must not duplicate")
+    // 1. NSW graph store: feed-driven bounded repair == survivor rebuild
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val maintained = key(S.nswGraphDeleteByIds(baseSigs, baseAdj, vecs, ids))
+    val survivors = vecs.join(broadcast(ids), Seq("vec_id"), "left_anti")
+    val rebuilt = key(S.nswGraphOf(survivors))
+    assert(maintained == rebuilt,
+      s"feed-driven graph delete must equal survivor rebuild: " +
+        s"${(maintained diff rebuilt).take(3)} / ${(rebuilt diff maintained).take(3)}")
+    assert(!maintained.exists(e => e._1 == 42L || e._2 == 42L),
+      "a tombstoned vector must leave the graph in every role")
+    // 2. PQ code store: feed-driven purge == survivor re-encode
+    val purged = S.pqCodesPurgeByIds(baseCodes, ids)
+    val reencoded = S.encodeWithFrozenCodebook(spark, sfDir, survivors)
+    def codeKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(codeKey(purged) == codeKey(reencoded),
+      "feed-driven code purge must equal the survivor re-encode")
+    assert(codeKey(purged).nonEmpty &&
+      !codeKey(purged).exists(_._1 == 137L),
+      "tombstoned codes must be gone, survivors intact")
+    graft.core.EngineCache.releaseAll()
+  }
+
+  test("streamed nsw signature appends fold into the batch verb's adjacency, restart included") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.ScaleOps
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .transform(graft.core.EngineCache.persisted)
+    val pred = s"vec_id % 10 = ${S.NswBatchMod}"
+    val baseV = vecs.filter(s"NOT ($pred)")
+    val baseSigs = baseV.selectExpr("vec_id",
+      s"srp_sig(embedding, ${graft.operators.LlmQueries.SrpBits}) AS sig")
+      .transform(graft.core.EngineCache.persisted)
+    val baseAdj = S.nswGraphOf(baseV)
+      .transform(graft.core.EngineCache.persisted)
+    // arrivals stream in two micro-batches with a mid-run restart
+    // (batch 0 replays — idempotent overwrite must replace)
+    val arrivals = vecs.filter(pred)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    assert(arrivals.length >= 2)
+    val (h1, h2) = arrivals.splitAt(arrivals.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nswsa").toString
+    def runOnce(feed: MemoryStream[(Long, Seq[Float])] => Unit): Unit = {
+      val source = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.EventAnalytics.startStreamingNswSigAppend(
+        source.toDF().toDF("vec_id", "embedding"), s"$dir/sigs", s"$dir/ckpt")
+      feed(source)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce { s => s.addData(h1.toIndexedSeq: _*) }
+    runOnce { s =>
+      s.addData(h1.toIndexedSeq: _*)
+      s.addData(h2.toIndexedSeq: _*)
+    }
+    // landed signatures: split-invariant, replay-deduped, byte-equal
+    // to the batch verb's own signing
+    val landed = spark.read.parquet(s"$dir/sigs")
+      .select("vec_id", "sig")
+      .transform(graft.core.EngineCache.persisted)
+    val direct = vecs.filter(pred).selectExpr("vec_id",
+      s"srp_sig(embedding, ${graft.operators.LlmQueries.SrpBits}) AS sig")
+    assert(landed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "streamed signatures must equal the batch signing, replay deduped")
+    // the serve-side fold over landed signatures equals the batch verb
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = key(S.nswGraphAppendBySigs(vecs, baseSigs, baseAdj, landed))
+    val batch = key(S.nswGraphAppendOf(vecs, baseSigs, baseAdj, pred))
+    assert(streamed == batch,
+      s"streamed adjacency must equal the batch verb's: " +
+        s"${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(streamed == key(S.nswGraphOf(vecs)),
+      "…and both must equal the full rebuild")
+    graft.core.EngineCache.releaseAll()
+  }
 }
