@@ -3052,6 +3052,87 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       NswProbeWhere)
   }
 
+  // ---------------------------------------------------------------- q280
+  /** RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack, Clarke &
+    * Büttcher 2009) — the fusion layer every modern retrieval stack
+    * puts between its rankers and its consumer: the DENSE leg (exact
+    * grid-cosine top-[[RrfTopK]] over the embedding store, q39's
+    * broadcast probes × corpus scan) and the SPARSE leg (distinct-word
+    * Jaccard top-[[RrfTopK]] over the document store) each rank the
+    * probe's neighbors independently, and the fused score is
+    * Σ 1/([[RrfK]] + rank) over the lists that contain the candidate —
+    * rank-only fusion, so the two legs' incomparable score scales
+    * (cosine vs Jaccard) never meet. The store is a doc-embedding
+    * store: the document key IS the vector key, and a candidate
+    * present in only one index still fuses on its single term (the
+    * realistic partial-coverage case — a dense index that lags the
+    * corpus). Scale: each leg is O(probes · corpus) brute-force by
+    * design (this is the HONESTY-grade fusion baseline; the blocked
+    * legs are q40/q123's machinery), the fusion itself is a full-outer
+    * join of two O(probes · k) ranked lists. Determinism: the dense
+    * leg rides the 1e-6 cosine grid; Jaccard and 1/(k+rank) are single
+    * exactly-rounded IEEE divisions on identical integers, bit-equal
+    * across engines; every rank and the fused order tie-break on
+    * cand_id. */
+  val RrfK = 60
+  val RrfTopK = 10
+
+  private def rrfSqlSkeleton(cosE: String, wsCol: String,
+                             sizeFn: String, interE: String): String = s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT vec_id AS query_id, embedding AS qv FROM v
+          WHERE vec_id < 8),
+    dscored AS (
+      SELECT query_id, vec_id AS cand_id, $cosE AS cos
+      FROM p JOIN v ON query_id <> vec_id),
+    dense AS (
+      SELECT query_id, cand_id, rd FROM (
+        SELECT query_id, cand_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rd
+        FROM dscored) z WHERE rd <= $RrfTopK),
+    dw AS (SELECT doc_id, $wsCol AS ws FROM documents),
+    pw AS (SELECT doc_id AS query_id, ws AS qws FROM dw WHERE doc_id < 8),
+    sscored AS (
+      SELECT query_id, doc_id AS cand_id,
+        CAST($interE AS DOUBLE) /
+          ($sizeFn(qws) + $sizeFn(ws) - $interE) AS jac
+      FROM pw JOIN dw ON query_id <> doc_id),
+    sparse AS (
+      SELECT query_id, cand_id, rs FROM (
+        SELECT query_id, cand_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY jac DESC, cand_id) AS INT) AS rs
+        FROM sscored) z WHERE rs <= $RrfTopK),
+    fused AS (
+      SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+        COALESCE(d.cand_id, s.cand_id) AS cand_id,
+        COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + d.rd), CAST(0.0 AS DOUBLE)) +
+          COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + s.rs), CAST(0.0 AS DOUBLE))
+          AS rrf
+      FROM dense d FULL OUTER JOIN sparse s
+        ON d.query_id = s.query_id AND d.cand_id = s.cand_id)
+    SELECT query_id, rnk, cand_id, rrf_score FROM (
+      SELECT query_id, cand_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS INT) AS rnk,
+        rrf AS rrf_score
+      FROM fused) z
+    WHERE rnk <= $RrfTopK
+    ORDER BY query_id, rnk"""
+
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(rrfSqlSkeleton(
+      graft.llm.Similarity.cosineExpr("qv", "embedding"),
+      s"array_distinct(${graft.functions.TextFunctions.wordsExpr("text")})",
+      "size", "size(array_intersect(qws, ws))"))
+  }
+
+  def rrfFusionOracleSql: String = rrfSqlSkeleton(
+    graft.llm.Similarity.cosineSql("qv", "embedding"),
+    s"list_distinct(${graft.functions.TextFunctions.wordsSql("text")})",
+    "len", "len(list_intersect(qws, ws))")
+
   def nswRecallSql(table: String): String = s"""
     WITH v AS (SELECT vec_id, embedding FROM $table),
     $nswWalkCtes,

@@ -110,6 +110,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q264_nsw_append"    -> nswAppendServe _,
     "q265_nsw_delete"    -> nswDeleteServe _,
     "q279_nsw_update"    -> nswUpdateServe _,
+    "q280_rrf_fusion"    -> rrfFusion _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -244,6 +245,10 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
            THEN list_transform(embedding, x -> -x)
            ELSE embedding END AS embedding
       FROM embeddings"""),
+    // rank-only fusion: cosine rides the 1e-6 grid, Jaccard and
+    // 1/(k+rank) are single exactly-rounded divisions on identical
+    // integers — bit-equal doubles in both engines
+    "q280_rrf_fusion" -> rrfFusionOracleSql,
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

@@ -1074,6 +1074,56 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("rrf fusion: hand-computed reciprocal-rank fusion of the dense and sparse legs") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // 5 entities, every one a probe (< 8). Query 0's legs by hand:
+    //   dense (exact cosines: c2 = 1.0, c1 = 3/5, c4 = 0, c3 = -1)
+    //     -> rd: 2->1, 1->2, 4->3, 3->4
+    //   sparse (distinct-word Jaccard: c1 = 3/5, c3 = 2/6, c2 = c4 = 0,
+    //     zero-tie broken by cand_id) -> rs: 1->1, 3->2, 2->3, 4->4
+    //   fused (k = 60): c1 = 1/62+1/61 > c2 = 1/61+1/63 >
+    //     c3 = 1/64+1/62 > c4 = 1/63+1/64
+    def vec(hits: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f); hits.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    val dir = "/tmp/graft_rrf_t"
+    Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma zeta"),
+      (2L, "omega psi chi phi"), (3L, "alpha beta epsilon eta"),
+      (4L, "mu nu xi omicron"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, vec(0 -> 1f), 0), (1L, vec(0 -> 3f, 1 -> 4f), 0),
+      (2L, vec(0 -> 1f), 0), (3L, vec(0 -> -1f), 0),
+      (4L, vec(1 -> 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = S.rrfFusion(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = Seq(
+      (1, 1L, 1.0 / 62 + 1.0 / 61),
+      (2, 2L, 1.0 / 61 + 1.0 / 63),
+      (3, 3L, 1.0 / 64 + 1.0 / 62),
+      (4, 4L, 1.0 / 63 + 1.0 / 64))
+    assert(got == want, s"hand fusion drifted: $got")
+    // partial coverage: a candidate present in ONE list still fuses —
+    // drop entity 4's vector, its sparse rank alone must carry it
+    Seq((0L, vec(0 -> 1f), 0), (1L, vec(0 -> 3f, 1 -> 4f), 0),
+      (2L, vec(0 -> 1f), 0), (3L, vec(0 -> -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    graft.core.EngineCache.releaseAll()
+    val partial = S.rrfFusion(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(partial(4L) == 1.0 / 64,
+      s"dense-absent candidate must fuse on its sparse term alone: $partial")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("heaps growth: exact first-occurrence curve at geometric checkpoints") {
     val sq = spark
     import sq.implicits._
