@@ -57,6 +57,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q115_triangles"     -> triangles _,
     "q116_ab_test"       -> abTest _,
     "q274_ks_test"       -> ksTest _,
+    "q281_mann_whitney"  -> mwTest _,
     "q275_qte"           -> qte _,
     "q276_encoding_advisor" -> encodingAdvisor _,
     "q278_heaps_growth"  -> heapsGrowth _,
@@ -143,6 +144,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // exact-integer ECDF distance: the (num, den) rational and the
     // argmax value hash-compare with no float anywhere
     "q274_ks_test" -> ksTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
+    "q281_mann_whitney" -> mwTestSql(xhashSql("'ab:' || user_id::VARCHAR")),
     // per-arm quantiles gridded BEFORE differencing; interpolation
     // equality is q46's proven percentile <-> quantile_cont bridge
     "q275_qte" -> qteOracleSql(xhashSql("'ab:' || user_id::VARCHAR")),

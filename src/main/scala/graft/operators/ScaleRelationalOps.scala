@@ -650,6 +650,57 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     spark.sql(ksTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
   }
 
+  // ---------------------------------------------------------------- q281
+  /** MANN–WHITNEY U two-sample test (Mann & Whitney 1947) — the
+    * rank-sum member completing the A/B readout family: q116's Welch z
+    * asks about MEANS, q274's KS about the worst ECDF gap, q275's QTE
+    * about fixed quantiles; U asks the stochastic-dominance question —
+    * in what fraction of (a, b) pairs does arm A win — which is the
+    * robust default when the payment distribution is skewed enough
+    * that means mislead. Exact integers end to end via the SAME value
+    * histogram q274 rides (|distinct cents| rows regardless of corpus
+    * size): with ties counting half, DOUBLED U is the integer
+    * 2·U_A = Σ_v da(v)·(2·cumb_<(v) + db(v)), and the emitted row
+    * carries (n_a, n_b, u2_a, u2_b, tie_cubes) — u2_b by the exact
+    * complement 2·n_a·n_b − u2_a, and tie_cubes = Σ_groups (t³ − t),
+    * the tie-correction ingredient the normal-approximation variance
+    * n_a·n_b·(N³−N−Σ(t³−t))/(12·N·(N−1)) needs — so a consumer
+    * computes the z or the rank-biserial r = u2_a/(n_a·n_b) − 1 from
+    * exact integers, no float ever crossing the engine boundary.
+    * CARDINALITY BOUND (q274's honesty note): u2 ≤ 2·n_a·n_b and
+    * tie_cubes ≤ N³ overflow int64 past ~2·10⁶ tied rows per value /
+    * ~3·10⁹ rows per arm — ANSI throws loudly there; DECIMAL(38,0)
+    * is the escape. One hash agg + one window over the aggregated
+    * histogram + one row out; dialect-neutral one-string SQL. */
+  def mwTestSql(hashArm: String): String = s"""
+    WITH p AS (
+      SELECT CASE WHEN ($hashArm) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    h AS (
+      SELECT cents,
+        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS db
+      FROM p GROUP BY cents),
+    c AS (
+      SELECT cents, da, db,
+        CAST(sum(db) OVER (ORDER BY cents) - db AS BIGINT) AS cumb_lt
+      FROM h),
+    agg AS (
+      SELECT CAST(sum(da) AS BIGINT) AS n_a, CAST(sum(db) AS BIGINT) AS n_b,
+        CAST(sum(da * (2 * cumb_lt + db)) AS BIGINT) AS u2_a,
+        CAST(sum((da + db) * (da + db) * (da + db) - (da + db))
+          AS BIGINT) AS tie_cubes
+      FROM c)
+    SELECT n_a, n_b, u2_a,
+      CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b, tie_cubes
+    FROM agg"""
+
+  def mwTest(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(mwTestSql(xhashExpr("concat('ab:', CAST(user_id AS STRING))")))
+  }
+
   // ---------------------------------------------------------------- q275
   /** Quantile treatment effects between the q116 arms — the readout
     * that says WHERE in the distribution a treatment acts: a mean

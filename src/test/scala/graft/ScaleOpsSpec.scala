@@ -1237,6 +1237,40 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("mann-whitney: exact doubled U with half-counted ties and the tie-correction cubes") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // arm A (even users): cents 1, 2, 2; arm B (odd): 2, 3.
+    // pairwise: a=1 beats nothing (0); each a=2 ties one b=2 (1/2 each)
+    // -> U_A = 1, u2_a = 2; u2_b = 2*3*2 - 2 = 10; ties: cents 2 has
+    // t = 3 -> 27 - 3 = 24
+    Seq((0L, 0.01), (2L, 0.02), (4L, 0.02), (1L, 0.02), (3L, 0.03))
+      .map { case (u, v) => (u, "purchase", v) }
+      .toDF("user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val r = spark.sql(S.mwTestSql("user_id")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) == ((3L, 2L, 2L, 10L, 24L)),
+      s"hand U drifted: $r")
+    // stochastic dominance: B strictly above A -> u2_a = 0, u2_b = 2*n_a*n_b
+    (0L to 7L).map(u => (u, "purchase",
+      if (u % 2 == 0) 1.0 + u else 100.0 + u))
+      .toDF("user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val d = spark.sql(S.mwTestSql("user_id")).collect().head
+    assert(d.getLong(2) == 0L && d.getLong(3) == 32L && d.getLong(4) == 0L,
+      s"strict dominance must zero u2_a: $d")
+    // identical arms -> u2_a = u2_b = n_a*n_b exactly (pure ties)
+    (0L to 5L).map(u => (u, "purchase", 5.0))
+      .toDF("user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val t = spark.sql(S.mwTestSql("user_id")).collect().head
+    assert(t.getLong(2) == 9L && t.getLong(3) == 9L && t.getLong(4) == 210L,
+      s"pure ties must split U evenly: $t")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("ivm aggregate view: signed deltas fold to the rebuild, counts invariant") {
     val S = graft.operators.ScaleOps
     val W = graft.core.Warehouse
