@@ -639,6 +639,47 @@ object CorpusFilterOps {
         ELSE 'tail' END AS bucket
     FROM t ORDER BY doc_id"""
 
+  // --------------------------------------------------------------- q282
+  /** TEMPERATURE-MIXING weights per source (the α-sampling recipe of
+    * Arivazhagan et al. 2019 §5.1 and T5's mixing, Raffel et al. 2020
+    * §3.4.1, at α = 1/2): a multi-source training run samples source i
+    * with p_i ∝ n_i^α — α = 1 reproduces natural frequency and lets
+    * the biggest crawl drown the curated tail, α → 0 flattens to
+    * uniform and over-epochs the small sources; √n is the standard
+    * middle ground. This query emits the sampling table that mixing
+    * job consumes: per source, exact doc/token counts plus the weight
+    * as an exact integer RATIONAL — w_num = floor(√n_tokens · 10⁶ +
+    * ½), w_den = Σ w_num — so p_i = w_num/w_den needs no float at
+    * rest. Determinism: sqrt is an IEEE-754 REQUIRED exactly-rounded
+    * operation (unlike ln/exp, which the codebase bans at query
+    * time), so sqrt of the same BIGINT-cast double is bit-equal in
+    * both engines, and the grid-floor lands the same integer; the
+    * denominator is an integer sum over the O(sources) aggregate.
+    * Scale: one hash agg over the corpus, then a window over the
+    * O(sources) frame. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("documents")
+    spark.sql(mixWeightsSqlFor(s"size(${wordsExpr("text")})"))
+  }
+
+  private[graft] def mixWeightsSqlFor(tokCount: String): String = s"""
+    WITH s AS (
+      SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+        CAST(sum($tokCount) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+          AS w_num
+      FROM s)
+    SELECT source, n_docs, n_tokens, w_num,
+      CAST(sum(w_num) OVER () AS BIGINT) AS w_den
+    FROM w ORDER BY source"""
+
+  private def mixWeightsSql: String =
+    mixWeightsSqlFor(tokenCountSql("text"))
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,7 +690,8 @@ object CorpusFilterOps {
     "q237_winnow_delete" -> winnowDelete _,
     "q208_backoff_lm"   -> backoffLm _,
     "q249_mink_prob"    -> minkProb _,
-    "q254_ppl_buckets"  -> pplBuckets _)
+    "q254_ppl_buckets"  -> pplBuckets _,
+    "q282_mix_weights"  -> mixWeights _)
 
   val oracles: Map[String, String] = Map(
     "q205_gopher_rules" -> gopherRulesSql,
@@ -662,5 +704,8 @@ object CorpusFilterOps {
     // row_number tiebreak never leaks into the hash gate
     "q249_mink_prob"    -> minkProbSql,
     // LM + per-lang tercile replayed: the hash covers the composition
-    "q254_ppl_buckets"  -> pplBucketsSql)
+    "q254_ppl_buckets"  -> pplBucketsSql,
+    // sqrt is IEEE exactly-rounded on both engines; the grid-floor
+    // lands the same integer, the denominator sums integers
+    "q282_mix_weights"  -> mixWeightsSql)
 }

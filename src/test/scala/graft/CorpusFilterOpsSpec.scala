@@ -229,4 +229,31 @@ class CorpusFilterOpsSpec extends SparkSpec {
       s"unseen-floor score must match the closed form: ${out(heldIds(1))._2} vs $want")
     graft.core.EngineCache.releaseAll()
   }
+
+  test("mix weights: exact sqrt-grid temperature weights per source") {
+    // planted token totals are perfect squares so every leg is
+    // hand-exact: web 9 tokens -> w_num 3e6, wiki 8+8 = 16 -> 4e6,
+    // books 25 -> 5e6; denominator 12e6 shared by every row
+    val docs = Seq(
+      (1L, "a b c d e f g h i", "web"),
+      (2L, "a b c d e f g h", "wiki"),
+      (3L, "p q r s t u v w", "wiki"),
+      (4L, (1 to 25).map(i => s"t$i").mkString(" "), "books"))
+    docs.toDF("doc_id", "text", "source").createOrReplaceTempView("documents")
+    val got = spark.sql(CorpusFilterOps.mixWeightsSqlFor(
+      s"size(${graft.functions.TextFunctions.wordsExpr("text")})"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "web" -> ((1L, 9L, 3000000L, 12000000L)),
+      "wiki" -> ((2L, 16L, 4000000L, 12000000L)),
+      "books" -> ((1L, 25L, 5000000L, 12000000L))),
+      s"hand weights drifted: $got")
+    // α = 1/2 sits between natural frequency and uniform: the weight
+    // RATIO compresses the token ratio (25/9 tokens -> 5/3 weight)
+    assert(got("books")._3 * 9L == got("web")._3 * 15L,
+      "sqrt compression must hold exactly on the grid")
+    graft.core.EngineCache.releaseAll()
+  }
 }
