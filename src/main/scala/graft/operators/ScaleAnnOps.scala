@@ -2721,6 +2721,27 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       s"srp_sig(embedding, ${LlmQueries.SrpBits}) AS sig")
   }
 
+  /** Candidate pairs touching `keep`, the skeleton STRATEGY chosen by
+    * keep density: a sparse keep rides the keep-side generation
+    * ([[graft.llm.Dedup.lshCandidatePairsTouching]] — work
+    * proportional to the keep set's bucket populations, the
+    * fixed-batch economics the round-12 soak demonstrates: delete
+    * near-flat at 10× data); past half the store the halved
+    * corpus-wide skeleton is cheaper (keep-side generation doubles
+    * pre-dedup join rows as keep → everyone — measured 1.1–1.3× on
+    * the dense 10%-cohort in-suite verbs) and is EXACTLY the
+    * rebuild's cost bound, so the dense worst case never exceeds one
+    * rebuild. Both strategies feed the same downstream
+    * payload-join → cosine → direct → src-semi-join, whose output the
+    * semi-join makes identical. The density read is two O(1) counts
+    * of already-persisted frames. */
+  private def candidatePairsAdaptive(sigP: DataFrame, bandKeysStr: String,
+                                     keep: DataFrame): DataFrame =
+    if (keep.count() * 2 >= sigP.count())
+      graft.llm.Dedup.lshCandidatePairs(sigP, bandKeysStr)
+    else
+      graft.llm.Dedup.lshCandidatePairsTouching(sigP, bandKeysStr, keep)
+
   /** Band-mate trigger: the base nodes sharing ≥ 1 band bucket with a
     * batch arrival — the ONLY base nodes whose deterministic top-G can
     * change when the batch joins the candidate pool (edge selection
@@ -2789,8 +2810,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .select(col("vec_id").as("id"), col("sig"))
       .join(vectors.select(col("vec_id").as("id"), col("embedding")), "id"))
     val pairs = graft.llm.Dedup.joinBackPayload(
-        graft.llm.Dedup.lshCandidatePairsTouching(sigP, bandKeysStr,
-          srcs.select("vec_id")),
+        candidatePairsAdaptive(sigP, bandKeysStr, srcs.select("vec_id")),
         sigP, "embedding")
       .withColumn("cos",
         expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
@@ -2897,8 +2917,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .join(vectors.select(col("vec_id").as("id"), col("embedding")), "id"))
     val bandKeysStr = srpBandKeys("sig").mkString(", ")
     val pairs = graft.llm.Dedup.joinBackPayload(
-        graft.llm.Dedup.lshCandidatePairsTouching(sigP, bandKeysStr,
-          affected.select("vec_id")),
+        candidatePairsAdaptive(sigP, bandKeysStr, affected.select("vec_id")),
         sigP, "embedding")
       .withColumn("cos",
         expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
@@ -3010,8 +3029,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .select(col("vec_id").as("id"), col("sig"))
       .join(updated.select(col("vec_id").as("id"), col("embedding")), "id"))
     val pairs = graft.llm.Dedup.joinBackPayload(
-        graft.llm.Dedup.lshCandidatePairsTouching(sigP, bandKeysStr,
-          srcs.select("vec_id")),
+        candidatePairsAdaptive(sigP, bandKeysStr, srcs.select("vec_id")),
         sigP, "embedding")
       .withColumn("cos",
         expr(graft.llm.Similarity.cosineExpr("embedding_a", "embedding_b")))
