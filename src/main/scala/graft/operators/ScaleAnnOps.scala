@@ -3151,6 +3151,59 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     s"list_distinct(${graft.functions.TextFunctions.wordsSql("text")})",
     "len", "len(list_intersect(qws, ws))")
 
+  // ---------------------------------------------------------------- q283
+  /** SQ8 SCALAR-QUANTIZATION audit — the scalar member of the
+    * quantization family beside PQ (q105/q146): symmetric max-abs
+    * int8 quantization (code_i = round(x_i / s), s = max|x| / 127) is
+    * what production vector stores ship as their cheap 4× compression
+    * tier, and this query emits the per-vector audit a rollout reads
+    * before trusting it: the quantization scale and the EXACT
+    * reconstruction error (max and sum of |x − code·s| per vector) on
+    * a 1e-6 grid. Everything is one projection over the embedding
+    * store — no shuffle, no state — and every arithmetic step
+    * (float→double cast, divide, floor, multiply, subtract, abs) is
+    * an IEEE exactly-rounded op on identical inputs, so both engines
+    * land bit-equal doubles and identical grid integers; max-abs
+    * symmetric scaling means |x/s| ≤ 127 by construction, so no code
+    * ever clips. The zero vector quantizes to scale 0 with zero error
+    * by the spelled CASE, not a silent NaN. */
+  private def sq8SqlSkeleton(tf: String, lmax: String,
+                             lsum: String => String): String = {
+    val D = "CAST(%s AS DOUBLE)"
+    s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    m AS (
+      SELECT vec_id, embedding,
+        $lmax($tf(embedding, x -> abs(${D.format("x")}))) AS maxabs
+      FROM v),
+    s AS (
+      SELECT vec_id, embedding, maxabs,
+        maxabs / ${D.format("127")} AS scale
+      FROM m),
+    e AS (
+      SELECT vec_id, scale,
+        $tf(embedding, x -> CASE
+          WHEN scale = ${D.format("0")} THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(abs(${D.format("x")} -
+            floor(${D.format("x")} / scale + 0.5) * scale) * 1e6 + 0.5)
+            AS BIGINT) END) AS err6
+      FROM s)
+    SELECT vec_id,
+      CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale9,
+      CAST($lmax(err6) AS BIGINT) AS max_err6,
+      CAST(${lsum("err6")} AS BIGINT) AS sum_err6
+    FROM e ORDER BY vec_id"""
+  }
+
+  def sq8Audit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(sq8SqlSkeleton("transform", "array_max",
+      c => s"aggregate($c, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+  }
+
+  def sq8AuditOracleSql: String =
+    sq8SqlSkeleton("list_transform", "list_max", c => s"list_sum($c)")
+
   def nswRecallSql(table: String): String = s"""
     WITH v AS (SELECT vec_id, embedding FROM $table),
     $nswWalkCtes,

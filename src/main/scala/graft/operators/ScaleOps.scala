@@ -112,6 +112,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q265_nsw_delete"    -> nswDeleteServe _,
     "q279_nsw_update"    -> nswUpdateServe _,
     "q280_rrf_fusion"    -> rrfFusion _,
+    "q283_sq8_audit"     -> sq8Audit _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -251,6 +252,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // 1/(k+rank) are single exactly-rounded divisions on identical
     // integers — bit-equal doubles in both engines
     "q280_rrf_fusion" -> rrfFusionOracleSql,
+    // every step is an IEEE exactly-rounded op on identical inputs:
+    // bit-equal doubles, identical grid integers in both engines
+    "q283_sq8_audit" -> sq8AuditOracleSql,
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

@@ -1124,6 +1124,40 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("sq8 audit: hand-quantized reconstruction errors, zero vector safe") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // v10 = [1, 0.5, -0.25, 0...]: maxabs 1 -> s = 1/127; the expected
+    // grid errors are computed HERE with the same IEEE double ops the
+    // engines run (identical exactly-rounded steps, bit-equal results)
+    def vec(hits: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f); hits.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    val dir = "/tmp/graft_sq8_t"
+    Seq((10L, vec(0 -> 1f, 1 -> 0.5f, 2 -> -0.25f), 0),
+      (11L, vec(), 0)) // the zero vector: scale 0, zero error, no NaN
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = S.sq8Audit(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val s = 1.0 / 127.0
+    def err6(x: Double): Long =
+      math.floor(math.abs(x - math.floor(x / s + 0.5) * s) * 1e6 + 0.5).toLong
+    val errs = Seq(err6(1.0), err6(0.5), err6(-0.25))
+    val scale9 = math.floor(s * 1e9 + 0.5).toLong
+    assert(got(10L) == ((scale9, errs.max, errs.sum)),
+      s"hand SQ8 audit drifted: ${got(10L)} vs ($scale9, ${errs.max}, ${errs.sum})")
+    assert(got(11L) == ((0L, 0L, 0L)),
+      s"zero vector must audit to zero, not NaN: ${got(11L)}")
+    // symmetric max-abs scaling: the max element reconstructs within
+    // one grid cell (code = +-127 exactly, never clipped)
+    assert(err6(1.0) <= 1L, s"maxabs element must round-trip: ${err6(1.0)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("heaps growth: exact first-occurrence curve at geometric checkpoints") {
     val sq = spark
     import sq.implicits._
