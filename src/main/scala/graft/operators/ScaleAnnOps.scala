@@ -3204,6 +3204,73 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   def sq8AuditOracleSql: String =
     sq8SqlSkeleton("list_transform", "list_max", c => s"list_sum($c)")
 
+  // ---------------------------------------------------------------- q284
+  /** SQ8 serving RECALL — the honesty leg that makes q283's scalar
+    * tier deployable (the q262/q169 discipline): serve the probe set
+    * ASYMMETRICALLY (query at full precision, corpus reconstructed
+    * from its int8 codes — the standard SQ deployment) by grid-cosine
+    * top-[[Sq8K]], score against the exact full-precision top-[[Sq8K]],
+    * and emit per-probe hit counts — the number a rollout reads before
+    * flipping the 4×-cheaper tier on. Reconstruction is inlined
+    * per-row (floor(x/s + ½)·s, all exactly-rounded ops, identical
+    * doubles both engines) so the audit needs no materialized code
+    * table; cost is q39's broadcast probes × corpus scan twice. Zero
+    * vectors cannot rank under full-precision cosine either and are
+    * excluded from BOTH legs, stated rather than hidden. */
+  val Sq8K = 10
+  private val Sq8ProbeWhere = "vec_id < 8"
+
+  private def sq8RecallSkeleton(tf: String, lmax: String,
+                                cosRecon: String, cosFull: String): String = {
+    val D = "CAST(%s AS DOUBLE)"
+    s"""
+    WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+    m AS (
+      SELECT vec_id, embedding,
+        $lmax($tf(embedding, x -> abs(${D.format("x")}))) AS maxabs
+      FROM v0),
+    v AS (SELECT vec_id, embedding, maxabs / ${D.format("127")} AS scale
+          FROM m WHERE maxabs > ${D.format("0")}),
+    r AS (
+      SELECT vec_id,
+        $tf(embedding, x -> floor(${D.format("x")} / scale + 0.5) * scale)
+          AS recon
+      FROM v),
+    p AS (SELECT vec_id AS query_id, embedding AS qv FROM v
+          WHERE $Sq8ProbeWhere),
+    qs AS (
+      SELECT query_id, cand_id, rq FROM (
+        SELECT p.query_id, r.vec_id AS cand_id,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY $cosRecon DESC, r.vec_id) AS INT) AS rq
+        FROM p JOIN r ON p.query_id <> r.vec_id) z WHERE rq <= $Sq8K),
+    ts AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.query_id, v.vec_id AS cand_id,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY $cosFull DESC, v.vec_id) AS INT) AS rt
+        FROM p JOIN v ON p.query_id <> v.vec_id) z WHERE rt <= $Sq8K)
+    SELECT q.query_id, CAST(count(1) AS BIGINT) AS k_served,
+      CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_hits,
+      CAST($Sq8K AS BIGINT) AS k
+    FROM qs q LEFT JOIN ts t
+      ON t.query_id = q.query_id AND t.cand_id = q.cand_id
+    GROUP BY q.query_id ORDER BY q.query_id"""
+  }
+
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(sq8RecallSkeleton("transform", "array_max",
+      graft.llm.Similarity.cosineExprComposable("p.qv", "r.recon"),
+      graft.llm.Similarity.cosineExprComposable("p.qv", "v.embedding")))
+  }
+
+  def sq8RecallOracleSql: String =
+    sq8RecallSkeleton("list_transform", "list_max",
+      graft.llm.Similarity.cosineSql("p.qv", "r.recon"),
+      graft.llm.Similarity.cosineSql("p.qv", "v.embedding"))
+
   def nswRecallSql(table: String): String = s"""
     WITH v AS (SELECT vec_id, embedding FROM $table),
     $nswWalkCtes,

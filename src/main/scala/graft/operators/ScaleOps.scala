@@ -113,6 +113,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q279_nsw_update"    -> nswUpdateServe _,
     "q280_rrf_fusion"    -> rrfFusion _,
     "q283_sq8_audit"     -> sq8Audit _,
+    "q284_sq8_recall"    -> sq8Recall _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -255,6 +256,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // every step is an IEEE exactly-rounded op on identical inputs:
     // bit-equal doubles, identical grid integers in both engines
     "q283_sq8_audit" -> sq8AuditOracleSql,
+    // asymmetric SQ serve scored against the exact top-k — the recall
+    // number a rollout reads before flipping the cheap tier on
+    "q284_sq8_recall" -> sq8RecallOracleSql,
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

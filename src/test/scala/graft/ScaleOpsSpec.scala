@@ -1158,6 +1158,56 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("sq8 recall: matches a driver-side reference on a planted corpus, near-lossless on the fixture") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // 16 deterministic pseudo-random vectors; the expected per-probe
+    // hits come from an INDEPENDENT driver-side reference that replays
+    // the contract in plain Scala doubles (same IEEE ops the engine
+    // runs): asymmetric serve, grid cosine, (cos DESC, id) ranking
+    val vecs: Seq[(Long, Array[Float])] = (0 until 16).map { i =>
+      i.toLong -> Array.tabulate(64) { j =>
+        (((i * 31 + j * 17 + 7) % 255) - 127) / 127f
+      }
+    }
+    val dir = "/tmp/graft_sq8r_t"
+    vecs.map { case (id, a) => (id, a.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def gcos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k) }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val full = vecs.map { case (id, a) => id -> a.map(_.toDouble) }.toMap
+    val recon = full.map { case (id, a) =>
+      val s = a.map(math.abs).max / 127.0
+      id -> a.map(x => math.floor(x / s + 0.5) * s)
+    }
+    def topk(q: Long, corpus: Map[Long, Array[Double]]): Set[Long] =
+      corpus.keys.filter(_ != q).toSeq
+        .sortBy(c => (-gcos(full(q), corpus(c)), c)).take(S.Sq8K).toSet
+    val want = (0L until 8L).map { q =>
+      q -> topk(q, recon).count(topk(q, full))
+    }.toMap
+    val got = S.sq8Recall(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt -> r.getLong(2).toInt)
+      .map { case ((q, ks), h) => (q, ks, h) }
+    assert(got.map(_._1).toSeq == (0L until 8L).toSeq)
+    got.foreach { case (q, ks, h) =>
+      assert(ks == S.Sq8K, s"probe $q served $ks of ${S.Sq8K}")
+      assert(h == want(q), s"probe $q: engine hits $h vs reference ${want(q)}")
+    }
+    graft.core.EngineCache.releaseAll()
+    // and on the real fixture the scalar tier is near-lossless: the
+    // operational claim the audit exists to verify
+    val real = S.sq8Recall(spark, sfDir).collect()
+    assert(real.length == 8 && real.forall(r => r.getLong(2) >= 9L),
+      s"SQ8 must stay near-lossless on the fixture: ${real.map(_.getLong(2)).toSeq}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("heaps growth: exact first-occurrence curve at geometric checkpoints") {
     val sq = spark
     import sq.implicits._
