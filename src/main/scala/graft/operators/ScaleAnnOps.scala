@@ -3271,6 +3271,87 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       graft.llm.Similarity.cosineSql("p.qv", "r.recon"),
       graft.llm.Similarity.cosineSql("p.qv", "v.embedding"))
 
+  // ---------------------------------------------------------------- q285
+  /** IVF + SQ8 composed serving recall — the SCALE PATH the q284
+    * scaladoc points at, measured instead of promised: candidates
+    * restrict to the probe's LEARNED Lloyd cell (q84's k-means
+    * machinery — a real coarse quantizer, not the fixture's
+    * deliberately geometry-blind `label` column, which q261's design
+    * notes prove recalls ~15% when used as a blocker) and score by
+    * the ASYMMETRIC SQ8 cosine, so a probe touches O(cell)
+    * reconstructed vectors instead of the corpus — the composition
+    * every production tier ships (coarse quantizer →
+    * scalar-quantized scan). The recall readout is against the
+    * GLOBAL exact top-[[Sq8K]], so the number prices BOTH losses at
+    * once: the single-probe cell restriction (a true neighbor living
+    * in another cell is unreachable — multiprobe is the q150 family's
+    * answer) and the int8 reconstruction; k_served < k when the cell
+    * itself is small — honest, not padded. Same exactly-rounded
+    * arithmetic as q283/q284; one cell-keyed equi-join replaces
+    * q284's probe × corpus scan. */
+  private def ivfSq8Skeleton(tf: String, lmax: String, cellsRel: String,
+                             cosRecon: String, cosFull: String): String = {
+    val D = "CAST(%s AS DOUBLE)"
+    s"""
+    WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+    cells AS (SELECT vec_id, cell FROM $cellsRel),
+    m AS (
+      SELECT vec_id, embedding,
+        $lmax($tf(embedding, x -> abs(${D.format("x")}))) AS maxabs
+      FROM v0),
+    v AS (SELECT vec_id, embedding,
+        maxabs / ${D.format("127")} AS scale
+      FROM m WHERE maxabs > ${D.format("0")}),
+    r AS (
+      SELECT v.vec_id, c.cell,
+        $tf(embedding, x -> floor(${D.format("x")} / scale + 0.5) * scale)
+          AS recon
+      FROM v JOIN cells c ON c.vec_id = v.vec_id),
+    p AS (SELECT v.vec_id AS query_id, embedding AS qv, c.cell AS qcell
+          FROM v JOIN cells c ON c.vec_id = v.vec_id
+          WHERE v.vec_id < 8),
+    qs AS (
+      SELECT query_id, cand_id, rq FROM (
+        SELECT p.query_id, r.vec_id AS cand_id,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY $cosRecon DESC, r.vec_id) AS INT) AS rq
+        FROM p JOIN r ON p.qcell = r.cell AND p.query_id <> r.vec_id)
+      z WHERE rq <= $Sq8K),
+    ts AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.query_id, v.vec_id AS cand_id,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY $cosFull DESC, v.vec_id) AS INT) AS rt
+        FROM p JOIN v ON p.query_id <> v.vec_id) z WHERE rt <= $Sq8K)
+    SELECT q.query_id, CAST(count(1) AS BIGINT) AS k_served,
+      CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_hits,
+      CAST($Sq8K AS BIGINT) AS k
+    FROM qs q LEFT JOIN ts t
+      ON t.query_id = q.query_id AND t.cand_id = q.cand_id
+    GROUP BY q.query_id ORDER BY q.query_id"""
+  }
+
+  def ivfSq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(spark, dir, "embeddings")
+    vecs.createOrReplaceTempView("embeddings")
+    val cellsView = s"graft_sq8_cells_t${Thread.currentThread().getId}"
+    graft.llm.Similarity
+      .kmeansLloyd(vecs, LlmQueries.KmK, LlmQueries.KmRounds)
+      .select(col("vec_id"), col("cell"))
+      .createOrReplaceTempView(cellsView)
+    spark.sql(ivfSq8Skeleton("transform", "array_max", cellsView,
+      graft.llm.Similarity.cosineExprComposable("p.qv", "r.recon"),
+      graft.llm.Similarity.cosineExprComposable("p.qv", "v.embedding")))
+  }
+
+  def ivfSq8RecallOracleSql: String =
+    ivfSq8Skeleton("list_transform", "list_max",
+      s"""(${graft.llm.Similarity.kmeansLloydSql("embeddings",
+        LlmQueries.KmK, LlmQueries.KmRounds)}) kz""",
+      graft.llm.Similarity.cosineSql("p.qv", "r.recon"),
+      graft.llm.Similarity.cosineSql("p.qv", "v.embedding"))
+
   def nswRecallSql(table: String): String = s"""
     WITH v AS (SELECT vec_id, embedding FROM $table),
     $nswWalkCtes,

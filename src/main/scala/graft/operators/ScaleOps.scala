@@ -114,6 +114,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q280_rrf_fusion"    -> rrfFusion _,
     "q283_sq8_audit"     -> sq8Audit _,
     "q284_sq8_recall"    -> sq8Recall _,
+    "q285_ivf_sq8"       -> ivfSq8Recall _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -259,6 +260,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // asymmetric SQ serve scored against the exact top-k — the recall
     // number a rollout reads before flipping the cheap tier on
     "q284_sq8_recall" -> sq8RecallOracleSql,
+    // the composed tier: coarse cell shortlist + int8 scan, priced
+    // against the GLOBAL exact top-k so both losses show at once
+    "q285_ivf_sq8" -> ivfSq8RecallOracleSql,
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

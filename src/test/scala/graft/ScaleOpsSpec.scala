@@ -1208,6 +1208,50 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("ivf+sq8: engine recall matches a driver-side reference over the engine's own cells") {
+    val S = graft.operators.ScaleOps
+    val Q = graft.operators.LlmQueries
+    // the coarse quantizer itself is q84's spec'd machinery; HERE the
+    // claim under test is the COMPOSITION: cell restriction + int8
+    // reconstruction + grid cosine + (cos DESC, id) ranking. The
+    // reference replays it in plain Scala doubles over the engine's
+    // published cell assignment.
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val cells = graft.llm.Similarity
+      .kmeansLloyd(vecs, Q.KmK, Q.KmRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def gcos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k) }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val recon = full.map { case (id, a) =>
+      val s = a.map(math.abs).max / 127.0
+      id -> a.map(x => math.floor(x / s + 0.5) * s)
+    }
+    def topk(q: Long, corpus: Map[Long, Array[Double]],
+             pred: Long => Boolean): Seq[Long] =
+      corpus.keys.filter(c => c != q && pred(c)).toSeq
+        .sortBy(c => (-gcos(full(q), corpus(c)), c)).take(S.Sq8K)
+    val want = (0L until 8L).map { q =>
+      val served = topk(q, recon, c => cells(c) == cells(q))
+      val truth = topk(q, full, _ => true).toSet
+      q -> ((served.size.toLong, served.count(truth).toLong))
+    }.toMap
+    val got = S.ivfSq8Recall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"composed recall drifted: $got vs $want")
+    // the composed tier must lose SOMETHING here (single-probe cells)
+    // yet stay useful — the readout is only honest if both show
+    val hits = got.values.map(_._2).sum
+    assert(hits < 8L * S.Sq8K, s"suspiciously perfect: $got")
+    assert(hits >= 8L * S.Sq8K / 2, s"suspiciously broken: $got")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("heaps growth: exact first-occurrence curve at geometric checkpoints") {
     val sq = spark
     import sq.implicits._
