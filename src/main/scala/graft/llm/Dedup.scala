@@ -61,16 +61,21 @@ object Dedup {
     * once per side. Persisting pre-explode keeps the cache at one row per
     * doc (not bands×). At a real 100 TB run the same move is writing the
     * signature table to storage once and joining the materialized form. */
-  /** Band-key expressions "b<band>:mh,mh,…" over a `sig` array column. */
-  private def bandKeysExpr(numHashes: Int, bands: Int): String = {
+  /** Band-key expressions "b<band>:mh,mh,…" over a signature array
+    * column, one per band. */
+  private def bandKeyExprSeq(numHashes: Int, bands: Int,
+                             sigCol: String = "sig"): Seq[String] = {
     val rows = numHashes / bands
     (0 until bands).map { b =>
       val slice = (0 until rows)
-        .map(r => s"CAST(element_at(sig, ${b * rows + r + 1}) AS STRING)")
+        .map(r => s"CAST(element_at($sigCol, ${b * rows + r + 1}) AS STRING)")
         .mkString(", ',', ")
       s"concat('b$b:', $slice)"
-    }.mkString(", ")
+    }
   }
+
+  private def bandKeysExpr(numHashes: Int, bands: Int): String =
+    bandKeyExprSeq(numHashes, bands).mkString(", ")
 
   private def bandedSignatures(sh0: DataFrame, numHashes: Int,
                                bands: Int): (DataFrame, String) = {
@@ -344,6 +349,135 @@ object Dedup {
                          tau: Double, orderBy: String): String =
     lshPairsSql(table, idCol, wordShinglesSql(textCol, shingleN),
       s"len(${wordsSql(textCol)}) >= $shingleN", numHashes, bands, tau, orderBy)
+
+  // fp-critical S-curve spellings, shared VERBATIM by both engines so
+  // the multiplication chains round identically (left-assoc in both)
+  private def sCurveQq(rows: Int): String =
+    s"CAST(1 AS DOUBLE) - (${List.fill(rows)("s").mkString(" * ")})"
+  private def sCurveTheo6(bands: Int): String =
+    s"CAST(floor((CAST(1 AS DOUBLE) - " +
+      s"(${List.fill(bands)("qq").mkString(" * ")})) * 1e6 + 0.5) AS BIGINT)"
+
+  /** LSH BAND-CALIBRATION audit — the S-curve check every MinHash
+    * deployment owes its threshold (Leskovec–Rajaraman–Ullman ch. 3):
+    * with b bands of r rows the candidate probability at Jaccard s is
+    * P = 1 − (1 − s^r)^b, and whether the deployed (b, r) puts the
+    * curve's knee at the intended τ is an EMPIRICAL question this
+    * query answers instead of assuming. Probe pairs are GRADED
+    * SELF-PAIRS — each doc against its own word-prefix at kept
+    * fraction (id mod 10 + 1)/10, so the sample covers every Jaccard
+    * decile ON ANY CORPUS deterministically, O(n) pairs, never a
+    * quadratic scan (a natural-pair sample measured only the s ≈ 0
+    * background here — no curve to check). Output per realized-
+    * Jaccard decile: (bucket, n_pairs, n_collided, Σ theo6) — a
+    * deployment whose measured collisions sit far from Σ theo/10⁶ in
+    * the τ-straddling buckets has the wrong (b, r), and the f = 1
+    * decile anchors the audit at exact-duplicate certainty.
+    * Determinism: s is one exact division of hash-set integers, the
+    * power chains are shared-text left-assoc multiplications (every
+    * step exactly rounded, bit-equal), collisions are integer string
+    * equality on band keys, and the decile is a floor. */
+  def lshCalibration(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val rows = numHashes / bands
+    val bksA = bandKeyExprSeq(numHashes, bands, "sig_a")
+    val bksB = bandKeyExprSeq(numHashes, bands, "sig_b")
+    val coll = (0 until bands).map(i => s"bk${i}_a = bk${i}_b")
+      .mkString(" OR ")
+    docs
+      .selectExpr(s"$idCol AS id",
+        s"${graft.functions.TextFunctions.wordsExpr(textCol)} AS w")
+      .filter(s"size(w) >= $shingleN")
+      .selectExpr("id", "w",
+        s"greatest($shingleN, CAST((size(w) * (id % 10 + 1) + 9) div 10" +
+          " AS INT)) AS nb")
+      .selectExpr("id",
+        s"word_shingles(w, $shingleN) AS sh_a",
+        s"word_shingles(slice(w, 1, nb), $shingleN) AS sh_b")
+      .selectExpr("id", "md5_i64(sh_a) AS hs_a", "md5_i64(sh_b) AS hs_b")
+      .selectExpr("id", "hs_a", "hs_b",
+        s"minhash_sig(hs_a, $numHashes) AS sig_a",
+        s"minhash_sig(hs_b, $numHashes) AS sig_b")
+      .selectExpr(Seq("id", "hs_a", "hs_b") ++
+        bksA.zipWithIndex.map { case (e, i) => s"$e AS bk${i}_a" } ++
+        bksB.zipWithIndex.map { case (e, i) => s"$e AS bk${i}_b" }: _*)
+      .selectExpr(
+        "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) / " +
+          "(size(hs_a) + size(hs_b) - size(array_intersect(hs_a, hs_b))) AS s",
+        s"CASE WHEN $coll THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END" +
+          " AS collided")
+      .selectExpr("s", "collided", s"${sCurveQq(rows)} AS qq")
+      .selectExpr("CAST(least(9, CAST(floor(s * 10) AS INT)) AS BIGINT)" +
+        " AS bucket",
+        "collided", s"${sCurveTheo6(bands)} AS theo6")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("collided")).as("n_collided"),
+        sum(col("theo6")).as("theo6_sum"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[lshCalibration]]: replays the prefix cut,
+    * signatures, band keys, the exact Jaccard, and the shared-text
+    * S-curve chains. */
+  def lshCalibrationSql(table: String, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    def shList(w: String) = {
+      val parts = (0 until shingleN).map(j =>
+        if (j == 0) s"($w)[i]" else s"($w)[i + $j]").mkString(" || ' ' || ")
+      s"list_distinct(list_transform(range(1, len($w) - ${shingleN - 2})," +
+        s" i -> $parts))"
+    }
+    def mhs(hs: String, sfx: String) = (0 until numHashes)
+      .map(i => s"${mixSql(i, hs)} AS mh$i$sfx").mkString(",\n      ")
+    def bandKeys(sfx: String) = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"mh${b * rows + r}$sfx::VARCHAR")
+        .mkString(" || ',' || ")
+      s"'b$b:' || $slice AS bk$b$sfx"
+    }.mkString(", ")
+    val coll = (0 until bands).map(i => s"bk${i}_a = bk${i}_b")
+      .mkString(" OR ")
+    val w = graft.functions.TextFunctions.wordsSql(textCol)
+    s"""
+    WITH t0 AS (
+      SELECT $idCol AS id, $w AS w FROM $table
+      WHERE len($w) >= $shingleN),
+    t1 AS (
+      SELECT id, w,
+        greatest($shingleN,
+          ((len(w) * (id % 10 + 1) + 9) // 10)::INT) AS nb
+      FROM t0),
+    t2 AS (
+      SELECT id, ${shList("w")} AS sh_a,
+        ${shList("list_slice(w, 1, nb)")} AS sh_b
+      FROM t1),
+    t AS (
+      SELECT id, ${hsSql("sh_a")} AS hs_a, ${hsSql("sh_b")} AS hs_b
+      FROM t2),
+    sig AS (SELECT id, hs_a, hs_b,
+      ${mhs("hs_a", "_a")},
+      ${mhs("hs_b", "_b")}
+      FROM t),
+    k AS (SELECT id, hs_a, hs_b, ${bandKeys("_a")}, ${bandKeys("_b")}
+          FROM sig),
+    d AS (
+      SELECT
+        CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE) /
+          (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS s,
+        CASE WHEN $coll THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          AS collided
+      FROM k),
+    e AS (SELECT s, collided, ${sCurveQq(rows)} AS qq FROM d),
+    f AS (SELECT CAST(least(9, CAST(floor(s * 10) AS INT)) AS BIGINT)
+        AS bucket,
+        collided, ${sCurveTheo6(bands)} AS theo6
+      FROM e)
+    SELECT bucket, CAST(count(1) AS BIGINT) AS n_pairs,
+      CAST(sum(collided) AS BIGINT) AS n_collided,
+      CAST(sum(theo6) AS BIGINT) AS theo6_sum
+    FROM f GROUP BY bucket ORDER BY bucket"""
+  }
 
   /** Character-n-gram Jaccard near-dup: same LSH skeleton as
     * [[minhashLshPairs]] but over char shingles (catches small edits that

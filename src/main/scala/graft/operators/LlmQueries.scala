@@ -800,6 +800,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q33_fingerprint"     -> fingerprint _,
     "q34_dedup_exact"     -> dedupExact _,
     "q35_dedup_minhash"   -> dedupMinhash _,
+    "q286_lsh_calibration" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.llm.Dedup.lshCalibration(docs(s, d), "doc_id", "text",
+        WordShingleN, MinhashK, MinhashBands)),
     "q36_dedup_simhash"   -> dedupSimhash _,
     "q37_dedup_ngram"     -> dedupCharNgram _,
     "q38_embed_near_dup"  -> embedNearDup _,
@@ -920,6 +923,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
       FROM (SELECT doc_id, ${bagFingerprintSql("text")} AS fp FROM documents)
       GROUP BY fp HAVING count(1) > 1
       ORDER BY fp""",
+    // shared-text S-curve chains: both engines round identically
+    "q286_lsh_calibration" -> Dedup.lshCalibrationSql("documents", "doc_id",
+      "text", WordShingleN, MinhashK, MinhashBands),
     "q35_dedup_minhash" -> Dedup.minhashLshPairsSql("documents", "doc_id", "text",
       WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b"),
     "q36_dedup_simhash" -> Dedup.simhashPairsSql("documents", "doc_id", "text",

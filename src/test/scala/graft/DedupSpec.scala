@@ -690,4 +690,47 @@ class DedupSpec extends SparkSpec {
     assert(r10.getLong(2) === 1L, "adjacent spans merge into one island")
     assert(r10.getLong(3) === 16L)
   }
+
+  test("lsh calibration: graded self-pairs land in hand-computed buckets with exact theory terms") {
+    import graft.operators.LlmQueries.{WordShingleN, MinhashK, MinhashBands}
+    // id 9 keeps 10/10 of its words -> identical pair: s = 1, bucket 9,
+    //   theoretical p = 1 exactly, and identical signatures MUST collide;
+    // id 4 keeps 5/10 of 10 distinct words -> prefix shingles 3 of 8,
+    //   nested sets: s = 3/8, bucket 3;
+    // id 0 keeps ceil(30/10) = 3 of 30 words -> 1 of 28 shingles, bucket 0
+    val d = docsOf(
+      9L -> "a b c d e f",
+      4L -> (1 to 10).map(i => s"w$i").mkString(" "),
+      0L -> (1 to 30).map(i => s"v$i").mkString(" "))
+    val out = Dedup.lshCalibration(d, "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // theory terms replayed with the same IEEE ops (left-assoc chains)
+    def theo6(s: Double): Long = {
+      val qq = 1.0 - s * s
+      math.floor((1.0 - qq * qq * qq * qq) * 1e6 + 0.5).toLong
+    }
+    assert(out.keySet == Set(9L, 3L, 0L), s"buckets drifted: $out")
+    assert(out(9L) == ((1L, 1L, 1000000L)),
+      s"the exact-duplicate anchor must collide with p = 1: ${out(9L)}")
+    val s4 = 3.0 / 8.0
+    assert(out(3L)._1 == 1L && out(3L)._3 == theo6(s4),
+      s"bucket 3 theory drifted: ${out(3L)} vs ${theo6(s4)}")
+    val s0 = 1.0 / 28.0
+    assert(out(0L)._1 == 1L && out(0L)._3 == theo6(s0),
+      s"bucket 0 theory drifted: ${out(0L)} vs ${theo6(s0)}")
+    // on the real fixture the audit's shape is deterministic: the
+    // f = 1 decile collides certainly, the near-disjoint decile rarely
+    val real = graft.llm.Dedup.lshCalibration(
+      graft.core.Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val b9 = real.find(_._1 == 9L).get
+    assert(b9._2 == b9._3, s"identical pairs must always collide: $b9")
+    val b0 = real.find(_._1 == 0L).get
+    assert(b0._3 * 5 <= b0._2,
+      s"the s~0 decile must rarely collide: $b0")
+    graft.core.EngineCache.releaseAll()
+  }
 }
