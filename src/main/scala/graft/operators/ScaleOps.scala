@@ -61,6 +61,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q275_qte"           -> qte _,
     "q276_encoding_advisor" -> encodingAdvisor _,
     "q278_heaps_growth"  -> heapsGrowth _,
+    "q287_zipf_fit"      -> zipfFit _,
     "q117_rfm"           -> rfm _,
     "q118_event_paths"   -> eventPaths _,
     "q119_ivfpq_search"  -> ivfPqSearch _,
@@ -157,6 +158,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // first-occurrence positions under the identical (doc_id, pos)
     // total order; the checkpoint set derives arithmetically from n
     "q278_heaps_growth" -> heapsGrowthSql("documents"),
+    // logs gridded BEFORE the slope divides them; doubled Theil-Sen
+    // median with (ri, rj) tie keys -- q273's exact-integer spelling
+    "q287_zipf_fit" -> zipfFitSql("documents"),
     "q117_rfm" -> rfmSql((from, to) => s"datediff('day', $from, $to)"),
     "q118_event_paths" -> eventPathsSql,
     "q119_ivfpq_search" -> s"WITH $pqBaseOracle $pqIvfAdcTail",

@@ -909,6 +909,89 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     FROM cks c JOIN fp ON fp.fp <= c.n_tokens
     GROUP BY c.n_tokens ORDER BY c.n_tokens"""
 
+  // ---------------------------------------------------------------- q287
+  /** ZIPF rank–frequency fit per language (Zipf 1949) — q278's Heaps
+    * curve says how fast the vocabulary GROWS; this says how the mass
+    * already collected is DISTRIBUTED: the log-log slope of frequency
+    * against rank over each language's head vocabulary, which for
+    * natural text sits near −1 and for boilerplate/spam/log spew does
+    * not — making the slope a per-source corpus-health scalar (and the
+    * sanity input to q196-style token-weighted sampling, whose value
+    * depends on exactly this head-heaviness). The fit is q273's
+    * THEIL–SEN median-of-pairwise-slopes, not OLS, for the same
+    * breakdown reason: one tokenization artifact in the head (a stray
+    * markup token at rank 2) provably bends least squares and provably
+    * cannot move the pairwise median. Scale shape: one hash agg over
+    * the exploded corpus emits per-(lang, term) counts (|lang × vocab|
+    * rows, never the corpus), a window PARTITIONED BY lang over that
+    * AGGREGATED frame picks the top-[[ZipfTopK]] ranks (sweep-
+    * compliant: the window child is the Aggregate), and everything
+    * quadratic — the ≤ K·(K−1)/2 pairwise slopes — happens on an
+    * equi-keyed per-lang join of ≤ K rows per language. Determinism:
+    * rank ties inside equal tf break by term (row_number, total
+    * order); logs land on the 1e-6 grid BEFORE the slope divides them
+    * (ln on identical BIGINT-cast doubles, the q205 backoff-LM
+    * precedent), the slope is the exactly-rounded double division of
+    * the two grid integers, and the median ships DOUBLED
+    * (`zipf_slope2_6` = lower + upper median, an exact BIGINT) with
+    * (ri, rj) tie keys — q273's spelling, no float ever crossing the
+    * engine boundary. */
+  val ZipfTopK = 60
+
+  private def zipfTailSql: String = s"""
+    topk AS (
+      SELECT lang, term, tf,
+        row_number() OVER (PARTITION BY lang ORDER BY tf DESC, term) AS r
+      FROM tfreq),
+    pts AS (
+      SELECT lang, r,
+        CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lr6,
+        CAST(floor(ln(CAST(tf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lf6
+      FROM topk WHERE r <= $ZipfTopK),
+    pairs AS (
+      SELECT a.lang, a.r AS ri, b.r AS rj,
+        CAST(floor(CAST(b.lf6 - a.lf6 AS DOUBLE)
+          / CAST(b.lr6 - a.lr6 AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM pts a JOIN pts b ON a.lang = b.lang AND a.r < b.r),
+    ranked AS (
+      SELECT lang, s6,
+        row_number() OVER (PARTITION BY lang ORDER BY s6, ri, rj) AS rn,
+        count(1) OVER (PARTITION BY lang) AS np
+      FROM pairs),
+    med AS (
+      SELECT lang, CAST(max(np) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN 2 * rn = np OR 2 * rn = np + 1
+               THEN s6 ELSE 0 END)
+          + sum(CASE WHEN 2 * rn = np + 2 OR 2 * rn = np + 1
+               THEN s6 ELSE 0 END) AS BIGINT) AS zipf_slope2_6
+      FROM ranked GROUP BY lang),
+    nt AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_terms
+           FROM pts GROUP BY lang)
+    SELECT m.lang, nt.n_terms, m.n_pairs, m.zipf_slope2_6
+    FROM med m JOIN nt ON nt.lang = m.lang
+    ORDER BY m.lang"""
+
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(s"""
+    WITH tok AS (
+      SELECT lang, explode(${graft.functions.TextFunctions.wordsExpr("text")})
+        AS term FROM documents),
+    tfreq AS (
+      SELECT lang, term, CAST(count(1) AS BIGINT) AS tf
+      FROM tok GROUP BY lang, term),
+    $zipfTailSql""")
+  }
+
+  def zipfFitSql(table: String): String = s"""
+    WITH tok AS (
+      SELECT lang, unnest(${graft.functions.TextFunctions.wordsSql("text")})
+        AS term FROM $table),
+    tfreq AS (
+      SELECT lang, term, CAST(count(1) AS BIGINT) AS tf
+      FROM tok GROUP BY lang, term),
+    $zipfTailSql"""
+
   def encodingAdvisorSql(table: String): String = s"""
     WITH r AS (
       SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rk,

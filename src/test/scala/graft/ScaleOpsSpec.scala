@@ -1276,6 +1276,43 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("zipf fit: exact -1 slope on a planted power law, 0 on flat, OLS-bending head artifact held") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // lang "zz": term at rank k appears floor(1000/k) times (k=1..10) —
+    // a true power law; the 45 pairwise grid slopes median to EXACTLY
+    // -2000000 doubled (computed from the same floor/ln/grid arithmetic
+    // the query declares, so this is the frozen expected value, not a
+    // tolerance band). lang "ff": six terms, equal counts -> every
+    // pairwise slope is 0, the boilerplate signature.
+    val tfs = (1 to 10).map(k => 1000 / k)
+    val zz = tfs.zipWithIndex.map { case (tf, i) =>
+      (s"t${"%02d".format(i + 1)} " * tf).trim }.mkString(" ")
+    val ff = (1 to 6).map(k => (s"f$k " * 5).trim).mkString(" ")
+    Seq((1L, zz, "zz"), (2L, ff, "ff")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet("/tmp/graft_zipf_t/documents.parquet")
+    val got = S.zipfFit(spark, "/tmp/graft_zipf_t").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("zz") == ((10L, 45L, -2000000L)),
+      s"power-law slope drifted: ${got("zz")}")
+    assert(got("ff") == ((6L, 15L, 0L)),
+      s"flat corpus must read slope 0: ${got("ff")}")
+    // breakdown property (the reason this is Theil-Sen, not OLS): a
+    // single corrupted head rank — rank 2 inflated to near rank 1's
+    // count, the stray-markup-token artifact — moves the median barely,
+    // while the same corruption provably bends a least-squares fit
+    val zzBent = tfs.updated(1, 999).zipWithIndex.map { case (tf, i) =>
+      (s"t${"%02d".format(i + 1)} " * tf).trim }.mkString(" ")
+    Seq((1L, zzBent, "zz")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet("/tmp/graft_zipf_b/documents.parquet")
+    val bent = S.zipfFit(spark, "/tmp/graft_zipf_b").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap.apply("zz")
+    assert(math.abs(bent + 2000000L) < 200000L,
+      s"Theil-Sen must hold near -1 under one corrupted rank: $bent")
+  }
+
   test("encoding advisor: exact bit costs, run counts under the clustered order") {
     val sq = spark
     import sq.implicits._
