@@ -1544,6 +1544,170 @@ object StatsOps {
         "FROM hourly h JOIN med m ON h.event_type = m.event_type " +
         "GROUP BY h.event_type")}"""
 
+  // ---------------------------------------------------------------- q289
+  /** POISSON BOOTSTRAP confidence interval for the mean purchase value
+    * (Efron 1979 resampling; the Poisson(1)-weight form is the one
+    * that DISTRIBUTES: per-replica multinomial counts need the total n
+    * upfront and a shared RNG, while independent per-(row, replica)
+    * Poisson(1) weights need neither — each row computes its 64
+    * weights from its own key alone, so the whole resample is ONE
+    * corpus scan feeding 2·B conditional aggregates, no shuffle wider
+    * than the final 1-row agg, no data movement at any corpus size;
+    * the classic trade that made bootstrap viable on MapReduce-scale
+    * data). RNG-free and cross-engine: replica b's weight is the exact
+    * Poisson(1) inverse CDF evaluated at u = xhash('bs<b>:'||event_id)
+    * mod 1e6 — eight frozen integer thresholds (the 1e-6-gridded
+    * cumulative e⁻¹/k! table, capped at 8 where the residual mass is
+    * < 1e-5), so weights are BIGINTs decided by integer compares, the
+    * same seeded-hash-family trick the MinHash signatures use (B md5s
+    * per row — the priced precedent). Replica means divide exact
+    * BIGINT pairs onto the 1e-4 cents grid; the CI is the q46-bridged
+    * percentile/quantile_cont over the B=64 gridded means (a window
+    * over an aggregate-bounded 64-row frame), gridded again before
+    * shipping. Replicas with zero total weight (P ≈ e⁻ⁿ, extinct for
+    * any real n) are excluded LOUDLY: b_replicas counts survivors and
+    * the spec pins it at 64. OVERFLOW BOUND (q274's honesty note):
+    * Σ w·cents ≤ 8·n·max_cents wraps int64 past ~10¹² purchase rows at
+    * 10⁵ max cents; DECIMAL(38,0) is the escape. */
+  val BootReplicas = 64
+  private val PoissonCum6 = // floor(1e6 · Σ_{i≤k} e⁻¹/i! + 0.5), k = 0..7
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L,
+      999990L)
+
+  private def poissonW(u: String): String =
+    PoissonCum6.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCum6.size} END")
+
+  /** Shared SQL body; `seeded(b)` is the engine's BIGINT hash of
+    * 'bs<b>:' ++ event_id, `quant(x, tau)` its interpolated quantile. */
+  private def bootstrapCiBody(seeded: Int => String,
+      quant: (String, String) => String): String = {
+    // weights materialize in their own projection so each md5 + CASE
+    // runs ONCE per (row, replica); referencing the CASE inside both
+    // sum(w·cents) and sum(w) would double the per-row hash work
+    val wcols = (0 until BootReplicas).map { b =>
+      s"(${poissonW(s"((${seeded(b)}) % 1000000)")}) AS w$b"
+    }.mkString(",\n        ")
+    val ws = (0 until BootReplicas).map { b =>
+      s"""CAST(sum(w$b * cents) AS BIGINT) AS swx$b,
+        CAST(sum(w$b) AS BIGINT) AS sw$b"""
+    }.mkString(",\n        ")
+    val reps = (0 until BootReplicas).map(b =>
+      s"SELECT swx$b AS swx, sw$b AS sw FROM agg").mkString(" UNION ALL ")
+    s"""
+    p AS (
+      SELECT event_id,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    pw AS (
+      SELECT cents,
+        $wcols
+      FROM p),
+    agg AS (
+      SELECT CAST(count(1) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        $ws
+      FROM pw),
+    reps AS ($reps),
+    means AS (
+      SELECT CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 1e4
+        + 0.5) AS BIGINT) AS m4
+      FROM reps WHERE sw > 0),
+    ci AS (
+      SELECT CAST(count(1) AS BIGINT) AS b_replicas,
+        CAST(floor(${quant("m4", "0.025")} + 0.5) AS BIGINT) AS boot_lo4,
+        CAST(floor(${quant("m4", "0.5")} + 0.5) AS BIGINT) AS boot_med4,
+        CAST(floor(${quant("m4", "0.975")} + 0.5) AS BIGINT) AS boot_hi4
+      FROM means)
+    SELECT a.n AS n_purchases, c.b_replicas,
+      CAST(floor(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) * 1e4 + 0.5)
+        AS BIGINT) AS point_mean4,
+      c.boot_lo4, c.boot_med4, c.boot_hi4
+    FROM agg a CROSS JOIN ci c"""
+  }
+
+  def bootstrapCiSparkSql: String = "WITH" + bootstrapCiBody(
+    b => xhashExpr(s"concat('bs$b:', CAST(event_id AS STRING))"),
+    (x, t) => s"percentile($x, $t)")
+
+  def bootstrapCiOracleSql: String = "WITH" + bootstrapCiBody(
+    b => xhashSql(s"'bs$b:' || event_id::VARCHAR"),
+    (x, t) => s"quantile_cont($x, $t)")
+
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(bootstrapCiSparkSql)
+  }
+
+  // ---------------------------------------------------------------- q290
+  /** SPLIT-CONFORMAL prediction interval (Papadopoulos 2002; Vovk's
+    * inductive conformal form) — the distribution-free guarantee the
+    * q174/q271 calibration family cannot give: those ask whether
+    * predicted PROBABILITIES are honest; this wraps ANY point
+    * predictor in an interval with finite-sample marginal coverage
+    * ≥ 1 − α under exchangeability alone, no model or distribution
+    * assumption. Setup on orders: the predictor is the per-priority
+    * calibration-half mean (any model works; the guarantee never
+    * looks inside it), the split is the deterministic xhash gate
+    * (q49's coin), and q̂ is the k = ⌈(n_cal + 1)(1 − α)⌉-th smallest
+    * absolute calibration residual — the EXACT order statistic, NOT an
+    * interpolated quantile: interpolation breaks the finite-sample
+    * proof, so k comes from integer arithmetic and q̂ from the residual
+    * HISTOGRAM (one hash agg to |distinct residuals| rows, a running
+    * sum over that aggregated frame, smallest value whose cumulative
+    * count reaches k — q274's corpus-safe ECDF shape, never a corpus
+    * sort). The readout ships exact integers only: (n_cal, n_test,
+    * k_rank, q_hat2 in centi-cents, cover_num) — the reader divides
+    * cover_num/n_test and checks it against 1 − α; the spec replays
+    * the whole construction independently on the JVM's md5 and pins
+    * coverage on a planted exchangeable fixture. Alpha is spelled once
+    * as [[ConformalKeep10]]/10. Residuals are |100·cents − ŷ2| with ŷ2
+    * the 1e-2-gridded calib mean — integers end to end, so the two
+    * engines cannot drift. */
+  val ConformalKeep10 = 9 // keep 9/10 -> alpha = 0.1
+
+  def conformalSql(hashKey: String): String = s"""
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        CASE WHEN ($hashKey) % 2 = 0 THEN 'cal' ELSE 'tst' END AS half
+      FROM orders),
+    mdl AS (
+      SELECT prio, CAST(floor(CAST(sum(cents) AS DOUBLE)
+        / CAST(count(1) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS yhat2
+      FROM b WHERE half = 'cal' GROUP BY prio),
+    res AS (
+      SELECT b.half, abs(100 * b.cents - m.yhat2) AS r
+      FROM b JOIN mdl m ON b.prio = m.prio),
+    hist AS (
+      SELECT r, CAST(count(1) AS BIGINT) AS c
+      FROM res WHERE half = 'cal' GROUP BY r),
+    ncal AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM hist),
+    k AS (
+      SELECT n_cal, CAST(floor(($ConformalKeep10 * (n_cal + 1) + 9)
+        / 10.0) AS BIGINT) AS k_rank
+      FROM ncal),
+    cum AS (
+      SELECT r, CAST(sum(c) OVER (ORDER BY r) AS BIGINT) AS cc
+      FROM hist),
+    qhat AS (
+      SELECT k.n_cal, k.k_rank, CAST(min(cum.r) AS BIGINT) AS q_hat2
+      FROM cum CROSS JOIN k WHERE cum.cc >= k.k_rank
+      GROUP BY k.n_cal, k.k_rank),
+    tst AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN res.r <= q.q_hat2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS cover_num
+      FROM res CROSS JOIN qhat q WHERE res.half = 'tst')
+    SELECT q.n_cal, t.n_test, q.k_rank, q.q_hat2, t.cover_num
+    FROM qhat q CROSS JOIN tst t"""
+
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(conformalSql(
+      xhashExpr("concat('cf:', CAST(o_orderkey AS STRING))")))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1568,7 +1732,9 @@ object StatsOps {
     "q175_classifier_auc" -> classifierAuc _,
     "q201_join_size_est"  -> joinSizeEst _,
     "q211_cusum"          -> cusum _,
-    "q228_hourly_anomaly" -> hourlyAnomaly _
+    "q228_hourly_anomaly" -> hourlyAnomaly _,
+    "q289_bootstrap_ci"   -> bootstrapCi _,
+    "q290_conformal"      -> conformal _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1602,6 +1768,13 @@ object StatsOps {
     "q175_classifier_auc" -> classifierAucOracleSql,
     "q201_join_size_est"  -> joinSizeEstSql,
     "q211_cusum"          -> cusumOracleSql,
-    "q228_hourly_anomaly" -> hourlyAnomalyOracleSql
+    "q228_hourly_anomaly" -> hourlyAnomalyOracleSql,
+    // frozen Poisson(1) inverse-CDF thresholds on the shared hash;
+    // quantile interpolation equality is q46's percentile bridge
+    "q289_bootstrap_ci"   -> bootstrapCiOracleSql,
+    // exact order statistic (never interpolated -- the finite-sample
+    // guarantee's requirement); integers end to end
+    "q290_conformal"      -> conformalSql(
+      xhashSql("'cf:' || o_orderkey::VARCHAR"))
   )
 }

@@ -377,6 +377,43 @@ class StatsOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("poisson bootstrap: degenerate CI on a constant, shrinks with n, excludes non-purchases") {
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z"))
+    def plant(dir: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.map { case (id, et, v) => (id, t0, id, et, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def ci(dir: String) = {
+      val r = StatsOps.bootstrapCi(spark, dir).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // constant 10.00: EVERY replica mean is exactly 1000 cents whatever
+    // the weights, so all three quantiles collapse onto the point —
+    // the hand-exact degenerate case (and the rogue 'click' row with a
+    // 1e6 value proves the purchase filter: any leak moves point_mean4)
+    plant("/tmp/graft_boot_c", (1L to 200L).map(i =>
+      (i, "purchase", 10.0)) :+ ((999L, "click", 1e6)))
+    assert(ci("/tmp/graft_boot_c") ==
+      ((200L, 64L, 10000000L, 10000000L, 10000000L, 10000000L)),
+      "constant corpus must collapse the CI onto the exact point mean")
+    // two-point distribution, n=400 vs n=4000: both CIs must bracket
+    // their point mean with positive width, and 10x the data must
+    // shrink the width (the 1/sqrt(n) contract a resample must honor)
+    def twoPoint(n: Long) = (1L to n).map(i =>
+      (i, "purchase", if (i % 2 == 0) 5.0 else 15.0))
+    plant("/tmp/graft_boot_s", twoPoint(400))
+    plant("/tmp/graft_boot_l", twoPoint(4000))
+    val (ns, bs, ps, los, _, his) = ci("/tmp/graft_boot_s")
+    val (nl, bl, pl, lol, _, hil) = ci("/tmp/graft_boot_l")
+    assert((ns, nl, bs, bl) == ((400L, 4000L, 64L, 64L)))
+    assert(ps == 10000000L && pl == 10000000L, s"exact point drifted: $ps $pl")
+    assert(los < ps && ps < his && los > 0, s"CI must bracket the point: $los $his")
+    assert(lol < pl && pl < hil, s"CI must bracket the point: $lol $hil")
+    assert(hil - lol < his - los,
+      s"10x data must shrink the bootstrap CI: [$los,$his] vs [$lol,$hil]")
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
