@@ -414,6 +414,54 @@ class StatsOpsSpec extends SparkSpec {
       s"10x data must shrink the bootstrap CI: [$los,$his] vs [$lol,$hil]")
   }
 
+  test("split conformal: exact order statistic and coverage, replayed independently on JVM md5") {
+    // independent replay: same construction, DIFFERENT code path (JVM
+    // MessageDigest vs Spark's md5 expression) — pins the xhash bridge
+    // AND the exact-order-statistic semantics with zero tolerance
+    def jhash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val prios = Seq("HI", "LO")
+    val rows = (1L to 400L).map { i =>
+      val prio = prios((i % 2).toInt)
+      // exchangeable, spread values; priority shifts the level so the
+      // per-prio model actually matters (a global-mean bug changes q̂)
+      val price = (if (prio == "HI") 500.0 else 100.0) + (i % 97).toDouble
+      (i, i, "O", price,
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+        prio)
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet("/tmp/graft_conf_t/orders.parquet")
+    // ---- JVM-side replay
+    val planted = rows.map { case (k, _, _, price, _, prio) =>
+      (k, prio, math.floor(price * 100.0 + 0.5).toLong,
+        jhash(s"cf:$k") % 2 == 0)
+    }
+    val yhat2 = planted.filter(_._4).groupBy(_._2).map { case (p, rs) =>
+      p -> math.floor(
+        rs.map(_._3).sum.toDouble / rs.size * 100 + 0.5).toLong
+    }
+    val calR = planted.filter(_._4)
+      .map(r => math.abs(100 * r._3 - yhat2(r._2))).sorted
+    val tstR = planted.filterNot(_._4)
+      .map(r => math.abs(100 * r._3 - yhat2(r._2)))
+    val k = math.floor((9 * (calR.size + 1) + 9) / 10.0).toLong
+    val qhat = calR((k - 1).toInt)
+    val want = (calR.size.toLong, tstR.size.toLong, k, qhat,
+      tstR.count(_ <= qhat).toLong)
+    val got = StatsOps.conformal(spark, "/tmp/graft_conf_t").collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == want, s"conformal replay drifted: $got vs $want")
+    // the guarantee itself on this exchangeable fixture: ~90% coverage
+    val cov = want._5.toDouble / want._2
+    assert(cov >= 0.85 && cov <= 0.97, s"coverage off the 1-alpha contract: $cov")
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
