@@ -304,6 +304,90 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     FROM hashed ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q288
+  /** Leakage-safe K-FOLD cross-validation assignment with a
+    * stratification-cost audit — the CV companion to q142's 3-way
+    * split: fold = xhash(near-dup COMPONENT) mod [[KFolds]], so a
+    * cluster of near-duplicates can never straddle a train/heldout
+    * boundary in ANY rotation (doc-level folding leaks in K-1 of K
+    * rotations — worse than a single split, because every doc is
+    * heldout once). Component folding buys that guarantee at a price:
+    * folds can no longer be exactly stratified (a whole cluster lands
+    * together), and this query MEASURES the price instead of hiding
+    * it — per (lang, fold): doc count, token mass, and dev6 =
+    * |K·n_docs − lang_total| / lang_total on the 1e-6 grid, the
+    * relative deviation from perfect balance a stratified sampler
+    * would have achieved. Scale shape: the LSH pair table and
+    * component join are q35/q51's bounded machinery; the readout is
+    * one hash agg to O(langs × K) rows, the balance window runs over
+    * that aggregated frame, and the deviation is exact integer
+    * arithmetic until the final gridded divide. */
+  val KFolds = 5
+
+  /** Per-doc fold assignment (doc_id, lang, toks, component, fold) —
+    * the frame q288 aggregates; exposed so the spec can assert the
+    * cluster-co-location guarantee doc by doc. */
+  private[graft] def kfoldAssign(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.connectedComponents(lshPairsAtRest(spark, dir))
+      .withColumnRenamed("doc_id", "cid")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount("text").as("toks"))
+      .join(comps, col("doc_id") === col("cid"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("fold",
+        xhash(concat(lit("kf:"), col("component").cast("string"))) % KFolds)
+  }
+
+  def kfoldCv(spark: SparkSession, dir: String): DataFrame = {
+    kfoldAssign(spark, dir)
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("tot", sum(col("n_docs"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("lang"), col("fold").cast("long").as("fold"),
+        col("n_docs").cast("long").as("n_docs"), col("n_tokens"),
+        expr(s"CAST(floor(abs(CAST($KFolds * n_docs - tot AS DOUBLE))" +
+          " / CAST(tot AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").as("dev6"))
+      .orderBy("lang", "fold")
+  }
+
+  def kfoldCvSql: String = {
+    val pairs = Dedup.minhashLshPairsSql("documents", "doc_id", "text",
+      WordShingleN, MinhashK, MinhashBands, MinhashTau, "id_a, id_b")
+    s"""
+    WITH RECURSIVE pairs AS ($pairs),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+    comp AS (
+      SELECT id AS doc_id, min(label) AS component
+      FROM reach GROUP BY id),
+    all_docs AS (
+      SELECT d.doc_id, d.lang, ${tokenCountSql("d.text")} AS toks,
+        coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    folded AS (
+      SELECT lang,
+        ${xhashSql("'kf:' || component::VARCHAR")} % $KFolds AS fold,
+        CAST(count(1) AS BIGINT) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM all_docs GROUP BY 1, 2),
+    bal AS (
+      SELECT lang, fold, n_docs, n_tokens,
+        sum(n_docs) OVER (PARTITION BY lang) AS tot
+      FROM folded)
+    SELECT lang, CAST(fold AS BIGINT) AS fold, n_docs, n_tokens,
+      CAST(floor(abs(CAST($KFolds * n_docs - tot AS DOUBLE))
+        / CAST(tot AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dev6
+    FROM bal ORDER BY lang, fold"""
+  }
+
   // ---------------------------------------------------------------- q143
   /** Cross-source contamination matrix — which sources copy from which:
     * LSH near-dup pairs (q35's machinery) mapped to their sources and
@@ -752,6 +836,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q141_bloom_persist"  -> bloomPersist _,
     "q239_cbloom_delete"  -> cbloomDelete _,
     "q142_leakage_split"  -> leakageSplit _,
+    "q288_kfold_cv"       -> kfoldCv _,
     "q143_source_contam"  -> sourceContamination _,
     "q144_lsh_pair_table" -> lshPairTable _,
     "q233_pair_delete"    -> lshPairDelete _,
@@ -868,6 +953,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     // is gated by the structural no-false-negative invariant
     "q239_cbloom_delete" -> cbloomDeleteSql,
     "q142_leakage_split" -> leakageSplitSql,
+    // folds hash the near-dup component (recursive-CTE ground truth);
+    // the balance window runs over the O(langs x K) aggregated frame
+    "q288_kfold_cv" -> kfoldCvSql,
     "q143_source_contam" -> sourceContaminationSql,
     // q144 persists exactly the q35 pair set; the oracle replays the
     // full signature pipeline, proving the at-rest bytes lost nothing

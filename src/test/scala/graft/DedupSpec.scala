@@ -345,6 +345,43 @@ class DedupSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("k-fold CV keeps near-dup clusters in one fold, partitions exactly, audits balance") {
+    val L = graft.operators.LlmQueries
+    val assign = L.kfoldAssign(spark, sfDir)
+      .select(col("doc_id"), col("component"), col("fold"))
+      .transform(graft.core.EngineCache.persisted)
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    // exactly one fold per doc, folds in [0, K)
+    assert(assign.count() === d.count(), "every doc gets exactly one fold")
+    assert(assign.filter(col("fold") < 0 || col("fold") >= L.KFolds)
+      .count() === 0)
+    // the leakage guarantee, per near-dup pair: both sides share a fold
+    // in EVERY rotation (stronger than q142's single boundary)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      L.WordShingleN, L.MinhashK, L.MinhashBands, L.MinhashTau)
+      .select(col("id_a"), col("id_b"))
+    val straddling = pairs
+      .join(assign.select(col("doc_id").as("id_a"), col("fold").as("fa")), "id_a")
+      .join(assign.select(col("doc_id").as("id_b"), col("fold").as("fb")), "id_b")
+      .filter(col("fa") =!= col("fb"))
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    assert(straddling.count() === 0,
+      "no near-dup pair may straddle a fold boundary")
+    // the aggregated readout must reconcile with the assignment frame
+    val cv = L.kfoldCv(spark, sfDir).collect()
+    assert(cv.map(_.getLong(2)).sum === d.count(), "n_docs must telescope")
+    // dev6 recomputes from the emitted counts alone (audit is honest)
+    val byLang = cv.groupBy(_.getString(0))
+    cv.foreach { r =>
+      val tot = byLang(r.getString(0)).map(_.getLong(2)).sum
+      val want = math.floor(
+        math.abs((L.KFolds * r.getLong(2) - tot).toDouble) / tot * 1e6 + 0.5)
+        .toLong
+      assert(r.getLong(4) === want, s"dev6 drifted for $r")
+    }
+    graft.core.EngineCache.releaseAll()
+  }
+
   /** Encode a solid-color or two-band test image with the JDK itself. */
   private def testImage(w: Int, h: Int, fmt: String,
                         rgbOf: (Int, Int) => Int): Array[Byte] = {
