@@ -674,6 +674,72 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
       .orderBy(col("tf").desc, col("term"))
       .limit(TermTopK)
 
+  // ---------------------------------------------------------------- q291
+  /** Exact n-gram heavy hitters via a SPACE-SAVING candidate pass +
+    * one recount — the enumeration member of the sketch family: q137's
+    * CMS answers point queries about KNOWN keys; this ENUMERATES every
+    * bigram with global frequency > n/[[HhCap]], exactly, while
+    * shuffling O(partitions × [[HhCap]]) candidate rows instead of the
+    * bigram vocabulary (which for n-grams grows toward the corpus
+    * itself — the regime where q67's plain top-k groupBy pays a
+    * vocabulary-sized shuffle and this does not). Pass 1 streams each
+    * partition through a [[graft.functions.SpaceSaving]] summary with
+    * exactly HhCap counters (Metwally 2005): any item with f_p >
+    * n_p/HhCap survives its partition, and an item with global
+    * f > n/HhCap must clear that bar in ≥ 1 partition — so the
+    * candidate UNION is a deterministic superset of the true hitters.
+    * Pass 2 recounts ONLY the candidates (broadcast semi-join) and
+    * keeps tf · HhCap > n — making the output exact and
+    * PARTITION-INVARIANT even though the intermediate summary is
+    * order-sensitive (spec drives adversarial repartitionings at the
+    * planted boundary). The total-token count comes from one agg over
+    * per-doc word counts — no third pass over exploded bigrams. The
+    * oracle is the direct HAVING-threshold SQL: hash equality proves
+    * the bounded-memory pass lost nothing. */
+  val HhCap = 600
+
+  private def bigramsExpr(w: String): String =
+    s"CASE WHEN size($w) >= 2 THEN transform(sequence(1, size($w) - 1), " +
+      s"i -> concat(element_at($w, i), ' ', element_at($w, i + 1))) " +
+      s"ELSE array_repeat('', 0) END"
+
+  def ngramHitters(spark: SparkSession, dir: String): DataFrame =
+    ngramHittersOf(spark, docs(spark, dir))
+
+  /** Core of q291 over any (text) frame — split out so the spec can
+    * drive adversarial repartitionings of a planted corpus. */
+  private[graft] def ngramHittersOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tok = d.select(expr(wordsExpr("text")).as("w"))
+      .select(explode(expr(bigramsExpr("w"))).as("bg"))
+    val cands = tok.as[String].mapPartitions { it =>
+      val ss = new graft.functions.SpaceSaving(HhCap)
+      it.foreach(ss.add)
+      ss.candidates
+    }.toDF("bg").distinct()
+    val nDf = d.select(expr(s"size(${wordsExpr("text")})").as("s"))
+      .agg(sum(expr("greatest(s - 1, 0)")).cast("long").as("n"))
+    tok.join(broadcast(cands), "bg")
+      .groupBy("bg").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(nDf))
+      .filter(col("tf") * HhCap > col("n"))
+      .select(col("bg"), col("tf").cast("long").as("tf"))
+      .orderBy(col("tf").desc, col("bg"))
+  }
+
+  def ngramHittersSql: String = s"""
+    WITH w AS (SELECT ${wordsSql("text")} AS a FROM documents),
+    tok AS (
+      SELECT unnest(CASE WHEN len(a) >= 2
+        THEN list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])
+        ELSE [] END) AS bg
+      FROM w),
+    nt AS (SELECT CAST(sum(greatest(len(a) - 1, 0)) AS BIGINT) AS n FROM w)
+    SELECT bg, CAST(count(1) AS BIGINT) AS tf
+    FROM tok CROSS JOIN nt
+    GROUP BY bg, nt.n HAVING count(1) * $HhCap > nt.n
+    ORDER BY tf DESC, bg"""
+
   /** Sliding-window document chunking: split each document's token stream
     * into `ChunkTokens`-token chunks advancing by `ChunkStride` (so
     * consecutive chunks overlap by ChunkTokens − ChunkStride tokens) — the
@@ -837,6 +903,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q239_cbloom_delete"  -> cbloomDelete _,
     "q142_leakage_split"  -> leakageSplit _,
     "q288_kfold_cv"       -> kfoldCv _,
+    "q291_ngram_hitters"  -> ngramHitters _,
     "q143_source_contam"  -> sourceContamination _,
     "q144_lsh_pair_table" -> lshPairTable _,
     "q233_pair_delete"    -> lshPairDelete _,
@@ -956,6 +1023,9 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     // folds hash the near-dup component (recursive-CTE ground truth);
     // the balance window runs over the O(langs x K) aggregated frame
     "q288_kfold_cv" -> kfoldCvSql,
+    // the oracle is the direct HAVING threshold: hash equality proves
+    // the space-saving candidate pass enumerated every true hitter
+    "q291_ngram_hitters" -> ngramHittersSql,
     "q143_source_contam" -> sourceContaminationSql,
     // q144 persists exactly the q35 pair set; the oracle replays the
     // full signature pipeline, proving the at-rest bytes lost nothing

@@ -382,6 +382,43 @@ class DedupSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("ngram hitters: exact at the strict boundary, partition-invariant, superset pass verified") {
+    val L = graft.operators.LlmQueries
+    // n = 1200 bigram occurrences -> threshold tf * 600 > 1200, i.e.
+    // tf >= 3. Planted: 'hot hot' appears 10x (hitter), 'warm warm' 3x
+    // (hitter, just above), 'edge edge' exactly 2x = n/600 (EXCLUDED:
+    // strict >), and 1185 distinct cold bigrams filling the mass.
+    // Build per-bigram docs ("x x" repeated k times gives k 'x x'
+    // bigrams plus k-1 joiners... avoid joiners: one doc per
+    // occurrence, 2 words each -> exactly one bigram per doc).
+    val docs =
+      (1 to 10).map(i => s"hot hot") ++
+      (1 to 3).map(i => s"warm warm") ++
+      (1 to 2).map(i => s"edge edge") ++
+      (1 to 1185).map(i => s"c$i d$i")
+    val sq = spark
+    import sq.implicits._
+    val base = docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      L.ngramHittersOf(spark, df).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Seq(("hot hot", 10L), ("warm warm", 3L))
+    // adversarial partitionings: single partition, prime fan-out with
+    // the hot items scattered, and sorted so every 'hot hot' lands in
+    // ONE partition (the order-sensitivity the recount must erase)
+    assert(run(base.repartition(1)) == want, "1 partition")
+    assert(run(base.repartition(7)) == want, "7 partitions")
+    assert(run(base.orderBy("text")) == want, "sorted input")
+    // the summary itself honors the space-saving guarantee on a
+    // stream where the hitter arrives LAST, after the counters fill
+    val ss = new graft.functions.SpaceSaving(10)
+    (1 to 50).foreach(i => ss.add(s"junk$i"))
+    (1 to 6).foreach(_ => ss.add("late")) // f_p = 6 > n_p/10 = 5.6
+    assert(ss.candidates.contains("late"),
+      "an item above n_p/capacity must survive its partition")
+  }
+
   /** Encode a solid-color or two-band test image with the JDK itself. */
   private def testImage(w: Int, h: Int, fmt: String,
                         rgbOf: (Int, Int) => Int): Array[Byte] = {
