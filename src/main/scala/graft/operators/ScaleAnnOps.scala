@@ -3271,6 +3271,95 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       graft.llm.Similarity.cosineSql("p.qv", "r.recon"),
       graft.llm.Similarity.cosineSql("p.qv", "v.embedding"))
 
+  // ---------------------------------------------------------------- q292
+  /** Rank-quality metrics for the SQ8 asymmetric tier — MRR and
+    * nDCG@[[Sq8K]] against the exact full-precision ranking: recall
+    * (q284) counts WHICH true neighbors a tier returns; these score
+    * WHERE it puts them, which is what a retrieval consumer actually
+    * experiences (a tier that returns all ten true neighbors
+    * reversed has recall 1.0 and visibly degraded nDCG; a tier that
+    * buries the true nearest neighbor at rank 8 has MRR 0.125
+    * whatever its recall). Gains are graded by the TRUE rank
+    * (11 − rt for the exact top-10, 0 outside), discounts are the
+    * standard 1/log₂(rank+1) (Järvelin & Kekäläinen 2002), and the
+    * whole computation stays order-independent cross-engine: each
+    * DCG term lands on the 1e-9 grid BEFORE summing (integer-valued
+    * doubles < 2⁵³, so the sum is exact in any order), the ideal DCG
+    * is the SAME gridded sum over the true ranking itself (both
+    * engines' log₂ on identical small integers — never a Scala-side
+    * constant that could drift from the engines' libm), and nDCG
+    * ships as the exactly-rounded 1e-6 ratio of the two BIGINTs.
+    * MRR's ingredient is per-probe: nn_rank = the served position of
+    * the TRUE nearest neighbor (0 = missed), rr6 = the gridded
+    * reciprocal. Costs exactly q284's two broadcast-probe scans; the
+    * metric stage runs on the O(probes × k) joined frame. */
+  private def rankMetricsSkeleton(tf: String, lmax: String,
+                                  cosRecon: String, cosFull: String): String = {
+    val D = "CAST(%s AS DOUBLE)"
+    s"""
+    WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+    m AS (
+      SELECT vec_id, embedding,
+        $lmax($tf(embedding, x -> abs(${D.format("x")}))) AS maxabs
+      FROM v0),
+    v AS (SELECT vec_id, embedding, maxabs / ${D.format("127")} AS scale
+          FROM m WHERE maxabs > ${D.format("0")}),
+    r AS (
+      SELECT vec_id,
+        $tf(embedding, x -> floor(${D.format("x")} / scale + 0.5) * scale)
+          AS recon
+      FROM v),
+    p AS (SELECT vec_id AS query_id, embedding AS qv FROM v
+          WHERE $Sq8ProbeWhere),
+    qs AS (
+      SELECT query_id, cand_id, rq FROM (
+        SELECT p.query_id, r.vec_id AS cand_id,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY $cosRecon DESC, r.vec_id) AS INT) AS rq
+        FROM p JOIN r ON p.query_id <> r.vec_id) z WHERE rq <= $Sq8K),
+    ts AS (
+      SELECT query_id, cand_id, rt FROM (
+        SELECT p.query_id, v.vec_id AS cand_id,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY $cosFull DESC, v.vec_id) AS INT) AS rt
+        FROM p JOIN v ON p.query_id <> v.vec_id) z WHERE rt <= $Sq8K),
+    j AS (
+      SELECT q.query_id, q.rq, t.rt
+      FROM qs q LEFT JOIN ts t
+        ON t.query_id = q.query_id AND t.cand_id = q.cand_id),
+    dcg AS (
+      SELECT query_id,
+        CAST(sum(CASE WHEN rt IS NOT NULL
+          THEN floor(($Sq8K + 1 - rt) / log2(rq + 1) * 1e9 + 0.5)
+          ELSE 0 END) AS BIGINT) AS dcg9,
+        CAST(max(CASE WHEN rt = 1 THEN rq ELSE 0 END) AS BIGINT) AS nn_rank
+      FROM j GROUP BY query_id),
+    idcg AS (
+      SELECT query_id,
+        CAST(sum(floor(($Sq8K + 1 - rt) / log2(rt + 1) * 1e9 + 0.5))
+          AS BIGINT) AS idcg9
+      FROM ts GROUP BY query_id)
+    SELECT d.query_id, d.nn_rank,
+      CASE WHEN d.nn_rank = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(floor(1e6 / d.nn_rank + 0.5) AS BIGINT) END AS rr6,
+      CAST(floor(CAST(d.dcg9 AS DOUBLE) / CAST(i.idcg9 AS DOUBLE) * 1e6
+        + 0.5) AS BIGINT) AS ndcg6
+    FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+    ORDER BY d.query_id"""
+  }
+
+  def rankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql(rankMetricsSkeleton("transform", "array_max",
+      graft.llm.Similarity.cosineExprComposable("p.qv", "r.recon"),
+      graft.llm.Similarity.cosineExprComposable("p.qv", "v.embedding")))
+  }
+
+  def rankMetricsOracleSql: String =
+    rankMetricsSkeleton("list_transform", "list_max",
+      graft.llm.Similarity.cosineSql("p.qv", "r.recon"),
+      graft.llm.Similarity.cosineSql("p.qv", "v.embedding"))
+
   // ---------------------------------------------------------------- q285
   /** IVF + SQ8 composed serving recall — the SCALE PATH the q284
     * scaladoc points at, measured instead of promised: candidates

@@ -116,6 +116,7 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     "q283_sq8_audit"     -> sq8Audit _,
     "q284_sq8_recall"    -> sq8Recall _,
     "q285_ivf_sq8"       -> ivfSq8Recall _,
+    "q292_rank_metrics"  -> rankMetrics _,
     "q250_markov_attribution" -> markovAttribution _,
     "q251_shapley_attribution" -> shapleyAttribution _,
     "q236_ann_update"    -> ivfPqUpdate _
@@ -267,6 +268,9 @@ object ScaleOps extends ScaleGraphOps with ScaleAnnOps
     // the composed tier: coarse cell shortlist + int8 scan, priced
     // against the GLOBAL exact top-k so both losses show at once
     "q285_ivf_sq8" -> ivfSq8RecallOracleSql,
+    // DCG terms gridded to 1e-9 BEFORE summing (exact in any order);
+    // ideal DCG is the same gridded sum over the true ranking itself
+    "q292_rank_metrics" -> rankMetricsOracleSql,
     // both engines iterate bit-identical 1e-12-grid integers: the
     // oracle unrolls the same integer value iteration as chained CTEs
     "q250_markov_attribution" -> markovAttributionSql,

@@ -1208,6 +1208,73 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("rank metrics: MRR and nDCG match a driver-side replay, perfect tier scores exactly 1e6") {
+    val sq = spark
+    import sq.implicits._
+    val S = graft.operators.ScaleOps
+    // crafted corpus: every vector shares a dominant first component
+    // (8.0), so cosines crowd near 1 and the TRUE ranking is decided
+    // by the small residuals — which the int8 grid (step 8/127 ≈
+    // 0.063, larger than the ±0.05 residuals) deliberately butchers.
+    // The quantized tier therefore REORDERS, and the metrics have
+    // something real to measure. The reference replays MRR +
+    // gridded-DCG nDCG from first principles (JVM doubles, same IEEE
+    // log2/floor the engines run).
+    val vecs: Seq[(Long, Array[Float])] = (0 until 16).map { i =>
+      i.toLong -> Array.tabulate(64) { j =>
+        if (j == 0) 8f
+        else (((i * 31 + j * 17 + 7) % 255) - 127) / 2540f
+      }
+    }
+    val dir = "/tmp/graft_rankm_t"
+    vecs.map { case (id, a) => (id, a.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def gcos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k) }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val full = vecs.map { case (id, a) => id -> a.map(_.toDouble) }.toMap
+    val recon = full.map { case (id, a) =>
+      val s = a.map(math.abs).max / 127.0
+      id -> a.map(x => math.floor(x / s + 0.5) * s)
+    }
+    def ranking(q: Long, corpus: Map[Long, Array[Double]]): Seq[Long] =
+      corpus.keys.filter(_ != q).toSeq
+        .sortBy(c => (-gcos(full(q), corpus(c)), c)).take(S.Sq8K)
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val want = (0L until 8L).map { q =>
+      val served = ranking(q, recon)
+      val truth = ranking(q, full)
+      val trueRank = truth.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+      val nn = served.indexOf(truth.head) + 1 // 0 if absent
+      val rr6 = if (nn == 0) 0L else math.floor(1e6 / nn + 0.5).toLong
+      val dcg9 = served.zipWithIndex.map { case (c, i) =>
+        trueRank.get(c).fold(0L)(rt =>
+          math.floor((S.Sq8K + 1 - rt) / log2(i + 2.0) * 1e9 + 0.5).toLong)
+      }.sum
+      val idcg9 = truth.zipWithIndex.map { case (_, i) =>
+        math.floor((S.Sq8K - i) / log2(i + 2.0) * 1e9 + 0.5).toLong
+      }.sum
+      q -> ((nn.toLong, rr6,
+        math.floor(dcg9.toDouble / idcg9 * 1e6 + 0.5).toLong))
+    }.toMap
+    val got = S.rankMetrics(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, s"rank-metric replay drifted: $got vs $want")
+    // a tier that changes NOTHING (true == served) must read exactly
+    // nn_rank 1 / rr6 1e6 / ndcg6 1e6 — proven on the fixture probes
+    // whose quantized ranking happens to match the exact one, and the
+    // planted corpus must contain at least one probe where the int8
+    // grid DID reorder something (else the metric legs are untested)
+    assert(want.values.exists(_._3 < 1000000L),
+      "planted corpus must exercise a non-perfect ranking")
+    assert(want.values.forall(v => v._3 > 0L && v._3 <= 1000000L))
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("ivf+sq8: engine recall matches a driver-side reference over the engine's own cells") {
     val S = graft.operators.ScaleOps
     val Q = graft.operators.LlmQueries
