@@ -939,6 +939,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q186_skipgram_negs"  -> skipgramNegatives _,
     "q188_script_profile" -> scriptProfile _,
     "q196_pps_sample"     -> ppsSample _,
+    "q293_es_sample"      -> esSample _,
     "q244_cluster_sample" -> clusterBalancedSample _,
     "q253_semdedup"       -> semDedup _,
     "q197_taint_ppr"      -> taintPpr _,
@@ -1134,6 +1135,10 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     "q186_skipgram_negs" -> skipgramNegativesSql,
     "q188_script_profile" -> scriptProfileSql,
     "q196_pps_sample" -> ppsSampleSql,
+    // ES keys gridded to one BIGINT both engines order identically;
+    // the oracle's row_number spelling proves the bounded-aggregator
+    // rewrite, never the plan
+    "q293_es_sample" -> esSampleSql,
     // clustering AND draw replayed: the gate covers the composition
     "q244_cluster_sample" -> clusterBalancedSampleSql,
     // clustering, τ-graph, AND closure replayed: the hash covers the

@@ -1151,6 +1151,73 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     FROM v GROUP BY media_id ORDER BY media_id"""
   }
 
+  // ---------------------------------------------------------------- q293
+  /** Weighted sampling WITHOUT replacement, exact-K per language
+    * (Efraimidis & Spirakis 2006) — the PPS-WOR member completing the
+    * sampler family: q49 draws Bernoulli (no size control), q196 draws
+    * systematically WITH multiplicity (a giant doc appears several
+    * times), this draws K DISTINCT docs per stratum with inclusion
+    * probability ∝ token count — the audit sample ("show me 8
+    * representative docs per language, long docs proportionally
+    * likely, no repeats") every corpus review starts from. RNG-free:
+    * the ES key u^(1/w) orders identically to ln(u)/w, so each doc
+    * computes s9 = floor(ln(u6/1e6)/w · 1e9 + 0.5) from u6 =
+    * seeded-xhash mod 1e6 + 1 ∈ [1, 1e6] — one BIGINT both engines
+    * grid identically (|s9| ≤ 1.4e10 < 2⁵³, exact as a double) — and
+    * the per-language top-[[EsK]] by (s9 DESC, doc_id) IS the ES
+    * sample. Scale shape: the selection rides q39's bounded top-k
+    * `Aggregator` (map-side partials: the shuffle carries
+    * O(langs × partitions × K) rows, never a per-language corpus
+    * sort — the row_number spelling the oracle uses is the proof, not
+    * the plan), and token counts re-attach to the O(langs × K) winners
+    * by one broadcast join. */
+  val EsK = 8
+
+  private def esScoreSql(u6: String, w: String): String =
+    s"CAST(floor(ln(CAST($u6 AS DOUBLE) / 1e6) / CAST($w AS DOUBLE)" +
+      s" * 1e9 + 0.5) AS BIGINT)"
+
+  def esSample(spark: SparkSession, dir: String): DataFrame =
+    esSampleOf(spark, docs(spark, dir))
+
+  private[graft] def esSampleOf(spark: SparkSession, docsF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val scored = docsF.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount("text").as("toks"))
+      .withColumn("u6",
+        xhash(concat(lit("es:"), col("doc_id").cast("string"))) % 1000000 + 1)
+      .withColumn("s9", expr(esScoreSql("u6", "toks")))
+    val top = scored.groupBy("lang")
+      .agg(graft.functions.VectorAggregates.topKOf(EsK,
+        col("s9").cast("double"), col("doc_id")).as("win"))
+      .select(col("lang"), posexplode(col("win")).as(Seq("pos", "w")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("w.cand_id").as("doc_id"))
+    scored.select(col("doc_id"), col("toks"))
+      .join(bcast(top), "doc_id")
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("toks").cast("long").as("n_tokens"))
+      .orderBy("lang", "rk")
+  }
+
+  def esSampleSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, lang, ${tokenCountSql("text")} AS toks,
+        (${xhashSql("'es:' || doc_id::VARCHAR")} % 1000000 + 1) AS u6
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, toks,
+        ${esScoreSql("u6", "toks")} AS s9
+      FROM d),
+    r AS (
+      SELECT lang, doc_id, toks,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY s9 DESC, doc_id) AS rk
+      FROM s)
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+      CAST(toks AS BIGINT) AS n_tokens
+    FROM r WHERE rk <= $EsK ORDER BY lang, rk"""
+
   // ---------------------------------------------------------------- q196
   /** Systematic probability-proportional-to-size (PPS) corpus sampling
     * — "draw exactly K documents with inclusion probability ∝ token

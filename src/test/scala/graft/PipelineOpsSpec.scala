@@ -107,6 +107,50 @@ class PipelineOpsSpec extends SparkSpec {
       out2.map(r => (r.getLong(0), r.getLong(3))).toSeq)
   }
 
+  test("ES sample: exact JVM replay of the key order, K distinct per stratum, giant doc selected") {
+    val sq = spark
+    import sq.implicits._
+    val L = LlmQueries
+    // per-lang corpus: 40 small docs (2 tokens) + one giant (5000
+    // tokens, ~98% of the mass). Expected sample comes from an
+    // INDEPENDENT JVM replay of the ES construction (MessageDigest md5
+    // vs the engine's md5 expression — the q290 discipline).
+    val rows = (for (lang <- Seq("aa", "bb"); i <- 1L to 40L) yield
+      (lang(0).toLong * 1000 + i, lang, "x y")) ++
+      Seq((9001L, "aa", Seq.fill(5000)("g").mkString(" ")))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    def jhash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val want = rows.groupBy(_._2).flatMap { case (lang, rs) =>
+      val scored = rs.map { case (id, _, text) =>
+        val w = text.split("\\s+").length
+        val u6 = jhash(s"es:$id") % 1000000 + 1
+        val s9 = math.floor(math.log(u6 / 1e6) / w * 1e9 + 0.5).toLong
+        (id, w.toLong, s9)
+      }
+      scored.sortBy(s => (-s._3, s._1)).take(L.EsK).zipWithIndex
+        .map { case ((id, w, _), i) => (lang, i + 1L, id, w) }
+    }.toSet
+    val got = L.esSampleOf(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"ES replay drifted:\n$got\nvs\n$want")
+    // structural: exactly K per lang, all distinct (WOR), giant chosen
+    // (its key u^(1/5000) ~ 1 dominates every u^(1/2) on this fixture)
+    assert(got.groupBy(_._1).forall(_._2.size == L.EsK))
+    assert(got.map(_._3).size == 2 * L.EsK, "draws must be distinct docs")
+    assert(got.exists(_._3 == 9001L), "the 98%-mass doc must be sampled")
+    // pure function of ids and weights, not partitioning
+    val got2 = L.esSampleOf(spark, docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got2 == got, "ES sample must be partition-invariant")
+  }
+
   test("taint PPR: decays with distance, isolated seeds keep restart mass") {
     val sq = spark
     import sq.implicits._
