@@ -1708,6 +1708,82 @@ object StatsOps {
       xhashExpr("concat('cf:', CAST(o_orderkey AS STRING))")))
   }
 
+  // ---------------------------------------------------------------- q294
+  /** Strict-order CONVERSION FUNNEL view → click → signup → purchase —
+    * the sequential-match semantics (each step's event must occur
+    * STRICTLY AFTER the user's previous step, earliest match wins),
+    * not the presence-count a naive 4-way GROUP BY would give: a user
+    * who purchased BEFORE ever viewing converts step 1 only. Shape:
+    * step k is one hash agg over events equi-joined to step k−1's
+    * per-user frame (min(ms) with ms > t_{k−1}) — aggs and joins all
+    * keyed on user_id, each stage O(|users|) rows; the Spark path
+    * PERSISTS each stage frame (the q211 split discipline: every
+    * stage feeds both its successor and the readout, and Spark
+    * inlines CTEs — unpersisted, the corpus scan would run twice per
+    * stage), while the oracle spells the same chain as plain CTEs.
+    * Readout: per step, surviving users and the exact BIGINT sum of
+    * inter-step latencies (reader divides for the mean; medians are
+    * q46's histogram machinery if wanted). Timestamps bridge to epoch
+    * ms via the engine-appropriate spelling (q112's twap precedent).
+    * Spec plants an out-of-order user (purchase before view), a
+    * same-millisecond tie (strict > excludes it), and a full clean
+    * path. */
+  private def funnelStageSql(prev: String, step: String,
+                             tPrev: String, tNew: String): String = s"""
+    SELECT e.user_id, p.$tPrev, min(e.ms) AS $tNew
+    FROM funnel_e e JOIN $prev p ON e.user_id = p.user_id
+    WHERE e.event_type = '$step' AND e.ms > p.$tPrev
+    GROUP BY e.user_id, p.$tPrev"""
+
+  private def funnelReadoutSql: String = s"""
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      CAST(count(1) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_lat_ms
+    FROM funnel_s1
+    UNION ALL
+    SELECT 2, 'click', CAST(count(1) AS BIGINT),
+      CAST(sum(t2 - t1) AS BIGINT) FROM funnel_s2
+    UNION ALL
+    SELECT 3, 'signup', CAST(count(1) AS BIGINT),
+      CAST(sum(t3 - t2) AS BIGINT) FROM funnel_s3
+    UNION ALL
+    SELECT 4, 'purchase', CAST(count(1) AS BIGINT),
+      CAST(sum(t4 - t3) AS BIGINT) FROM funnel_s4
+    ORDER BY step"""
+
+  /** Core of q294 over any registered (user_id, event_type, ts) view;
+    * `msExpr` is the engine's epoch-ms spelling. */
+  private[graft] def funnelOn(spark: SparkSession, table: String,
+                              msExpr: String): DataFrame = {
+    def persistView(name: String, sql: String): Unit =
+      spark.sql(sql).transform(graft.core.EngineCache.persisted)
+        .createOrReplaceTempView(name)
+    persistView("funnel_e",
+      s"SELECT user_id, event_type, $msExpr AS ms FROM $table")
+    persistView("funnel_s1", s"""
+      SELECT user_id, min(ms) AS t1 FROM funnel_e
+      WHERE event_type = 'view' GROUP BY user_id""")
+    persistView("funnel_s2", funnelStageSql("funnel_s1", "click", "t1", "t2"))
+    persistView("funnel_s3", funnelStageSql("funnel_s2", "signup", "t2", "t3"))
+    persistView("funnel_s4", funnelStageSql("funnel_s3", "purchase", "t3", "t4"))
+    spark.sql(funnelReadoutSql)
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    funnelOn(spark, "events", "unix_millis(ts)")
+  }
+
+  def funnelOracleSql: String = s"""
+    WITH funnel_e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+    funnel_s1 AS (
+      SELECT user_id, min(ms) AS t1 FROM funnel_e
+      WHERE event_type = 'view' GROUP BY user_id),
+    funnel_s2 AS (${funnelStageSql("funnel_s1", "click", "t1", "t2")}),
+    funnel_s3 AS (${funnelStageSql("funnel_s2", "signup", "t2", "t3")}),
+    funnel_s4 AS (${funnelStageSql("funnel_s3", "purchase", "t3", "t4")})
+    ${funnelReadoutSql}"""
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1734,7 +1810,8 @@ object StatsOps {
     "q211_cusum"          -> cusum _,
     "q228_hourly_anomaly" -> hourlyAnomaly _,
     "q289_bootstrap_ci"   -> bootstrapCi _,
-    "q290_conformal"      -> conformal _
+    "q290_conformal"      -> conformal _,
+    "q294_funnel"         -> funnel _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1775,6 +1852,9 @@ object StatsOps {
     // exact order statistic (never interpolated -- the finite-sample
     // guarantee's requirement); integers end to end
     "q290_conformal"      -> conformalSql(
-      xhashSql("'cf:' || o_orderkey::VARCHAR"))
+      xhashSql("'cf:' || o_orderkey::VARCHAR")),
+    // identical stage chain; the oracle spells it as plain CTEs where
+    // the engine persists each per-user stage frame
+    "q294_funnel"         -> funnelOracleSql
   )
 }

@@ -462,6 +462,36 @@ class StatsOpsSpec extends SparkSpec {
     assert(cov >= 0.85 && cov <= 0.97, s"coverage off the 1-alpha contract: $cov")
   }
 
+  test("funnel: strict sequential order, ties excluded, latencies exact") {
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def ev(u: Long, et: String, secs: Long) =
+      (u, java.sql.Timestamp.from(t0.plusSeconds(secs)), et)
+    val rows = Seq(
+      // user 1: clean full path, known latencies 10s / 20s / 30s
+      ev(1, "view", 0), ev(1, "click", 10), ev(1, "signup", 30),
+      ev(1, "purchase", 60),
+      // user 1 also has an EARLIER purchase (before view): must not
+      // count — only the post-signup one does
+      (1L, java.sql.Timestamp.from(t0.minusSeconds(100)), "purchase"),
+      // user 2: purchase BEFORE any view -> converts step 1 only
+      ev(2, "purchase", 0), ev(2, "view", 50),
+      // user 3: click at the SAME ms as view -> strict > excludes it
+      ev(3, "view", 5), ev(3, "click", 5),
+      // user 4: never views -> appears nowhere
+      ev(4, "click", 1), ev(4, "signup", 2), ev(4, "purchase", 3))
+    rows.toDF("user_id", "ts", "event_type")
+      .createOrReplaceTempView("graft_funnel_test")
+    val out = StatsOps.funnelOn(spark, "graft_funnel_test", "unix_millis(ts)")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("view", 3L, 0L)), s"views drifted: ${out(1L)}")
+    assert(out(2L) == (("click", 1L, 10000L)), s"clicks drifted: ${out(2L)}")
+    assert(out(3L) == (("signup", 1L, 20000L)), s"signups drifted: ${out(3L)}")
+    assert(out(4L) == (("purchase", 1L, 30000L)),
+      s"purchases drifted: ${out(4L)}")
+    graft.core.EngineCache.releaseAll()
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
