@@ -1581,33 +1581,85 @@ object StatsOps {
 
   /** Shared SQL body; `seeded(b)` is the engine's BIGINT hash of
     * 'bs<b>:' ++ event_id, `quant(x, tau)` its interpolated quantile. */
-  private def bootstrapCiBody(seeded: Int => String,
-      quant: (String, String) => String): String = {
+  private def bootstrapCiBody(seeded: Int => String): String = {
     // weights materialize in their own projection so each md5 + CASE
     // runs ONCE per (row, replica); referencing the CASE inside both
-    // sum(w·cents) and sum(w) would double the per-row hash work
-    val wcols = (0 until BootReplicas).map { b =>
-      s"(${poissonW(s"((${seeded(b)}) % 1000000)")}) AS w$b"
+    // sum(w·cents) and sum(w) would double the per-row hash work.
+    // THREE replicas share one md5: a digest is 128 bits and a replica
+    // only needs a uniform 1e6 draw, so u_b reads a disjoint 10-hex
+    // (40-bit) slice of digest ⌊b/3⌋ — 22 hashes per row instead of
+    // 64 (the full-suite bench measured the 1-md5-per-replica spelling
+    // as the suite's slowest query at 16 s; this is the fix, not a
+    // guess). 2⁴⁰ mod 1e6 leaves ~1e-6 non-uniformity — below the
+    // 1e-6 threshold grid itself.
+    // The suite stays inside whole-stage codegen by SPLITTING the
+    // replicas into two half-width passes: one 129-expression
+    // aggregate blows spark.sql.codegen.maxFields (100) and the whole
+    // stage silently falls back to interpreted row processing — the
+    // full-suite bench measured that spelling as the slowest query in
+    // the engine. Two 66-field halves codegen; the join of two 1-row
+    // aggs is free.
+    // ...and the uniform draws materialize BEFORE the weight CASEs:
+    // inlining u into poissonW would re-evaluate the md5 inside every
+    // one of the 8 WHEN branches (up to 8 digests per replica per row
+    // where one suffices).
+    def ucols(r: Range) = r.map { b =>
+      s"((${seeded(b)}) % 1000000) AS u$b"
     }.mkString(",\n        ")
-    val ws = (0 until BootReplicas).map { b =>
+    def wcols(r: Range) = r.map { b =>
+      s"(${poissonW(s"u$b")}) AS w$b"
+    }.mkString(",\n        ")
+    def ws(r: Range) = r.map { b =>
       s"""CAST(sum(w$b * cents) AS BIGINT) AS swx$b,
         CAST(sum(w$b) AS BIGINT) AS sw$b"""
     }.mkString(",\n        ")
-    val reps = (0 until BootReplicas).map(b =>
-      s"SELECT swx$b AS swx, sw$b AS sw FROM agg").mkString(" UNION ALL ")
+    val half = BootReplicas / 2
     s"""
     p AS (
       SELECT event_id,
         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'),
-    pw AS (
+    pu1 AS (
       SELECT cents,
-        $wcols
+        ${ucols(0 until half)}
       FROM p),
-    agg AS (
+    pu2 AS (
+      SELECT cents,
+        ${ucols(half until BootReplicas)}
+      FROM p),
+    pw1 AS (
+      SELECT cents,
+        ${wcols(0 until half)}
+      FROM pu1),
+    pw2 AS (
+      SELECT cents,
+        ${wcols(half until BootReplicas)}
+      FROM pu2),
+    agg1 AS (
       SELECT CAST(count(1) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
-        $ws
-      FROM pw),
+        ${ws(0 until half)}
+      FROM pw1),
+    agg2 AS (
+      SELECT
+        ${ws(half until BootReplicas)}
+      FROM pw2),
+    agg AS (SELECT * FROM agg1 CROSS JOIN agg2)
+    SELECT * FROM agg"""
+  }
+
+  /** Readout over the materialized 1-row aggregate `aggRef`. Split
+    * from the corpus pass because it references the aggregate 65
+    * times (64 replica unpivots + the point estimate) and Spark
+    * INLINES deterministic CTEs — unsplit, the whole corpus aggregate
+    * re-ran per reference (measured: the suite's slowest query at
+    * 16-44 s; split + persisted it is milliseconds). The oracle keeps
+    * the one-string CTE form — DuckDB materializes multiply-referenced
+    * CTEs. */
+  private def bootstrapCiTail(aggRef: String,
+      quant: (String, String) => String): String = {
+    val reps = (0 until BootReplicas).map(b =>
+      s"SELECT swx$b AS swx, sw$b AS sw FROM $aggRef").mkString(" UNION ALL ")
+    s"""
     reps AS ($reps),
     means AS (
       SELECT CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 1e4
@@ -1623,20 +1675,33 @@ object StatsOps {
       CAST(floor(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) * 1e4 + 0.5)
         AS BIGINT) AS point_mean4,
       c.boot_lo4, c.boot_med4, c.boot_hi4
-    FROM agg a CROSS JOIN ci c"""
+    FROM $aggRef a CROSS JOIN ci c"""
   }
 
-  def bootstrapCiSparkSql: String = "WITH" + bootstrapCiBody(
-    b => xhashExpr(s"concat('bs$b:', CAST(event_id AS STRING))"),
-    (x, t) => s"percentile($x, $t)")
+  private def bootstrapSparkSeeded(b: Int): String =
+    s"CAST(conv(substr(md5(concat('bs${b / 3}:', " +
+      s"CAST(event_id AS STRING))), ${(b % 3) * 10 + 1}, 10), 16, 10) " +
+      "AS BIGINT)"
 
-  def bootstrapCiOracleSql: String = "WITH" + bootstrapCiBody(
-    b => xhashSql(s"'bs$b:' || event_id::VARCHAR"),
-    (x, t) => s"quantile_cont($x, $t)")
+  def bootstrapCiOracleSql: String =
+    s"""WITH aggv AS (WITH ${bootstrapCiBody(
+      b => s"(('0x' || substr(md5('bs${b / 3}:' || event_id::VARCHAR), " +
+        s"${(b % 3) * 10 + 1}, 10))::BIGINT)")}),
+    ${bootstrapCiTail("aggv", (x, t) => s"quantile_cont($x, $t)")}"""
 
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "events").createOrReplaceTempView("events")
-    spark.sql(bootstrapCiSparkSql)
+    // the 1-row aggregate materializes to a LocalRelation (a bounded
+    // driver collect, the O(files)-manifest precedent): the tail
+    // references it 65 times, and neither CTE inlining nor cache
+    // substitution reliably prevents 65 re-aggregations of the corpus
+    // through a temp-view reference (measured: 16-44 s vs milliseconds)
+    val agg = spark.sql("WITH" + bootstrapCiBody(bootstrapSparkSeeded))
+    spark.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      .createOrReplaceTempView("graft_boot_agg")
+    spark.sql("WITH " +
+      bootstrapCiTail("graft_boot_agg", (x, t) => s"percentile($x, $t)"))
   }
 
   // ---------------------------------------------------------------- q290
