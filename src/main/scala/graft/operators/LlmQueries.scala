@@ -314,7 +314,10 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
     * heldout once). Component folding buys that guarantee at a price:
     * folds can no longer be exactly stratified (a whole cluster lands
     * together), and this query MEASURES the price instead of hiding
-    * it — per (lang, fold): doc count, token mass, and dev6 =
+    * it — per (lang, fold) over the DENSE lang × 0..K−1 grid (an
+    * entirely empty fold is the worst failure and must read dev6 =
+    * 1e6, not vanish from a sparse group-by): doc count, token mass,
+    * and dev6 =
     * |K·n_docs − lang_total| / lang_total on the 1e-6 grid, the
     * relative deviation from perfect balance a stratified sampler
     * would have achieved. Scale shape: the LSH pair table and
@@ -340,10 +343,23 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
   }
 
   def kfoldCv(spark: SparkSession, dir: String): DataFrame = {
-    kfoldAssign(spark, dir)
-      .groupBy(col("lang"), col("fold"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).cast("long").as("n_tokens"))
+    // persisted: the O(langs × K) aggregate feeds BOTH the lang grid
+    // and the join below — unpersisted, Spark would re-run the whole
+    // LSH/component pipeline behind kfoldAssign twice (q211 discipline)
+    val counts = graft.core.EngineCache.persisted(
+      kfoldAssign(spark, dir)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("n_tokens")))
+    // DENSE (lang, fold) axis: an entirely empty fold is the WORST
+    // stratification failure this audit exists to surface — a sparse
+    // group-by would make it vanish instead of reading dev6 = 1e6
+    // (|K·0 − tot|/tot on the grid). O(langs × K) grid rows, free.
+    val grid = counts.select(col("lang")).distinct()
+      .select(col("lang"),
+        explode(sequence(lit(0L), lit((KFolds - 1).toLong))).as("fold"))
+    grid.join(counts, Seq("lang", "fold"), "left")
+      .na.fill(0L, Seq("n_docs", "n_tokens"))
       .withColumn("tot", sum(col("n_docs"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       .select(col("lang"), col("fold").cast("long").as("fold"),
@@ -378,10 +394,19 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
         CAST(count(1) AS BIGINT) AS n_docs,
         CAST(sum(toks) AS BIGINT) AS n_tokens
       FROM all_docs GROUP BY 1, 2),
+    grid AS (
+      SELECT lang, unnest(range(0, $KFolds))::BIGINT AS fold
+      FROM (SELECT DISTINCT lang FROM folded)),
+    dense AS (
+      SELECT g.lang, g.fold,
+        coalesce(f.n_docs, 0)::BIGINT AS n_docs,
+        coalesce(f.n_tokens, 0)::BIGINT AS n_tokens
+      FROM grid g LEFT JOIN folded f
+        ON g.lang = f.lang AND g.fold = f.fold),
     bal AS (
       SELECT lang, fold, n_docs, n_tokens,
         sum(n_docs) OVER (PARTITION BY lang) AS tot
-      FROM folded)
+      FROM dense)
     SELECT lang, CAST(fold AS BIGINT) AS fold, n_docs, n_tokens,
       CAST(floor(abs(CAST($KFolds * n_docs - tot AS DOUBLE))
         / CAST(tot AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dev6

@@ -1182,8 +1182,14 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
 
   private[graft] def esSampleOf(spark: SparkSession, docsF: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bcast}
+    // toks > 0 guard BEFORE the s9 divide: the current tokenCount never
+    // returns 0 (split of "" yields [""], so empty docs weigh 1), but a
+    // future 0 would divide to ±Inf/NaN that Spark casts to a BIGINT
+    // while DuckDB errors — a latent engine divergence. Zero-weight
+    // docs are unsampleable by definition; drop them in BOTH engines.
     val scored = docsF.select(col("doc_id"), col("lang"),
       TextFunctions.tokenCount("text").as("toks"))
+      .filter(col("toks") > 0)
       .withColumn("u6",
         xhash(concat(lit("es:"), col("doc_id").cast("string"))) % 1000000 + 1)
       .withColumn("s9", expr(esScoreSql("u6", "toks")))
@@ -1208,7 +1214,7 @@ private[graft] trait LlmSamplingOps { this: LlmQueries.type =>
     s AS (
       SELECT doc_id, lang, toks,
         ${esScoreSql("u6", "toks")} AS s9
-      FROM d),
+      FROM d WHERE toks > 0),
     r AS (
       SELECT lang, doc_id, toks,
         row_number() OVER (PARTITION BY lang

@@ -1723,7 +1723,11 @@ object StatsOps {
     * count reaches k — q274's corpus-safe ECDF shape, never a corpus
     * sort). The readout ships exact integers only: (n_cal, n_test,
     * k_rank, q_hat2 in centi-cents, cover_num) — the reader divides
-    * cover_num/n_test and checks it against 1 − α; the spec replays
+    * cover_num/n_test and checks it against 1 − α, with the
+    * denominator covering EVERY test row: a test row whose priority
+    * never appeared in the calibration half falls back to the global
+    * calibration mean (LEFT join + coalesce), never a silent drop
+    * from n_test; the spec replays
     * the whole construction independently on the JVM's md5 and pins
     * coverage on a planted exchangeable fixture. Alpha is spelled once
     * as [[ConformalKeep10]]/10. Residuals are |100·cents − ŷ2| with ŷ2
@@ -1741,9 +1745,13 @@ object StatsOps {
       SELECT prio, CAST(floor(CAST(sum(cents) AS DOUBLE)
         / CAST(count(1) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS yhat2
       FROM b WHERE half = 'cal' GROUP BY prio),
+    gmdl AS (
+      SELECT CAST(floor(CAST(sum(cents) AS DOUBLE)
+        / CAST(count(1) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS yhat2
+      FROM b WHERE half = 'cal'),
     res AS (
-      SELECT b.half, abs(100 * b.cents - m.yhat2) AS r
-      FROM b JOIN mdl m ON b.prio = m.prio),
+      SELECT b.half, abs(100 * b.cents - coalesce(m.yhat2, g.yhat2)) AS r
+      FROM b LEFT JOIN mdl m ON b.prio = m.prio CROSS JOIN gmdl g),
     hist AS (
       SELECT r, CAST(count(1) AS BIGINT) AS c
       FROM res WHERE half = 'cal' GROUP BY r),
@@ -1793,44 +1801,53 @@ object StatsOps {
     * Spec plants an out-of-order user (purchase before view), a
     * same-millisecond tie (strict > excludes it), and a full clean
     * path. */
-  private def funnelStageSql(prev: String, step: String,
+  private def funnelStageSql(eView: String, prev: String, step: String,
                              tPrev: String, tNew: String): String = s"""
     SELECT e.user_id, p.$tPrev, min(e.ms) AS $tNew
-    FROM funnel_e e JOIN $prev p ON e.user_id = p.user_id
+    FROM $eView e JOIN $prev p ON e.user_id = p.user_id
     WHERE e.event_type = '$step' AND e.ms > p.$tPrev
     GROUP BY e.user_id, p.$tPrev"""
 
-  private def funnelReadoutSql: String = s"""
+  private def funnelReadoutSql(st: Int => String): String = s"""
     SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
       CAST(count(1) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_lat_ms
-    FROM funnel_s1
+    FROM ${st(1)}
     UNION ALL
     SELECT 2, 'click', CAST(count(1) AS BIGINT),
-      CAST(sum(t2 - t1) AS BIGINT) FROM funnel_s2
+      CAST(sum(t2 - t1) AS BIGINT) FROM ${st(2)}
     UNION ALL
     SELECT 3, 'signup', CAST(count(1) AS BIGINT),
-      CAST(sum(t3 - t2) AS BIGINT) FROM funnel_s3
+      CAST(sum(t3 - t2) AS BIGINT) FROM ${st(3)}
     UNION ALL
     SELECT 4, 'purchase', CAST(count(1) AS BIGINT),
-      CAST(sum(t4 - t3) AS BIGINT) FROM funnel_s4
+      CAST(sum(t4 - t3) AS BIGINT) FROM ${st(4)}
     ORDER BY step"""
+
+  /** Funnel evaluations on one SparkSession must not clobber each
+    * other's stage views (two concurrent/back-to-back calls under
+    * fixed names would) — every call suffixes its views with a fresh
+    * process-wide token. */
+  private val funnelCallSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Core of q294 over any registered (user_id, event_type, ts) view;
     * `msExpr` is the engine's epoch-ms spelling. */
   private[graft] def funnelOn(spark: SparkSession, table: String,
                               msExpr: String): DataFrame = {
+    val tok = funnelCallSeq.incrementAndGet()
+    val eView = s"funnel_e_$tok"
+    def st(i: Int) = s"funnel_s${i}_$tok"
     def persistView(name: String, sql: String): Unit =
       spark.sql(sql).transform(graft.core.EngineCache.persisted)
         .createOrReplaceTempView(name)
-    persistView("funnel_e",
+    persistView(eView,
       s"SELECT user_id, event_type, $msExpr AS ms FROM $table")
-    persistView("funnel_s1", s"""
-      SELECT user_id, min(ms) AS t1 FROM funnel_e
+    persistView(st(1), s"""
+      SELECT user_id, min(ms) AS t1 FROM $eView
       WHERE event_type = 'view' GROUP BY user_id""")
-    persistView("funnel_s2", funnelStageSql("funnel_s1", "click", "t1", "t2"))
-    persistView("funnel_s3", funnelStageSql("funnel_s2", "signup", "t2", "t3"))
-    persistView("funnel_s4", funnelStageSql("funnel_s3", "purchase", "t3", "t4"))
-    spark.sql(funnelReadoutSql)
+    persistView(st(2), funnelStageSql(eView, st(1), "click", "t1", "t2"))
+    persistView(st(3), funnelStageSql(eView, st(2), "signup", "t2", "t3"))
+    persistView(st(4), funnelStageSql(eView, st(3), "purchase", "t3", "t4"))
+    spark.sql(funnelReadoutSql(st))
   }
 
   def funnel(spark: SparkSession, dir: String): DataFrame = {
@@ -1838,16 +1855,19 @@ object StatsOps {
     funnelOn(spark, "events", "unix_millis(ts)")
   }
 
-  def funnelOracleSql: String = s"""
+  def funnelOracleSql: String = {
+    def st(i: Int) = s"funnel_s$i"
+    s"""
     WITH funnel_e AS (
       SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
     funnel_s1 AS (
       SELECT user_id, min(ms) AS t1 FROM funnel_e
       WHERE event_type = 'view' GROUP BY user_id),
-    funnel_s2 AS (${funnelStageSql("funnel_s1", "click", "t1", "t2")}),
-    funnel_s3 AS (${funnelStageSql("funnel_s2", "signup", "t2", "t3")}),
-    funnel_s4 AS (${funnelStageSql("funnel_s3", "purchase", "t3", "t4")})
-    ${funnelReadoutSql}"""
+    funnel_s2 AS (${funnelStageSql("funnel_e", st(1), "click", "t1", "t2")}),
+    funnel_s3 AS (${funnelStageSql("funnel_e", st(2), "signup", "t2", "t3")}),
+    funnel_s4 AS (${funnelStageSql("funnel_e", st(3), "purchase", "t3", "t4")})
+    ${funnelReadoutSql(st)}"""
+  }
 
   // ------------------------------------------------------------ wiring
 

@@ -382,6 +382,38 @@ class DedupSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("k-fold CV: an entirely empty (lang, fold) cell surfaces as a dev6=1e6 row, never vanishes") {
+    val L = graft.operators.LlmQueries
+    val sq = spark
+    import sq.implicits._
+    // lang "yy" has ONE doc -> exactly one populated fold and K-1 empty
+    // ones; lang "zz" has distinct docs spread by hash. Before the dense
+    // lang x fold grid, the empty cells were invisible to the audit.
+    val dir = "/tmp/graft_kfold_dense_t"
+    // one exact near-dup pair (1, 13) so the at-rest LSH pair table the
+    // fold assignment rides is non-empty (an empty warehouse table has
+    // no parquet footer to read back)
+    val docs =
+      Seq((1000L, "solitary yy document with its own words", "yy"),
+        (13L, s"zz document number 1 body text alpha1 beta1", "zz")) ++
+        (1L to 12L).map(i =>
+          (i, s"zz document number $i body text alpha$i beta$i", "zz"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cv = L.kfoldCv(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // dense axis: every lang emits exactly K rows
+    assert(cv.count(_._1 == "yy") === L.KFolds, s"yy axis not dense: ${cv.toSeq}")
+    assert(cv.count(_._1 == "zz") === L.KFolds, s"zz axis not dense: ${cv.toSeq}")
+    val yyEmpty = cv.filter(r => r._1 == "yy" && r._3 == 0L)
+    assert(yyEmpty.size === L.KFolds - 1, s"yy must have K-1 empty folds: ${cv.toSeq}")
+    assert(yyEmpty.forall(_._4 == 1000000L),
+      s"empty fold must read dev6 = 1e6: ${yyEmpty.toSeq}")
+    assert(cv.filter(_._1 == "yy").map(_._3).sum === 1L)
+    assert(cv.filter(_._1 == "zz").map(_._3).sum === 13L)
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("ngram hitters: exact at the strict boundary, partition-invariant, superset pass verified") {
     val L = graft.operators.LlmQueries
     // n = 1200 bigram occurrences -> threshold tf * 600 > 1200, i.e.

@@ -492,6 +492,83 @@ class StatsOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("split conformal: test-only priority falls back to the global mean, never drops from n_test") {
+    def jhash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    // base fixture as in the replay test, PLUS rows with priority "XX"
+    // chosen (by the same hash gate) to land ONLY in the test half —
+    // the per-priority model has no XX entry, and before the LEFT-join
+    // fix these rows silently vanished from the coverage denominator
+    val xxKeys = (10001L to 10400L).filter(k => jhash(s"cf:$k") % 2 == 1)
+      .take(6)
+    assert(xxKeys.size == 6, "fixture needs 6 test-half keys")
+    val prios = Seq("HI", "LO")
+    val base = (1L to 400L).map { i =>
+      val prio = prios((i % 2).toInt)
+      (i, (if (prio == "HI") 500.0 else 100.0) + (i % 97).toDouble, prio)
+    }
+    val xx = xxKeys.map(k => (k, 777.0 + (k % 13).toDouble, "XX"))
+    val rows = (base ++ xx).map { case (k, price, prio) =>
+      (k, k, "O", price,
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+        prio)
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet("/tmp/graft_conf_fb_t/orders.parquet")
+    // JVM replay WITH the fallback semantics
+    val planted = (base ++ xx).map { case (k, price, prio) =>
+      (k, prio, math.floor(price * 100.0 + 0.5).toLong,
+        jhash(s"cf:$k") % 2 == 0)
+    }
+    val cal = planted.filter(_._4)
+    val yhat2 = cal.groupBy(_._2).map { case (p, rs) =>
+      p -> math.floor(rs.map(_._3).sum.toDouble / rs.size * 100 + 0.5).toLong
+    }
+    val g = math.floor(cal.map(_._3).sum.toDouble / cal.size * 100 + 0.5).toLong
+    def resid(r: (Long, String, Long, Boolean)) =
+      math.abs(100 * r._3 - yhat2.getOrElse(r._2, g))
+    val calR = cal.map(resid).sorted
+    val tstR = planted.filterNot(_._4).map(resid)
+    val k = math.floor((9 * (calR.size + 1) + 9) / 10.0).toLong
+    val qhat = calR((k - 1).toInt)
+    val got = StatsOps.conformal(spark, "/tmp/graft_conf_fb_t").collect()(0)
+    assert(got.getLong(1) == tstR.size.toLong,
+      s"n_test must count the XX rows: ${got.getLong(1)} vs ${tstR.size}")
+    assert((got.getLong(0), got.getLong(2), got.getLong(3), got.getLong(4)) ==
+      ((calR.size.toLong, k, qhat, tstR.count(_ <= qhat).toLong)),
+      s"fallback replay drifted: $got")
+  }
+
+  test("funnel: two evaluations on one session do not clobber each other") {
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def ev(u: Long, et: String, secs: Long) =
+      (u, java.sql.Timestamp.from(t0.plusSeconds(secs)), et)
+    // A: one user converts all four steps; B: three users view only
+    Seq(ev(1, "view", 0), ev(1, "click", 1), ev(1, "signup", 2),
+      ev(1, "purchase", 3))
+      .toDF("user_id", "ts", "event_type")
+      .createOrReplaceTempView("graft_funnel_a")
+    Seq(ev(10, "view", 0), ev(11, "view", 0), ev(12, "view", 0))
+      .toDF("user_id", "ts", "event_type")
+      .createOrReplaceTempView("graft_funnel_b")
+    val dfA = StatsOps.funnelOn(spark, "graft_funnel_a", "unix_millis(ts)")
+    val dfB = StatsOps.funnelOn(spark, "graft_funnel_b", "unix_millis(ts)")
+    // collect B FIRST: before the per-call view token, B's registration
+    // replaced A's stage views and dfA silently read B's funnel
+    val b = dfB.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = dfA.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"funnel A clobbered: $a")
+    assert(b == Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      s"funnel B drifted: $b")
+    graft.core.EngineCache.releaseAll()
+  }
+
   // tiny helper: (k, a, b, c) rows → k -> (a, b, c)
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
