@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AnalyticsOps, CoreRelational, CorpusFilterOps, CorpusOps, LlmQueries, Scalars, ScaleOps, StatsOps, Windows}
-import graft.sources.Formats
+import graft.sources.{Baldr, Formats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreRelational.queries ++ Windows.queries ++ Scalars.queries ++
-      LlmQueries.queries ++ Formats.queries ++ CorpusOps.queries ++
+      LlmQueries.queries ++ Formats.queries ++ Baldr.queries ++ CorpusOps.queries ++
       ScaleOps.queries ++ AnalyticsOps.queries ++ StatsOps.queries ++
       CorpusFilterOps.queries
 
@@ -28,7 +28,7 @@ object SparkEntry {
     * get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreRelational.oracles ++ Windows.oracles ++ Scalars.oracles ++
-      LlmQueries.oracles ++ Formats.oracles ++ CorpusOps.oracles ++
+      LlmQueries.oracles ++ Formats.oracles ++ Baldr.oracles ++ CorpusOps.oracles ++
       ScaleOps.oracles ++ AnalyticsOps.oracles ++ StatsOps.oracles ++
       CorpusFilterOps.oracles
 }
