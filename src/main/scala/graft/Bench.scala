@@ -284,12 +284,16 @@ object Bench {
     // was sized to absorb a 2x-slower box — and round 12 measured that
     // margin exhausted: a full 294-query pass on a loaded host ran
     // ~2.4 s/query IN-QUERY plus scheduling overhead and DeadlineSkipped
-    // the last 62 queries at 3.5 s/query. 5.5 s/query (≈ 1600 s at 294)
-    // restores the 2x headroom over the worst measured pass.
+    // the last 62 queries at 3.5 s/query. 4.5 s/query keeps ~30% headroom
+    // over that worst measured pass (loop budget 0.8·4.5·294 ≈ 1058 s vs
+    // 707 s in-query + overhead) while staying materially tighter than
+    // the round-12 5.5 patch — BENCH_NOISE_r12.md confirmed the >2x
+    // cluster that motivated 5.5 was host load, so the watchdog keeps
+    // its teeth and the medians (below) absorb the noise instead.
     // Overshooting the harness's own wall clock stays non-fatal — the
     // cumulative per-query emission keeps everything measured so far.
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE").map(_.toLong)
-      .getOrElse(math.max(600L, math.ceil(5.5 * selected.size).toLong))
+      .getOrElse(math.max(600L, math.ceil(4.5 * selected.size).toLong))
     // Budget split: the main loop may consume at most ~80% of the
     // deadline; the remaining ~20% is RESERVED for the re-measure passes
     // below, so they always run even when the loop runs long. (Round 10:
@@ -331,12 +335,19 @@ object Bench {
     // outliers (20.4 s / 16.3 s / 43.4 s vs 1.8 / 2.0 / 7.6 s on the
     // builder box) — q26/q29 are the first heavy queries after warmup and
     // absorb residual cold-start; q104 sits in the host's noise band.
+    // q03/q149/q159/q192/q193/q194: the round-12 loaded-host cluster
+    // (BENCH_NOISE_r12.md) — confirmed noise, medianed at the source.
     val alwaysMedian = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_MEDIAN_ALWAYS", "q26,q29,q63,q73,q104")
+      .getOrElse("SPARK_GRAFT_BENCH_MEDIAN_ALWAYS",
+        "q26,q29,q63,q73,q104,q03,q149,q159,q192,q193,q194")
       .split(",").filter(_.nonEmpty).toSet
+    // EXACT short-name match, not startsWith: "q26" must watch q26 only
+    // — as the suite grew, a prefix match silently swept q260-q269 and
+    // q290-q294 into the watched set, spending the reserved re-measure
+    // budget on ~16 queries nobody flagged.
     val watched = results.synchronized {
       results.filter(r => r._3.isEmpty &&
-        alwaysMedian.exists(r._1.startsWith) &&
+        alwaysMedian.contains(short(r._1)) &&
         !slowest.exists(_._1 == r._1)).toList
     }
     // Drift set: any query reading > 3x its previous-round time (and
