@@ -142,4 +142,107 @@ object Telemetry {
       catch { case _: java.io.IOException => () } // never fail the pipeline
     }
   }
+
+  // ------------------------------------------------------- riemann wire
+
+  /** Hand-rolled encoder for the Riemann protobuf protocol's `Msg` with
+    * one `Event` — the OTHER half of the reference's reporter split
+    * (telemetry.clj:18-28 prefers a Riemann reporter when `riemann-host`
+    * is configured, StatsD otherwise; this module mirrors the split with
+    * the same metric stream on both wires). Field numbers are the
+    * public riemann protocol's Proto.proto: Msg.events = 6;
+    * Event.time = 1, state = 2, service = 3, host = 4, metric_d = 14.
+    * Hand-encoding (~20 lines) beats a protobuf dependency the build
+    * cannot add, and the spec decodes the bytes with an independently
+    * spelled reader. */
+  private[streaming] def riemannMsgBytes(host: String, service: String,
+                                         metric: Double, state: String,
+                                         timeSec: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def varint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def str(out: java.io.ByteArrayOutputStream, field: Int, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      out.write((field << 3) | 2); varint(out, b.length.toLong); out.write(b)
+    }
+    val ev = new java.io.ByteArrayOutputStream()
+    ev.write((1 << 3) | 0); varint(ev, timeSec)                  // time
+    str(ev, 2, state)                                            // state
+    str(ev, 3, service)                                          // service
+    str(ev, 4, host)                                             // host
+    ev.write((14 << 3) | 1)                                      // metric_d
+    val bits = java.lang.Double.doubleToLongBits(metric)
+    (0 until 8).foreach(i => ev.write(((bits >>> (8 * i)) & 0xff).toInt))
+    val evb = ev.toByteArray
+    bb.write((6 << 3) | 2); varint(bb, evb.length.toLong); bb.write(evb)
+    bb.toByteArray
+  }
+
+  /** Parse one of this module's StatsD lines (`service:value|type`) —
+    * the seam that lets the Riemann reporter carry the SAME metric
+    * stream the StatsD one does. */
+  private[graft] def parseStatsdLine(line: String): Option[(String, Double)] = {
+    val colon = line.lastIndexOf(':')
+    val pipe = line.lastIndexOf('|')
+    if (colon <= 0 || pipe <= colon) None
+    else scala.util.Try(
+      line.substring(0, colon) -> line.substring(colon + 1, pipe).toDouble
+    ).toOption
+  }
+
+  /** Riemann reporter — plugs into the same `report: String => Unit`
+    * seam as [[udpReporter]], so attaching it is a config choice, not a
+    * code path (the reference's exact arrangement, telemetry.clj:38-42).
+    * Each metric line becomes one protobuf `Msg` — UDP: the datagram is
+    * the frame; TCP: 4-byte big-endian length prefix, the stream
+    * protocol's framing. Failures drop the sample (and the TCP socket,
+    * for reconnect on the next report) rather than ever stalling the
+    * pipeline; the server's TCP ack is read and discarded. `clock`
+    * injects event time for tests. */
+  def riemannReporter(host: String, port: Int, proto: String = "udp",
+                      localHost: String = java.net.InetAddress.getLocalHost.getHostName,
+                      clock: () => Long = () => System.currentTimeMillis() / 1000)
+      : String => Unit = {
+    require(proto == "udp" || proto == "tcp", s"proto must be udp|tcp: $proto")
+    val addr = InetAddress.getByName(host)
+    lazy val udpSocket = new DatagramSocket()
+    var tcp: java.net.Socket = null
+    line => parseStatsdLine(line).foreach { case (service, value) =>
+      val msg = riemannMsgBytes(localHost, service, value, "ok", clock())
+      try {
+        if (proto == "udp")
+          udpSocket.send(new DatagramPacket(msg, msg.length, addr, port))
+        else {
+          if (tcp == null || tcp.isClosed) {
+            tcp = new java.net.Socket(addr, port)
+            tcp.setSoTimeout(2000)
+          }
+          val out = tcp.getOutputStream
+          val len = msg.length
+          out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+            (len >>> 8).toByte, len.toByte))
+          out.write(msg); out.flush()
+          // drain the ack frame (4-byte length + Msg{ok}) best-effort
+          val in = tcp.getInputStream
+          val hdr = new Array[Byte](4)
+          var read = 0
+          while (read >= 0 && read < 4) {
+            val n = in.read(hdr, read, 4 - read)
+            if (n < 0) read = -1 else read += n
+          }
+          if (read == 4) {
+            val ackLen = ((hdr(0) & 0xff) << 24) | ((hdr(1) & 0xff) << 16) |
+              ((hdr(2) & 0xff) << 8) | (hdr(3) & 0xff)
+            if (ackLen >= 0 && ackLen < (1 << 16)) in.skip(ackLen.toLong)
+          }
+        }
+      } catch {
+        case _: java.io.IOException =>
+          if (tcp != null) { scala.util.Try(tcp.close()); tcp = null }
+      }
+    }
+  }
 }

@@ -83,6 +83,123 @@ class TelemetrySpec extends SparkSpec {
     } finally sock.close()
   }
 
+  // independently spelled protobuf reader (varint + fields), so the
+  // riemann wire test never shares code with the encoder under test
+  private def decodeRiemannMsg(b: Array[Byte]): Map[String, Any] = {
+    var i = 0
+    def varint(): Long = {
+      var v = 0L; var shift = 0
+      while ({ val x = b(i) & 0xff; i += 1
+               v |= (x & 0x7fL) << shift; shift += 7; (x & 0x80) != 0 }) ()
+      v
+    }
+    var out = Map.empty[String, Any]
+    while (i < b.length) {
+      val tag = varint(); val field = (tag >>> 3).toInt; val wire = (tag & 7).toInt
+      (field, wire) match {
+        case (6, 2) => // events: recurse into the embedded Event
+          val len = varint().toInt
+          val ev = b.slice(i, i + len); i += len
+          var j = 0
+          def evVarint(): Long = {
+            var v = 0L; var shift = 0
+            while ({ val x = ev(j) & 0xff; j += 1
+                     v |= (x & 0x7fL) << shift; shift += 7; (x & 0x80) != 0 }) ()
+            v
+          }
+          while (j < ev.length) {
+            val t = evVarint(); val f = (t >>> 3).toInt; val w = (t & 7).toInt
+            (f, w) match {
+              case (1, 0) => out += ("time" -> evVarint())
+              case (2, 2) => val l = evVarint().toInt
+                out += ("state" -> new String(ev, j, l, StandardCharsets.UTF_8)); j += l
+              case (3, 2) => val l = evVarint().toInt
+                out += ("service" -> new String(ev, j, l, StandardCharsets.UTF_8)); j += l
+              case (4, 2) => val l = evVarint().toInt
+                out += ("host" -> new String(ev, j, l, StandardCharsets.UTF_8)); j += l
+              case (14, 1) =>
+                var bits = 0L
+                (0 until 8).foreach(k => { bits |= (ev(j + k) & 0xffL) << (8 * k) })
+                j += 8
+                out += ("metric" -> java.lang.Double.longBitsToDouble(bits))
+              case (_, 0) => evVarint()
+              case (_, 2) => val l = evVarint().toInt; j += l
+              case (_, 1) => j += 8
+              case other => fail(s"unexpected event field $other")
+            }
+          }
+        case (_, 0) => varint()
+        case (_, 2) => val l = varint().toInt; i += l
+        case other => fail(s"unexpected msg field $other")
+      }
+    }
+    out
+  }
+
+  test("riemann udp reporter carries the statsd metric stream as protobuf events") {
+    val sock = new DatagramSocket(0, InetAddress.getByName("127.0.0.1"))
+    try {
+      sock.setSoTimeout(5000)
+      val report = Telemetry.riemannReporter("127.0.0.1", sock.getLocalPort,
+        proto = "udp", localHost = "spec-host", clock = () => 1700000000L)
+      report("graft.q.rows_per_sec:42.50|g")
+      val buf = new Array[Byte](512)
+      val pkt = new DatagramPacket(buf, buf.length)
+      sock.receive(pkt)
+      val ev = decodeRiemannMsg(java.util.Arrays.copyOf(pkt.getData, pkt.getLength))
+      assert(ev("service") === "graft.q.rows_per_sec")
+      assert(ev("host") === "spec-host")
+      assert(ev("metric") === 42.5)
+      assert(ev("state") === "ok")
+      assert(ev("time") === 1700000000L)
+    } finally sock.close()
+  }
+
+  test("riemann tcp reporter length-prefixes frames and survives a dead server") {
+    val server = new java.net.ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
+    val got = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = s.getInputStream
+      val hdr = new Array[Byte](4)
+      var read = 0
+      while (read < 4) read += in.read(hdr, read, 4 - read)
+      val len = ((hdr(0) & 0xff) << 24) | ((hdr(1) & 0xff) << 16) |
+        ((hdr(2) & 0xff) << 8) | (hdr(3) & 0xff)
+      val body = new Array[Byte](len)
+      var r2 = 0
+      while (r2 < len) r2 += in.read(body, r2, len - r2)
+      got.put(body)
+      // minimal ack: empty Msg (the client drains and discards it)
+      s.getOutputStream.write(Array[Byte](0, 0, 0, 0))
+      s.getOutputStream.flush()
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val report = Telemetry.riemannReporter("127.0.0.1", server.getLocalPort,
+        proto = "tcp", localHost = "spec-host", clock = () => 1700000001L)
+      report("graft.q.batch_duration_ms:120|ms")
+      val body = got.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null, "server never received a frame")
+      val ev = decodeRiemannMsg(body)
+      assert(ev("service") === "graft.q.batch_duration_ms")
+      assert(ev("metric") === 120.0)
+      // dead-server honesty: reports after the server is gone must not
+      // throw (the socket drops, pipeline continues)
+      server.close()
+      report("graft.q.batch_duration_ms:1|ms")
+      report("graft.q.batch_duration_ms:2|ms")
+    } finally scala.util.Try(server.close())
+  }
+
+  test("statsd line parser: services with colons in values never misparse") {
+    assert(Telemetry.parseStatsdLine("a.b.c:42.00|g") === Some(("a.b.c", 42.0)))
+    assert(Telemetry.parseStatsdLine("x:1|c") === Some(("x", 1.0)))
+    assert(Telemetry.parseStatsdLine("junk") === None)
+    assert(Telemetry.parseStatsdLine("no.value:|g") === None)
+  }
+
   test("object-store path helpers produce scheme-correct URIs") {
     assert(ObjectStore.s3aPath("archive-bucket", "/topics/v1")
       === "s3a://archive-bucket/topics/v1")
