@@ -16,14 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * candidate-row count the keep-side generation materializes (affected
   * × bucket population — the term that scales with bucket OCCUPANCY,
   * i.e. stays O(batch) exactly when band geometry is sized to the
-  * corpus, the production knob this fixture deliberately freezes).
-  * Not part of the driver contract; tooling only.
+  * corpus). The geometry IS the knob here: SPARK_GRAFT_NSW_GEOM=frozen
+  * replays the registry 60/10 constants (the r12 leg, saturated at the
+  * 10× fixture by design), =scaled sizes buckets to the corpus via
+  * [[graft.operators.NswGeometry.forCorpus]] — the production claim
+  * the r13 soak leg demonstrates. Not part of the driver contract;
+  * tooling only.
   *
   * env: SPARK_GRAFT_SF_DIR (fixture), SPARK_GRAFT_NSW_OP
   * (prep|rebuild|append|delete|update), SPARK_GRAFT_NSW_COHORT
   * (SQL predicate over vec_id), SPARK_GRAFT_NSW_WORKDIR (artifact
-  * cache, per-scale). `prep` builds the at-rest inputs untimed; the
-  * verb runs then read them like any serve would. */
+  * cache, per-scale AND per-geometry — artifacts signed under one
+  * geometry must never feed a verb run under another),
+  * SPARK_GRAFT_NSW_GEOM (frozen|scaled|B:R). `prep` builds the
+  * at-rest inputs untimed; the verb runs then read them like any
+  * serve would. */
 object ProfileNsw {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,10 +45,21 @@ object ProfileNsw {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val S = graft.operators.ScaleOps
-    val Q = graft.operators.LlmQueries
     val vecs = graft.core.Tables.load(spark, dir, "embeddings")
-    def sigsOf(df: DataFrame): DataFrame =
-      df.selectExpr("vec_id", s"srp_sig(embedding, ${Q.SrpBits}) AS sig")
+    // SPARK_GRAFT_NSW_GEOM: "frozen" (registry 60/10 — the r12 leg),
+    // "scaled" (NswGeometry.forCorpus on this fixture's corpus count —
+    // the production sizing the soak demonstrates), or explicit "B:R"
+    // (bitsPerBand:bands). Prep and verb runs on the same fixture see
+    // the same count, so artifacts and repairs share one geometry.
+    val geom = sys.env.getOrElse("SPARK_GRAFT_NSW_GEOM", "frozen") match {
+      case "frozen" => graft.operators.NswGeometry.frozen
+      case "scaled" => graft.operators.NswGeometry.forCorpus(vecs.count())
+      case s => val Array(b, r) = s.split(":").map(_.toInt)
+        graft.operators.NswGeometry(b, r)
+    }
+    println(s"[nswprof] geom bitsPerBand=${geom.bitsPerBand} " +
+      s"bands=${geom.bands} buckets=${geom.bucketsPerBand}")
+    def sigsOf(df: DataFrame): DataFrame = S.nswSigsOf(df, geom)
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime; val r = f
       println(f"[nswprof] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
@@ -54,36 +72,36 @@ object ProfileNsw {
     op match {
       case "prep" => // untimed: the frozen at-rest inputs every verb reads
         sigsOf(vecs).write.mode("overwrite").parquet(s"$work/sigs")
-        S.nswGraphOf(vecs).write.mode("overwrite").parquet(s"$work/adj")
+        S.nswGraphOf(vecs, geom).write.mode("overwrite").parquet(s"$work/adj")
         sigsOf(vecs.filter(s"NOT ($cohort)")).write.mode("overwrite")
           .parquet(s"$work/bsigs")
-        S.nswGraphOf(vecs.filter(s"NOT ($cohort)")).write.mode("overwrite")
+        S.nswGraphOf(vecs.filter(s"NOT ($cohort)"), geom).write.mode("overwrite")
           .parquet(s"$work/badj")
         println(s"[nswprof] prep done: ${vecs.count()} vectors, cohort " +
           s"${vecs.filter(cohort).count()}")
       case "rebuild" =>
-        time("rebuild")(noop(S.nswGraphOf(updated)))
+        time("rebuild")(noop(S.nswGraphOf(updated, geom)))
       case "append" =>
         val (bs, ba) = (spark.read.parquet(s"$work/bsigs"),
           spark.read.parquet(s"$work/badj"))
-        time("append")(noop(S.nswGraphAppendOf(vecs, bs, ba, cohort)))
-        val aff = S.nswAppendAffectedOf(bs, sigsOf(vecs.filter(cohort)))
+        time("append")(noop(S.nswGraphAppendOf(vecs, bs, ba, cohort, geom)))
+        val aff = S.nswAppendAffectedOf(bs, sigsOf(vecs.filter(cohort)), geom)
         println(s"[nswprof] append affected=${aff.count()}")
       case "delete" =>
         val (fs, fa) = (spark.read.parquet(s"$work/sigs"),
           spark.read.parquet(s"$work/adj"))
-        time("delete")(noop(S.nswGraphDeleteOf(fs, fa, vecs, cohort)))
+        time("delete")(noop(S.nswGraphDeleteOf(fs, fa, vecs, cohort, geom)))
         val aff = S.nswDeleteAffectedOf(fa,
           fs.filter(cohort).select("vec_id"))
         println(s"[nswprof] delete affected=${aff.count()}")
       case "update" =>
         val (fs, fa) = (spark.read.parquet(s"$work/sigs"),
           spark.read.parquet(s"$work/adj"))
-        time("update")(noop(S.nswGraphUpdateOf(updated, fs, fa, cohort)))
+        time("update")(noop(S.nswGraphUpdateOf(updated, fs, fa, cohort, geom)))
         val affD = S.nswDeleteAffectedOf(fa,
           fs.filter(cohort).select("vec_id"))
         val affA = S.nswAppendAffectedOf(fs.filter(s"NOT ($cohort)"),
-          sigsOf(updated.filter(cohort)))
+          sigsOf(updated.filter(cohort)), geom)
         println(s"[nswprof] update affected=" +
           affD.unionByName(affA).distinct().count())
       case other => sys.error(s"unknown SPARK_GRAFT_NSW_OP: $other")

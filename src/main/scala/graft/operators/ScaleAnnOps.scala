@@ -6,6 +6,63 @@ import graft.core.Determinism._
 import graft.core.Tables
 import graft.functions.TextFunctions._
 
+/** SRP-LSH band geometry for the NSW skeleton: `bands` keys of
+  * `bitsPerBand` bits each, packed into ONE 64-bit `srp_sig` word
+  * (bits = bands·bitsPerBand ≤ 60 — the srp_sig/simhash int64-oracle
+  * ceiling). [[NswGeometry.frozen]] is the registry constant the
+  * q261–q279 DuckDB oracles spell verbatim (60 bits / 10 bands = 64
+  * buckets per band); [[NswGeometry.forCorpus]] is the PRODUCTION
+  * knob the maintenance-verb cost story depends on: buckets per band
+  * grow with the corpus so expected bucket population stays bounded
+  * (≈ [[NswGeometry.TargetBucketPop]]), which is exactly the condition
+  * under which a fixed-size append batch touches O(batch) buckets and
+  * the band-mate trigger marks O(batch·pop) base nodes affected —
+  * never the corpus. The hyperplane family is indexed by bit position
+  * ([[graft.functions.HashKernels.srpSigns]] seeds plane i from
+  * "hp i:d"), so a narrower geometry's signature is a bit-prefix of a
+  * wider one — geometries differ only in how the same sign stream is
+  * cut into band keys.
+  *
+  * One honest cap: a single sig word exhausts at
+  * [[NswGeometry.MaxBitsPerBand]] bits per band (2^15 buckets with the
+  * 4-band floor). Past ~2^15·pop ≈ 260k vectors per geometry word the
+  * production continuation is additional seeded sig words (the
+  * md5_i64-prefix seeded-family pattern), not wider words; the law
+  * spec asserts the bound holds to the cap and names the cap. */
+final case class NswGeometry(bitsPerBand: Int, bands: Int) {
+  require(bitsPerBand >= 1 && bands >= 1 && bitsPerBand * bands <= 60,
+    s"geometry $bitsPerBand bits x $bands bands must pack into 60 sig bits")
+  def bits: Int = bitsPerBand * bands
+  def bucketsPerBand: Long = 1L << bitsPerBand
+  /** Expected bucket population for an n-vector corpus under the
+    * uniform-hash model — the quantity [[NswGeometry.forCorpus]]
+    * bounds and the geometry spec asserts. */
+  def expectedBucketPop(n: Long): Double = n.toDouble / bucketsPerBand
+}
+
+object NswGeometry {
+  /** The registry/oracle constant: 60 bits / 10 bands — identical to
+    * [[LlmQueries.SrpBits]]/[[LlmQueries.SrpBands]], asserted in spec. */
+  val frozen: NswGeometry = NswGeometry(6, 10)
+  /** Target expected bucket population for [[forCorpus]]. */
+  val TargetBucketPop = 8
+  /** Single-sig-word ceiling: 15 bits/band × the 4-band floor = 60. */
+  val MaxBitsPerBand = 15
+  private def log2ceil(x: Double): Int =
+    math.ceil(math.log(x) / math.log(2.0)).toInt
+  /** Size buckets to the corpus: smallest bitsPerBand whose 2^b buckets
+    * keep expected population ≤ targetPop (floored at the frozen 6 so
+    * small corpora reproduce the registry geometry bit-for-bit, capped
+    * at [[MaxBitsPerBand]] by the sig word); bands then take what is
+    * left of the 60-bit word, floored at 4 (recall needs several
+    * independent collision chances) and capped at the frozen 10. */
+  def forCorpus(n: Long, targetPop: Int = TargetBucketPop): NswGeometry = {
+    val needed = log2ceil(math.max(1.0, n.toDouble / targetPop))
+    val bpb = math.max(6, math.min(MaxBitsPerBand, needed))
+    NswGeometry(bpb, math.max(4, math.min(10, 60 / bpb)))
+  }
+}
+
 /** The PQ / ANN / embedding-spectral block, split from [[ScaleOps]]:
   * the parameterized Lloyd codebook and PQ encode (q105), ADC search
   * (q107), the five-leg recall audit (q169), power-iteration PCA and
@@ -2525,10 +2582,11 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   /** Degree-G SRP-candidate adjacency (src, dst, cos) for an arbitrary
     * (vec_id, embedding) frame: band-join candidates, exact cosine,
     * top-G per node. */
-  private[graft] def nswGraphOf(vectors: DataFrame): DataFrame = {
+  private[graft] def nswGraphOf(vectors: DataFrame,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = graft.llm.Similarity.srpCandidatePairs(
-      vectors, LlmQueries.SrpBits, LlmQueries.SrpBands)
+      vectors, geom.bits, geom.bands)
     pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(pairs.select(col("id_b").as("src"),
         col("id_a").as("dst"), col("cos")))
@@ -2706,19 +2764,23 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * stability of both stored artifacts. */
   val NswBatchMod = 3
 
-  private def srpBandKeys(sigCol: String): Seq[String] = {
-    val rows = LlmQueries.SrpBits / LlmQueries.SrpBands
+  private def srpBandKeys(sigCol: String,
+      geom: NswGeometry = NswGeometry.frozen): Seq[String] = {
+    val rows = geom.bitsPerBand
     val mask = (1L << rows) - 1
-    (0 until LlmQueries.SrpBands).map { b =>
+    (0 until geom.bands).map { b =>
       s"concat('p$b:', CAST(shiftright($sigCol, ${b * rows}) & $mask AS STRING))"
     }
   }
 
-  /** (vec_id, sig) for an arbitrary embedding frame. */
-  private def nswSigsOf(vectors: DataFrame): DataFrame = {
+  /** (vec_id, sig) for an arbitrary embedding frame. Exposed to the
+    * geometry tooling ([[graft.ProfileNsw]]) so at-rest artifacts and
+    * verbs sign under the SAME geometry word. */
+  private[graft] def nswSigsOf(vectors: DataFrame,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     vectors.selectExpr("vec_id",
-      s"srp_sig(embedding, ${LlmQueries.SrpBits}) AS sig")
+      s"srp_sig(embedding, ${geom.bits}) AS sig")
   }
 
   /** Candidate pairs touching `keep`, the skeleton STRATEGY chosen by
@@ -2749,8 +2811,9 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * candidate). Exposed so the spec can pin the maintenance verbs'
     * affected set against an independently spelled bound. */
   private[graft] def nswAppendAffectedOf(baseSigs: DataFrame,
-                                         batchSigs: DataFrame): DataFrame = {
-    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+                                         batchSigs: DataFrame,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame = {
+    val bandKeysStr = srpBandKeys("sig", geom).mkString(", ")
     def banded(sigs: DataFrame): DataFrame =
       sigs.selectExpr("vec_id", s"explode(array($bandKeysStr)) AS bk")
     banded(baseSigs)
@@ -2776,9 +2839,10 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * shared by q264 and the spec. */
   private[graft] def nswGraphAppendOf(vectors: DataFrame, baseSigs: DataFrame,
                                       baseAdj: DataFrame,
-                                      batchPred: String): DataFrame =
+                                      batchPred: String,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame =
     nswGraphAppendBySigs(vectors, baseSigs, baseAdj,
-      nswSigsOf(vectors.filter(batchPred)))
+      nswSigsOf(vectors.filter(batchPred), geom), geom)
 
   /** The same append core over PRE-SIGNED batch signatures — the shape
     * the stream-time twin drives: signatures are per-row pure, so the
@@ -2790,13 +2854,14 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   private[graft] def nswGraphAppendBySigs(vectors: DataFrame,
                                           baseSigs: DataFrame,
                                           baseAdj: DataFrame,
-                                          batchSigsIn: DataFrame): DataFrame = {
+                                          batchSigsIn: DataFrame,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
-    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+    val bandKeysStr = srpBandKeys("sig", geom).mkString(", ")
     val batchSigs = P(batchSigsIn.select("vec_id", "sig"))
     // affected base nodes: share >= 1 bucket with a batch arrival
-    val affected = P(nswAppendAffectedOf(baseSigs, batchSigs))
+    val affected = P(nswAppendAffectedOf(baseSigs, batchSigs, geom))
     val srcs = P(affected.unionByName(batchSigs.select("vec_id")).distinct())
     // candidate pairs through the SAME halved skeleton shape the
     // rebuild uses (id_a < id_b, dedup on ids before the 64-float
@@ -2884,9 +2949,10 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * maintained survivor adjacency; shared by q265 and the spec. */
   private[graft] def nswGraphDeleteOf(baseSigs: DataFrame, baseAdj: DataFrame,
                                       vectors: DataFrame,
-                                      delPred: String): DataFrame =
+                                      delPred: String,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame =
     nswGraphDeleteByIds(baseSigs, baseAdj, vectors,
-      baseSigs.filter(delPred).select("vec_id"))
+      baseSigs.filter(delPred).select("vec_id"), geom)
 
   /** The same delete core keyed by an EXPLICIT tombstone id frame —
     * the shape the composed takedown feed drives: the
@@ -2898,7 +2964,8 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   private[graft] def nswGraphDeleteByIds(baseSigs: DataFrame,
                                          baseAdj: DataFrame,
                                          vectors: DataFrame,
-                                         tombIds: DataFrame): DataFrame = {
+                                         tombIds: DataFrame,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
     val tombs = P(tombIds.toDF("vec_id"))
@@ -2915,7 +2982,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     val sigP = P(survSigs
       .select(col("vec_id").as("id"), col("sig"))
       .join(vectors.select(col("vec_id").as("id"), col("embedding")), "id"))
-    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+    val bandKeysStr = srpBandKeys("sig", geom).mkString(", ")
     val pairs = graft.llm.Dedup.joinBackPayload(
         candidatePairsAdaptive(sigP, bandKeysStr, affected.select("vec_id")),
         sigP, "embedding")
@@ -3006,18 +3073,19 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * append-affected), so its stored row IS the rebuild's. */
   private[graft] def nswGraphUpdateOf(updated: DataFrame, baseSigs: DataFrame,
                                       baseAdj: DataFrame,
-                                      pred: String): DataFrame = {
+                                      pred: String,
+      geom: NswGeometry = NswGeometry.frozen): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
-    val bandKeysStr = srpBandKeys("sig").mkString(", ")
+    val bandKeysStr = srpBandKeys("sig", geom).mkString(", ")
     val tombs = P(baseSigs.filter(pred).select("vec_id"))
     val survSigs = P(baseSigs.filter(s"NOT ($pred)"))
-    val batchSigs = P(nswSigsOf(updated.filter(pred)))
+    val batchSigs = P(nswSigsOf(updated.filter(pred), geom))
     // the two triggers, spelled as the single verbs spell them
     // ([[nswDeleteAffectedOf]] already excludes the cohort; the append
     // trigger runs over survivor signatures, which cannot contain it)
     val affected = P(nswDeleteAffectedOf(baseAdj, tombs)
-      .unionByName(nswAppendAffectedOf(survSigs, batchSigs))
+      .unionByName(nswAppendAffectedOf(survSigs, batchSigs, geom))
       .distinct())
     val srcs = P(affected.unionByName(batchSigs.select("vec_id")).distinct())
     // ONE candidate pass over survivor ∪ new-batch signatures, with the

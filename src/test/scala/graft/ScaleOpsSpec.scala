@@ -1040,6 +1040,61 @@ class ScaleOpsSpec extends SparkSpec {
     graft.core.EngineCache.releaseAll()
   }
 
+  test("nsw band geometry: forCorpus bounds bucket population, frozen-compat, verbs stay rebuild-equal off-default") {
+    val G = graft.operators.NswGeometry
+    // the law: buckets grow with the corpus so expected population
+    // stays <= TargetBucketPop, up to the single-sig-word cap
+    (1L to 18L).map(1L << _).filter(_ <= 8L * (1L << G.MaxBitsPerBand))
+      .foreach { n =>
+        val g = G.forCorpus(n)
+        assert(g.expectedBucketPop(n) <= G.TargetBucketPop + 1e-9,
+          s"n=$n geom=$g pop=${g.expectedBucketPop(n)}")
+        assert(g.bits <= 60 && g.bands >= 4 && g.bands <= 10, s"n=$n $g")
+      }
+    // small corpora reproduce the registry constants bit-for-bit
+    assert(G.forCorpus(500) == G.frozen)
+    assert(G.frozen.bits == graft.operators.LlmQueries.SrpBits &&
+      G.frozen.bands == graft.operators.LlmQueries.SrpBands,
+      "frozen geometry drifted from the oracle constants")
+    // past the word cap the geometry pins at (MaxBitsPerBand, 4) — the
+    // documented seeded-multi-word continuation point, never > 60 bits
+    assert(G.forCorpus(1L << 40) == graft.operators.NswGeometry(G.MaxBitsPerBand, 4))
+    // threading proof: under a NON-default geometry every maintenance
+    // verb still equals the same-geometry rebuild, row for row
+    val S = ScaleOps
+    val g = graft.operators.NswGeometry(8, 7)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val pred = s"vec_id % 10 = ${S.NswBatchMod}"
+    val baseSigs = S.nswSigsOf(vecs.filter(s"NOT ($pred)"), g)
+    val baseAdj = S.nswGraphOf(vecs.filter(s"NOT ($pred)"), g)
+    assert(key(S.nswGraphAppendOf(vecs, baseSigs, baseAdj, pred, g)) ==
+      key(S.nswGraphOf(vecs, g)), "off-default append != rebuild")
+    val fullSigs = S.nswSigsOf(vecs, g)
+    val fullAdj = S.nswGraphOf(vecs, g)
+    assert(key(S.nswGraphDeleteOf(fullSigs, fullAdj, vecs, pred, g)) ==
+      key(S.nswGraphOf(vecs.filter(s"NOT ($pred)"), g)),
+      "off-default delete != survivor rebuild")
+    val updated = vecs.selectExpr("vec_id",
+      s"CASE WHEN $pred THEN transform(embedding, x -> -x) " +
+        "ELSE embedding END AS embedding")
+    assert(key(S.nswGraphUpdateOf(updated, fullSigs, fullAdj, pred, g)) ==
+      key(S.nswGraphOf(updated, g)), "off-default update != rebuild")
+    // the point of the knob: widening the geometry SHRINKS the append
+    // trigger on the same corpus/batch (the soak's sublinearity source)
+    val batchSigsFrozen = S.nswSigsOf(vecs.filter(pred))
+    val affFrozen = S.nswAppendAffectedOf(
+      S.nswSigsOf(vecs.filter(s"NOT ($pred)")), batchSigsFrozen).count()
+    val gWide = graft.operators.NswGeometry(12, 5)
+    val affWide = S.nswAppendAffectedOf(
+      S.nswSigsOf(vecs.filter(s"NOT ($pred)"), gWide),
+      S.nswSigsOf(vecs.filter(pred), gWide), gWide).count()
+    assert(affWide < affFrozen,
+      s"wider bands must sparsen the trigger: $affWide !< $affFrozen")
+    graft.core.EngineCache.releaseAll()
+  }
+
   test("ivm join view: upsert maintenance equals rebuild, base stays frozen") {
     val S = graft.operators.ScaleOps
     val W = graft.core.Warehouse
