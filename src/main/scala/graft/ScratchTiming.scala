@@ -1,0 +1,369 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Phase-attribution / A-B measurement harness behind the numbers in
+  * OPTIMIZATION_r13.md (guide §1.1's empirical loop, run as same-JVM
+  * A/Bs with output cross-checks because this host's cross-run noise
+  * is ±50% on single samples). Cases: `lp` (q213 round shapes:
+  * max-struct vs encoded-long top-1), `pr` (q104 iteration join: plain
+  * vs broadcast sums), `edges` (co-purchase edge-build variants),
+  * `walk` (NSW walk: persist-chained vs localCheckpoint-barriered),
+  * `nsw` (q264 phase split), `stats`/`aqe`/`micro` (q212 aggregate
+  * shapes and primitive costs). Tooling only — not part of the driver
+  * contract; env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SCRATCH_WHAT. */
+object ScratchTiming {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val what = sys.env.getOrElse("SCRATCH_WHAT", "lp")
+    val spark = graft.core.GraftSession.tune(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    what match {
+      case "lp" =>
+        // q213 phase split, current spelling
+        val li = graft.core.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.alias("a")
+          .join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val e = t("edges build+persist") {
+          val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+            .repartition(col("dst"))
+            .persist()
+          e.count()
+          e
+        }
+        var lab = e.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lab"))
+        for (i <- 1 to 4) {
+          lab = t(s"iter $i (max-struct)") {
+            val nxt = e.join(lab, e("dst") === lab("node"))
+              .groupBy(e("src").as("node"), col("lab"))
+              .agg(count(lit(1)).as("c"))
+              .groupBy("node")
+              .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+              .select(col("node"), (-col("m.nl")).as("lab"))
+              .persist()
+            nxt.count()
+            nxt
+          }
+        }
+        t("final window+sort+noop") {
+          import org.apache.spark.sql.expressions.Window
+          noop(lab.select(col("node"), col("lab").as("community"),
+            count(lit(1)).over(Window.partitionBy("lab"))
+              .cast("long").as("comm_size"))
+            .orderBy("node"))
+        }
+        // variant: encoded-long top-1 (hash-aggregable)
+        var lab2 = e.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lab"))
+        for (i <- 1 to 4) {
+          lab2 = t(s"iter $i (encoded-long)") {
+            val B = 4294967296L
+            val nxt = e.join(lab2, e("dst") === lab2("node"))
+              .groupBy(e("src").as("node"), col("lab"))
+              .agg(count(lit(1)).as("c"))
+              .groupBy("node")
+              .agg(max(col("c") * lit(B) - col("lab")).as("enc"))
+              .select(col("node"),
+                (floor((col("enc") + lit(B) - 1) / lit(B)) * lit(B) -
+                  col("enc")).cast("long").as("lab"))
+              .persist()
+            nxt.count()
+            nxt
+          }
+        }
+        t("final2 window+sort+noop") {
+          import org.apache.spark.sql.expressions.Window
+          noop(lab2.select(col("node"), col("lab").as("community"),
+            count(lit(1)).over(Window.partitionBy("lab"))
+              .cast("long").as("comm_size"))
+            .orderBy("node"))
+        }
+        // cross-check: identical labelings
+        val diff = lab.withColumnRenamed("lab", "l1")
+          .join(lab2.withColumnRenamed("lab", "l2"), "node")
+          .filter(col("l1") =!= col("l2")).count()
+        println(s"[scratch] label mismatches: $diff")
+
+      case "pr" =>
+        // q104 phase split
+        val li = graft.core.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.alias("a")
+          .join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val e = t("edges build+persist") {
+          val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+          e.count(); e
+        }
+        val deg = t("deg build") {
+          val d = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).persist()
+          d.count(); d
+        }
+        val n = deg.count()
+        val d = "0.85"
+        var r = deg.select(col("node"), col("deg"),
+          expr(s"floor(1e12 / CAST($n AS DOUBLE) + 0.5) / 1e12").as("r"))
+        for (i <- 1 to 3) {
+          r = t(s"iter $i (plain left join)") {
+            val contrib = e.join(r, e("src") === r("node"))
+              .select(col("dst").as("node"),
+                expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
+                  "AS DECIMAL(38,0))").as("c"))
+            val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+            val nr = deg.join(sums, Seq("node"), "left")
+              .select(col("node"), col("deg"),
+                expr(s"floor((((1.0 - $d) / CAST($n AS DOUBLE)) + " +
+                  s"$d * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5) " +
+                  "/ 1e12").as("r")).persist()
+            nr.count(); nr
+          }
+        }
+        t("final noop") {
+          noop(r.select(col("node"),
+            graft.core.Determinism.dround(col("r"), 9).as("pagerank")).orderBy("node"))
+        }
+        var r2 = deg.select(col("node"), col("deg"),
+          expr(s"floor(1e12 / CAST($n AS DOUBLE) + 0.5) / 1e12").as("r"))
+        for (i <- 1 to 3) {
+          r2 = t(s"iter $i (broadcast sums)") {
+            val contrib = e.join(r2, e("src") === r2("node"))
+              .select(col("dst").as("node"),
+                expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
+                  "AS DECIMAL(38,0))").as("c"))
+            val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+            val nr = deg.join(broadcast(sums), Seq("node"), "left")
+              .select(col("node"), col("deg"),
+                expr(s"floor((((1.0 - $d) / CAST($n AS DOUBLE)) + " +
+                  s"$d * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5) " +
+                  "/ 1e12").as("r")).persist()
+            nr.count(); nr
+          }
+        }
+        t("final2 noop") {
+          noop(r2.select(col("node"),
+            graft.core.Determinism.dround(col("r"), 9).as("pagerank")).orderBy("node"))
+        }
+        val diff = r.withColumnRenamed("r", "ra")
+          .join(r2.withColumnRenamed("r", "rb"), "node")
+          .filter(col("ra") =!= col("rb")).count()
+        println(s"[scratch] rank mismatches: $diff")
+
+      case "stats" =>
+        // q212 shapes: A = current union-of-11-aggregates, B = one wide
+        // agg (Expand), each run twice
+        graft.core.Tables.load(spark, dir, "lineitem")
+          .createOrReplaceTempView("lineitem")
+        for (round <- 1 to 2) {
+          t(s"A union-of-aggs (round $round)") {
+            noop(graft.operators.ScaleOps.colStats(spark, dir))
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          }
+          t(s"B wide-agg Expand (round $round)") {
+            val num = Seq("l_orderkey", "l_partkey", "l_suppkey",
+              "l_linenumber", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax")
+            val aggs = (num.map(c => s"count(DISTINCT $c) AS ndv_$c, " +
+              s"count($c) AS nn_$c, CAST(min($c) AS DOUBLE) AS mn_$c, " +
+              s"CAST(max($c) AS DOUBLE) AS mx_$c") ++
+              Seq("l_returnflag", "l_linestatus").map(c =>
+                s"count(DISTINCT $c) AS ndv_$c, count($c) AS nn_$c, " +
+                  s"min($c) AS mns_$c, max($c) AS mxs_$c") :+
+              "count(DISTINCT l_shipdate) AS ndv_ship").mkString(", ")
+            noop(spark.sql(s"SELECT count(1) AS n, $aggs FROM lineitem"))
+          }
+        }
+
+      case "micro" =>
+        graft.core.Tables.load(spark, dir, "lineitem")
+          .createOrReplaceTempView("lineitem")
+        for (r <- 1 to 2) {
+          t(s"count(*) (r$r)") {
+            noop(spark.sql("SELECT count(1) FROM lineitem"))
+          }
+          t(s"1 countDistinct long (r$r)") {
+            noop(spark.sql("SELECT count(DISTINCT l_orderkey) FROM lineitem"))
+          }
+          t(s"1 countDistinct double (r$r)") {
+            noop(spark.sql("SELECT count(DISTINCT l_quantity) FROM lineitem"))
+          }
+          t(s"1 countDistinct ts (r$r)") {
+            noop(spark.sql("SELECT count(DISTINCT l_shipdate) FROM lineitem"))
+          }
+          t(s"groupBy(l_orderkey).count (r$r)") {
+            noop(spark.sql(
+              "SELECT l_orderkey, count(1) FROM lineitem GROUP BY l_orderkey"))
+          }
+        }
+
+      case "aqe" =>
+        graft.core.Tables.load(spark, dir, "lineitem")
+          .createOrReplaceTempView("lineitem")
+        for (r <- 1 to 2) {
+          t(s"colStats AQE on (r$r)") {
+            noop(graft.operators.ScaleOps.colStats(spark, dir))
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          }
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          t(s"colStats AQE off (r$r)") {
+            noop(graft.operators.ScaleOps.colStats(spark, dir))
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          }
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+        }
+
+      case "edges" =>
+        val li = graft.core.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        def build(tag: String)(mk: => DataFrame): Unit = {
+          for (round <- 1 to 2) {
+            t(s"$tag (round $round)") {
+              val e = mk.persist()
+              val n = e.count()
+              e.unpersist(true)
+              n
+            }
+          }
+        }
+        // current spelling: self-join -> distinct -> union -> repartition
+        build("self-join+distinct+union+repart") {
+          val e0 = li.alias("a")
+            .join(li.alias("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+            .distinct()
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+            .repartition(col("dst"))
+        }
+        // no repartition
+        build("self-join+distinct+union") {
+          val e0 = li.alias("a")
+            .join(li.alias("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+            .distinct()
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        }
+        // grouped-pairs: one shuffle of (orderkey -> parts set), pairs by
+        // codegen explode, then distinct
+        build("collect_set+explode pairs") {
+          val sets = li.groupBy("l_orderkey")
+            .agg(collect_set(col("l_partkey")).as("ps"))
+            .select(expr("array_sort(ps)").as("ps"))
+          val e0 = sets
+            .select(explode(expr(
+              "flatten(transform(ps, (x, i) -> " +
+                "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+                "y -> struct(x AS src, y AS dst))))")).as("p"))
+            .select(col("p.src"), col("p.dst"))
+            .distinct()
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        }
+
+      case "walk" =>
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(spark)
+        val vecs = graft.core.Tables.load(spark, dir, "embeddings")
+        val baseV = vecs.filter("vec_id % 10 != 3")
+        val baseSigs = graft.operators.ScaleOps.nswSigsOf(baseV).persist()
+        baseSigs.count()
+        val baseAdj = graft.operators.ScaleOps.nswGraphOf(baseV).persist()
+        baseAdj.count()
+        val maintained = graft.operators.ScaleOps.nswGraphAppendOf(
+          vecs, baseSigs, baseAdj, "vec_id % 10 = 3")
+        // A: current walk (shared helper), straight over the repair DAG
+        val a = t("walk A (current, over repair DAG)") {
+          val r = graft.operators.ScaleOps.nswSearchOf(
+            vecs, maintained, "vec_id < 8")
+          r.persist(); r.count(); r
+        }
+        // B: same walk but g and per-hop visited eagerly checkpointed
+        val b = t("walk B (localCheckpoint barriers)") {
+          val NswG = 8; val NswBeam = 16; val NswHops = 4; val NswK = 5
+          val v = vecs.select(col("vec_id"), col("embedding")).persist()
+          val probes = v.filter("vec_id < 8")
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+            .localCheckpoint(true)
+          val g = maintained.select("src", "dst").localCheckpoint(true)
+          def score(cands: DataFrame): DataFrame = cands
+            .join(v.select(col("vec_id").as("cand_id"),
+              col("embedding").as("cv")), "cand_id")
+            .join(broadcast(probes), "query_id")
+            .withColumn("cos",
+              expr(graft.llm.Similarity.cosineExpr("qv", "cv")))
+            .select("query_id", "cand_id", "cos")
+          var visited = probes.select(col("query_id"),
+            col("query_id").as("cand_id"), lit(1.0).as("cos"))
+            .localCheckpoint(true)
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("cand_id"))
+          for (_ <- 1 to NswHops) {
+            val beam = visited.withColumn("rk", row_number().over(w))
+              .filter(col("rk") <= NswBeam)
+              .select(col("query_id"), col("cand_id").as("src"))
+            val expanded = score(beam.join(g, "src")
+              .select(col("query_id"), col("dst").as("cand_id")))
+            visited = visited.unionByName(expanded)
+              .groupBy("query_id", "cand_id").agg(max("cos").as("cos"))
+              .localCheckpoint(true)
+          }
+          val r = visited.filter(col("cand_id") =!= col("query_id"))
+            .withColumn("rnk", row_number().over(w).cast("int"))
+            .filter(col("rnk") <= NswK)
+            .select("query_id", "rnk", "cand_id", "cos")
+            .orderBy("query_id", "rnk")
+          r.persist(); r.count(); r
+        }
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        println(s"[scratch] walk output mismatches: $diff")
+
+      case "nsw" =>
+        // q264 phase split: at-rest builds vs repair vs walk
+        val vecs = graft.core.Tables.load(spark, dir, "embeddings")
+        val baseV = vecs.filter("vec_id % 10 != 3")
+        val baseSigs = t("base sigs build") {
+          val s = graft.operators.ScaleOps.nswSigsOf(baseV).persist()
+          s.count(); s
+        }
+        val baseAdj = t("base adj build (rebuild-scale)") {
+          val a = graft.operators.ScaleOps.nswGraphOf(baseV).persist()
+          a.count(); a
+        }
+        val maintained = t("append repair") {
+          val m = graft.operators.ScaleOps.nswGraphAppendOf(
+            vecs, baseSigs, baseAdj, "vec_id % 10 = 3").persist()
+          m.count(); m
+        }
+        t("walk + noop") {
+          noop(graft.operators.ScaleOps.nswSearchOf(
+            vecs, maintained, "vec_id < 8"))
+        }
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

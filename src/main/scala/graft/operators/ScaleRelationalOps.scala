@@ -2986,23 +2986,43 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
   /** One profile row per column over a projected frame: (col_name, n,
     * n_nulls, min_num, max_num, sk). Values sketch via the 60-bit hash
     * of their canonical string — engine-internal only, so cross-engine
-    * string formatting never matters. */
+    * string formatting never matters.
+    *
+    * r13 optimization (guide §1.2 — fewer passes): every column's
+    * (non-null count, min, max, HLL) rides in ONE wide aggregate over
+    * ONE scan, where the old spelling ran a separate filtered
+    * aggregation job per column (8 cache scans + 8 job schedules for
+    * the same numbers). Null discipline is unchanged: count/min/max
+    * skip nulls intrinsically, and the sketch carries a
+    * `FILTER (WHERE c IS NOT NULL)` clause so the aggregator's update
+    * never sees a null-row hash — exactly the rows the old per-column
+    * `filter(isNotNull)` fed it. The single wide row is read to the
+    * driver (bounded: 1 row, O(columns) sketch blobs — the q289
+    * LocalRelation-readout precedent) and unpivoted locally, so the
+    * per-column output frame costs zero further jobs. */
   private def profileRowsOf(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.functions.HllSketch.register(df.sparkSession)
+    val spark = df.sparkSession
+    graft.functions.HllSketch.register(spark)
     val base = df.transform(graft.core.EngineCache.persisted)
     val n = base.count()
-    profCols.map { c =>
-      base.filter(col(c).isNotNull).agg(
-        count(lit(1)).as("nn"),
-        min(col(c)).cast("double").as("min_num"),
-        max(col(c)).cast("double").as("max_num"),
+    val aggs = profCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"),
         expr("hll_build(" +
-          graft.core.Determinism.xhashExpr(s"CAST($c AS STRING)") + ")")
-          .as("sk"))
-        .select(lit(c).as("col_name"), lit(n).as("n"),
-          (lit(n) - col("nn")).as("n_nulls"),
-          col("min_num"), col("max_num"), col("sk"))
+          graft.core.Determinism.xhashExpr(s"CAST($c AS STRING)") +
+          s") FILTER (WHERE $c IS NOT NULL)").as(s"sk_$c"))
+    }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val row = wide.head()
+    val localWide = spark.createDataFrame(
+      java.util.Collections.singletonList(row), wide.schema)
+    profCols.map { c =>
+      localWide.select(lit(c).as("col_name"), lit(n).as("n"),
+        (lit(n) - col(s"nn_$c")).as("n_nulls"),
+        col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+        col(s"sk_$c").as("sk"))
     }.reduce(_ union _)
   }
 
