@@ -130,6 +130,7 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     val nSeeds = nodes.filter(col("is_seed") === 1).count()
     require(nSeeds > 0,
       "taintPpr: empty seed set — the restart distribution is undefined")
+    val nNodes = nodes.count() // off the cached frame; gates bcastIfSmall
     val a = TaintAlpha
     var r = nodes.selectExpr("node", "deg", "is_seed",
       s"floor(is_seed * 1e12 / CAST($nSeeds AS DOUBLE) + 0.5) / 1e12 AS r")
@@ -138,7 +139,11 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
         .select(col("dst").as("node"),
           expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
             "AS DECIMAL(38,0))").as("c"))
-      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      // q104's guarded broadcast (ScaleGraphOps.bcastIfSmall): sums is
+      // ≤ |V| rows — zero-shuffle join when provably small, plain
+      // shuffled left join above the threshold
+      val sums = ScaleOps.bcastIfSmall(
+        contrib.groupBy("node").agg(sum("c").as("sc")), nNodes)
       r = nodes.join(sums, Seq("node"), "left")
         .selectExpr("node", "deg", "is_seed",
           s"floor(($a * is_seed / CAST($nSeeds AS DOUBLE) + " +

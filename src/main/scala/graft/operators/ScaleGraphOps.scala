@@ -22,7 +22,7 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
     * runtime SMJ→BHJ rewrite still pays the planned shuffles, while a
     * plan-time broadcast never shuffles either side). At 10¹⁰ nodes it
     * degrades to the plain shuffled join unchanged. */
-  private def bcastIfSmall(df: DataFrame, n: Long): DataFrame = {
+  private[graft] def bcastIfSmall(df: DataFrame, n: Long): DataFrame = {
     val thr = try df.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
     catch { case _: NumberFormatException => 10485760L }
