@@ -362,6 +362,280 @@ object ScratchTiming {
           noop(graft.operators.ScaleOps.nswSearchOf(
             vecs, maintained, "vec_id < 8"))
         }
+
+      case "winsor" =>
+        // q128 A/B: the double-scanned CTE spelling vs the cached-h
+        // rewrite — alternated in one JVM, outputs cross-checked
+        graft.core.Tables.load(spark, dir, "lineitem")
+          .createOrReplaceTempView("lineitem")
+        for (round <- 1 to 3) {
+          t(s"A$round winsorSpark (h inlined twice)") {
+            noop(spark.sql(graft.operators.StatsOps.winsorSpark))
+          }
+          t(s"B$round winsorMeans (h cached once)") {
+            noop(graft.operators.StatsOps.winsorMeans(spark, dir))
+            graft.core.EngineCache.releaseAll()
+          }
+        }
+        val a = spark.sql(graft.operators.StatsOps.winsorSpark).collect().toSet
+        val bres = graft.operators.StatsOps.winsorMeans(spark, dir).collect().toSet
+        println(s"[scratch] winsor rows equal: ${a == bres} (${a.size} rows)")
+
+      case "enc2" =>
+        // q276 A/B: global-rank + rk-adjacency SMJ vs blocked-lag rewrite
+        import graft.operators.DistributedRank
+        for (round <- 1 to 3) {
+          t(s"A$round rank+SMJ adjacency") {
+            val li = graft.core.Tables.load(spark, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+            val ranked = graft.core.EngineCache.persisted(
+              DistributedRank.rankOnly(li, "rk", "l_orderkey", desc = false,
+                col("l_orderkey"), col("l_linenumber"))
+                .select("rk", "rf", "ls"))
+            ranked.createOrReplaceTempView("enc_ranked_ab")
+            noop(spark.sql(s"""
+              WITH adj AS (
+                SELECT a.rf, a.ls, b.rf AS prf, b.ls AS pls
+                FROM enc_ranked_ab a LEFT JOIN enc_ranked_ab b ON b.rk = a.rk - 1),
+              ch AS (
+                SELECT CAST(sum(CASE WHEN prf IS NOT NULL AND rf <> prf
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_rf,
+                  CAST(sum(CASE WHEN pls IS NOT NULL AND ls <> pls
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_ls
+                FROM adj),
+              ${graft.operators.ScaleOps.encodingTailSql(
+                "enc_ranked_ab", ("ch.runs_rf", "ch.runs_ls"))}"""))
+            graft.core.EngineCache.releaseAll()
+          }
+          t(s"B$round full encodingAdvisor (blocked lag)") {
+            noop(graft.operators.ScaleOps.queries("q276_encoding_advisor")(spark, dir))
+            graft.core.EngineCache.releaseAll()
+          }
+        }
+
+      case "lp3" =>
+        // q213 round A/B: plain cached edges (2 exchanges/round) vs
+        // src-prehashed cached edges (0 exchanges/round)
+        val li = graft.core.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.alias("a")
+          .join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        def dumpRoundPlan(path: String, df: DataFrame): Unit =
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        def lpRounds(tag: String, e: DataFrame): DataFrame = {
+          val B = 4294967296L
+          var lab = t(s"$tag lab0 (distinct src)") {
+            val l = e.select(col("src").as("node")).distinct()
+              .select(col("node"), col("node").as("lab")).persist()
+            l.count(); l
+          }
+          for (i <- 1 to 4) {
+            lab = t(s"$tag iter $i") {
+              val nxt = e.join(lab, e("dst") === lab("node"))
+                .groupBy(e("src").as("node"), col("lab"))
+                .agg(count(lit(1)).as("c"))
+                .groupBy("node")
+                .agg(max(col("c") * lit(B) - col("lab")).as("enc"))
+                .select(col("node"),
+                  expr(s"CAST(((enc + ${B - 1}) div $B) * $B - enc AS BIGINT)")
+                    .as("lab"))
+              if (i == 2) dumpRoundPlan(
+                s"plans/r13/q213_round_${if (tag == "A") "plain" else "prehash"}.txt",
+                nxt)
+              val p = nxt.persist()
+              p.count()
+              p
+            }
+          }
+          lab
+        }
+        val eA = t("A edges build+persist (plain)") {
+          val e = sym.persist(); e.count(); e }
+        val labA = lpRounds("A", eA)
+        val eB = t("B edges build+persist (repartition src)") {
+          val e = sym.repartition(col("src")).persist(); e.count(); e }
+        val labB = lpRounds("B", eB)
+        val diff = labA.withColumnRenamed("lab", "l1")
+          .join(labB.withColumnRenamed("lab", "l2"), "node")
+          .filter(col("l1") =!= col("l2")).count()
+        println(s"[scratch] lp3 label mismatches: $diff " +
+          s"(A=${labA.count()} B=${labB.count()})")
+
+      case "pr3" =>
+        // q104 iteration A/B: plain cached edges (1 exchange/iter) vs
+        // dst-prehashed cached edges (0 exchanges/iter); sums broadcast
+        // in both arms (the batch-1 state)
+        val li = graft.core.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.alias("a")
+          .join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val dd = "0.85"
+        def prIters(tag: String, e: DataFrame): DataFrame = {
+          val deg = t(s"$tag deg build") {
+            val dg = e.groupBy(col("src").as("node"))
+              .agg(count(lit(1)).as("deg")).persist()
+            dg.count(); dg
+          }
+          val n = deg.count()
+          var r = deg.select(col("node"), col("deg"),
+            expr(s"floor(1e12 / CAST($n AS DOUBLE) + 0.5) / 1e12").as("r"))
+          for (i <- 1 to 4) {
+            r = t(s"$tag iter $i") {
+              val contrib = e.join(r, e("src") === r("node"))
+                .select(col("dst").as("node"),
+                  expr("CAST(floor(r / CAST(deg AS DOUBLE) * 1e12 + 0.5) " +
+                    "AS DECIMAL(38,0))").as("c"))
+              val sums = broadcast(
+                contrib.groupBy("node").agg(sum("c").as("sc")))
+              val nr = deg.join(sums, Seq("node"), "left")
+                .select(col("node"), col("deg"),
+                  expr(s"floor((((1.0 - $dd) / CAST($n AS DOUBLE)) + " +
+                    s"$dd * (CAST(coalesce(sc, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5) " +
+                    "/ 1e12").as("r"))
+              if (i == 2) {
+                java.nio.file.Files.writeString(java.nio.file.Paths.get(
+                  s"plans/r13/q104_iter_${if (tag == "A") "plain" else "prehash"}.txt"),
+                  nr.queryExecution.explainString(
+                    org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+              }
+              val p = nr.persist()
+              p.count(); p
+            }
+          }
+          r
+        }
+        val eA2 = t("A edges build+persist (plain)") {
+          val e = sym.persist(); e.count(); e }
+        val rA = prIters("A", eA2)
+        val eB2 = t("B edges build+persist (repartition dst)") {
+          val e = sym.repartition(col("dst")).persist(); e.count(); e }
+        val rB = prIters("B", eB2)
+        val diff2 = rA.select(col("node"), col("r").as("r1"))
+          .join(rB.select(col("node"), col("r").as("r2")), "node")
+          .filter(col("r1") =!= col("r2")).count()
+        println(s"[scratch] pr3 rank mismatches: $diff2")
+
+      case "hits2" =>
+        // q149 A/B: one cached edge layout (each half-step exchanges)
+        // vs dual cust/part layouts (each half-step single-stage)
+        val o = graft.core.Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = graft.core.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val eDist = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+          .distinct()
+        def hitsLoop(tag: String, eC: DataFrame, eP: DataFrame,
+                     bcast: Boolean): DataFrame = {
+          def bc(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+          var a = eP.select(col("part")).distinct().withColumn("a", lit(1.0))
+          var h: DataFrame = a
+          def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+            val mx = raw.agg(max(col("sc"))).head.getDecimal(0).doubleValue
+            raw.select(col(key),
+              (floor(col("sc").cast("double") / lit(mx) * lit(1e12) + lit(0.5)) /
+                lit(1e12)).as(out))
+          }
+          for (i <- 1 to 3) {
+            val (hraw, araw) = t(s"$tag iter $i") {
+              val hr = eC.join(bc(a), "part").groupBy("cust")
+                .agg(expr("sum(CAST(floor(a * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
+                .persist()
+              h = normalized(hr, "cust", "h")
+              val ar = eP.join(bc(h), "cust").groupBy("part")
+                .agg(expr("sum(CAST(floor(h * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
+                .persist()
+              a = normalized(ar, "part", "a")
+              a.count()
+              (hr, ar)
+            }
+          }
+          h.select(lit("c").as("tp"), col("cust").as("id"), col("h").as("s"))
+            .union(a.select(lit("p").as("tp"), col("part").as("id"),
+              col("a").as("s")))
+        }
+        val eA3 = t("A edges build (single cache)") {
+          val e = eDist.persist(); e.count(); e }
+        val outA = hitsLoop("A", eA3, eA3, bcast = false)
+        val eBc = t("B edges build byCust") {
+          val e = eDist.repartition(col("cust")).persist(); e.count(); e }
+        val eBp = t("B edges build byPart (from byCust)") {
+          val e = eBc.repartition(col("part")).persist(); e.count(); e }
+        val outB = hitsLoop("B", eBc, eBp, bcast = true)
+        val d3 = outA.select(col("tp"), col("id"), col("s").as("s1"))
+          .join(outB.select(col("tp"), col("id"), col("s").as("s2")),
+            Seq("tp", "id"))
+          .filter(col("s1") =!= col("s2")).count()
+        println(s"[scratch] hits2 score mismatches: $d3 " +
+          s"(A=${outA.count()} B=${outB.count()})")
+
+      case "bfs2" =>
+        // q125 A/B: seeds derived from the UNPERSISTED edge frame (the
+        // old shape — edge build runs twice) vs seeds off the cache
+        for (round <- 1 to 3) {
+          t(s"A$round bfs (seeds rebuild edges)") {
+            val li = graft.core.Tables.load(spark, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey"))
+            val e0 = li.alias("a")
+              .join(li.alias("b"),
+                col("a.l_orderkey") === col("b.l_orderkey") &&
+                  col("a.l_partkey") < col("b.l_partkey"))
+              .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+              .distinct()
+            val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+            val seeds = e.select(col("src").as("node")).distinct()
+              .filter(col("node") % 100 === 0)
+            noop(graft.operators.AnalyticsOps.bfsFrom(e, seeds, 2))
+            graft.core.EngineCache.releaseAll()
+          }
+          t(s"B$round bfs (seeds off cache)") {
+            noop(graft.operators.AnalyticsOps.queries("q125_bfs_hops")(spark, dir))
+            graft.core.EngineCache.releaseAll()
+          }
+        }
+
+      case "mink2" =>
+        // q249 A/B: separate count-agg + join vs window-carried count
+        val docsF = graft.core.Tables.load(spark, dir, "documents")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("l8")
+        val wc = Window.partitionBy("doc_id")
+        for (round <- 1 to 3) {
+          t(s"A$round mink (agg+join)") {
+            val scored = graft.operators.CorpusFilterOps
+              .backoffScoredOf(docsF).persist()
+            val m = scored.groupBy("doc_id")
+              .agg(count(lit(1)).cast("int").as("n_tri"))
+              .withColumn("m", greatest(lit(1),
+                expr("CAST(floor(n_tri * 20 / 100) AS INT)")))
+            noop(scored.withColumn("rn", row_number().over(w))
+              .join(m, "doc_id")
+              .filter(col("rn") <= col("m"))
+              .groupBy("doc_id")
+              .agg(first("n_tri").as("n_tri"), first("m").as("k_used"),
+                sum("l8").as("s8"))
+              .orderBy("doc_id"))
+            scored.unpersist()
+            graft.core.EngineCache.releaseAll()
+          }
+          t(s"B$round mink (window count)") {
+            noop(graft.operators.CorpusFilterOps.queries("q249_mink_prob")(spark, dir))
+            graft.core.EngineCache.releaseAll()
+          }
+        }
     }
     spark.stop()
     sys.exit(0)

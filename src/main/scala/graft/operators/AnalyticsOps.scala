@@ -320,7 +320,15 @@ object AnalyticsOps {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+    // r13: persist the symmetrized edges HERE, before the seed scan.
+    // `seeds` derives from `e`, and bfsFrom's internal persist only
+    // covers its own `edges.select(...)` plan — the seed derivation's
+    // subtree did not canonically match it, so the whole
+    // self-join+distinct edge build ran a SECOND time just to list the
+    // seed nodes (guide §1.2: don't compute the same thing twice).
+    // bfsFrom's own persist now reads this cache instead of rebuilding.
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .transform(graft.core.EngineCache.persisted)
     val seeds = e.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     bfsFrom(e, seeds, BfsIters)

@@ -538,20 +538,28 @@ object CorpusFilterOps {
   def minkProb(spark: SparkSession, dir: String): DataFrame =
     minkProbOf(docs(spark, dir))
 
-  /** Core of q249 over any (doc_id, text) frame — the spec entry. */
+  /** Core of q249 over any (doc_id, text) frame — the spec entry.
+    *
+    * r13: the per-doc trigram count rides the SAME doc-partitioned
+    * window pass as the bottom-k rank (`count(*) OVER (PARTITION BY
+    * doc_id)` — same partitioning, no ordering ⇒ no extra exchange),
+    * instead of a separate groupBy job joined back onto the ranked
+    * frame. The old shape paid one aggregation exchange + one join per
+    * call for numbers the window already had in hand (guide §2.4);
+    * arithmetic is unchanged expression-for-expression, so the oracle
+    * hash holds. The one doc-keyed exchange+sort that remains IS the
+    * query (bottom-k% needs the per-doc order). */
   private[graft] def minkProbOf(docsF: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("l8")
-    val scored = backoffScoredOf(docsF)
-      .transform(graft.core.EngineCache.persisted) // ranked + counted
-    val m = scored.groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_tri"))
+    val wc = Window.partitionBy("doc_id")
+    backoffScoredOf(docsF)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tri", count(lit(1)).over(wc).cast("int"))
       .withColumn("m", greatest(lit(1),
         // floor() in BOTH dialects: Spark CAST(double AS INT) truncates
         // but DuckDB ::INT rounds — the bare cast would split the gate
         expr(s"CAST(floor(n_tri * $MinkPct / 100) AS INT)")))
-    scored.withColumn("rn", row_number().over(w))
-      .join(m, "doc_id")
       .filter(col("rn") <= col("m"))
       .groupBy("doc_id")
       .agg(first("n_tri").as("n_tri"), first("m").as("k_used"),

@@ -62,7 +62,7 @@ object DistributedRank {
     * expression (2 CASE nodes per boundary) stays well inside codegen's
     * 64 KB method budget and the driver-side offset array stays
     * trivial. */
-  private def numBuckets(df: DataFrame): Int = {
+  private[operators] def numBuckets(df: DataFrame): Int = {
     val p = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
     math.min(512, p * 8)
   }
@@ -73,8 +73,8 @@ object DistributedRank {
     * sample has few distinct values; empty when the input is empty or
     * single-valued (one bucket). One count pass + one bounded
     * sample-collect. */
-  private def sampledBoundaries(df: DataFrame, primary: String,
-                                nb: Int): (Array[Double], Long) = {
+  private[operators] def sampledBoundaries(df: DataFrame, primary: String,
+                                           nb: Int): (Array[Double], Long) = {
     val v = df.select(col(primary).cast("double").as("v")).na.drop()
     val n = v.count()
     if (n == 0) return (Array.empty, 0L)
@@ -94,7 +94,7 @@ object DistributedRank {
     * to bucket 0, which the caller's desc flip sends to the LAST
     * bucket — matching Spark's window defaults (asc → NULLS FIRST,
     * desc → NULLS LAST) either way. */
-  private def bucketOf(v: Column, bnds: Array[Double]): Column = {
+  private[operators] def bucketOf(v: Column, bnds: Array[Double]): Column = {
     def go(lo: Int, hi: Int): Column =
       if (lo > hi) lit(lo)
       else {

@@ -229,7 +229,16 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+    // r13 batch 3: cache the edges ALREADY hash-partitioned by dst.
+    // Every iteration's only remaining exchange was the contribution
+    // aggregate's hash(dst) shuffle (the rank side broadcasts, so the
+    // BHJ preserves the streamed side's partitioning); with the cache
+    // laid out on the aggregation key, groupBy(dst) is satisfied
+    // in-stage and the per-iteration plan has ZERO exchanges
+    // (guide §2.4 — one build-time exchange buys PrIters shuffle-free
+    // rounds; the same layout a bucketed edge table gives a cluster).
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .transform(graft.core.EngineCache.persisted)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .transform(graft.core.EngineCache.persisted)
@@ -333,7 +342,10 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+    // q104's dst-layout cache: the per-iteration contribution aggregate
+    // keys on dst, so the pre-hashed cache makes every round exchange-free
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .transform(graft.core.EngineCache.persisted)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -394,9 +406,25 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
       .select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+    // r13 batch 4: TWO cached layouts of the bipartite edge list, one
+    // per half-step aggregation key. HITS alternates "agg by cust"
+    // (hub half, joins on part) and "agg by part" (authority half,
+    // joins on cust); a single cache can satisfy at most one of those
+    // groupings, so the other half paid a full edge exchange every
+    // iteration (2·HitsIters aggregate shuffles). With the score side
+    // broadcast (plan-verified BHJ) and each half streaming the cache
+    // laid out on ITS aggregation key, every half-step runs
+    // single-stage (guide §2.4 — the same "bucketed table per join
+    // key" trade a warehouse makes; cost: one extra cached copy and
+    // one build-time exchange). byPart derives FROM the byCust cache,
+    // so the orders⋈lineitem distinct still runs exactly once.
+    val eByCust = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+      .repartition(col("cust"))
+      .transform(graft.core.EngineCache.persisted)
+    val eByPart = eByCust
+      .repartition(col("part"))
       .transform(graft.core.EngineCache.persisted)
     // Each half-step PERSISTS its raw-sum frame and collects the 1-scalar
     // max on the driver (DistributedRank's counts-collect idiom). The
@@ -407,23 +435,37 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
     // (observed: 3-iteration HITS > 60 s at sf0.1; with the barrier it is
     // one join + one agg per half-step). BigDecimal.doubleValue is the
     // same round-to-nearest as the oracle's CAST(mx AS DOUBLE).
-    var a = e.select(col("part")).distinct().withColumn("a", lit(1.0))
+    // The score sides are O(|V|) rows and join under the q104
+    // bcastIfSmall guard: a PLAN-TIME broadcast never shuffles either
+    // side, where the old reliance on AQE's runtime SMJ→BHJ rewrite
+    // still paid the planned exchanges (49 SortMergeJoin mentions in
+    // the round-start plan, all AQE-rewritten at runtime but each with
+    // its exchange pair already materialized). Row counts come free:
+    // |parts| from the init distinct, |custs|/|parts| thereafter from
+    // the SAME 1-row aggregate that collects each half-step's max.
+    var a = eByPart.select(col("part")).distinct().withColumn("a", lit(1.0))
+    var aN = a.count() // |parts| — in-stage distinct over the part cache
     var h: DataFrame = a // placeholder; assigned in round 1
-    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
-      val mx = raw.agg(max(col("sc"))).head.getDecimal(0).doubleValue
-      raw.select(col(key),
+    var hN = 0L
+    def normalized(raw: DataFrame, key: String,
+                   out: String): (DataFrame, Long) = {
+      val r0 = raw.agg(max(col("sc")), count(lit(1))).head
+      val mx = r0.getDecimal(0).doubleValue
+      (raw.select(col(key),
         (floor(col("sc").cast("double") / lit(mx) * lit(1e12) + lit(0.5)) /
-          lit(1e12)).as(out))
+          lit(1e12)).as(out)), r0.getLong(1))
     }
     for (_ <- 1 to HitsIters) {
-      val hraw = e.join(a, "part").groupBy("cust")
+      val hraw = eByCust.join(bcastIfSmall(a, aN), "part").groupBy("cust")
         .agg(expr("sum(CAST(floor(a * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
         .transform(graft.core.EngineCache.persisted)
-      h = normalized(hraw, "cust", "h")
-      val araw = e.join(h, "cust").groupBy("part")
+      val (h1, hN1) = normalized(hraw, "cust", "h")
+      h = h1; hN = hN1
+      val araw = eByPart.join(bcastIfSmall(h, hN), "cust").groupBy("part")
         .agg(expr("sum(CAST(floor(h * 1e12 + 0.5) AS DECIMAL(38,0)))").as("sc"))
         .transform(graft.core.EngineCache.persisted)
-      a = normalized(araw, "part", "a")
+      val (a1, aN1) = normalized(araw, "part", "a")
+      a = a1; aN = aN1
     }
     h.select(lit("customer").as("node_type"), col("cust").as("node_id"),
         dround(col("h"), 9).as("score"))
@@ -553,7 +595,16 @@ private[graft] trait ScaleGraphOps { this: ScaleOps.type =>
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+    // r13 batch 3: the r13 batch-1 change dropped the old dst-keyed
+    // pre-hash because the per-round JOIN broadcasts its label side —
+    // but the round's two aggregations (count by (node=src, lab), then
+    // top-1 by node) still each paid a hash exchange. Caching the edges
+    // partitioned by SRC (the aggregation key, not the join key) lets
+    // the BHJ preserve that layout, so BOTH per-round aggregates are
+    // satisfied in-stage: a round's plan has zero exchanges
+    // (guide §2.4; same move as q104's dst-layout cache).
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .transform(graft.core.EngineCache.persisted)
     // one pass over the cached edges: id range (gates the encoded top-1)
     // + |E| (its overflow bound) — doubles as the edge materialization

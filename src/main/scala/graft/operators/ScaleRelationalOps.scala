@@ -786,7 +786,7 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
       s"CASE WHEN $e <= ${1L << b} THEN $b ELSE $acc END"
     } // ndv >= 1 -> at least 1 bit
 
-  private def encodingTailSql(r: String, withRuns: (String, String)): String = {
+  private[graft] def encodingTailSql(r: String, withRuns: (String, String)): String = {
     val (runsRf, runsLs) = withRuns
     def colRow(name: String, c: String, runs: String) = s"""
       SELECT '$name' AS col_name, st.n,
@@ -820,27 +820,98 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     FROM u ORDER BY col_name"""
   }
 
+  /** r13: run counting no longer materializes a global dense rank at
+    * all. The old spelling ranked every row ([[DistributedRank]] pass:
+    * sample + exact counts + keyed window + offset join) and then
+    * self-joined the ranked frame on `rk = rk − 1` — a SortMergeJoin
+    * that exchanged and sorted the whole table TWICE just to look at
+    * each row's predecessor. But adjacency under the clustered total
+    * order ((l_orderkey, l_linenumber)) decomposes exactly: bucket rows
+    * by frozen quantile boundaries of l_orderkey (monotone, so every
+    * bucket is a contiguous range of the order, and all rows of one
+    * orderkey share a bucket), count within-bucket changes with ONE
+    * bucket-keyed lag window, and stitch the ≤ |buckets| boundary pairs
+    * (previous bucket's last row vs next bucket's first row) on the
+    * driver from one O(buckets) aggregate — the same bounded-collect
+    * budget DistributedRank itself spends on its offsets. Guide §2.4:
+    * the SMJ's two exchanges + two sorts are gone; the lag window costs
+    * exactly what the old rank window cost. Runs are bit-identical (the
+    * pair set is identical); the oracle's lag-window spelling is
+    * untouched, and the spec cross-checks engine vs oracle on the real
+    * fixture. */
   def encodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
-    val ranked = graft.core.EngineCache.persisted(
-      DistributedRank.rankOnly(li, "rk", "l_orderkey", desc = false,
-        col("l_orderkey"), col("l_linenumber"))
-        .select("rk", "rf", "ls"))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.core.EngineCache.persisted(
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag").as("rf"), col("l_linestatus").as("ls")))
+    val (bnds, nRows) = DistributedRank.sampledBoundaries(
+      li, "l_orderkey", DistributedRank.numBuckets(li))
+    val b = li.withColumn("__b",
+      DistributedRank.bucketOf(col("l_orderkey").cast("double"), bnds))
+    // (runs − 1) = adjacent-pair changes; within-bucket pairs via lag,
+    // cross-bucket pairs stitched from each bucket's physically first
+    // and last rows. CRITICAL tie discipline: (l_orderkey, l_linenumber)
+    // is NOT unique in the fixtures (duplicate keys with mixed flag
+    // values), so "first"/"last" must come from the SAME window sort
+    // that the lag ran over — a value-keyed min/max would pick a
+    // different tie representative than the sequence the lag walked and
+    // drift the run count. rn/cnt ride the lag's own WindowExec (same
+    // partitioning, zero extra exchanges), so the boundary rows are
+    // exactly the rows the old global-rank spelling put at rk-run edges.
+    val (runsRfSql, runsLsSql) =
+      if (nRows == 0) ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      else {
+        val w = Window.partitionBy("__b")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        val wc = Window.partitionBy("__b")
+        val lg = graft.core.EngineCache.persisted(
+          b.select(col("__b"), col("rf"), col("ls"),
+            lag("rf", 1).over(w).as("prf"), lag("ls", 1).over(w).as("pls"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(wc).as("cnt")))
+        val innerRow = lg
+          .agg(
+            sum(when(col("prf").isNotNull && col("rf") =!= col("prf"), 1L)
+              .otherwise(0L)).as("crf"),
+            sum(when(col("pls").isNotNull && col("ls") =!= col("pls"), 1L)
+              .otherwise(0L)).as("cls"))
+          .head
+        // ≤ 2 rows per bucket (≤ 1024 total) — the same bounded-collect
+        // budget DistributedRank spends on its offset counts
+        val edgeRows = lg.filter(col("rn") === 1 || col("rn") === col("cnt"))
+          .select(col("__b"), col("rn"), col("cnt"), col("rf"), col("ls"))
+          .collect()
+        edgeRows.foreach { r =>
+          if (r.getLong(2) > 8000000L) throw new IllegalArgumentException(
+            s"encodingAdvisor: a single l_orderkey bucket holds " +
+              s"${r.getLong(2)} rows — quantile boundaries could not " +
+              "split it; the lag window would degenerate to one task's sort")
+        }
+        def strAt(row: org.apache.spark.sql.Row, i: Int): String =
+          if (row.isNullAt(i)) null else row.getString(i)
+        val byBucket = edgeRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        var brf = 0L
+        var bls = 0L
+        byBucket.sliding(2).foreach {
+          case Seq((_, prevRows), (_, curRows)) =>
+            val last = prevRows.maxBy(_.getInt(1)) // prev bucket: rn == cnt
+            val first = curRows.minBy(_.getInt(1)) // next bucket: rn == 1
+            val (prf, pls) = (strAt(last, 3), strAt(last, 4))
+            val (rf, ls) = (strAt(first, 3), strAt(first, 4))
+            if (prf != null && rf != null && rf != prf) brf += 1
+            if (pls != null && ls != null && ls != pls) bls += 1
+          case _ => () // single bucket: no boundaries
+        }
+        (s"CAST(${innerRow.getLong(0) + brf} + 1 AS BIGINT)",
+          s"CAST(${innerRow.getLong(1) + bls} + 1 AS BIGINT)")
+      }
     val v = s"graft_enc_t${Thread.currentThread().getId}"
-    ranked.createOrReplaceTempView(v)
+    li.createOrReplaceTempView(v)
     spark.sql(s"""
-      WITH adj AS (
-        SELECT a.rf, a.ls, b.rf AS prf, b.ls AS pls
-        FROM $v a LEFT JOIN $v b ON b.rk = a.rk - 1),
-      ch AS (
-        SELECT CAST(sum(CASE WHEN prf IS NOT NULL AND rf <> prf
-                 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_rf,
-          CAST(sum(CASE WHEN pls IS NOT NULL AND ls <> pls
-                 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs_ls
-        FROM adj),
+      WITH ch AS (
+        SELECT $runsRfSql AS runs_rf, $runsLsSql AS runs_ls),
       ${encodingTailSql(v, ("ch.runs_rf", "ch.runs_ls"))}""")
   }
 

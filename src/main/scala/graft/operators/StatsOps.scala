@@ -156,9 +156,31 @@ object StatsOps {
       ${droundSql("CAST(tsum AS DOUBLE) / (100.0 * tn)", 4)} AS trim_mean
     FROM w ORDER BY flag"""
 
+  /** r13: the `h` histogram CTE is referenced by BOTH the percentile
+    * branch (`q`) and the clip/trim branch (`w`); Spark inlines CTEs,
+    * so [[winsorSpark]] scanned lineitem and rebuilt the (flag, c)
+    * hash aggregate TWICE (plan-verified: two parquet scans + two
+    * Exchange/HashAggregate pairs). Materialize `h` once behind a
+    * per-call temp view and run the identical `q`/`w`/tail arithmetic
+    * against the cache — same expressions, one scan (guide §1.2).
+    * The oracle ([[winsorOracle]]) is untouched. */
   def winsorMeans(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql(winsorSpark)
+    val h = graft.core.EngineCache.persisted(spark.sql(s"""
+      SELECT l_returnflag AS flag,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+        count(1) AS cnt
+      FROM lineitem GROUP BY l_returnflag, floor(l_extendedprice * 100 + 0.5)"""))
+    val v = s"graft_winsor_h${Thread.currentThread().getId}"
+    h.createOrReplaceTempView(v)
+    spark.sql(s"""
+      WITH h AS (SELECT flag, c, cnt FROM $v),
+      q AS (
+        SELECT flag,
+          CAST(floor(percentile(c, 0.1, cnt) + 0.5) AS BIGINT) AS lo,
+          CAST(floor(percentile(c, 0.9, cnt) + 0.5) AS BIGINT) AS hi
+        FROM h GROUP BY flag),
+      ${winsorTail}""")
   }
 
   // ---------------------------------------------------------------- q129
