@@ -636,6 +636,79 @@ object ScratchTiming {
             graft.core.EngineCache.releaseAll()
           }
         }
+
+      case "rank2" =>
+        // q117/q165 A/B: chained DistributedRank stages UNPERSISTED (the
+        // old spelling — every downstream eager count/sample job
+        // re-executes the earlier window chains) vs the shipped persisted
+        // stages. Output cross-checked row-for-row.
+        import graft.operators.DistributedRank
+        for (round <- 1 to 3) {
+          val a = t(s"A$round rfm (lazy chain)") {
+            graft.core.Tables.load(spark, dir, "orders")
+              .createOrReplaceTempView("orders")
+            val r = graft.core.EngineCache.persisted(spark.sql(
+              graft.operators.ScaleOps.rfmBaseSql(
+                (from, to) => s"datediff($to, $from)")))
+            val st = r.agg(count(lit(1)),
+              min("recency_days").cast("double"), max("recency_days").cast("double"),
+              min("frequency").cast("double"), max("frequency").cast("double"),
+              min("monetary_cents").cast("double"), max("monetary_cents").cast("double")
+            ).first()
+            val n = st.getLong(0)
+            val s1 = DistributedRank.rankOnlyBounded(
+                r, "rk", "recency_days", desc = false, st.getDouble(1), st.getDouble(2),
+                col("recency_days"), col("o_custkey"))
+              .withColumn("r_score", DistributedRank.ntileFromRank("rk", n, 5))
+              .drop("rk")
+            val s2 = DistributedRank.rankOnlyBounded(
+                s1, "rk", "frequency", desc = true, st.getDouble(3), st.getDouble(4),
+                col("frequency").desc, col("o_custkey"))
+              .withColumn("f_score", DistributedRank.ntileFromRank("rk", n, 5))
+              .drop("rk")
+            val out = DistributedRank.rankOnlyBounded(
+                s2, "rk", "monetary_cents", desc = true, st.getDouble(5), st.getDouble(6),
+                col("monetary_cents").desc, col("o_custkey"))
+              .withColumn("m_score", DistributedRank.ntileFromRank("rk", n, 5))
+              .select(col("o_custkey"), col("recency_days"), col("frequency"),
+                col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
+              .orderBy("o_custkey").persist()
+            noop(out); out
+          }
+          val b = t(s"B$round rfm (persisted stages)") {
+            val out = graft.operators.ScaleOps.queries("q117_rfm")(spark, dir).persist()
+            noop(out); out
+          }
+          println(s"[scratch] rfm mismatches: " +
+            (a.exceptAll(b).count() + b.exceptAll(a).count()))
+          a.unpersist(); b.unpersist(); graft.core.EngineCache.releaseAll()
+        }
+        for (round <- 1 to 3) {
+          val a = t(s"A$round curriculum (lazy chain)") {
+            val d = graft.core.EngineCache.persisted(
+              graft.operators.LlmQueries.docs(spark, dir)
+                .select(col("doc_id"), col("source"),
+                  graft.operators.LlmQueries.qualityCol.as("quality")))
+            val ranked = DistributedRank.rankWithin(
+              d, "source", "src_rank", "quality", desc = true,
+              col("quality").desc, col("doc_id"))
+            val out = DistributedRank.rankOnly(
+                ranked, "global_pos", "src_rank", desc = false,
+                col("src_rank"), col("source"))
+              .select(col("global_pos"), col("doc_id"), col("source"),
+                col("src_rank"), col("quality"))
+              .orderBy("global_pos").persist()
+            noop(out); out
+          }
+          val b = t(s"B$round curriculum (persisted stages)") {
+            val out = graft.operators.LlmQueries
+              .queries("q165_curriculum_order")(spark, dir).persist()
+            noop(out); out
+          }
+          println(s"[scratch] curriculum mismatches: " +
+            (a.exceptAll(b).count() + b.exceptAll(a).count()))
+          a.unpersist(); b.unpersist(); graft.core.EngineCache.releaseAll()
+        }
     }
     spark.stop()
     sys.exit(0)

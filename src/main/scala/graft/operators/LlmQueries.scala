@@ -46,7 +46,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
   val KmK = 8
   val KmRounds = 2
 
-  private[operators] def docs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
   private[operators] def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -68,7 +68,7 @@ object LlmQueries extends LlmAtRestOps with LlmSpanDedupOps
   /** The composite quality score shared by q31/q55/q78/q86 — length,
     * punctuation, stopword signals with fixed weights, 6dp-rounded.
     * SQL twin: [[qualitySql]]. */
-  private[operators] def qualityCol: org.apache.spark.sql.Column = {
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
     val tokens = tokenCount("text").cast("double")
     val punctR = punctCount("text").cast("double") / length(col("text"))
     val stopR = lexiconHits("text", EnglishStopwords).cast("double") / tokens

@@ -37,9 +37,17 @@ private[graft] trait LlmSpanDedupOps { this: LlmQueries.type =>
     val d = docsDf
       .select(col("doc_id"), col("source"), qualityCol.as("quality"))
       .transform(graft.core.EngineCache.persisted)
-    val ranked = DistributedRank.rankWithin(
-      d, "source", "src_rank", "quality", desc = true,
-      col("quality").desc, col("doc_id"))
+    // r13: the within-source rank is persisted before the global
+    // interleave rank reads it — rankOnly runs THREE eager jobs over its
+    // input (count, boundary sample, per-bucket counts) before the lazy
+    // window, so an unpersisted `ranked` re-executed the corpus-wide
+    // rankWithin chain four times (those jobs + the final consume). The
+    // cache is (doc_id, source, quality, src_rank) — one narrow row per
+    // corpus doc, the same frame the result carries anyway.
+    val ranked = graft.core.EngineCache.persisted(
+      DistributedRank.rankWithin(
+        d, "source", "src_rank", "quality", desc = true,
+        col("quality").desc, col("doc_id")))
     val pos = DistributedRank.rankOnly(
       ranked, "global_pos", "src_rank", desc = false,
       col("src_rank"), col("source"))

@@ -1211,16 +1211,26 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
     if (n == 0) return r.selectExpr("o_custkey", "recency_days", "frequency",
       "monetary_cents", "CAST(1 AS INT) r_score", "CAST(1 AS INT) f_score",
       "CAST(1 AS INT) m_score")
-    val s1 = DistributedRank.rankOnlyBounded(
+    // r13: each rank stage is persisted before the next one starts —
+    // rankOnlyBounded runs an EAGER per-bucket count job over its input,
+    // and with s1/s2 lazy that job re-executed every earlier window
+    // chain (window 1 ran 3x, window 2 twice: once per downstream count
+    // job plus the final consume). The persist makes each window pass
+    // execute exactly once (guide §1.2 "don't compute things twice");
+    // the cached frames are customer-grain — O(|customers|) rows, the
+    // same order as the rank state itself.
+    val s1 = graft.core.EngineCache.persisted(
+      DistributedRank.rankOnlyBounded(
         r, "rk", "recency_days", desc = false, st.getDouble(1), st.getDouble(2),
         col("recency_days"), col("o_custkey"))
       .withColumn("r_score", DistributedRank.ntileFromRank("rk", n, 5))
-      .drop("rk")
-    val s2 = DistributedRank.rankOnlyBounded(
+      .drop("rk"))
+    val s2 = graft.core.EngineCache.persisted(
+      DistributedRank.rankOnlyBounded(
         s1, "rk", "frequency", desc = true, st.getDouble(3), st.getDouble(4),
         col("frequency").desc, col("o_custkey"))
       .withColumn("f_score", DistributedRank.ntileFromRank("rk", n, 5))
-      .drop("rk")
+      .drop("rk"))
     DistributedRank.rankOnlyBounded(
         s2, "rk", "monetary_cents", desc = true, st.getDouble(5), st.getDouble(6),
         col("monetary_cents").desc, col("o_custkey"))
