@@ -637,6 +637,42 @@ object ScratchTiming {
           }
         }
 
+      case "win2" =>
+        // q207 fingerprint-stage A/B: exploded rows + per-doc window min
+        // (the old spelling — a full corpus-gram Exchange + Sort +
+        // WindowExec + distinct exchange) vs the shipped in-scan array
+        // spelling (zero exchanges). Output cross-checked as sets.
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.CorpusFilterOps.{WinK, WinW}
+        val docsF = graft.operators.LlmQueries.docs(spark, dir)
+        for (round <- 1 to 3) {
+          val a = t(s"A$round winnowFps (window)") {
+            val g = docsF
+              .filter(length(col("text")) >= WinK)
+              .select(col("doc_id"),
+                explode(expr(s"sequence(1, length(text) - ${WinK - 1})")).as("pos"),
+                col("text"))
+              .select(col("doc_id"), col("pos"),
+                graft.core.Determinism.xhash(
+                  expr(s"substr(text, pos, $WinK)")).as("h"),
+                (length(col("text")) - (WinK - 1)).as("ng"))
+            val out = g.withColumn("fp",
+                min("h").over(Window.partitionBy("doc_id").orderBy("pos")
+                  .rowsBetween(0, WinW - 1)))
+              .filter(col("pos") <= col("ng") - (WinW - 1))
+              .select("doc_id", "fp").distinct().persist()
+            noop(out); out
+          }
+          val b = t(s"B$round winnowFps (array)") {
+            val out = graft.operators.CorpusFilterOps
+              .winnowFps(docsF).persist()
+            noop(out); out
+          }
+          println(s"[scratch] winnow fp mismatches: " +
+            (a.exceptAll(b).count() + b.exceptAll(a).count()))
+          a.unpersist(); b.unpersist(); graft.core.EngineCache.releaseAll()
+        }
+
       case "rank2" =>
         // q117/q165 A/B: chained DistributedRank stages UNPERSISTED (the
         // old spelling — every downstream eager count/sample job

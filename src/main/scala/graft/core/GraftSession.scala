@@ -35,6 +35,21 @@ object GraftSession {
       // Dimension tables (region/nation/supplier/customer at any SF that
       // matters) broadcast; 64 MB is safe with multi-GB executors.
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Join strategy (guide §3.1): let the planner pick shuffled-hash
+      // over sort-merge when one side's per-partition build fits (its
+      // size gate is autoBroadcastJoinThreshold × shuffle partitions, so
+      // the bound scales with the partition count a cluster runs), and
+      // let AQE rewrite a planned SMJ to SHJ at runtime when every
+      // post-shuffle partition is under the local-map threshold — a
+      // PER-PARTITION bound, so at 100 TB (where partitions are sized
+      // 100 MB-1 GB) it degrades to the sort-merge default on its own.
+      // Skew stays covered: AQE skew-join splitting applies to SHJ too.
+      // Both env-overridable for A/B and for clusters that want the
+      // conservative default back.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP", (64L * 1024 * 1024).toString))
       // events.ts is parquet TIMESTAMP(NANOS) in some fixture generations,
       // which the vectorized reader rejects; read nanos as long session-wide
       // (Tables.load converts, and passes TIMESTAMP_NTZ fixtures through).

@@ -225,22 +225,43 @@ object CorpusFilterOps {
     winnowingPairsOf(docs(spark, dir))
 
   /** Fingerprint stage of q207 factored for the at-rest increment
-    * (q229): gram-hash, window-min, distinct (doc_id, fp). */
+    * (q229): gram-hash, window-min, distinct (doc_id, fp).
+    *
+    * r13 rewrite (guide §2.4 — remove shuffles outright): a document's
+    * grams all derive from ITS OWN text cell, so the per-doc sliding
+    * window min never needed data movement — yet the old spelling
+    * exploded every gram position to a row and ran
+    * `min(h) OVER (PARTITION BY doc_id ORDER BY pos)`, which is a full
+    * corpus-gram Exchange + per-partition Sort + WindowExec (at 100 TB:
+    * a shuffle of every gram hash in the corpus). The window min and
+    * the per-doc dedup now run as array expressions INSIDE the scan
+    * projection (`transform` over the gram positions, `array_min` over
+    * each `slice` of [[WinW]] hashes, `array_distinct` before the
+    * explode), so the fingerprint stage is ZERO-exchange and emits
+    * (doc_id, fp) already unique per doc — the old trailing
+    * `.distinct()`'s exchange is gone too, because uniqueness now holds
+    * by construction.
+    *
+    * Equivalence to the windowed spelling (the oracle's): for a doc
+    * with ng = len−K+1 grams, the old filter `pos ≤ ng−(W−1)` kept
+    * exactly the full windows, i.e. positions 1..ng−W+1 — the same
+    * index range the `sequence(1, size(hs) − (W−1))` generates; docs
+    * with ng < W produced no rows, matched by the length ≥ K+W−1
+    * pre-filter (which also keeps `sequence` ascending — Spark's
+    * sequence(1, 0) would COUNT DOWN). Hashes are the same [[xhash]]
+    * md5 arithmetic, min over the same W-element windows, distinct per
+    * the same (doc_id, fp) key. q207/q229/q237 re-verified
+    * hash-identical against the oracle's window spelling. */
   private[graft] def winnowFps(docsF: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = docsF
-      .filter(length(col("text")) >= WinK)
+    docsF
+      .filter(length(col("text")) >= WinK + WinW - 1)
       .select(col("doc_id"),
-        explode(expr(s"sequence(1, length(text) - ${WinK - 1})")).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        xhash(expr(s"substr(text, pos, $WinK)")).as("h"),
-        (length(col("text")) - (WinK - 1)).as("ng"))
-    g.withColumn("fp",
-        min("h").over(Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(0, WinW - 1)))
-      .filter(col("pos") <= col("ng") - (WinW - 1))
-      .select("doc_id", "fp").distinct()
+        expr(s"transform(sequence(1, length(text) - ${WinK - 1}), p -> " +
+          xhashExpr(s"substr(text, p, $WinK)") + ")").as("hs"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(hs) - ${WinW - 1}), " +
+            s"i -> array_min(slice(hs, i, $WinW))))")).as("fp"))
   }
 
   /** Pair serve over any (doc_id, fp) fingerprint frame: recompute the
@@ -249,7 +270,15 @@ object CorpusFilterOps {
     * and q237 (the at-rest table after a tombstone anti-join) — the cap
     * is a property of the population being served, so it must be
     * re-derived per serve, never stored. */
-  private[graft] def winnowPairsFromFps(wmin: DataFrame): DataFrame = {
+  private[graft] def winnowPairsFromFps(wmin0: DataFrame): DataFrame = {
+    // r13: the fingerprint frame feeds FOUR plan branches (the df-cap
+    // count, both sides of the pair self-join via `kept`, each of which
+    // re-embeds it) — unpersisted, q207's gram-hash + window-min
+    // pipeline was planned 8x (8 scans / 8 Generates / 8 WindowExecs in
+    // the round-start plan, zero plan-time reuse). One persist makes
+    // the corpus-sized work run once; the cache is the (doc_id, fp)
+    // table itself — exactly what q229 stores at rest.
+    val wmin = graft.core.EngineCache.persisted(wmin0)
     val keep = wmin.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinDfCap).select("fp")
     val kept = wmin.join(keep, "fp")
