@@ -788,8 +788,15 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     val k1 = LlmQueries.IvfK
     val tid = Thread.currentThread().getId
     vecs.createOrReplaceTempView(s"graft_ara_vecs_t$tid")
-    Similarity.bruteForceTopK(vecs, col("vec_id") < 50, k1)
-      .select(col("query_id"), col("cand_id"))
+    // r13: the temp views are LAZY plan aliases, and the assembly SQL
+    // references the brute-force truth leg FIVE times (its own hit
+    // count + the query count + the hit joins of the learned-cell,
+    // multiprobe, and rerank legs) — unpersisted, the audit priced the
+    // brute-force corpus scan 5x (round-start plan: 122 parquet scans).
+    // The truth legs persist; they are O(|probes|·k) rows.
+    graft.core.EngineCache.persisted(
+      Similarity.bruteForceTopK(vecs, col("vec_id") < 50, k1)
+        .select(col("query_id"), col("cand_id")))
       .createOrReplaceTempView(s"graft_ara_t1_t$tid")
     Similarity.ivfTopK(vecs, "label", col("vec_id") < 50, k1)
       .select(col("query_id"), col("cand_id"))
@@ -813,14 +820,15 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
     val corpus2 = vecs
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    broadcast(probes2).join(corpus2)
-      .withColumn("d6",
-        expr("CAST(floor(l2_sq(qv, cv) * 1e6 + 0.5) AS BIGINT)"))
-      .groupBy(col("probe_id"))
-      .agg(graft.functions.VectorAggregates
-        .topKOf(PqTopK, -col("d6").cast("double"), col("cand_id")).as("top"))
-      .select(col("probe_id").as("query_id"),
-        explode(col("top.cand_id")).as("cand_id"))
+    graft.core.EngineCache.persisted(
+      broadcast(probes2).join(corpus2)
+        .withColumn("d6",
+          expr("CAST(floor(l2_sq(qv, cv) * 1e6 + 0.5) AS BIGINT)"))
+        .groupBy(col("probe_id"))
+        .agg(graft.functions.VectorAggregates
+          .topKOf(PqTopK, -col("d6").cast("double"), col("cand_id")).as("top"))
+        .select(col("probe_id").as("query_id"),
+          explode(col("top.cand_id")).as("cand_id")))
       .createOrReplaceTempView(s"graft_ara_t2_t$tid")
     pqAdcSearch(spark, dir)
       .select(col("probe_id").as("query_id"), col("vec_id").as("cand_id"))
