@@ -93,6 +93,40 @@ object VectorAggregates {
     udaf(new TopKAgg(k)).apply(cos, candId)
   }
 
+  /** Bounded bottom-k DISTINCT aggregation over longs — the exact KMV
+    * sketch build: buffer = the ≤ k smallest distinct values seen,
+    * ascending. Replaces the `distinct()` + bottom-k pair: the global
+    * k smallest distinct values are fully determined by each
+    * partition's k smallest distinct values, so merge (union, dedup,
+    * truncate) is associative and commutative and Spark runs it with
+    * map-side partials — the shuffle carries O(groups × partitions × k)
+    * rows where the distinct() spelling exchanged every distinct
+    * (group, value) pair (corpus-shingle-sized at the q176 shape). */
+  class BottomKDistinctAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Seq.empty
+
+    override def reduce(b: Seq[Long], v: Long): Seq[Long] =
+      if (b.length >= k && b.last <= v) b // v can't enter a full buffer
+      else if (b.contains(v)) b
+      else ((b :+ v).sorted).take(k)
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(r: Seq[Long]): Seq[Long] = r
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Bottom-k distinct as a `Column`: array<long> ascending. */
+  def bottomKDistinctOf(k: Int, v: Column): Column = {
+    implicit val enc: Encoder[Long] = Encoders.scalaLong
+    udaf(new BottomKDistinctAgg(k)).apply(v)
+  }
+
   /** One-pass per-cell centroids — the scale path for
     * [[graft.llm.Similarity.centroids]] (same values, un-exploded layout;
     * equality asserted in DedupSpec). */

@@ -626,14 +626,18 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
         TextFunctions.wordShinglesFromArrayExpr("w", WordShingleN))).as("s"))
       .select(col("source"),
         graft.core.Determinism.xhash(concat(lit("kmv:"), col("s"))).as("h"))
-      .distinct()
+    // One dedup-ing bounded aggregation replaces the old distinct() +
+    // bottom-k pair: the distinct exchanged every (source, shingle-hash)
+    // pair — corpus-shingle-sized — where BottomKDistinctAgg's map-side
+    // partials bound the shuffle at O(sources × partitions × K). The K
+    // smallest DISTINCT hashes per source are the same set either way.
     // persisted: the pair stage's UNION ALL consumes the sketch twice
     // (A-side and B-side) — without the persist the whole shingling +
-    // distinct + top-K pipeline runs once per branch
+    // top-K pipeline runs once per branch
     val sk = sh.groupBy("source")
       .agg(graft.functions.VectorAggregates
-        .topKOf(KmvK, -col("h").cast("double"), col("h")).as("top"))
-      .select(col("source"), explode(col("top.cand_id")).as("h"))
+        .bottomKDistinctOf(KmvK, col("h")).as("top"))
+      .select(col("source"), explode(col("top")).as("h"))
       .transform(graft.core.EngineCache.persisted)
     val v = s"graft_kmv_sk_t${Thread.currentThread().getId}"
     sk.createOrReplaceTempView(v)
@@ -1034,56 +1038,60 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
   private def wpKind(pos: String): String =
     s"CASE WHEN $pos = 1 THEN 'i' ELSE 'c' END"
 
-  /** The vocab-derivation CTE chain (wcnt → cand → vocab) over
-    * `wordsRel` — any relation with a `w` column, one row per word
-    * OCCURRENCE. Shared by q240 (train-split words of the same table)
-    * and q246 (the frozen base corpus's words). */
-  private def wpVocabCtes(d: SqlDialect, wordsRel: String): String = {
+  // Per-stage CTE BODIES, parameterized by the upstream relation names,
+  // so the one-WITH assembly (the DuckDB oracle, byte-identical to the
+  // pre-refactor rendering) and the STAGED Spark runner (each stage a
+  // persisted temp view — see [[wordpieceStagedTail]]) render from the
+  // same strings and cannot drift.
+  private def wpWcntBody(wordsRel: String): String =
+    s"SELECT w, count(*) AS c FROM $wordsRel GROUP BY w"
+  private def wpCandBody(d: SqlDialect, wcntRel: String): String = {
     import d._
-    val kind = wpKind _
-    s"""wcnt AS (SELECT w, count(*) AS c FROM $wordsRel GROUP BY w),
-    cand AS (
-      SELECT ${kind("pos")} AS kind, substr(w, pos, l) AS piece,
+    s"""
+      SELECT ${wpKind("pos")} AS kind, substr(w, pos, l) AS piece,
         sum(c) AS cnt
       FROM (SELECT w, c, pos, ${ex(seq("1", WpMaxPiece.toString))} AS l
             FROM (SELECT w, c, ${ex(seq("1", "length(w)"))} AS pos
-                  FROM wcnt) zp) zl
+                  FROM $wcntRel) zp) zl
       WHERE pos + l - 1 <= length(w)
-      GROUP BY 1, 2),
-    vocab AS (
-      SELECT kind, piece FROM cand WHERE length(piece) = 1
+      GROUP BY 1, 2"""
+  }
+  private def wpVocabBody(candRel: String): String = s"""
+      SELECT kind, piece FROM $candRel WHERE length(piece) = 1
       UNION ALL
       SELECT kind, piece FROM (
         SELECT kind, piece, row_number() OVER (PARTITION BY kind
           ORDER BY cnt DESC, piece) AS rk
-        FROM cand WHERE length(piece) >= 2) zr WHERE rk <= $WpTopN)"""
-  }
-
-  /** The apply-side CTE chain + final rollup: jump table, recursive
-    * walk, per-word stats, per-doc rollup. Expects `words0` (apply-side
-    * (doc_id, w) occurrences) and `vocab` (kind, piece) CTEs already
-    * defined. Shared by q240 and q246's frozen serve. */
-  private def wpApplyTail(d: SqlDialect): String = {
+        FROM $candRel WHERE length(piece) >= 2) zr WHERE rk <= $WpTopN"""
+  private def wpJumpBody(d: SqlDialect, dwordsRel: String,
+                         vocabRel: String): String = {
     import d._
-    val kind = wpKind _
-    s"""dwords AS (SELECT DISTINCT w FROM words0),
-    jump AS (
+    s"""
       SELECT w, pos, max(l) AS step FROM (
-        SELECT zw.w, zw.pos, zw.l, ${kind("zw.pos")} AS kind,
+        SELECT zw.w, zw.pos, zw.l, ${wpKind("zw.pos")} AS kind,
           substr(zw.w, zw.pos, zw.l) AS piece
         FROM (SELECT w, pos, ${ex(seq("1", WpMaxPiece.toString))} AS l
               FROM (SELECT w, ${ex(seq("1", "length(w)"))} AS pos
-                    FROM dwords) dp) zw
+                    FROM $dwordsRel) dp) zw
         WHERE zw.pos + zw.l - 1 <= length(zw.w)) cj
-      JOIN vocab v ON cj.kind = v.kind AND cj.piece = v.piece
-      GROUP BY w, pos),
-    r(w, pos, idx, ck) AS (
-      SELECT w, 1, 0, ${bigint("0")} FROM dwords
+      JOIN $vocabRel v ON cj.kind = v.kind AND cj.piece = v.piece
+      GROUP BY w, pos"""
+  }
+  /** The recursive greedy walk + per-word stats + per-doc rollup over
+    * already-defined `dwordsRel`/`jumpRel`/`words0Rel` relations (CTEs
+    * in the one-WITH assembly, persisted temp views in the staged
+    * Spark runner). */
+  private def wpWalkTail(d: SqlDialect, dwordsRel: String, jumpRel: String,
+                         words0Rel: String): String = {
+    import d._
+    val kind = wpKind _
+    s"""r(w, pos, idx, ck) AS (
+      SELECT w, 1, 0, ${bigint("0")} FROM $dwordsRel
       UNION ALL
       SELECT r.w, r.pos + j.step, r.idx + 1,
         r.ck + ${xh(s"substr(r.w, r.pos, j.step) || ':' || ${kind("r.pos")}")}
           % $WpCkMod
-      FROM r JOIN jump j ON j.w = r.w AND j.pos = r.pos
+      FROM r JOIN $jumpRel j ON j.w = r.w AND j.pos = r.pos
       WHERE r.pos <= length(r.w)),
     fin AS (
       SELECT w, max(pos) AS end_pos, max(idx) AS n_p,
@@ -1099,12 +1107,60 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     SELECT doc_id, ${bigint("count(*)")} AS n_words,
       ${bigint("sum(n_pieces_w)")} AS n_pieces,
       ${bigint("sum(unk_w)")} AS n_unk, ${bigint("sum(ck_w)")} AS ck
-    FROM words0 JOIN wordseg ON words0.w = wordseg.w
+    FROM $words0Rel JOIN wordseg ON $words0Rel.w = wordseg.w
     GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** The vocab-derivation CTE chain (wcnt → cand → vocab) over
+    * `wordsRel` — any relation with a `w` column, one row per word
+    * OCCURRENCE. Shared by q240 (train-split words of the same table)
+    * and q246 (the frozen base corpus's words). */
+  private def wpVocabCtes(d: SqlDialect, wordsRel: String): String =
+    s"""wcnt AS (${wpWcntBody(wordsRel)}),
+    cand AS (${wpCandBody(d, "wcnt")}),
+    vocab AS (${wpVocabBody("cand")})"""
+
+  /** The apply-side CTE chain + final rollup: jump table, recursive
+    * walk, per-word stats, per-doc rollup. Expects `words0` (apply-side
+    * (doc_id, w) occurrences) and `vocab` (kind, piece) CTEs already
+    * defined. The DuckDB oracle's spelling (q240 and q246). */
+  private def wpApplyTail(d: SqlDialect): String =
+    s"""dwords AS (SELECT DISTINCT w FROM words0),
+    jump AS (${wpJumpBody(d, "dwords", "vocab")}),
+    ${wpWalkTail(d, "dwords", "jump", "words0")}"""
+
+  /** STAGED Spark apply side: Spark executes a recursive CTE as an
+    * iterative UnionLoop that re-runs the step subtree each round —
+    * with `jump` spelled as a CTE the whole vocab + jump derivation
+    * (three corpus scans and a window at the q240 shape) re-executed
+    * once PER RECURSION DEPTH (= max word length; the round-13 before
+    * plan holds the corpus LogicalRelations inside the UnionLoop).
+    * Persisting `words0`/`cand`/`dwords`/`jump` as temp views makes
+    * every loop round join one InMemoryRelation, and the corpus word
+    * explode runs once instead of three times (guide §1.2). All stage
+    * SQL renders from the same body strings as the oracle's WITH, so
+    * the two spellings cannot drift. `vocabRel`: an already-registered
+    * (kind, piece) relation. Returns the final rollup frame. */
+  private def wordpieceStagedTail(spark: SparkSession, words0V: String,
+                                  vocabRel: String): DataFrame = {
+    val d = SqlDialect.spark
+    val tid = Thread.currentThread().getId
+    def pv(name: String, sql: String): String = {
+      val v = s"graft_wp_${name}_t$tid"
+      spark.sql(sql).transform(graft.core.EngineCache.persisted)
+        .createOrReplaceTempView(v)
+      v
+    }
+    val dwordsV = pv("dwords", s"SELECT DISTINCT w FROM $words0V")
+    val jumpV = pv("jump", wpJumpBody(d, dwordsV, vocabRel))
+    spark.sql(s"""
+      WITH RECURSIVE ${wpWalkTail(d, dwordsV, jumpV, words0V)}""")
+  }
+
   /** The whole q240 pipeline in dialect `d` over `table`: vocab from
-    * the table's own train split, apply over the whole table. */
+    * the table's own train split, apply over the whole table. The
+    * DuckDB oracle's one-WITH spelling; the Spark engine runs the same
+    * body strings STAGED (see [[wordpieceStagedTail]]). */
   private def wordpieceSqlFor(d: SqlDialect,
                               table: String = "documents"): String = {
     import d._
@@ -1116,17 +1172,35 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     ${wpApplyTail(d)}"""
   }
 
-  def wordpiece(spark: SparkSession, dir: String): DataFrame = {
-    docs(spark, dir).createOrReplaceTempView("documents")
-    spark.sql(wordpieceSqlFor(SqlDialect.spark))
-  }
+  def wordpiece(spark: SparkSession, dir: String): DataFrame =
+    wordpieceOf(docs(spark, dir))
 
-  /** q240 over an arbitrary (doc_id, text) frame — the spec entry. */
+  /** q240 over an arbitrary (doc_id, text) frame — the spec entry and
+    * the staged engine path. */
   private[graft] def wordpieceOf(docsF: DataFrame): DataFrame = {
     val spark = docsF.sparkSession
-    val v = s"graft_wp_docs_t${Thread.currentThread().getId}"
-    docsF.createOrReplaceTempView(v)
-    spark.sql(wordpieceSqlFor(SqlDialect.spark, v))
+    val d = SqlDialect.spark
+    import d._
+    val tid = Thread.currentThread().getId
+    val dv = s"graft_wp_docs_t$tid"
+    docsF.createOrReplaceTempView(dv)
+    def pv(name: String, sql: String): String = {
+      val v = s"graft_wp_${name}_t$tid"
+      spark.sql(sql).transform(graft.core.EngineCache.persisted)
+        .createOrReplaceTempView(v)
+      v
+    }
+    // words0 feeds the train-split vocab, dwords, and the final rollup
+    // — one persisted corpus word-explode instead of three; cand feeds
+    // vocab twice (char floor + ranked multi-char)
+    val words0V = pv("words0",
+      s"""SELECT doc_id, ${ex(wordsOf("text"))} AS w, $trainSplit AS sp
+          FROM $dv""")
+    val candV = pv("cand", wpCandBody(d,
+      s"(${wpWcntBody(s"(SELECT w FROM $words0V WHERE sp <= 7) tw")}) wq"))
+    val vocabV = s"graft_wp_vocab_t$tid"
+    spark.sql(wpVocabBody(candV)).createOrReplaceTempView(vocabV)
+    wordpieceStagedTail(spark, words0V, vocabV)
   }
 
   def wordpieceSql: String = wordpieceSqlFor(SqlDialect.duck)
@@ -1162,16 +1236,21 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
   }
 
   /** The (kind, piece) vocab frame for an arbitrary (doc_id, text)
-    * base corpus. */
+    * base corpus. Staged: `cand` persists (vocab reads it twice — the
+    * char floor and the ranked multi-char legs — and Spark inlines
+    * CTEs, so the one-WITH spelling word-split the base corpus twice). */
   private[graft] def wordpieceVocabOf(baseDocs: DataFrame): DataFrame = {
     val spark = baseDocs.sparkSession
-    val v = s"graft_wpv_base_t${Thread.currentThread().getId}"
+    val tid = Thread.currentThread().getId
+    val v = s"graft_wpv_base_t$tid"
     baseDocs.createOrReplaceTempView(v)
     val d = SqlDialect.spark
-    spark.sql(s"""
-      WITH ${wpVocabCtes(d,
-        s"(SELECT ${d.ex(d.wordsOf("text"))} AS w FROM $v) bw")}
-      SELECT kind, piece FROM vocab""")
+    val candV = s"graft_wpv_cand_t$tid"
+    spark.sql(wpCandBody(d, s"(${wpWcntBody(
+        s"(SELECT ${d.ex(d.wordsOf("text"))} AS w FROM $v) bw")}) wq"))
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(candV)
+    spark.sql(wpVocabBody(candV))
   }
 
   /** Frozen serve over an arbitrary batch frame + stored vocab frame —
@@ -1186,6 +1265,7 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
     val tid = Thread.currentThread().getId
     val bv = s"graft_wpf_batch_t$tid"
     val vv = s"graft_wpf_vocab_t$tid"
+    val wv = s"graft_wpf_words0_t$tid"
     batch.createOrReplaceTempView(bv)
     val vloc =
       if (vocab.sparkSession eq spark) vocab
@@ -1193,11 +1273,12 @@ private[graft] trait LlmAtRestOps { this: LlmQueries.type =>
         java.util.Arrays.asList(vocab.collect(): _*), vocab.schema)
     vloc.createOrReplaceTempView(vv)
     val d = SqlDialect.spark
-    spark.sql(s"""
-      WITH RECURSIVE words0 AS (
-        SELECT doc_id, ${d.ex(d.wordsOf("text"))} AS w FROM $bv),
-      vocab AS (SELECT kind, piece FROM $vv),
-      ${wpApplyTail(d)}""")
+    // staged like q240: the batch word-explode persists once (dwords +
+    // final rollup), the walk joins a persisted jump table
+    spark.sql(s"SELECT doc_id, ${d.ex(d.wordsOf("text"))} AS w FROM $bv")
+      .transform(graft.core.EngineCache.persisted)
+      .createOrReplaceTempView(wv)
+    wordpieceStagedTail(spark, wv, vv)
   }
 
   def wordpieceFrozen(spark: SparkSession, dir: String): DataFrame =

@@ -24,6 +24,29 @@ class FunctionsSpec extends SparkSpec {
     assert(maxDiff < 1e-7, s"centroids diverged by $maxDiff")
   }
 
+  test("bottom-k distinct Aggregator equals distinct+sort+take at every partitioning") {
+    val sq = spark
+    import sq.implicits._
+    // duplicates across AND within partitions, values straddling the
+    // k-th smallest, plus negatives (the agg orders raw longs)
+    val vals: Seq[Long] =
+      Seq(5L, 3L, 3L, 9L, -2L, 7L, 5L, 11L, 0L, -2L, 13L, 1L, 1L, 8L)
+    val expected = vals.distinct.sorted.take(6)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(VectorAggregates.bottomKDistinctOf(6, col("h")).as("bk"))
+        .head.getSeq[Long](0)
+      assert(got === expected, s"parts=$parts")
+    }
+    // group keys: each group's sketch is independent
+    val grouped = Seq(("a", 4L), ("a", 4L), ("a", 2L), ("b", 9L), ("b", 1L))
+      .toDF("g", "h").repartition(5)
+      .groupBy("g").agg(VectorAggregates.bottomKDistinctOf(2, col("h")).as("bk"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(grouped("a") === Seq(2L, 4L))
+    assert(grouped("b") === Seq(1L, 9L))
+  }
+
   test("GraftExtensions injects every native function via SparkSessionExtensions") {
     import org.apache.spark.sql.SparkSession
     val shared = spark // force init of the shared session/context first
