@@ -745,6 +745,84 @@ object ScratchTiming {
             (a.exceptAll(b).count() + b.exceptAll(a).count()))
           a.unpersist(); b.unpersist(); graft.core.EngineCache.releaseAll()
         }
+      case "pca2" =>
+        // q170/q181 round-shape A/B: the exploded power-iteration round
+        // (xc(vec_id, dim, x) — s via broadcast-join + GROUP BY vec_id
+        // exchange, then xc ⋈ s corpus join, then the 64-row dim agg)
+        // vs the shipped PACKED round (one cache scan, in-scan array
+        // projection, 64-row agg). g values cross-checked bit-exact.
+        val vecs = graft.core.Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        def bridge(e: String, grid: String) =
+          s"CAST(sum(CAST(floor(($e) * $grid + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / $grid"
+        // exploded arm
+        val xd = vecs.selectExpr("vec_id", "posexplode(embedding) AS (dim, xf)")
+          .selectExpr("vec_id", "CAST(dim AS INT) AS dim", "CAST(xf AS DOUBLE) AS x")
+        xd.createOrReplaceTempView("sc_xd")
+        val mu = spark.sql(
+          s"""SELECT dim, floor((CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+              / count(x)) * 1e8 + 0.5) / 1e8 AS mu FROM sc_xd GROUP BY dim""").persist()
+        mu.createOrReplaceTempView("sc_mu")
+        val xcE = spark.sql(
+          """SELECT sc_xd.vec_id, sc_xd.dim, sc_xd.x - sc_mu.mu AS xc
+             FROM sc_xd JOIN sc_mu ON sc_xd.dim = sc_mu.dim""").persist()
+        xcE.createOrReplaceTempView("sc_xce")
+        println(s"[scratch] exploded rows: ${xcE.count()}")
+        // packed arm
+        val muRows = mu.collect()
+        val muArr = new Array[Double](muRows.map(_.getInt(0)).max + 1)
+        muRows.foreach(r => muArr(r.getInt(0)) = r.getDouble(1))
+        def alit(a: Array[Double]) =
+          s"array(${a.map(d => s"CAST('${d}' AS DOUBLE)").mkString(", ")})"
+        val muLit = alit(muArr)
+        val xcP = vecs.filter("embedding IS NOT NULL AND size(embedding) > 0")
+          .selectExpr("vec_id",
+            s"transform(embedding, (xf, i) -> CAST(xf AS DOUBLE) - element_at($muLit, i + 1)) AS xc")
+          .persist()
+        xcP.createOrReplaceTempView("sc_xcp")
+        println(s"[scratch] packed rows: ${xcP.count()}")
+        var vArr = muArr.map(_ => 1.0 / math.sqrt(muArr.length))
+        for (round <- 1 to 3) {
+          spark.catalog.dropTempView("sc_v")
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              vArr.zipWithIndex.map { case (v, i) =>
+                org.apache.spark.sql.Row(i, v) }.toIndexedSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("dim",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("v",
+                org.apache.spark.sql.types.DoubleType))))
+            .createOrReplaceTempView("sc_v")
+          val gE = t(s"A$round g round (exploded)") {
+            spark.sql(s"""
+              SELECT c.dim, ${bridge("s.s * c.xc", "1e9")} AS g
+              FROM sc_xce c JOIN (
+                SELECT c2.vec_id, ${bridge("c2.xc * v.v", "1e12")} AS s
+                FROM sc_xce c2 JOIN sc_v v ON c2.dim = v.dim
+                GROUP BY c2.vec_id) s ON c.vec_id = s.vec_id
+              GROUP BY c.dim""").collect()
+          }
+          val vLit = alit(vArr)
+          val sExpr = s"CAST(aggregate(transform(xc, (cx, i) -> " +
+            s"CAST(floor((cx * element_at($vLit, i + 1)) * 1e12 + 0.5) AS DECIMAL(38,0))), " +
+            s"CAST(0 AS DECIMAL(38,0)), (acc, e) -> acc + e) AS DOUBLE) / 1e12"
+          val gP = t(s"B$round g round (packed)") {
+            spark.sql(s"""
+              SELECT dim, ${bridge("t1.s * t1.x", "1e9")} AS g
+              FROM (SELECT s, posexplode(xc) AS (dim, x)
+                    FROM (SELECT $sExpr AS s, xc FROM sc_xcp) t0) t1
+              GROUP BY dim""").collect()
+          }
+          val eMap = gE.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          val mism = gP.count(r => eMap(r.getInt(0)) != r.getDouble(1))
+          println(s"[scratch] round $round g mismatches: $mism")
+          val nrm = math.sqrt(gP.map(r =>
+            math.floor(r.getDouble(1) * r.getDouble(1) * 1e12 + 0.5)).sum / 1e12)
+          val next = new Array[Double](vArr.length)
+          gP.foreach(r => next(r.getInt(0)) = r.getDouble(1) / nrm)
+          vArr = next
+        }
     }
     spark.stop()
     sys.exit(0)

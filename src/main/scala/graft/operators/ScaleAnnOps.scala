@@ -1078,8 +1078,8 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * measured 9 s at sf0.1 vs ~3 s barriered, same bits (the oracle
     * keeps the WITH; DuckDB materializes it fine at this depth). */
   def embPcaOf(vecs: DataFrame): DataFrame = {
-    val (spark, xcV, muV) = pcaViews(vecs, "pca")
-    val (v, g) = pcaChainRun(spark, xcV, muV, "pca", "a")
+    val (spark, xp, muV, _) = pcaViews(vecs, "pca")
+    val (v, g) = pcaChainRun(spark, xp, muV, "pca", "a")
     spark.sql(s"""
       SELECT v.dim, m.mu,
         ${droundSql("v.v", 6)} AS loading,
@@ -1090,36 +1090,93 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       FROM $v v JOIN $muV m ON v.dim = m.dim
       CROSS JOIN (SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
                   FROM $v v JOIN $g g ON v.dim = g.dim) lam
-      CROSS JOIN (SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM $xcV) tv
+      CROSS JOIN (SELECT ${packedTvSql(xp, "1e9")} AS tvn FROM $xp) tv
       CROSS JOIN (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
-                  FROM $xcV) nn
+                  FROM $xp) nn
       ORDER BY v.dim""")
   }
 
-  /** Register the exploded / mean / CENTERED views for `vecs` (prefix
-    * distinguishes q170/q172 so concurrent Verify workers cannot race
-    * on view names); `xc` persists — every chain stage scans it, and
-    * without the persist Spark re-derives the explode+join per stage
-    * (measured 13.9 s → the fix at sf0.1). Returns (session, xc, mu). */
+  // ------------- packed power-iteration plumbing (q170/q172/q181) ----
+  // The centered frame stays ONE ROW PER VECTOR (vec_id, xc:
+  // array<double>) instead of the exploded (vec_id, dim, x): with the
+  // per-round direction v a 64-value ARRAY LITERAL, every bridged
+  // reduction (projection s, gradient g, total variance, ‖xc‖²)
+  // becomes an in-scan array expression over the packed cache — each
+  // power-iteration round is ONE cache scan whose only exchange is the
+  // 64-row final gradient aggregate, where the exploded spelling
+  // shuffled the corpus twice per round (s's GROUP BY vec_id, then the
+  // xc ⋈ s join) before the same 64-row aggregate (guide §2.1/§2.4:
+  // the data never needed to move — a vector's projection derives from
+  // its own row). Exactness: pcaBridge sums exact DECIMAL(38,0)
+  // integers, so per-element floors summed in array order equal the
+  // exploded sums bit-for-bit; the oracle keeps the exploded WITH and
+  // the hash gate proves it. Precondition (unchanged from the exploded
+  // spelling's GROUP BY semantics on real inputs): vec_id is a key.
+
+  /** Exact double → SQL literal (Double.toString round-trips through
+    * Double.parseDouble, which is what CAST(string AS DOUBLE) runs). */
+  private def dlit(d: Double): String =
+    s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+
+  /** (dim, value) rows → array literal indexed by dim (0-based). */
+  private def dimArrayLit(rows: Array[org.apache.spark.sql.Row]): String = {
+    val arr = new Array[Double](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+    s"array(${arr.map(dlit).mkString(", ")})"
+  }
+
+  /** Σ_i floor((xc[i] · w[i]) · grid + 0.5) as DECIMAL(38,0), cast to
+    * DOUBLE and de-gridded — the packed spelling of
+    * `pcaBridge(xc * w, grid) ... GROUP BY vec_id`. */
+  private def packedDotSql(xcCol: String, wLit: String, grid: String): String =
+    s"CAST(aggregate(transform($xcCol, (cx, i) -> " +
+      s"CAST(floor((cx * element_at($wLit, i + 1)) * $grid + 0.5) " +
+      s"AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0)), " +
+      s"(acc, e) -> acc + e) AS DOUBLE) / $grid"
+
+  /** Per-row Σ_i floor((xc[i]²) · grid + 0.5) as DECIMAL(38,0) (NOT yet
+    * de-gridded — callers sum across rows first where needed). */
+  private def packedSqDecSql(xcCol: String, grid: String): String =
+    s"aggregate(transform($xcCol, cx -> " +
+      s"CAST(floor((cx * cx) * $grid + 0.5) AS DECIMAL(38,0))), " +
+      s"CAST(0 AS DECIMAL(38,0)), (acc, e) -> acc + e)"
+
+  /** Whole-corpus bridged Σ xc² (the `tv` leg) over the packed view. */
+  private def packedTvSql(xp: String, grid: String): String =
+    s"CAST(sum(${packedSqDecSql("xc", grid)}) AS DOUBLE) / $grid"
+
+  /** Register the mean view + the PACKED centered frame for `vecs`
+    * (prefix distinguishes q170/q172/q181 so concurrent Verify workers
+    * cannot race on view names); the packed `xc` persists — every
+    * chain stage scans it. Null/empty embeddings are filtered exactly
+    * as the exploded spelling dropped them (a generator yields no rows
+    * for them). Returns (session, packedView, muView, muArrayLit). */
   private[operators] def pcaViews(vecs: DataFrame,
-                       prefix: String): (SparkSession, String, String) = {
+                       prefix: String): (SparkSession, String, String, String) = {
     val spark = vecs.sparkSession
     val tid = Thread.currentThread().getId
     val xd = s"graft_${prefix}_xd_t$tid"
     val mu = s"graft_${prefix}_mu_t$tid"
-    val xc = s"graft_${prefix}_xc_t$tid"
+    val xp = s"graft_${prefix}_xp_t$tid"
     vecs
       .selectExpr("vec_id", "posexplode(embedding) AS (dim, xf)")
       .selectExpr("vec_id", "CAST(dim AS INT) AS dim",
         "CAST(xf AS DOUBLE) AS x")
       .createOrReplaceTempView(xd)
-    spark.sql(pcaMuSql(xd))
+    val muDf = spark.sql(pcaMuSql(xd))
       .transform(graft.core.EngineCache.persisted)
-      .createOrReplaceTempView(mu)
-    spark.sql(pcaXcSql(xd, mu))
+    muDf.createOrReplaceTempView(mu)
+    // 64-row barrier: the per-dim means inline into the centering
+    // projection so xc packs in ONE scan with no join
+    val muLit = dimArrayLit(muDf.collect())
+    vecs
+      .filter("embedding IS NOT NULL AND size(embedding) > 0")
+      .selectExpr("vec_id",
+        s"transform(embedding, (xf, i) -> CAST(xf AS DOUBLE) - " +
+          s"element_at($muLit, i + 1)) AS xc")
       .transform(graft.core.EngineCache.persisted)
-      .createOrReplaceTempView(xc)
-    (spark, xc, mu)
+      .createOrReplaceTempView(xp)
+    (spark, xp, mu, muLit)
   }
 
   private[operators] def pcaOracleXd: String = s"""xd AS (
@@ -1188,13 +1245,18 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
   def embPca2(spark: SparkSession, dir: String): DataFrame =
     embPca2Of(Tables.load(spark, dir, "embeddings"))
 
-  /** Run [[PcaRounds]] barriered power-iteration rounds over centered
-    * relation `xcRel`: each round is ONE distributed statement (the
-    * per-vector projection as a subquery feeding the per-dim gradient
-    * agg) whose 64-row gradient COLLECTS and re-registers as a local
-    * relation — the q84/PQ-codebook materialization barrier; normalize
-    * then runs over that local frame with the exact oracle
-    * expressions, so every value is the same bits while plan depth
+  /** Run [[PcaRounds]] barriered power-iteration rounds over the
+    * PACKED centered view `xpV`: each round is ONE scan of the packed
+    * cache — the direction v inlines as a 64-value array literal, the
+    * per-vector projection s is an in-scan array reduction, and the
+    * only exchange is the 64-row gradient aggregate (the exploded
+    * spelling shuffled the corpus twice per round: s's GROUP BY vec_id
+    * and the xc ⋈ s join — same-JVM A/B `SCRATCH_WHAT=pca2`: rounds
+    * 1.58/0.63/0.54 s → 0.72/0.31/0.31 s, g bit-equal). The 64-row
+    * gradient COLLECTS and re-registers as a local relation — the
+    * q84/PQ-codebook materialization barrier; normalize then runs over
+    * that local frame with the exact oracle expressions, so every
+    * value is the same bits while plan depth
     * stays CONSTANT in rounds. Lazily chained views instead re-inline
     * each stage's subtree per reference, and with q181's two nested
     * 3-round chains that expansion compounds until planning itself
@@ -1210,7 +1272,7 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
     * <cte id>"). Returns the final (v, g) view names — both 64-row
     * local relations. View names carry `prefix`/`sfx` and the thread
     * id (Verify's workers are concurrent). */
-  private[operators] def pcaChainRun(spark: SparkSession, xcRel: String, muV: String,
+  private[operators] def pcaChainRun(spark: SparkSession, xpV: String, muV: String,
                           prefix: String, sfx: String): (String, String) = {
     import org.apache.spark.sql.types._
     val tid = Thread.currentThread().getId
@@ -1226,40 +1288,47 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       StructField("v", DoubleType)))
     val gSchema = StructType(Seq(StructField("dim", IntegerType),
       StructField("g", DoubleType)))
-    var v = local(s"v${sfx}0", vSchema, spark.sql(s"""
+    var vRows = spark.sql(s"""
       SELECT dim, 1.0 / sqrt(nd) AS v FROM $muV CROSS JOIN
-        (SELECT CAST(count(1) AS DOUBLE) AS nd FROM $muV)""").collect())
+        (SELECT CAST(count(1) AS DOUBLE) AS nd FROM $muV)""").collect()
+    var v = local(s"v${sfx}0", vSchema, vRows)
     var g = ""
     for (t <- 1 to PcaRounds) {
-      g = local(s"g$sfx$t", gSchema, spark.sql(s"""
-        SELECT c.dim, ${pcaBridge("s.s * c.xc", "1e9")} AS g
-        FROM $xcRel c JOIN (
-          SELECT c2.vec_id, ${pcaBridge("c2.xc * v.v", "1e12")} AS s
-          FROM $xcRel c2 JOIN $v v ON c2.dim = v.dim
-          GROUP BY c2.vec_id) s ON c.vec_id = s.vec_id
-        GROUP BY c.dim""").collect())
-      v = local(s"v$sfx$t", vSchema, spark.sql(s"""
+      // one packed-cache scan: s per vector in the projection, the
+      // per-element gradient contributions exploded in-stage, 64-row agg
+      val vLit = dimArrayLit(vRows)
+      val gRows = spark.sql(s"""
+        SELECT dim, ${pcaBridge("t1.s * t1.x", "1e9")} AS g
+        FROM (SELECT s, posexplode(xc) AS (dim, x)
+              FROM (SELECT ${packedDotSql("xc", vLit, "1e12")} AS s, xc
+                    FROM $xpV) t0) t1
+        GROUP BY dim""").collect()
+      g = local(s"g$sfx$t", gSchema, gRows)
+      vRows = spark.sql(s"""
         SELECT dim, g / nrm AS v FROM $g CROSS JOIN
           (SELECT sqrt(${pcaBridge("g * g", "1e12")}) AS nrm FROM $g)""")
-        .collect())
+        .collect()
+      v = local(s"v$sfx$t", vSchema, vRows)
     }
     (v, g)
   }
 
   def embPca2Of(vecs: DataFrame): DataFrame = {
-    val (spark, xcV, muV) = pcaViews(vecs, "pca2")
+    val (spark, xp, muV, _) = pcaViews(vecs, "pca2")
     val tid = Thread.currentThread().getId
-    val (vA, gA) = pcaChainRun(spark, xcV, muV, "pca2", "a")
-    // Hotelling deflation: xc2 = xc − (xc·v1)·v1, persisted once so the
-    // second chain's 3 rounds scan the cache, not the join lineage
+    val (vA, gA) = pcaChainRun(spark, xp, muV, "pca2", "a")
+    // Hotelling deflation: xc2 = xc − (xc·v1)·v1, packed — one in-scan
+    // projection over the cached frame (the exploded spelling joined the
+    // corpus twice), persisted once so the second chain's rounds scan
+    // the deflated cache
+    val vALit = dimArrayLit(
+      spark.table(vA).selectExpr("dim", "v").collect())
     val xcB = s"graft_pca2_xcb_t$tid"
     spark.sql(s"""
-      SELECT c.vec_id, c.dim, c.xc - s.s * v.v AS xc
-      FROM $xcV c
-      JOIN (SELECT c2.vec_id, ${pcaBridge("c2.xc * v.v", "1e12")} AS s
-            FROM $xcV c2 JOIN $vA v ON c2.dim = v.dim
-            GROUP BY c2.vec_id) s ON c.vec_id = s.vec_id
-      JOIN $vA v ON c.dim = v.dim""")
+      SELECT vec_id, transform(xc, (cx, i) ->
+          cx - s * element_at($vALit, i + 1)) AS xc
+      FROM (SELECT vec_id, xc, ${packedDotSql("xc", vALit, "1e12")} AS s
+            FROM $xp) t0""")
       .transform(graft.core.EngineCache.persisted)
       .createOrReplaceTempView(xcB)
     val (vB, gB) = pcaChainRun(spark, xcB, muV, "pca2", "b")
@@ -1271,9 +1340,9 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
       FROM $v v
       CROSS JOIN (SELECT ${pcaBridge("v.v * g.g", "1e9")} AS lam_raw
                   FROM $v v JOIN $g g ON v.dim = g.dim) lam
-      CROSS JOIN (SELECT ${pcaBridge("xc * xc", "1e9")} AS tvn FROM $xcV) tv
+      CROSS JOIN (SELECT ${packedTvSql(xp, "1e9")} AS tvn FROM $xp) tv
       CROSS JOIN (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
-                  FROM $xcV) nn"""
+                  FROM $xp) nn"""
     spark.sql(s"""
       SELECT component, dim, loading, pc_var, explained_frac FROM (
         ${rep(1, vA, gA)}
@@ -1326,23 +1395,23 @@ private[graft] trait ScaleAnnOps { this: ScaleOps.type =>
 
   /** Runs the power iteration through [[pcaChainRun]]'s driver-barrier
     * rounds (same bits as the oracle's inline chain, constant plan
-    * depth), then one statement computes projection + residual norm
-    * against the 64-row local v. */
+    * depth), then ONE packed-cache scan computes projection + residual
+    * norm per vector — the exploded spelling ran two grouped aggs over
+    * the corpus and joined them back on vec_id. */
   def embAbttOf(vecs: DataFrame): DataFrame = {
-    val (spark, xcV, muV) = pcaViews(vecs, "abtt")
-    val (v, _) = pcaChainRun(spark, xcV, muV, "abtt", "a")
+    val (spark, xp, muV, _) = pcaViews(vecs, "abtt")
+    val (v, _) = pcaChainRun(spark, xp, muV, "abtt", "a")
+    val vLit = dimArrayLit(spark.table(v).selectExpr("dim", "v").collect())
     spark.sql(s"""
-      SELECT s.vec_id,
-        ${droundSql("s.s", 6)} AS proj,
+      SELECT vec_id,
+        ${droundSql("s", 6)} AS proj,
         ${droundSql(
-          "sqrt(CASE WHEN n2.nsq - s.s * s.s < 0.0 THEN 0.0 " +
-            "ELSE n2.nsq - s.s * s.s END)", 6)} AS resid_norm
-      FROM (SELECT c.vec_id, ${pcaBridge("c.xc * v.v", "1e12")} AS s
-            FROM $xcV c JOIN $v v ON c.dim = v.dim
-            GROUP BY c.vec_id) s
-      JOIN (SELECT vec_id, ${pcaBridge("xc * xc", "1e12")} AS nsq
-            FROM $xcV GROUP BY vec_id) n2 ON s.vec_id = n2.vec_id
-      ORDER BY s.vec_id""")
+          "sqrt(CASE WHEN nsq - s * s < 0.0 THEN 0.0 " +
+            "ELSE nsq - s * s END)", 6)} AS resid_norm
+      FROM (SELECT vec_id, ${packedDotSql("xc", vLit, "1e12")} AS s,
+              CAST(${packedSqDecSql("xc", "1e12")} AS DOUBLE) / 1e12 AS nsq
+            FROM $xp) t0
+      ORDER BY vec_id""")
   }
 
   def embAbttOracleSql: String = abttSql(pcaOraclePrefix, "xc", "mu")
