@@ -225,12 +225,20 @@ private[graft] trait ScaleRelationalOps { this: ScaleOps.type =>
   /** Spark side persists the distinct (order, part) basket table once —
     * it feeds the order count, the item supports, and BOTH branches of
     * the pair self-join, and Spark's CTE inlining would otherwise
-    * recompute the distinct (a shuffle) four times. Identical
+    * recompute the distinct (a shuffle) four times. The cache lays out
+    * on l_orderkey — the self-join key — so the pair join reads both
+    * branches from the same partitioning and never exchanges once the
+    * basket outgrows broadcast (the q104/q213 key-layout move, guide
+    * §2.4); the repartition runs BEFORE the distinct, whose
+    * ClusteredDistribution((l_orderkey, l_partkey)) the orderkey hash
+    * already satisfies — one exchange total, same as the old spelling,
+    * where distinct-then-repartition would pay two. Identical
     * expressions to [[assocRulesSql]], so the oracle hash holds. */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey")).distinct()
       .transform(graft.core.EngineCache.persisted)
     val nOrders = li.select(col("l_orderkey")).distinct().count()
     val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("sup"))
