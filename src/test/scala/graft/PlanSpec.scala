@@ -551,11 +551,17 @@ class PlanSpec extends SparkSpec {
     // the recursive loop body prints opaquely in the physical string
     // and logical Relations elide file paths, so the evidence is
     // structural: the vocab arrives as a bare 2-column parquet
-    // Relation [kind, piece] — a serve-time DERIVATION would instead
-    // plan the candidate aggregate + its row_number rank window
+    // relation [kind, piece] — a serve-time DERIVATION would instead
+    // plan the candidate aggregate + its row_number rank window.
+    // Since the round-13 staging, the vocab scan sits inside the
+    // persisted JUMP view's cached build plan, which prints as the
+    // physical `FileScan parquet [kind#…,piece#…]` rather than the
+    // logical `Relation [kind…]` — both spellings are the same bare
+    // 2-column scan of the published table.
     val p = graft.operators.LlmQueries.wordpieceFrozen(spark, sfDir)
       .queryExecution.optimizedPlan.toString
-    assert(p.contains("Relation [kind"),
+    assert(p.contains("Relation [kind") ||
+        "FileScan parquet \\[kind#\\d+,piece#\\d+\\]".r.findFirstIn(p).isDefined,
       s"frozen serve must scan the published (kind, piece) table:\n$p")
     assert(!p.contains("row_number"),
       s"a rank window means the vocab was re-derived at serve time:\n$p")
